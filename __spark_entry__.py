@@ -1,38 +1,579 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry maps a SURVEY.md §2 operator (or a training-data
+operator) onto the driver's test tables; ``oracle_sql()`` holds the DuckDB
+equivalent.  Engine logic lives in :mod:`eodatadown_spark`; this module only
+binds it to the test schema.
+
+Conventions for oracle stability:
+- every computed column is aliased identically on both sides;
+- floating aggregates are rounded (2dp money, 4dp ratios) on both sides;
+- ``events.ts`` is TIMESTAMP(NANOS) parquet: Spark reads it as long-ns and
+  converts to µs (sources.testdata); oracle SQL casts to µs TIMESTAMP;
+- windows/top-k carry unique tie-break keys so row SETS are deterministic.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eodatadown_spark import queries as Q
+from eodatadown_spark.operators import dedup as D
+from eodatadown_spark.operators import similarity as S
+from eodatadown_spark.operators import text as X
+from eodatadown_spark.sources.testdata import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# queries — one per implemented operator family
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    """A3/A7/A8: multi-agg single pass (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_date_range_page(spark, sf):
+    """F1+O1+W2: inclusive date-range filter, DESC order, OFFSET/LIMIT page
+    (reference pagination, eodatadownlandsatgoogsensor.py:1989-2040)."""
+    orders = _t(spark, sf, "orders")
+    filtered = orders.where(
+        Q.date_range_pred("o_orderdate", "1997-12-31", "1996-01-01")
+    )
+    w = Window.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn").between(11, 30))
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+def q03_bbox_overlap(spark, sf):
+    """F7: strict-inequality rectangle-overlap predicate shape."""
+    cust = _t(spark, sf, "customer")
+    pred = (
+        (F.col("c_acctbal") > F.lit(1000.0))
+        & (F.lit(9000.0) > F.col("c_acctbal"))
+        & (F.col("c_nationkey") > F.lit(2))
+        & (F.lit(20) > F.col("c_nationkey"))
+    )
+    return (
+        cust.where(pred)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+def q04_watermark_incremental(spark, sf):
+    """F2/T1/A2: high-watermark incremental filter — agg(max) then strict
+    greater-than on the source (ingest.watermark pattern)."""
+    from eodatadown_spark.ingest import watermark
+
+    ev = _t(spark, sf, "events")
+    wm = watermark(ev, "ts")
+    cutoff_df = spark.createDataFrame([(wm,)], "wm timestamp").select(
+        F.date_trunc("day", F.col("wm") - F.expr("INTERVAL 7 DAYS")).alias("cut")
+    )
+    cutoff = cutoff_df.first()["cut"]
+    return (
+        ev.where(F.col("ts") > F.lit(cutoff))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q05_inlist_month(spark, sf):
+    """F3+F4+F6: threshold + IN-list + month-of-interest predicates."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(
+            F.col("l_returnflag").isin("A", "R")
+            & Q.month_pred("l_shipdate", [1, 2, 3])
+            & (F.col("l_discount") <= 0.05)
+        )
+        .groupBy("l_returnflag", F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q06_dup_detect(spark, sf):
+    """A4: group-by-count duplicate detection (>1)."""
+    orders = _t(spark, sf, "orders")
+    from eodatadown_spark.ingest import find_duplicate_scenes
+
+    return find_duplicate_scenes(orders, key="o_custkey")
+
+
+def q07_keep_latest(spark, sf):
+    """J4/W1/T3: keep-latest-per-key window dedup."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def q08_anti_join(spark, sf):
+    """J5: idempotent-insert anti-join shape (keys absent from other side)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q09_semi_join(spark, sf):
+    """J2-shape: EXISTS semi-join."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(big, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def q10_revenue_by_nation(spark, sf):
+    """J1/J7: multi-table equi-join + agg; dims broadcast."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q11_distinct_values(spark, sf):
+    """A5: distinct values via group-by."""
+    return Q.find_unique_platforms(_t(spark, sf, "orders"), "o_orderpriority")
+
+
+def q12_distinct_dates(spark, sf):
+    """A6: distinct cast-to-date, filtered."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select(F.to_date("o_orderdate").alias("obs_date"))
+        .distinct()
+    )
+
+
+def q13_summary_stats(spark, sf):
+    """A7: exact summary statistics incl. exact quartiles
+    (reports.column_stats)."""
+    from eodatadown_spark.reports import column_stats
+
+    return column_stats(_t(spark, sf, "orders"), "o_totalprice", round_to=2)
+
+
+def q14_union_distinct(spark, sf):
+    """U1: union-with-dedup of task lists."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    a = orders.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+def q15_derived_columns(spark, sf):
+    """C4/C5/C6/F14: scalar derivations — date format/extract, split/index."""
+    orders = _t(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("o_ymd"),
+        F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio_code"),
+        F.lower("o_orderstatus").alias("status_lc"),
+    )
+
+
+def q16_count_date_range(spark, sf):
+    """A3: count-under-predicate as a one-row result."""
+    orders = _t(spark, sf, "orders")
+    return orders.where(
+        Q.date_range_pred("o_orderdate", "1998-12-31", "1996-01-01")
+        & (F.col("o_totalprice") > 100000)
+    ).agg(F.count("*").alias("n_scenes"))
+
+
+def q17_obs_date_rollup(spark, sf):
+    """A9/J1: per-(type, date) rollup with member counts."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("obs_date"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q18_json_filter(spark, sf):
+    """F9/C21: JSON key extraction + typed filter on a JSON string column."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.where(k.isNotNull() & (k > 50))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg(k), 4).alias("avg_k"))
+    )
+
+
+def q19_exact_dedup(spark, sf):
+    """Dedup/exact: content-hash distinct counts."""
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+def q20_text_profile(spark, sf):
+    """Text-analysis: per-language quality metrics (operators.text)."""
+    docs = _t(spark, sf, "documents")
+    prof = docs.select(
+        "lang",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.punct_ratio(F.col("text")).alias("pr"),
+        X.char_count(F.col("text")).alias("nc"),
+    )
+    return prof.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("pr"), 4).alias("avg_punct_ratio"),
+        F.round(F.avg("nc"), 4).alias("avg_chars"),
+    )
+
+
+def q21_langid(spark, sf):
+    """Text-analysis: stopword-heuristic language ID."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(X.language_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q22_fingerprint(spark, sf):
+    """Text-analysis: deterministic document fingerprint (md5-normalized)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select("source", X.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_unique_fp"))
+    )
+
+
+def q23_cosine_topk(spark, sf):
+    """Similarity: exact brute-force cosine top-3 (operators.similarity)."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(emb, qs, k=3).select("query_id", "neighbor_id", "rank")
+
+
+def q24_minhash_neardup(spark, sf):
+    """Dedup/MinHash-LSH near-duplicate pairs (no SQL oracle — verified by
+    unit tests against exact Jaccard)."""
+    docs = _t(spark, sf, "documents")
+    return D.minhash_neardup_pairs(docs, jaccard_threshold=0.5)
+
+
+def q25_simhash_neardup(spark, sf):
+    """Dedup/SimHash near-duplicate pairs (no SQL oracle)."""
+    docs = _t(spark, sf, "documents")
+    return D.simhash_neardup_pairs(docs, max_hamming=8)
+
+
+def q26_window_rollup(spark, sf):
+    """T5/streaming-shape: tumbling-hour event rollup (batch-equivalent
+    plan of streaming.windowed_event_counts)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q27_top1_watermark(spark, sf):
+    """A1/A2/O2: max-scalar aggregates (watermark + next-PID pattern)."""
+    orders = _t(spark, sf, "orders")
+    return orders.agg(
+        F.to_date(F.max("o_orderdate")).alias("wm_date"),
+        F.max("o_orderkey").alias("max_pid"),
+    )
+
+
+def q28_ngram_jaccard(spark, sf):
+    """Dedup/exact n-gram Jaccard pairs above threshold (no SQL oracle;
+    verified by unit tests)."""
+    docs = _t(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(docs.where(F.col("doc_id") < 100), threshold=0.5)
+
+
+QUERIES: dict[str, Callable] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_date_range_page": q02_date_range_page,
+    "q03_bbox_overlap": q03_bbox_overlap,
+    "q04_watermark_incremental": q04_watermark_incremental,
+    "q05_inlist_month": q05_inlist_month,
+    "q06_dup_detect": q06_dup_detect,
+    "q07_keep_latest": q07_keep_latest,
+    "q08_anti_join": q08_anti_join,
+    "q09_semi_join": q09_semi_join,
+    "q10_revenue_by_nation": q10_revenue_by_nation,
+    "q11_distinct_values": q11_distinct_values,
+    "q12_distinct_dates": q12_distinct_dates,
+    "q13_summary_stats": q13_summary_stats,
+    "q14_union_distinct": q14_union_distinct,
+    "q15_derived_columns": q15_derived_columns,
+    "q16_count_date_range": q16_count_date_range,
+    "q17_obs_date_rollup": q17_obs_date_rollup,
+    "q18_json_filter": q18_json_filter,
+    "q19_exact_dedup": q19_exact_dedup,
+    "q20_text_profile": q20_text_profile,
+    "q21_langid": q21_langid,
+    "q22_fingerprint": q22_fingerprint,
+    "q23_cosine_topk": q23_cosine_topk,
+    "q24_minhash_neardup": q24_minhash_neardup,
+    "q25_simhash_neardup": q25_simhash_neardup,
+    "q26_window_rollup": q26_window_rollup,
+    "q27_top1_watermark": q27_top1_watermark,
+    "q28_ngram_jaccard": q28_ngram_jaccard,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from eodatadown_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    return q10_revenue_by_nation(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins. Keys missing here (q24, q25, q28) are
+    non-SQL-expressible LSH ops → driver does the rows-only check."""
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_date_range_page": """
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+            FROM (
+                SELECT *, row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+                WHERE o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            ) WHERE rn BETWEEN 11 AND 30
+        """,
+        "q03_bbox_overlap": """
+            SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer
+            WHERE c_acctbal > 1000.0 AND 9000.0 > c_acctbal
+              AND c_nationkey > 2 AND 20 > c_nationkey
+            GROUP BY c_nationkey
+        """,
+        "q04_watermark_incremental": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >
+                  date_trunc('day', (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAY)
+            GROUP BY event_type
+        """,
+        "q05_inlist_month": """
+            SELECT l_returnflag, CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+                   count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R')
+              AND month(l_shipdate) IN (1, 2, 3)
+              AND l_discount <= 0.05
+            GROUP BY 1, 2
+        """,
+        "q06_dup_detect": """
+            SELECT o_custkey, count(*) AS n
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "q07_keep_latest": """
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "q08_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q09_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "q10_revenue_by_nation": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q11_distinct_values": """
+            SELECT DISTINCT o_orderpriority FROM orders
+        """,
+        "q12_distinct_dates": """
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS obs_date
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "q13_summary_stats": """
+            SELECT count(o_totalprice) AS n,
+                   round(sum(o_totalprice), 2) AS total,
+                   round(avg(o_totalprice), 2) AS mean,
+                   round(min(o_totalprice), 2) AS min,
+                   round(max(o_totalprice), 2) AS max,
+                   round(stddev_samp(o_totalprice), 2) AS stdev,
+                   round(quantile_cont(o_totalprice, 0.25), 2) AS q1,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median,
+                   round(quantile_cont(o_totalprice, 0.75), 2) AS q3
+            FROM orders WHERE o_totalprice IS NOT NULL
+        """,
+        "q14_union_distinct": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+            UNION
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "q15_derived_columns": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(month(o_orderdate) AS INTEGER) AS o_month,
+                   strftime(o_orderdate, '%Y%m%d') AS o_ymd,
+                   split_part(o_orderpriority, '-', 1) AS prio_code,
+                   lower(o_orderstatus) AS status_lc
+            FROM orders
+        """,
+        "q16_count_date_range": """
+            SELECT count(*) AS n_scenes FROM orders
+            WHERE o_orderdate <= TIMESTAMP '1998-12-31 00:00:00'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_totalprice > 100000
+        """,
+        "q17_obs_date_rollup": """
+            SELECT event_type, CAST(ts AS DATE) AS obs_date,
+                   count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "q18_json_filter": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+            GROUP BY event_type
+        """,
+        "q19_exact_dedup": """
+            SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+            FROM documents
+        """,
+        "q20_text_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
+                   round(avg(CAST(len(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+                             / len(text)), 4) AS avg_punct_ratio,
+                   round(avg(len(text)), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "q21_langid": """
+            SELECT CASE WHEN len(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t IN ('the','a','of','and','to','in','is','it'))) >= 1
+                   THEN 'en' ELSE 'other' END AS lang_guess,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "q22_fingerprint": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_unique_fp
+            FROM documents GROUP BY source
+        """,
+        "q23_cosine_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                    c.vec_id ASC) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ) WHERE rank <= 3
+        """,
+        "q26_window_rollup": """
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q27_top1_watermark": """
+            SELECT CAST(max(o_orderdate) AS DATE) AS wm_date,
+                   max(o_orderkey) AS max_pid
+            FROM orders
+        """,
+    }

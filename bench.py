@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query executes to completion through the `noop` DataSourceV2 sink so
+the full plan runs (a bare .count() would let Catalyst prune projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from eodatadown_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the scale-relevant
+# ops (joins, window dedup, minhash, similarity, text profile, rollups).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_date_range_page",
+    "q05_inlist_month",
+    "q07_keep_latest",
+    "q10_revenue_by_nation",
+    "q13_summary_stats",
+    "q17_obs_date_rollup",
+    "q20_text_profile",
+    "q23_cosine_topk",
+    "q24_minhash_neardup",
+    "q26_window_rollup",
+]
+
+
+def run_once(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+
+    queries = E.queries()
+    timings: dict[str, float] = {}
+    # JVM/codegen warmup on the smallest table so q01 doesn't absorb startup
+    run_once(queries["q27_top1_watermark"](spark, sf_dir))
+
+    for name in HEADLINE:
+        t0 = time.time()
+        run_once(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

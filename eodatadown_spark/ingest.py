@@ -1,0 +1,161 @@
+"""Incremental catalog ingest: watermark, idempotent upsert, dedup, ROI filter.
+
+Reference behavior (SURVEY.md §3.1): `check_new_scns` computes a
+high-watermark from the local table, queries the remote index above it,
+inserts rows absent from the catalog (one existence query per row), assigns
+serial PIDs, then repairs duplicated scene_ids keeping the most recently
+processed product.  All of that becomes four set-based steps here:
+
+1. :func:`watermark`          — agg(max) over the catalog (A1/A2/T1)
+2. :func:`assign_pids`        — max(pid)+row_number over a pinned order
+3. :func:`upsert_new_scenes`  — LEFT ANTI join + union (J5/T2)
+4. :func:`resolve_duplicate_scenes` — keep-latest window dedup (J4/W1/T3)
+
+Scale note: the anti-join shuffles on the ingest key — at 100 TB the catalog
+side is pruned first by the watermark predicate (partition pruning on the
+date-partitioned catalog), so only the recent slice shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from eodatadown_spark.queries import bbox_intersect_pred
+
+
+def watermark(catalog: DataFrame, col: str):
+    """T1/A2: current high-watermark (None on empty catalog)
+    (ref eodatadownlandsatgoogsensor.py:536-543)."""
+    row = catalog.agg(F.max(F.col(col)).alias("wm")).first()
+    return None if row is None else row["wm"]
+
+
+def next_pid(catalog: DataFrame) -> int:
+    """A1: serial-PID base — max(pid)+1, 0 on empty
+    (ref :546-550)."""
+    row = catalog.agg(F.max("pid").alias("mx")).first()
+    mx = row["mx"] if row is not None else None
+    return 0 if mx is None else int(mx) + 1
+
+def filter_above_watermark(source: DataFrame, col: str, wm) -> DataFrame:
+    """F2: keep source rows strictly above the stored watermark."""
+    if wm is None:
+        return source
+    return source.where(F.col(col) > F.lit(wm))
+
+
+def assign_pids(new_rows: DataFrame, base_pid: int, order_cols: Sequence[str]) -> DataFrame:
+    """Deterministic serial PID assignment.
+
+    The reference increments a counter in source-row order (:546-550,662);
+    row order from a distributed read isn't stable, so the order is pinned on
+    explicit key columns — same PIDs on every run for oracle stability.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return new_rows.withColumn(
+        "pid", (F.row_number().over(w) + F.lit(base_pid - 1)).cast("long")
+    )
+
+
+def upsert_new_scenes(
+    catalog: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """J5/M1: idempotent keyed insert — incoming rows whose key is absent get
+    appended with fresh serial PIDs (ref :638-665).
+
+    Returns the new full catalog DataFrame (caller persists via
+    ParquetCatalog.write).
+    """
+    order_cols = list(order_cols or keys)
+    fresh = incoming.join(catalog.select(*keys), list(keys), "left_anti")
+    fresh = assign_pids(fresh, next_pid(catalog), order_cols)
+    return catalog.unionByName(fresh.select(*catalog.columns), allowMissingColumns=False)
+
+
+def parse_product_process_date(product_id_col: str = "product_id") -> Column:
+    """C6: processing date = field 4 (0-indexed) of `X_X_X_X_YYYYMMDD_...`
+    (ref :492)."""
+    return F.to_date(F.split(F.col(product_id_col), "_").getItem(4), "yyyyMMdd")
+
+
+def resolve_duplicate_scenes(
+    catalog: DataFrame,
+    key: str = "scene_id",
+    product_col: str = "product_id",
+) -> DataFrame:
+    """J4/W1: among rows sharing `scene_id`, keep the most recently processed
+    product (max parsed process-date); ties keep the first-seen = lowest pid
+    (ref :473-518 — min timedelta from now ≡ max process date; first-seen
+    wins on equal dates per the `<` comparison at :500-510)."""
+    w = Window.partitionBy(key).orderBy(
+        parse_product_process_date(product_col).desc(), F.col("pid").asc()
+    )
+    return (
+        catalog.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def find_duplicate_scenes(catalog: DataFrame, key: str = "scene_id") -> DataFrame:
+    """A4: duplicate detection (ref :670-677)."""
+    return (
+        catalog.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def filter_scenes_roi(
+    scenes: DataFrame,
+    roi: DataFrame,
+    keep_intersecting: bool = True,
+) -> DataFrame:
+    """J3: spatial ROI semi/anti join on bbox overlap.
+
+    The reference builds an rtree over ROI geometries then tests each scene
+    (eodatadownutils.py:1799-1867, eodatadownlandsatgoogsensor.py:685-732).
+    ROI tables are small → broadcast the ROI side and evaluate the F7
+    rectangle predicate as a broadcast nested-loop join; Spark's BNLJ over a
+    broadcast side IS the rtree-candidate pattern at cluster scale (each task
+    scans its scene partition against the in-memory ROI list).
+
+    `keep_intersecting=False` reproduces `rm_scns_intersect`'s delete of
+    non-intersecting scenes (returns the surviving catalog).
+    """
+    roi_b = F.broadcast(
+        roi.select(
+            F.col("west_lon").alias("__r_w"),
+            F.col("east_lon").alias("__r_e"),
+            F.col("south_lat").alias("__r_s"),
+            F.col("north_lat").alias("__r_n"),
+        )
+    )
+    cond = (
+        (F.col("east_lon") > F.col("__r_w"))
+        & (F.col("__r_e") > F.col("west_lon"))
+        & (F.col("north_lat") > F.col("__r_s"))
+        & (F.col("__r_n") > F.col("south_lat"))
+    )
+    how = "left_semi" if keep_intersecting else "left_anti"
+    return scenes.join(roi_b, cond, how)
+
+
+__all__ = [
+    "watermark",
+    "next_pid",
+    "filter_above_watermark",
+    "assign_pids",
+    "upsert_new_scenes",
+    "parse_product_process_date",
+    "resolve_duplicate_scenes",
+    "find_duplicate_scenes",
+    "filter_scenes_roi",
+    "bbox_intersect_pred",
+]

@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant avoids the O(n²) all-pairs comparison.
+
+- exact:   one hash-groupBy shuffle on a 128-bit content hash;
+- minhash: shingle→signature entirely in Catalyst expressions (no Python),
+  banding → explode(band) → self-join on (band_idx, band_hash) so only
+  bucket-colliding pairs are compared;
+- simhash: 64-bit sketch via per-bit majority over token hashes, candidate
+  pairs from identical high-order bands;
+- verification joins carry only (id, shingle-set) — narrow shuffles.
+
+The MinHash family uses xxhash64 + independent affine permutations mod a
+31-bit prime (the same prime Spark MLlib's MinHashLSH uses): with a, b and
+the reduced hash all < 2^31, `a*h + b` stays below 2^63 — no overflow under
+ANSI arithmetic, everything in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2038074743  # 31-bit prime (as in Spark MLlib MinHashLSH)
+
+
+def _affine_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array<string> (space-joined).
+
+    Built with transform over token indices — pure Catalyst, no UDF:
+    shingle[i] = tokens[i..i+k-1] joined by ' '.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(c)), "\\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(n >= k, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(shingles)
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 each shingle reduced mod the 31-bit prime → array<bigint>."""
+    return F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))
+    )
+
+
+def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 42) -> Column:
+    """array<bigint> signature: sig[i] = min over shingle hashes of
+    (a_i*h + b_i) mod p.  a, b, h < 2^31 so the product fits a long under
+    ANSI arithmetic; all of it stays in whole-stage codegen."""
+    params = _affine_params(num_perm, seed)
+    mins = [
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)),
+            )
+        )
+        for a, b in params
+    ]
+    return F.array(*mins)
+
+
+def minhash_neardup_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Plan shape: project → explode(bands) → shuffle on (band, band_hash) →
+    groupBy bucket self-pair → verify on shingle sets.  Candidate volume is
+    bounded by bucket collisions, not n² — the standard LSH scale path.
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+
+    base = documents.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
+    ).withColumn("hashes", shingle_hashes(F.col("shingles")))
+    sig = base.withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "id", "shingles", F.explode(band_structs).alias("bh")
+    ).select("id", "shingles", "bh.band_idx", "bh.band_hash")
+
+    left = banded.select(
+        "band_idx", "band_hash", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = banded.select(
+        "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = pairs.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+    )
+    return jac.where(F.col("jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per content hash (md5 over the
+    concatenated content columns).  One shuffle on the hash key."""
+    hashed = df.withColumn(
+        "__h", F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def simhash_sketches(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_grams: int = 2,
+    n_bits: int = 63,  # bit 63 excluded: keeps the sketch non-negative
+) -> DataFrame:
+    """63-bit SimHash per document: bit j is the sign of sum over grams of
+    (gram_hash bit j ? +1 : -1).
+
+    Plan shape: explode grams → one hash column → groupBy(doc) with `n_bits`
+    vectorized conditional sums → bit re-assembly.  One shuffle on the doc
+    id; every expression is codegen'd — the scalable formulation (the
+    all-in-one array-expression variant blows up the expression tree).
+    Returns (id, sim).
+    """
+    grams = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, k_grams)).alias("g"),
+    ).withColumn("h", F.xxhash64("g"))
+    sums = grams.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(n_bits)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(0).cast("long")
+        for j in range(n_bits)
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim.bitwiseOR(t)
+    return sums.select("id", sim.alias("sim"))
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: candidates share one of `n_tables` 16-bit bands of
+    the 64-bit sketch; verified by exact Hamming distance ≤ max_hamming."""
+    sk = simhash_sketches(documents, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftrightunsigned(F.col("sim"), t * 16).bitwiseAND(F.lit(0xFFFF)).alias("band"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = sk.select("id", "sim", F.explode(bands).alias("b")).select(
+        "id", "sim", "b.t", "b.band"
+    )
+    left = banded.select("t", "band", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    right = banded.select("t", "band", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    pairs = (
+        left.join(right, ["t", "band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via inverted-index join (no LSH): pairs
+    sharing at least one shingle are candidates (explode → self-join on
+    shingle), then exact verify.  Costlier than MinHash but exact; used for
+    small/verification workloads."""
+    base = documents.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
+    )
+    inv = base.select("id", F.explode("shingles").alias("sh"))
+    cand = (
+        inv.alias("l")
+        .join(inv.alias("r"), "sh")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    with_sets = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    )
+    jac = with_sets.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )

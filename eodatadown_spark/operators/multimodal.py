@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct; decode /
+feature-extract / resize / frame-sample are Arrow-batched `mapInPandas`
+stages.  The image/audio codec libraries are NOT in this container, so the
+decode kernels are STUBBED with a deterministic fake (clearly marked); the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape — is
+real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, payload_bytes long, feature array<float>"
+)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """STUB decoder — deterministic 8-dim feature from payload bytes.
+
+    Real deployment swaps this for PIL/libsndfile/ffmpeg decode; the
+    surrounding Spark plumbing is identical.  Raises on None to mirror a
+    codec error path.
+    """
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder not available in this image")
+    return [float(payload[i % len(payload)]) / 255.0 if payload else 0.0 for i in range(8)]
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode + featurize each media row via Arrow-batched mapInPandas.
+
+    Partition-parallel: each task streams record batches, decodes rows, and
+    emits fixed-width feature vectors — the shape a real embedding/decode
+    stage has at scale (payloads never pass through the driver).
+    """
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda p: _fake_decode(p) if p is not None else [0.0] * 8
+                    ),
+                }
+            )
+
+    df = media
+    if batch_hint:
+        df = df.repartition(batch_hint)
+    return df.mapInPandas(_run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: explode frame indices 0..n_frames
+    step `every_n` — pure Catalyst; the per-frame decode joins in later via
+    :func:`extract_features`-style stages."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
+    )

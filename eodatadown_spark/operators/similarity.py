@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products via `F.zip_with` + `F.aggregate`
+  (JVM-side, no Python); per-query top-k via window.  Exact baseline; at
+  100 TB the corpus side stays partition-parallel and never shuffles — only
+  the k results per query do.
+- :func:`lsh_bucket_topk` — random-hyperplane LSH (sign of dot with `n_planes`
+  fixed pseudo-random vectors → bucket id).  Candidates = same-bucket rows,
+  so the join is an equi-join on bucket id instead of a cross join: the IVF-
+  style scale path.  Recall < 1 by construction; verified top-k within the
+  candidate set.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k of each query against the corpus.
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — rank 1..k, ties broken
+    by neighbor_id ascending for determinism.  Self-matches excluded when a
+    query id equals a corpus id.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__qv"), F.col("__cv"))
+            / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = bitmask of sign(vec · plane_i) — fixed pseudo-random
+    hyperplanes evaluated as literal-array dot products (no Python)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bits.append(
+            F.when(dot(vec, p) >= 0, F.lit(1 << i)).otherwise(0).cast("long")
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the query's hyperplane
+    bucket; equi-join on bucket replaces the cross join (the 100 TB path —
+    ~n/2^planes candidates per query)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("__cv"), planes))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ).withColumn("bucket", hyperplane_bucket(F.col("__qv"), planes))
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__qv"), F.col("__cv"))
+            / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join
+    (id_a < id_b, cos_sim >= threshold)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+    left = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb"))),
+        )
+    )
+    return pairs.where(F.col("cos_sim") >= threshold).select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).dropDuplicates(["id_a", "id_b"])

@@ -1,0 +1,103 @@
+"""Text-analysis operators over a `documents(doc_id, text, ...)` table.
+
+Everything here is built-in-function columnar (JVM-side, whole-stage
+codegen) — no Python in the hot path — so it scales linearly with input
+partitions at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# compact English stopword list for the language-ID heuristic
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; empty/blank string → 0."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    ).cast("long")
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, "[A-Za-z0-9 \\t\\n\\r]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(c)
+    )
+
+
+def mean_token_len(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    n_nonspace = F.length(F.regexp_replace(c, "\\s", ""))
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        n_nonspace.cast("double") / n_tok
+    )
+
+
+def stopword_hits(text: Column | str, words=EN_STOPWORDS) -> Column:
+    """Number of whitespace-delimited tokens that are exactly a stopword.
+
+    Counted with `array_size(filter(tokens, t -> t IN (...)))` — pure
+    Catalyst expressions, also expressible in ANSI SQL for the oracle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(c)), "\\s+")
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def language_guess(text: Column | str, min_hits: int = 1) -> Column:
+    """Heuristic language ID: stopword-hit count ≥ threshold → 'en' else
+    'other'.  (Real n-gram models plug in as an extra scorer column; the
+    operator shape — score columns + argmax — is what matters at scale.)"""
+    return F.when(stopword_hits(text) >= F.lit(min_hits), F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score from length/punct/stopword signals —
+    the length/punct/stopword-ratio heuristic family used by large corpus
+    filters (C4-style)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_hits(c) >= 1, 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    lowercased/alnum-normalized text — stable across engines (DuckDB md5
+    produces the identical hex)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+    return F.md5(normalized)
+
+
+def profile_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document metric projection — single narrow pass."""
+    c = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        char_count(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(mean_token_len(c), 4).alias("mean_token_len"),
+        stopword_hits(c).alias("stopword_hits"),
+        language_guess(c).alias("lang_guess"),
+        F.round(quality_score(c), 4).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,294 @@
+"""The sensor query surface as pure DataFrame transformations.
+
+Re-expresses the reference's abstract-sensor query API
+(eodatadownsensor.py:179-469; canonical impls
+eodatadownlandsatgoogsensor.py:1917-2348) as composable functions over a
+scene-catalog DataFrame.  All functions are lazy — they return DataFrames;
+callers decide when to act.
+
+Semantic quirks preserved bit-for-bit (SURVEY.md §7.4):
+
+- date-range filters are INCLUSIVE (`<= start`, `>= end`) with "start" being
+  the most-recent bound (eodatadownlandsatgoogsensor.py:1947-1966);
+- bbox overlap uses STRICT inequalities (`:2070-2103`);
+- `get_obs_scns` date bounds are EXCLUSIVE `<`/`>` (eodatadownsensor.py:720-721);
+- pagination is an OFFSET/LIMIT slice applied after `ORDER BY date DESC`
+  (`:2143`), reproduced with a row_number window.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# predicate builders (F1-F12)
+# ---------------------------------------------------------------------------
+
+def date_range_pred(
+    date_col: str, start: dt.date | str, end: dt.date | str
+) -> Column:
+    """F1: inclusive date-range — `start` is the most recent bound
+    (ref eodatadownlandsatgoogsensor.py:1947-1949)."""
+    return (F.col(date_col) <= F.lit(start)) & (F.col(date_col) >= F.lit(end))
+
+
+def bbox_intersect_pred(
+    bbox: tuple[float, float, float, float],
+    north: str = "north_lat",
+    south: str = "south_lat",
+    east: str = "east_lon",
+    west: str = "west_lon",
+) -> Column:
+    """F7: strict-inequality rectangle intersection.
+
+    ``bbox`` is (west, east, south, north), matching the reference's
+    lat/long bbox argument order semantics (eodatadownlandsatgoogsensor.py
+    :2070-2103: `east_lon > W AND E > west_lon AND north_lat > S AND
+    N > south_lat`).
+    """
+    w, e, s, n = bbox
+    return (
+        (F.col(east) > F.lit(w))
+        & (F.lit(e) > F.col(west))
+        & (F.col(north) > F.lit(s))
+        & (F.lit(n) > F.col(south))
+    )
+
+
+def valid_pred(valid: bool = True) -> Column:
+    """F8: invalid flag filter."""
+    return F.col("invalid") == F.lit(not valid)
+
+
+def cloud_pred(cloud_thres: float) -> Column:
+    """F3: cloud-cover threshold (inclusive, catalog-side semantics)."""
+    return F.col("cloud_cover") <= F.lit(cloud_thres)
+
+
+def month_pred(date_col: str, months: Sequence[int]) -> Column:
+    """F6: month-of-interest."""
+    return F.month(F.col(date_col)).isin(list(months))
+
+
+def json_key_missing_pred(json_col: str, key: str) -> Column:
+    """F9: ExtendedInfo IS NULL OR key absent
+    (ref eodatadownlandsatgoogsensor.py:1304-1310)."""
+    return F.col(json_col).isNull() | F.get_json_object(
+        F.col(json_col), f"$.{key}"
+    ).isNull()
+
+
+# ---------------------------------------------------------------------------
+# scene queries (the public API surface)
+# ---------------------------------------------------------------------------
+
+def _paginate(
+    df: DataFrame,
+    order_cols: list[Column],
+    start_rec: int = 0,
+    n_recs: int = 0,
+) -> DataFrame:
+    """W2/O5: OFFSET/LIMIT slice after a total order.
+
+    A row_number window over a global order is a single-partition sort at the
+    window stage; acceptable because paginated reads are, by construction,
+    small result sets already reduced by filters.  (`limit` alone covers the
+    OFFSET=0 case without the window.)
+    """
+    if n_recs <= 0:
+        return df.orderBy(*order_cols)
+    if start_rec <= 0:
+        return df.orderBy(*order_cols).limit(n_recs)
+    w = Window.orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn").between(start_rec + 1, start_rec + n_recs))
+        .drop("__rn")
+    )
+
+
+def query_scn_records_date(
+    scenes: DataFrame,
+    start_date: dt.date | str,
+    end_date: dt.date | str,
+    date_col: str = "date_acquired",
+    valid: bool = True,
+    cloud_thres: float | None = None,
+    start_rec: int = 0,
+    n_recs: int = 0,
+) -> DataFrame:
+    """Date-filtered scene query with optional pagination
+    (ref eodatadownlandsatgoogsensor.py:1989-2040)."""
+    pred = date_range_pred(date_col, start_date, end_date)
+    if valid:
+        pred = pred & valid_pred(True)
+    if cloud_thres is not None:
+        pred = pred & cloud_pred(cloud_thres)
+    out = scenes.where(pred)
+    order = [F.col(date_col).desc(), F.col("pid").asc()]
+    return _paginate(out, order, start_rec, n_recs)
+
+
+def query_scn_records_date_count(
+    scenes: DataFrame, start_date, end_date, date_col: str = "date_acquired",
+    valid: bool = True, cloud_thres: float | None = None,
+) -> DataFrame:
+    """A3 count variant — one row, `n_scenes` column."""
+    pred = date_range_pred(date_col, start_date, end_date)
+    if valid:
+        pred = pred & valid_pred(True)
+    if cloud_thres is not None:
+        pred = pred & cloud_pred(cloud_thres)
+    return scenes.where(pred).agg(F.count("*").alias("n_scenes"))
+
+
+def query_scn_records_date_bbox(
+    scenes: DataFrame,
+    start_date,
+    end_date,
+    bbox: tuple[float, float, float, float],
+    date_col: str = "date_acquired",
+    valid: bool = True,
+    cloud_thres: float | None = None,
+    start_rec: int = 0,
+    n_recs: int = 0,
+) -> DataFrame:
+    """F1+F7(+F3,F8) with pagination — the flagship reference query
+    (eodatadownlandsatgoogsensor.py:2046-2221)."""
+    df = query_scn_records_date(
+        scenes, start_date, end_date, date_col, valid, cloud_thres
+    )
+    out = df.where(bbox_intersect_pred(bbox))
+    order = [F.col(date_col).desc(), F.col("pid").asc()]
+    return _paginate(out, order, start_rec, n_recs)
+
+
+def find_unique_platforms(scenes: DataFrame, platform_col: str = "spacecraft_id") -> DataFrame:
+    """A5 (ref :1917-1927)."""
+    return scenes.select(platform_col).distinct()
+
+
+def find_unique_scn_dates(
+    scenes: DataFrame,
+    date_col: str = "date_acquired",
+    valid: bool = True,
+    order_desc: bool = True,
+) -> DataFrame:
+    """A6: distinct observation dates, ordered (ref :2223-2298)."""
+    df = scenes
+    if valid:
+        df = df.where(valid_pred(True))
+    out = df.select(F.to_date(F.col(date_col)).alias("obs_date")).distinct()
+    return out.orderBy(F.col("obs_date").desc() if order_desc else F.col("obs_date").asc())
+
+
+def get_scns_for_date(
+    scenes: DataFrame, date_of_interest: dt.date | str, date_col: str = "date_acquired"
+) -> DataFrame:
+    """F12: exact-date scene select (ref :2300-2348)."""
+    return scenes.where(
+        (F.to_date(F.col(date_col)) == F.lit(date_of_interest)) & valid_pred(True)
+    ).orderBy("pid")
+
+
+def get_scn_record(scenes: DataFrame, pid: int) -> DataFrame:
+    """F10: key-equality lookup (ref :788, .one() semantics left to caller)."""
+    return scenes.where(F.col("pid") == F.lit(pid))
+
+
+# ---------------------------------------------------------------------------
+# stage to-do lists (state machine reads; F8/F9/J2)
+# ---------------------------------------------------------------------------
+
+def get_scnlist_download(scenes: DataFrame) -> DataFrame:
+    """Scenes to download (ref :754-775): not downloaded, not invalid,
+    ordered by acquisition date."""
+    return (
+        scenes.where((F.col("downloaded") == F.lit(False)) & valid_pred(True))
+        .orderBy("date_acquired", "pid")
+        .select("pid")
+    )
+
+
+def get_scnlist_con2ard(scenes: DataFrame) -> DataFrame:
+    """Downloaded but not yet ARD (ref :939-963)."""
+    return (
+        scenes.where(
+            (F.col("downloaded") == F.lit(True))
+            & (F.col("ardproduct") == F.lit(False))
+            & valid_pred(True)
+        )
+        .orderBy("date_acquired", "pid")
+        .select("pid")
+    )
+
+
+def get_scnlist_datacube(scenes: DataFrame) -> DataFrame:
+    """ARD done, not DC-loaded (ref :1202-1203)."""
+    return (
+        scenes.where(
+            (F.col("ardproduct") == F.lit(True))
+            & (F.col("dcloaded") == F.lit(False))
+            & valid_pred(True)
+        )
+        .orderBy("date_acquired", "pid")
+        .select("pid")
+    )
+
+
+def get_scnlist_quicklook(scenes: DataFrame) -> DataFrame:
+    """ARD done and ExtendedInfo lacks 'quicklook' (F9; ref :1291-1316)."""
+    return (
+        scenes.where(
+            (F.col("ardproduct") == F.lit(True))
+            & valid_pred(True)
+            & json_key_missing_pred("extended_info", "quicklook")
+        )
+        .orderBy("date_acquired", "pid")
+        .select("pid")
+    )
+
+
+def get_scnlist_tilecache(scenes: DataFrame) -> DataFrame:
+    """ARD done and ExtendedInfo lacks 'tilecache' (F9; ref :1424-1449)."""
+    return (
+        scenes.where(
+            (F.col("ardproduct") == F.lit(True))
+            & valid_pred(True)
+            & json_key_missing_pred("extended_info", "tilecache")
+        )
+        .orderBy("date_acquired", "pid")
+        .select("pid")
+    )
+
+
+def get_scnlist_usr_analysis(
+    scenes: DataFrame, plugin_results: DataFrame, plugins: Sequence[str]
+) -> DataFrame:
+    """J2: scenes where ANY configured plugin lacks a Completed row
+    (ref :1611-1646) — set-based replacement for the reference's N+1 loop.
+
+    scenes × plugins (small broadcast cross) LEFT ANTI completed results.
+    """
+    plugin_df = scenes.sparkSession.createDataFrame(
+        [(p,) for p in plugins], "plugin_name string"
+    )
+    candidates = (
+        scenes.where((F.col("ardproduct") == F.lit(True)) & valid_pred(True))
+        .select("pid")
+        .crossJoin(F.broadcast(plugin_df))
+    )
+    completed = plugin_results.where(F.col("completed") == F.lit(True)).select(
+        F.col("scene_pid").alias("pid"), "plugin_name"
+    )
+    return (
+        candidates.join(completed, ["pid", "plugin_name"], "left_anti")
+        .select("pid")
+        .distinct()
+        .orderBy("pid")
+    )

@@ -1,0 +1,153 @@
+"""Reporting queries: summary statistics, obs-date rollup, date reports.
+
+The reference computes sensor summaries with one SQL count per predicate and
+Python `statistics` over pulled columns (eodatadownlandsatgoogsensor.py:
+2932-3105).  Here each report is ONE aggregation pass; quantiles are EXACT
+(`percentile`) to match `statistics.median/quantiles`, stdev is sample
+stdev (`stddev_samp` ≡ statistics.stdev) — SURVEY §7.4.5.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sensor_summary_counts(scenes: DataFrame) -> DataFrame:
+    """A3 as a single pass: the six summary counts
+    (ref :2949-2954 issues six separate queries)."""
+    b = lambda c: F.sum(F.when(F.col(c) == True, 1).otherwise(0))  # noqa: E712,E731
+    return scenes.agg(
+        F.count("*").alias("n_scenes"),
+        F.sum(F.when(F.col("invalid") == False, 1).otherwise(0)).alias("n_valid"),  # noqa: E712
+        b("invalid").alias("n_invalid"),
+        b("downloaded").alias("n_downloaded"),
+        b("ardproduct").alias("n_ard"),
+        b("dcloaded").alias("n_dcloaded"),
+        b("archived").alias("n_archived"),
+    )
+
+
+def column_stats(df: DataFrame, col: str, round_to: int = 4) -> DataFrame:
+    """A7: sum/mean/min/max/sample-stdev/median/quartiles over a numeric
+    column, nulls skipped (ref :2964-3016 pulls the column into Python).
+
+    Exact percentiles (not approx) to match `statistics.quantiles`."""
+    c = F.col(col)
+    return df.where(c.isNotNull()).agg(
+        F.count(c).alias("n"),
+        F.round(F.sum(c), round_to).alias("total"),
+        F.round(F.avg(c), round_to).alias("mean"),
+        F.round(F.min(c), round_to).alias("min"),
+        F.round(F.max(c), round_to).alias("max"),
+        F.round(F.stddev_samp(c), round_to).alias("stdev"),
+        F.round(F.expr(f"percentile({col}, 0.25)"), round_to).alias("q1"),
+        F.round(F.expr(f"percentile({col}, 0.5)"), round_to).alias("median"),
+        F.round(F.expr(f"percentile({col}, 0.75)"), round_to).alias("q3"),
+    )
+
+
+def duration_seconds(start_col: str, end_col: str):
+    """A8/C20: timestamp difference in seconds."""
+    return F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
+
+
+def download_duration_stats(scenes: DataFrame) -> DataFrame:
+    """A7+A8: stats over download wall-times (ref :2987-3016)."""
+    durations = scenes.where(
+        F.col("download_start_date").isNotNull()
+        & F.col("download_end_date").isNotNull()
+    ).select(duration_seconds("download_start_date", "download_end_date").alias("secs"))
+    return column_stats(durations, "secs")
+
+
+def plugin_status_tallies(plugin_results: DataFrame) -> DataFrame:
+    """A10: per-plugin success/completed/error counts + timing stats
+    (ref :3019-3049)."""
+    secs = duration_seconds("start_date", "end_date")
+    return (
+        plugin_results.groupBy("plugin_name")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.sum(F.when(F.col("completed") == True, 1).otherwise(0)).alias("n_completed"),  # noqa: E712
+            F.sum(F.when(F.col("success") == True, 1).otherwise(0)).alias("n_success"),  # noqa: E712
+            F.sum(F.when(F.col("error") == True, 1).otherwise(0)).alias("n_error"),  # noqa: E712
+            F.round(F.avg(secs), 4).alias("mean_secs"),
+            F.round(F.min(secs), 4).alias("min_secs"),
+            F.round(F.max(secs), 4).alias("max_secs"),
+        )
+        .orderBy("plugin_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# observation-date rollup (A9/J1; ref eodatadownsensor.py:560-692)
+# ---------------------------------------------------------------------------
+
+def build_obs_date_records(
+    scenes: DataFrame,
+    sensor_id: str,
+    platform_col: str = "spacecraft_id",
+    date_col: str = "date_acquired",
+) -> tuple[DataFrame, DataFrame]:
+    """A9: distinct (platform, date) rollup + bridge rows
+    (ref eodatadownsensor.py:560-603).
+
+    Returns (obs_dates, obs_date_scns) DataFrames matching schemas.OBS_DATES /
+    OBS_DATE_SCNS."""
+    base = scenes.where(F.col("invalid") == False).select(  # noqa: E712
+        F.lit(sensor_id).alias("sensor_id"),
+        F.col(platform_col).alias("platform_id"),
+        F.to_date(F.col(date_col)).alias("obs_date"),
+        F.col("pid").alias("scene_pid"),
+    )
+    bridge = base.distinct()
+    obs_dates = bridge.select("sensor_id", "platform_id", "obs_date").distinct().select(
+        "*",
+        F.lit(False).alias("overview_created"),
+        F.lit(True).alias("need_update"),
+        F.lit(False).alias("invalid"),
+        F.lit(None).cast("string").alias("overviews"),
+    )
+    return obs_dates, bridge.select("sensor_id", "platform_id", "obs_date", "scene_pid")
+
+
+def get_obs_scns(
+    obs_dates: DataFrame,
+    start_date: dt.date | str | None = None,
+    end_date: dt.date | str | None = None,
+    sensor: str | None = None,
+    platform: str | None = None,
+    valid: bool = True,
+    order_desc: bool = False,
+) -> DataFrame:
+    """O3: the 8-branch filtered/ordered obs-date query
+    (ref eodatadownsensor.py:699-792) as one parameterized plan.
+
+    NOTE: date bounds here are EXCLUSIVE (`<` / `>`) — the reference differs
+    from the scene queries' inclusive bounds (SURVEY §7.4.4)."""
+    df = obs_dates
+    if valid:
+        df = df.where(F.col("invalid") == False)  # noqa: E712
+    if sensor is not None:
+        df = df.where(F.col("sensor_id") == sensor)
+    if platform is not None:
+        df = df.where(F.col("platform_id") == platform)
+    if start_date is not None:
+        df = df.where(F.col("obs_date") < F.lit(start_date))
+    if end_date is not None:
+        df = df.where(F.col("obs_date") > F.lit(end_date))
+    return df.orderBy(
+        F.col("obs_date").desc() if order_desc else F.col("obs_date").asc()
+    )
+
+
+def scene_command_lines(scenes: DataFrame, cmd_template: str) -> DataFrame:
+    """K7: HPC command-list generation — one shell line per scene pid
+    (ref bin/eoddgenscncmds.py:46-136). `{pid}` in the template is replaced."""
+    pre, _, post = cmd_template.partition("{pid}")
+    return scenes.select(
+        F.concat(F.lit(pre), F.col("pid").cast("string"), F.lit(post)).alias("cmd")
+    )

@@ -1,0 +1,73 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Single place where engine-wide Spark configuration lives so tests, bench and
+the driver entry all run with identical semantics (UTC session timezone,
+AQE on, Arrow on, ns-parquet readable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe to set on an already-running session (runtime confs).
+RUNTIME_CONFS: dict[str, str] = {
+    # the driver's `events` table is written with ns timestamps which Spark
+    # refuses by default; read them as LongType ns-since-epoch instead
+    # (converted by sources.testdata.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # oracle comparison runs against DuckDB whose timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: partition coalescing and skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an externally-created session.
+
+    The correctness driver owns its own SparkSession; this makes any session
+    behave like ours for everything that can be changed post-start.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # static conf on this build — session-level default still applies
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "eodatadown_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    local[N] is a test harness detail; the same configs are what we would
+    ship on a real cluster (AQE, UTC, Arrow), with shuffle partitions sized
+    to cores locally and to ~2-3x total cores on a cluster.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
