@@ -97,8 +97,9 @@ def minhash_neardup_pairs(
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
     base = documents.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    ).withColumn("hashes", shingle_hashes(F.col("shingles")))
+        F.col(id_col).alias("id"),
+        shingle_hashes(word_shingles(text_col, k)).alias("hashes"),
+    ).persist()
     sig = base.withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
 
     band_structs = F.array(
@@ -118,23 +119,27 @@ def minhash_neardup_pairs(
             for i in range(bands)
         ]
     )
-    banded = sig.select(
-        "id", "shingles", F.explode(band_structs).alias("bh")
-    ).select("id", "shingles", "bh.band_idx", "bh.band_hash")
-
-    left = banded.select(
-        "band_idx", "band_hash", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = banded.select(
-        "band_idx", "band_hash", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    # band join carries ONLY (band, id) — the shingle-hash arrays re-attach
+    # to the (deduped) candidate pairs afterwards, so the wide arrays are
+    # never replicated x bands through the shuffle.
+    banded = sig.select(F.explode(band_structs).alias("bh"), "id").select(
+        "bh.band_idx", "bh.band_hash", "id"
     )
     pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "band_hash"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = pairs.withColumn(
+    # exact-Jaccard verification over the hashed shingle sets (64-bit
+    # collisions are negligible vs the threshold granularity)
+    with_sets = pairs.join(
+        base.select(F.col("id").alias("id_a"), F.col("hashes").alias("sh_a")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("hashes").alias("sh_b")), "id_b"
+    )
+    jac = with_sets.withColumn(
         "jaccard",
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")),
@@ -205,16 +210,25 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    n_tables: int = 4,
+    band_bits: int = 16,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share one of `n_tables` 16-bit bands of
-    the 64-bit sketch; verified by exact Hamming distance ≤ max_hamming."""
+    """SimHash near-dup: candidates share one of the `64/band_bits` bands of
+    the 64-bit sketch; verified by exact Hamming distance ≤ max_hamming.
+
+    Recall guarantee (pigeonhole): every pair with hamming < 64/band_bits
+    shares at least one clean band.  Choose band_bits ≤ 64//(max_hamming+1)
+    for guaranteed recall; wider bands trade recall for fewer candidates.
+    """
+    n_tables = 64 // band_bits
     sk = simhash_sketches(documents, id_col, text_col)
+    mask = (1 << band_bits) - 1
     bands = F.array(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                F.shiftrightunsigned(F.col("sim"), t * 16).bitwiseAND(F.lit(0xFFFF)).alias("band"),
+                F.shiftrightunsigned(F.col("sim"), t * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band"),
             )
             for t in range(n_tables)
         ]

@@ -1,0 +1,155 @@
+"""Export sinks (K1-K7).
+
+Formats needing external tooling (OGR/GPKG, weasyprint PDF, datacube CLI)
+are modeled to their data boundary: the engine computes the exact rows /
+features / commands as DataFrames, and the final format conversion is an
+injectable writer (real OGR/PDF libs aren't in this image).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eodatadown_spark.functions.geo import bbox_wkt, split_antimeridian_bboxes
+
+# the 17 attribute fields the reference writes per feature
+# (eodatadownlandsatgoogsensor.py:2688-2845)
+_GIS_ATTRS = [
+    "pid", "scene_id", "product_id", "spacecraft_id", "sensor_id",
+    "date_acquired", "collection_number", "collection_category",
+    "cloud_cover", "total_size", "downloaded", "ardproduct", "dcloaded",
+    "invalid", "north_lat", "south_lat", "east_lon",
+]
+
+
+def scene_features(scenes: DataFrame) -> DataFrame:
+    """K2: one polygon feature per scene — bbox → WKT with antimeridian
+    split (each split box becomes its own feature row, matching the
+    reference's multi-polygon emit)."""
+    boxes = split_antimeridian_bboxes(
+        F.col("west_lon"), F.col("east_lon"), F.col("south_lat"), F.col("north_lat")
+    )
+    attrs = [c for c in _GIS_ATTRS if c in scenes.columns]
+    return scenes.select(*attrs, F.explode(boxes).alias("__b")).select(
+        *attrs,
+        bbox_wkt(
+            F.col("__b.west_lon"), F.col("__b.east_lon"),
+            F.col("__b.south_lat"), F.col("__b.north_lat"),
+        ).alias("wkt"),
+    )
+
+
+def export_geojson(scenes: DataFrame, out_file: str) -> int:
+    """K2 (GeoJSON flavor): write a FeatureCollection.  Scene exports are
+    small result sets (already filtered); the collect is the same driver-side
+    materialization the reference's OGR loop does."""
+    feats = []
+    for r in scene_features(scenes).collect():
+        d = r.asDict()
+        wkt = d.pop("wkt")
+        # bbox ring from the WKT we just built
+        nums = [
+            [float(a) for a in pt.split()]
+            for pt in wkt[len("POLYGON(("):-2].split(", ")
+        ]
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "Polygon", "coordinates": [nums]},
+                "properties": {k: (str(v) if v is not None else None) for k, v in d.items()},
+            }
+        )
+    with open(out_file, "w", encoding="utf-8") as fh:
+        json.dump({"type": "FeatureCollection", "features": feats}, fh)
+    return len(feats)
+
+
+def write_command_lists(
+    scenes: DataFrame, cmd_template: str, out_base: str, n_splits: int = 1
+) -> list[str]:
+    """K7: shell-command text files for HPC schedulers, optionally split into
+    N round-robin files (ref bin/eoddgenscncmds.py:46-136 --split)."""
+    from eodatadown_spark.reports import scene_command_lines
+
+    cmds = [r["cmd"] for r in scene_command_lines(scenes, cmd_template).collect()]
+    paths = []
+    if n_splits <= 1:
+        with open(out_base, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(cmds) + ("\n" if cmds else ""))
+        return [out_base]
+    root, ext = os.path.splitext(out_base)
+    for i in range(n_splits):
+        chunk = cmds[i::n_splits]
+        p = f"{root}_{i + 1}{ext}"
+        with open(p, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(chunk) + ("\n" if chunk else ""))
+        paths.append(p)
+    return paths
+
+
+def datacube_dataset_docs(scenes: DataFrame) -> DataFrame:
+    """K3: the ODC dataset document per ARD scene as a JSON column (the
+    reference renders YAML then shells `datacube dataset add`,
+    eodatadownlandsatgoogsensor.py:1184-1289; band map differs for LS8).
+
+    Returns (pid, dataset_doc) — the subprocess step is a task-runner
+    concern (pipeline.run_scene_tasks).
+    """
+    ls8_bands = ["coastal_aerosol", "blue", "green", "red", "nir", "swir1", "swir2"]
+    other_bands = ["blue", "green", "red", "nir", "swir1", "swir2"]
+    bands = F.when(
+        F.col("spacecraft_id") == "LANDSAT_8",
+        F.array(*[F.lit(b) for b in ls8_bands]),
+    ).otherwise(F.array(*[F.lit(b) for b in other_bands]))
+    doc = F.to_json(
+        F.struct(
+            F.md5(F.col("ardproduct_path")).alias("id"),  # C11 deterministic id
+            F.col("product_id").alias("label"),
+            F.col("spacecraft_id").alias("platform"),
+            F.col("sensor_id").alias("instrument"),
+            F.col("date_acquired").alias("datetime"),
+            F.col("ardproduct_path").alias("base_path"),
+            bands.alias("bands"),
+            F.struct(
+                F.col("west_lon").alias("left"), F.col("east_lon").alias("right"),
+                F.col("south_lat").alias("bottom"), F.col("north_lat").alias("top"),
+            ).alias("extent"),
+        )
+    )
+    return scenes.where(
+        (F.col("ardproduct") == True) & (F.col("invalid") == False)  # noqa: E712
+    ).select("pid", doc.alias("dataset_doc"))
+
+
+def append_usage_log(
+    catalog, sensor: str, description: str, flags: dict[str, bool] | None = None
+) -> None:
+    """K5: append one audit row (ref eodatadownusagedb.py:86-114) — append-
+    mode write, no read-modify-write needed."""
+    import datetime as dt
+
+    from eodatadown_spark import schemas
+
+    spark = catalog.spark
+    row = {f.name: None for f in schemas.USAGE_LOG.fields}
+    row.update(
+        {
+            "id": None,
+            "sensor": sensor,
+            "update": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            "description": description,
+        }
+    )
+    for k, v in (flags or {}).items():
+        row[k] = v
+    df = spark.createDataFrame([row], schema=schemas.USAGE_LOG)
+    table_dir = os.path.join(catalog.root, "usage_log")
+    if catalog.exists("usage_log"):
+        df.write.mode("append").parquet(catalog.data_path("usage_log"))
+    else:
+        os.makedirs(table_dir, exist_ok=True)
+        catalog.write(df, "usage_log", partition=False)

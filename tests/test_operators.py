@@ -1,0 +1,151 @@
+"""Training-data operators: dedup recall/precision on planted near-dups,
+similarity top-k vs numpy, text metrics vs Python reference."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from eodatadown_spark.operators import dedup as D
+from eodatadown_spark.operators import similarity as S
+from eodatadown_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """60 random docs + planted near-duplicate pairs."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(800)]
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(80))))
+    # planted near-dups: copy doc i with small tail edits
+    for i, base in [(100, 0), (101, 1), (102, 2)]:
+        words = rows[base][1].split()
+        words[-3:] = [rng.choice(vocab) for _ in range(3)]
+        rows.append((i, " ".join(words)))
+    rows.append((200, rows[5][1]))  # exact dup of doc 5
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs, ["text"])
+    assert out.count() == docs.count() - 1
+    assert out.where(F.col("doc_id") == 200).count() == 0  # min-id kept
+
+
+def test_minhash_finds_planted_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_neardup_pairs(docs, jaccard_threshold=0.6).collect()
+    }
+    assert {(0, 100), (1, 101), (2, 102), (5, 200)} <= pairs
+    # random docs over an 800-word vocab must not collide
+    assert all(a in (0, 1, 2, 5) for a, b in pairs)
+
+
+def test_minhash_jaccard_is_exact(docs):
+    rows = D.minhash_neardup_pairs(docs, jaccard_threshold=0.6).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        expect = _jaccard(texts[r["id_a"]], texts[r["id_b"]])
+        assert abs(r["jaccard"] - expect) < 1e-3
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert {(0, 100), (1, 101), (2, 102), (5, 200)} == set(pairs)
+    assert pairs[(5, 200)] == 1.0
+
+
+def test_simhash_finds_planted_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_neardup_pairs(docs, max_hamming=6, band_bits=8).collect()
+    }
+    assert {(0, 100), (1, 101), (2, 102), (5, 200)} <= pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)
+    ]
+    # vec 100 ≈ vec 0 (tiny perturbation) → must be its top neighbor
+    rows.append((100, [v + 0.001 for v in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_matches_bruteforce(vectors):
+    qs = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.cosine_topk(vectors, qs, k=3).collect()
+    data = {r["vec_id"]: list(r["embedding"]) for r in vectors.collect()}
+    expect = sorted(
+        ((nid, _cos(data[0], v)) for nid, v in data.items() if nid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        e[0] for e in expect
+    ]
+    assert out[0]["cos_sim"] >= 0.999  # the planted near-identical vector
+
+
+def test_lsh_topk_finds_near_identical(vectors):
+    qs = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.lsh_bucket_topk(vectors, qs, k=3, n_planes=6, dim=16).collect()
+    # near-identical vector lands in the same bucket by construction
+    assert any(r["neighbor_id"] == 100 for r in out)
+
+
+def test_embedding_neardup(vectors):
+    out = S.embedding_neardup_pairs(vectors, threshold=0.999, n_planes=6, dim=16).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 100)}
+
+
+def test_text_metrics_vs_python(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat, and a dog!"), (2, "   "), (3, "xyzzy qwerty")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in X.profile_documents(df).collect()}
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["n_chars"] == 19
+    assert rows[1]["stopword_hits"] == 3  # 'the', 'and', 'a' ('cat,'/'dog!' carry punct)
+    assert rows[1]["lang_guess"] == "en"
+    assert rows[2]["n_tokens"] == 0
+    assert rows[3]["lang_guess"] == "other"
+    # punct: ',' and '!' over 19 chars
+    assert abs(rows[1]["punct_ratio"] - 2 / 19) < 1e-3
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO-world")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(X.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]

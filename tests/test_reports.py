@@ -1,0 +1,59 @@
+"""Reports: single-pass counts, exact quantile stats, obs-date rollup, O3
+exclusive bounds."""
+
+from __future__ import annotations
+
+import datetime as dt
+import statistics
+
+from eodatadown_spark import reports as R
+
+
+def test_summary_counts_single_pass(landsat_scenes):
+    r = R.sensor_summary_counts(landsat_scenes).first()
+    assert r["n_scenes"] == 7 and r["n_valid"] == 6 and r["n_invalid"] == 1
+    assert r["n_downloaded"] == 4 and r["n_ard"] == 3 and r["n_dcloaded"] == 1
+
+
+def test_column_stats_match_python_statistics(landsat_scenes):
+    sizes = [1000 + p for p in range(7)]
+    r = R.column_stats(landsat_scenes, "total_size").first()
+    assert r["n"] == 7
+    assert r["total"] == sum(sizes)
+    assert abs(r["mean"] - statistics.mean(sizes)) < 1e-6
+    assert abs(r["stdev"] - statistics.stdev(sizes)) < 1e-4
+    assert r["median"] == statistics.median(sizes)
+
+
+def test_download_duration_stats(landsat_scenes):
+    r = R.download_duration_stats(landsat_scenes).first()
+    assert r["n"] == 4 and r["mean"] == 3600.0  # all fixture downloads take 1h
+
+
+def test_plugin_tallies(plugin_results_df):
+    rows = {r["plugin_name"]: r for r in R.plugin_status_tallies(plugin_results_df).collect()}
+    assert rows["PlgA"]["n_runs"] == 2
+    assert rows["PlgA"]["n_completed"] == 1
+    assert rows["PlgA"]["n_success"] == 1
+
+
+def test_obs_date_rollup_and_bridge(landsat_scenes):
+    obs, bridge = R.build_obs_date_records(landsat_scenes, "LandsatGOOG")
+    # valid scenes dates: 01-05(x2 same date), 02-10, 03-15, 04-20, 06-30 → 5 dates
+    assert obs.count() == 5
+    assert bridge.count() == 6  # 6 valid scenes
+    jan5 = bridge.where(bridge.obs_date == dt.date(2019, 1, 5))
+    assert sorted(r["scene_pid"] for r in jan5.collect()) == [0, 5]
+
+
+def test_get_obs_scns_exclusive_bounds(landsat_scenes):
+    obs, _ = R.build_obs_date_records(landsat_scenes, "LandsatGOOG")
+    out = R.get_obs_scns(obs, start_date="2019-03-15", end_date="2019-01-05")
+    # EXCLUSIVE: drops both boundary dates (ref eodatadownsensor.py:720-721)
+    assert [str(r["obs_date"]) for r in out.collect()] == ["2019-02-10"]
+
+
+def test_scene_command_lines(landsat_scenes):
+    out = R.scene_command_lines(landsat_scenes, "eoddrun.py --sensor LS --pid {pid}")
+    cmds = {r["cmd"] for r in out.collect()}
+    assert "eoddrun.py --sensor LS --pid 3" in cmds and len(cmds) == 7

@@ -1,0 +1,176 @@
+"""Source adapters (S1-S5 parsing parity) and export sinks (K2/K5/K7/K3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from eodatadown_spark.sources import index_adapters as A
+from eodatadown_spark import sinks
+
+
+def test_landsat_index_adapter(spark):
+    raw = spark.createDataFrame(
+        [
+            ("LC1", "LC08_P1", "LANDSAT_8", "OLI_TIRS", "2019-06-01",
+             "2019-06-01T10:11:12.123456Z", "01", "T1", "L1TP",
+             "12", "34", "15.5", "52.0", "50.0", "2.0", "0.0", "123456", "gs://x/1"),
+            ("LC2", "LC08_P2", "LANDSAT_7", "ETM", "2019-07-01",
+             "2019-07-01T10:11:12.123456Z", "01", "RT", "L1TP",
+             "12", "35", "90.0", "52.0", "50.0", "2.0", "0.0", "9", "gs://x/2"),
+        ],
+        "scene_id string, product_id string, spacecraft_id string, sensor_id string,"
+        "date_acquired string, sensing_time string, collection_number string,"
+        "collection_category string, data_type string, wrs_path string, wrs_row string,"
+        "cloud_cover string, north_lat string, south_lat string, east_lon string,"
+        "west_lon string, total_size string, base_url string",
+    )
+    out = A.landsat_index_scenes(
+        raw, wrs_tiles=[(12, 34)], cloud_thres=50.0, spacecraft=["LANDSAT_8"],
+        collection_cats=["T1"], months=[6],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["scene_id"] == "LC1"
+    assert r["date_acquired"] == dt.date(2019, 6, 1)
+    assert r["sensing_time"] == dt.datetime(2019, 6, 1, 10, 11, 12, 123456)
+    assert r["wrs_path"] == 12 and r["cloud_cover"] == 15.5
+
+
+def test_sentinel2_platform_derivation(spark):
+    raw = spark.createDataFrame(
+        [
+            ("G1", "P1", "GS2A_20190601", "30UVG", "2019-06-01T00:00:00",
+             "PASSED", "2019-06-02T00:00:00", "33.3", "52.0", "50.0", "2.0", "0.0",
+             "100", "gs://s2/1"),
+            ("G2", "P2", "GS2B_20190601", "30UVG", "2019-06-01T00:00:00",
+             "PASSED", "2019-06-02T00:00:00", "notanumber", "52.0", "50.0", "2.0", "0.0",
+             "100", "gs://s2/2"),
+        ],
+        "granule_id string, product_id string, datatake_identifier string,"
+        "mgrs_tile string, sensing_time string, geometric_quality_flag string,"
+        "generation_time string, cloud_cover string, north_lat string, south_lat string,"
+        "east_lon string, west_lon string, total_size string, base_url string",
+    )
+    rows = {r["granule_id"]: r for r in A.sentinel2_index_scenes(raw).collect()}
+    assert rows["G1"]["platform_id"] == "Sentinel2A"
+    assert rows["G2"]["platform_id"] == "Sentinel2B"
+    assert rows["G2"]["cloud_cover"] is None  # C9 safe-cast on bad numeric
+
+
+def test_asf_adapter_wkt_and_na(spark):
+    raw = spark.createDataFrame(
+        [
+            ("SC1", "PN1", "PF1", "100", "10", "0", "ASCENDING", "GN", "GT",
+             "NA", "RIGHT", "SA", "VV", "2019-06-02T01:02:03",
+             "desc", "GRD_HD", "GRD", "GRD", "2019-06-01T01:02:03", "C-SAR",
+             "2019-06-01T01:02:03.000001", "2019-06-01T01:02:33",
+             "POLYGON((-1.5 50.0, 2.5 50.0, 2.5 52.0, -1.5 52.0, -1.5 50.0))",
+             "https://x/1.zip", "1.zip", "abcd", "123.5"),
+        ],
+        "sceneId string, productName string, product_file_id string,"
+        "absoluteOrbit string, relativeOrbit string, doppler string,"
+        "flightDirection string, granuleName string, granuleType string,"
+        "incidenceAngle string, lookDirection string, platform string,"
+        "polarization string, processingDate string, processingDescription string,"
+        "processingLevel string, processingType string, processingTypeDisplay string,"
+        "sceneDate string, sensor string, startTime string, stopTime string,"
+        "stringFootprint string, downloadUrl string, fileName string, md5sum string,"
+        "sizeMB string",
+    )
+    r = A.asf_search_scenes(raw).first()
+    assert r["incidence_angle"] is None  # 'NA' → null (C9)
+    assert (r["west_lon"], r["east_lon"], r["south_lat"], r["north_lat"]) == (-1.5, 2.5, 50.0, 52.0)
+    assert r["begin_position"] == dt.datetime(2019, 6, 1, 1, 2, 3, 1)
+    assert r["total_size"] == int(123.5 * 1024 * 1024)
+
+
+def test_gedi_finder_filename_date(spark):
+    raw = spark.createDataFrame(
+        [("https://e4ftl01.cr.usgs.gov/GEDI/GEDI01_B.001/GEDI01_B_2019108185228_O01971_T03337_02_003_01.h5",)],
+        "url string",
+    )
+    r = A.gedi_finder_granules(raw, "GEDI01_B", "001").first()
+    assert r["file_name"].startswith("GEDI01_B_2019108")
+    assert r["date_acquired"] == dt.date(2019, 4, 18)  # day 108 of 2019
+    assert r["time_acquired"] == dt.datetime(2019, 4, 18, 18, 52, 28)
+
+
+def test_cmr_adapter_boxes_polygons_invalid(spark):
+    rows = [
+        {"producer_granule_id": "P1", "id": "G1", "title": "T1",
+         "time_start": "2019-06-01T00:00:00", "time_end": "2019-06-01T01:00:00",
+         "updated": "2019-06-02T00:00:00", "original_format": "HDF5",
+         "online_access_flag": "true", "granule_size": "10.5",
+         "boxes": ["50.0 -1.5 52.0 2.5"], "polygons": None},
+        {"producer_granule_id": "P2", "id": "G2", "title": "T2",
+         "time_start": "2019-06-01T00:00:00", "time_end": "2019-06-01T01:00:00",
+         "updated": "2019-06-02T00:00:00", "original_format": "HDF5",
+         "online_access_flag": "true", "granule_size": "10.5",
+         "boxes": None, "polygons": ["50.0 -1.0 51.0 2.0 52.0 1.0 50.0 -1.0"]},
+        {"producer_granule_id": "P3", "id": "G3", "title": "tiny-no-geom",
+         "time_start": "2019-06-01T00:00:00", "time_end": "2019-06-01T01:00:00",
+         "updated": "2019-06-02T00:00:00", "original_format": "HDF5",
+         "online_access_flag": "false", "granule_size": "0.5",
+         "boxes": None, "polygons": None},
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "producer_granule_id string, id string, title string, time_start string,"
+        "time_end string, updated string, original_format string,"
+        "online_access_flag string, granule_size string,"
+        "boxes array<string>, polygons array<string>",
+    )
+    out = {r["granule_id"]: r for r in A.cmr_granules(raw).collect()}
+    assert set(out) == {"G1", "G2"}  # G3 dropped: no geometry, size<=4
+    g1 = out["G1"]  # boxes are "S W N E"
+    assert (g1["south_lat"], g1["west_lon"], g1["north_lat"], g1["east_lon"]) == (50.0, -1.5, 52.0, 2.5)
+    g2 = out["G2"]  # polygons are "lat lon lat lon ..."
+    assert (g2["south_lat"], g2["north_lat"]) == (50.0, 52.0)
+    assert (g2["west_lon"], g2["east_lon"]) == (-1.0, 2.0)
+
+
+def test_geojson_export(landsat_scenes, tmp_path):
+    out = str(tmp_path / "scenes.geojson")
+    n = sinks.export_geojson(landsat_scenes, out)
+    assert n == 7
+    with open(out, encoding="utf-8") as fh:
+        fc = json.load(fh)
+    assert fc["type"] == "FeatureCollection"
+    f0 = next(f for f in fc["features"] if f["properties"]["pid"] == "0")
+    ring = f0["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]  # closed ring
+    assert f0["properties"]["scene_id"] == "S1"
+
+
+def test_command_list_split(landsat_scenes, tmp_path):
+    paths = sinks.write_command_lists(
+        landsat_scenes, "run.py --pid {pid}", str(tmp_path / "cmds.sh"), n_splits=3
+    )
+    assert len(paths) == 3
+    lines = []
+    for p in paths:
+        with open(p, encoding="utf-8") as fh:
+            lines += [line for line in fh.read().splitlines() if line]
+    assert len(lines) == 7 and "run.py --pid 6" in lines
+
+
+def test_datacube_docs_band_map(spark, landsat_scenes):
+    docs = {r["pid"]: json.loads(r["dataset_doc"])
+            for r in sinks.datacube_dataset_docs(landsat_scenes).collect()}
+    assert set(docs) == {0, 1, 6}  # ard & valid only
+    assert "coastal_aerosol" in docs[0]["bands"]  # LANDSAT_8 7-band map
+
+
+def test_usage_log_append(spark, tmp_path):
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    sinks.append_usage_log(cat, "LandsatGOOG", "checked for scenes",
+                           {"found_new_scns": True})
+    sinks.append_usage_log(cat, "LandsatGOOG", "downloaded", {"downloaded_new_scns": True})
+    df = cat.read("usage_log")
+    assert df.count() == 2
+    assert df.where(F.col("found_new_scns") == True).count() == 1  # noqa: E712
