@@ -1,0 +1,112 @@
+"""Date reports (K4) and quicklook/tilecache stages (K6).
+
+The reference renders jinja2 HTML+CSS then shells out weasyprint for PDF
+(eodatadowndatereports.py:134-258).  The engine computes the report data as
+a DataFrame (reports.get_obs_scns), renders HTML driver-side with jinja2,
+and gates the PDF conversion behind an import-try (weasyprint isn't in this
+image).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{{ title }}</title></head>
+<body>
+<h1>{{ title }}</h1>
+<p>Sensor: {{ sensor }} — {{ n_dates }} observation dates</p>
+<table border="1">
+<tr><th>Date</th><th>Platform</th><th>Overviews</th></tr>
+{% for row in rows -%}
+<tr><td>{{ row.obs_date }}</td><td>{{ row.platform_id }}</td><td>{{ row.overviews or "" }}</td></tr>
+{% endfor -%}
+</table>
+</body></html>
+"""
+
+
+def render_date_report_html(
+    obs_scns: DataFrame, title: str, sensor: str, out_file: str | None = None
+) -> str:
+    """K4: render the date report HTML from the (small, already filtered)
+    obs-date query result.  Returns the HTML; writes it if out_file given."""
+    import jinja2
+
+    rows = obs_scns.collect()
+    html = jinja2.Template(_TEMPLATE).render(
+        title=title, sensor=sensor, n_dates=len(rows), rows=rows
+    )
+    if out_file:
+        with open(out_file, "w", encoding="utf-8") as fh:
+            fh.write(html)
+    return html
+
+
+def html_to_pdf(html: str, out_pdf: str) -> bool:
+    """K4 PDF step — weasyprint if importable, else report unavailable
+    (ref shells `weasyprint` as a subprocess)."""
+    try:
+        import weasyprint  # noqa: F401
+    except ImportError:
+        return False
+    weasyprint.HTML(string=html).write_pdf(out_pdf)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# K6: quicklook / tilecache stages as task fan-out + JSON merge
+# ---------------------------------------------------------------------------
+
+def quicklook_stage(scenes: DataFrame, image_fn=None) -> DataFrame:
+    """K6: run the quicklook step for every scheduled scene and return
+    extended_info patches for ONE batched merge_extended_info (M3).
+
+    `image_fn(scene_dict) -> path` is the external visualisation tool
+    (rsgislib in the reference, eodatadownlandsatgoogsensor.py:1341-1413);
+    defaults to a deterministic fake path so the stage is testable without
+    the geospatial stack.
+    """
+    from eodatadown_spark.pipeline import run_scene_tasks
+    from eodatadown_spark.queries import get_scnlist_quicklook
+
+    todo = scenes.join(get_scnlist_quicklook(scenes), "pid", "left_semi").select(
+        "pid", "ardproduct_path"
+    )
+    fn = image_fn or (lambda s: f"{s['ardproduct_path']}/quicklook_{s['pid']}.jpg")
+
+    def task(scene: dict) -> dict:
+        path = fn(scene)
+        return {
+            "pid": scene["pid"],
+            "extended_info_patch": json.dumps(
+                {"quicklook": json.dumps({"quicklookpath": path, "quicklookimgs": [path]})}
+            ),
+        }
+
+    return run_scene_tasks(todo, task, "pid long, extended_info_patch string")
+
+
+def tilecache_stage(scenes: DataFrame, tile_fn=None) -> DataFrame:
+    """K6: tilecache step (ref :1474-1543) — same fan-out + M3 patch shape."""
+    from eodatadown_spark.pipeline import run_scene_tasks
+    from eodatadown_spark.queries import get_scnlist_tilecache
+
+    todo = scenes.join(get_scnlist_tilecache(scenes), "pid", "left_semi").select(
+        "pid", "ardproduct_path"
+    )
+    fn = tile_fn or (lambda s: f"{s['ardproduct_path']}/tiles_{s['pid']}")
+
+    def task(scene: dict) -> dict:
+        path = fn(scene)
+        return {
+            "pid": scene["pid"],
+            "extended_info_patch": json.dumps(
+                {"tilecache": json.dumps({"tilecachepath": path, "visgtiff": path + "/vis.tif"})}
+            ),
+        }
+
+    return run_scene_tasks(todo, task, "pid long, extended_info_patch string")

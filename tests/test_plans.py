@@ -1,0 +1,72 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast, codegen —
+the properties that keep these operators viable at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from eodatadown_spark.plans import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry_spark(spark):
+    from eodatadown_spark.session import apply_runtime_confs
+
+    return apply_runtime_confs(spark)
+
+
+def test_q01_pushdown_and_pruning(entry_spark):
+    df = E.queries()["q01_pricing_summary"](entry_spark, SF)
+    assert any("l_shipdate" in f for f in audit.pushed_filters(df))
+    # 6 of lineitem's 11 columns read — projection reached the scan
+    assert audit.scan_column_counts(df) == [6]
+    assert audit.codegen_stage_count(df) >= 1
+
+
+def test_q02_filter_pushdown(entry_spark):
+    df = E.queries()["q02_date_range_page"](entry_spark, SF)
+    pf = audit.pushed_filters(df)
+    assert any("o_orderdate" in f and "LessThanOrEqual" in f for f in pf)
+    assert any("o_orderdate" in f and "GreaterThanOrEqual" in f for f in pf)
+
+
+def test_q10_dims_broadcast(entry_spark):
+    df = E.queries()["q10_revenue_by_nation"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    assert joins.get("BroadcastHashJoin", 0) >= 3  # cust/nation/region at least
+    assert "BroadcastNestedLoopJoin" not in joins
+    # the only shuffles are the aggregation (+ AQE reads); no join shuffle
+    assert audit.exchange_count(df) <= 2
+
+
+def test_q23_corpus_never_shuffles(entry_spark):
+    df = E.queries()["q23_cosine_topk"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    # query side broadcast → corpus scan stays partition-parallel
+    assert joins.get("BroadcastNestedLoopJoin", 0) == 1
+    assert audit.exchange_count(df) <= 1  # only the per-query top-k window
+
+
+def test_text_ops_stay_in_codegen(entry_spark):
+    df = E.queries()["q20_text_profile"](entry_spark, SF)
+    assert audit.codegen_stage_count(df) >= 1
+    assert audit.exchange_count(df) == 1  # single agg shuffle
+
+
+def test_scnlist_queries_prune_columns(landsat_scenes, tmp_path, spark):
+    """Stage-list reads over a real parquet catalog only scan the columns
+    they filter/select on."""
+    from eodatadown_spark import queries as Q
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(landsat_scenes, "landsat_scenes")
+    df = Q.get_scnlist_download(cat.read("landsat_scenes"))
+    counts = audit.scan_column_counts(df)
+    # pid, date_acquired, downloaded, invalid (+partition col not in scan)
+    assert counts and counts[0] <= 5
+    pf = audit.pushed_filters(df)
+    assert any("downloaded" in f for f in pf)

@@ -1,0 +1,101 @@
+"""Spatial LUT lookup (S8), codecs (C11/C13, S9), quicklook/tilecache
+stages (K6), HTML report (K4)."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def test_find_sensor_tiles(spark, roi_df):
+    from eodatadown_spark.spatial import find_sensor_tiles
+
+    lut = spark.createDataFrame(
+        [
+            (201, 24, -6.0, -3.5, 44.0, 46.0),   # overlaps ROI (-5..0.5, 45..50.5)
+            (202, 24, -1.0, 1.5, 48.0, 50.0),    # overlaps
+            (203, 24, 10.0, 12.0, 48.0, 50.0),   # outside
+        ],
+        "wrs_path int, wrs_row int, west_lon double, east_lon double,"
+        "south_lat double, north_lat double",
+    )
+    out = find_sensor_tiles(lut, roi_df, ["wrs_path", "wrs_row"])
+    assert sorted(r["wrs_path"] for r in out.collect()) == [201, 202]
+
+
+def test_uuid5_exact(spark):
+    from eodatadown_spark.functions.codecs import path_uuid5
+
+    paths = ["/data/ard/scene1", "gs://bucket/x/y.tif", ""]
+    df = spark.createDataFrame([(p,) for p in paths], "p string")
+    got = [r["u"] for r in df.select(path_uuid5("p").alias("u")).collect()]
+    expect = [str(uuid.uuid5(uuid.NAMESPACE_URL, p)) for p in paths]
+    assert got == expect
+
+
+def test_base64_roundtrip(spark):
+    from eodatadown_spark.functions.codecs import b64_decode, b64_encode
+
+    df = spark.createDataFrame([("s3cret-pw",)], "p string")
+    out = df.select(b64_decode(b64_encode("p")).alias("round")).first()
+    assert out["round"] == "s3cret-pw"
+
+
+def test_md5_file(tmp_path):
+    import hashlib
+
+    from eodatadown_spark.functions.codecs import md5_file
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"x" * 10000)
+    assert md5_file(str(f)) == hashlib.md5(b"x" * 10000).hexdigest()
+
+
+def test_gzip_json_io(spark, tmp_path):
+    import gzip
+
+    from eodatadown_spark.functions.codecs import read_gzip_json, write_gzip_json
+
+    meta = {"a": 1, "b": "two"}
+    p = str(tmp_path / "meta.json.gz")
+    write_gzip_json(meta, p)
+    with gzip.open(p, "rt") as fh:
+        assert json.load(fh) == meta
+
+    rows_path = str(tmp_path / "rows.json.gz")
+    with gzip.open(rows_path, "wt") as fh:
+        fh.write('{"k": 1}\n{"k": 2}\n')
+    df = read_gzip_json(spark, rows_path, "k long")
+    assert sorted(r["k"] for r in df.collect()) == [1, 2]
+
+
+def test_quicklook_tilecache_stages(landsat_scenes):
+    from eodatadown_spark import pipeline
+    from eodatadown_spark.datereports import quicklook_stage, tilecache_stage
+    from eodatadown_spark.queries import get_scnlist_quicklook, get_scnlist_tilecache
+
+    patches = quicklook_stage(landsat_scenes)
+    assert sorted(r["pid"] for r in patches.collect()) == [1]
+    merged = pipeline.merge_extended_info(landsat_scenes, patches)
+    assert get_scnlist_quicklook(merged).count() == 0
+    # pid 6 keeps its existing quicklook key after the merge machinery
+    info6 = json.loads(merged.where(F.col("pid") == 6).first()["extended_info"])
+    assert "quicklook" in info6
+
+    patches_tc = tilecache_stage(merged)
+    merged = pipeline.merge_extended_info(merged, patches_tc)
+    assert get_scnlist_tilecache(merged).count() == 0
+
+
+def test_render_report_and_pdf_gate(spark):
+    from eodatadown_spark.datereports import html_to_pdf, render_date_report_html
+
+    df = spark.createDataFrame(
+        [("LandsatGOOG", "LANDSAT_8", "2019-01-05", None)],
+        "sensor_id string, platform_id string, obs_date string, overviews string",
+    )
+    html = render_date_report_html(df, "Report", "LandsatGOOG")
+    assert "<h1>Report</h1>" in html and "2019-01-05" in html
+    assert html_to_pdf(html, "/tmp/never.pdf") is False  # weasyprint absent → graceful
