@@ -355,6 +355,121 @@ def q28_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(docs.where(F.col("doc_id") < 100), threshold=0.5)
 
 
+def q29_sessionize(spark, sf):
+    """Sessionization (T4-analog): gap > 30 min starts a new session;
+    lag + conditional cumsum windows."""
+    ev = _t(spark, sf, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact epoch seconds (unix_timestamp floors to whole seconds, which
+    # would diverge from the oracle at gap==threshold boundaries)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w_user)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+def q30_running_total(spark, sf):
+    """W-family: running cumulative sum per key (monthly revenue per status)."""
+    orders = _t(spark, sf, "orders")
+    monthly = orders.groupBy(
+        "o_orderstatus", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum("o_totalprice").alias("mrev"))
+    w = Window.partitionBy("o_orderstatus").orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "o_orderstatus",
+        F.to_date("month").alias("month"),
+        F.round(F.sum("mrev").over(w), 2).alias("cum_revenue"),
+    )
+
+
+def q31_topk_per_group(spark, sf):
+    """Top-K per group: 3 highest-value orders per priority."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q32_pivot(spark, sf):
+    """Pivot: quantity by returnflag x linestatus."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_o"), F.col("F").alias("qty_f")
+    )
+
+
+def q33_asof_prior_event(spark, sf):
+    """As-of pattern: for each purchase, the timestamp of the user's most
+    recent prior signup (running conditional max — the window form of an
+    as-of join)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("prior_signup_ts", prior_signup)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prior_signup_ts")
+    )
+
+
+def q34_quality_filter(spark, sf):
+    """Text-analysis: composite quality score + threshold filter."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.round(X.quality_score(F.col("text")), 4).alias("quality"),
+        )
+        .where(F.col("quality") >= 0.99)
+        .select("doc_id", "quality")
+    )
+
+
+def q35_embedding_neardup(spark, sf):
+    """Similarity: embedding-cosine near-dup pairs via LSH buckets (no SQL
+    oracle; deterministic)."""
+    emb = _t(spark, sf, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=6)
+
+
+def q36_lsh_topk(spark, sf):
+    """Similarity: bucketed approximate top-k (no SQL oracle; deterministic)."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_bucket_topk(emb, qs, k=3, n_planes=6)
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -384,6 +499,14 @@ QUERIES: dict[str, Callable] = {
     "q26_window_rollup": q26_window_rollup,
     "q27_top1_watermark": q27_top1_watermark,
     "q28_ngram_jaccard": q28_ngram_jaccard,
+    "q29_sessionize": q29_sessionize,
+    "q30_running_total": q30_running_total,
+    "q31_topk_per_group": q31_topk_per_group,
+    "q32_pivot": q32_pivot,
+    "q33_asof_prior_event": q33_asof_prior_event,
+    "q34_quality_filter": q34_quality_filter,
+    "q35_embedding_neardup": q35_embedding_neardup,
+    "q36_lsh_topk": q36_lsh_topk,
 }
 
 
@@ -575,5 +698,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(max(o_orderdate) AS DATE) AS wm_date,
                    max(o_orderkey) AS max_pid
             FROM orders
+        """,
+        "q29_sessionize": """
+            WITH gaps AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+                       epoch(CAST(ts AS TIMESTAMP))
+                       - lag(epoch(CAST(ts AS TIMESTAMP))) OVER (
+                             PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+                FROM events
+            ), sess AS (
+                SELECT user_id,
+                       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY tsx, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), per_sess AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id
+        """,
+        "q30_running_total": """
+            WITH monthly AS (
+                SELECT o_orderstatus,
+                       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       sum(o_totalprice) AS mrev
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderstatus, month,
+                   round(sum(mrev) OVER (PARTITION BY o_orderstatus ORDER BY month
+                                         ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+            FROM monthly
+        """,
+        "q31_topk_per_group": """
+            SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "q32_pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q33_asof_prior_event": """
+            SELECT event_id, user_id, ts, prior_signup_ts FROM (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                       max(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prior_signup_ts
+                FROM events
+            ) WHERE event_type = 'purchase'
+        """,
+        "q34_quality_filter": """
+            WITH m AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                       CAST(len(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+                           / len(text) AS pr,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t IN ('the','a','of','and','to','in','is','it'))) AS hits
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN hits >= 1 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+            FROM m
+            WHERE ((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                 + (CASE WHEN hits >= 1 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.99
         """,
     }

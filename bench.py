@@ -33,6 +33,8 @@ HEADLINE = [
     "q23_cosine_topk",
     "q24_minhash_neardup",
     "q26_window_rollup",
+    "q29_sessionize",
+    "q31_topk_per_group",
 ]
 
 

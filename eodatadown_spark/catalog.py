@@ -104,6 +104,36 @@ class ParquetCatalog:
         df = self.read(table)
         return df.drop("p_year") if "p_year" in df.columns else df
 
+    # -- bucketed tables (scale path: shuffle-free co-located joins) -------
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str = "pid",
+        n_buckets: int = 16,
+    ) -> None:
+        """Persist as a bucketed managed table so repeated joins/aggs on
+        `bucket_col` (scene⋈plugin_results, obs-date bridges) need no
+        exchange.  Bucketing requires the table catalog (saveAsTable); the
+        data lands under spark.sql.warehouse.dir.
+        """
+        self.spark.sql(f"DROP TABLE IF EXISTS eodd_{table}")
+        # a stale location without a metastore entry (fresh session, old
+        # warehouse dir) blocks saveAsTable — clear it
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        stale = os.path.join(warehouse.removeprefix("file:"), f"eodd_{table}")
+        shutil.rmtree(stale, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .format("parquet")
+            .saveAsTable(f"eodd_{table}")
+        )
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        return self.spark.table(f"eodd_{table}")
+
     # -- JSON import/export (S6 / K1; ref eodatadownlandsatgoogsensor.py:2527-2687)
     def export_json(self, table: str, out_file: str) -> None:
         """Serialize a table to a single JSON file (dict keyed by first column),

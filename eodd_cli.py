@@ -1,0 +1,183 @@
+"""eodd_cli — command-line facade over the engine, mirroring the
+reference's bin/ tools so an eodatadown user can run the same workflows:
+
+    eoddchknewscns    → chknewscns   (index file → watermark ingest → dedup)
+    eoddrunmonitoring → process      (stage task fan-out, mocked runners)
+    eoddsensorinfo    → summary      (single-pass counts + stats)
+    eoddcreatereport  → report       (obs-date rollup → HTML)
+    eoddexportdb/-imp → export/import (JSON round trip)
+    eoddgenscncmds    → gencmds      (HPC command lists, --split)
+    eoddsenroi        → roi          (drop scenes outside an ROI bbox)
+    eoddpassencode    → passencode   (base64, driver-side)
+
+Usage: python eodd_cli.py <command> --catalog DIR [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _cat(args):
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    return ParquetCatalog(spark, args.catalog)
+
+
+def cmd_chknewscns(args) -> None:
+    from eodatadown_spark import ingest, schemas
+    from eodatadown_spark.sources.index_adapters import landsat_index_scenes
+
+    cat = _cat(args)
+    spark = cat.spark
+    raw = (
+        spark.read.option("header", True).csv(args.index)
+        if args.index.endswith(".csv")
+        else spark.read.parquet(args.index)
+    )
+    incoming = landsat_index_scenes(raw).withColumn("pid", F.lit(None).cast("long"))
+    for field in schemas.LANDSAT_SCENES.fields:
+        if field.name not in incoming.columns:
+            incoming = incoming.withColumn(
+                field.name,
+                F.lit("" if field.name in ("download_path", "ardproduct_path") else None).cast(field.dataType)
+                if field.dataType.simpleString() != "boolean"
+                else F.lit(False),
+            )
+    incoming = incoming.select(*[f.name for f in schemas.LANDSAT_SCENES.fields])
+    if cat.exists("landsat_scenes"):
+        catalog = cat.read_clean("landsat_scenes")
+        wm = ingest.watermark(catalog, "date_acquired")
+        incoming = ingest.filter_above_watermark(incoming, "date_acquired", wm)
+    else:
+        catalog = spark.createDataFrame([], schema=schemas.LANDSAT_SCENES)
+    merged = ingest.resolve_duplicate_scenes(
+        ingest.upsert_new_scenes(catalog, incoming, keys=["scene_id", "product_id"])
+    )
+    cat.write(merged, "landsat_scenes")
+    print(f"catalog now has {cat.read_clean('landsat_scenes').count()} scenes")
+
+
+def cmd_process(args) -> None:
+    from eodatadown_spark import pipeline, queries as Q
+
+    cat = _cat(args)
+    catalog = cat.read_clean("landsat_scenes")
+    todo = pipeline.scenes_need_processing(catalog)
+    print(f"{todo.count()} scenes need processing")
+    updates = pipeline.run_scene_tasks(
+        catalog.join(Q.get_scnlist_download(catalog), "pid", "left_semi").select("pid"),
+        lambda s: {"pid": s["pid"], "downloaded": True,
+                   "download_path": f"{args.catalog}/dl/{s['pid']}"},
+        "pid long, downloaded boolean, download_path string",
+    )
+    catalog = pipeline.apply_updates(catalog, updates)
+    cat.write(catalog, "landsat_scenes")
+    print("download stage complete (mock runner)")
+
+
+def cmd_summary(args) -> None:
+    from eodatadown_spark import reports
+
+    cat = _cat(args)
+    catalog = cat.read_clean("landsat_scenes")
+    print(json.dumps(reports.sensor_summary_counts(catalog).first().asDict()))
+    stats = reports.column_stats(catalog, "total_size").first()
+    print(json.dumps({f"size_{k}": v for k, v in stats.asDict().items()}))
+
+
+def cmd_report(args) -> None:
+    from eodatadown_spark import reports
+    from eodatadown_spark.datereports import render_date_report_html
+
+    cat = _cat(args)
+    catalog = cat.read_clean("landsat_scenes")
+    obs, bridge = reports.build_obs_date_records(catalog, "LandsatGOOG")
+    render_date_report_html(
+        reports.get_obs_scns(obs), "EODD date report", "LandsatGOOG", args.out
+    )
+    print(f"wrote {args.out}")
+
+
+def cmd_export(args) -> None:
+    cat = _cat(args)
+    cat.export_json("landsat_scenes", args.out)
+    print(f"wrote {args.out}")
+
+
+def cmd_import(args) -> None:
+    cat = _cat(args)
+    replace = dict([args.replace_path.split("=", 1)]) if args.replace_path else None
+    cat.import_json("landsat_scenes", args.infile, replace_path_dict=replace)
+    print(f"imported {cat.read_clean('landsat_scenes').count()} scenes")
+
+
+def cmd_gencmds(args) -> None:
+    from eodatadown_spark import sinks
+
+    cat = _cat(args)
+    paths = sinks.write_command_lists(
+        cat.read_clean("landsat_scenes"), args.template, args.out, args.split
+    )
+    print(f"wrote {len(paths)} file(s)")
+
+
+def cmd_roi(args) -> None:
+    from eodatadown_spark import ingest, schemas
+
+    cat = _cat(args)
+    w, s, e, n = (float(x) for x in args.bbox.split(","))
+    roi = cat.spark.createDataFrame(
+        [{"roi_id": 1, "name": "cli", "west_lon": w, "east_lon": e,
+          "south_lat": s, "north_lat": n, "wkt": None}],
+        schema=schemas.ROI_POLYGONS,
+    )
+    catalog = cat.read_clean("landsat_scenes")
+    kept = ingest.filter_scenes_roi(catalog, roi, keep_intersecting=True)
+    cat.write(kept, "landsat_scenes")
+    print(f"kept {cat.read_clean('landsat_scenes').count()} scenes inside ROI")
+
+
+def cmd_passencode(args) -> None:
+    print(base64.b64encode(args.password.encode()).decode())
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="eodd_cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **kwargs):
+        sp = sub.add_parser(name)
+        if name != "passencode":
+            sp.add_argument("--catalog", required=True)
+        for arg, opts in kwargs.items():
+            sp.add_argument(arg, **opts)
+        sp.set_defaults(fn=fn)
+
+    add("chknewscns", cmd_chknewscns, **{"--index": {"required": True}})
+    add("process", cmd_process)
+    add("summary", cmd_summary)
+    add("report", cmd_report, **{"--out": {"default": "date_report.html"}})
+    add("export", cmd_export, **{"--out": {"required": True}})
+    add("import", cmd_import, **{"--infile": {"required": True},
+                                 "--replace-path": {"default": None}})
+    add("gencmds", cmd_gencmds, **{"--template": {"default": "eoddrun --pid {pid}"},
+                                   "--out": {"required": True},
+                                   "--split": {"type": int, "default": 1}})
+    add("roi", cmd_roi, **{"--bbox": {"required": True, "help": "W,S,E,N"}})
+    add("passencode", cmd_passencode, **{"--password": {"required": True}})
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
