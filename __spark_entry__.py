@@ -659,7 +659,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q20_text_profile": """
             SELECT lang, count(*) AS n_docs,
-                   round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
+                   round(avg(len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))), 4) AS avg_tokens,
                    round(avg(CAST(len(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
                              / len(text)), 4) AS avg_punct_ratio,
                    round(avg(len(text)), 4) AS avg_chars
@@ -667,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q21_langid": """
             SELECT CASE WHEN len(list_filter(
-                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
                        t -> t IN ('the','a','of','and','to','in','is','it'))) >= 1
                    THEN 'en' ELSE 'other' END AS lang_guess,
                    count(*) AS n
@@ -761,10 +761,10 @@ def oracle_sql() -> dict[str, str]:
         "q34_quality_filter": """
             WITH m AS (
                 SELECT doc_id,
-                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                       len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_tok,
                        CAST(len(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
                            / len(text) AS pr,
-                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       len(list_filter(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
                                        t -> t IN ('the','a','of','and','to','in','is','it'))) AS hits
                 FROM documents
             )

@@ -53,21 +53,21 @@ def cosine_topk(
     by neighbor_id ascending for determinism.  Self-matches excluded when a
     query id equals a corpus id.
     """
+    # norms precomputed per side: the per-pair work is ONE dot product
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-        )
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
-            dot(F.col("__qv"), F.col("__cv"))
-            / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -117,21 +117,24 @@ def lsh_bucket_topk(
     bucket; equi-join on bucket replaces the cross join (the 100 TB path —
     ~n/2^planes candidates per query)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("__cv"), planes))
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        .withColumn("bucket", hyperplane_bucket(F.col("__cv"), planes))
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-        ).withColumn("bucket", hyperplane_bucket(F.col("__qv"), planes))
+        )
+        .withColumn("bucket", hyperplane_bucket(F.col("__qv"), planes))
+        .withColumn("__qn", l2_norm(F.col("__qv")))
     )
     scored = (
         c.join(q, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
-            dot(F.col("__qv"), F.col("__cv"))
-            / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -156,17 +159,21 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs via bucketed self-join
     (id_a < id_b, cos_sim >= threshold)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
-    left = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    base = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", hyperplane_bucket(F.col("v"), planes))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    left = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"),
+                       F.col("nrm").alias("na"))
+    right = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("nrm").alias("nb"))
     pairs = (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            dot(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb"))),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
     )
     return pairs.where(F.col("cos_sim") >= threshold).select(

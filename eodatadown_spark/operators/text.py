@@ -14,10 +14,17 @@ from pyspark.sql import functions as F
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
+def ws_trim(text: Column | str) -> Column:
+    """Strip leading/trailing WHITESPACE (F.trim only strips spaces — a
+    lone newline would otherwise tokenize as two empty tokens)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count; empty/blank string → 0."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
+    trimmed = ws_trim(c)
     return F.when(trimmed == "", F.lit(0)).otherwise(
         F.size(F.split(trimmed, "\\s+"))
     ).cast("long")
@@ -53,7 +60,7 @@ def stopword_hits(text: Column | str, words=EN_STOPWORDS) -> Column:
     Catalyst expressions, also expressible in ANSI SQL for the oracle.
     """
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(F.trim(c)), "\\s+")
+    toks = F.split(F.lower(ws_trim(c)), "\\s+")
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): engine column semantics vs plain-Python
+reference implementations on arbitrary inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+# one shared moderate example budget — each example round-trips through Spark
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+# ASCII only: Java's \s (Spark split) and Python's str.split() disagree on
+# unicode Zs spaces — the engine documents \s+ tokenization
+texts = st.text(alphabet="abcXYZ019 .,!?\t\n", min_size=0, max_size=120)
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_token_count_matches_python(spark, docs):
+    from eodatadown_spark.operators.text import token_count
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i long, t string")
+    got = {r["i"]: r["n"] for r in df.select("i", token_count("t").alias("n")).collect()}
+    for i, t in enumerate(docs):
+        assert got[i] == len(t.split())
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-180, 179), st.floats(0.1, 30),   # west, width
+            st.floats(-90, 89), st.floats(0.1, 30),     # south, height
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.tuples(st.floats(-180, 170), st.floats(0.5, 40),
+              st.floats(-90, 80), st.floats(0.5, 40)),
+)
+@settings(**_SETTINGS)
+def test_bbox_overlap_matches_python(spark, boxes, query):
+    """F7 strict-inequality semantics identical to a plain-Python oracle."""
+    from eodatadown_spark.queries import bbox_intersect_pred
+
+    qw, qwidth, qs, qheight = query
+    qbox = (qw, qw + qwidth, qs, qs + qheight)
+    rows = [
+        {"pid": i, "west_lon": w, "east_lon": w + width,
+         "south_lat": s, "north_lat": s + height}
+        for i, (w, width, s, height) in enumerate(boxes)
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(r["pid"] for r in df.where(bbox_intersect_pred(qbox)).collect())
+    want = sorted(
+        r["pid"] for r in rows
+        if r["east_lon"] > qbox[0] and qbox[1] > r["west_lon"]
+        and r["north_lat"] > qbox[2] and qbox[3] > r["south_lat"]
+    )
+    assert got == want
+
+
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=30),
+       st.integers(0, 5), st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_pagination_invariants(spark, values, start_rec, n_recs):
+    """W2: the page equals the same slice of the fully ordered result."""
+    from eodatadown_spark import queries as Q
+
+    rows = [
+        {"pid": i, "date_acquired": dt.date(2019, 1, 1) + dt.timedelta(days=v),
+         "invalid": False, "cloud_cover": 0.0}
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows)
+    full = Q.query_scn_records_date(
+        df, "2030-01-01", "2000-01-01", valid=False
+    ).collect()
+    page = Q.query_scn_records_date(
+        df, "2030-01-01", "2000-01-01", valid=False,
+        start_rec=start_rec, n_recs=n_recs,
+    ).collect()
+    assert [r["pid"] for r in page] == [r["pid"] for r in full][start_rec:start_rec + n_recs]
+
+
+@given(st.lists(st.floats(-5, 5, allow_nan=False), min_size=4, max_size=16),
+       st.lists(st.floats(-5, 5, allow_nan=False), min_size=4, max_size=16))
+@settings(**_SETTINGS)
+def test_cosine_matches_python(spark, a, b):
+    from eodatadown_spark.operators.similarity import cosine
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    if not any(a) or not any(b):
+        return  # zero vectors → undefined cosine
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    d = sum(x * y for x, y in zip(a, b))
+    want = d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+    assert abs(got - want) < 1e-9
