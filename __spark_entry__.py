@@ -470,6 +470,70 @@ def q36_lsh_topk(spark, sf):
     return S.lsh_bucket_topk(emb, qs, k=3, n_planes=6)
 
 
+def q37_cube_rollup(spark, sf):
+    """CUBE grouping-sets aggregation (superset of the reference's rollups)."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+def q38_having(spark, sf):
+    """Group-filter (HAVING): customers with > 1M total spend."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .where(F.col("total_spend") > 1000000)
+    )
+
+
+def q39_top_unshipped(spark, sf):
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue (join + agg +
+    deterministic top-k)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cut = "1997-01-01"
+    joined = li.where(F.col("l_shipdate") > F.lit(cut)).join(
+        orders.where(F.col("o_orderdate") < F.lit(cut)),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    rev = joined.groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+def q40_multimodal_features(spark, sf):
+    """Multimodal plumbing: binary payload column → Arrow-batched decode/
+    featurize via mapInPandas (stub decoder; no SQL oracle — the Spark-side
+    schema/batch shape is the operator under test)."""
+    from eodatadown_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(1).alias("width"), F.lit(1).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("txt").alias("format"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "payload_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -507,6 +571,10 @@ QUERIES: dict[str, Callable] = {
     "q34_quality_filter": q34_quality_filter,
     "q35_embedding_neardup": q35_embedding_neardup,
     "q36_lsh_topk": q36_lsh_topk,
+    "q37_cube_rollup": q37_cube_rollup,
+    "q38_having": q38_having,
+    "q39_top_unshipped": q39_top_unshipped,
+    "q40_multimodal_features": q40_multimodal_features,
 }
 
 
@@ -776,5 +844,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
                  + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
                  + (CASE WHEN hits >= 1 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.99
+        """,
+        "q37_cube_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q38_having": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+            HAVING round(sum(o_totalprice), 2) > 1000000
+        """,
+        "q39_top_unshipped": """
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
         """,
     }

@@ -74,7 +74,15 @@ class ParquetCatalog:
 
     # -- read/write -------------------------------------------------------
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.data_path(table))
+        try:
+            return self.spark.read.parquet(self.data_path(table))
+        except Exception:
+            # an empty partitioned write emits no part files → schema can't
+            # be inferred; fall back to the declared schema for known tables
+            declared = schemas.ALL_SCHEMAS.get(table)
+            if declared is not None:
+                return self.spark.createDataFrame([], schema=declared)
+            raise
 
     def write(self, df: DataFrame, table: str, partition: bool = True) -> None:
         """Atomically replace `table` with `df` (new version dir + pointer flip)."""

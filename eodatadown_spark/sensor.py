@@ -1,0 +1,228 @@
+"""Sensor facade: the reference's per-sensor object API over the engine.
+
+`EODataDownSensor` (eodatadownsensor.py:179-469) defines the abstract
+surface every sensor implements; users drive the system through sensor
+objects.  This facade binds that surface to a ParquetCatalog + the
+functional modules, so reference call-sites translate 1:1:
+
+    sensor = LandsatGoogSensor(catalog)
+    sensor.check_new_scns(index_df)
+    sensor.get_scnlist_download()
+    sensor.query_scn_records_date_bbox(start, end, bbox)
+    sensor.get_sensor_summary_info()
+
+State-changing calls persist a new catalog version atomically; queries are
+lazy DataFrames.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eodatadown_spark import ingest, pipeline, queries as Q, reports, schemas
+from eodatadown_spark.catalog import ParquetCatalog
+
+
+class SensorBase:
+    """Common sensor behavior; subclasses pin table name, keys, columns."""
+
+    table: str
+    ingest_keys: Sequence[str]
+    watermark_col: str
+    date_col: str = "date_acquired"
+    platform_col: str = "spacecraft_id"
+    dedup_key: str | None = None  # scene_id for Landsat (J4); None = no dedup
+
+    def __init__(self, catalog: ParquetCatalog):
+        self.catalog = catalog
+        self.spark = catalog.spark
+
+    # -- catalog access ---------------------------------------------------
+    def init_sensor_db(self) -> None:
+        """init_sensor_db (drop_all/create_all semantics,
+        ref eodatadownlandsatgoogsensor.py:456-471)."""
+        empty = self.spark.createDataFrame([], schema=schemas.ALL_SCHEMAS[self.table])
+        self.catalog.write(empty, self.table)
+
+    def scenes(self) -> DataFrame:
+        return self.catalog.read_clean(self.table)
+
+    def _commit(self, df: DataFrame) -> None:
+        self.catalog.write(df, self.table)
+
+    # -- ingest (check_new_scns; SURVEY §3.1) ------------------------------
+    def check_new_scns(
+        self, normalized_index: DataFrame, check_from_start: bool = False
+    ) -> int:
+        """Watermark-filtered idempotent ingest + keep-latest dedup; returns
+        the number of newly added scenes."""
+        catalog = self.scenes()
+        incoming = self._complete_state_block(normalized_index)
+        if not check_from_start:
+            wm = ingest.watermark(catalog, self.watermark_col)
+            incoming = ingest.filter_above_watermark(incoming, self.watermark_col, wm)
+        before = catalog.count()
+        merged = ingest.upsert_new_scenes(catalog, incoming, keys=self.ingest_keys)
+        if self.dedup_key:
+            merged = ingest.resolve_duplicate_scenes(merged, key=self.dedup_key)
+        self._commit(merged)
+        return self.scenes().count() - before
+
+    def _complete_state_block(self, df: DataFrame) -> DataFrame:
+        schema = schemas.ALL_SCHEMAS[self.table]
+        out = df
+        if "pid" not in out.columns:
+            out = out.withColumn("pid", F.lit(None).cast("long"))
+        for field in schema.fields:
+            if field.name in out.columns:
+                continue
+            if field.dataType.simpleString() == "boolean":
+                default = F.lit(False)
+            elif field.name in ("download_path", "ardproduct_path"):
+                default = F.lit("")
+            elif field.name == "query_date":
+                default = F.current_timestamp()
+            else:
+                default = F.lit(None).cast(field.dataType)
+            out = out.withColumn(field.name, default)
+        return out.select(*[f.name for f in schema.fields])
+
+    def rm_scns_intersect(self, roi: DataFrame) -> int:
+        """J3: delete scenes not intersecting the ROI; returns rows removed."""
+        catalog = self.scenes()
+        before = catalog.count()
+        kept = ingest.filter_scenes_roi(catalog, roi, keep_intersecting=True)
+        self._commit(kept)
+        return before - self.scenes().count()
+
+    # -- queries (lazy) ----------------------------------------------------
+    def query_scn_records_date(self, start, end, **kw) -> DataFrame:
+        return Q.query_scn_records_date(self.scenes(), start, end, self.date_col, **kw)
+
+    def query_scn_records_date_count(self, start, end, **kw) -> DataFrame:
+        return Q.query_scn_records_date_count(self.scenes(), start, end, self.date_col, **kw)
+
+    def query_scn_records_date_bbox(self, start, end, bbox, **kw) -> DataFrame:
+        return Q.query_scn_records_date_bbox(self.scenes(), start, end, bbox, self.date_col, **kw)
+
+    def find_unique_platforms(self) -> DataFrame:
+        return Q.find_unique_platforms(self.scenes(), self.platform_col)
+
+    def find_unique_scn_dates(self, **kw) -> DataFrame:
+        return Q.find_unique_scn_dates(self.scenes(), self.date_col, **kw)
+
+    def get_scns_for_date(self, date_of_interest) -> DataFrame:
+        return Q.get_scns_for_date(self.scenes(), date_of_interest, self.date_col)
+
+    def get_scn_record(self, pid: int):
+        """F10 `.one()` semantics: exactly one row or ValueError."""
+        rows = Q.get_scn_record(self.scenes(), pid).collect()
+        if len(rows) != 1:
+            raise ValueError(f"expected exactly one scene for pid={pid}, got {len(rows)}")
+        return rows[0]
+
+    def get_scnlist_download(self) -> DataFrame:
+        return Q.get_scnlist_download(self.scenes())
+
+    def get_scnlist_con2ard(self) -> DataFrame:
+        return Q.get_scnlist_con2ard(self.scenes())
+
+    def get_scnlist_datacube(self) -> DataFrame:
+        return Q.get_scnlist_datacube(self.scenes())
+
+    def get_scnlist_quicklook(self) -> DataFrame:
+        return Q.get_scnlist_quicklook(self.scenes())
+
+    def get_scnlist_tilecache(self) -> DataFrame:
+        return Q.get_scnlist_tilecache(self.scenes())
+
+    # -- stage execution (P2 + M2) ----------------------------------------
+    def run_stage(
+        self,
+        todo: DataFrame,
+        task_fn: Callable[[dict], dict],
+        update_schema: str,
+        select_cols: Sequence[str] = ("pid", "remote_url"),
+    ) -> int:
+        """Fan out `task_fn` over the to-do scenes, apply ONE batched state
+        merge, persist; returns scenes updated."""
+        catalog = self.scenes()
+        cols = [c for c in select_cols if c in catalog.columns]
+        scoped = catalog.join(todo.select("pid"), "pid", "left_semi").select(*cols)
+        updates = pipeline.run_scene_tasks(scoped, task_fn, update_schema)
+        n = updates.count()
+        self._commit(pipeline.apply_updates(catalog, updates))
+        return n
+
+    # -- reporting ---------------------------------------------------------
+    def get_sensor_summary_info(self) -> dict:
+        counts = reports.sensor_summary_counts(self.scenes()).first().asDict()
+        sizes = reports.column_stats(self.scenes(), "total_size").first().asDict()
+        return {**counts, "size_stats": sizes}
+
+    def build_obs_date_records(self, sensor_id: str) -> tuple[DataFrame, DataFrame]:
+        return reports.build_obs_date_records(
+            self.scenes(), sensor_id, self.platform_col, self.date_col
+        )
+
+
+class LandsatGoogSensor(SensorBase):
+    table = "landsat_scenes"
+    ingest_keys = ("scene_id", "product_id")
+    watermark_col = "date_acquired"
+    dedup_key = "scene_id"
+
+
+class Sentinel2GoogSensor(SensorBase):
+    table = "sentinel2_scenes"
+    ingest_keys = ("granule_id", "generation_time")
+    watermark_col = "sensing_time"
+    date_col = "sensing_time"
+    platform_col = "platform_id"
+    dedup_key = None
+
+
+class Sentinel1ASFSensor(SensorBase):
+    table = "sentinel1_scenes"
+    ingest_keys = ("product_file_id",)
+    watermark_col = "begin_position"
+    date_col = "acquisition_date"
+    platform_col = "platform"
+    dedup_key = None
+
+
+class GEDISensor(SensorBase):
+    table = "gedi_granules"
+    ingest_keys = ("file_name",)
+    watermark_col = "date_acquired"
+    platform_col = "product"
+    dedup_key = None
+
+
+class ICESAT2Sensor(SensorBase):
+    table = "icesat2_granules"
+    ingest_keys = ("granule_id",)
+    watermark_col = "start_time"
+    date_col = "start_time"
+    platform_col = "product"
+    dedup_key = None
+
+
+SENSORS: dict[str, type[SensorBase]] = {
+    "LandsatGOOG": LandsatGoogSensor,
+    "Sentinel2GOOG": Sentinel2GoogSensor,
+    "Sentinel1ASF": Sentinel1ASFSensor,
+    "GEDI": GEDISensor,
+    "ICESAT2": ICESAT2Sensor,
+}
+
+
+def get_sensor_obj(name: str, catalog: ParquetCatalog) -> SensorBase:
+    """Name-dispatch sensor construction (ref eodatadownsystemmain.py:157-186)."""
+    if name not in SENSORS:
+        raise ValueError(f"unknown sensor: {name!r}; known: {sorted(SENSORS)}")
+    return SENSORS[name](catalog)
