@@ -149,6 +149,41 @@ def cmd_passencode(args) -> None:
     print(base64.b64encode(args.password.encode()).decode())
 
 
+def cmd_pluginreport(args) -> None:
+    """eoddpluginreport: per-plugin tallies (A10)."""
+    from eodatadown_spark.reports import plugin_status_tallies
+
+    cat = _cat(args)
+    if not cat.exists("plugin_results"):
+        print("no plugin_results table")
+        return
+    for r in plugin_status_tallies(cat.read_clean("plugin_results")).collect():
+        print(json.dumps(r.asDict()))
+
+
+def cmd_reset(args) -> None:
+    """eoddresetimgs: clear download/ARD/DC state (M6)."""
+    from eodatadown_spark.pipeline import reset_download_state
+
+    cat = _cat(args)
+    pids = [int(p) for p in args.pids.split(",")] if args.pids else None
+    catalog = reset_download_state(cat.read_clean("landsat_scenes"), pids)
+    cat.write(catalog, "landsat_scenes")
+    print(f"reset {'all' if pids is None else len(pids)} scene(s)")
+
+
+def cmd_buildobsdates(args) -> None:
+    """eoddobsdatetools: (re)build the obs-date rollup + bridge (A9)."""
+    from eodatadown_spark.reports import build_obs_date_records
+
+    cat = _cat(args)
+    obs, bridge = build_obs_date_records(cat.read_clean("landsat_scenes"), "LandsatGOOG")
+    cat.write(obs, "obs_dates", partition=False)
+    cat.write(bridge, "obs_date_scns", partition=False)
+    print(f"obs_dates={cat.read_clean('obs_dates').count()} "
+          f"bridge={cat.read_clean('obs_date_scns').count()}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eodd_cli")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -173,6 +208,9 @@ def main(argv=None) -> int:
                                    "--split": {"type": int, "default": 1}})
     add("roi", cmd_roi, **{"--bbox": {"required": True, "help": "W,S,E,N"}})
     add("passencode", cmd_passencode, **{"--password": {"required": True}})
+    add("pluginreport", cmd_pluginreport)
+    add("reset", cmd_reset, **{"--pids": {"default": None, "help": "comma list; all if omitted"}})
+    add("buildobsdates", cmd_buildobsdates)
 
     args = p.parse_args(argv)
     args.fn(args)
