@@ -144,6 +144,31 @@ def get_obs_scns(
     )
 
 
+def update_obs_date_overviews(obs_dates: DataFrame, updates: DataFrame) -> DataFrame:
+    """M3 on the obs-date table: set `overviews` JSON ({size_px: img_path},
+    ref eodatadownsensor.py:679-692) and clear `need_update` for the updated
+    (sensor, platform, date) keys — one batched merge."""
+    keys = ["sensor_id", "platform_id", "obs_date"]
+    patch = updates.select(*keys, F.col("overviews").alias("__new_ov"))
+    out = obs_dates.join(F.broadcast(patch), keys, "left")
+    return (
+        out.withColumn(
+            "overview_created",
+            F.when(F.col("__new_ov").isNotNull(), F.lit(True)).otherwise(
+                F.col("overview_created")
+            ),
+        )
+        .withColumn(
+            "need_update",
+            F.when(F.col("__new_ov").isNotNull(), F.lit(False)).otherwise(
+                F.col("need_update")
+            ),
+        )
+        .withColumn("overviews", F.coalesce(F.col("__new_ov"), F.col("overviews")))
+        .drop("__new_ov")
+    )
+
+
 def scene_command_lines(scenes: DataFrame, cmd_template: str) -> DataFrame:
     """K7: HPC command-list generation — one shell line per scene pid
     (ref bin/eoddgenscncmds.py:46-136). `{pid}` in the template is replaced."""

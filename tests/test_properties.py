@@ -100,3 +100,34 @@ def test_cosine_matches_python(spark, a, b):
     d = sum(x * y for x, y in zip(a, b))
     want = d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
     assert abs(got - want) < 1e-9
+
+
+@given(st.integers(0, 2**31), st.floats(0.3, 0.95))
+@settings(max_examples=5, deadline=None)
+def test_minhash_signature_estimates_jaccard(spark, seed_val, overlap):
+    """Signature agreement ≈ true Jaccard within LSH tolerance (±0.25 at
+    num_perm=32) for a pair constructed with a known overlap fraction."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from eodatadown_spark.operators.dedup import minhash_signature, shingle_hash_table
+
+    rng = random.Random(seed_val)
+    shared = [f"s{i}" for i in range(60)]
+    n_shared = int(60 * overlap)
+    a_words = shared[:n_shared] + [f"a{i}{rng.random():.3f}" for i in range(60 - n_shared)]
+    b_words = shared[:n_shared] + [f"b{i}{rng.random():.3f}" for i in range(60 - n_shared)]
+    df = spark.createDataFrame(
+        [(0, " ".join(a_words)), (1, " ".join(b_words))], "doc_id long, text string"
+    )
+    base = shingle_hash_table(df, k=1)  # k=1: shingles are the words themselves
+    sig = base.withColumn("sig", minhash_signature(F.col("hashes"), 32, 42))
+    rows = {r["id"]: r for r in sig.collect()}
+    true_j = len(set(rows[0]["hashes"]) & set(rows[1]["hashes"])) / len(
+        set(rows[0]["hashes"]) | set(rows[1]["hashes"])
+    )
+    agree = sum(
+        x == y for x, y in zip(rows[0]["sig"], rows[1]["sig"])
+    ) / 32
+    assert abs(agree - true_j) <= 0.25

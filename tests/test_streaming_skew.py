@@ -77,3 +77,35 @@ def test_salted_join_matches_plain(spark):
     assert got.count() == 2000
     sample = got.where(F.col("lv") == 7).first()
     assert sample["rv"] == "r2"
+
+
+def test_windowed_counts_streaming_mode(spark, tmp_path):
+    """The same windowed rollup plan as a real stream with watermarking."""
+    import datetime as dt
+
+    from eodatadown_spark.streaming.incremental import windowed_event_counts
+
+    src = str(tmp_path / "ev_src")
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 10), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 40), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 2, 10), "view", 3.0),  # advances watermark past hour 0
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(src)
+
+    stream = windowed_event_counts(
+        spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src),
+        lateness="1 hour",
+    )
+    q = (stream.writeStream.format("memory").queryName("win_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # append mode emits only windows closed by the watermark (hour 0)
+        got = {(r["win"]["start"].hour, r["event_type"]): (r["n"], r["total_value"])
+               for r in spark.sql("SELECT * FROM win_out").collect()}
+        assert got == {(0, "click"): (2, 3.0)}
+    finally:
+        q.stop()

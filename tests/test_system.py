@@ -1,0 +1,104 @@
+"""System-main layer: signed config, multi-sensor orchestration, obs-date
+overview updates — the reference's §3 lifecycle entry points."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from eodatadown_spark.config import SystemMain, check_config_signature, sign_config
+from eodatadown_spark.run import find_new_downloads, process_scenes_all_steps
+
+
+@pytest.fixture()
+def system(spark, tmp_path):
+    cfg = {
+        "catalog_path": str(tmp_path / "cat"),
+        "sensors": ["LandsatGOOG"],
+        "roi": {"west_lon": -5.0, "east_lon": 5.0, "south_lat": 45.0, "north_lat": 55.0},
+    }
+    cfg_file = str(tmp_path / "config.json")
+    with open(cfg_file, "w", encoding="utf-8") as fh:
+        json.dump(cfg, fh)
+    sign_config(cfg_file)
+    return SystemMain(spark).parse_config(cfg_file)
+
+
+def _landsat_feed(spark):
+    def row(sid, acq, lon_w):
+        return {
+            "scene_id": sid,
+            "product_id": f"LC08_L1TP_001001_{acq.replace('-', '')}_20200101_01_T1",
+            "spacecraft_id": "LANDSAT_8", "sensor_id": "OLI_TIRS",
+            "date_acquired": dt.date.fromisoformat(acq),
+            "sensing_time": dt.datetime.fromisoformat(acq + "T10:00:00"),
+            "collection_number": "01", "collection_category": "T1",
+            "data_type": "L1TP", "wrs_path": 1, "wrs_row": 1, "cloud_cover": 10.0,
+            "north_lat": 52.0, "south_lat": 50.0,
+            "east_lon": lon_w + 2.0, "west_lon": lon_w,
+            "total_size": 1000, "remote_url": f"gs://b/{sid}",
+        }
+
+    return spark.createDataFrame(
+        [row("A", "2019-01-05", 0.0), row("B", "2019-02-10", -1.0),
+         row("OUT", "2019-03-15", 20.0)]  # outside configured ROI
+    )
+
+
+def test_config_signature_tamper(spark, tmp_path):
+    cfg_file = str(tmp_path / "c.json")
+    with open(cfg_file, "w", encoding="utf-8") as fh:
+        json.dump({"catalog_path": str(tmp_path)}, fh)
+    with pytest.raises(ValueError, match="signature"):
+        SystemMain(spark).parse_config(cfg_file)
+    sign_config(cfg_file)
+    assert check_config_signature(cfg_file)
+    SystemMain(spark).parse_config(cfg_file)  # now fine
+    with open(cfg_file, "a", encoding="utf-8") as fh:
+        fh.write(" ")
+    assert not check_config_signature(cfg_file)  # tamper detected
+
+
+def test_find_new_downloads_and_process(spark, system):
+    added = find_new_downloads(system, {"LandsatGoogSensor": _landsat_feed(spark)})
+    assert added == {"LandsatGoogSensor": 3}
+    sensor = system.get_sensor_objs()[0]
+    # ROI trim removed the out-of-bbox scene
+    assert sensor.scenes().count() == 2
+
+    results = process_scenes_all_steps(system)
+    assert results["LandsatGoogSensor"] == {"download": 2, "con2ard": 2, "datacube": 2}
+    summary = sensor.get_sensor_summary_info()
+    assert summary["n_dcloaded"] == 2
+
+    # second run: everything done → zero work per stage
+    again = process_scenes_all_steps(system)
+    assert again["LandsatGoogSensor"] == {"download": 0, "con2ard": 0, "datacube": 0}
+
+    # usage log recorded ingest + two processing passes
+    log = system.catalog.read("usage_log")
+    assert log.count() == 3
+    assert log.where(F.col("found_new_scns") == True).count() == 1  # noqa: E712
+
+
+def test_update_obs_date_overviews(spark, system):
+    find_new_downloads(system, {"LandsatGoogSensor": _landsat_feed(spark)})
+    sensor = system.get_sensor_objs()[0]
+    obs, _ = sensor.build_obs_date_records("LandsatGOOG")
+    first = obs.orderBy("obs_date").first()
+    updates = spark.createDataFrame(
+        [(first["sensor_id"], first["platform_id"], first["obs_date"],
+          json.dumps({"250": "/ov/250.png"}))],
+        "sensor_id string, platform_id string, obs_date date, overviews string",
+    )
+    from eodatadown_spark.reports import update_obs_date_overviews
+
+    merged = update_obs_date_overviews(obs, updates)
+    done = merged.where(F.col("obs_date") == first["obs_date"]).first()
+    assert done["overview_created"] is True and done["need_update"] is False
+    assert json.loads(done["overviews"]) == {"250": "/ov/250.png"}
+    other = merged.where(F.col("obs_date") != first["obs_date"]).first()
+    assert other["need_update"] is True and other["overviews"] is None
