@@ -149,6 +149,15 @@ def cmd_passencode(args) -> None:
     print(base64.b64encode(args.password.encode()).decode())
 
 
+def cmd_exportvector(args) -> None:
+    """eoddexport --exportvector: scene footprints → GeoJSON (K2)."""
+    from eodatadown_spark import sinks
+
+    cat = _cat(args)
+    n = sinks.export_geojson(cat.read_clean("landsat_scenes"), args.out)
+    print(f"wrote {n} feature(s) to {args.out}")
+
+
 def cmd_pluginreport(args) -> None:
     """eoddpluginreport: per-plugin tallies (A10)."""
     from eodatadown_spark.reports import plugin_status_tallies
@@ -208,6 +217,7 @@ def main(argv=None) -> int:
                                    "--split": {"type": int, "default": 1}})
     add("roi", cmd_roi, **{"--bbox": {"required": True, "help": "W,S,E,N"}})
     add("passencode", cmd_passencode, **{"--password": {"required": True}})
+    add("exportvector", cmd_exportvector, **{"--out": {"required": True}})
     add("pluginreport", cmd_pluginreport)
     add("reset", cmd_reset, **{"--pids": {"default": None, "help": "comma list; all if omitted"}})
     add("buildobsdates", cmd_buildobsdates)
