@@ -91,7 +91,9 @@ def apply_updates(catalog: DataFrame, updates: DataFrame, key: str = "pid") -> D
     renamed = updates.select(
         F.col(key), *[F.col(c).alias(f"__u_{c}") for c in upd_cols]
     )
-    out = catalog.join(F.broadcast(renamed), key, "left")
+    # no broadcast hint: a stage's update set can approach catalog size, and
+    # AQE already broadcasts small sides at runtime
+    out = catalog.join(renamed, key, "left")
     for c in upd_cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
     return out.drop(*[f"__u_{c}" for c in upd_cols])
@@ -105,7 +107,7 @@ def merge_extended_info(catalog: DataFrame, updates: DataFrame, key: str = "pid"
     JSON concat: parse both to maps and map_concat (patch wins).
     """
     patched = updates.select(F.col(key), F.col("extended_info_patch"))
-    out = catalog.join(F.broadcast(patched), key, "left")
+    out = catalog.join(patched, key, "left")
     merged = F.to_json(
         F.map_concat(
             F.coalesce(

@@ -150,7 +150,7 @@ def update_obs_date_overviews(obs_dates: DataFrame, updates: DataFrame) -> DataF
     (sensor, platform, date) keys — one batched merge."""
     keys = ["sensor_id", "platform_id", "obs_date"]
     patch = updates.select(*keys, F.col("overviews").alias("__new_ov"))
-    out = obs_dates.join(F.broadcast(patch), keys, "left")
+    out = obs_dates.join(patch, keys, "left")
     return (
         out.withColumn(
             "overview_created",

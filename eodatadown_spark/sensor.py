@@ -158,6 +158,44 @@ class SensorBase:
         self._commit(pipeline.apply_updates(catalog, updates))
         return n
 
+    # -- user-analysis plugins (P1/J2) -------------------------------------
+    @property
+    def plugin_table(self) -> str:
+        return "plugin_results"
+
+    def plugin_results(self) -> DataFrame:
+        if self.catalog.exists(self.plugin_table):
+            return self.catalog.read_clean(self.plugin_table)
+        return self.spark.createDataFrame([], schema=schemas.PLUGIN_RESULTS)
+
+    def get_scnlist_usr_analysis(self, plugins: Sequence[str]) -> DataFrame:
+        return Q.get_scnlist_usr_analysis(self.scenes(), self.plugin_results(), plugins)
+
+    def run_usr_analysis(self, plugins: dict) -> int:
+        """Run configured plugin callables over scheduled scenes; append the
+        result rows to plugin_results in one batch.  Returns rows added."""
+        from eodatadown_spark.plugins import run_plugins
+
+        new_rows = run_plugins(self.scenes(), self.plugin_results(), plugins)
+        merged = self.plugin_results().unionByName(new_rows)
+        n = new_rows.count()
+        self.catalog.write(merged, self.plugin_table, partition=False)
+        return n
+
+    def get_scn_usr_analysis_results(self, pid: int) -> DataFrame:
+        """Per-scene plugin-result rows (ref get_usr_analysis_results)."""
+        return self.plugin_results().where(F.col("scene_pid") == F.lit(pid))
+
+    def get_scn_obs_date(self, pid: int) -> dt.date | None:
+        """Observation date of one scene (ref get_scn_obs_date)."""
+        row = (
+            self.scenes()
+            .where(F.col("pid") == F.lit(pid))
+            .select(F.to_date(F.col(self.date_col)).alias("d"))
+            .first()
+        )
+        return None if row is None else row["d"]
+
     # -- reporting ---------------------------------------------------------
     def get_sensor_summary_info(self) -> dict:
         counts = reports.sensor_summary_counts(self.scenes()).first().asDict()

@@ -108,3 +108,32 @@ def test_sentinel1_watermark_col(spark, tmp_path):
     assert s1.check_new_scns(base) == 1
     # idempotent on the unique product_file_id key
     assert s1.check_new_scns(base, check_from_start=True) == 0
+
+
+def test_sensor_plugins_roundtrip(spark, sensor):
+    sensor.check_new_scns(
+        _index(spark, [("A", "2019-01-05", "20190110", 10.0),
+                       ("B", "2019-02-10", "20190215", 20.0)])
+    )
+    # make both scenes ARD so they're schedulable for analysis
+    sensor.run_stage(sensor.get_scnlist_download(),
+                     lambda s: {"pid": s["pid"], "downloaded": True},
+                     "pid long, downloaded boolean")
+    sensor.run_stage(sensor.get_scnlist_con2ard(),
+                     lambda s: {"pid": s["pid"], "ardproduct": True},
+                     "pid long, ardproduct boolean")
+
+    assert sorted(r["pid"] for r in sensor.get_scnlist_usr_analysis(["PlgA"]).collect()) == [0, 1]
+    added = sensor.run_usr_analysis({"PlgA": lambda s: (True, {"pid": s["pid"]}, False)})
+    assert added == 2
+    assert sensor.get_scnlist_usr_analysis(["PlgA"]).count() == 0  # drained
+    res = sensor.get_scn_usr_analysis_results(0).collect()
+    assert len(res) == 1 and res[0]["success"] is True
+    # second run with an extra plugin only runs the missing one
+    added = sensor.run_usr_analysis({
+        "PlgA": lambda s: (True, {}, False),
+        "PlgB": lambda s: (False, {}, False),
+    })
+    assert added == 2  # PlgB for both scenes
+    assert sensor.get_scn_obs_date(0) == __import__("datetime").date(2019, 1, 5)
+    assert sensor.get_scn_obs_date(999) is None
