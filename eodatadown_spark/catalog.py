@@ -32,6 +32,13 @@ from eodatadown_spark import schemas
 _CURRENT = "_CURRENT"
 
 
+def _has_parquet_files(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _as_string_schema(schema):
     """Same field names, all StringType — staging schema for JSON import."""
     from pyspark.sql import types as T
@@ -74,15 +81,15 @@ class ParquetCatalog:
 
     # -- read/write -------------------------------------------------------
     def read(self, table: str) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self.data_path(table))
-        except Exception:
-            # an empty partitioned write emits no part files → schema can't
-            # be inferred; fall back to the declared schema for known tables
+        path = self.data_path(table)
+        # an empty partitioned write emits no part files → schema inference
+        # fails; ONLY that case falls back to the declared schema (a blanket
+        # except would turn transient read errors into silent catalog wipes)
+        if not _has_parquet_files(path):
             declared = schemas.ALL_SCHEMAS.get(table)
             if declared is not None:
                 return self.spark.createDataFrame([], schema=declared)
-            raise
+        return self.spark.read.parquet(path)
 
     def write(self, df: DataFrame, table: str, partition: bool = True) -> None:
         """Atomically replace `table` with `df` (new version dir + pointer flip)."""

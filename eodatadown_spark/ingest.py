@@ -47,6 +47,25 @@ def filter_above_watermark(source: DataFrame, col: str, wm) -> DataFrame:
     return source.where(F.col(col) > F.lit(wm))
 
 
+def filter_above_partitioned_watermark(
+    catalog: DataFrame, source: DataFrame, col: str, partition_col: str
+) -> DataFrame:
+    """F2 per-partition variant: one watermark per `partition_col` value —
+    the reference tracks ICESAT2 watermarks per product
+    (eodatadownICESAT2sensor.py:535-545).
+
+    Source rows keep rows above their partition's watermark; partitions with
+    no catalog history pass through entirely.  Set-based: one groupBy on the
+    (pruned) catalog + a broadcastable join of the tiny watermark table.
+    """
+    wms = catalog.groupBy(partition_col).agg(F.max(F.col(col)).alias("__wm"))
+    return (
+        source.join(F.broadcast(wms), partition_col, "left")
+        .where(F.col("__wm").isNull() | (F.col(col) > F.col("__wm")))
+        .drop("__wm")
+    )
+
+
 def assign_pids(new_rows: DataFrame, base_pid: int, order_cols: Sequence[str]) -> DataFrame:
     """Deterministic serial PID assignment.
 

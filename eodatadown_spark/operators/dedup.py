@@ -198,9 +198,14 @@ def minhash_neardup_pairs(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")),
     )
-    return jac.where(F.col("jaccard") >= jaccard_threshold).select(
+    out = jac.where(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+    # materialize the (small) verified pair set so the persisted shingle
+    # table can be released immediately instead of leaking across calls
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def exact_dedup(

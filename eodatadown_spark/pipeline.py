@@ -188,12 +188,14 @@ def run_scene_tasks(
     if n_partitions:
         scenes_todo = scenes_todo.repartition(n_partitions)
 
+    empty_cols = [f.strip().split()[0] for f in out_schema.split(",")]
+
     def _runner(batches):
         rows = []
         for pdf in batches:
             rows.extend(task_fn(rec) for rec in pdf.to_dict("records"))
-        yield pd.DataFrame(rows) if rows else pd.DataFrame(
-            {f.split(" ")[0].strip(): [] for f in out_schema.split(",")}
-        )
+        # empty partitions must still yield a frame with the DECLARED column
+        # names or Arrow conversion kills the stage
+        yield pd.DataFrame(rows) if rows else pd.DataFrame(columns=empty_cols)
 
     return scenes_todo.mapInPandas(_runner, schema=out_schema)

@@ -57,12 +57,22 @@ def run_plugins(
     from pyspark.sql import functions as F
 
     todo_pids = get_scnlist_usr_analysis(scenes, plugin_results, list(plugins))
-    todo = scenes.join(todo_pids, "pid", "left_semi")
-    done = plugin_results.where(F.col("completed") == True).select(  # noqa: E712
-        "scene_pid", "plugin_name"
+    # per-scene pending plugin list computed SET-BASED (the completed pairs
+    # stay distributed — no driver collect of the results table)
+    plugin_df = scenes.sparkSession.createDataFrame(
+        [(p,) for p in plugins], "plugin_name string"
     )
-    done_pairs = {(r["scene_pid"], r["plugin_name"]) for r in done.collect()}
-    plugin_items = list(plugins.items())
+    completed = plugin_results.where(F.col("completed") == True).select(  # noqa: E712
+        F.col("scene_pid").alias("pid"), "plugin_name"
+    )
+    pending = (
+        todo_pids.crossJoin(F.broadcast(plugin_df))
+        .join(completed, ["pid", "plugin_name"], "left_anti")
+        .groupBy("pid")
+        .agg(F.collect_list("plugin_name").alias("__pending"))
+    )
+    todo = scenes.join(pending, "pid")
+    plugin_fns = dict(plugins)
 
     def _runner(batches):
         import datetime as dt
@@ -70,8 +80,9 @@ def run_plugins(
         rows = []
         for pdf in batches:
             for scene in pdf.to_dict("records"):
-                for name, fn in plugin_items:
-                    if (scene["pid"], name) in done_pairs:
+                pending_names = set(scene.pop("__pending"))
+                for name, fn in plugin_fns.items():
+                    if name not in pending_names:
                         continue
                     start = dt.datetime.utcnow()
                     try:

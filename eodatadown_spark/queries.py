@@ -205,65 +205,67 @@ def get_scn_record(scenes: DataFrame, pid: int) -> DataFrame:
 # stage to-do lists (state machine reads; F8/F9/J2)
 # ---------------------------------------------------------------------------
 
-def get_scnlist_download(scenes: DataFrame) -> DataFrame:
+def _ordered_pids(df: DataFrame, date_col: str) -> DataFrame:
+    """Stage lists order by the sensor's date column then pid; sensors
+    without the default `date_acquired` (S1/S2/ICESAT2) pass their own."""
+    order = [date_col, "pid"] if date_col in df.columns else ["pid"]
+    return df.orderBy(*order).select("pid")
+
+
+def get_scnlist_download(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """Scenes to download (ref :754-775): not downloaded, not invalid,
     ordered by acquisition date."""
-    return (
-        scenes.where((F.col("downloaded") == F.lit(False)) & valid_pred(True))
-        .orderBy("date_acquired", "pid")
-        .select("pid")
+    return _ordered_pids(
+        scenes.where((F.col("downloaded") == F.lit(False)) & valid_pred(True)),
+        date_col,
     )
 
 
-def get_scnlist_con2ard(scenes: DataFrame) -> DataFrame:
+def get_scnlist_con2ard(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """Downloaded but not yet ARD (ref :939-963)."""
-    return (
+    return _ordered_pids(
         scenes.where(
             (F.col("downloaded") == F.lit(True))
             & (F.col("ardproduct") == F.lit(False))
             & valid_pred(True)
-        )
-        .orderBy("date_acquired", "pid")
-        .select("pid")
+        ),
+        date_col,
     )
 
 
-def get_scnlist_datacube(scenes: DataFrame) -> DataFrame:
+def get_scnlist_datacube(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """ARD done, not DC-loaded (ref :1202-1203)."""
-    return (
+    return _ordered_pids(
         scenes.where(
             (F.col("ardproduct") == F.lit(True))
             & (F.col("dcloaded") == F.lit(False))
             & valid_pred(True)
-        )
-        .orderBy("date_acquired", "pid")
-        .select("pid")
+        ),
+        date_col,
     )
 
 
-def get_scnlist_quicklook(scenes: DataFrame) -> DataFrame:
+def get_scnlist_quicklook(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """ARD done and ExtendedInfo lacks 'quicklook' (F9; ref :1291-1316)."""
-    return (
+    return _ordered_pids(
         scenes.where(
             (F.col("ardproduct") == F.lit(True))
             & valid_pred(True)
             & json_key_missing_pred("extended_info", "quicklook")
-        )
-        .orderBy("date_acquired", "pid")
-        .select("pid")
+        ),
+        date_col,
     )
 
 
-def get_scnlist_tilecache(scenes: DataFrame) -> DataFrame:
+def get_scnlist_tilecache(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """ARD done and ExtendedInfo lacks 'tilecache' (F9; ref :1424-1449)."""
-    return (
+    return _ordered_pids(
         scenes.where(
             (F.col("ardproduct") == F.lit(True))
             & valid_pred(True)
             & json_key_missing_pred("extended_info", "tilecache")
-        )
-        .orderBy("date_acquired", "pid")
-        .select("pid")
+        ),
+        date_col,
     )
 
 

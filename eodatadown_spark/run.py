@@ -54,10 +54,14 @@ def find_new_downloads(
     deployment), then ROI trim when configured."""
     added: dict[str, int] = {}
     roi = system.get_roi_df()
-    for sensor in system.get_sensor_objs():
-        name = type(sensor).__name__
-        feed = index_feeds.get(name) or index_feeds.get(sensor.table)
+    for name, sensor in zip(system.config.sensors, system.get_sensor_objs()):
+        feed = (
+            index_feeds.get(name)
+            or index_feeds.get(type(sensor).__name__)
+            or index_feeds.get(sensor.table)
+        )
         if feed is None:
+            print(f"find_new_downloads: no index feed for sensor {name!r}; skipping")
             continue
         if not sensor.catalog.exists(sensor.table):
             sensor.init_sensor_db()
@@ -82,8 +86,7 @@ def process_scenes_all_steps(
     multiprocessing pool; eodatadownrun.py:699-845)."""
     runners = dict(runners or {})
     results: dict[str, dict[str, int]] = {}
-    for sensor in system.get_sensor_objs():
-        name = type(sensor).__name__
+    for name, sensor in zip(system.config.sensors, system.get_sensor_objs()):
         if not sensor.catalog.exists(sensor.table):
             continue
         per_stage: dict[str, int] = {}

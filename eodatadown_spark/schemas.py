@@ -257,8 +257,12 @@ ALL_SCHEMAS: dict[str, T.StructType] = {
 }
 
 # Ingest identity key per sensor table (J5 anti-join key; SURVEY §2.3 J5).
+# Landsat deviates from the reference's scene_id-only existence check
+# (eodatadownlandsatgoogsensor.py:638-639) by including product_id so that
+# reprocessed products ingest and the J4 keep-latest dedup picks the winner
+# across batches, not only within one batch.  sensor.py consumes this dict.
 INGEST_KEYS: dict[str, list[str]] = {
-    "landsat_scenes": ["scene_id"],
+    "landsat_scenes": ["scene_id", "product_id"],
     "sentinel2_scenes": ["granule_id", "generation_time"],
     "sentinel1_scenes": ["product_file_id"],
     "gedi_granules": ["file_name"],

@@ -36,6 +36,7 @@ class SensorBase:
     date_col: str = "date_acquired"
     platform_col: str = "spacecraft_id"
     dedup_key: str | None = None  # scene_id for Landsat (J4); None = no dedup
+    watermark_partition_col: str | None = None  # per-product watermark (ICESAT2)
 
     def __init__(self, catalog: ParquetCatalog):
         self.catalog = catalog
@@ -63,8 +64,15 @@ class SensorBase:
         catalog = self.scenes()
         incoming = self._complete_state_block(normalized_index)
         if not check_from_start:
-            wm = ingest.watermark(catalog, self.watermark_col)
-            incoming = ingest.filter_above_watermark(incoming, self.watermark_col, wm)
+            if self.watermark_partition_col:
+                incoming = ingest.filter_above_partitioned_watermark(
+                    catalog, incoming, self.watermark_col, self.watermark_partition_col
+                )
+            else:
+                wm = ingest.watermark(catalog, self.watermark_col)
+                incoming = ingest.filter_above_watermark(
+                    incoming, self.watermark_col, wm
+                )
         before = catalog.count()
         merged = ingest.upsert_new_scenes(catalog, incoming, keys=self.ingest_keys)
         if self.dedup_key:
@@ -126,19 +134,19 @@ class SensorBase:
         return rows[0]
 
     def get_scnlist_download(self) -> DataFrame:
-        return Q.get_scnlist_download(self.scenes())
+        return Q.get_scnlist_download(self.scenes(), self.date_col)
 
     def get_scnlist_con2ard(self) -> DataFrame:
-        return Q.get_scnlist_con2ard(self.scenes())
+        return Q.get_scnlist_con2ard(self.scenes(), self.date_col)
 
     def get_scnlist_datacube(self) -> DataFrame:
-        return Q.get_scnlist_datacube(self.scenes())
+        return Q.get_scnlist_datacube(self.scenes(), self.date_col)
 
     def get_scnlist_quicklook(self) -> DataFrame:
-        return Q.get_scnlist_quicklook(self.scenes())
+        return Q.get_scnlist_quicklook(self.scenes(), self.date_col)
 
     def get_scnlist_tilecache(self) -> DataFrame:
-        return Q.get_scnlist_tilecache(self.scenes())
+        return Q.get_scnlist_tilecache(self.scenes(), self.date_col)
 
     # -- stage execution (P2 + M2) ----------------------------------------
     def run_stage(
@@ -153,9 +161,14 @@ class SensorBase:
         catalog = self.scenes()
         cols = [c for c in select_cols if c in catalog.columns]
         scoped = catalog.join(todo.select("pid"), "pid", "left_semi").select(*cols)
-        updates = pipeline.run_scene_tasks(scoped, task_fn, update_schema)
-        n = updates.count()
-        self._commit(pipeline.apply_updates(catalog, updates))
+        updates = pipeline.run_scene_tasks(scoped, task_fn, update_schema).persist()
+        try:
+            # count() materializes the fan-out ONCE; the commit below reuses
+            # the cached rows — side-effecting tasks must not run twice
+            n = updates.count()
+            self._commit(pipeline.apply_updates(catalog, updates))
+        finally:
+            updates.unpersist()
         return n
 
     # -- user-analysis plugins (P1/J2) -------------------------------------
@@ -176,10 +189,13 @@ class SensorBase:
         result rows to plugin_results in one batch.  Returns rows added."""
         from eodatadown_spark.plugins import run_plugins
 
-        new_rows = run_plugins(self.scenes(), self.plugin_results(), plugins)
-        merged = self.plugin_results().unionByName(new_rows)
-        n = new_rows.count()
-        self.catalog.write(merged, self.plugin_table, partition=False)
+        new_rows = run_plugins(self.scenes(), self.plugin_results(), plugins).persist()
+        try:
+            n = new_rows.count()  # materialize plugin execution once
+            merged = self.plugin_results().unionByName(new_rows)
+            self.catalog.write(merged, self.plugin_table, partition=False)
+        finally:
+            new_rows.unpersist()
         return n
 
     def get_scn_usr_analysis_results(self, pid: int) -> DataFrame:
@@ -210,14 +226,14 @@ class SensorBase:
 
 class LandsatGoogSensor(SensorBase):
     table = "landsat_scenes"
-    ingest_keys = ("scene_id", "product_id")
+    ingest_keys = tuple(schemas.INGEST_KEYS["landsat_scenes"])
     watermark_col = "date_acquired"
     dedup_key = "scene_id"
 
 
 class Sentinel2GoogSensor(SensorBase):
     table = "sentinel2_scenes"
-    ingest_keys = ("granule_id", "generation_time")
+    ingest_keys = tuple(schemas.INGEST_KEYS["sentinel2_scenes"])
     watermark_col = "sensing_time"
     date_col = "sensing_time"
     platform_col = "platform_id"
@@ -226,7 +242,7 @@ class Sentinel2GoogSensor(SensorBase):
 
 class Sentinel1ASFSensor(SensorBase):
     table = "sentinel1_scenes"
-    ingest_keys = ("product_file_id",)
+    ingest_keys = tuple(schemas.INGEST_KEYS["sentinel1_scenes"])
     watermark_col = "begin_position"
     date_col = "acquisition_date"
     platform_col = "platform"
@@ -235,7 +251,7 @@ class Sentinel1ASFSensor(SensorBase):
 
 class GEDISensor(SensorBase):
     table = "gedi_granules"
-    ingest_keys = ("file_name",)
+    ingest_keys = tuple(schemas.INGEST_KEYS["gedi_granules"])
     watermark_col = "date_acquired"
     platform_col = "product"
     dedup_key = None
@@ -243,11 +259,14 @@ class GEDISensor(SensorBase):
 
 class ICESAT2Sensor(SensorBase):
     table = "icesat2_granules"
-    ingest_keys = ("granule_id",)
+    ingest_keys = tuple(schemas.INGEST_KEYS["icesat2_granules"])
     watermark_col = "start_time"
     date_col = "start_time"
     platform_col = "product"
     dedup_key = None
+    # the reference tracks one watermark per product (ATL03/ATL08...),
+    # eodatadownICESAT2sensor.py:535-545
+    watermark_partition_col = "product"
 
 
 SENSORS: dict[str, type[SensorBase]] = {

@@ -32,7 +32,7 @@ def _cat(args):
 
 
 def cmd_chknewscns(args) -> None:
-    from eodatadown_spark import ingest, schemas
+    from eodatadown_spark.sensor import get_sensor_obj
     from eodatadown_spark.sources.index_adapters import landsat_index_scenes
 
     cat = _cat(args)
@@ -42,27 +42,11 @@ def cmd_chknewscns(args) -> None:
         if args.index.endswith(".csv")
         else spark.read.parquet(args.index)
     )
-    incoming = landsat_index_scenes(raw).withColumn("pid", F.lit(None).cast("long"))
-    for field in schemas.LANDSAT_SCENES.fields:
-        if field.name not in incoming.columns:
-            incoming = incoming.withColumn(
-                field.name,
-                F.lit("" if field.name in ("download_path", "ardproduct_path") else None).cast(field.dataType)
-                if field.dataType.simpleString() != "boolean"
-                else F.lit(False),
-            )
-    incoming = incoming.select(*[f.name for f in schemas.LANDSAT_SCENES.fields])
-    if cat.exists("landsat_scenes"):
-        catalog = cat.read_clean("landsat_scenes")
-        wm = ingest.watermark(catalog, "date_acquired")
-        incoming = ingest.filter_above_watermark(incoming, "date_acquired", wm)
-    else:
-        catalog = spark.createDataFrame([], schema=schemas.LANDSAT_SCENES)
-    merged = ingest.resolve_duplicate_scenes(
-        ingest.upsert_new_scenes(catalog, incoming, keys=["scene_id", "product_id"])
-    )
-    cat.write(merged, "landsat_scenes")
-    print(f"catalog now has {cat.read_clean('landsat_scenes').count()} scenes")
+    sensor = get_sensor_obj("LandsatGOOG", cat)
+    if not cat.exists(sensor.table):
+        sensor.init_sensor_db()
+    n = sensor.check_new_scns(landsat_index_scenes(raw))
+    print(f"added {n} scene(s); catalog now has {sensor.scenes().count()}")
 
 
 def cmd_process(args) -> None:

@@ -36,10 +36,13 @@ def landsat_scenes(spark):
     def row(pid, scene_id, product_date, date_acq, cloud, bbox, downloaded,
             ard, dc, invalid, einfo, spacecraft="LANDSAT_8"):
         w, e, s, n = bbox
+        acq_compact = date_acq.replace("-", "")
         return {
             "pid": pid,
             "scene_id": scene_id,
-            "product_id": f"LC08_L1TP_001001_{product_date}_20200101_01_T1",
+            # field 3 = acquisition date, field 4 = PROCESS date — the field
+            # parse_product_process_date reads for J4 keep-latest
+            "product_id": f"LC08_L1TP_001001_{acq_compact}_{product_date}_01_T1",
             "spacecraft_id": spacecraft,
             "sensor_id": "OLI_TIRS",
             "date_acquired": _d(date_acq),

@@ -55,3 +55,28 @@ def test_sensor_roundtrip(spark, tmp_path, name):
 
     wm = ingest.watermark(sensor.scenes(), sensor.watermark_col)
     assert wm is not None
+
+
+def test_icesat2_per_product_watermark(spark, tmp_path):
+    """F2 per-product variant: a new ATL08 granule older than ATL03's
+    watermark still ingests (the reference tracks watermarks per product)."""
+    sensor = get_sensor_obj("ICESAT2", ParquetCatalog(spark, str(tmp_path)))
+    sensor.init_sensor_db()
+    sensor.check_new_scns(spark.createDataFrame([
+        {"granule_id": "A1", "producer_id": "P", "product": "ATL03",
+         "start_time": dt.datetime(2019, 6, 10), "total_size": 1.0},
+    ]))
+    n = sensor.check_new_scns(spark.createDataFrame([
+        # below ATL03's watermark but ATL08 has no history → ingested
+        {"granule_id": "B1", "producer_id": "P", "product": "ATL08",
+         "start_time": dt.datetime(2019, 6, 1), "total_size": 1.0},
+        # stale for ATL03 → skipped
+        {"granule_id": "A0", "producer_id": "P", "product": "ATL03",
+         "start_time": dt.datetime(2019, 6, 5), "total_size": 1.0},
+        # fresh for ATL03 → ingested
+        {"granule_id": "A2", "producer_id": "P", "product": "ATL03",
+         "start_time": dt.datetime(2019, 6, 15), "total_size": 1.0},
+    ]))
+    assert n == 2
+    got = sorted(r["granule_id"] for r in sensor.scenes().collect())
+    assert got == ["A1", "A2", "B1"]

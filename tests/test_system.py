@@ -63,20 +63,20 @@ def test_config_signature_tamper(spark, tmp_path):
 
 
 def test_find_new_downloads_and_process(spark, system):
-    added = find_new_downloads(system, {"LandsatGoogSensor": _landsat_feed(spark)})
-    assert added == {"LandsatGoogSensor": 3}
+    added = find_new_downloads(system, {"LandsatGOOG": _landsat_feed(spark)})
+    assert added == {"LandsatGOOG": 3}
     sensor = system.get_sensor_objs()[0]
     # ROI trim removed the out-of-bbox scene
     assert sensor.scenes().count() == 2
 
     results = process_scenes_all_steps(system)
-    assert results["LandsatGoogSensor"] == {"download": 2, "con2ard": 2, "datacube": 2}
+    assert results["LandsatGOOG"] == {"download": 2, "con2ard": 2, "datacube": 2}
     summary = sensor.get_sensor_summary_info()
     assert summary["n_dcloaded"] == 2
 
     # second run: everything done → zero work per stage
     again = process_scenes_all_steps(system)
-    assert again["LandsatGoogSensor"] == {"download": 0, "con2ard": 0, "datacube": 0}
+    assert again["LandsatGOOG"] == {"download": 0, "con2ard": 0, "datacube": 0}
 
     # usage log recorded ingest + two processing passes
     log = system.catalog.read("usage_log")
@@ -85,7 +85,7 @@ def test_find_new_downloads_and_process(spark, system):
 
 
 def test_update_obs_date_overviews(spark, system):
-    find_new_downloads(system, {"LandsatGoogSensor": _landsat_feed(spark)})
+    find_new_downloads(system, {"LandsatGOOG": _landsat_feed(spark)})
     sensor = system.get_sensor_objs()[0]
     obs, _ = sensor.build_obs_date_records("LandsatGOOG")
     first = obs.orderBy("obs_date").first()
