@@ -31,6 +31,17 @@ def _cat(args):
     return ParquetCatalog(spark, args.catalog)
 
 
+def cmd_init(args) -> None:
+    """eoddsetup: initialise sensor catalog tables."""
+    from eodatadown_spark.sensor import SENSORS, get_sensor_obj
+
+    cat = _cat(args)
+    names = args.sensors.split(",") if args.sensors else list(SENSORS)
+    for name in names:
+        get_sensor_obj(name, cat).init_sensor_db()
+    print(f"initialised: {', '.join(names)}")
+
+
 def cmd_chknewscns(args) -> None:
     from eodatadown_spark.sensor import get_sensor_obj
     from eodatadown_spark.sources.index_adapters import landsat_index_scenes
@@ -189,6 +200,7 @@ def main(argv=None) -> int:
             sp.add_argument(arg, **opts)
         sp.set_defaults(fn=fn)
 
+    add("init", cmd_init, **{"--sensors": {"default": None, "help": "comma list; all if omitted"}})
     add("chknewscns", cmd_chknewscns, **{"--index": {"required": True}})
     add("process", cmd_process)
     add("summary", cmd_summary)
