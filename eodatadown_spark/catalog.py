@@ -155,8 +155,13 @@ class ParquetCatalog:
         matching the reference's `export_db_to_json` shape."""
         df = self.read_clean(table)
         rows = [row.asDict(recursive=True) for row in df.collect()]
-        key = df.columns[0]
-        payload = {str(row[key]): row for row in rows}
+        # key by the unique pid as the reference does; composite-key tables
+        # (plugin_results, obs_dates...) fall back to a running index so no
+        # row is silently overwritten
+        if "pid" in df.columns:
+            payload = {str(row["pid"]): row for row in rows}
+        else:
+            payload = {str(i): row for i, row in enumerate(rows)}
         with open(out_file, "w", encoding="utf-8") as fh:
             json.dump(payload, fh, default=str)
 
@@ -182,10 +187,9 @@ class ParquetCatalog:
         for field in schema.fields:
             df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
         if replace_path_dict:
+            from eodatadown_spark.functions.paths import rewrite_path_prefixes
+
             for col in path_cols:
                 if col in df.columns:
-                    expr = F.col(col)
-                    for old_prefix, new_prefix in replace_path_dict.items():
-                        expr = F.regexp_replace(expr, "^" + old_prefix, new_prefix)
-                    df = df.withColumn(col, expr)
+                    df = df.withColumn(col, rewrite_path_prefixes(col, replace_path_dict))
         self.write(df, table)

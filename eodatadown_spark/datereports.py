@@ -83,7 +83,7 @@ def quicklook_stage(scenes: DataFrame, image_fn=None) -> DataFrame:
         return {
             "pid": scene["pid"],
             "extended_info_patch": json.dumps(
-                {"quicklook": json.dumps({"quicklookpath": path, "quicklookimgs": [path]})}
+                {"quicklook": {"quicklookpath": path, "quicklookimgs": [path]}}
             ),
         }
 
@@ -105,7 +105,7 @@ def tilecache_stage(scenes: DataFrame, tile_fn=None) -> DataFrame:
         return {
             "pid": scene["pid"],
             "extended_info_patch": json.dumps(
-                {"tilecache": json.dumps({"tilecachepath": path, "visgtiff": path + "/vis.tif"})}
+                {"tilecache": {"tilecachepath": path, "visgtiff": path + "/vis.tif"}}
             ),
         }
 

@@ -2,8 +2,20 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def _regex_literal(s: str) -> str:
+    """Escape a literal for use inside a Java regex pattern."""
+    return re.escape(s)
+
+
+def _replacement_literal(s: str) -> str:
+    """Escape `\` and `$` so a replacement string is taken literally."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
 
 
 def path_basename(col: Column | str) -> Column:
@@ -28,7 +40,7 @@ def rewrite_path_prefixes(col: Column | str, replace: dict[str, str]) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = c
     for old, new in replace.items():
-        out = F.regexp_replace(out, "^" + old, new)
+        out = F.regexp_replace(out, "^" + _regex_literal(old), _replacement_literal(new))
     return out
 
 

@@ -147,7 +147,19 @@ def filter_scenes_roi(
 
     `keep_intersecting=False` reproduces `rm_scns_intersect`'s delete of
     non-intersecting scenes (returns the surviving catalog).
+
+    Scenes with NULL bbox columns (GEDI before download — FIXTURES.md
+    "unknown until download", ref eodatadownGEDIsensor.py:437-450) cannot be
+    spatially tested and are always KEPT.
     """
+    null_bbox = (
+        F.col("north_lat").isNull()
+        | F.col("south_lat").isNull()
+        | F.col("east_lon").isNull()
+        | F.col("west_lon").isNull()
+    )
+    unknown = scenes.where(null_bbox)
+    known = scenes.where(~null_bbox)
     roi_b = F.broadcast(
         roi.select(
             F.col("west_lon").alias("__r_w"),
@@ -163,7 +175,7 @@ def filter_scenes_roi(
         & (F.col("__r_n") > F.col("south_lat"))
     )
     how = "left_semi" if keep_intersecting else "left_anti"
-    return scenes.join(roi_b, cond, how)
+    return known.join(roi_b, cond, how).unionByName(unknown)
 
 
 __all__ = [

@@ -64,7 +64,12 @@ def salted_join(
 ) -> DataFrame:
     """Skewed equi-join without broadcast: salt the (large, skewed) left
     side; replicate the right side across all salts via an explode — each
-    hot-key partition shrinks by n_salts."""
+    hot-key partition shrinks by n_salts.
+
+    Only left-preserving joins are valid: right/full outer would emit each
+    unmatched right row once per salt replica."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r} (right rows are replicated)")
     salted_left = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )

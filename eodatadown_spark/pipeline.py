@@ -16,6 +16,9 @@ from __future__ import annotations
 from functools import reduce
 from typing import Callable, Iterable, Sequence
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under
+                     # postponed annotations
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,31 +103,38 @@ def apply_updates(catalog: DataFrame, updates: DataFrame, key: str = "pid") -> D
 
 
 def merge_extended_info(catalog: DataFrame, updates: DataFrame, key: str = "pid") -> DataFrame:
-    """M3: JSONB merge-update — new keys merged into the existing JSON doc
-    (ref flag_modified pattern, eodatadownlandsatgoogsensor.py:1401-1408).
+    """M3: JSONB merge-update — patch keys merged into the existing JSON doc
+    at the top level (ref flag_modified pattern,
+    eodatadownlandsatgoogsensor.py:1401-1408).
 
-    `updates` has (key, extended_info_patch: JSON string).  Uses a JVM-side
-    JSON concat: parse both to maps and map_concat (patch wins).
+    `updates` has (key, extended_info_patch: JSON string).  The merge is a
+    vectorized pandas UDF doing a real top-level dict update: a JVM-side
+    `from_json(map<string,string>)` round-trip would rewrite NESTED object
+    values into escaped strings, breaking `$.quicklook.quicklookpath`-style
+    consumers.  Only patched rows pay the Python cost.
     """
+    import json as _json
+
+    @F.pandas_udf("string")
+    def _merge(doc: pd.Series, patch: pd.Series) -> pd.Series:
+        out = []
+        for d, p in zip(doc, patch):
+            if p is None:  # `when` doesn't short-circuit vectorized UDFs
+                out.append(d)
+                continue
+            base = _json.loads(d) if d else {}
+            base.update(_json.loads(p))
+            out.append(_json.dumps(base))
+        return pd.Series(out)
+
     patched = updates.select(F.col(key), F.col("extended_info_patch"))
     out = catalog.join(patched, key, "left")
-    merged = F.to_json(
-        F.map_concat(
-            F.coalesce(
-                F.from_json("extended_info", "map<string,string>"),
-                F.create_map().cast("map<string,string>"),
-            ),
-            F.coalesce(
-                F.from_json("extended_info_patch", "map<string,string>"),
-                F.create_map().cast("map<string,string>"),
-            ),
-        )
-    )
     return out.withColumn(
         "extended_info",
-        F.when(F.col("extended_info_patch").isNotNull(), merged).otherwise(
-            F.col("extended_info")
-        ),
+        F.when(
+            F.col("extended_info_patch").isNotNull(),
+            _merge(F.col("extended_info"), F.col("extended_info_patch")),
+        ).otherwise(F.col("extended_info")),
     ).drop("extended_info_patch")
 
 
@@ -136,10 +146,11 @@ def delete_where(catalog: DataFrame, pred) -> DataFrame:
 def rewrite_path_prefix(
     catalog: DataFrame, col: str, old_prefix: str, new_prefix: str
 ) -> DataFrame:
-    """M5: bulk path-prefix rewrite (ref :2493-2526)."""
-    return catalog.withColumn(
-        col, F.regexp_replace(F.col(col), "^" + old_prefix, new_prefix)
-    )
+    """M5: bulk path-prefix rewrite (ref :2493-2526); prefixes are treated
+    as literals (escaped), matching the reference's str.replace."""
+    from eodatadown_spark.functions.paths import rewrite_path_prefixes
+
+    return catalog.withColumn(col, rewrite_path_prefixes(col, {old_prefix: new_prefix}))
 
 
 def reset_download_state(catalog: DataFrame, pids: Iterable[int] | None = None) -> DataFrame:
@@ -188,7 +199,9 @@ def run_scene_tasks(
     if n_partitions:
         scenes_todo = scenes_todo.repartition(n_partitions)
 
-    empty_cols = [f.strip().split()[0] for f in out_schema.split(",")]
+    from pyspark.sql.types import StructType
+
+    empty_cols = StructType.fromDDL(out_schema).fieldNames()
 
     def _runner(batches):
         rows = []

@@ -14,15 +14,16 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eodatadown_spark.functions.codecs import path_uuid5
 from eodatadown_spark.functions.geo import bbox_wkt, split_antimeridian_bboxes
 
-# the 17 attribute fields the reference writes per feature
-# (eodatadownlandsatgoogsensor.py:2688-2845)
+# the attribute fields the reference writes per feature, incl. all four
+# bbox corners (eodatadownlandsatgoogsensor.py:2688-2845)
 _GIS_ATTRS = [
     "pid", "scene_id", "product_id", "spacecraft_id", "sensor_id",
     "date_acquired", "collection_number", "collection_category",
     "cloud_cover", "total_size", "downloaded", "ardproduct", "dcloaded",
-    "invalid", "north_lat", "south_lat", "east_lon",
+    "invalid", "north_lat", "south_lat", "east_lon", "west_lon",
 ]
 
 
@@ -107,7 +108,7 @@ def datacube_dataset_docs(scenes: DataFrame) -> DataFrame:
     ).otherwise(F.array(*[F.lit(b) for b in other_bands]))
     doc = F.to_json(
         F.struct(
-            F.md5(F.col("ardproduct_path")).alias("id"),  # C11 deterministic id
+            path_uuid5(F.col("ardproduct_path")).alias("id"),  # C11 exact uuid5
             F.col("product_id").alias("label"),
             F.col("spacecraft_id").alias("platform"),
             F.col("sensor_id").alias("instrument"),
