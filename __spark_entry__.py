@@ -534,6 +534,27 @@ def q40_multimodal_features(spark, sf):
     )
 
 
+def q41_bpe_token_count(spark, sf):
+    """Text-analysis: BPE-ish regex token counting (RE2-safe pattern)."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.bpe_like_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.round(F.avg(X.bpe_like_token_count(F.col("text"))), 4).alias("avg_bpe_tokens"),
+    )
+
+
+def q42_rolling_fingerprint(spark, sf):
+    """Text-analysis: polynomial rolling-hash fingerprint (incrementally
+    updatable, exact cross-engine arithmetic)."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(X.rolling_fingerprint(F.col("text"))).alias("n_unique_fp"),
+        F.max(X.rolling_fingerprint(F.col("text"))).alias("max_fp"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -575,6 +596,8 @@ QUERIES: dict[str, Callable] = {
     "q38_having": q38_having,
     "q39_top_unshipped": q39_top_unshipped,
     "q40_multimodal_features": q40_multimodal_features,
+    "q41_bpe_token_count": q41_bpe_token_count,
+    "q42_rolling_fingerprint": q42_rolling_fingerprint,
 }
 
 
@@ -866,5 +889,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "q41_bpe_token_count": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS total_bpe_tokens,
+                   round(avg(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))), 4) AS avg_bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "q42_rolling_fingerprint": """
+            WITH fp AS (
+                SELECT source,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), list_transform(
+                               list_filter(
+                                   string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ''),
+                                   ch -> ch <> ''),
+                               ch -> CAST(ord(ch) AS BIGINT))),
+                           (acc, c) -> (acc * 31 + c) % 2038074743) AS f
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT f) AS n_unique_fp, max(f) AS max_fp
+            FROM fp GROUP BY source
         """,
     }

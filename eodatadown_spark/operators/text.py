@@ -30,6 +30,47 @@ def token_count(text: Column | str) -> Column:
     ).cast("long")
 
 
+# RE2-safe (no lookahead) BPE-ish pre-tokenization pattern: optional-space
+# word / number / punctuation-run groups — the GPT-2 family shape
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_like_token_count(text: Column | str) -> Column:
+    """Approximate BPE token count: number of BPE-ish pre-tokenizer matches.
+
+    regexp_count stays in codegen; the pattern avoids lookahead so the same
+    regex runs identically on RE2 engines (DuckDB oracle parity).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_PATTERN)).cast("long")
+
+
+ROLLING_BASE = 31
+ROLLING_PRIME = 2038074743  # 31-bit prime: base*p + 127 stays well under 2^63
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling-hash fingerprint over the normalized character
+    stream: h = fold(h*31 + codepoint) mod p on lowercased alnum+space text.
+
+    Unlike the md5 fingerprint this is incrementally updatable (the rolling
+    property a streaming fingerprinter needs) and exactly reproducible in
+    ANSI SQL for the oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+    # split("") may emit empty-string elements — drop them so the char
+    # stream matches the oracle engine's splitter exactly
+    chars = F.filter(F.split(normalized, ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * F.lit(ROLLING_BASE) + F.ascii(ch),
+            F.lit(ROLLING_PRIME),
+        ),
+    )
+
+
 def char_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c).cast("long")

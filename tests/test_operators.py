@@ -149,3 +149,32 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r["fp"] for r in df.select(X.fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1] == fps[2]
+
+
+def test_bpe_like_token_count(spark):
+    import re
+
+    from eodatadown_spark.operators.text import BPE_PATTERN, bpe_like_token_count
+
+    samples = ["Hello, world 42", "a  b", "", "don't stop!"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+    got = {r["i"]: r["n"] for r in df.select("i", bpe_like_token_count("t").alias("n")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == len(re.findall(BPE_PATTERN, s))
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    from eodatadown_spark.operators.text import ROLLING_BASE, ROLLING_PRIME, rolling_fingerprint
+
+    def py_fp(s):
+        h = 0
+        for ch in "".join(c for c in s.lower() if c.isascii() and (c.isalnum() or c == " ")):
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_PRIME
+        return h
+
+    samples = ["Hello, World!", "", "same text", "same text", "Same-Text"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+    got = {r["i"]: r["f"] for r in df.select("i", rolling_fingerprint("t").alias("f")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == py_fp(s)
+    assert got[2] == got[3] and got[2] != got[4]  # punctuation differs ('-' removed vs space kept)
