@@ -176,3 +176,22 @@ def scene_command_lines(scenes: DataFrame, cmd_template: str) -> DataFrame:
     return scenes.select(
         F.concat(F.lit(pre), F.col("pid").cast("string"), F.lit(post)).alias("cmd")
     )
+
+
+def obs_date_command_lines(
+    obs_dates: DataFrame, cmd_template: str, sensor: str | None = None
+) -> DataFrame:
+    """K7 obs-date variant (ref bin/eoddgenobsdatecmds.py:48-85 /
+    eoddgenmonscncmds.py:45-85): one line per (sensor, platform, obs_date)
+    needing an update; `{sensor} {platform} {date}` placeholders."""
+    df = obs_dates.where(F.col("need_update") == True)  # noqa: E712
+    if sensor is not None:
+        df = df.where(F.col("sensor_id") == sensor)
+    cmd = F.lit(cmd_template)
+    for placeholder, col in (
+        ("{sensor}", F.col("sensor_id")),
+        ("{platform}", F.col("platform_id")),
+        ("{date}", F.date_format("obs_date", "yyyy-MM-dd")),
+    ):
+        cmd = F.replace(cmd, F.lit(placeholder), col)
+    return df.orderBy("sensor_id", "platform_id", "obs_date").select(cmd.alias("cmd"))

@@ -57,3 +57,12 @@ def test_scene_command_lines(landsat_scenes):
     out = R.scene_command_lines(landsat_scenes, "eoddrun.py --sensor LS --pid {pid}")
     cmds = {r["cmd"] for r in out.collect()}
     assert "eoddrun.py --sensor LS --pid 3" in cmds and len(cmds) == 7
+
+
+def test_obs_date_command_lines(spark, landsat_scenes):
+    obs, _ = R.build_obs_date_records(landsat_scenes, "LandsatGOOG")
+    out = [r["cmd"] for r in R.obs_date_command_lines(
+        obs, "eoddrun --sensor {sensor} --platform {platform} --date {date}"
+    ).collect()]
+    assert len(out) == 5  # all fresh rollup rows need update
+    assert out[0] == "eoddrun --sensor LandsatGOOG --platform LANDSAT_8 --date 2019-01-05"
