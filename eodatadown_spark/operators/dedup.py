@@ -118,18 +118,23 @@ def shingle_hashes(shingles: Column) -> Column:
 def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 42) -> Column:
     """array<bigint> signature: sig[i] = min over shingle hashes of
     (a_i*h + b_i) mod p.  a, b, h < 2^31 so the product fits a long under
-    ANSI arithmetic; all of it stays in whole-stage codegen."""
+    ANSI arithmetic; all of it stays in whole-stage codegen.
+
+    Computed as ONE aggregate pass over the shingle array (element-wise
+    least against all num_perm permutations at once) rather than num_perm
+    separate transform+array_min scans."""
     params = _affine_params(num_perm, seed)
-    mins = [
-        F.array_min(
-            F.transform(
-                hashes,
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)),
-            )
+
+    def perms(h):
+        return F.array(
+            *[F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)) for a, b in params]
         )
-        for a, b in params
-    ]
-    return F.array(*mins)
+
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_perm),
+        lambda acc, h: F.zip_with(acc, perms(h), lambda x, y: F.least(x, y)),
+    )
 
 
 def minhash_neardup_pairs(
