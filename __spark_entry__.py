@@ -892,8 +892,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q41_bpe_token_count": """
             SELECT lang, count(*) AS n_docs,
-                   sum(len(regexp_extract_all(text,
-                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS total_bpe_tokens,
+                   CAST(sum(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS BIGINT)
+                       AS total_bpe_tokens,
                    round(avg(len(regexp_extract_all(text,
                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))), 4) AS avg_bpe_tokens
             FROM documents GROUP BY lang

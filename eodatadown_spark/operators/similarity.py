@@ -36,7 +36,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL (never an error) when either norm is zero.
+
+    Spark 4 runs ANSI mode by default, so a bare ``/`` raises DIVIDE_BY_ZERO
+    the moment one zero-norm (or denormal-underflow, e.g. [0,0,0,5e-324])
+    embedding row appears — at 100 TB that is one bad row killing the job.
+    ``try_divide`` degrades that row to NULL instead; callers filter nulls.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -67,8 +74,12 @@ def cosine_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
-            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+            F.try_divide(
+                dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")
+            ),
         )
+        # zero-norm rows have undefined cosine: drop, don't crash (ANSI-safe)
+        .where(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -134,8 +145,11 @@ def lsh_bucket_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
-            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+            F.try_divide(
+                dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")
+            ),
         )
+        .where(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -173,7 +187,7 @@ def embedding_neardup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
         )
     )
     return pairs.where(F.col("cos_sim") >= threshold).select(
