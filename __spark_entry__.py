@@ -315,14 +315,18 @@ def q23_cosine_topk(spark, sf):
 
 
 def q24_minhash_neardup(spark, sf):
-    """Dedup/MinHash-LSH near-duplicate pairs (no SQL oracle — verified by
-    unit tests against exact Jaccard)."""
+    """Dedup/MinHash-LSH near-duplicate pairs.  Oracle-checked against the
+    exact string-level shingle Jaccard (the LSH path is an accelerator with
+    ~1 recall at the planted-dup similarity levels, and the 62-bit
+    verification hashes make hashed-set Jaccard equal string-set Jaccard)."""
     docs = _t(spark, sf, "documents")
     return D.minhash_neardup_pairs(docs, jaccard_threshold=0.5)
 
 
 def q25_simhash_neardup(spark, sf):
-    """Dedup/SimHash near-duplicate pairs (no SQL oracle)."""
+    """Dedup/SimHash near-duplicate pairs (no value oracle — the sketch needs
+    xxhash64, absent in DuckDB; soundness is oracle-gated via q43 and recall
+    via the planted-dup pytest)."""
     docs = _t(spark, sf, "documents")
     return D.simhash_neardup_pairs(docs, max_hamming=8)
 
@@ -349,10 +353,11 @@ def q27_top1_watermark(spark, sf):
 
 
 def q28_ngram_jaccard(spark, sf):
-    """Dedup/exact n-gram Jaccard pairs above threshold (no SQL oracle;
-    verified by unit tests)."""
+    """Dedup/exact n-gram Jaccard pairs above threshold.  Exact (no LSH), so
+    it is fully SQL-expressible — the DuckDB oracle recomputes the same word
+    3-shingle sets and Jaccard with unnest-free list algebra."""
     docs = _t(spark, sf, "documents")
-    return D.ngram_jaccard_pairs(docs.where(F.col("doc_id") < 100), threshold=0.5)
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
 def q29_sessionize(spark, sf):
@@ -455,19 +460,26 @@ def q34_quality_filter(spark, sf):
 
 
 def q35_embedding_neardup(spark, sf):
-    """Similarity: embedding-cosine near-dup pairs via LSH buckets (no SQL
-    oracle; deterministic)."""
+    """Similarity: embedding-cosine near-dup pairs via LSH buckets.  Fully
+    oracle-checked: the hyperplanes are deterministic literals, inlined into
+    the DuckDB SQL (see _hyperplane_bucket_sql), so bucket assignment AND
+    cosine values are reproduced independently."""
     emb = _t(spark, sf, "embeddings")
     return S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=6)
 
 
 def q36_lsh_topk(spark, sf):
-    """Similarity: bucketed approximate top-k (no SQL oracle; deterministic)."""
+    """Similarity: bucketed approximate top-k, oracle-checked with inlined
+    hyperplane literals.  cos_sim is projected out (as in q23): rank order is
+    float-stable but last-ulp value differences between Spark's fold and
+    DuckDB's list_cosine_similarity are not worth chasing."""
     emb = _t(spark, sf, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_bucket_topk(emb, qs, k=3, n_planes=6)
+    return S.lsh_bucket_topk(emb, qs, k=3, n_planes=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def q37_cube_rollup(spark, sf):
@@ -510,8 +522,9 @@ def q39_top_unshipped(spark, sf):
 
 def q40_multimodal_features(spark, sf):
     """Multimodal plumbing: binary payload column → Arrow-batched decode/
-    featurize via mapInPandas (stub decoder; no SQL oracle — the Spark-side
-    schema/batch shape is the operator under test)."""
+    featurize via mapInPandas.  The stub decoder is a deterministic byte
+    transform of the utf-8 payload (first byte / 255), so a DuckDB oracle
+    (strlen + ascii arithmetic) checks the full pipeline output."""
     from eodatadown_spark.operators.multimodal import extract_features
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
@@ -527,10 +540,12 @@ def q40_multimodal_features(spark, sf):
         ).alias("meta"),
     )
     feats = extract_features(media)
+    # cast float32 feature → double BEFORE rounding: the oracle computes in
+    # double, and float32 noise (~1e-8) survives the checker's 9-digit round
     return feats.select(
         "media_id",
         "payload_bytes",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     )
 
 
@@ -553,6 +568,18 @@ def q42_rolling_fingerprint(spark, sf):
         F.countDistinct(X.rolling_fingerprint(F.col("text"))).alias("n_unique_fp"),
         F.max(X.rolling_fingerprint(F.col("text"))).alias("max_fp"),
     )
+
+
+def q43_simhash_soundness(spark, sf):
+    """Soundness gate for q25: every pair SimHash returns (hamming <= 8) must
+    clear a loose exact 2-gram Jaccard bar — the anti-join is empty by
+    construction if SimHash is sound, and the oracle asserts exactly that.
+    (Recall is covered by the planted-dup pytest; this upgrades the driver's
+    q25 check from rows-only to a per-row verdict on soundness.)"""
+    docs = _t(spark, sf, "documents")
+    sim_pairs = D.simhash_neardup_pairs(docs, max_hamming=8).select("id_a", "id_b")
+    exact = D.ngram_jaccard_pairs(docs, k=2, threshold=0.3).select("id_a", "id_b")
+    return sim_pairs.join(exact, ["id_a", "id_b"], "left_anti")
 
 
 QUERIES: dict[str, Callable] = {
@@ -598,6 +625,7 @@ QUERIES: dict[str, Callable] = {
     "q40_multimodal_features": q40_multimodal_features,
     "q41_bpe_token_count": q41_bpe_token_count,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
+    "q43_simhash_soundness": q43_simhash_soundness,
 }
 
 
@@ -613,9 +641,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+def _hyperplane_bucket_sql(vec_expr: str, n_planes: int, dim: int, seed: int = 42) -> str:
+    """DuckDB expression reproducing operators/similarity.hyperplane_bucket
+    exactly: the planes are deterministic Python-side literals, so they can be
+    inlined into the oracle SQL and evaluated with list_dot_product."""
+    from eodatadown_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins. Keys missing here (q24, q25, q28) are
-    non-SQL-expressible LSH ops → driver does the rows-only check."""
+    """DuckDB-runnable ANSI SQL twins.
+
+    q24/q28 (Jaccard dedup) are recomputed at the string level; q35/q36
+    reproduce the hyperplane-LSH buckets exactly by inlining the deterministic
+    plane literals (see _hyperplane_bucket_sql).  The only key still missing
+    is q25 (SimHash needs xxhash64, absent in DuckDB) — its soundness is
+    oracle-gated via q43 instead, recall via pytest planted-dup tests."""
+    b35 = _hyperplane_bucket_sql("embedding", n_planes=6, dim=64)
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -890,6 +941,77 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
         """,
+        # q24: the LSH banding is an accelerator, not a semantics change —
+        # with the 62-bit verification hashes the returned (pair, jaccard)
+        # set equals the exact string-level word-3-shingle Jaccard pairs at
+        # the threshold (recall at these far-above-threshold planted dups is
+        # 1 - (1-j^4)^8 ≈ 1-4e-10), so the oracle recomputes that directly.
+        "q24_minhash_neardup": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                           / len(list_distinct(list_cat(a.shingles, b.shingles)))
+                           AS j
+                FROM sh a JOIN sh b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
+        # q28: exact n-gram Jaccard is fully SQL-expressible — recompute the
+        # word 3-shingle sets (same trim/lower/split semantics as
+        # operators/dedup.py word_shingles) and pair-join with list algebra.
+        # n² pair join is fine at oracle scale (sf0.01 = 500 docs).
+        "q28_ngram_jaccard": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                           / len(list_distinct(list_cat(a.shingles, b.shingles)))
+                           AS j
+                FROM sh a JOIN sh b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
+        # q40: the stub decoder (operators/multimodal.py _fake_decode) maps
+        # payload -> payload[0]/255.0 as feature[0]; payload is utf-8 text
+        # (ASCII corpus), so f0 = ascii(first char)/255 and
+        # payload_bytes = strlen(text).
+        "q40_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   strlen(text) AS payload_bytes,
+                   round(ascii(substr(text, 1, 1)) / 255.0, 4) AS f0
+            FROM documents WHERE doc_id < 50
+        """,
         "q41_bpe_token_count": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(regexp_extract_all(text,
@@ -914,5 +1036,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    count(DISTINCT f) AS n_unique_fp, max(f) AS max_fp
             FROM fp GROUP BY source
+        """,
+        # q35/q36: exact reproduction of the hyperplane-LSH path — bucket
+        # literals are inlined, candidates are same-bucket pairs, cosine via
+        # list_cosine_similarity (values rounded to 4 for q35; q36 projects
+        # rank only, mirroring q23).
+        "q35_embedding_neardup": f"""
+            WITH b AS (
+                SELECT vec_id AS id, embedding AS v, {b35} AS bucket
+                FROM embeddings
+            )
+            SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+                   round(CAST(list_cosine_similarity(a.v, c.v) AS DOUBLE), 4)
+                       AS cos_sim
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+            WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+        """,
+        "q36_lsh_topk": f"""
+            WITH b AS (
+                SELECT vec_id AS id, embedding AS v, {b35} AS bucket
+                FROM embeddings
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.id AS query_id, c.id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.id
+                           ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                    c.id ASC) AS rank
+                FROM b q JOIN b c ON q.bucket = c.bucket AND c.id <> q.id
+                WHERE q.id < 5
+            ) WHERE rank <= 3
+        """,
+        # q43: SimHash soundness — the Spark side anti-joins its pairs against
+        # the exact loose-Jaccard set, so any unsound pair becomes a row and
+        # breaks the empty-set equality below.
+        "q43_simhash_soundness": """
+            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+            WHERE false
         """,
     }

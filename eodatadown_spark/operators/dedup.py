@@ -22,6 +22,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MINHASH_PRIME = 2038074743  # 31-bit prime (as in Spark MLlib MinHashLSH)
+# second independent 31-bit prime for the dual rolling hash: shingle identity
+# is tracked as h1*2^31 + h2 (< 2^62, fits a long with no ANSI overflow) so
+# Jaccard verification sees ~2^-62 collision odds per shingle pair instead of
+# the ~2^-31 a single mod-p hash would give (which inflates Jaccard for 10k+
+# shingle documents).
+MINHASH_PRIME2 = 2147483629
 
 
 def _ws_trim(c):
@@ -67,8 +73,11 @@ def shingle_hash_table(
     """(id, hashes) — distinct word-k-shingle hashes per document, WITHOUT
     materializing shingle strings.
 
-    Tokens hash once (xxhash64 → mod 31-bit prime); a shingle hash is the
-    polynomial roll of its k token hashes: ((t0*B + t1)*B + t2) mod p.
+    Each token hashes once into TWO independent 31-bit streams (xxhash64 with
+    distinct salts, reduced mod two primes); a shingle hash is the pair of
+    polynomial rolls combined as h1*2^31 + h2 — a 62-bit identity, so set
+    operations (Jaccard verification) see ~2^-62 collision odds per pair while
+    every intermediate product stays under 2^63 (ANSI-overflow-safe).
 
     The token-hash array is materialized at a projection boundary before the
     rolling transform: referencing a *subexpression* inside a higher-order
@@ -78,19 +87,25 @@ def shingle_hash_table(
     toks = F.split(F.lower(_ws_trim(F.col(text_col))), "\\s+")
     staged = documents.select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MINHASH_PRIME))).alias("__th"),
+        F.transform(
+            toks,
+            lambda t: F.struct(
+                F.pmod(F.xxhash64(t), F.lit(MINHASH_PRIME)).alias("h1"),
+                F.pmod(F.xxhash64(F.lit(1), t), F.lit(MINHASH_PRIME2)).alias("h2"),
+            ),
+        ).alias("__th"),
     )
     th = F.col("__th")
     n = F.size(th)
 
     def roll(i):
-        acc = F.element_at(th, i + 1)
+        acc1 = F.element_at(th, i + 1)["h1"]
+        acc2 = F.element_at(th, i + 1)["h2"]
         for j in range(1, k):
-            acc = F.pmod(
-                acc * F.lit(_SHINGLE_BASE) + F.element_at(th, i + 1 + j),
-                F.lit(MINHASH_PRIME),
-            )
-        return acc
+            t = F.element_at(th, i + 1 + j)
+            acc1 = F.pmod(acc1 * F.lit(_SHINGLE_BASE) + t["h1"], F.lit(MINHASH_PRIME))
+            acc2 = F.pmod(acc2 * F.lit(_SHINGLE_BASE) + t["h2"], F.lit(MINHASH_PRIME2))
+        return acc1 * F.lit(1 << 31) + acc2
 
     full = F.transform(F.sequence(F.lit(0), n - k), roll)
     # short docs (< k tokens): single whole-doc hash, matching word_shingles'
@@ -98,8 +113,14 @@ def shingle_hash_table(
     short = F.array(
         F.aggregate(
             th,
-            F.lit(0).cast("long"),
-            lambda acc, t: F.pmod(acc * F.lit(_SHINGLE_BASE) + t, F.lit(MINHASH_PRIME)),
+            F.struct(
+                F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
+            ),
+            lambda acc, t: F.struct(
+                F.pmod(acc["h1"] * F.lit(_SHINGLE_BASE) + t["h1"], F.lit(MINHASH_PRIME)).alias("h1"),
+                F.pmod(acc["h2"] * F.lit(_SHINGLE_BASE) + t["h2"], F.lit(MINHASH_PRIME2)).alias("h2"),
+            ),
+            lambda acc: acc["h1"] * F.lit(1 << 31) + acc["h2"],
         )
     )
     return staged.select(
@@ -117,7 +138,8 @@ def shingle_hashes(shingles: Column) -> Column:
 
 def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 42) -> Column:
     """array<bigint> signature: sig[i] = min over shingle hashes of
-    (a_i*h + b_i) mod p.  a, b, h < 2^31 so the product fits a long under
+    (a_i*(h mod p) + b_i) mod p.  The incoming 62-bit shingle identity is
+    reduced mod p first so a, b, h' < 2^31 and the product fits a long under
     ANSI arithmetic; all of it stays in whole-stage codegen.
 
     Computed as ONE aggregate pass over the shingle array (element-wise
@@ -126,8 +148,9 @@ def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 42) -> Col
     params = _affine_params(num_perm, seed)
 
     def perms(h):
+        hr = F.pmod(h, F.lit(MINHASH_PRIME))
         return F.array(
-            *[F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)) for a, b in params]
+            *[F.pmod(F.lit(a) * hr + F.lit(b), F.lit(MINHASH_PRIME)) for a, b in params]
         )
 
     return F.aggregate(
@@ -191,8 +214,10 @@ def minhash_neardup_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verification over the hashed shingle sets (64-bit
-    # collisions are negligible vs the threshold granularity)
+    # exact-Jaccard verification over the hashed shingle sets (62-bit dual
+    # rolling hashes — ~2^-62 collision odds per shingle pair, genuinely
+    # negligible even for 10k+-shingle documents, so this equals the
+    # string-level Jaccard and is oracle-checked against it via q24)
     with_sets = pairs.join(
         base.select(F.col("id").alias("id_a"), F.col("hashes").alias("sh_a")), "id_a"
     ).join(
