@@ -52,12 +52,23 @@ def main() -> None:
     # JVM/codegen warmup on the smallest table so q01 doesn't absorb startup
     run_once(queries["q27_top1_watermark"](spark, sf_dir))
 
+    # per-job fixed floor at local[N]: median of trivial noop jobs — reported
+    # so round-over-round per-query regressions aren't masked by scheduler
+    # overhead (~0.1-0.5 s/job that has nothing to do with the plans)
+    floor_samples = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_samples.append(time.time() - t0)
+    overhead = round(sorted(floor_samples)[len(floor_samples) // 2], 3)
+
     for name in HEADLINE:
         t0 = time.time()
         run_once(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    net = {k: round(max(0.0, v - overhead), 3) for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -65,6 +76,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "overhead_sec": overhead,
+                "queries_net": net,
+                "total_net": round(sum(net.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

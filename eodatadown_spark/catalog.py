@@ -52,11 +52,20 @@ PARTITION_SOURCE: dict[str, str] = {
 
 
 class ParquetCatalog:
-    """Versioned Parquet tables under a root directory."""
+    """Versioned Parquet tables under a root directory.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``retain_versions`` controls reader retention: the newest N version dirs
+    survive each write (default 2 = current + previous), so a lazy DataFrame
+    held from a read() stays valid across ONE subsequent write — older
+    versions are garbage-collected by later writes, not deleted inline at
+    flip time.  Holding a DataFrame across more than ``retain_versions - 1``
+    writes is still undefined (raise N for long-lived readers).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, retain_versions: int = 2):
         self.spark = spark
         self.root = root
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -91,13 +100,33 @@ class ParquetCatalog:
                 return self.spark.createDataFrame([], schema=declared)
         return self.spark.read.parquet(path)
 
+    def _next_version(self, table: str) -> str:
+        old = self._current_version(table)
+        return "v_0" if old is None else f"v_{int(old.split('_')[1]) + 1}"
+
+    def _flip_and_gc(self, table: str, version: str) -> None:
+        """Atomic pointer flip + GC of versions beyond the retention window."""
+        table_dir = self._table_dir(table)
+        tmp_pointer = os.path.join(table_dir, _CURRENT + ".tmp")
+        with open(tmp_pointer, "w", encoding="utf-8") as fh:
+            fh.write(version)
+        os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))  # atomic flip
+        versions = sorted(
+            (
+                int(d.split("_")[1])
+                for d in os.listdir(table_dir)
+                if d.startswith("v_") and d.split("_")[1].isdigit()
+            ),
+            reverse=True,
+        )
+        for stale_v in versions[self.retain_versions :]:
+            shutil.rmtree(os.path.join(table_dir, f"v_{stale_v}"), ignore_errors=True)
+
     def write(self, df: DataFrame, table: str, partition: bool = True) -> None:
         """Atomically replace `table` with `df` (new version dir + pointer flip)."""
         table_dir = self._table_dir(table)
         os.makedirs(table_dir, exist_ok=True)
-        old = self._current_version(table)
-        nxt = 0 if old is None else int(old.split("_")[1]) + 1
-        version = f"v_{nxt}"
+        version = self._next_version(table)
         out = os.path.join(table_dir, version)
 
         writer = df.write.mode("overwrite")
@@ -106,13 +135,70 @@ class ParquetCatalog:
             df = df.withColumn("p_year", F.year(F.col(part_src)))
             writer = df.write.mode("overwrite").partitionBy("p_year")
         writer.parquet(out)
+        self._flip_and_gc(table, version)
 
-        tmp_pointer = os.path.join(table_dir, _CURRENT + ".tmp")
-        with open(tmp_pointer, "w", encoding="utf-8") as fh:
-            fh.write(version)
-        os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))  # atomic flip
-        if old is not None:
-            shutil.rmtree(os.path.join(table_dir, old), ignore_errors=True)
+    def merge_updates(self, table: str, updates: DataFrame, key: str = "pid") -> None:
+        """M2 at catalog scale: apply a batched point-update set rewriting
+        ONLY the ``p_year`` partitions that contain updated keys.
+
+        Untouched partitions are hard-linked (same inode, zero data copied
+        or shuffled) into the new version dir; only changed partitions pass
+        through the join+overwrite.  On a 100 TB date-partitioned catalog a
+        stage merge touching one month rewrites that month, not the decade.
+        State-column updates never move a row across partitions, so the
+        partition-source column must not appear in ``updates``.
+
+        Falls back to a full versioned write for unpartitioned tables.
+        """
+        from eodatadown_spark.pipeline import apply_updates
+
+        part_src = PARTITION_SOURCE.get(table)
+        if part_src is not None and part_src in updates.columns:
+            raise ValueError(
+                f"merge_updates cannot change partition source {part_src!r}; "
+                "use write() for partition-moving rewrites"
+            )
+        old_path = self.data_path(table)
+        cur = self.read(table)
+        if "p_year" not in cur.columns or not _has_parquet_files(old_path):
+            self.write(apply_updates(self.read_clean(table), updates, key), table)
+            return
+
+        def dirname(v) -> str:
+            return f"p_year={v}" if v is not None else "p_year=__HIVE_DEFAULT_PARTITION__"
+
+        changed_years = [
+            r["p_year"]
+            for r in cur.join(updates.select(key).distinct(), key, "left_semi")
+            .select("p_year")
+            .distinct()
+            .collect()
+        ]
+        changed_dirs = {dirname(v) for v in changed_years}
+
+        table_dir = self._table_dir(table)
+        version = self._next_version(table)
+        out = os.path.join(table_dir, version)
+        os.makedirs(out, exist_ok=True)
+        # hard-link untouched partitions: same inodes, no data movement
+        for entry in os.listdir(old_path):
+            src = os.path.join(old_path, entry)
+            if not (entry.startswith("p_year=") and os.path.isdir(src)):
+                continue
+            if entry in changed_dirs:
+                continue
+            dst = os.path.join(out, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        if changed_years:
+            non_null = [v for v in changed_years if v is not None]
+            cond = F.col("p_year").isin(non_null) if non_null else F.lit(False)
+            if any(v is None for v in changed_years):
+                cond = cond | F.col("p_year").isNull()
+            merged = apply_updates(cur.where(cond), updates, key)
+            merged.write.mode("append").partitionBy("p_year").parquet(out)
+        self._flip_and_gc(table, version)
 
     def read_clean(self, table: str) -> DataFrame:
         """Read without the physical partition column."""
@@ -150,10 +236,28 @@ class ParquetCatalog:
         return self.spark.table(f"eodd_{table}")
 
     # -- JSON import/export (S6 / K1; ref eodatadownlandsatgoogsensor.py:2527-2687)
-    def export_json(self, table: str, out_file: str) -> None:
-        """Serialize a table to a single JSON file (dict keyed by first column),
-        matching the reference's `export_db_to_json` shape."""
+    def export_json(
+        self, table: str, out_file: str, max_driver_rows: int = 100_000
+    ) -> None:
+        """Serialize a table to JSON, matching the reference's
+        `export_db_to_json` dict shape for admin-sized catalogs.
+
+        Tables above ``max_driver_rows`` never touch the driver: they stream
+        out as a DIRECTORY of gzip JSONL part files written by the executors
+        (`df.write.json`) — the scale path for 100 TB catalogs, where a
+        single driver-side dict is a guaranteed OOM.  ``import_json`` accepts
+        both shapes.
+        """
         df = self.read_clean(table)
+        # bounded existence probe — counts at most max_driver_rows+1 rows
+        big = df.limit(max_driver_rows + 1).count() > max_driver_rows
+        if big:
+            (
+                df.write.mode("overwrite")
+                .option("compression", "gzip")
+                .json(out_file)
+            )
+            return
         rows = [row.asDict(recursive=True) for row in df.collect()]
         # key by the unique pid as the reference does; composite-key tables
         # (plugin_results, obs_dates...) fall back to a running index so no
@@ -172,18 +276,24 @@ class ParquetCatalog:
         replace_path_dict: dict[str, str] | None = None,
         path_cols: tuple[str, ...] = ("download_path", "ardproduct_path"),
     ) -> None:
-        """Load an exported JSON dict-of-rows back into `table`, optionally
-        rewriting path prefixes (ref `import_sensor_db`,
+        """Load an exported JSON dict-of-rows (or a JSONL part directory from
+        the large-table export path) back into `table`, optionally rewriting
+        path prefixes (ref `import_sensor_db`,
         eodatadownlandsatgoogsensor.py:2605-2687)."""
         schema = schemas.ALL_SCHEMAS.get(table)
-        with open(in_file, encoding="utf-8") as fh:
-            payload = json.load(fh)
-        rows = list(payload.values())
-        # export serialized dates/timestamps with default=str → parse back per
-        # the declared schema (C1 multi-format semantics live in the cast).
-        df = self.spark.createDataFrame(
-            [json.dumps(r) for r in rows], "string"
-        ).select(F.from_json("value", _as_string_schema(schema)).alias("r")).select("r.*")
+        if os.path.isdir(in_file):
+            # distributed JSONL export: read executor-side, all-string staging
+            # schema so the declared-schema casts below apply uniformly
+            df = self.spark.read.schema(_as_string_schema(schema)).json(in_file)
+        else:
+            with open(in_file, encoding="utf-8") as fh:
+                payload = json.load(fh)
+            rows = list(payload.values())
+            # export serialized dates/timestamps with default=str → parse back
+            # per the declared schema (C1 multi-format semantics in the cast).
+            df = self.spark.createDataFrame(
+                [json.dumps(r) for r in rows], "string"
+            ).select(F.from_json("value", _as_string_schema(schema)).alias("r")).select("r.*")
         for field in schema.fields:
             df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
         if replace_path_dict:

@@ -66,16 +66,57 @@ def filter_above_partitioned_watermark(
     )
 
 
-def assign_pids(new_rows: DataFrame, base_pid: int, order_cols: Sequence[str]) -> DataFrame:
-    """Deterministic serial PID assignment.
+def assign_pids(
+    new_rows: DataFrame,
+    base_pid: int,
+    order_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic serial PID assignment — two-phase, never single-partition.
 
     The reference increments a counter in source-row order (:546-550,662);
     row order from a distributed read isn't stable, so the order is pinned on
     explicit key columns — same PIDs on every run for oracle stability.
+
+    A global ``Window.orderBy`` would move the whole batch to ONE task, so the
+    global rank is computed in two parallel phases instead: range-partition on
+    the order keys (partition i holds keys strictly below partition i+1's),
+    count rows per partition (a tiny driver-side collect, ≤ num_partitions
+    rows), then rank within each partition and add the cumulative offset of
+    the partitions before it.  Identical PIDs to the global sort — the range
+    boundaries cancel out of the final rank — at full parallelism.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return new_rows.withColumn(
-        "pid", (F.row_number().over(w) + F.lit(base_pid - 1)).cast("long")
+    spark = new_rows.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) for c in order_cols]
+    # localCheckpoint freezes partition membership: the counts job and the
+    # ranking job MUST see the same range-boundary sampling
+    keyed = (
+        new_rows.repartitionByRange(num_partitions, *cols)
+        .withColumn("__part", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["__part"]: r["n"]
+        for r in keyed.groupBy("__part").agg(F.count("*").alias("n")).collect()
+    }
+    acc, entries = 0, []
+    for part_id in sorted(counts):  # partition ids ascend with key ranges
+        entries.extend([F.lit(part_id), F.lit(acc)])
+        acc += counts[part_id]
+    offset = (
+        F.coalesce(F.create_map(*entries)[F.col("__part")], F.lit(0))
+        if entries
+        else F.lit(0)
+    )
+    w = Window.partitionBy("__part").orderBy(*cols)
+    return (
+        keyed.withColumn(
+            "pid",
+            (F.row_number().over(w) + offset + F.lit(base_pid - 1)).cast("long"),
+        )
+        .drop("__part")
     )
 
 

@@ -168,6 +168,24 @@ def query_scn_records_date_bbox(
     return _paginate(out, order, start_rec, n_recs)
 
 
+def query_scn_records_date_bbox_count(
+    scenes: DataFrame,
+    start_date,
+    end_date,
+    bbox: tuple[float, float, float, float],
+    date_col: str = "date_acquired",
+    valid: bool = True,
+    cloud_thres: float | None = None,
+) -> DataFrame:
+    """F7+A3: named count of the date+bbox query — one row, `n_scenes`
+    (ref eodatadownlandsatgoogsensor.py:2070-2103 has a count API per
+    sensor rather than count()-on-query)."""
+    df = query_scn_records_date(
+        scenes, start_date, end_date, date_col, valid, cloud_thres
+    )
+    return df.where(bbox_intersect_pred(bbox)).agg(F.count("*").alias("n_scenes"))
+
+
 def find_unique_platforms(scenes: DataFrame, platform_col: str = "spacecraft_id") -> DataFrame:
     """A5 (ref :1917-1927)."""
     return scenes.select(platform_col).distinct()

@@ -30,12 +30,22 @@ def sensor_summary_counts(scenes: DataFrame) -> DataFrame:
     )
 
 
-def column_stats(df: DataFrame, col: str, round_to: int = 4) -> DataFrame:
+def column_stats(
+    df: DataFrame, col: str, round_to: int = 4, approx: bool = False
+) -> DataFrame:
     """A7: sum/mean/min/max/sample-stdev/median/quartiles over a numeric
     column, nulls skipped (ref :2964-3016 pulls the column into Python).
 
-    Exact percentiles (not approx) to match `statistics.quantiles`."""
+    Exact percentiles by default to match `statistics.quantiles` (the oracle
+    gate needs bit-stable quartiles).  ``approx=True`` is the 100×-scale
+    reporting path: ``percentile_approx`` replaces the sort-based exact
+    aggregate with a mergeable t-digest-style sketch — partial aggregation
+    map-side, no full sort of the column at 100 TB."""
     c = F.col(col)
+    if approx:
+        quartile = lambda p: F.percentile_approx(c, p, 10_000)  # noqa: E731
+    else:
+        quartile = lambda p: F.expr(f"percentile({col}, {p})")  # noqa: E731
     return df.where(c.isNotNull()).agg(
         F.count(c).alias("n"),
         F.round(F.sum(c), round_to).alias("total"),
@@ -43,9 +53,9 @@ def column_stats(df: DataFrame, col: str, round_to: int = 4) -> DataFrame:
         F.round(F.min(c), round_to).alias("min"),
         F.round(F.max(c), round_to).alias("max"),
         F.round(F.stddev_samp(c), round_to).alias("stdev"),
-        F.round(F.expr(f"percentile({col}, 0.25)"), round_to).alias("q1"),
-        F.round(F.expr(f"percentile({col}, 0.5)"), round_to).alias("median"),
-        F.round(F.expr(f"percentile({col}, 0.75)"), round_to).alias("q3"),
+        F.round(quartile(0.25), round_to).alias("q1"),
+        F.round(quartile(0.5), round_to).alias("median"),
+        F.round(quartile(0.75), round_to).alias("q3"),
     )
 
 

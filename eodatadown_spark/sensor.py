@@ -117,6 +117,11 @@ class SensorBase:
     def query_scn_records_date_bbox(self, start, end, bbox, **kw) -> DataFrame:
         return Q.query_scn_records_date_bbox(self.scenes(), start, end, bbox, self.date_col, **kw)
 
+    def query_scn_records_date_bbox_count(self, start, end, bbox, **kw) -> DataFrame:
+        return Q.query_scn_records_date_bbox_count(
+            self.scenes(), start, end, bbox, self.date_col, **kw
+        )
+
     def find_unique_platforms(self) -> DataFrame:
         return Q.find_unique_platforms(self.scenes(), self.platform_col)
 
@@ -163,10 +168,12 @@ class SensorBase:
         scoped = catalog.join(todo.select("pid"), "pid", "left_semi").select(*cols)
         updates = pipeline.run_scene_tasks(scoped, task_fn, update_schema).persist()
         try:
-            # count() materializes the fan-out ONCE; the commit below reuses
+            # count() materializes the fan-out ONCE; the merge below reuses
             # the cached rows — side-effecting tasks must not run twice
             n = updates.count()
-            self._commit(pipeline.apply_updates(catalog, updates))
+            # partition-selective merge: only p_year partitions containing
+            # updated pids are rewritten, the rest are hard-linked
+            self.catalog.merge_updates(self.table, updates)
         finally:
             updates.unpersist()
         return n

@@ -16,11 +16,18 @@ def test_catalog_write_read_version_flip(spark, landsat_scenes, tmp_path):
     cat = ParquetCatalog(spark, str(tmp_path))
     cat.write(landsat_scenes, "landsat_scenes")
     assert cat.read_clean("landsat_scenes").count() == 7
-    # overwrite with a filtered version → pointer flips, old version gone
+    held = cat.read_clean("landsat_scenes")  # lazy reader across one write
+    # overwrite with a filtered version → pointer flips; previous version is
+    # RETAINED (retain_versions=2) so the held reader stays valid
     cat.write(landsat_scenes.where(F.col("invalid") == False), "landsat_scenes")  # noqa: E712
     assert cat.read_clean("landsat_scenes").count() == 6
-    versions = [d for d in os.listdir(tmp_path / "landsat_scenes") if d.startswith("v_")]
-    assert versions == ["v_1"]
+    assert held.count() == 7  # still points at the retained v_0
+    versions = sorted(d for d in os.listdir(tmp_path / "landsat_scenes") if d.startswith("v_"))
+    assert versions == ["v_0", "v_1"]
+    # a third write GCs v_0 (beyond the retention window)
+    cat.write(landsat_scenes.where(F.col("pid") < 3), "landsat_scenes")
+    versions = sorted(d for d in os.listdir(tmp_path / "landsat_scenes") if d.startswith("v_"))
+    assert versions == ["v_1", "v_2"]
 
 
 def test_catalog_partitioned_by_year(spark, landsat_scenes, tmp_path):
@@ -46,6 +53,79 @@ def test_catalog_json_export_import_roundtrip(spark, landsat_scenes, tmp_path):
     # types survive the round trip
     assert dict(df.dtypes)["date_acquired"] == "date"
     assert dict(df.dtypes)["sensing_time"] == "timestamp"
+
+
+def test_merge_updates_rewrites_only_changed_partitions(spark, landsat_scenes, tmp_path):
+    """M2 partition-selective merge: updating 2019 pids must leave the 2020
+    partition's parquet files untouched (same inodes — hard-linked, not
+    rewritten) while the 2019 partition is rewritten with merged values."""
+    import datetime as dt
+
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    two_year = landsat_scenes.withColumn(
+        "date_acquired",
+        F.when(F.col("pid") >= 4, F.lit(dt.date(2020, 3, 1))).otherwise(
+            F.col("date_acquired")
+        ),
+    )
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(two_year, "landsat_scenes")
+    v0_2020 = os.path.join(cat.data_path("landsat_scenes"), "p_year=2020")
+    inodes_before = {f: os.stat(os.path.join(v0_2020, f)).st_ino for f in os.listdir(v0_2020)}
+
+    updates = spark.createDataFrame(
+        [(0, True, "/dl/0"), (2, True, "/dl/2")],
+        "pid long, downloaded boolean, download_path string",
+    )
+    cat.merge_updates("landsat_scenes", updates)
+
+    v1 = cat.data_path("landsat_scenes")
+    assert v1.endswith("v_1")
+    v1_2020 = os.path.join(v1, "p_year=2020")
+    inodes_after = {f: os.stat(os.path.join(v1_2020, f)).st_ino for f in os.listdir(v1_2020)}
+    assert inodes_after == inodes_before  # untouched partition: same inodes
+
+    df = cat.read_clean("landsat_scenes")
+    assert df.count() == 7  # no rows gained/lost
+    got = {r["pid"]: r for r in df.where(F.col("pid").isin(0, 1, 2)).collect()}
+    assert got[0]["downloaded"] and got[0]["download_path"] == "/dl/0"
+    assert got[2]["downloaded"] and got[2]["download_path"] == "/dl/2"
+    assert got[1]["download_path"] != "/dl/0"  # untouched row unchanged
+
+    # partition-source updates must be rejected (they'd move rows across dirs)
+    import pytest
+
+    with pytest.raises(ValueError, match="partition source"):
+        cat.merge_updates(
+            "landsat_scenes",
+            spark.createDataFrame([(0, dt.date(2021, 1, 1))], "pid long, date_acquired date"),
+        )
+
+
+def test_catalog_json_export_large_table_distributed(spark, landsat_scenes, tmp_path, monkeypatch):
+    """Above max_driver_rows the export must stream via df.write.json (gzip
+    JSONL parts), never a driver collect — and import must round-trip it."""
+    from pyspark.sql import DataFrame
+
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(landsat_scenes, "landsat_scenes")
+    out = str(tmp_path / "export_big")
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (_ for _ in ()).throw(
+            AssertionError("driver collect on large-table export path")
+        )
+    )
+    cat.export_json("landsat_scenes", out, max_driver_rows=3)  # 7 rows > 3
+    monkeypatch.undo()
+    assert os.path.isdir(out)
+    assert any(f.endswith(".json.gz") for f in os.listdir(out))
+    cat.import_json("landsat_scenes", out)
+    df = cat.read_clean("landsat_scenes")
+    assert df.count() == 7
+    assert dict(df.dtypes)["date_acquired"] == "date"
 
 
 def test_wkt_bbox_parse(spark):

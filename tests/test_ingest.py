@@ -52,6 +52,28 @@ def test_upsert_idempotent(landsat_scenes):
     assert again.count() == landsat_scenes.count()
 
 
+def test_assign_pids_matches_global_sort_without_single_partition(spark):
+    # 10k rows, deliberately unsorted input: the two-phase assignment must
+    # reproduce the exact global-sort ranks while never moving the batch to
+    # one task (the r1 A1 scale-killer)
+    from eodatadown_spark.plans import audit
+
+    df = spark.range(10_000).select(
+        (F.xxhash64(F.col("id")) % 1_000_000).alias("key"), F.col("id").alias("payload")
+    )
+    out = ingest.assign_pids(df, base_pid=5, order_cols=["key", "payload"], num_partitions=8)
+    plan = audit.physical_plan(out, "simple")
+    assert "SinglePartition" not in plan
+    rows = out.orderBy("key", "payload").collect()
+    assert [r["pid"] for r in rows] == list(range(5, 5 + 10_000))
+
+
+def test_assign_pids_empty_batch(spark, landsat_scenes):
+    empty = landsat_scenes.drop("pid").where(F.lit(False))
+    out = ingest.assign_pids(empty, base_pid=0, order_cols=["scene_id"])
+    assert out.count() == 0 and dict(out.dtypes)["pid"] == "bigint"
+
+
 def test_keep_latest_dedup(landsat_scenes):
     assert [r["scene_id"] for r in ingest.find_duplicate_scenes(landsat_scenes).collect()] == ["S1"]
     out = ingest.resolve_duplicate_scenes(landsat_scenes)

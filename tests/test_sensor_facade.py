@@ -76,6 +76,26 @@ def test_sensor_lifecycle(spark, sensor):
         sensor.get_scn_record(99)
 
 
+def test_sensor_date_bbox_count(spark, sensor):
+    # F7+A3 named count facade (ref eodatadownlandsatgoogsensor.py:2070-2103)
+    sensor.check_new_scns(
+        _index(spark, [("A", "2019-01-05", "20190110", 10.0),
+                       ("B", "2019-02-10", "20190215", 60.0)])
+    )
+    # fixture scenes span lon 0..2, lat 50..52; bbox (w,e,s,n) in ref order
+    hit = sensor.query_scn_records_date_bbox_count(
+        "2019-12-31", "2019-01-01", (1.0, 3.0, 51.0, 53.0)
+    ).first()["n_scenes"]
+    miss = sensor.query_scn_records_date_bbox_count(
+        "2019-12-31", "2019-01-01", (10.0, 12.0, 51.0, 53.0)
+    ).first()["n_scenes"]
+    assert (hit, miss) == (2, 0)
+    # matches count()-on-the-query composition
+    assert hit == sensor.query_scn_records_date_bbox(
+        "2019-12-31", "2019-01-01", (1.0, 3.0, 51.0, 53.0)
+    ).count()
+
+
 def test_sensor_check_from_start_dedups(spark, sensor):
     sensor.check_new_scns(_index(spark, [("A", "2019-01-05", "20190110", 10.0)]))
     # same scene reprocessed with a NEWER product: check_from_start bypasses
