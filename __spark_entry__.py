@@ -582,6 +582,91 @@ def q43_simhash_soundness(spark, sf):
     return sim_pairs.join(exact, ["id_a", "id_b"], "left_anti")
 
 
+def q44_tfidf_keywords(spark, sf):
+    """Corpus op: top-3 TF-IDF keywords per document (explode → tf/df aggs →
+    token-keyed join; rounded score drives the ranking in both engines)."""
+    from eodatadown_spark.operators.corpus import tfidf_topk_keywords
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_topk_keywords(docs.where(F.col("doc_id") < 20), k=3)
+
+
+def q45_hash_split(spark, sf):
+    """Corpus op: deterministic train/val/test hash split — per-split doc and
+    token counts (the split is a pure function of doc_id, reproducible in any
+    engine)."""
+    from eodatadown_spark.operators.corpus import assign_split
+
+    docs = _t(spark, sf, "documents")
+    return (
+        assign_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(X.token_count(F.col("text"))).alias("n_tokens"),
+        )
+    )
+
+
+def q46_repetition_ratio(spark, sf):
+    """Text-analysis: distinct word-2-gram fraction (Gopher-style repetition
+    filter signal), bucketed distribution per source."""
+    docs = _t(spark, sf, "documents")
+    r = X.repetition_ratio(F.col("text"), n=2)
+    return (
+        docs.select("source", F.floor(r * 10).cast("long").alias("rep_bucket"))
+        .groupBy("source", "rep_bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q47_pii_redaction(spark, sf):
+    """Text-analysis: PII redaction pass — per-doc email/phone match counts +
+    md5 of the redacted text (full-string oracle check of the rewrite)."""
+    docs = _t(spark, sf, "documents")
+    return X.redact_pii(docs.where(F.col("doc_id") < 50))
+
+
+def q48_sequence_packing(spark, sf):
+    """Corpus op: concat-and-chunk sequence packing — 512-token bins per
+    language, per-bin doc and token tallies."""
+    from eodatadown_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    packed = pack_sequences(docs, max_tokens=512, group_col="lang")
+    return packed.groupBy("group", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
+
+
+def q49_ivf_topk(spark, sf):
+    """Similarity: IVF approximate top-k — inverted lists under a
+    deterministic seed codebook, queries probe 2 of 8 cells.  cos_sim
+    projected out (as q23/q36): rank is the contract."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, qs, k=3, n_centroids=8, n_probe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q50_neardup_clusters(spark, sf):
+    """Dedup capstone: near-dup pairs → connected components →
+    keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
+    a dedup pass would collapse); oracle recomputes components with a
+    recursive CTE."""
+    docs = _t(spark, sf, "documents")
+    clusters = D.neardup_clusters(docs, threshold=0.5)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        clusters.join(sizes, "cluster_id")
+        .where(F.col("n_members") > 1)
+        .select("doc_id", "cluster_id", "is_canonical", "n_members")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -626,6 +711,13 @@ QUERIES: dict[str, Callable] = {
     "q41_bpe_token_count": q41_bpe_token_count,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
     "q43_simhash_soundness": q43_simhash_soundness,
+    "q44_tfidf_keywords": q44_tfidf_keywords,
+    "q45_hash_split": q45_hash_split,
+    "q46_repetition_ratio": q46_repetition_ratio,
+    "q47_pii_redaction": q47_pii_redaction,
+    "q48_sequence_packing": q48_sequence_packing,
+    "q49_ivf_topk": q49_ivf_topk,
+    "q50_neardup_clusters": q50_neardup_clusters,
 }
 
 
@@ -1073,5 +1165,200 @@ def oracle_sql() -> dict[str, str]:
         "q43_simhash_soundness": """
             SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
             WHERE false
+        """,
+        # q44: TF-IDF recomputed from scratch; the window orders by the
+        # ROUNDED score in both engines so libm last-ulp noise can't flip
+        # ranks (ties by token ascending).
+        "q44_tfidf_keywords": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(
+                        lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                        '\\s+'),
+                    t -> t <> '')) AS token
+                FROM documents WHERE doc_id < 20
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), df AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ), n AS (
+                SELECT count(*) AS n FROM documents WHERE doc_id < 20
+            )
+            SELECT doc_id, token, score, rank FROM (
+                SELECT tf.doc_id, tf.token,
+                       round(tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1))
+                                      + 1.0), 4) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY round(tf.tf *
+                               (ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1))
+                                + 1.0), 4) DESC, tf.token ASC) AS rank
+                FROM tf JOIN df USING (token) CROSS JOIN n
+            ) WHERE rank <= 3
+        """,
+        # q45: split bucket = rolling hash of the decimal doc_id string mod
+        # 100 (q42's list_reduce pattern) — a pure function of doc_id, so any
+        # engine reproduces the assignment.
+        "q45_hash_split": """
+            WITH b AS (
+                SELECT list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), list_transform(
+                               list_filter(
+                                   string_split(CAST(doc_id AS VARCHAR), ''),
+                                   ch -> ch <> ''),
+                               ch -> CAST(ord(ch) AS BIGINT))),
+                           (acc, c) -> (acc * 31 + c) % 2038074743) % 100
+                           AS bucket,
+                       len(regexp_split_to_array(
+                           regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                           '\\s+')) AS n_tokens
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM b GROUP BY 1
+        """,
+        # q46: word-2-gram distinct fraction, bucketed ×10 (q24's list-slice
+        # shingle pattern with k=2).
+        "q46_repetition_ratio": """
+            WITH g AS (
+                SELECT source,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                     i -> array_to_string(toks[i:i+1], ' '))
+                            ELSE [array_to_string(toks, ' ')] END AS grams
+                FROM (
+                    SELECT source,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            )
+            SELECT source,
+                   CAST(floor(round(CAST(len(list_distinct(grams)) AS DOUBLE)
+                                    / len(grams), 4) * 10) AS BIGINT) AS rep_bucket,
+                   count(*) AS n_docs
+            FROM g GROUP BY 1, 2
+        """,
+        # q47: identical RE2-safe patterns; counts via regexp_extract_all,
+        # rewrite checked end-to-end through the md5 of the redacted text.
+        "q47_pii_redaction": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\\+?[0-9][0-9]{2}[-. ][0-9]{3}[-. ][0-9]{4}'))
+                        AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                        '[EMAIL]', 'g'),
+                        '\\+?[0-9][0-9]{2}[-. ][0-9]{3}[-. ][0-9]{4}',
+                        '[PHONE]', 'g')) AS redacted_fp
+            FROM documents WHERE doc_id < 50
+        """,
+        # q48: identical window cumsum (exact BIGINT arithmetic) → bin ids.
+        "q48_sequence_packing": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(len(regexp_split_to_array(
+                           regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                           '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), p AS (
+                SELECT lang AS "group", n_tokens,
+                       CAST(floor(CAST(sum(n_tokens) OVER (
+                               PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens AS DOUBLE) / 512) AS BIGINT) AS bin_id
+                FROM t
+            )
+            SELECT "group", bin_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+            FROM p GROUP BY 1, 2
+        """,
+        # q49: IVF reproduced end-to-end — same seed codebook (vec_id < 8),
+        # same nearest-cell assignment and 2-probe candidate generation, rank
+        # by cosine within candidates.
+        "q49_ivf_topk": """
+            WITH cent AS (
+                SELECT vec_id AS cell, embedding AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), asn AS (
+                SELECT id, cell FROM (
+                    SELECT e.vec_id AS id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, c.cv)
+                                        DESC, c.cell ASC) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT id AS query_id, cell FROM (
+                    SELECT e.vec_id AS id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, c.cv)
+                                        DESC, c.cell ASC) AS rn
+                    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+                ) WHERE rn <= 2
+            ), cand AS (
+                SELECT DISTINCT p.query_id, a.id AS neighbor_id
+                FROM probes p JOIN asn a ON a.cell = p.cell
+                WHERE a.id <> p.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                    DESC, c.neighbor_id ASC) AS rank
+                FROM cand c
+                JOIN embeddings q ON q.vec_id = c.query_id
+                JOIN embeddings e ON e.vec_id = c.neighbor_id
+            ) WHERE rank <= 3
+        """,
+        # q50: connected components over the exact-Jaccard pair graph via a
+        # recursive CTE (min reachable id ≡ the min-label fixed point the
+        # Spark propagation loop converges to).
+        "q50_neardup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                      / len(list_distinct(list_cat(a.shingles, b.shingles))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ), comp AS (
+                SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ), sizes AS (
+                SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY 1
+            )
+            SELECT comp.doc_id, comp.cluster_id,
+                   comp.doc_id = comp.cluster_id AS is_canonical,
+                   sizes.n_members
+            FROM comp JOIN sizes USING (cluster_id)
+            WHERE sizes.n_members > 1
         """,
     }

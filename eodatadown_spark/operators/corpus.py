@@ -1,0 +1,138 @@
+"""Corpus-level training-data pipeline operators.
+
+Dataset assembly steps a large-scale pretraining pipeline runs AFTER
+per-document filtering/dedup: deterministic train/val/test splits, TF-IDF
+keyword extraction, and sequence packing (concat-and-chunk binning of
+documents into fixed token budgets).
+
+Everything is built-in-function columnar (JVM-side, whole-stage codegen) and
+every shuffle is keyed on high-cardinality columns (doc ids, tokens), so the
+operators scale linearly with input partitions at 100 TB.  No reference
+analog — these extend the engine per the LLM-data-pipeline surface
+(SURVEY.md §6 posture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from eodatadown_spark.operators.text import rolling_fingerprint, token_count, ws_trim
+
+
+def split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from the decimal id string's
+    rolling hash.
+
+    Rolling-hash (not xxhash64/md5-hex) so the SAME bucket is computable in
+    any ANSI-SQL engine — split assignment must be reproducible outside
+    Spark (audits, incremental rebuilds) or the split is not a contract.
+    New data landing later keeps old rows' assignments fixed (pure function
+    of id), which a `row_number() % k` split cannot guarantee.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(rolling_fingerprint(c.cast("string")), F.lit(n_buckets))
+
+
+def assign_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Hash-bucket train/val/test assignment (train/val/test ≈ 90/5/5).
+
+    One narrow projection — no shuffle, no sampling state; every engine and
+    every rerun agrees on each document's split.
+    """
+    bucket = split_bucket(id_col)
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.withColumn("split", split)
+
+
+def tfidf_topk_keywords(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document → (doc_id, token, score, rank).
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed); score = tf · idf rounded to 4 so
+    cross-engine libm last-ulp noise can't flip the ranking — the window
+    orders by the ROUNDED score (ties by token ascending) in both engines.
+
+    Scale shape: one explode → one (id, token) count → one token-keyed
+    doc-frequency agg joined back on token (high-cardinality equi-join,
+    partial aggregation map-side), corpus size N broadcast as a 1-row
+    crossJoin.  No collect, no per-document Python.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(ws_trim(c)), "\\s+"), lambda t: t != "")
+    tokens = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tokens.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = documents.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "score", "rank")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    max_tokens: int = 512,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each group (e.g. language),
+    documents in id order are laid end-to-end and cut into ``max_tokens``
+    bins — bin_id = tokens-before-this-doc ÷ max_tokens.
+
+    → (doc_id, group, n_tokens, bin_id).  The cumulative sum is one window
+    per group partition (parallel across groups); a doc longer than
+    max_tokens starts its own bin(s), matching the chunker that would split
+    it downstream.  This is the GPT-style pretraining packing shape: greedy
+    order-preserving, deterministic, no bin-packing optimization (which
+    would serialize).
+    """
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(max_tokens)).cast("long").alias("bin_id"),
+    )
+
+
+__all__ = ["split_bucket", "assign_split", "tfidf_topk_keywords", "pack_sequences"]

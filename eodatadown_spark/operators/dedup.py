@@ -372,3 +372,70 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+def neardup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    near-dup pair graph → (doc_id, cluster_id, is_canonical), cluster_id =
+    min doc id in the component, canonical = that representative.
+
+    Pair detection alone under-deduplicates: if A~B and B~C, keeping one of
+    each pair can still keep two of {A,B,C}.  Training-data dedup keeps ONE
+    document per component, so the pipeline step is pairs → components →
+    keep-canonical (filter ``is_canonical``).
+
+    Components via min-label propagation: every doc starts labeled with its
+    own id; each round, labels flow across edges and every node keeps the
+    minimum seen.  Rounds needed = graph diameter — near-dup components are
+    small and dense (dups of the same source), so this converges in a few
+    rounds; each round is two equi-joins + one aggregate (all key-partitioned,
+    no driver data path) and a monotone label-sum convergence check.
+    ``localCheckpoint`` truncates the per-round lineage so the plan doesn't
+    grow with iterations (the classic iterative-algorithm trap at scale).
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents, id_col, text_col, k, threshold)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        documents.select(F.col(id_col).alias("id"))
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        # labels only ever decrease → equal sum means a fixed point
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("id")).alias("is_canonical"),
+    )

@@ -161,6 +161,105 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    centroid_id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine →
+    (id, cell, cell_rank).  Centroids are broadcast (they are small by
+    construction); the per-vector work is |centroids| dot products in
+    codegen, no shuffle of the vector side — the IVF coarse quantizer.
+    """
+    cents = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("cell"), F.col(vec_col).alias("__cv")
+        ).withColumn("__cn", l2_norm(F.col("__cv")))
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .crossJoin(cents)
+        .withColumn(
+            "__sim",
+            F.try_divide(dot(F.col("__v"), F.col("__cv")), F.col("__n") * F.col("__cn")),
+        )
+        .where(F.col("__sim").isNotNull())
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= n_probe)
+        .select("id", "cell", "cell_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in ONE inverted list (their
+    nearest centroid); each query probes its ``n_probe`` nearest lists and
+    brute-forces only those candidates — the scan fraction is ~n_probe/
+    n_centroids of the corpus instead of all of it.
+
+    Centroids here are the deterministic seed set (the first ``n_centroids``
+    corpus ids) — the stand-in for a k-means codebook so results are exactly
+    reproducible cross-engine; a trained codebook drops in as the
+    ``centroids`` DataFrame of :func:`ivf_assign_cells` without changing the
+    query plan.  Candidate generation is an equi-join on cell id (never a
+    cross join against the corpus), same 100 TB shape as the LSH path.
+    """
+    centroids = corpus.where(F.col(id_col) < n_centroids)
+    lists_ = ivf_assign_cells(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col("id").alias("neighbor_id"), "cell"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    probes = ivf_assign_cells(
+        queries, centroids, query_id_col, vec_col, n_probe=n_probe,
+        centroid_id_col=id_col,
+    ).select(F.col("id").alias("query_id"), "cell")
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+        .join(probes, "query_id")
+    )
+    scored = (
+        lists_.join(q, "cell")
+        .join(c, "neighbor_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.try_divide(
+                dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")
+            ),
+        )
+        .where(F.col("cos_sim").isNotNull())
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

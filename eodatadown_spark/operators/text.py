@@ -135,6 +135,60 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def repetition_ratio(text: Column | str, n: int = 2) -> Column:
+    """Distinct word-n-gram fraction in [0,1]: 1.0 = no repeated n-grams,
+    low values flag the boilerplate/looping text large-corpus filters drop
+    (the 'repetition removal' signal of Gopher/MassiveText-style rules).
+
+    Docs with fewer than n tokens score 1.0 (a single whole-doc gram).
+    Pure Catalyst array algebra — no shuffle, no Python.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(ws_trim(c)), "\\s+")
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.round(
+        F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 4
+    )
+
+
+# RE2-safe (no lookaround/backreference) PII patterns, kept deliberately
+# simple so Java regex and RE2 engines match identically in oracles
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_PATTERN = r"\+?[0-9][0-9]{2}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def redact_pii(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redaction pass a training-data pipeline runs before tokenization:
+    emails → [EMAIL], phone numbers → [PHONE], with per-doc match counts.
+
+    → (doc_id, n_emails, n_phones, redacted_fp) — the fingerprint (not the
+    full redacted text) is projected so the output stays narrow; callers
+    wanting the text use the same expressions inline.  regexp_count and
+    regexp_replace run in whole-stage codegen.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]"), PHONE_PATTERN, "[PHONE]"
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
 def profile_documents(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document metric projection — single narrow pass."""
     c = F.col(text_col)

@@ -178,3 +178,130 @@ def test_rolling_fingerprint_matches_python(spark):
     for i, s in enumerate(samples):
         assert got[i] == py_fp(s)
     assert got[2] == got[3] and got[2] != got[4]  # punctuation differs ('-' removed vs space kept)
+
+
+# ---------------------------------------------------------------------------
+# corpus ops: splits, TF-IDF, packing
+# ---------------------------------------------------------------------------
+
+def test_assign_split_deterministic_and_partitioned(spark):
+    from eodatadown_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(500)], "doc_id long, text string")
+    a = {r["doc_id"]: r["split"] for r in C.assign_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in C.assign_split(df).collect()}
+    assert a == b  # pure function of id
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # adding rows never changes existing assignments (the split contract)
+    bigger = spark.createDataFrame([(i, f"text {i}") for i in range(800)], "doc_id long, text string")
+    c = {r["doc_id"]: r["split"] for r in C.assign_split(bigger).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_tfidf_topk_hand_check(spark):
+    from eodatadown_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date date date")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rank"]): r for r in C.tfidf_topk_keywords(df, k=2).collect()}
+    # doc 1: 'apple' tf=2 df=1 must outrank 'banana' tf=1 df=2
+    assert out[(1, 1)]["token"] == "apple" and out[(1, 2)]["token"] == "banana"
+    # doc 3: 'date' tf=3 df=1 top
+    assert out[(3, 1)]["token"] == "date"
+    score = out[(1, 1)]["score"]
+    assert abs(score - round(2 * (math.log(4 / 2) + 1.0), 4)) < 1e-9
+
+
+def test_pack_sequences_bins(spark):
+    from eodatadown_spark.operators import corpus as C
+
+    rows = [(i, "en", "tok " * 100) for i in range(6)]  # 100 tokens each
+    df = spark.createDataFrame(
+        [(i, lang, t.strip()) for i, lang, t in rows], "doc_id long, lang string, text string"
+    )
+    out = {r["doc_id"]: r for r in C.pack_sequences(df, max_tokens=250, group_col="lang").collect()}
+    # cumsum-before: 0,100,200,300,400,500 → bins 0,0,0,1,1,2
+    assert [out[i]["bin_id"] for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    assert all(out[i]["n_tokens"] == 100 for i in range(6))
+
+
+# ---------------------------------------------------------------------------
+# text ops: repetition ratio, PII redaction
+# ---------------------------------------------------------------------------
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words here are unique"), (3, "hi")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["rr"]
+        for r in df.select("doc_id", X.repetition_ratio(F.col("text")).alias("rr")).collect()
+    }
+    assert got[1] == 0.25  # 4 bigrams, 1 distinct
+    assert got[2] == 1.0
+    assert got[3] == 1.0  # sub-n doc: single whole-doc gram
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe@example.com or call 555-123-4567 now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in X.redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+    import hashlib
+
+    expected = "mail me at [EMAIL] or call [PHONE] now"
+    assert got[1]["redacted_fp"] == hashlib.md5(expected.encode()).hexdigest()
+    assert got[2]["redacted_fp"] == hashlib.md5(b"no pii here").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN + near-dup clustering
+# ---------------------------------------------------------------------------
+
+def test_ivf_topk_finds_near_identical(vectors):
+    qs = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivf_topk(vectors, qs, k=3, n_centroids=8, n_probe=3).collect()
+    # query 0 and its near-identical copy share the nearest centroid
+    assert out and out[0]["neighbor_id"] == 100 and out[0]["rank"] == 1
+
+
+def test_ivf_probe_fraction(vectors):
+    # with 1 probe of 8 cells, candidates must be a strict subset of corpus
+    qs = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cells = S.ivf_assign_cells(
+        vectors, vectors.where(F.col("vec_id") < 8), n_probe=1
+    )
+    per_cell = cells.groupBy("cell").count().collect()
+    assert len(per_cell) > 1  # corpus actually spreads across lists
+
+
+def test_neardup_clusters_transitive(spark):
+    # A~B and B~C but A~C weaker: component must still merge all three
+    base = " ".join(f"w{i}" for i in range(40))
+    mid = " ".join(f"w{i}" for i in range(8, 48))
+    far = " ".join(f"w{i}" for i in range(16, 56))
+    df = spark.createDataFrame(
+        [(1, base), (2, mid), (3, far), (9, "totally different text entirely")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.neardup_clusters(df, threshold=0.3).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[9]["cluster_id"] == 9 and out[9]["is_canonical"]
