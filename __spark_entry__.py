@@ -667,6 +667,26 @@ def q50_neardup_clusters(spark, sf):
     )
 
 
+def q51_date_bbox_count(spark, sf):
+    """F7+A3 through the named facade query: scene-shaped frame derived
+    deterministically from orders (coords from keys), counted with
+    query_scn_records_date_bbox_count (ref eodatadownlandsatgoogsensor.py:
+    2070-2103)."""
+    orders = _t(spark, sf, "orders")
+    scenes = orders.select(
+        F.col("o_orderkey").alias("pid"),
+        F.col("o_orderdate").alias("date_acquired"),
+        (F.pmod(F.col("o_orderkey"), F.lit(97)) == 0).alias("invalid"),
+        (F.pmod(F.col("o_custkey"), F.lit(360)) - 180).cast("double").alias("west_lon"),
+        (F.pmod(F.col("o_custkey"), F.lit(360)) - 178).cast("double").alias("east_lon"),
+        (F.pmod(F.col("o_orderkey"), F.lit(170)) - 85).cast("double").alias("south_lat"),
+        (F.pmod(F.col("o_orderkey"), F.lit(170)) - 83).cast("double").alias("north_lat"),
+    )
+    return Q.query_scn_records_date_bbox_count(
+        scenes, "1998-12-31", "1996-01-01", (-20.0, 20.0, -30.0, 30.0)
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -718,6 +738,7 @@ QUERIES: dict[str, Callable] = {
     "q48_sequence_packing": q48_sequence_packing,
     "q49_ivf_topk": q49_ivf_topk,
     "q50_neardup_clusters": q50_neardup_clusters,
+    "q51_date_bbox_count": q51_date_bbox_count,
 }
 
 
@@ -1360,5 +1381,23 @@ def oracle_sql() -> dict[str, str]:
                    sizes.n_members
             FROM comp JOIN sizes USING (cluster_id)
             WHERE sizes.n_members > 1
+        """,
+        # q51: the facade count — same derived scene frame, F1 inclusive
+        # date range + F8 valid flag + F7 strict bbox overlap, one count.
+        "q51_date_bbox_count": """
+            SELECT count(*) AS n_scenes FROM (
+                SELECT o_orderdate,
+                       o_orderkey % 97 = 0 AS invalid,
+                       CAST(o_custkey % 360 - 180 AS DOUBLE) AS west_lon,
+                       CAST(o_custkey % 360 - 178 AS DOUBLE) AS east_lon,
+                       CAST(o_orderkey % 170 - 85 AS DOUBLE) AS south_lat,
+                       CAST(o_orderkey % 170 - 83 AS DOUBLE) AS north_lat
+                FROM orders
+            )
+            WHERE o_orderdate <= TIMESTAMP '1998-12-31 00:00:00'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND NOT invalid
+              AND east_lon > -20.0 AND 20.0 > west_lon
+              AND north_lat > -30.0 AND 30.0 > south_lat
         """,
     }

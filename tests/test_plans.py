@@ -56,6 +56,40 @@ def test_text_ops_stay_in_codegen(entry_spark):
     assert audit.exchange_count(df) == 1  # single agg shuffle
 
 
+def test_q45_split_is_shuffle_free_until_agg(entry_spark):
+    # the split assignment itself is a narrow projection; the only exchange
+    # is the final 3-group aggregate
+    df = E.queries()["q45_hash_split"](entry_spark, SF)
+    assert audit.exchange_count(df) == 1
+    assert audit.codegen_stage_count(df) >= 1
+
+
+def test_q48_packing_single_window_exchange(entry_spark):
+    df = E.queries()["q48_sequence_packing"](entry_spark, SF)
+    # one exchange for the per-lang window, one for the bin aggregate; the
+    # window must NOT be a global single partition
+    assert audit.exchange_count(df) <= 2
+    assert "SinglePartition" not in audit.physical_plan(df, "simple")
+
+
+def test_q49_ivf_corpus_joins_are_broadcast_or_equi(entry_spark):
+    df = E.queries()["q49_ivf_topk"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    # centroid assignment: corpus × broadcast(8 centroids) BNLJ is the only
+    # nested-loop; candidate generation must be equi-joins (hash), never a
+    # corpus-sized cross join
+    assert joins.get("SortMergeJoin", 0) == 0
+    assert audit.codegen_stage_count(df) >= 1
+
+
+def test_q44_tfidf_corpus_count_broadcast(entry_spark):
+    df = E.queries()["q44_tfidf_keywords"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    # the 1-row corpus-size frame joins via broadcast NLJ; token df join is
+    # a hash join on token
+    assert joins.get("BroadcastNestedLoopJoin", 0) == 1
+
+
 def test_scnlist_queries_prune_columns(landsat_scenes, tmp_path, spark):
     """Stage-list reads over a real parquet catalog only scan the columns
     they filter/select on."""
