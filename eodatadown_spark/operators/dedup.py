@@ -85,43 +85,48 @@ def shingle_hash_table(
     while referencing a projected column reads it once.
     """
     toks = F.split(F.lower(_ws_trim(F.col(text_col))), "\\s+")
+    # TWO primitive long arrays, not one array<struct>: element_at on a
+    # primitive array is a specialized UnsafeArrayData read in codegen,
+    # while struct-field extraction pays per-element object overhead
     staged = documents.select(
         F.col(id_col).alias("id"),
         F.transform(
-            toks,
-            lambda t: F.struct(
-                F.pmod(F.xxhash64(t), F.lit(MINHASH_PRIME)).alias("h1"),
-                F.pmod(F.xxhash64(F.lit(1), t), F.lit(MINHASH_PRIME2)).alias("h2"),
-            ),
-        ).alias("__th"),
+            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MINHASH_PRIME))
+        ).alias("__th1"),
+        F.transform(
+            toks, lambda t: F.pmod(F.xxhash64(F.lit(1), t), F.lit(MINHASH_PRIME2))
+        ).alias("__th2"),
     )
-    th = F.col("__th")
-    n = F.size(th)
+    th1, th2 = F.col("__th1"), F.col("__th2")
+    n = F.size(th1)
 
     def roll(i):
-        acc1 = F.element_at(th, i + 1)["h1"]
-        acc2 = F.element_at(th, i + 1)["h2"]
+        acc1 = F.element_at(th1, i + 1)
+        acc2 = F.element_at(th2, i + 1)
         for j in range(1, k):
-            t = F.element_at(th, i + 1 + j)
-            acc1 = F.pmod(acc1 * F.lit(_SHINGLE_BASE) + t["h1"], F.lit(MINHASH_PRIME))
-            acc2 = F.pmod(acc2 * F.lit(_SHINGLE_BASE) + t["h2"], F.lit(MINHASH_PRIME2))
+            acc1 = F.pmod(
+                acc1 * F.lit(_SHINGLE_BASE) + F.element_at(th1, i + 1 + j),
+                F.lit(MINHASH_PRIME),
+            )
+            acc2 = F.pmod(
+                acc2 * F.lit(_SHINGLE_BASE) + F.element_at(th2, i + 1 + j),
+                F.lit(MINHASH_PRIME2),
+            )
         return acc1 * F.lit(1 << 31) + acc2
 
     full = F.transform(F.sequence(F.lit(0), n - k), roll)
     # short docs (< k tokens): single whole-doc hash, matching word_shingles'
     # single-shingle behavior
-    short = F.array(
-        F.aggregate(
+    def whole_doc_roll(th, prime):
+        return F.aggregate(
             th,
-            F.struct(
-                F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
-            ),
-            lambda acc, t: F.struct(
-                F.pmod(acc["h1"] * F.lit(_SHINGLE_BASE) + t["h1"], F.lit(MINHASH_PRIME)).alias("h1"),
-                F.pmod(acc["h2"] * F.lit(_SHINGLE_BASE) + t["h2"], F.lit(MINHASH_PRIME2)).alias("h2"),
-            ),
-            lambda acc: acc["h1"] * F.lit(1 << 31) + acc["h2"],
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(acc * F.lit(_SHINGLE_BASE) + t, F.lit(prime)),
         )
+
+    short = F.array(
+        whole_doc_roll(th1, MINHASH_PRIME) * F.lit(1 << 31)
+        + whole_doc_roll(th2, MINHASH_PRIME2)
     )
     return staged.select(
         "id",
