@@ -687,6 +687,34 @@ def q51_date_bbox_count(spark, sf):
     )
 
 
+def q52_frame_sample(spark, sf):
+    """Multimodal plumbing: video frame-sampling fan-out — media fabricated
+    deterministically from documents (n_frames = n_chars%120+1), every-10th
+    frame exploded, per-media tallies.  Pure Catalyst; oracle recomputes the
+    stride with range()."""
+    from eodatadown_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "video")
+        .otherwise("image")
+        .alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(F.length("text"), F.lit(120)) + 1).cast("int").alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_n=10)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"), F.max("frame_idx").alias("last_frame")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -739,6 +767,7 @@ QUERIES: dict[str, Callable] = {
     "q49_ivf_topk": q49_ivf_topk,
     "q50_neardup_clusters": q50_neardup_clusters,
     "q51_date_bbox_count": q51_date_bbox_count,
+    "q52_frame_sample": q52_frame_sample,
 }
 
 
@@ -1381,6 +1410,23 @@ def oracle_sql() -> dict[str, str]:
                    sizes.n_members
             FROM comp JOIN sizes USING (cluster_id)
             WHERE sizes.n_members > 1
+        """,
+        # q52: frame stride recomputed with range(0, n_frames, 10); n_frames
+        # >= 1 by construction so Spark's sequence(0, n-1, 10) and DuckDB's
+        # half-open range agree.
+        "q52_frame_sample": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       strlen(text) % 120 + 1 AS n_frames
+                FROM documents
+                WHERE doc_id < 100 AND doc_id % 3 = 0
+            ), f AS (
+                SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_idx
+                FROM v
+            )
+            SELECT media_id, count(*) AS n_sampled,
+                   CAST(max(frame_idx) AS INT) AS last_frame
+            FROM f GROUP BY media_id
         """,
         # q51: the facade count — same derived scene frame, F1 inclusive
         # date range + F8 valid flag + F7 strict bbox overlap, one count.

@@ -84,6 +84,67 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return df.mapInPandas(_run, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage for image rows: Arrow-batched mapInPandas emitting the
+    same MEDIA_SCHEMA shape with rewritten payload + meta.
+
+    The resample kernel is STUBBED (no PIL in this image) as a deterministic
+    byte transform — payload truncated/cycled to width*height bytes — so the
+    contract a real `Image.resize` drop-in must satisfy (payload size =
+    target dims, meta updated, non-image rows pass through untouched) is
+    executable and tested.  Payloads stream executor-side in record batches;
+    nothing passes through the driver.
+    """
+    out_schema = MEDIA_SCHEMA
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+
+        def _resize_row(row):
+            if row["kind"] != "image" or row["payload"] is None:
+                return row
+            p = bytes(row["payload"])
+            # STUB resample: cycle/truncate to the target byte count
+            row["payload"] = (p * (target // max(len(p), 1) + 1))[:target] if p else b"\x00" * target
+            meta = dict(row["meta"]) if row["meta"] is not None else {}
+            meta["width"], meta["height"] = width, height
+            row["meta"] = meta
+            return row
+
+        for pdf in batches:
+            yield pd.DataFrame([_resize_row(dict(r)) for _, r in pdf.iterrows()])
+
+    return media.mapInPandas(_run, schema=out_schema)
+
+
+def audio_windows(
+    media: DataFrame, window_ms: int = 1000, bytes_per_sample: int = 2
+) -> DataFrame:
+    """Windowing plan for audio rows: explode fixed-duration window indices
+    covering the payload (octet_length / (sample_rate·bytes_per_sample)
+    samples) — pure Catalyst arithmetic, the chunking stage an audio
+    feature-extraction pipeline fans out over before per-window decode.
+    """
+    n_samples = F.floor(
+        F.octet_length("payload") / F.lit(bytes_per_sample)
+    ).cast("long")
+    win = F.greatest(
+        (F.col("meta.sample_rate").cast("long") * window_ms / 1000).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_win = F.ceil(n_samples.cast("double") / win).cast("long")
+    return (
+        media.where(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.greatest(n_win - 1, F.lit(0).cast("long")))
+            ).alias("win_idx"),
+            win.alias("win_samples"),
+        )
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: explode frame indices 0..n_frames
     step `every_n` — pure Catalyst; the per-frame decode joins in later via

@@ -281,6 +281,31 @@ def test_run_plugins_success_and_error(spark, landsat_scenes, plugin_results_df)
     assert okr["success"] and json.loads(okr["extended_info"]) == {"n": 1}
 
 
+def test_multimodal_resize_and_audio_windows(spark):
+    from eodatadown_spark.operators.multimodal import MEDIA_SCHEMA, audio_windows, resize_media
+
+    rows = [
+        {"media_id": 1, "kind": "image", "payload": b"\x01\x02\x03",
+         "meta": {"width": 3, "height": 1, "sample_rate": None, "n_frames": None, "format": "fake"}},
+        {"media_id": 2, "kind": "audio", "payload": b"\x00" * 64000,
+         "meta": {"width": None, "height": None, "sample_rate": 16000, "n_frames": None, "format": "pcm16"}},
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    resized = {r["media_id"]: r for r in resize_media(media, 4, 2).collect()}
+    img = resized[1]
+    assert len(img["payload"]) == 8  # width*height bytes
+    assert img["meta"]["width"] == 4 and img["meta"]["height"] == 2
+    assert bytes(img["payload"])[:3] == b"\x01\x02\x03"  # stub cycles source bytes
+    aud = resized[2]
+    assert len(aud["payload"]) == 64000  # non-image rows pass through
+
+    # 64000 bytes @ 2 B/sample = 32000 samples; 1 s windows @16 kHz → 2 windows
+    wins = audio_windows(media, window_ms=1000).collect()
+    assert [r["win_idx"] for r in sorted(wins, key=lambda r: r["win_idx"])] == [0, 1]
+    assert all(r["win_samples"] == 16000 and r["media_id"] == 2 for r in wins)
+
+
 def test_multimodal_feature_extraction(spark):
     from eodatadown_spark.operators.multimodal import MEDIA_SCHEMA, extract_features, sample_frames
 
