@@ -1086,8 +1086,11 @@ def oracle_sql() -> dict[str, str]:
         # q24: the LSH banding is an accelerator, not a semantics change —
         # with the 62-bit verification hashes the returned (pair, jaccard)
         # set equals the exact string-level word-3-shingle Jaccard pairs at
-        # the threshold (recall at these far-above-threshold planted dups is
-        # 1 - (1-j^4)^8 ≈ 1-4e-10), so the oracle recomputes that directly.
+        # the threshold.  Equality relies on the corpus's similarity gap:
+        # miss odds per pair are (1-j^4)^8 — ~2e-4 at the weakest real pair
+        # (j=0.9) and negligible above, while no pairs sit near the 0.5
+        # threshold where banding recall would be the binding constraint.
+        # Both sides are deterministic on this fixed seed-42 corpus.
         "q24_minhash_neardup": """
             WITH sh AS (
                 SELECT doc_id AS id,
@@ -1259,9 +1262,11 @@ def oracle_sql() -> dict[str, str]:
                                ch -> CAST(ord(ch) AS BIGINT))),
                            (acc, c) -> (acc * 31 + c) % 2038074743) % 100
                            AS bucket,
-                       len(regexp_split_to_array(
-                           regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
-                           '\\s+')) AS n_tokens
+                       CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                            THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                '\\s+')) END AS n_tokens
                 FROM documents
             )
             SELECT CASE WHEN bucket < 90 THEN 'train'
@@ -1315,9 +1320,11 @@ def oracle_sql() -> dict[str, str]:
         "q48_sequence_packing": """
             WITH t AS (
                 SELECT doc_id, lang,
-                       CAST(len(regexp_split_to_array(
-                           regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
-                           '\\s+')) AS BIGINT) AS n_tokens
+                       CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                            THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                '\\s+')) END AS BIGINT) AS n_tokens
                 FROM documents
             ), p AS (
                 SELECT lang AS "group", n_tokens,

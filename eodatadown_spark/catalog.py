@@ -158,6 +158,10 @@ class ParquetCatalog:
                 f"merge_updates cannot change partition source {part_src!r}; "
                 "use write() for partition-moving rewrites"
             )
+        if "p_year" in updates.columns:
+            # a patched physical partition column would silently break the
+            # p_year == year(date_col) invariant partition pruning relies on
+            raise ValueError("merge_updates cannot patch the physical p_year column")
         old_path = self.data_path(table)
         cur = self.read(table)
         if "p_year" not in cur.columns or not _has_parquet_files(old_path):
@@ -179,6 +183,10 @@ class ParquetCatalog:
         table_dir = self._table_dir(table)
         version = self._next_version(table)
         out = os.path.join(table_dir, version)
+        # crash-idempotent: the pointer flips LAST, so a half-built version
+        # dir from an interrupted merge is dead weight — clear it rather than
+        # colliding with its hard links / duplicating its part files
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         # hard-link untouched partitions: same inodes, no data movement
         for entry in os.listdir(old_path):

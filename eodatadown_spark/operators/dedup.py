@@ -420,6 +420,7 @@ def neardup_clusters(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -437,8 +438,17 @@ def neardup_clusters(
         # labels only ever decrease → equal sum means a fixed point
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silent truncation would split one true component into several
+        # clusters and keep extra "canonicals" — fail loudly instead
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds; a "
+            "component's diameter exceeds max_iter — raise max_iter for "
+            "long-chain duplicate families"
+        )
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),

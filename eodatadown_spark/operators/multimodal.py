@@ -134,12 +134,17 @@ def audio_windows(
     )
     n_win = F.ceil(n_samples.cast("double") / win).cast("long")
     return (
-        media.where(F.col("kind") == "audio")
+        media.where(
+            (F.col("kind") == "audio")
+            # empty/NULL payload or NULL sample_rate has no decodable window:
+            # emit zero rows, never a phantom win_idx=0 over no data
+            & F.col("payload").isNotNull()
+            & (F.octet_length("payload") > 0)
+            & F.col("meta.sample_rate").isNotNull()
+        )
         .select(
             "media_id",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), F.greatest(n_win - 1, F.lit(0).cast("long")))
-            ).alias("win_idx"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias("win_idx"),
             win.alias("win_samples"),
         )
     )

@@ -46,6 +46,35 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def _score_pairs(cand: DataFrame) -> DataFrame:
+    """Shared pair-scoring tail: cosine from precomputed (__qv,__qn,__cv,__cn),
+    self-matches excluded, zero-norm rows dropped (ANSI-safe, never an error)."""
+    return (
+        cand.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.try_divide(
+                dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")
+            ),
+        )
+        .where(F.col("cos_sim").isNotNull())
+    )
+
+
+def _topk_tail(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: rank per query by (cos_sim desc, neighbor_id asc —
+    deterministic tie-break), keep rank <= k.  ONE place to change ranking
+    semantics for the whole similarity family."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,26 +98,7 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     ).withColumn("__cn", l2_norm(F.col("__cv")))
-    scored = (
-        c.crossJoin(q)
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            F.try_divide(
-                dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")
-            ),
-        )
-        # zero-norm rows have undefined cosine: drop, don't crash (ANSI-safe)
-        .where(F.col("cos_sim").isNotNull())
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
-    )
+    return _topk_tail(_score_pairs(c.crossJoin(q)), k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -140,25 +150,7 @@ def lsh_bucket_topk(
         .withColumn("bucket", hyperplane_bucket(F.col("__qv"), planes))
         .withColumn("__qn", l2_norm(F.col("__qv")))
     )
-    scored = (
-        c.join(q, "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            F.try_divide(
-                dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")
-            ),
-        )
-        .where(F.col("cos_sim").isNotNull())
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
-    )
+    return _topk_tail(_score_pairs(c.join(q, "bucket")), k)
 
 
 def ivf_assign_cells(
@@ -220,9 +212,9 @@ def ivf_topk(
     cross join against the corpus), same 100 TB shape as the LSH path.
     """
     centroids = corpus.where(F.col(id_col) < n_centroids)
-    lists_ = ivf_assign_cells(corpus, centroids, id_col, vec_col, n_probe=1).select(
-        F.col("id").alias("neighbor_id"), "cell"
-    )
+    lists_ = ivf_assign_cells(
+        corpus, centroids, id_col, vec_col, n_probe=1, centroid_id_col=id_col
+    ).select(F.col("id").alias("neighbor_id"), "cell")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     ).withColumn("__cn", l2_norm(F.col("__cv")))
@@ -237,27 +229,12 @@ def ivf_topk(
         .withColumn("__qn", l2_norm(F.col("__qv")))
         .join(probes, "query_id")
     )
-    scored = (
+    cand = (
         lists_.join(q, "cell")
         .join(c, "neighbor_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            F.try_divide(
-                dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")
-            ),
-        )
-        .where(F.col("cos_sim").isNotNull())
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
-    )
+    return _topk_tail(_score_pairs(cand), k)
 
 
 def embedding_neardup_pairs(

@@ -321,3 +321,53 @@ def test_multimodal_feature_extraction(spark):
     assert abs(feats[1]["feature"][0] - 0x10 / 255.0) < 1e-6
     frames = [r["frame_idx"] for r in sample_frames(media, every_n=10).collect()]
     assert frames == [0, 10, 20]
+
+
+def test_audio_windows_skip_empty_and_null(spark):
+    from eodatadown_spark.operators.multimodal import MEDIA_SCHEMA, audio_windows
+
+    rows = [
+        {"media_id": 1, "kind": "audio", "payload": b"",
+         "meta": {"width": None, "height": None, "sample_rate": 16000, "n_frames": None, "format": "pcm16"}},
+        {"media_id": 2, "kind": "audio", "payload": None,
+         "meta": {"width": None, "height": None, "sample_rate": 16000, "n_frames": None, "format": "pcm16"}},
+        {"media_id": 3, "kind": "audio", "payload": b"\x00" * 32000,
+         "meta": {"width": None, "height": None, "sample_rate": None, "n_frames": None, "format": "pcm16"}},
+        {"media_id": 4, "kind": "audio", "payload": b"\x00" * 32000,
+         "meta": {"width": None, "height": None, "sample_rate": 16000, "n_frames": None, "format": "pcm16"}},
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = audio_windows(media, window_ms=1000).collect()
+    # only media 4 has decodable windows; empty/NULL payload and NULL
+    # sample_rate yield zero rows, never a phantom window
+    assert {r["media_id"] for r in got} == {4}
+    assert [r["win_idx"] for r in got] == [0]
+
+
+def test_merge_updates_crash_retry_and_p_year_guard(spark, landsat_scenes, tmp_path):
+    import pytest
+
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(landsat_scenes, "landsat_scenes")
+    # simulate an interrupted merge: half-built next version dir with a
+    # hard link already present
+    v0 = cat.data_path("landsat_scenes")
+    part = next(d for d in os.listdir(v0) if d.startswith("p_year="))
+    stale = os.path.join(str(tmp_path), "landsat_scenes", "v_1", part)
+    os.makedirs(stale)
+    src_file = next(f for f in os.listdir(os.path.join(v0, part)))
+    os.link(os.path.join(v0, part, src_file), os.path.join(stale, src_file))
+
+    updates = spark.createDataFrame([(0, True)], "pid long, downloaded boolean")
+    cat.merge_updates("landsat_scenes", updates)  # must not FileExistsError
+    df = cat.read_clean("landsat_scenes")
+    assert df.count() == 7  # no duplicated rows from the stale partial dir
+    assert df.where(F.col("pid") == 0).first()["downloaded"] is True
+
+    with pytest.raises(ValueError, match="p_year"):
+        cat.merge_updates(
+            "landsat_scenes",
+            spark.createDataFrame([(0, 2030)], "pid long, p_year int"),
+        )

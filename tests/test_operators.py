@@ -305,3 +305,27 @@ def test_neardup_clusters_transitive(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
     assert out[1]["is_canonical"] and not out[2]["is_canonical"]
     assert out[9]["cluster_id"] == 9 and out[9]["is_canonical"]
+
+
+def test_ivf_topk_custom_id_col(vectors):
+    # regression: the corpus-list quantizer call must forward centroid_id_col
+    renamed = vectors.withColumnRenamed("vec_id", "doc_id")
+    qs = renamed.where(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("qid"), "embedding"
+    )
+    out = S.ivf_topk(
+        renamed, qs, k=3, n_centroids=8, n_probe=3,
+        id_col="doc_id", query_id_col="qid",
+    ).collect()
+    assert out and out[0]["neighbor_id"] == 100
+
+
+def test_neardup_clusters_raises_on_nonconvergence(spark):
+    # 4-doc chain needs >1 round; max_iter=1 must fail loudly, not silently
+    # split the component
+    import pytest
+
+    texts = [" ".join(f"w{j}" for j in range(i, i + 40)) for i in range(0, 32, 8)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_clusters(df, threshold=0.3, max_iter=1)
