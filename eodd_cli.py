@@ -188,13 +188,50 @@ def cmd_buildobsdates(args) -> None:
           f"bridge={cat.read_clean('obs_date_scns').count()}")
 
 
+def cmd_dataprep(args) -> None:
+    """Training-data pipeline, end to end: quality filter → exact dedup →
+    near-dup keep-canonical → deterministic split; writes the cleaned corpus
+    parquet and prints one JSON stats line.  Every stage is the engine's
+    scale-shaped operator — no collects, no per-row Python."""
+    from eodatadown_spark.operators import dedup as D
+    from eodatadown_spark.operators import text as X
+    from eodatadown_spark.operators.corpus import assign_split
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    docs = spark.read.parquet(args.infile)
+    n_in = docs.count()
+    kept = docs.where(X.quality_score(F.col("text")) >= args.min_quality)
+    n_quality = kept.count()
+    kept = D.exact_dedup(kept, ["text"])
+    n_exact = kept.count()
+    canon = D.neardup_clusters(kept, threshold=args.jaccard).where(
+        F.col("is_canonical")
+    )
+    kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    n_neardup = kept.count()
+    out = assign_split(kept)
+    out.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "input": n_in,
+                "after_quality": n_quality,
+                "after_exact_dedup": n_exact,
+                "after_neardup": n_neardup,
+                "out": args.out,
+            }
+        )
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eodd_cli")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add(name, fn, **kwargs):
         sp = sub.add_parser(name)
-        if name != "passencode":
+        if name not in ("passencode", "dataprep"):
             sp.add_argument("--catalog", required=True)
         for arg, opts in kwargs.items():
             sp.add_argument(arg, **opts)
@@ -217,6 +254,12 @@ def main(argv=None) -> int:
     add("pluginreport", cmd_pluginreport)
     add("reset", cmd_reset, **{"--pids": {"default": None, "help": "comma list; all if omitted"}})
     add("buildobsdates", cmd_buildobsdates)
+    add("dataprep", cmd_dataprep, **{
+        "--infile": {"required": True, "help": "documents parquet (doc_id, text, ...)"},
+        "--out": {"required": True},
+        "--min-quality": {"type": float, "default": 0.5, "dest": "min_quality"},
+        "--jaccard": {"type": float, "default": 0.7},
+    })
 
     args = p.parse_args(argv)
     args.fn(args)

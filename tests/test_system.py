@@ -102,3 +102,33 @@ def test_update_obs_date_overviews(spark, system):
     assert json.loads(done["overviews"]) == {"250": "/ov/250.png"}
     other = merged.where(F.col("obs_date") != first["obs_date"]).first()
     assert other["need_update"] is True and other["overviews"] is None
+
+
+def test_cli_dataprep_pipeline(spark, tmp_path, capsys):
+    """eodd_cli dataprep: quality filter → exact dedup → near-dup canonical →
+    split, end to end through the CLI entry point."""
+    import eodd_cli
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, base),                          # canonical
+        (2, base),                          # exact dup of 1
+        (3, base + "with a tiny tail edit"),  # near-dup of 1
+        (4, "another perfectly fine unique document about the weather today and it is long enough"),
+        (5, "!!! ??? ### $$$"),             # fails quality (punct, no stopwords)
+    ]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "docs_clean")
+
+    eodd_cli.main(["dataprep", "--infile", src, "--out", out,
+                   "--min-quality", "0.7", "--jaccard", "0.5"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input"] == 5
+    assert stats["after_quality"] == 4       # doc 5 dropped
+    assert stats["after_exact_dedup"] == 3   # doc 2 dropped
+    assert stats["after_neardup"] == 2       # doc 3 collapsed into doc 1
+
+    cleaned = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in cleaned.collect()) == [1, 4]
+    assert set(cleaned.columns) >= {"doc_id", "text", "split"}
