@@ -39,6 +39,35 @@ def stream_ingest(
     )
 
 
+def stream_dedup_fingerprint(
+    spark: SparkSession,
+    path: str,
+    schema,
+    ts_col: str,
+    text_col: str = "text",
+    lateness: str = "1 day",
+) -> DataFrame:
+    """Streaming exact-dedup for a document feed: md5 content fingerprint →
+    ``dropDuplicatesWithinWatermark`` on the fingerprint.
+
+    The training-data dedup pass as a live stream: the first arrival of each
+    content fingerprint survives; re-arrivals within the watermark horizon
+    are dropped, and fingerprint state ages out past `lateness` — bounded
+    state at any corpus rate, unlike a plain dropDuplicates whose key state
+    grows forever.
+    """
+    from eodatadown_spark.operators.text import fingerprint
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn("__fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, lateness)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def windowed_event_counts(
     events: DataFrame, ts_col: str = "ts", window: str = "1 hour", lateness: str = "1 day"
 ) -> DataFrame:

@@ -259,6 +259,31 @@ def test_stream_ingest_dedup(spark, tmp_path):
         q.stop()
 
 
+def test_stream_dedup_fingerprint(spark, tmp_path):
+    """Streaming content-dedup: same text re-arriving (even with a different
+    doc_id) is dropped; distinct content passes."""
+    from eodatadown_spark.streaming.incremental import stream_dedup_fingerprint
+
+    src = str(tmp_path / "doc_stream")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), "Hello, World!"),
+        (2, dt.datetime(2024, 1, 1, 0, 1), "hello world"),   # same fp as 1 (normalized)
+        (3, dt.datetime(2024, 1, 1, 0, 2), "something else"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string").write.parquet(src)
+    stream = stream_dedup_fingerprint(
+        spark, src, "doc_id long, ts timestamp, text string", "ts"
+    )
+    q = (stream.writeStream.format("memory").queryName("docs_deduped")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM docs_deduped").collect())
+        assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
+    finally:
+        q.stop()
+
+
 def test_run_plugins_success_and_error(spark, landsat_scenes, plugin_results_df):
     from eodatadown_spark.plugins import run_plugins
 

@@ -138,3 +138,56 @@ def test_minhash_signature_estimates_jaccard(spark, seed_val, overlap):
         x == y for x, y in zip(rows[0]["sig"], rows[1]["sig"])
     ) / 32
     assert abs(agree - true_j) <= 0.25
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_repetition_ratio_matches_python(spark, docs):
+    from eodatadown_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i long, t string")
+    got = {
+        r["i"]: r["rr"]
+        for r in df.select("i", repetition_ratio("t", n=2).alias("rr")).collect()
+    }
+    for i, t in enumerate(docs):
+        toks = t.lower().split()
+        if len(toks) >= 2:
+            grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        else:
+            grams = [" ".join(toks)]
+        want = round(len(set(grams)) / len(grams), 4)
+        assert got[i] == want
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_split_bucket_matches_python(spark, ids):
+    from eodatadown_spark.operators.corpus import split_bucket
+    from eodatadown_spark.operators.text import ROLLING_BASE, ROLLING_PRIME
+
+    df = spark.createDataFrame([(i,) for i in set(ids)], "doc_id long")
+    got = {r["doc_id"]: r["b"] for r in df.select("doc_id", split_bucket("doc_id").alias("b")).collect()}
+
+    def py_bucket(n):
+        h = 0
+        for ch in str(n):
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_PRIME
+        return h % 100
+
+    for n in set(ids):
+        assert got[n] == py_bucket(n)
+
+
+@given(st.lists(st.integers(0, 400), min_size=1, max_size=15), st.integers(16, 512))
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_python_cumsum(spark, token_counts, max_tokens):
+    from eodatadown_spark.operators.corpus import pack_sequences
+
+    rows = [(i, "g", " ".join("tok" for _ in range(n)) if n else "") for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["bin_id"] for r in pack_sequences(df, max_tokens=max_tokens).collect()}
+    cum = 0
+    for i, n in enumerate(token_counts):
+        assert got[i] == cum // max_tokens
+        cum += n
