@@ -324,11 +324,12 @@ def q24_minhash_neardup(spark, sf):
 
 
 def q25_simhash_neardup(spark, sf):
-    """Dedup/SimHash near-duplicate pairs (no value oracle — the sketch needs
-    xxhash64, absent in DuckDB; soundness is oracle-gated via q43 and recall
-    via the planted-dup pytest)."""
+    """Dedup/SimHash near-duplicate pairs — FULL value oracle: the md5-based
+    60-bit sketch is recomputed in DuckDB, and band_bits=6 gives 10 bands >
+    max_hamming=8, so by pigeonhole the banded output provably equals the
+    exact all-pairs hamming result the oracle computes."""
     docs = _t(spark, sf, "documents")
-    return D.simhash_neardup_pairs(docs, max_hamming=8)
+    return D.simhash_neardup_pairs(docs, max_hamming=8, band_bits=6)
 
 
 def q26_window_rollup(spark, sf):
@@ -801,13 +802,13 @@ def _hyperplane_bucket_sql(vec_expr: str, n_planes: int, dim: int, seed: int = 4
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins.
+    """DuckDB-runnable ANSI SQL twins — EVERY query has one.
 
-    q24/q28 (Jaccard dedup) are recomputed at the string level; q35/q36
-    reproduce the hyperplane-LSH buckets exactly by inlining the deterministic
-    plane literals (see _hyperplane_bucket_sql).  The only key still missing
-    is q25 (SimHash needs xxhash64, absent in DuckDB) — its soundness is
-    oracle-gated via q43 instead, recall via pytest planted-dup tests."""
+    q24/q28 (Jaccard dedup) are recomputed at the string level; q35/q36/q49
+    reproduce the hyperplane/IVF paths exactly by inlining deterministic
+    literals; q25's md5-based SimHash sketch is rebuilt bit-by-bit (banding
+    is provably lossless at band_bits=6, see simhash_neardup_pairs); q50's
+    connected components come from a recursive CTE."""
     b35 = _hyperplane_bucket_sql("embedding", n_planes=6, dim=64)
     return {
         "q01_pricing_summary": """
@@ -1082,6 +1083,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        # q25: the md5-derived 60-bit sketch rebuilt bit-by-bit; banding is
+        # provably lossless (10 bands > max_hamming=8), so exact all-pairs
+        # hamming IS the Spark output.
+        "q25_simhash_neardup": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(
+                           CASE WHEN len(toks) >= 2
+                                THEN list_transform(range(1, len(toks)),
+                                         i -> array_to_string(toks[i:i+1], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       )) AS g
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), h AS (
+                SELECT id,
+                       CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+                FROM sh
+            ), bits AS (
+                SELECT id, j,
+                       sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM h, range(60) t(j)
+                GROUP BY id, j
+            ), sk AS (
+                SELECT id,
+                       sum(CASE WHEN s >= 0
+                                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                ELSE 0 END) AS sim
+                FROM bits GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+            FROM sk a JOIN sk b ON a.id < b.id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 8
         """,
         # q24: the LSH banding is an accelerator, not a semantics change —
         # with the 62-bit verification hashes the returned (pair, jaccard)

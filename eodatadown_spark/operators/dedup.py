@@ -266,10 +266,15 @@ def simhash_sketches(
     id_col: str = "doc_id",
     text_col: str = "text",
     k_grams: int = 2,
-    n_bits: int = 63,  # bit 63 excluded: keeps the sketch non-negative
+    n_bits: int = 60,  # 15 md5 hex chars; sketch stays non-negative in a long
 ) -> DataFrame:
-    """63-bit SimHash per document: bit j is the sign of sum over grams of
+    """60-bit SimHash per document: bit j is the sign of sum over grams of
     (gram_hash bit j ? +1 : -1).
+
+    The gram hash is the first 15 hex chars of md5 (60 bits) rather than
+    xxhash64: md5 produces identical hex in every engine, so the FULL sketch
+    is recomputable in ANSI SQL and the q25 driver check is a value oracle,
+    not a rows-only count.
 
     Plan shape: explode grams → one hash column → groupBy(doc) with `n_bits`
     vectorized conditional sums → bit re-assembly.  One shuffle on the doc
@@ -280,7 +285,9 @@ def simhash_sketches(
     grams = documents.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, k_grams)).alias("g"),
-    ).withColumn("h", F.xxhash64("g"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    )
     sums = grams.groupBy("id").agg(
         *[
             F.sum(
@@ -304,17 +311,22 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    band_bits: int = 16,
+    band_bits: int = 15,
+    n_bits: int = 60,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share one of the `64/band_bits` bands of
-    the 64-bit sketch; verified by exact Hamming distance ≤ max_hamming.
+    """SimHash near-dup: candidates share one of the `n_bits/band_bits` bands
+    of the sketch; verified by exact Hamming distance ≤ max_hamming.
 
-    Recall guarantee (pigeonhole): every pair with hamming < 64/band_bits
-    shares at least one clean band.  Choose band_bits ≤ 64//(max_hamming+1)
-    for guaranteed recall; wider bands trade recall for fewer candidates.
+    Recall guarantee (pigeonhole): a pair at hamming h has dirty bits in at
+    most h bands, so with n_bits/band_bits > max_hamming every qualifying
+    pair shares a clean band — banding becomes a pure accelerator and the
+    output EQUALS the exact all-pairs result (what q25's value oracle
+    asserts, using band_bits=6 → 10 bands > 8).  Wider bands trade that
+    guarantee for fewer candidates.
     """
-    n_tables = 64 // band_bits
-    sk = simhash_sketches(documents, id_col, text_col)
+    assert n_bits % band_bits == 0, "band_bits must divide n_bits"
+    n_tables = n_bits // band_bits
+    sk = simhash_sketches(documents, id_col, text_col, n_bits=n_bits)
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[

@@ -75,7 +75,7 @@ def test_ngram_jaccard_exact_pairs(docs):
 def test_simhash_finds_planted_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in D.simhash_neardup_pairs(docs, max_hamming=6, band_bits=8).collect()
+        for r in D.simhash_neardup_pairs(docs, max_hamming=8, band_bits=6).collect()
     }
     assert {(0, 100), (1, 101), (2, 102), (5, 200)} <= pairs
 
