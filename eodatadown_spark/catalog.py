@@ -62,11 +62,25 @@ class ParquetCatalog:
     writes is still undefined (raise N for long-lived readers).
     """
 
-    def __init__(self, spark: SparkSession, root: str, retain_versions: int = 2):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        retain_versions: int = 2,
+        partition_monthly: bool = False,
+    ):
         self.spark = spark
         self.root = root
         self.retain_versions = max(1, retain_versions)
+        # second partition level for very large catalogs: p_year/p_month.
+        # Month-granular pruning AND month-granular selective merges — the
+        # 100 TB knob; all code paths below are depth-generic.
+        self.partition_monthly = partition_monthly
         os.makedirs(root, exist_ok=True)
+
+    @property
+    def _part_cols(self) -> list[str]:
+        return ["p_year", "p_month"] if self.partition_monthly else ["p_year"]
 
     # -- paths ------------------------------------------------------------
     def _table_dir(self, table: str) -> str:
@@ -133,7 +147,9 @@ class ParquetCatalog:
         part_src = PARTITION_SOURCE.get(table)
         if partition and part_src is not None and part_src in df.columns:
             df = df.withColumn("p_year", F.year(F.col(part_src)))
-            writer = df.write.mode("overwrite").partitionBy("p_year")
+            if self.partition_monthly:
+                df = df.withColumn("p_month", F.month(F.col(part_src)))
+            writer = df.write.mode("overwrite").partitionBy(*self._part_cols)
         writer.parquet(out)
         self._flip_and_gc(table, version)
 
@@ -158,27 +174,30 @@ class ParquetCatalog:
                 f"merge_updates cannot change partition source {part_src!r}; "
                 "use write() for partition-moving rewrites"
             )
-        if "p_year" in updates.columns:
+        if any(c in updates.columns for c in ("p_year", "p_month")):
             # a patched physical partition column would silently break the
-            # p_year == year(date_col) invariant partition pruning relies on
-            raise ValueError("merge_updates cannot patch the physical p_year column")
+            # p_year/p_month == year/month(date_col) invariant pruning relies on
+            raise ValueError("merge_updates cannot patch physical partition columns")
         old_path = self.data_path(table)
         cur = self.read(table)
-        if "p_year" not in cur.columns or not _has_parquet_files(old_path):
+        part_cols = [c for c in self._part_cols if c in cur.columns]
+        if not part_cols or not _has_parquet_files(old_path):
             self.write(apply_updates(self.read_clean(table), updates, key), table)
             return
 
-        def dirname(v) -> str:
-            return f"p_year={v}" if v is not None else "p_year=__HIVE_DEFAULT_PARTITION__"
+        def rel_dir(row) -> str:
+            return "/".join(
+                f"{c}={row[c]}" if row[c] is not None else f"{c}=__HIVE_DEFAULT_PARTITION__"
+                for c in part_cols
+            )
 
-        changed_years = [
-            r["p_year"]
-            for r in cur.join(updates.select(key).distinct(), key, "left_semi")
-            .select("p_year")
+        changed = (
+            cur.join(updates.select(key).distinct(), key, "left_semi")
+            .select(*part_cols)
             .distinct()
             .collect()
-        ]
-        changed_dirs = {dirname(v) for v in changed_years}
+        )
+        changed_rel = {rel_dir(r) for r in changed}
 
         table_dir = self._table_dir(table)
         version = self._next_version(table)
@@ -188,30 +207,37 @@ class ParquetCatalog:
         # colliding with its hard links / duplicating its part files
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        # hard-link untouched partitions: same inodes, no data movement
-        for entry in os.listdir(old_path):
-            src = os.path.join(old_path, entry)
-            if not (entry.startswith("p_year=") and os.path.isdir(src)):
+        # hard-link untouched LEAF partition dirs (depth-generic: yearly or
+        # year/month layouts): same inodes, no data movement
+        for dirpath, _dirs, files in os.walk(old_path):
+            relp = os.path.relpath(dirpath, old_path)
+            if relp == "." or not relp.startswith("p_"):
                 continue
-            if entry in changed_dirs:
+            if not any(f.endswith(".parquet") for f in files):
+                continue  # intermediate level
+            if relp.replace(os.sep, "/") in changed_rel:
                 continue
-            dst = os.path.join(out, entry)
+            dst = os.path.join(out, relp)
             os.makedirs(dst, exist_ok=True)
-            for fname in os.listdir(src):
-                os.link(os.path.join(src, fname), os.path.join(dst, fname))
-        if changed_years:
-            non_null = [v for v in changed_years if v is not None]
-            cond = F.col("p_year").isin(non_null) if non_null else F.lit(False)
-            if any(v is None for v in changed_years):
-                cond = cond | F.col("p_year").isNull()
+            for fname in files:
+                os.link(os.path.join(dirpath, fname), os.path.join(dst, fname))
+        if changed:
+            cond = F.lit(False)
+            for r in changed:
+                match = F.lit(True)
+                for c in part_cols:
+                    match = match & (
+                        F.col(c).isNull() if r[c] is None else (F.col(c) == F.lit(r[c]))
+                    )
+                cond = cond | match
             merged = apply_updates(cur.where(cond), updates, key)
-            merged.write.mode("append").partitionBy("p_year").parquet(out)
+            merged.write.mode("append").partitionBy(*part_cols).parquet(out)
         self._flip_and_gc(table, version)
 
     def read_clean(self, table: str) -> DataFrame:
-        """Read without the physical partition column."""
+        """Read without the physical partition column(s)."""
         df = self.read(table)
-        return df.drop("p_year") if "p_year" in df.columns else df
+        return df.drop(*[c for c in ("p_year", "p_month") if c in df.columns])
 
     # -- bucketed tables (scale path: shuffle-free co-located joins) -------
     def write_bucketed(

@@ -103,6 +103,37 @@ def test_merge_updates_rewrites_only_changed_partitions(spark, landsat_scenes, t
         )
 
 
+def test_monthly_partitioning_and_month_selective_merge(spark, landsat_scenes, tmp_path):
+    """partition_monthly: p_year/p_month layout, month-granular pruning and
+    month-granular selective merges (untouched month dirs keep their inodes)."""
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path), partition_monthly=True)
+    cat.write(landsat_scenes, "landsat_scenes")
+    root = cat.data_path("landsat_scenes")
+    # fixture dates are all 2019 across months 1,2,3,4,6
+    months = sorted(os.listdir(os.path.join(root, "p_year=2019")))
+    assert len(months) >= 3 and all(m.startswith("p_month=") for m in months)
+
+    # pid 0 is 2019-01; update it and prove an untouched month keeps inodes
+    other_month = os.path.join(root, "p_year=2019", "p_month=6")
+    inodes_before = {f: os.stat(os.path.join(other_month, f)).st_ino
+                     for f in os.listdir(other_month)}
+    cat.merge_updates(
+        "landsat_scenes",
+        spark.createDataFrame([(0, True)], "pid long, downloaded boolean"),
+    )
+    v1 = cat.data_path("landsat_scenes")
+    after_month = os.path.join(v1, "p_year=2019", "p_month=6")
+    inodes_after = {f: os.stat(os.path.join(after_month, f)).st_ino
+                    for f in os.listdir(after_month)}
+    assert inodes_after == inodes_before
+    df = cat.read_clean("landsat_scenes")
+    assert df.count() == 7
+    assert df.where(F.col("pid") == 0).first()["downloaded"] is True
+    assert "p_month" not in df.columns  # read_clean strips both levels
+
+
 def test_catalog_json_export_large_table_distributed(spark, landsat_scenes, tmp_path, monkeypatch):
     """Above max_driver_rows the export must stream via df.write.json (gzip
     JSONL parts), never a driver collect — and import must round-trip it."""
@@ -391,7 +422,7 @@ def test_merge_updates_crash_retry_and_p_year_guard(spark, landsat_scenes, tmp_p
     assert df.count() == 7  # no duplicated rows from the stale partial dir
     assert df.where(F.col("pid") == 0).first()["downloaded"] is True
 
-    with pytest.raises(ValueError, match="p_year"):
+    with pytest.raises(ValueError, match="partition columns"):
         cat.merge_updates(
             "landsat_scenes",
             spark.createDataFrame([(0, 2030)], "pid long, p_year int"),
