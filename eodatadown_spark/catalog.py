@@ -180,7 +180,12 @@ class ParquetCatalog:
             raise ValueError("merge_updates cannot patch physical partition columns")
         old_path = self.data_path(table)
         cur = self.read(table)
-        part_cols = [c for c in self._part_cols if c in cur.columns]
+        # partition depth follows the ON-DISK layout, not the constructor
+        # flag: a monthly table opened by a yearly-configured process must
+        # still merge at month depth (a flag-based depth would hard-link
+        # whole changed years as "untouched" and append a conflicting
+        # yearly layout — unreadable table)
+        part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
         if not part_cols or not _has_parquet_files(old_path):
             self.write(apply_updates(self.read_clean(table), updates, key), table)
             return

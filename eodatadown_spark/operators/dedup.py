@@ -6,8 +6,9 @@ Scale design: every variant avoids the O(n²) all-pairs comparison.
 - minhash: shingle→signature entirely in Catalyst expressions (no Python),
   banding → explode(band) → self-join on (band_idx, band_hash) so only
   bucket-colliding pairs are compared;
-- simhash: 64-bit sketch via per-bit majority over token hashes, candidate
-  pairs from identical high-order bands;
+- simhash: 60-bit sketch (md5-derived by default for cross-engine
+  reproducibility; xxhash64 selectable for raw speed) via per-bit majority
+  over gram hashes, candidate pairs from identical bands;
 - verification joins carry only (id, shingle-set) — narrow shuffles.
 
 The MinHash family uses xxhash64 + independent affine permutations mod a
@@ -267,14 +268,18 @@ def simhash_sketches(
     text_col: str = "text",
     k_grams: int = 2,
     n_bits: int = 60,  # 15 md5 hex chars; sketch stays non-negative in a long
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """60-bit SimHash per document: bit j is the sign of sum over grams of
     (gram_hash bit j ? +1 : -1).
 
-    The gram hash is the first 15 hex chars of md5 (60 bits) rather than
-    xxhash64: md5 produces identical hex in every engine, so the FULL sketch
-    is recomputable in ANSI SQL and the q25 driver check is a value oracle,
-    not a rows-only count.
+    ``gram_hash="md5"`` (default) takes the first 15 hex chars of md5: md5
+    produces identical hex in every engine, so the FULL sketch is
+    recomputable in ANSI SQL and the q25 driver check is a value oracle, not
+    a rows-only count — and any downstream consumer can re-verify sketches
+    outside Spark.  ``gram_hash="xxhash64"`` swaps in the non-cryptographic
+    hash for raw per-gram speed when cross-engine reproducibility isn't
+    needed (same sketch semantics, different bit values).
 
     Plan shape: explode grams → one hash column → groupBy(doc) with `n_bits`
     vectorized conditional sums → bit re-assembly.  One shuffle on the doc
@@ -282,12 +287,17 @@ def simhash_sketches(
     all-in-one array-expression variant blows up the expression tree).
     Returns (id, sim).
     """
+    if gram_hash == "md5":
+        h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    elif gram_hash == "xxhash64":
+        # mask to n_bits so the sketch stays non-negative in a signed long
+        h = F.shiftrightunsigned(F.xxhash64("g"), 64 - n_bits)
+    else:
+        raise ValueError(f"unknown gram_hash {gram_hash!r}")
     grams = documents.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, k_grams)).alias("g"),
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
-    )
+    ).withColumn("h", h)
     sums = grams.groupBy("id").agg(
         *[
             F.sum(
@@ -313,6 +323,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     band_bits: int = 15,
     n_bits: int = 60,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup: candidates share one of the `n_bits/band_bits` bands
     of the sketch; verified by exact Hamming distance ≤ max_hamming.
@@ -324,9 +335,12 @@ def simhash_neardup_pairs(
     asserts, using band_bits=6 → 10 bands > 8).  Wider bands trade that
     guarantee for fewer candidates.
     """
-    assert n_bits % band_bits == 0, "band_bits must divide n_bits"
+    if n_bits % band_bits != 0:
+        # an assert would be stripped under -O and silently leave the top
+        # bits unbanded (lost recall); fail loudly instead
+        raise ValueError(f"band_bits={band_bits} must divide n_bits={n_bits}")
     n_tables = n_bits // band_bits
-    sk = simhash_sketches(documents, id_col, text_col, n_bits=n_bits)
+    sk = simhash_sketches(documents, id_col, text_col, n_bits=n_bits, gram_hash=gram_hash)
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[

@@ -201,14 +201,21 @@ def cmd_dataprep(args) -> None:
     spark = get_spark("eodd_cli")
     docs = spark.read.parquet(args.infile)
     n_in = docs.count()
-    kept = docs.where(X.quality_score(F.col("text")) >= args.min_quality)
+    # each stage is checkpointed so the per-stage counts and the final write
+    # never re-run the upstream scan/filter/shuffle chain
+    kept = docs.where(
+        X.quality_score(F.col("text")) >= args.min_quality
+    ).localCheckpoint()
     n_quality = kept.count()
-    kept = D.exact_dedup(kept, ["text"])
+    kept = D.exact_dedup(kept, ["text"]).localCheckpoint()
     n_exact = kept.count()
-    canon = D.neardup_clusters(kept, threshold=args.jaccard).where(
-        F.col("is_canonical")
-    )
-    kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # MinHash-LSH pair generation (bounded candidates), not the exact
+    # inverted-index path — this is the corpus-scale configuration
+    pairs = D.minhash_neardup_pairs(
+        kept, jaccard_threshold=args.jaccard
+    ).select("id_a", "id_b")
+    canon = D.neardup_clusters(kept, pairs=pairs).where(F.col("is_canonical"))
+    kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
     n_neardup = kept.count()
     out = assign_split(kept)
     out.write.mode("overwrite").parquet(args.out)

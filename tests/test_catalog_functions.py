@@ -134,6 +134,32 @@ def test_monthly_partitioning_and_month_selective_merge(spark, landsat_scenes, t
     assert "p_month" not in df.columns  # read_clean strips both levels
 
 
+def test_merge_follows_on_disk_partition_depth(spark, landsat_scenes, tmp_path):
+    """Regression: a monthly-partitioned catalog opened by a process with the
+    default (yearly) flag must still merge at month depth — a flag-based
+    depth hard-links changed-year months as 'untouched' and appends a
+    conflicting yearly layout, leaving the table unreadable."""
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    ParquetCatalog(spark, str(tmp_path), partition_monthly=True).write(
+        landsat_scenes, "landsat_scenes"
+    )
+    cat = ParquetCatalog(spark, str(tmp_path))  # default yearly flag
+    cat.merge_updates(
+        "landsat_scenes",
+        spark.createDataFrame([(0, True)], "pid long, downloaded boolean"),
+    )
+    df = cat.read_clean("landsat_scenes")  # must stay readable
+    assert df.count() == 7
+    assert df.where(F.col("pid") == 0).first()["downloaded"] is True
+    # layout still two-level in the new version
+    v1 = cat.data_path("landsat_scenes")
+    assert any(
+        d.startswith("p_month=")
+        for d in os.listdir(os.path.join(v1, "p_year=2019"))
+    )
+
+
 def test_catalog_json_export_large_table_distributed(spark, landsat_scenes, tmp_path, monkeypatch):
     """Above max_driver_rows the export must stream via df.write.json (gzip
     JSONL parts), never a driver collect — and import must round-trip it."""

@@ -113,7 +113,8 @@ def test_cli_dataprep_pipeline(spark, tmp_path, capsys):
     rows = [
         (1, base),                          # canonical
         (2, base),                          # exact dup of 1
-        (3, base + "with a tiny tail edit"),  # near-dup of 1
+        (3, base + "edited"),               # near-dup of 1 (J≈0.92 — inside
+                                            # the LSH bands' reliable zone)
         (4, "another perfectly fine unique document about the weather today and it is long enough"),
         (5, "!!! ??? ### $$$"),             # fails quality (punct, no stopwords)
     ]
