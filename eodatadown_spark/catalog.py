@@ -239,6 +239,20 @@ class ParquetCatalog:
             merged.write.mode("append").partitionBy(*part_cols).parquet(out)
         self._flip_and_gc(table, version)
 
+    def compact(self, table: str, target_rows_per_file: int = 1_000_000) -> None:
+        """Rewrite `table` with right-sized files — the maintenance pass for
+        catalogs that accumulated small part files from repeated selective
+        merges (each merge_updates append adds files to changed partitions).
+
+        One full versioned write sized by row count per output file; at
+        100 TB run it per-partition on a schedule, exactly like table-format
+        OPTIMIZE jobs.  Safe under the same pointer-flip atomicity as write().
+        """
+        df = self.read_clean(table)
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        self.write(df.repartition(n_files), table)
+
     def read_clean(self, table: str) -> DataFrame:
         """Read without the physical partition column(s)."""
         df = self.read(table)

@@ -134,6 +134,30 @@ def test_monthly_partitioning_and_month_selective_merge(spark, landsat_scenes, t
     assert "p_month" not in df.columns  # read_clean strips both levels
 
 
+def test_catalog_compact_reduces_files(spark, landsat_scenes, tmp_path):
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    # 8 shuffle partitions → up to 8 small part files inside the year dir
+    cat.write(landsat_scenes.repartition(8), "landsat_scenes")
+
+    def parquet_files(path):
+        return [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = len(parquet_files(cat.data_path("landsat_scenes")))
+    assert before > 1
+    cat.compact("landsat_scenes")
+    after = len(parquet_files(cat.data_path("landsat_scenes")))
+    assert after < before
+    df = cat.read_clean("landsat_scenes")
+    assert df.count() == 7  # contents survive the rewrite
+
+
 def test_merge_follows_on_disk_partition_depth(spark, landsat_scenes, tmp_path):
     """Regression: a monthly-partitioned catalog opened by a process with the
     default (yearly) flag must still merge at month depth — a flag-based
