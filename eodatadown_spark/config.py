@@ -52,6 +52,8 @@ class SystemConfig:
     sensors: list[str] = field(default_factory=list)
     roi: dict | None = None
     plugins: list[str] = field(default_factory=list)
+    # very-large-catalog knob: p_year/p_month two-level partitioning
+    partition_monthly: bool = False
 
 
 class SystemMain:
@@ -75,8 +77,13 @@ class SystemMain:
             sensors=list(raw.get("sensors", [])),
             roi=raw.get("roi"),
             plugins=list(raw.get("plugins", [])),
+            partition_monthly=bool(raw.get("partition_monthly", False)),
         )
-        self.catalog = ParquetCatalog(self.spark, self.config.catalog_path)
+        self.catalog = ParquetCatalog(
+            self.spark,
+            self.config.catalog_path,
+            partition_monthly=self.config.partition_monthly,
+        )
         return self
 
     def get_sensor_objs(self) -> list[SensorBase]:
