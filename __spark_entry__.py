@@ -716,6 +716,16 @@ def q52_frame_sample(spark, sf):
     )
 
 
+def q53_contamination(spark, sf):
+    """Dedup/decontamination: corpus docs sharing any word 5-gram with a
+    benchmark set (docs 0-24 standing in for an eval set) — the GPT-3-style
+    n-gram collision rule, counted per (corpus, bench) pair."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") >= 25)
+    bench = docs.where(F.col("doc_id") < 25)
+    return D.contamination_pairs(corpus, bench, k=5)
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -769,6 +779,7 @@ QUERIES: dict[str, Callable] = {
     "q50_neardup_clusters": q50_neardup_clusters,
     "q51_date_bbox_count": q51_date_bbox_count,
     "q52_frame_sample": q52_frame_sample,
+    "q53_contamination": q53_contamination,
 }
 
 
@@ -1476,6 +1487,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, count(*) AS n_sampled,
                    CAST(max(frame_idx) AS INT) AS last_frame
             FROM f GROUP BY media_id
+        """,
+        # q53: 5-gram contamination — same shingle CTE shape as q24/q28 with
+        # k=5 slices, split into corpus (>=25) and benchmark (<25) sides.
+        "q53_contamination": """
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(toks) >= 5
+                                THEN list_transform(range(1, len(toks) - 3),
+                                         i -> array_to_string(toks[i:i+4], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       )) AS sh
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            )
+            SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+                   CAST(count(DISTINCT c.sh) AS BIGINT) AS n_shared
+            FROM sh c JOIN sh b ON c.sh = b.sh
+            WHERE c.doc_id >= 25 AND b.doc_id < 25
+            GROUP BY 1, 2
         """,
         # q51: the facade count — same derived scene frame, F1 inclusive
         # date range + F8 valid flag + F7 strict bbox overlap, one count.

@@ -405,6 +405,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing at least one word
+    k-gram with a benchmark/eval doc → (corpus_id, bench_id, n_shared).
+
+    The GPT-3-style 13-gram collision rule: training corpora are scrubbed of
+    documents that overlap evaluation sets, else benchmark scores measure
+    memorization.  Scale shape: explode k-grams on BOTH sides and equi-join
+    on the gram — the benchmark side is tiny relative to the corpus, so the
+    join broadcasts it and the corpus side never shuffles; n_shared counts
+    distinct colliding grams per (corpus, bench) pair.
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(text_col, k)).alias("sh"),
+    )
+    b_sh = F.broadcast(
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(word_shingles(bench_text_col, k)).alias("sh"),
+        )
+    )
+    return (
+        c_sh.join(b_sh, "sh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus docs contaminated by the benchmark (≥ min_shared common
+    k-grams) — anti-join on the contaminated id set."""
+    bad = (
+        contamination_pairs(corpus, benchmark, k, id_col, text_col)
+        .where(F.col("n_shared") >= min_shared)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def neardup_clusters(
     documents: DataFrame,
     pairs: DataFrame | None = None,

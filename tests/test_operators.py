@@ -329,3 +329,22 @@ def test_neardup_clusters_raises_on_nonconvergence(spark):
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.neardup_clusters(df, threshold=0.3, max_iter=1)
+
+
+def test_contamination_and_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "totally unrelated words describing other things entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "prefix alpha beta gamma delta epsilon suffix words")],
+        "doc_id long, text string",
+    )
+    hits = D.contamination_pairs(corpus, bench, k=5).collect()
+    # corpus 10 shares the 5-gram "alpha beta gamma delta epsilon"
+    assert [(r["corpus_id"], r["bench_id"], r["n_shared"]) for r in hits] == [(10, 1, 1)]
+    clean = D.decontaminate(corpus, bench, k=5)
+    assert [r["doc_id"] for r in clean.collect()] == [11]
