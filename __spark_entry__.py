@@ -363,16 +363,13 @@ def q28_ngram_jaccard(spark, sf):
 
 def q29_sessionize(spark, sf):
     """Sessionization (T4-analog): gap > 30 min starts a new session;
-    lag + conditional cumsum windows."""
+    engine operator streaming.incremental.sessionize (lag + conditional
+    cumsum windows, NTZ-safe timestamp normalization)."""
+    from eodatadown_spark.streaming.incremental import sessionize
+
     ev = _t(spark, sf, "events")
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # µs-exact epoch seconds (unix_timestamp floors to whole seconds, which
-    # would diverge from the oracle at gap==threshold boundaries)
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w_user)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_id",
-        F.sum(new_sess).over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    sess = sessionize(
+        ev, ["user_id"], ts_col="ts", gap_seconds=1800.0, order_cols=["event_id"]
     )
     return (
         sess.groupBy("user_id", "session_id")

@@ -14,7 +14,7 @@ def _regex_literal(s: str) -> str:
 
 
 def _replacement_literal(s: str) -> str:
-    """Escape `\` and `$` so a replacement string is taken literally."""
+    r"""Escape `\` and `$` so a replacement string is taken literally."""
     return s.replace("\\", "\\\\").replace("$", "\\$")
 
 

@@ -13,10 +13,14 @@ from pyspark.sql import SparkSession
 
 # Configs that are safe to set on an already-running session (runtime confs).
 RUNTIME_CONFS: dict[str, str] = {
-    # the driver's `events` table is written with ns timestamps which Spark
-    # refuses by default; read them as LongType ns-since-epoch instead
-    # (converted by sources.testdata.load_table).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE on the driver's nanos-parquet `events.ts`: on PySpark 4.1.x it
+    # always reads as TIMESTAMP_NTZ (truncated to µs); the old
+    # spark.sql.legacy.parquet.nanosAsLong escape hatch is inert on this
+    # build (verified empirically — static or runtime, ts arrives NTZ), so
+    # TIMESTAMP_NTZ is the engine's canonical type for that column.
+    # Consumers that need epoch seconds must go NTZ→LTZ first:
+    # cast("timestamp").cast("double") (see streaming.incremental.sessionize).
+    #
     # oracle comparison runs against DuckDB whose timestamps are UTC-naive.
     "spark.sql.session.timeZone": "UTC",
     # runtime re-planning: partition coalescing and skew-join splitting.

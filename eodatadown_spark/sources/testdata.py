@@ -3,11 +3,13 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet each (TESTDATA.md).
 
-The only normalization applied is on ``events.ts``: the file stores
-TIMESTAMP(NANOS) which Spark's parquet reader rejects; with
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as ns-since-epoch
-LongType and is converted here to a microsecond TimestampType (floor
-division — matches DuckDB's ns→µs cast truncation).
+``events.ts`` is stored as parquet TIMESTAMP(NANOS); on PySpark 4.1.x it
+reads as TIMESTAMP_NTZ truncated to µs (matching DuckDB's ns→µs cast
+truncation), so no normalization is needed.  TIMESTAMP_NTZ is the canonical
+type for that column — note a direct ``cast("double")`` on NTZ is illegal;
+go ``cast("timestamp").cast("double")`` (value-identical under the engine's
+UTC session timezone).  tests/test_sources_sinks.py carries a canary test so
+a Spark-version bump that changes this fails in pytest, not in the driver.
 """
 
 from __future__ import annotations
@@ -15,7 +17,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from eodatadown_spark.session import apply_runtime_confs
 
@@ -41,10 +42,7 @@ def sf_dir_from_env() -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

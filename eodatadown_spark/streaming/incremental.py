@@ -83,6 +83,43 @@ def windowed_event_counts(
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization (T4 analog): a gap of more than
+    ``gap_seconds`` between consecutive events of the same key starts a new
+    session.  Adds a dense per-key ``session_id`` column (1-based).
+
+    Classic lag + conditional-cumsum over a per-key window; one shuffle on
+    the key, scales with the number of distinct keys (per-user event streams
+    stay inside one partition's window frame).
+
+    Timestamp handling: ``cast("timestamp")`` first — a no-op for
+    TIMESTAMP_LTZ and the legal NTZ→LTZ conversion for TIMESTAMP_NTZ (the
+    driver's nanos-parquet `events.ts` arrives as TIMESTAMP_NTZ on Spark 4.x,
+    where a direct ``cast("double")`` is an AnalysisException).  Under the
+    engine's UTC session timezone the conversion is value-identical, and gap
+    *differences* are timezone-invariant regardless.  The double epoch is
+    µs-exact (unix_timestamp would floor to whole seconds and diverge at
+    gap==threshold boundaries).
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or []
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def session_blocks(usage_log: DataFrame) -> DataFrame:
     """T4: reconstruct start/end blocks from the append-only usage log —
     running count of start_block markers forms the session id (window

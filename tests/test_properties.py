@@ -191,3 +191,40 @@ def test_pack_sequences_matches_python_cumsum(spark, token_counts, max_tokens):
     for i, n in enumerate(token_counts):
         assert got[i] == cum // max_tokens
         cum += n
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200), st.integers(0, 999999)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(60, 3600),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python(spark, events, gap_s):
+    """Session counts per key match a plain-Python gap scan for arbitrary
+    (key, offset-seconds, offset-µs) event sets and thresholds."""
+    from eodatadown_spark.streaming.incremental import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, k, t0 + dt.timedelta(seconds=s, microseconds=us))
+        for i, (k, s, us) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize(df, ["user_id"], "ts", float(gap_s), order_cols=["event_id"])
+    got = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id").agg(F.max("session_id").alias("n")).collect()
+    }
+
+    by_key: dict[int, list[dt.datetime]] = {}
+    for _, k, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        by_key.setdefault(k, []).append(ts)
+    for k, tss in by_key.items():
+        n = 1
+        for prev, cur in zip(tss, tss[1:]):
+            if (cur - prev).total_seconds() > gap_s:
+                n += 1
+        assert got[k] == n

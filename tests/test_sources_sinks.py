@@ -174,3 +174,17 @@ def test_usage_log_append(spark, tmp_path):
     df = cat.read("usage_log")
     assert df.count() == 2
     assert df.where(F.col("found_new_scns") == True).count() == 1  # noqa: E712
+
+
+def test_events_ts_type_canary(spark):
+    """Canary: the driver's nanos-parquet events.ts must read as
+    TIMESTAMP_NTZ on this Spark build, and the NTZ→LTZ→double cast chain the
+    engine relies on (sessionize & friends) must resolve.  A Spark-version
+    bump that changes either fails here instead of in the driver."""
+    from eodatadown_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    # resolves + executes (would raise AnalysisException on a direct cast)
+    row = ev.select(F.col("ts").cast("timestamp").cast("double").alias("e")).first()
+    assert row["e"] is not None

@@ -109,3 +109,57 @@ def test_windowed_counts_streaming_mode(spark, tmp_path):
         assert got == {(0, "click"): (2, 3.0)}
     finally:
         q.stop()
+
+
+def test_sessionize_gap_semantics(spark):
+    """Gap strictly > threshold starts a new session; ties at the threshold
+    stay in-session; per-key numbering restarts at 1."""
+    from eodatadown_spark.streaming.incremental import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: 0s, +1800s (== gap, same session), +1801s after that (new)
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(seconds=1800)),
+        (3, 1, t0 + dt.timedelta(seconds=3601)),
+        # user 2: single event
+        (4, 2, t0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(df, ["user_id"], "ts", 1800.0,
+                               order_cols=["event_id"]).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_subsecond_boundary(spark):
+    """µs-exact: 1800.000001s is a new session, 1799.999999s is not —
+    whole-second flooring (unix_timestamp) would get both wrong."""
+    from eodatadown_spark.streaming.incremental import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(seconds=1800, microseconds=1)),
+        (3, 2, t0),
+        (4, 2, t0 + dt.timedelta(seconds=1799, microseconds=999999)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(df, ["user_id"], "ts", 1800.0,
+                               order_cols=["event_id"]).collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_sessionize_timestamp_ntz(spark):
+    """The driver's events.ts arrives as TIMESTAMP_NTZ on Spark 4.x; the
+    operator must resolve (NTZ→LTZ→double) instead of the illegal direct
+    NTZ→double cast."""
+    from eodatadown_spark.streaming.incremental import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1)), (2, 1, dt.datetime(2024, 1, 1, 2))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    got = sessionize(df, ["user_id"], "ts", 1800.0, order_cols=["event_id"]).collect()
+    assert sorted(r["session_id"] for r in got) == [1, 2]
