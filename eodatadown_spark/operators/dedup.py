@@ -413,6 +413,7 @@ def contamination_pairs(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing at least one word
     k-gram with a benchmark/eval doc → (corpus_id, bench_id, n_shared).
@@ -420,20 +421,29 @@ def contamination_pairs(
     The GPT-3-style 13-gram collision rule: training corpora are scrubbed of
     documents that overlap evaluation sets, else benchmark scores measure
     memorization.  Scale shape: explode k-grams on BOTH sides and equi-join
-    on the gram — the benchmark side is tiny relative to the corpus, so the
-    join broadcasts it and the corpus side never shuffles; n_shared counts
-    distinct colliding grams per (corpus, bench) pair.
+    on the gram — the benchmark side is an eval set (tiny relative to the
+    corpus), so the join broadcasts it and the corpus side never shuffles;
+    n_shared counts distinct colliding grams per (corpus, bench) pair.
+
+    Guard: the broadcast hint is only attached while the benchmark side is
+    ≤ ``max_broadcast_rows`` documents (bounded existence probe, one cheap
+    job).  A misuse with two large corpora falls back to a plain shuffle
+    equi-join on the gram instead of OOM-ing every executor on a forced
+    broadcast.
     """
     c_sh = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.explode(word_shingles(text_col, k)).alias("sh"),
     )
-    b_sh = F.broadcast(
-        benchmark.select(
-            F.col(bench_id_col).alias("bench_id"),
-            F.explode(word_shingles(bench_text_col, k)).alias("sh"),
-        )
+    b_sh = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(bench_text_col, k)).alias("sh"),
     )
+    small = (
+        benchmark.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+    )
+    if small:
+        b_sh = F.broadcast(b_sh)
     return (
         c_sh.join(b_sh, "sh")
         .groupBy("corpus_id", "bench_id")

@@ -205,6 +205,34 @@ class SensorBase:
             new_rows.unpersist()
         return n
 
+    # -- bucketed publication (100 TB scheduling path) ---------------------
+    def publish_bucketed(self, n_buckets: int = 16) -> None:
+        """Publish the scene table (bucketed by ``pid``) and plugin_results
+        (bucketed by ``scene_pid``) as managed bucketed tables so the J2
+        scheduling join — scenes ⋈ plugin_results, ref
+        eodatadownlandsatgoogsensor.py:1611-1646 — and any other pid-keyed
+        join run with zero exchanges.  Re-run after catalog writes that
+        should be visible to bucketed readers (bucketed copies are a
+        publication snapshot, not the transactional catalog)."""
+        self.catalog.write_bucketed(self.scenes(), self.table, "pid", n_buckets)
+        self.catalog.write_bucketed(
+            self.plugin_results(), self.plugin_table, "scene_pid", n_buckets
+        )
+
+    def scenes_bucketed(self) -> DataFrame:
+        return self.catalog.read_bucketed(self.table)
+
+    def plugin_results_bucketed(self) -> DataFrame:
+        return self.catalog.read_bucketed(self.plugin_table)
+
+    def get_scnlist_usr_analysis_bucketed(self, plugins: Sequence[str]) -> DataFrame:
+        """J2 over the bucketed publication: same semantics as
+        :meth:`get_scnlist_usr_analysis`, but via the pid-keyed aggregation
+        form so the join is exchange-free on the bucketed tables."""
+        return Q.get_scnlist_usr_analysis_agg(
+            self.scenes_bucketed(), self.plugin_results_bucketed(), plugins
+        )
+
     def get_scn_usr_analysis_results(self, pid: int) -> DataFrame:
         """Per-scene plugin-result rows (ref get_usr_analysis_results)."""
         return self.plugin_results().where(F.col("scene_pid") == F.lit(pid))

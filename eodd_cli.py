@@ -28,7 +28,11 @@ def _cat(args):
     from eodatadown_spark.session import get_spark
 
     spark = get_spark("eodd_cli")
-    return ParquetCatalog(spark, args.catalog)
+    return ParquetCatalog(
+        spark,
+        args.catalog,
+        partition_monthly=getattr(args, "partition_monthly", False),
+    )
 
 
 def cmd_init(args) -> None:
@@ -84,7 +88,9 @@ def cmd_summary(args) -> None:
     cat = _cat(args)
     catalog = cat.read_clean("landsat_scenes")
     print(json.dumps(reports.sensor_summary_counts(catalog).first().asDict()))
-    stats = reports.column_stats(catalog, "total_size").first()
+    # --approx: percentile_approx quartiles — the 100×-scale reporting path
+    # (exact sort-based quartiles stay the default for oracle parity)
+    stats = reports.column_stats(catalog, "total_size", approx=args.approx).first()
     print(json.dumps({f"size_{k}": v for k, v in stats.asDict().items()}))
 
 
@@ -138,6 +144,19 @@ def cmd_roi(args) -> None:
     kept = ingest.filter_scenes_roi(catalog, roi, keep_intersecting=True)
     cat.write(kept, "landsat_scenes")
     print(f"kept {cat.read_clean('landsat_scenes').count()} scenes inside ROI")
+
+
+def cmd_bucketize(args) -> None:
+    """Publish scenes + plugin_results as bucketed managed tables so pid-keyed
+    joins (J2 scheduling) run shuffle-free at scale."""
+    from eodatadown_spark.sensor import get_sensor_obj
+
+    cat = _cat(args)
+    sensor = get_sensor_obj(args.sensor, cat)
+    sensor.publish_bucketed(n_buckets=args.buckets)
+    n = sensor.scenes_bucketed().count()
+    print(f"published {sensor.table} + plugin_results bucketed "
+          f"({args.buckets} buckets, {n} scenes)")
 
 
 def cmd_passencode(args) -> None:
@@ -209,11 +228,18 @@ def cmd_dataprep(args) -> None:
     n_quality = kept.count()
     kept = D.exact_dedup(kept, ["text"]).localCheckpoint()
     n_exact = kept.count()
-    # MinHash-LSH pair generation (bounded candidates), not the exact
-    # inverted-index path — this is the corpus-scale configuration
-    pairs = D.minhash_neardup_pairs(
-        kept, jaccard_threshold=args.jaccard
-    ).select("id_a", "id_b")
+    # LSH pair generation (bounded candidates), not the exact inverted-index
+    # path — the corpus-scale configuration.  --neardup simhash swaps in the
+    # SimHash bands; --gram-hash xxhash64 uses the non-cryptographic gram
+    # hash (faster codegen path) instead of md5
+    if args.neardup == "simhash":
+        pairs = D.simhash_neardup_pairs(
+            kept, gram_hash=args.gram_hash
+        ).select("id_a", "id_b")
+    else:
+        pairs = D.minhash_neardup_pairs(
+            kept, jaccard_threshold=args.jaccard
+        ).select("id_a", "id_b")
     canon = D.neardup_clusters(kept, pairs=pairs).where(F.col("is_canonical"))
     kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
     n_neardup = kept.count()
@@ -240,6 +266,9 @@ def main(argv=None) -> int:
         sp = sub.add_parser(name)
         if name not in ("passencode", "dataprep"):
             sp.add_argument("--catalog", required=True)
+            # very-large-catalog knob: p_year/p_month two-level layout
+            sp.add_argument("--partition-monthly", action="store_true",
+                            dest="partition_monthly")
         for arg, opts in kwargs.items():
             sp.add_argument(arg, **opts)
         sp.set_defaults(fn=fn)
@@ -247,7 +276,10 @@ def main(argv=None) -> int:
     add("init", cmd_init, **{"--sensors": {"default": None, "help": "comma list; all if omitted"}})
     add("chknewscns", cmd_chknewscns, **{"--index": {"required": True}})
     add("process", cmd_process)
-    add("summary", cmd_summary)
+    add("summary", cmd_summary, **{
+        "--approx": {"action": "store_true",
+                     "help": "percentile_approx quartiles (100x-scale path)"},
+    })
     add("report", cmd_report, **{"--out": {"default": "date_report.html"}})
     add("export", cmd_export, **{"--out": {"required": True}})
     add("import", cmd_import, **{"--infile": {"required": True},
@@ -256,6 +288,10 @@ def main(argv=None) -> int:
                                    "--out": {"required": True},
                                    "--split": {"type": int, "default": 1}})
     add("roi", cmd_roi, **{"--bbox": {"required": True, "help": "W,S,E,N"}})
+    add("bucketize", cmd_bucketize, **{
+        "--sensor": {"default": "LandsatGOOG"},
+        "--buckets": {"type": int, "default": 16},
+    })
     add("passencode", cmd_passencode, **{"--password": {"required": True}})
     add("exportvector", cmd_exportvector, **{"--out": {"required": True}})
     add("pluginreport", cmd_pluginreport)
@@ -266,6 +302,10 @@ def main(argv=None) -> int:
         "--out": {"required": True},
         "--min-quality": {"type": float, "default": 0.5, "dest": "min_quality"},
         "--jaccard": {"type": float, "default": 0.7},
+        "--neardup": {"choices": ["minhash", "simhash"], "default": "minhash"},
+        "--gram-hash": {"choices": ["md5", "xxhash64"], "default": "md5",
+                        "dest": "gram_hash",
+                        "help": "simhash gram hash (xxhash64 = fast path)"},
     })
 
     args = p.parse_args(argv)

@@ -348,3 +348,31 @@ def test_contamination_and_decontaminate(spark):
     assert [(r["corpus_id"], r["bench_id"], r["n_shared"]) for r in hits] == [(10, 1, 1)]
     clean = D.decontaminate(corpus, bench, k=5)
     assert [r["doc_id"] for r in clean.collect()] == [11]
+
+
+def test_contamination_broadcast_guard(spark):
+    """Above max_broadcast_rows the benchmark side must NOT carry a broadcast
+    hint (shuffle join instead of forced executor-OOM broadcast); results are
+    identical either way."""
+    from eodatadown_spark.plans import audit
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "prefix alpha beta gamma delta epsilon suffix words")],
+        "doc_id long, text string",
+    )
+    forced_small = D.contamination_pairs(corpus, bench, k=5)
+    guarded = D.contamination_pairs(corpus, bench, k=5, max_broadcast_rows=0)
+    # with the session's auto-broadcast disabled, only the hinted plan keeps
+    # a BroadcastHashJoin
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "BroadcastHashJoin" in audit.physical_plan(forced_small, "simple")
+        assert "BroadcastHashJoin" not in audit.physical_plan(guarded, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert [tuple(r) for r in guarded.collect()] == [tuple(r) for r in forced_small.collect()]

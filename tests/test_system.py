@@ -133,3 +133,86 @@ def test_cli_dataprep_pipeline(spark, tmp_path, capsys):
     cleaned = spark.read.parquet(out)
     assert sorted(r["doc_id"] for r in cleaned.collect()) == [1, 4]
     assert set(cleaned.columns) >= {"doc_id", "text", "split"}
+
+
+def test_cli_monthly_bucketize_cycle(spark, tmp_path, capsys):
+    """CLI --partition-monthly + bucketize: monthly layout on disk, bucketed
+    managed tables published for shuffle-free pid joins."""
+    import datetime as dt
+    import os
+
+    import eodd_cli
+
+    idx = str(tmp_path / "index_pq")
+    rows = [
+        ("A", "2019-01-05"), ("B", "2019-01-20"),
+        ("C", "2019-02-10"), ("D", "2019-02-25"),
+    ]
+    spark.createDataFrame(
+        [
+            {
+                "scene_id": sid,
+                "product_id": f"LC08_L1TP_001001_{acq.replace('-', '')}_20190601_01_T1",
+                "spacecraft_id": "LANDSAT_8", "sensor_id": "OLI_TIRS",
+                "date_acquired": acq, "sensing_time": acq + "T10:11:12.000000Z",
+                "collection_number": "01", "collection_category": "T1",
+                "data_type": "L1TP", "wrs_path": "1", "wrs_row": "1",
+                "cloud_cover": "10.0", "north_lat": "52.0", "south_lat": "50.0",
+                "east_lon": "2.0", "west_lon": "0.0", "total_size": "1000",
+                "base_url": f"gs://b/{sid}",
+            }
+            for sid, acq in rows
+        ]
+    ).write.parquet(idx)
+
+    cat_dir = str(tmp_path / "cat")
+    eodd_cli.main(["init", "--catalog", cat_dir, "--partition-monthly",
+                   "--sensors", "LandsatGOOG"])
+    eodd_cli.main(["chknewscns", "--catalog", cat_dir, "--partition-monthly",
+                   "--index", idx])
+    out = capsys.readouterr().out
+    assert "added 4 scene(s)" in out
+
+    # monthly physical layout written by the CLI path
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, cat_dir, partition_monthly=True)
+    root = cat.data_path("landsat_scenes")
+    leaves = {
+        os.path.relpath(d, root).replace(os.sep, "/")
+        for d, _s, files in os.walk(root)
+        if any(f.endswith(".parquet") for f in files)
+    }
+    assert leaves == {"p_year=2019/p_month=1", "p_year=2019/p_month=2"}
+
+    eodd_cli.main(["bucketize", "--catalog", cat_dir, "--buckets", "4"])
+    assert "published landsat_scenes" in capsys.readouterr().out
+    desc = "\n".join(
+        f"{r['col_name']}\t{r['data_type']}"
+        for r in spark.sql("DESCRIBE EXTENDED eodd_landsat_scenes").collect()
+    )
+    assert "Num Buckets\t4" in desc and "Bucket Columns\t[`pid`]" in desc
+
+
+def test_cli_summary_approx_and_simhash_dataprep(spark, tmp_path, capsys):
+    """--approx quartiles through summary; --neardup simhash --gram-hash
+    xxhash64 through dataprep (the fast-codegen variants, CLI-reachable)."""
+    import eodd_cli
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup
+        (3, base + "dog"),              # near-dup (hamming 2 at 60 bits)
+        (4, "another perfectly fine unique document about the weather today and it is long enough"),
+    ]
+    src = str(tmp_path / "docs_src2")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "docs_clean2")
+    eodd_cli.main(["dataprep", "--infile", src, "--out", out,
+                   "--min-quality", "0.7", "--neardup", "simhash",
+                   "--gram-hash", "xxhash64"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_exact_dedup"] == 3
+    assert stats["after_neardup"] == 2      # simhash collapses 3 into 1
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 4]
