@@ -723,6 +723,53 @@ def q53_contamination(spark, sf):
     return D.contamination_pairs(corpus, bench, k=5)
 
 
+def q54_unigram_lm(spark, sf):
+    """Corpus op: per-doc mean negative log-likelihood under the corpus's own
+    unigram LM (KenLM-style quality signal, reduced to unigrams for exact
+    cross-engine reproducibility)."""
+    from eodatadown_spark.operators.corpus import unigram_lm_scores
+
+    docs = _t(spark, sf, "documents")
+    return unigram_lm_scores(docs)
+
+
+def q55_stratified_sample(spark, sf):
+    """Corpus op: deterministic per-language downsample (keep 30% en / 50% zh
+    / 100% de, drop the rest) — the pretraining language-mix rebalancing
+    step; per-language kept counts prove the per-stratum thresholds."""
+    from eodatadown_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    kept = stratified_sample(docs, {"en": 0.3, "zh": 0.5, "de": 1.0})
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+def q56_length_histogram(spark, sf):
+    """Corpus op: log2-bucketed document-length histogram — the distribution
+    audit behind truncation/packing budget choices."""
+    from eodatadown_spark.operators.corpus import length_histogram
+
+    docs = _t(spark, sf, "documents")
+    return length_histogram(docs)
+
+
+def q57_topk_tokens(spark, sf):
+    """Corpus op: top-5 most frequent tokens per language (vocabulary audit);
+    count desc, token asc tie-break in both engines."""
+    from eodatadown_spark.operators.corpus import topk_tokens
+
+    docs = _t(spark, sf, "documents")
+    return topk_tokens(docs, k=5)
+
+
+def q58_centroid_distances(spark, sf):
+    """Similarity: per-label centroid cohesion — elementwise-mean centroid,
+    then mean/max member Euclidean distance (one k-means quality iteration,
+    no arrays collected or re-assembled)."""
+    emb = _t(spark, sf, "embeddings")
+    return S.label_centroid_distances(emb)
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -777,6 +824,11 @@ QUERIES: dict[str, Callable] = {
     "q51_date_bbox_count": q51_date_bbox_count,
     "q52_frame_sample": q52_frame_sample,
     "q53_contamination": q53_contamination,
+    "q54_unigram_lm": q54_unigram_lm,
+    "q55_stratified_sample": q55_stratified_sample,
+    "q56_length_histogram": q56_length_histogram,
+    "q57_topk_tokens": q57_topk_tokens,
+    "q58_centroid_distances": q58_centroid_distances,
 }
 
 
@@ -1527,5 +1579,99 @@ def oracle_sql() -> dict[str, str]:
               AND NOT invalid
               AND east_lon > -20.0 AND 20.0 > west_lon
               AND north_lat > -30.0 AND 30.0 > south_lat
+        """,
+        # q54: corpus unigram LM — same token CTE as q44, counts joined back
+        # on token, per-doc avg of -ln(cnt/total) rounded to 4.
+        "q54_unigram_lm": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(
+                        lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                        '\\s+'),
+                    t -> t <> '')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+            ), total AS (
+                SELECT count(*) AS total FROM toks
+            )
+            SELECT doc_id,
+                   round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll,
+                   count(*) AS n_tokens
+            FROM toks JOIN counts USING (token) CROSS JOIN total
+            GROUP BY doc_id
+        """,
+        # q55: per-stratum keep = rolling-hash bucket (q45's list_reduce
+        # pattern) below the stratum's threshold.
+        "q55_stratified_sample": """
+            WITH b AS (
+                SELECT lang, list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), list_transform(
+                               list_filter(
+                                   string_split(CAST(doc_id AS VARCHAR), ''),
+                                   ch -> ch <> ''),
+                               ch -> CAST(ord(ch) AS BIGINT))),
+                           (acc, c) -> (acc * 31 + c) % 2038074743) % 100
+                           AS bucket
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_kept
+            FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 30
+                                     WHEN 'zh' THEN 50
+                                     WHEN 'de' THEN 100
+                                     ELSE 0 END
+            GROUP BY 1
+        """,
+        # q56: floor(log2(n_chars)) buckets over positive lengths.
+        "q56_length_histogram": """
+            SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS len_bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents WHERE n_chars > 0
+            GROUP BY 1
+        """,
+        # q57: per-language token counts + top-5 window; count desc, token
+        # asc tie-break matches the Spark window exactly.
+        "q57_topk_tokens": """
+            WITH toks AS (
+                SELECT lang AS "group", unnest(list_filter(
+                    string_split_regex(
+                        lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                        '\\s+'),
+                    t -> t <> '')) AS token
+                FROM documents
+            ), c AS (
+                SELECT "group", token, count(*) AS n FROM toks GROUP BY 1, 2
+            )
+            SELECT "group", token, n, rank FROM (
+                SELECT "group", token, n,
+                       row_number() OVER (PARTITION BY "group"
+                                          ORDER BY n DESC, token ASC) AS rank
+                FROM c
+            ) WHERE rank <= 5
+        """,
+        # q58: per-label centroid via (label, pos) avg over unnested dims,
+        # member Euclidean distances re-joined on (label, pos).
+        "q58_centroid_distances": """
+            WITH dims AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings
+            ), cent AS (
+                SELECT label, pos, avg(val) AS cval FROM dims GROUP BY 1, 2
+            ), sq AS (
+                SELECT vec_id, dims.label,
+                       sqrt(sum((val - cval) * (val - cval))) AS dist
+                FROM dims JOIN cent USING (label, pos)
+                GROUP BY 1, 2
+            )
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(dist), 4) AS avg_dist,
+                   round(max(dist), 4) AS max_dist
+            FROM sq GROUP BY 1
         """,
     }

@@ -102,6 +102,140 @@ def tfidf_topk_keywords(
     )
 
 
+def _tokens(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, token) exploded view under the engine's canonical
+    tokenization (lower → trim → split \\s+ → drop empties)."""
+    toks = F.filter(
+        F.split(F.lower(ws_trim(F.col(text_col))), "\\s+"), lambda t: t != ""
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    )
+
+
+def unigram_lm_scores(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM → (doc_id, nll, n_tokens).  nll = avg over the doc's tokens of
+    -ln(count(token)/total_tokens); high nll = rare-token-heavy (noise,
+    junk, wrong-language) — the KenLM-style perplexity quality filter with
+    the LM reduced to unigrams so it stays exactly reproducible in ANSI SQL.
+
+    Scale shape: one explode → vocabulary-sized token-count agg → token-keyed
+    equi-join back (high cardinality, map-side partial aggs) → per-doc agg.
+    The 1-row total joins via broadcast.  No collect, no Python in the path;
+    at 100 TB the vocabulary table is millions of rows — still a fine
+    shuffle key.
+    """
+    tokens = _tokens(documents, id_col, text_col)
+    # collapse the corpus-sized token stream to per-doc term frequencies
+    # FIRST; everything downstream (corpus counts, total, the scoring join)
+    # runs on the much smaller tf relation, and the identical tf subplan on
+    # both join inputs lets Catalyst reuse one exchange.  The tf-weighted
+    # mean equals the per-token-instance mean exactly.
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    nll_sum = F.sum(
+        F.col("tf") * -F.log(F.col("cnt").cast("double") / F.col("__total"))
+    )
+    return (
+        tf.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(nll_sum / F.sum("tf"), round_to).alias("nll"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its id's
+    rolling-hash bucket falls below ``rate[stratum] * n_buckets``.
+
+    The language-rebalancing step of a pretraining mix (e.g. keep 100% of
+    low-resource languages, 30% of English).  Pure narrow projection — no
+    shuffle, no RNG state; reruns and other engines agree row-for-row on
+    membership (same contract as :func:`assign_split`), and rates are
+    honored per stratum rather than globally.
+    """
+    bucket = split_bucket(id_col, n_buckets)
+    thr = F.lit(int(round(default_rate * n_buckets)))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(round(rate * n_buckets)))
+        ).otherwise(thr)
+    return documents.where(bucket < thr)
+
+
+def topk_tokens(
+    documents: DataFrame,
+    k: int = 5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most frequent tokens per group → (group, token, n, rank) — the
+    corpus-analytics pass behind vocabulary audits and stopword lists.
+
+    explode → (group, token) count (map-side partial agg) → per-group top-k
+    window.  The window partitions by group (bounded cardinality) AFTER the
+    count agg has already collapsed the data to vocabulary size, so the sort
+    input is small; ties break on token ascending in both engines.
+    """
+    tokens = documents.select(
+        F.col(group_col).alias("group"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(ws_trim(F.col(text_col))), "\\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    counts = tokens.groupBy("group", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("group").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("group", "token", "n", "rank")
+    )
+
+
+def length_histogram(
+    documents: DataFrame, len_col: str = "n_chars"
+) -> DataFrame:
+    """Log2-bucketed document-length histogram → (len_bucket, n_docs,
+    total_chars, min_chars, max_chars) — the length-distribution audit every
+    corpus build runs before choosing truncation/packing budgets.
+
+    Single groupBy on a derived bucket; non-positive lengths are excluded
+    (log2 undefined) rather than silently bucketed.
+    """
+    c = F.col(len_col)
+    return (
+        documents.where(c > 0)
+        .groupBy(F.floor(F.log2(c)).cast("long").alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(c).alias("total_chars"),
+            F.min(c).alias("min_chars"),
+            F.max(c).alias("max_chars"),
+        )
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     max_tokens: int = 512,
@@ -135,4 +269,13 @@ def pack_sequences(
     )
 
 
-__all__ = ["split_bucket", "assign_split", "tfidf_topk_keywords", "pack_sequences"]
+__all__ = [
+    "split_bucket",
+    "assign_split",
+    "tfidf_topk_keywords",
+    "pack_sequences",
+    "unigram_lm_scores",
+    "stratified_sample",
+    "topk_tokens",
+    "length_histogram",
+]

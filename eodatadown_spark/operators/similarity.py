@@ -269,3 +269,47 @@ def embedding_neardup_pairs(
     return pairs.where(F.col("cos_sim") >= threshold).select(
         "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
     ).dropDuplicates(["id_a", "id_b"])
+
+
+def label_centroid_distances(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-label centroid quality stats → (label, n_vecs, avg_dist,
+    max_dist): the elementwise-mean centroid of each label's vectors, then
+    the mean/max Euclidean distance of members to their centroid — one
+    k-means assignment-quality iteration, the cluster-cohesion audit for
+    labeled embedding sets (e.g. after IVF codebook training).
+
+    Scale shape: posexplode to (label, pos, val) → centroid agg keyed on
+    (label, pos) — high-cardinality enough to parallelize, map-side partial
+    sums — → join members' dimensions back on (label, pos) → per-vector
+    squared-diff sum keyed on the id → per-label final agg.  All built-in
+    aggs (whole-stage codegen); no vectors are ever collected or
+    re-assembled into arrays.
+    """
+    dims = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    centroids = dims.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("cval")
+    )
+    sq = (
+        dims.join(centroids, ["label", "pos"])
+        .groupBy("vid", "label")
+        .agg(
+            F.sqrt(F.sum(F.pow(F.col("val").cast("double") - F.col("cval"), 2))).alias(
+                "dist"
+            )
+        )
+    )
+    return sq.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("dist"), round_to).alias("avg_dist"),
+        F.round(F.max("dist"), round_to).alias("max_dist"),
+    )

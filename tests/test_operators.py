@@ -376,3 +376,79 @@ def test_contamination_broadcast_guard(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert [tuple(r) for r in guarded.collect()] == [tuple(r) for r in forced_small.collect()]
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    """Two docs, known token counts: nll matches the hand-derived unigram
+    MLE; repeated-token weighting equals per-instance mean."""
+    import math
+
+    from eodatadown_spark.operators.corpus import unigram_lm_scores
+
+    # corpus tokens: a a a b  (total 4): p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["nll"], r["n_tokens"])
+           for r in unigram_lm_scores(df).collect()}
+    assert got[1] == (round(-math.log(0.75), 4), 3)
+    assert got[2] == (round(-math.log(0.25), 4), 1)
+
+
+def test_stratified_sample_thresholds(spark):
+    """rate=1.0 keeps every row of the stratum, rate=0.0 (default) drops
+    all; fractional rates follow the deterministic id bucket."""
+    from eodatadown_spark.operators.corpus import split_bucket, stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de", "x") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = stratified_sample(df, {"de": 1.0, "en": 0.4})
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["de"] == 100                      # all kept
+    buckets = {r["doc_id"]: r["b"] for r in
+               df.select("doc_id", split_bucket("doc_id").alias("b")).collect()}
+    want_en = sum(1 for i in range(0, 200, 2) if buckets[i] < 40)
+    assert by_lang.get("en", 0) == want_en
+    # unknown stratum drops under default_rate=0
+    extra = spark.createDataFrame([(999, "fr", "y")], "doc_id long, lang string, text string")
+    assert stratified_sample(extra, {"en": 1.0}).count() == 0
+
+
+def test_topk_tokens_tie_break(spark):
+    from eodatadown_spark.operators.corpus import topk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "en", "b a b a c"), (2, "de", "z z y")],
+        "doc_id long, lang string, text string",
+    )
+    got = [(r["group"], r["token"], r["n"], r["rank"])
+           for r in topk_tokens(df, k=2).orderBy("group", "rank").collect()]
+    # en: a and b tie at 2 → token asc puts a first; de: z(2) then y(1)
+    assert got == [("de", "z", 2, 1), ("de", "y", 1, 2),
+                   ("en", "a", 2, 1), ("en", "b", 2, 2)]
+
+
+def test_length_histogram_buckets(spark):
+    from eodatadown_spark.operators.corpus import length_histogram
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 7), (3, 8), (4, 0), (5, -3)], "doc_id long, n_chars long"
+    )
+    got = {r["len_bucket"]: (r["n_docs"], r["min_chars"], r["max_chars"])
+           for r in length_histogram(df).collect()}
+    # 1 → bucket 0; 7 → bucket 2; 8 → bucket 3; 0 and -3 excluded
+    assert got == {0: (1, 1, 1), 2: (1, 7, 7), 3: (1, 8, 8)}
+
+
+def test_label_centroid_distances_hand_computed(spark):
+    """Two 2-d vectors per label: centroid is the midpoint, both members sit
+    at half the pair distance."""
+    from eodatadown_spark.operators.similarity import label_centroid_distances
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], 7), (2, [2.0, 0.0], 7), (3, [1.0, 1.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["label"]: (r["n_vecs"], r["avg_dist"], r["max_dist"])
+           for r in label_centroid_distances(df).collect()}
+    assert got[7] == (2, 1.0, 1.0)   # centroid (1,0); both at distance 1
+    assert got[8] == (1, 0.0, 0.0)   # singleton sits on its centroid
