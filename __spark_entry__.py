@@ -770,6 +770,67 @@ def q58_centroid_distances(spark, sf):
     return S.label_centroid_distances(emb)
 
 
+def q59_asof_join(spark, sf):
+    """Temporal: TWO-TABLE as-of join (purchases ← most recent prior-or-equal
+    signup per user) via the union+window engine operator — one shuffle, no
+    pandas; oracle = correlated max subquery (DuckDB decorrelates it)."""
+    from eodatadown_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    return asof_join(purchases, signups, ["user_id"]).select(
+        "event_id", "user_id", "ts", F.col("ts_right").alias("signup_ts")
+    )
+
+
+def q60_kl_divergence(spark, sf):
+    """Corpus op: per-language KL divergence from the corpus unigram mix —
+    the distribution-shift audit behind pretraining-mix decisions."""
+    from eodatadown_spark.operators.corpus import group_kl_divergence
+
+    docs = _t(spark, sf, "documents")
+    return group_kl_divergence(docs)
+
+
+def q61_range_join(spark, sf):
+    """Temporal: bounded interval self-join — same-user event pairs 0 < Δt ≤
+    600 s, bucketed into an equi-join (candidates per (user, bucket), exact
+    predicate after) instead of a nested-loop theta join."""
+    from eodatadown_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf, "events")
+    e = ev.select("user_id", "ts", "event_id")
+    return range_join(
+        e,
+        e.withColumnRenamed("event_id", "event_id_b"),
+        ["user_id"],
+        min_gap=0.0,
+        max_gap=600.0,
+        left_cols=["event_id"],
+        right_cols=["event_id_b"],
+    ).select(
+        "user_id", F.col("event_id").alias("event_id_a"), "event_id_b", "gap_s"
+    )
+
+
+def q62_session_window(spark, sf):
+    """Temporal: Spark's NATIVE session_window gap sessions rolled up to the
+    q29 shape — proves the built-in stateful operator agrees with the
+    lag+cumsum formulation (identical strict-> boundary, pinned ±1 µs in
+    tests; the oracle IS q29's)."""
+    from eodatadown_spark.operators.temporal import session_window_rollup
+
+    ev = _t(spark, sf, "events")
+    sessions = session_window_rollup(ev, ["user_id"], ts_col="ts", gap="30 minutes")
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -829,6 +890,10 @@ QUERIES: dict[str, Callable] = {
     "q56_length_histogram": q56_length_histogram,
     "q57_topk_tokens": q57_topk_tokens,
     "q58_centroid_distances": q58_centroid_distances,
+    "q59_asof_join": q59_asof_join,
+    "q60_kl_divergence": q60_kl_divergence,
+    "q61_range_join": q61_range_join,
+    "q62_session_window": q62_session_window,
 }
 
 
@@ -1673,5 +1738,87 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(dist), 4) AS avg_dist,
                    round(max(dist), 4) AS max_dist
             FROM sq GROUP BY 1
+        """,
+        # q59: as-of via correlated max-subquery (inclusive <=), NULL when
+        # no prior signup exists — DuckDB decorrelates into a join.
+        "q59_asof_join": """
+            SELECT e.event_id, e.user_id,
+                   CAST(e.ts AS TIMESTAMP) AS ts,
+                   (SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s
+                    WHERE s.event_type = 'signup'
+                      AND s.user_id = e.user_id
+                      AND s.ts <= e.ts) AS signup_ts
+            FROM events e
+            WHERE e.event_type = 'purchase'
+        """,
+        # q60: KL(p_lang || p_corpus) over the shared token CTE; corpus
+        # counts derived from the (lang, token) counts as in the engine.
+        "q60_kl_divergence": """
+            WITH toks AS (
+                SELECT lang AS "group", unnest(list_filter(
+                    string_split_regex(
+                        lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                        '\\s+'),
+                    t -> t <> '')) AS token
+                FROM documents
+            ), gt AS (
+                SELECT "group", token, count(*) AS n_gt FROM toks GROUP BY 1, 2
+            ), g_tot AS (
+                SELECT "group", sum(n_gt) AS g_total FROM gt GROUP BY 1
+            ), ct AS (
+                SELECT token, sum(n_gt) AS n_ct FROM gt GROUP BY 1
+            ), c_tot AS (
+                SELECT sum(n_ct) AS c_total FROM ct
+            )
+            SELECT gt."group",
+                   CAST(sum(n_gt) AS BIGINT) AS n_tokens,
+                   round(sum((CAST(n_gt AS DOUBLE) / g_total)
+                             * ln((CAST(n_gt AS DOUBLE) / g_total)
+                                  / (CAST(n_ct AS DOUBLE) / c_total))), 4) AS kl
+            FROM gt
+            JOIN g_tot USING ("group")
+            JOIN ct USING (token)
+            CROSS JOIN c_tot
+            GROUP BY 1
+        """,
+        # q61: exact interval self-join — the engine's bucketed candidates +
+        # exact filter must equal the plain theta join.
+        "q61_range_join": """
+            SELECT a.user_id,
+                   a.event_id AS event_id_a,
+                   b.event_id AS event_id_b,
+                   round(epoch(CAST(b.ts AS TIMESTAMP))
+                         - epoch(CAST(a.ts AS TIMESTAMP)), 6) AS gap_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch(CAST(b.ts AS TIMESTAMP))
+                 - epoch(CAST(a.ts AS TIMESTAMP)) > 0
+             AND epoch(CAST(b.ts AS TIMESTAMP))
+                 - epoch(CAST(a.ts AS TIMESTAMP)) <= 600
+        """,
+        # q62: q29's lag+cumsum sessionization — session_window's boundary
+        # rule is the SAME strict > (equal-gap merges; pinned at ±1 µs in
+        # tests), so the native operator must reproduce q29's oracle exactly.
+        "q62_session_window": """
+            WITH gaps AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+                       epoch(CAST(ts AS TIMESTAMP))
+                       - lag(epoch(CAST(ts AS TIMESTAMP))) OVER (
+                             PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+                FROM events
+            ), sess AS (
+                SELECT user_id,
+                       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY tsx, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), per_sess AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id
         """,
     }

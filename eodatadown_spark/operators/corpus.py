@@ -213,6 +213,52 @@ def topk_tokens(
     )
 
 
+def group_kl_divergence(
+    documents: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group KL divergence of the group's unigram token distribution
+    from the whole-corpus distribution → (group, n_tokens, kl) — the
+    distribution-shift audit for a pretraining mix (which languages/sources
+    deviate most from the blend they're averaged into).
+
+    KL(p_group ‖ p_corpus) = Σ_token p·ln(p/q); every group token occurs in
+    the corpus by construction, so q > 0 and the sum is finite.  Scale
+    shape: one explode → (group, token) counts; group totals, corpus token
+    counts and the corpus total all derive from that one aggregate
+    (vocabulary-sized inputs from there on, reused exchange); final agg
+    keyed on the bounded group column AFTER the vocab-sized join.
+    """
+    tokens = documents.select(
+        F.col(group_col).alias("group"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(ws_trim(F.col(text_col))), "\\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    gt = tokens.groupBy("group", "token").agg(F.count("*").alias("n_gt"))
+    g_tot = gt.groupBy("group").agg(F.sum("n_gt").alias("g_total"))
+    ct = gt.groupBy("token").agg(F.sum("n_gt").alias("n_ct"))
+    c_tot = ct.agg(F.sum("n_ct").alias("c_total"))
+    p = F.col("n_gt").cast("double") / F.col("g_total")
+    q = F.col("n_ct").cast("double") / F.col("c_total")
+    return (
+        gt.join(F.broadcast(g_tot), "group")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(c_tot))
+        .groupBy("group")
+        .agg(
+            F.sum("n_gt").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), round_to).alias("kl"),
+        )
+    )
+
+
 def length_histogram(
     documents: DataFrame, len_col: str = "n_chars"
 ) -> DataFrame:
@@ -278,4 +324,5 @@ __all__ = [
     "stratified_sample",
     "topk_tokens",
     "length_histogram",
+    "group_kl_divergence",
 ]

@@ -1,0 +1,192 @@
+"""Temporal join operators: as-of join, bounded range join, native session
+windows.
+
+Spark has no first-class as-of join (pandas ``merge_asof`` exists only via
+``applyInPandas``, which serializes every row through Python).  The engine
+implements the scalable formulations instead:
+
+- :func:`asof_join` — union + keyed window ``last(ignorenulls)``: one shuffle
+  on the key, whole-stage codegen, no Python.  The standard big-data as-of
+  shape (events → most recent quote/config/signup at or before each event).
+- :func:`range_join` — bounded interval self/two-table join via time
+  bucketing: candidates meet on (key, bucket) equi-keys instead of a
+  nested-loop theta join, with the exact predicate applied after.  Candidate
+  volume scales with events-per-bucket, not n².
+- :func:`session_window_rollup` — Spark's native ``session_window`` gap
+  windows (batch + streaming capable), the built-in counterpart of
+  :func:`eodatadown_spark.streaming.incremental.sessionize`.  Boundary
+  semantics verified empirically to MATCH sessionize: a gap exactly equal
+  to the duration stays in-session; only a strictly greater gap starts a
+  new one (tests/test_operators.py pins both at ±1 µs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: Sequence[str] = (),
+    allow_exact_matches: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: each left row gains the right row's timestamp
+    (``<right_ts><suffix>``) and ``right_value_cols`` from the most recent
+    right row with the same keys and ``right.ts <= left.ts``
+    (``< left.ts`` when ``allow_exact_matches=False``); NULLs when no prior
+    right row exists (left-join semantics).
+
+    Shape: tag both inputs, union, one window per key ordered by
+    (ts, side-marker) taking ``last(value, ignorenulls=True)``, keep left
+    rows.  Exactly one shuffle (the window partitioning); both inputs stream
+    through whole-stage codegen — no pandas, no per-key loops, no broadcast
+    requirement on either side.  At equal timestamps the marker orders right
+    rows before left rows (inclusive) or after (strict).
+
+    Ties between right rows at identical (key, ts) resolve to the one last
+    in the union sort — pass pre-deduplicated right input when value columns
+    must be deterministic under such ties.
+    """
+    key_cols = list(key_cols)
+    lcols = left.columns
+    ldt = dict(left.dtypes)
+    rdt = dict(right.dtypes)
+    rv_out = [(right_ts, right_ts + suffix)] + [
+        (c, c + suffix) for c in right_value_cols
+    ]
+    left_proj = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(rdt[src]).alias(dst) for src, dst in rv_out],
+        F.lit(1).alias("__is_left"),
+    )
+    right_proj = right.select(
+        *[
+            (F.col(c) if c in key_cols else F.lit(None).cast(ldt[c])).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        *[F.col(src).alias(dst) for src, dst in rv_out],
+        F.lit(0).alias("__is_left"),
+    )
+    marker = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), marker)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = left_proj.unionByName(right_proj).select(
+        *lcols,
+        "__is_left",
+        *[F.last(dst, ignorenulls=True).over(w).alias(dst) for _, dst in rv_out],
+    )
+    return filled.where(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    min_gap: float = 0.0,
+    max_gap: float = 600.0,
+    left_cols: Sequence[str] = (),
+    right_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Bounded-interval join: pairs with equal keys and
+    ``min_gap < right.ts - left.ts <= max_gap`` (seconds) → left key/value
+    columns + right value columns + ``gap_s``.
+
+    Scale shape: the right side is bucketed by
+    ``floor(epoch / (max_gap - min_gap))``; each left row explodes to the
+    (at most two) buckets its window overlaps, candidates meet on
+    (key, bucket) as a plain equi-join, and the exact interval predicate
+    filters after.  A theta-join (broadcast nested loop at best) becomes a
+    shuffle equi-join whose candidate count scales with rows-per-bucket —
+    the standard interval-join decomposition (what dedicated stream engines
+    do internally for interval joins).
+
+    Epoch arithmetic goes NTZ→LTZ→double (µs-exact; see sessionize).
+    """
+    key_cols = list(key_cols)
+    width = float(max_gap - min_gap)
+    if width <= 0:
+        raise ValueError(f"max_gap ({max_gap}) must exceed min_gap ({min_gap})")
+
+    def epoch(col: str) -> Column:
+        return F.col(col).cast("timestamp").cast("double")
+
+    l_ep = epoch(left_ts)
+    r_ep = epoch(right_ts)
+    lhs = left.select(
+        *key_cols,
+        l_ep.alias("__l_ep"),
+        *[F.col(c) for c in left_cols],
+        F.explode(
+            F.sequence(
+                F.floor((l_ep + F.lit(float(min_gap))) / F.lit(width)).cast("long"),
+                F.floor((l_ep + F.lit(float(max_gap))) / F.lit(width)).cast("long"),
+            )
+        ).alias("__bucket"),
+    )
+    rhs = right.select(
+        *key_cols,
+        r_ep.alias("__r_ep"),
+        *[F.col(c) for c in right_cols],
+        F.floor(r_ep / F.lit(width)).cast("long").alias("__bucket"),
+    )
+    gap = F.col("__r_ep") - F.col("__l_ep")
+    return (
+        lhs.join(rhs, [*key_cols, "__bucket"])
+        .where((gap > F.lit(float(min_gap))) & (gap <= F.lit(float(max_gap))))
+        .select(
+            *key_cols,
+            *left_cols,
+            *right_cols,
+            F.round(gap, 6).alias("gap_s"),
+        )
+    )
+
+
+def session_window_rollup(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-key gap sessions via Spark's NATIVE ``session_window`` →
+    (keys, session_start, session_end, n_events).
+
+    The built-in stateful session operator: in batch mode it is one groupBy
+    (sessions merge inside the aggregation, no window-function sort pass);
+    on a stream the same expression runs incrementally with watermark-backed
+    state eviction — the scale path for live sessionization, which the
+    lag+cumsum formulation cannot do.
+
+    Boundary semantics match ``streaming.incremental.sessionize``: a gap
+    exactly equal to ``gap`` merges; only a strictly greater gap splits
+    (verified at ±1 µs in tests).
+    """
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(*key_cols, sw.alias("session"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+__all__ = ["asof_join", "range_join", "session_window_rollup"]

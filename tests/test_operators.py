@@ -452,3 +452,101 @@ def test_label_centroid_distances_hand_computed(spark):
            for r in label_centroid_distances(df).collect()}
     assert got[7] == (2, 1.0, 1.0)   # centroid (1,0); both at distance 1
     assert got[8] == (1, 0.0, 0.0)   # singleton sits on its centroid
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive vs strict exact-match, NULL before any right row, value
+    columns carried from the matched right row."""
+    import datetime as dt
+
+    from eodatadown_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t("2024-01-01T10:00:00")),   # before any quote -> NULL
+         (2, 1, t("2024-01-01T12:00:00")),   # exact-match boundary
+         (3, 1, t("2024-01-01T13:30:00")),   # most recent = 12:00
+         (4, 2, t("2024-01-01T12:30:00"))],  # other key
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01T12:00:00"), 5.0), (2, t("2024-01-01T11:00:00"), 7.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    incl = {r["event_id"]: (r["ts_right"], r["price_right"])
+            for r in asof_join(left, right, ["user_id"],
+                               right_value_cols=["price"]).collect()}
+    assert incl[1] == (None, None)
+    assert incl[2] == (t("2024-01-01T12:00:00"), 5.0)   # equal ts matches
+    assert incl[3] == (t("2024-01-01T12:00:00"), 5.0)
+    assert incl[4] == (t("2024-01-01T11:00:00"), 7.0)
+    strict = {r["event_id"]: r["ts_right"]
+              for r in asof_join(left, right, ["user_id"],
+                                 allow_exact_matches=False).collect()}
+    assert strict[2] is None                            # equal ts excluded
+    assert strict[3] == t("2024-01-01T12:00:00")
+
+
+def test_range_join_bucket_boundary(spark):
+    """Pairs that straddle a bucket boundary must still match (the explode
+    covers both buckets); gap == max included, gap == 0 and > max excluded."""
+    import datetime as dt
+
+    from eodatadown_spark.operators.temporal import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    e = spark.createDataFrame(
+        [(1, 1, s(0)), (2, 1, s(60)),       # gap 60 == max -> included
+         (3, 1, s(60.5)), (4, 1, s(121)),   # gap 60.5 > max from 1; 3->4 gap 60.5 excluded
+         (5, 1, s(119)),                    # 4->5 negative; 3->5 gap 58.5 straddles buckets
+         (6, 2, s(10)), (7, 3, s(10))],     # other keys, no partner
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {(r["event_id"], r["event_id_b"]): r["gap_s"]
+           for r in range_join(
+               e, e.withColumnRenamed("event_id", "event_id_b"), ["user_id"],
+               min_gap=0.0, max_gap=60.0,
+               left_cols=["event_id"], right_cols=["event_id_b"]).collect()}
+    assert got == {(1, 2): 60.0, (2, 3): 0.5, (2, 5): 59.0,
+                   (3, 5): 58.5, (5, 4): 2.0}
+
+
+def test_session_window_matches_sessionize_boundary(spark):
+    """session_window and sessionize agree at the gap boundary: exactly-equal
+    gap merges, +1 µs splits — pinned so a Spark behavior change surfaces
+    here (q62's oracle relies on the equivalence)."""
+    import datetime as dt
+
+    from eodatadown_spark.operators.temporal import session_window_rollup
+    from eodatadown_spark.streaming.incremental import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    for us, want in ((0, 1), (1, 2)):
+        df = spark.createDataFrame(
+            [(1, 1, t0), (2, 1, t0 + dt.timedelta(seconds=1800, microseconds=us))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        native = session_window_rollup(df, ["user_id"], gap="30 minutes")
+        assert native.count() == want
+        classic = sessionize(df, ["user_id"], "ts", 1800.0, order_cols=["event_id"])
+        assert classic.agg(F.max("session_id")).first()[0] == want
+
+
+def test_group_kl_divergence_hand_computed(spark):
+    """Two groups with known distributions: KL matches the closed form; a
+    group distributed like the corpus has KL near 0."""
+    import math
+
+    from eodatadown_spark.operators.corpus import group_kl_divergence
+
+    # group A: a a b  (p = 2/3, 1/3); group B: a b b  → corpus: a=3/6, b=3/6
+    df = spark.createDataFrame(
+        [(1, "A", "a a b"), (2, "B", "a b b")], "doc_id long, lang string, text string"
+    )
+    got = {r["group"]: (r["n_tokens"], r["kl"])
+           for r in group_kl_divergence(df, group_col="lang").collect()}
+    want = round((2 / 3) * math.log((2 / 3) / 0.5)
+                 + (1 / 3) * math.log((1 / 3) / 0.5), 4)
+    assert got["A"] == (3, want)
+    assert got["B"] == (3, want)  # symmetric construction
