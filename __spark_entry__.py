@@ -831,6 +831,23 @@ def q62_session_window(spark, sf):
     )
 
 
+def q63_temperature_resample(spark, sf):
+    """Corpus op: temperature sampling (alpha=0.5) — per-language keep-rate
+    sqrt(N_min/N_g), deterministic hash-bucket membership; per-language
+    original vs kept counts prove the closed-form rates."""
+    from eodatadown_spark.operators.corpus import temperature_resample
+
+    docs = _t(spark, sf, "documents")
+    kept = temperature_resample(docs, alpha=0.5)
+    orig = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .join(orig, "lang")
+        .select("lang", "n_orig", "n_kept")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -894,6 +911,7 @@ QUERIES: dict[str, Callable] = {
     "q60_kl_divergence": q60_kl_divergence,
     "q61_range_join": q61_range_join,
     "q62_session_window": q62_session_window,
+    "q63_temperature_resample": q63_temperature_resample,
 }
 
 
@@ -1820,5 +1838,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_sessions,
                    max(n_events) AS max_session_events
             FROM per_sess GROUP BY user_id
+        """,
+        # q63: rate = sqrt(nmin/n) (IEEE-exact), membership = rolling-hash
+        # bucket % 10000 strictly below rate*10000 (q45's hash pattern).
+        "q63_temperature_resample": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY 1
+            ), nmin AS (
+                SELECT min(n) AS nmin FROM counts
+            ), rates AS (
+                SELECT lang, n AS n_orig,
+                       sqrt(CAST(nmin AS DOUBLE) / n) AS rate
+                FROM counts CROSS JOIN nmin
+            ), b AS (
+                SELECT lang, list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), list_transform(
+                               list_filter(
+                                   string_split(CAST(doc_id AS VARCHAR), ''),
+                                   ch -> ch <> ''),
+                               ch -> CAST(ord(ch) AS BIGINT))),
+                           (acc, c) -> (acc * 31 + c) % 2038074743) % 10000
+                           AS bucket
+                FROM documents
+            )
+            SELECT b.lang, rates.n_orig, count(*) AS n_kept
+            FROM b JOIN rates USING (lang)
+            WHERE bucket < rate * 10000
+            GROUP BY 1, 2
         """,
     }

@@ -213,6 +213,52 @@ def topk_tokens(
     )
 
 
+def temperature_resample(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (multilingual pretraining
+    sampling): group g's keep-rate is ``(N_min / N_g)^(1-alpha)`` — the
+    closed form of sampling groups ∝ N^alpha with no group upsampled, so the
+    smallest group keeps 100% and head groups are downsampled toward a
+    flatter mix (alpha=1 keeps everything; alpha→0 equalizes counts).
+
+    Membership is the deterministic rolling-hash id bucket against the
+    group's rate — no RNG state, rerun- and engine-stable.  Scale shape:
+    one group-count agg (bounded cardinality) broadcast back; the corpus
+    itself never shuffles.
+
+    For ``alpha=0.5`` the rate is ``sqrt(N_min/N_g)`` — sqrt is
+    IEEE-correctly-rounded, so the keep decision is bit-identical across
+    engines; other alphas go through ``pow``, whose last-ulp behavior is
+    libm-specific (document the tolerance if you oracle-check those).
+    """
+    counts = documents.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count("*").alias("__n")
+    )
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    rates = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            "__g",
+            F.pow(
+                F.col("__nmin").cast("double") / F.col("__n"), F.lit(1.0 - alpha)
+            ).alias("__rate"),
+        )
+    )
+    bucket = split_bucket(id_col, n_buckets)
+    return (
+        documents.join(
+            F.broadcast(rates), documents[group_col] == rates["__g"]
+        )
+        .where(bucket < F.col("__rate") * F.lit(float(n_buckets)))
+        .drop("__g", "__rate")
+    )
+
+
 def group_kl_divergence(
     documents: DataFrame,
     group_col: str = "lang",
@@ -325,4 +371,5 @@ __all__ = [
     "topk_tokens",
     "length_histogram",
     "group_kl_divergence",
+    "temperature_resample",
 ]

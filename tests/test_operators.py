@@ -550,3 +550,27 @@ def test_group_kl_divergence_hand_computed(spark):
                  + (1 / 3) * math.log((1 / 3) / 0.5), 4)
     assert got["A"] == (3, want)
     assert got["B"] == (3, want)  # symmetric construction
+
+
+def test_temperature_resample_rates(spark):
+    """alpha=1 keeps everything; alpha=0.5 keeps all of the smallest group
+    and sqrt(Nmin/Ng)-gated members of larger ones (membership recomputed
+    via the same deterministic bucket)."""
+    import math
+
+    from eodatadown_spark.operators.corpus import split_bucket, temperature_resample
+
+    rows = [(i, "big" if i < 400 else "small", "x") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    assert temperature_resample(df, alpha=1.0).count() == 500
+
+    kept = temperature_resample(df, alpha=0.5)
+    by = {r["lang"]: r["n"] for r in
+          kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["small"] == 100                      # smallest keeps 100%
+    rate = math.sqrt(100 / 400)
+    buckets = {r["doc_id"]: r["b"] for r in
+               df.select("doc_id", split_bucket("doc_id", 10_000).alias("b")).collect()}
+    want_big = sum(1 for i in range(400) if buckets[i] < rate * 10_000)
+    assert by["big"] == want_big

@@ -163,3 +163,41 @@ def test_sessionize_timestamp_ntz(spark):
     )
     got = sessionize(df, ["user_id"], "ts", 1800.0, order_cols=["event_id"]).collect()
     assert sorted(r["session_id"] for r in got) == [1, 2]
+
+
+def test_session_window_rollup_streaming_mode(spark, tmp_path):
+    """session_window_rollup runs as a REAL stream: watermark-gated append
+    emits only sessions closed by the watermark — the live-sessionization
+    path the lag+cumsum formulation cannot express."""
+    from eodatadown_spark.operators.temporal import session_window_rollup
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0)),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 10)),   # same session as 1
+        (3, 2, dt.datetime(2024, 1, 1, 0, 5)),
+        (4, 1, dt.datetime(2024, 1, 1, 6, 0)),    # advances watermark far
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    stream = session_window_rollup(
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "1 hour"),
+        ["user_id"],
+        gap="30 minutes",
+    )
+    q = (stream.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], r["n_events"])
+               for r in spark.sql("SELECT * FROM sess_out").collect()}
+        # sessions closed below the 05:00 watermark: user 1's 2-event
+        # session and user 2's singleton; the 06:00 event's session is
+        # still open state
+        assert got == {(1, 2), (2, 1)}
+    finally:
+        q.stop()
