@@ -848,6 +848,26 @@ def q63_temperature_resample(spark, sf):
     )
 
 
+def q64_perplexity_prune(spark, sf):
+    """Corpus op: perplexity pruning at a fixed budget — keep the lowest-nll
+    half of each language (percent_rank with id tie-break; deterministic
+    cut)."""
+    from eodatadown_spark.operators.corpus import perplexity_prune
+
+    docs = _t(spark, sf, "documents")
+    return perplexity_prune(docs, keep_frac=0.5)
+
+
+def q65_bigram_lm(spark, sf):
+    """Corpus op: per-doc mean bigram surprisal under the corpus's own
+    bigram LM (sequence-level quality signal; unigram-passing shuffled text
+    scores high here)."""
+    from eodatadown_spark.operators.corpus import bigram_lm_scores
+
+    docs = _t(spark, sf, "documents")
+    return bigram_lm_scores(docs)
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -912,6 +932,8 @@ QUERIES: dict[str, Callable] = {
     "q61_range_join": q61_range_join,
     "q62_session_window": q62_session_window,
     "q63_temperature_resample": q63_temperature_resample,
+    "q64_perplexity_prune": q64_perplexity_prune,
+    "q65_bigram_lm": q65_bigram_lm,
 }
 
 
@@ -1865,5 +1887,63 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN rates USING (lang)
             WHERE bucket < rate * 10000
             GROUP BY 1, 2
+        """,
+        # q64: q54's unigram nll + per-lang percent_rank over
+        # (rounded nll, doc_id) — the id tie-break makes the 50% cut exact.
+        "q64_perplexity_prune": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(
+                        lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                        '\\s+'),
+                    t -> t <> '')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+            ), total AS (
+                SELECT count(*) AS total FROM toks
+            ), scored AS (
+                SELECT doc_id,
+                       round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll,
+                       count(*) AS n_tokens
+                FROM toks JOIN counts USING (token) CROSS JOIN total
+                GROUP BY doc_id
+            ), ranked AS (
+                SELECT s.doc_id, d.lang, s.nll, s.n_tokens,
+                       percent_rank() OVER (PARTITION BY d.lang
+                                            ORDER BY s.nll ASC, s.doc_id ASC) AS pr
+                FROM scored s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, nll, n_tokens FROM ranked WHERE pr <= 0.5
+        """,
+        # q65: parallel-unnest bigram/head pairs (q46's slice pattern), MLE
+        # conditional surprisal; docs with < 2 tokens have no bigrams.
+        "q65_bigram_lm": """
+            WITH toksrc AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                           '\\s+'), t -> t <> '') AS toks
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))) AS bg,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i])) AS head
+                FROM toksrc WHERE len(toks) >= 2
+            ), tf AS (
+                SELECT doc_id, bg, head, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+            ), c2 AS (
+                SELECT bg, sum(tf) AS c2 FROM tf GROUP BY 1
+            ), c1 AS (
+                SELECT head, sum(tf) AS c1 FROM tf GROUP BY 1
+            )
+            SELECT doc_id,
+                   round(sum(tf * -ln(CAST(c2 AS DOUBLE) / c1)) / sum(tf), 4)
+                       AS bnll,
+                   CAST(sum(tf) AS BIGINT) AS n_bigrams
+            FROM tf JOIN c2 USING (bg) JOIN c1 USING (head)
+            GROUP BY doc_id
         """,
     }

@@ -213,6 +213,81 @@ def topk_tokens(
     )
 
 
+def bigram_lm_scores(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own bigram LM →
+    (doc_id, bnll, n_bigrams): avg over the doc's bigrams of
+    -ln(c(w1 w2) / c(w1·)), where c(w1·) counts w1 as a bigram head across
+    the corpus.  The next-order refinement of :func:`unigram_lm_scores` —
+    flags locally-implausible token SEQUENCES (shuffled text scores high
+    here while passing every unigram check).  MLE conditionals, so every
+    observed bigram has finite surprisal; documents with fewer than two
+    tokens have no bigrams and are absent from the output.
+
+    Same tf-first scale shape as the unigram scorer: per-doc bigram
+    frequencies collapse the stream before the corpus-count joins, which are
+    keyed on the (high-cardinality) bigram and head strings.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(ws_trim(c)), "\\s+"), lambda t: t != "")
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b))
+    bg = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg")
+    ).select(
+        "doc_id", "bg", F.split(F.col("bg"), " ", 2).getItem(0).alias("head")
+    )
+    tf = bg.groupBy("doc_id", "bg", "head").agg(F.count("*").alias("tf"))
+    c2 = tf.groupBy("bg").agg(F.sum("tf").alias("c2"))
+    c1 = tf.groupBy("head").agg(F.sum("tf").alias("c1"))
+    surprisal = -F.log(F.col("c2").cast("double") / F.col("c1"))
+    return (
+        tf.join(c2, "bg")
+        .join(c1, "head")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * surprisal) / F.sum("tf"), round_to).alias(
+                "bnll"
+            ),
+            F.sum("tf").alias("n_bigrams"),
+        )
+    )
+
+
+def perplexity_prune(
+    documents: DataFrame,
+    keep_frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity pruning at a fixed budget: keep the lowest-``nll``
+    ``keep_frac`` of each group (per-language, so head languages don't
+    crowd out the tail) → the kept documents with their scores attached.
+
+    Ranking is ``percent_rank`` over (rounded nll, id) — the id tie-break
+    makes the cut deterministic and engine-independent even among equal
+    scores.  The window partitions by the bounded group column AFTER
+    scoring has reduced the data to one row per document.
+    """
+    scored = documents.select(F.col(id_col).alias("doc_id"), F.col(group_col)).join(
+        unigram_lm_scores(documents, id_col=id_col, text_col=text_col), "doc_id"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("nll").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= F.lit(float(keep_frac)))
+        .select("doc_id", group_col, "nll", "n_tokens")
+    )
+
+
 def temperature_resample(
     documents: DataFrame,
     alpha: float = 0.5,
@@ -372,4 +447,6 @@ __all__ = [
     "length_histogram",
     "group_kl_divergence",
     "temperature_resample",
+    "bigram_lm_scores",
+    "perplexity_prune",
 ]

@@ -574,3 +574,39 @@ def test_temperature_resample_rates(spark):
                df.select("doc_id", split_bucket("doc_id", 10_000).alias("b")).collect()}
     want_big = sum(1 for i in range(400) if buckets[i] < rate * 10_000)
     assert by["big"] == want_big
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Corpus 'a b a b' + 'a c': bigram counts c(a b)=2, c(b a)=1, c(a c)=1;
+    heads c(a.)=3, c(b.)=1 — doc surprisals match the closed form; a
+    one-token doc has no bigrams and is absent."""
+    import math
+
+    from eodatadown_spark.operators.corpus import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["bnll"], r["n_bigrams"])
+           for r in bigram_lm_scores(df).collect()}
+    # doc 1 bigrams: (a b)x2 -ln(2/3); (b a) -ln(1/1)=0
+    want1 = round((2 * -math.log(2 / 3) + 0.0) / 3, 4)
+    assert got[1] == (want1, 3)
+    assert got[2] == (round(-math.log(1 / 3), 4), 1)   # (a c): c2=1, c(a.)=3
+    assert 3 not in got
+
+
+def test_perplexity_prune_budget_and_determinism(spark):
+    """Exactly the lowest-nll half of each group survives (ties cut by id);
+    rerun is identical."""
+    from eodatadown_spark.operators.corpus import perplexity_prune, unigram_lm_scores
+
+    rows = [(i, "en", " ".join(["common"] * 5 + [f"rare{i}"] * (i % 4))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = perplexity_prune(df, keep_frac=0.5)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == sorted(r["doc_id"] for r in perplexity_prune(df, 0.5).collect())
+    scored = {r["doc_id"]: r["nll"] for r in unigram_lm_scores(df).collect()}
+    order = sorted(scored, key=lambda i: (scored[i], i))
+    # percent_rank <= 0.5 over 40 rows keeps ranks 1..20 ((r-1)/39 <= 0.5)
+    assert ids == sorted(order[:20])
