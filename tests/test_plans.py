@@ -104,3 +104,32 @@ def test_scnlist_queries_prune_columns(landsat_scenes, tmp_path, spark):
     assert counts and counts[0] <= 5
     pf = audit.pushed_filters(df)
     assert any("downloaded" in f for f in pf)
+
+
+def test_q59_asof_single_exchange(entry_spark):
+    """The as-of join is one keyed-window shuffle — no nested loop, no
+    second exchange (SCALING.md temporal-joins claim)."""
+    df = E.queries()["q59_asof_join"](entry_spark, SF)
+    assert audit.exchange_count(df) == 1
+    joins = audit.join_strategies(df)
+    assert joins.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_q61_range_join_is_equi(entry_spark):
+    """The interval join runs as a hash/sort-merge equi-join on
+    (key, bucket) — never a nested-loop theta join."""
+    df = E.queries()["q61_range_join"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    assert joins.get("BroadcastNestedLoopJoin", 0) == 0
+    assert joins.get("CartesianProduct", 0) == 0
+    assert (joins.get("BroadcastHashJoin", 0) + joins.get("SortMergeJoin", 0)) >= 1
+
+
+def test_q54_unigram_reuses_tf_exchange(entry_spark):
+    """The twin tf subplans (scoring join + corpus counts) collapse to a
+    ReusedExchange — the token stream is exploded for aggregation once per
+    side, not recomputed for the total."""
+    df = E.queries()["q54_unigram_lm"](entry_spark, SF)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
