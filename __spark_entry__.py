@@ -868,6 +868,36 @@ def q65_bigram_lm(spark, sf):
     return bigram_lm_scores(docs)
 
 
+def q66_incremental_dedup(spark, sf):
+    """Corpus op: incremental exact dedup of a new batch against an existing
+    corpus — docs >= 250 plus a simulated re-crawl (docs 0-24 relabeled
+    +1000) arrive as the batch; the re-crawled 25 are dropped by the
+    fingerprint anti-join (T2 idempotent-ingest semantics on documents)."""
+    from eodatadown_spark.operators.corpus import dedup_against
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") < 250)
+    recrawl = docs.where(F.col("doc_id") < 25).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    batch = docs.where(F.col("doc_id") >= 250).unionByName(recrawl)
+    return dedup_against(batch, corpus).select("doc_id", "lang")
+
+
+def q67_chunking(spark, sf):
+    """Corpus op: overlapping token-window chunking (window 32, stride 24) —
+    the context-window splitting step; chunk text checked via md5."""
+    from eodatadown_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(docs, window=32, stride=24).select(
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_chunk_tokens",
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -934,6 +964,8 @@ QUERIES: dict[str, Callable] = {
     "q63_temperature_resample": q63_temperature_resample,
     "q64_perplexity_prune": q64_perplexity_prune,
     "q65_bigram_lm": q65_bigram_lm,
+    "q66_incremental_dedup": q66_incremental_dedup,
+    "q67_chunking": q67_chunking,
 }
 
 
@@ -1945,5 +1977,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(tf) AS BIGINT) AS n_bigrams
             FROM tf JOIN c2 USING (bg) JOIN c1 USING (head)
             GROUP BY doc_id
+        """,
+        # q66: same fingerprint normalization as the engine (q19/q22's md5
+        # of lowercased alnum text); batch anti-joins the corpus fingerprint
+        # set, then keeps the min-id row per raw-text hash within the batch.
+        "q66_incremental_dedup": """
+            WITH corpus AS (
+                SELECT md5(lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))) AS fp
+                FROM documents WHERE doc_id < 250
+            ), batch AS (
+                SELECT doc_id, lang, text FROM documents WHERE doc_id >= 250
+                UNION ALL
+                SELECT doc_id + 1000 AS doc_id, lang, text FROM documents
+                WHERE doc_id < 25
+            ), fresh AS (
+                SELECT b.* FROM batch b
+                WHERE md5(lower(regexp_replace(b.text, '[^a-z0-9]', '', 'g')))
+                      NOT IN (SELECT fp FROM corpus)
+            )
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id ASC) AS rn
+                FROM fresh
+            ) WHERE rn = 1
+        """,
+        # q67: chunk i = tokens[i*24+1 .. i*24+32] (inclusive DuckDB slice),
+        # i in [0, ceil(n/24)); md5 of the re-joined chunk checks the text.
+        "q67_chunking": """
+            WITH toksrc AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                           '\\s+'), t -> t <> '') AS toks
+                FROM documents
+            ), ch AS (
+                SELECT doc_id,
+                       unnest(range(0, CAST(ceil(len(toks) / 24.0) AS BIGINT)))
+                           AS chunk_id,
+                       toks
+                FROM toksrc WHERE len(toks) > 0
+            )
+            SELECT doc_id, chunk_id,
+                   md5(array_to_string(
+                       toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+                       AS chunk_md5,
+                   CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32])
+                        AS INTEGER) AS n_chunk_tokens
+            FROM ch
         """,
     }

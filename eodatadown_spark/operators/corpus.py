@@ -213,6 +213,80 @@ def topk_tokens(
     )
 
 
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop new documents whose normalized-content
+    fingerprint already exists in the corpus, then exact-dedup within the
+    batch itself (min-id survives) — the T2-style idempotent-ingest
+    semantics applied to a document feed, so re-crawls and overlapping
+    dumps never re-enter the corpus.
+
+    Scale shape: the corpus side reduces to its distinct fingerprint column
+    before the anti-join (one narrow projection of the big side, shuffle on
+    the 128-bit hash); the within-batch pass is the same keyed window as
+    :func:`eodatadown_spark.operators.dedup.exact_dedup`.
+    """
+    from eodatadown_spark.operators.dedup import exact_dedup
+    from eodatadown_spark.operators.text import fingerprint
+
+    fp = fingerprint(F.col(text_col))
+    seen = corpus.select(fp.alias("__fp")).distinct()
+    fresh = (
+        new_docs.withColumn("__fp", fp)
+        .join(seen, "__fp", "left_anti")
+        .drop("__fp")
+    )
+    return exact_dedup(fresh, [text_col], id_col=id_col)
+
+
+def chunk_documents(
+    documents: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking → (doc_id, chunk_id, chunk_text,
+    n_chunk_tokens): chunk i covers tokens [i·stride, i·stride + window);
+    chunks start while i·stride < n_tokens, so the tail chunk may be short
+    and every token lands in ≥1 chunk when ``stride <= window``.  The
+    context-window splitting step for training/RAG corpora.
+
+    Pure per-row explode of built-in array expressions (sequence → slice →
+    join) — zero shuffle, scales embarrassingly; empty documents produce no
+    chunks.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError(f"window ({window}) and stride ({stride}) must be positive")
+    toks = F.filter(
+        F.split(F.lower(ws_trim(F.col(text_col))), "\\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    n_chunks = F.ceil(n.cast("double") / F.lit(float(stride))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i * F.lit(stride) + 1, F.lit(window)), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    out = documents.where(n > 0).select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    )
+    return out.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.size(F.split(F.col("c.chunk_text"), " ")).alias("n_chunk_tokens"),
+    )
+
+
 def bigram_lm_scores(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -449,4 +523,6 @@ __all__ = [
     "temperature_resample",
     "bigram_lm_scores",
     "perplexity_prune",
+    "dedup_against",
+    "chunk_documents",
 ]

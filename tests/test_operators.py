@@ -610,3 +610,44 @@ def test_perplexity_prune_budget_and_determinism(spark):
     order = sorted(scored, key=lambda i: (scored[i], i))
     # percent_rank <= 0.5 over 40 rows keeps ranks 1..20 ((r-1)/39 <= 0.5)
     assert ids == sorted(order[:20])
+
+
+def test_dedup_against_incremental(spark):
+    """Fingerprint anti-join drops re-crawls (normalization-insensitive);
+    within-batch exact dups collapse to the min id."""
+    from eodatadown_spark.operators.corpus import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "old news")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "hello world"),        # normalized dup of corpus 1 -> dropped
+         (11, "fresh content"),
+         (12, "fresh content"),      # in-batch dup of 11 -> dropped
+         (13, "another one")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_against(batch, corpus).collect())
+    assert kept == [11, 13]
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: stride-spaced starts while start < n, window-capped
+    lengths, tail chunk short, every token covered; empty doc -> no chunks."""
+    from eodatadown_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # one short chunk
+         (2, " ".join(f"t{i}" for i in range(40))),   # starts 0, 24
+         (3, " ".join(f"t{i}" for i in range(24))),   # exactly one stride
+         (4, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, window=32, stride=24).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+           for r in out}
+    assert set(got) == {(1, 0), (2, 0), (2, 1), (3, 0)}
+    assert got[(1, 0)][0] == 10
+    assert got[(2, 0)][0] == 32 and got[(2, 1)][0] == 16
+    assert got[(2, 1)][1].startswith("t24 ")       # overlap: starts at stride
+    assert got[(3, 0)][0] == 24
