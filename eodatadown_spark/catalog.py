@@ -258,6 +258,37 @@ class ParquetCatalog:
         df = self.read(table)
         return df.drop(*[c for c in ("p_year", "p_month") if c in df.columns])
 
+    # -- time travel (within the retention window) --------------------------
+    def list_versions(self, table: str) -> list[int]:
+        """Version numbers present on disk, ascending.  Only the newest
+        ``retain_versions`` survive writes, so this is the travel horizon."""
+        table_dir = self._table_dir(table)
+        if not os.path.isdir(table_dir):
+            return []
+        return sorted(
+            int(d.split("_")[1])
+            for d in os.listdir(table_dir)
+            if d.startswith("v_") and d.split("_")[1].isdigit()
+        )
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time travel: read a retained historical version (the minimal
+        analog of table-format VERSION AS OF).  Raises if the version was
+        garbage-collected — raise ``retain_versions`` to keep more history.
+        Hard-linked leaves from selective merges share inodes across
+        versions, so history costs only the rewritten partitions."""
+        path = os.path.join(self._table_dir(table), f"v_{version}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {version} of {table!r} not on disk "
+                f"(retained: {self.list_versions(table)})"
+            )
+        if not _has_parquet_files(path):
+            declared = schemas.ALL_SCHEMAS.get(table)
+            if declared is not None:
+                return self.spark.createDataFrame([], schema=declared)
+        return self.spark.read.parquet(path)
+
     # -- bucketed tables (scale path: shuffle-free co-located joins) -------
     def write_bucketed(
         self,

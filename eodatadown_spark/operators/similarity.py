@@ -133,24 +133,59 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the query's hyperplane
-    bucket; equi-join on bucket replaces the cross join (the 100 TB path —
-    ~n/2^planes candidates per query)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-        .withColumn("bucket", hyperplane_bucket(F.col("__cv"), planes))
-        .withColumn("__cn", l2_norm(F.col("__cv")))
+    bucket; equi-join on (table, bucket) replaces the cross join (the 100 TB
+    path — ~n/2^planes candidates per query per table).
+
+    ``n_tables`` is the standard OR-amplification knob: L independent
+    hyperplane sets, candidates unioned across tables (deduped before
+    scoring).  Single-table recall degrades geometrically with n_planes on
+    unstructured embeddings (exact-bucket match); multiple smaller tables
+    recover it at L× candidate cost — the recall harness in
+    tests/test_operators.py measures both directions of the trade.
+    """
+    table_planes = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, vcol: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_bucket(F.col(vcol), planes).alias("b"),
+                )
+                for t, planes in enumerate(table_planes)
+            ]
+        )
+        return df.select(
+            "*", F.explode(buckets).alias("__tb")
+        ).select("*", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("bucket")).drop(
+            "__tb"
+        )
+
+    c = with_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ).withColumn("__cn", l2_norm(F.col("__cv"))),
+        "__cv",
     )
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        with_buckets(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ).withColumn("__qn", l2_norm(F.col("__qv"))),
+            "__qv",
         )
-        .withColumn("bucket", hyperplane_bucket(F.col("__qv"), planes))
-        .withColumn("__qn", l2_norm(F.col("__qv")))
     )
-    return _topk_tail(_score_pairs(c.join(q, "bucket")), k)
+    cand = (
+        c.join(q, ["t", "bucket"])
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .drop("t", "bucket")
+    )
+    return _topk_tail(_score_pairs(cand), k)
 
 
 def ivf_assign_cells(

@@ -477,3 +477,28 @@ def test_merge_updates_crash_retry_and_p_year_guard(spark, landsat_scenes, tmp_p
             "landsat_scenes",
             spark.createDataFrame([(0, 2030)], "pid long, p_year int"),
         )
+
+
+def test_time_travel_versions(spark, landsat_scenes, tmp_path):
+    """read_version reads retained history (VERSION AS OF analog); GC'd
+    versions raise with the retained list; selective-merge history shares
+    inodes with the current version."""
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path), retain_versions=2)
+    cat.write(landsat_scenes, "landsat_scenes")                    # v0
+    updates = spark.createDataFrame([(0, 77.5)], "pid long, cloud_cover double")
+    cat.merge_updates("landsat_scenes", updates)                   # v1
+    assert cat.list_versions("landsat_scenes") == [0, 1]
+
+    old = cat.read_version("landsat_scenes", 0)
+    assert old.where((F.col("pid") == 0) & (F.col("cloud_cover") == 77.5)).count() == 0
+    cur = cat.read_clean("landsat_scenes")
+    assert cur.where((F.col("pid") == 0) & (F.col("cloud_cover") == 77.5)).count() == 1
+
+    cat.write(cur, "landsat_scenes")                               # v2 -> v0 GC'd
+    assert cat.list_versions("landsat_scenes") == [1, 2]
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match=r"retained: \[1, 2\]"):
+        cat.read_version("landsat_scenes", 0)

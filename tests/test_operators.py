@@ -651,3 +651,37 @@ def test_chunk_documents_windows(spark):
     assert got[(2, 0)][0] == 32 and got[(2, 1)][0] == 16
     assert got[(2, 1)][1].startswith("t24 ")       # overlap: starts at stride
     assert got[(3, 0)][0] == 24
+
+
+def test_ivf_and_lsh_recall_floor(spark):
+    """Recall harness on the driver's real embeddings table, 20 queries,
+    k=3 vs brute-force exact: IVF recall rises monotonically with n_probe
+    and reaches 1.0 at full probe; LSH single-table recall is weak on
+    unstructured embeddings and OR-amplification (n_tables) recovers it —
+    the quantified version of SCALING.md's speed/recall trade."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 3
+
+    def hits(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = hits(S.cosine_topk(emb, qs, k=k))
+    assert len(exact) == 20 * k
+
+    ivf_recalls = [
+        len(hits(S.ivf_topk(emb, qs, k=k, n_centroids=8, n_probe=p)) & exact)
+        / len(exact)
+        for p in (1, 2, 8)
+    ]
+    assert ivf_recalls == sorted(ivf_recalls)     # more probes, never worse
+    assert ivf_recalls[1] >= 0.6                  # 2/8 probes
+    assert ivf_recalls[2] == 1.0                  # full probe == exact
+
+    lsh1 = len(hits(S.lsh_bucket_topk(emb, qs, k=k, n_planes=4, dim=64)) & exact) / len(exact)
+    lsh8 = len(hits(S.lsh_bucket_topk(emb, qs, k=k, n_planes=4, dim=64,
+                                      n_tables=8)) & exact) / len(exact)
+    assert lsh8 > lsh1                            # OR-amplification helps
+    assert lsh8 >= 0.6
