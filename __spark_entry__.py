@@ -8,8 +8,9 @@ binds it to the test schema.
 Conventions for oracle stability:
 - every computed column is aliased identically on both sides;
 - floating aggregates are rounded (2dp money, 4dp ratios) on both sides;
-- ``events.ts`` is TIMESTAMP(NANOS) parquet: Spark reads it as long-ns and
-  converts to µs (sources.testdata); oracle SQL casts to µs TIMESTAMP;
+- ``events.ts`` is TIMESTAMP(NANOS) parquet: on Spark 4.x it reads natively
+  as TIMESTAMP_NTZ truncated to µs (see sources.testdata + the canary test);
+  epoch math goes NTZ→LTZ→double; oracle SQL casts to µs TIMESTAMP;
 - windows/top-k carry unique tie-break keys so row SETS are deterministic.
 """
 

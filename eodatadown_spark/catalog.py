@@ -260,29 +260,37 @@ class ParquetCatalog:
 
     # -- time travel (within the retention window) --------------------------
     def list_versions(self, table: str) -> list[int]:
-        """Version numbers present on disk, ascending.  Only the newest
-        ``retain_versions`` survive writes, so this is the travel horizon."""
+        """Version numbers readable for time travel, ascending: on-disk
+        versions AT OR BELOW the current pointer.  Only the newest
+        ``retain_versions`` survive writes, so this is the travel horizon;
+        a v_N directory ABOVE the pointer is a partially-written version
+        from a crashed write (the pointer flips last) and is excluded — time
+        travel must never serve a partial snapshot."""
         table_dir = self._table_dir(table)
         if not os.path.isdir(table_dir):
             return []
+        current = self._current_version(table)
+        ceiling = int(current.split("_")[1]) if current else -1
         return sorted(
-            int(d.split("_")[1])
+            v
             for d in os.listdir(table_dir)
             if d.startswith("v_") and d.split("_")[1].isdigit()
+            and (v := int(d.split("_")[1])) <= ceiling
         )
 
     def read_version(self, table: str, version: int) -> DataFrame:
         """Time travel: read a retained historical version (the minimal
         analog of table-format VERSION AS OF).  Raises if the version was
-        garbage-collected — raise ``retain_versions`` to keep more history.
-        Hard-linked leaves from selective merges share inodes across
-        versions, so history costs only the rewritten partitions."""
-        path = os.path.join(self._table_dir(table), f"v_{version}")
-        if not os.path.isdir(path):
+        garbage-collected or sits above the current pointer (a crashed
+        write's partial dir) — raise ``retain_versions`` to keep more
+        history.  Hard-linked leaves from selective merges share inodes
+        across versions, so history costs only the rewritten partitions."""
+        if version not in self.list_versions(table):
             raise FileNotFoundError(
-                f"version {version} of {table!r} not on disk "
+                f"version {version} of {table!r} not readable "
                 f"(retained: {self.list_versions(table)})"
             )
+        path = os.path.join(self._table_dir(table), f"v_{version}")
         if not _has_parquet_files(path):
             declared = schemas.ALL_SCHEMAS.get(table)
             if declared is not None:

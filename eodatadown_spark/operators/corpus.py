@@ -14,10 +14,21 @@ analog — these extend the engine per the LLM-data-pipeline surface
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eodatadown_spark.operators.text import rolling_fingerprint, token_count, ws_trim
+
+
+def token_array(text_col: Column | str) -> Column:
+    """The engine's canonical tokenization as an array column: lower → trim
+    → split on \\s+ → drop empties.  Single definition shared by every
+    corpus operator (and mirrored by the oracles' token CTE) so a
+    tokenization change can never make operators diverge from each other."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(ws_trim(c)), "\\s+"), lambda t: t != "")
 
 
 def split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
@@ -71,10 +82,9 @@ def tfidf_topk_keywords(
     partial aggregation map-side), corpus size N broadcast as a 1-row
     crossJoin.  No collect, no per-document Python.
     """
-    c = F.col(text_col)
-    toks = F.filter(F.split(F.lower(ws_trim(c)), "\\s+"), lambda t: t != "")
     tokens = documents.select(
-        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_array(text_col)).alias("token"),
     )
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tokens.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
@@ -105,11 +115,9 @@ def tfidf_topk_keywords(
 def _tokens(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, token) exploded view under the engine's canonical
     tokenization (lower → trim → split \\s+ → drop empties)."""
-    toks = F.filter(
-        F.split(F.lower(ws_trim(F.col(text_col))), "\\s+"), lambda t: t != ""
-    )
     return documents.select(
-        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_array(text_col)).alias("token"),
     )
 
 
@@ -171,11 +179,23 @@ def stratified_sample(
     membership (same contract as :func:`assign_split`), and rates are
     honored per stratum rather than globally.
     """
+    def quantize(rate: float, name: str) -> int:
+        # round-half-up (not banker's), and refuse to silently turn a
+        # requested-nonzero rate into total exclusion
+        t = int(math.floor(rate * n_buckets + 0.5))
+        if rate > 0 and t == 0:
+            raise ValueError(
+                f"rate {rate} for {name} rounds to 0/{n_buckets} buckets — "
+                f"raise n_buckets to at least {math.ceil(1 / rate)}"
+            )
+        return t
+
     bucket = split_bucket(id_col, n_buckets)
-    thr = F.lit(int(round(default_rate * n_buckets)))
+    thr = F.lit(quantize(default_rate, "default_rate") if default_rate else 0)
     for stratum, rate in sorted(rates.items()):
         thr = F.when(
-            F.col(strata_col) == F.lit(stratum), F.lit(int(round(rate * n_buckets)))
+            F.col(strata_col) == F.lit(stratum),
+            F.lit(quantize(rate, repr(stratum))),
         ).otherwise(thr)
     return documents.where(bucket < thr)
 
@@ -197,12 +217,7 @@ def topk_tokens(
     """
     tokens = documents.select(
         F.col(group_col).alias("group"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(ws_trim(F.col(text_col))), "\\s+"),
-                lambda t: t != "",
-            )
-        ).alias("token"),
+        F.explode(token_array(text_col)).alias("token"),
     )
     counts = tokens.groupBy("group", "token").agg(F.count("*").alias("n"))
     w = Window.partitionBy("group").orderBy(F.col("n").desc(), F.col("token").asc())
@@ -229,11 +244,17 @@ def dedup_against(
     before the anti-join (one narrow projection of the big side, shuffle on
     the 128-bit hash); the within-batch pass is the same keyed window as
     :func:`eodatadown_spark.operators.dedup.exact_dedup`.
+
+    Fingerprint: the alnum-normalized md5 (robust to case/punctuation),
+    EXCEPT when normalization strips the text empty (non-Latin scripts have
+    no [a-z0-9] characters) — those fall back to the raw-text md5, so
+    distinct CJK/Cyrillic documents never collapse into one md5("")
+    identity and anti-join each other away.
     """
     from eodatadown_spark.operators.dedup import exact_dedup
-    from eodatadown_spark.operators.text import fingerprint
 
-    fp = fingerprint(F.col(text_col))
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    fp = F.md5(F.when(normalized != "", normalized).otherwise(F.col(text_col)))
     seen = corpus.select(fp.alias("__fp")).distinct()
     fresh = (
         new_docs.withColumn("__fp", fp)
@@ -262,9 +283,7 @@ def chunk_documents(
     """
     if stride <= 0 or window <= 0:
         raise ValueError(f"window ({window}) and stride ({stride}) must be positive")
-    toks = F.filter(
-        F.split(F.lower(ws_trim(F.col(text_col))), "\\s+"), lambda t: t != ""
-    )
+    toks = token_array(text_col)
     n = F.size(toks)
     n_chunks = F.ceil(n.cast("double") / F.lit(float(stride))).cast("int")
     chunks = F.transform(
@@ -306,8 +325,7 @@ def bigram_lm_scores(
     frequencies collapse the stream before the corpus-count joins, which are
     keyed on the (high-cardinality) bigram and head strings.
     """
-    c = F.col(text_col)
-    toks = F.filter(F.split(F.lower(ws_trim(c)), "\\s+"), lambda t: t != "")
+    toks = token_array(text_col)
     heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
     tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     bigrams = F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b))
@@ -389,14 +407,13 @@ def temperature_resample(
         F.count("*").alias("__n")
     )
     nmin = counts.agg(F.min("__n").alias("__nmin"))
-    rates = (
-        counts.crossJoin(F.broadcast(nmin))
-        .select(
-            "__g",
-            F.pow(
-                F.col("__nmin").cast("double") / F.col("__n"), F.lit(1.0 - alpha)
-            ).alias("__rate"),
-        )
+    ratio = F.col("__nmin").cast("double") / F.col("__n")
+    # alpha=0.5 goes through sqrt, which IEEE guarantees correctly rounded —
+    # the cross-engine bit-identity the docstring promises; Math.pow is only
+    # 1-ulp-accurate and could flip a bucket comparison at the boundary
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "__g", rate.alias("__rate")
     )
     bucket = split_bucket(id_col, n_buckets)
     return (
@@ -429,12 +446,7 @@ def group_kl_divergence(
     """
     tokens = documents.select(
         F.col(group_col).alias("group"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(ws_trim(F.col(text_col))), "\\s+"),
-                lambda t: t != "",
-            )
-        ).alias("token"),
+        F.explode(token_array(text_col)).alias("token"),
     )
     gt = tokens.groupBy("group", "token").agg(F.count("*").alias("n_gt"))
     g_tot = gt.groupBy("group").agg(F.sum("n_gt").alias("g_total"))

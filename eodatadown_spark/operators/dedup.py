@@ -414,6 +414,7 @@ def contamination_pairs(
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
     max_broadcast_rows: int = 1_000_000,
+    broadcast_benchmark: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing at least one word
     k-gram with a benchmark/eval doc → (corpus_id, bench_id, n_shared).
@@ -427,9 +428,12 @@ def contamination_pairs(
 
     Guard: the broadcast hint is only attached while the benchmark side is
     ≤ ``max_broadcast_rows`` documents (bounded existence probe, one cheap
-    job).  A misuse with two large corpora falls back to a plain shuffle
-    equi-join on the gram instead of OOM-ing every executor on a forced
-    broadcast.
+    job at plan time).  A misuse with two large corpora falls back to a
+    plain shuffle equi-join on the gram instead of OOM-ing every executor
+    on a forced broadcast.  Callers composing plans lazily (or whose
+    benchmark is an expensive derived frame) can pass
+    ``broadcast_benchmark=True/False`` to skip the probe job entirely and
+    keep this function pure plan construction.
     """
     c_sh = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -440,7 +444,9 @@ def contamination_pairs(
         F.explode(word_shingles(bench_text_col, k)).alias("sh"),
     )
     small = (
-        benchmark.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+        broadcast_benchmark
+        if broadcast_benchmark is not None
+        else benchmark.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
     )
     if small:
         b_sh = F.broadcast(b_sh)

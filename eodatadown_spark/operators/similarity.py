@@ -180,11 +180,11 @@ def lsh_bucket_topk(
             "__qv",
         )
     )
-    cand = (
-        c.join(q, ["t", "bucket"])
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .drop("t", "bucket")
-    )
+    cand = c.join(q, ["t", "bucket"]).drop("t", "bucket")
+    if n_tables > 1:
+        # a vector lands in exactly ONE bucket per table, so duplicates can
+        # only arise across tables — single-table callers skip this shuffle
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     return _topk_tail(_score_pairs(cand), k)
 
 

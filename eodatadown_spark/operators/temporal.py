@@ -45,11 +45,17 @@ def asof_join(
     right row exists (left-join semantics).
 
     Shape: tag both inputs, union, one window per key ordered by
-    (ts, side-marker) taking ``last(value, ignorenulls=True)``, keep left
-    rows.  Exactly one shuffle (the window partitioning); both inputs stream
-    through whole-stage codegen — no pandas, no per-key loops, no broadcast
-    requirement on either side.  At equal timestamps the marker orders right
-    rows before left rows (inclusive) or after (strict).
+    (ts, side-marker) taking ``last(ignorenulls)`` of ONE struct packing the
+    right row's timestamp + values, keep left rows.  The struct is what
+    makes per-column semantics correct: it is non-null exactly on right rows
+    (never on the left-side filler), so every filled column comes from the
+    SAME matched right row, and a legitimately-NULL value column propagates
+    as NULL instead of leaking an older row's value (pandas
+    ``merge_asof``-compatible).  Exactly one shuffle (the window
+    partitioning); both inputs stream through whole-stage codegen — no
+    pandas, no per-key loops, no broadcast requirement on either side.  At
+    equal timestamps the marker orders right rows before left rows
+    (inclusive) or after (strict).
 
     Ties between right rows at identical (key, ts) resolve to the one last
     in the union sort — pass pre-deduplicated right input when value columns
@@ -58,14 +64,16 @@ def asof_join(
     key_cols = list(key_cols)
     lcols = left.columns
     ldt = dict(left.dtypes)
-    rdt = dict(right.dtypes)
     rv_out = [(right_ts, right_ts + suffix)] + [
         (c, c + suffix) for c in right_value_cols
     ]
+    rstruct_t = ", ".join(
+        f"`{dst}`: {dict(right.dtypes)[src]}" for src, dst in rv_out
+    )
     left_proj = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(rdt[src]).alias(dst) for src, dst in rv_out],
+        F.lit(None).cast(f"struct<{rstruct_t}>").alias("__rv"),
         F.lit(1).alias("__is_left"),
     )
     right_proj = right.select(
@@ -74,7 +82,7 @@ def asof_join(
             for c in lcols
         ],
         F.col(right_ts).alias("__ts"),
-        *[F.col(src).alias(dst) for src, dst in rv_out],
+        F.struct(*[F.col(src).alias(dst) for src, dst in rv_out]).alias("__rv"),
         F.lit(0).alias("__is_left"),
     )
     marker = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
@@ -83,10 +91,11 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), marker)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    matched = F.last("__rv", ignorenulls=True).over(w)
     filled = left_proj.unionByName(right_proj).select(
         *lcols,
         "__is_left",
-        *[F.last(dst, ignorenulls=True).over(w).alias(dst) for _, dst in rv_out],
+        *[matched.getField(dst).alias(dst) for _, dst in rv_out],
     )
     return filled.where(F.col("__is_left") == 1).drop("__is_left")
 

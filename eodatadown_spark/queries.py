@@ -330,10 +330,14 @@ def get_scnlist_usr_analysis_agg(
     exchange-free except the final presentation sort — the 100 TB scheduling
     path (ref eodatadownlandsatgoogsensor.py:1611-1646).
     """
+    # dedupe the configured list: countDistinct compares against the number
+    # of DISTINCT names, else a repeated entry would make every scene
+    # perpetually "needing analysis" (the anti-join form is naturally immune)
+    plugin_set = sorted(set(plugins))
     done = (
         plugin_results.where(
             (F.col("completed") == F.lit(True))
-            & F.col("plugin_name").isin(list(plugins))
+            & F.col("plugin_name").isin(plugin_set)
         )
         .groupBy(F.col("scene_pid").alias("pid"))
         .agg(F.countDistinct("plugin_name").alias("n_done"))
@@ -342,7 +346,7 @@ def get_scnlist_usr_analysis_agg(
         scenes.where((F.col("ardproduct") == F.lit(True)) & valid_pred(True))
         .select("pid")
         .join(done, "pid", "left")
-        .where(F.coalesce(F.col("n_done"), F.lit(0)) < F.lit(len(plugins)))
+        .where(F.coalesce(F.col("n_done"), F.lit(0)) < F.lit(len(plugin_set)))
         .select("pid")
         .orderBy("pid")
     )

@@ -502,3 +502,19 @@ def test_time_travel_versions(spark, landsat_scenes, tmp_path):
 
     with pytest.raises(FileNotFoundError, match=r"retained: \[1, 2\]"):
         cat.read_version("landsat_scenes", 0)
+
+
+def test_time_travel_excludes_partial_version(spark, landsat_scenes, tmp_path):
+    """A v_N dir above the current pointer (crashed write) is invisible to
+    time travel — never a partial snapshot."""
+    import pytest
+
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(landsat_scenes, "landsat_scenes")  # v0 + pointer
+    partial = os.path.join(str(tmp_path), "landsat_scenes", "v_1")
+    os.makedirs(partial)  # simulated crash: dir exists, pointer not flipped
+    assert cat.list_versions("landsat_scenes") == [0]
+    with pytest.raises(FileNotFoundError, match="not readable"):
+        cat.read_version("landsat_scenes", 1)

@@ -685,3 +685,65 @@ def test_ivf_and_lsh_recall_floor(spark):
                                       n_tables=8)) & exact) / len(exact)
     assert lsh8 > lsh1                            # OR-amplification helps
     assert lsh8 >= 0.6
+
+
+def test_asof_join_null_value_not_backfilled(spark):
+    """A matched right row with a NULL value column must yield NULL — not a
+    stale value leaked from an older right row (merge_asof semantics; all
+    filled columns come from the SAME matched row)."""
+    import datetime as dt
+
+    from eodatadown_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t("2024-01-01T13:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01T11:00:00"), 7.0), (1, t("2024-01-01T12:00:00"), None)],
+        "user_id long, ts timestamp, price double",
+    )
+    row = asof_join(left, right, ["user_id"], right_value_cols=["price"]).first()
+    assert row["ts_right"] == t("2024-01-01T12:00:00")
+    assert row["price_right"] is None
+
+
+def test_dedup_against_non_latin_not_collapsed(spark):
+    """Distinct non-Latin docs (alnum normalization strips them empty) must
+    NOT collapse into one md5('') identity and anti-join each other away."""
+    from eodatadown_spark.operators.corpus import dedup_against
+
+    corpus = spark.createDataFrame([(1, "一些中文文本")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "另一个完全不同的文档"), (11, "第三个文档"), (12, "一些中文文本")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_against(batch, corpus).collect())
+    assert kept == [10, 11]  # only the true re-crawl (12) dropped
+
+
+def test_stratified_sample_rejects_vanishing_rate(spark):
+    from eodatadown_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame([(1, "en", "x")], "doc_id long, lang string, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds to 0"):
+        stratified_sample(df, {"en": 0.004})  # default n_buckets=100
+    # the suggested fix works
+    assert stratified_sample(df, {"en": 0.004}, n_buckets=10_000).count() <= 1
+
+
+def test_usr_analysis_agg_duplicate_plugin_names(spark, landsat_scenes, plugin_results_df):
+    """A duplicated entry in the configured plugin list must not change the
+    result (countDistinct compares against the DISTINCT name count)."""
+    from eodatadown_spark import queries as Q
+
+    a = [r["pid"] for r in Q.get_scnlist_usr_analysis(
+        landsat_scenes, plugin_results_df, ["PlgA", "PlgA"]).collect()]
+    b = [r["pid"] for r in Q.get_scnlist_usr_analysis_agg(
+        landsat_scenes, plugin_results_df, ["PlgA", "PlgA"]).collect()]
+    c = [r["pid"] for r in Q.get_scnlist_usr_analysis_agg(
+        landsat_scenes, plugin_results_df, ["PlgA"]).collect()]
+    assert a == b == c
