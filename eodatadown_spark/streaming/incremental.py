@@ -120,6 +120,47 @@ def sessionize(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    min_gap: float = 0.0,
+    max_gap: float = 600.0,
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream bounded interval join: pairs with equal keys and
+    ``min_gap < right.ts - left.ts <= max_gap`` seconds, as a LIVE join of
+    two streams — the streaming counterpart of
+    :func:`eodatadown_spark.operators.temporal.range_join`.
+
+    Both sides are watermarked and the join condition carries explicit
+    time bounds, which is exactly what lets Spark bound the state store:
+    a buffered left row is droppable once the watermark passes
+    ``left.ts + max_gap``, a right row once it passes ``right.ts - min_gap``
+    — without the range condition the state would grow forever.  Output
+    columns: keys, both timestamps, ``gap_s``.
+
+    Also valid on batch DataFrames (the condition degrades to a plain
+    theta join there — prefer range_join's bucketed form for batch scale).
+    """
+    l = left.withWatermark(left_ts, lateness).alias("l")
+    r = right.withWatermark(right_ts, lateness).alias("r")
+    conds = [f"l.{k} = r.{k}" for k in key_cols] + [
+        f"r.{right_ts} > l.{left_ts} + INTERVAL '{float(min_gap)}' SECOND",
+        f"r.{right_ts} <= l.{left_ts} + INTERVAL '{float(max_gap)}' SECOND",
+    ]
+    joined = l.join(r, F.expr(" AND ".join(conds)))
+    gap = F.col(f"r.{right_ts}").cast("double") - F.col(f"l.{left_ts}").cast("double")
+    return joined.select(
+        *[F.col(f"l.{k}").alias(k) for k in key_cols],
+        F.col(f"l.{left_ts}").alias("left_ts"),
+        F.col(f"r.{right_ts}").alias("right_ts"),
+        F.round(gap, 6).alias("gap_s"),
+    )
+
+
 def session_blocks(usage_log: DataFrame) -> DataFrame:
     """T4: reconstruct start/end blocks from the append-only usage log —
     running count of start_block markers forms the session id (window

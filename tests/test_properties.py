@@ -228,3 +228,66 @@ def test_sessionize_matches_python(spark, events, gap_s):
             if (cur - prev).total_seconds() > gap_s:
                 n += 1
         assert got[k] == n
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1000)), min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1000), st.integers(0, 99)),
+             min_size=0, max_size=12),
+    st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python(spark, lefts, rights, exact):
+    """asof_join equals a plain-Python backward scan (merge_asof semantics)
+    for arbitrary key/timestamp sets, both inclusive and strict."""
+    from eodatadown_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, t0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    # dedupe right rows on (key, ts): ties there are documented as
+    # order-dependent; the property holds for unique right timestamps
+    seen = {}
+    for k, s, v in rights:
+        seen[(k, s)] = float(v)
+    rdf = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), v) for (k, s), v in seen.items()],
+        "user_id long, ts timestamp, price double",
+    )
+    got = {r["event_id"]: (r["ts_right"], r["price_right"])
+           for r in asof_join(ldf, rdf, ["user_id"], right_value_cols=["price"],
+                              allow_exact_matches=exact).collect()}
+    for i, (k, s) in enumerate(lefts):
+        lt = t0 + dt.timedelta(seconds=s)
+        cands = [((kk, ss), v) for (kk, ss), v in seen.items()
+                 if kk == k and (ss <= s if exact else ss < s)]
+        if not cands:
+            assert got[i] == (None, None)
+        else:
+            (kk, ss), v = max(cands, key=lambda c: c[0][1])
+            assert got[i] == (t0 + dt.timedelta(seconds=ss), v)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 1), st.integers(0, 2000)), min_size=1, max_size=14),
+    st.integers(1, 900),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_bruteforce(spark, events, max_gap):
+    """The bucketed interval join equals the brute-force theta join for
+    arbitrary event sets and window widths."""
+    from eodatadown_spark.operators.temporal import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, k, t0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {(r["event_id"], r["event_id_b"])
+           for r in range_join(
+               df, df.withColumnRenamed("event_id", "event_id_b"), ["user_id"],
+               min_gap=0.0, max_gap=float(max_gap),
+               left_cols=["event_id"], right_cols=["event_id_b"]).collect()}
+    want = {(a[0], b[0]) for a in rows for b in rows
+            if a[1] == b[1] and 0 < (b[2] - a[2]).total_seconds() <= max_gap}
+    assert got == want

@@ -201,3 +201,43 @@ def test_session_window_rollup_streaming_mode(spark, tmp_path):
         assert got == {(1, 2), (2, 1)}
     finally:
         q.stop()
+
+
+def test_stream_interval_join_live(spark, tmp_path):
+    """Two live streams interval-joined with watermark-bounded state: clicks
+    within 60 s after a view, per user."""
+    from eodatadown_spark.streaming.incremental import stream_interval_join
+
+    views_src = str(tmp_path / "views_src")
+    clicks_src = str(tmp_path / "clicks_src")
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    spark.createDataFrame(
+        [(1, s(0)), (1, s(200)), (2, s(0))], "user_id long, ts timestamp"
+    ).coalesce(1).write.parquet(views_src)
+    spark.createDataFrame(
+        # u1: +30s (match to view@0), +230s (match to view@200), +500s (no view within 60s)
+        [(1, s(30)), (1, s(230)), (1, s(500)), (2, s(61))],  # u2 click 61s late -> no match
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(clicks_src)
+
+    schema = "user_id long, ts timestamp"
+    joined = stream_interval_join(
+        spark.readStream.schema(schema).parquet(views_src),
+        spark.readStream.schema(schema).parquet(clicks_src),
+        ["user_id"],
+        min_gap=0.0,
+        max_gap=60.0,
+        lateness="5 minutes",
+    )
+    q = (joined.writeStream.format("memory").queryName("ij_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # exactly two pairs: view@0->click@30 and view@200->click@230
+        rows = spark.sql("SELECT * FROM ij_out").collect()
+        assert len(rows) == 2
+        assert {(r["user_id"], r["left_ts"].second + r["left_ts"].minute * 60,
+                 r["gap_s"]) for r in rows} == {(1, 0, 30.0), (1, 200, 30.0)}
+    finally:
+        q.stop()
