@@ -243,19 +243,37 @@ def cmd_dataprep(args) -> None:
     canon = D.neardup_clusters(kept, pairs=pairs).where(F.col("is_canonical"))
     kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
     n_neardup = kept.count()
+    stats = {
+        "input": n_in,
+        "after_quality": n_quality,
+        "after_exact_dedup": n_exact,
+        "after_neardup": n_neardup,
+    }
+    # optional per-language temperature rebalancing before the split
+    if args.temperature_alpha is not None and "lang" in kept.columns:
+        from eodatadown_spark.operators.corpus import temperature_resample
+
+        kept = temperature_resample(
+            kept, alpha=args.temperature_alpha
+        ).localCheckpoint()
+        stats["after_temperature"] = kept.count()
     out = assign_split(kept)
-    out.write.mode("overwrite").parquet(args.out)
-    print(
-        json.dumps(
-            {
-                "input": n_in,
-                "after_quality": n_quality,
-                "after_exact_dedup": n_exact,
-                "after_neardup": n_neardup,
-                "out": args.out,
-            }
+    # optional context-window chunking: the written corpus becomes one row
+    # per chunk (split assignment made per-DOC first, so chunks of one doc
+    # never straddle train/val/test)
+    if args.chunk_window is not None:
+        from eodatadown_spark.operators.corpus import chunk_documents
+
+        chunks = chunk_documents(
+            out,
+            window=args.chunk_window,
+            stride=args.chunk_stride or args.chunk_window,
         )
-    )
+        out = chunks.join(out.drop("text"), "doc_id")
+        stats["n_chunks"] = out.count()
+    out.write.mode("overwrite").parquet(args.out)
+    stats["out"] = args.out
+    print(json.dumps(stats))
 
 
 def main(argv=None) -> int:
@@ -306,6 +324,13 @@ def main(argv=None) -> int:
         "--gram-hash": {"choices": ["md5", "xxhash64"], "default": "md5",
                         "dest": "gram_hash",
                         "help": "simhash gram hash (xxhash64 = fast path)"},
+        "--temperature-alpha": {"type": float, "default": None,
+                                "dest": "temperature_alpha",
+                                "help": "per-language temperature resampling"},
+        "--chunk-window": {"type": int, "default": None, "dest": "chunk_window",
+                           "help": "emit token-window chunks of this size"},
+        "--chunk-stride": {"type": int, "default": None, "dest": "chunk_stride",
+                           "help": "chunk stride (default = window)"},
     })
 
     args = p.parse_args(argv)

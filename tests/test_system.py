@@ -216,3 +216,32 @@ def test_cli_summary_approx_and_simhash_dataprep(spark, tmp_path, capsys):
     assert stats["after_exact_dedup"] == 3
     assert stats["after_neardup"] == 2      # simhash collapses 3 into 1
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 4]
+
+
+def test_cli_dataprep_temperature_and_chunking(spark, tmp_path, capsys):
+    """dataprep with --temperature-alpha and --chunk-window: rebalanced per
+    language, then one row per chunk with the doc's split carried over."""
+    import eodd_cli
+
+    rows = []
+    for i in range(40):
+        lang = "en" if i < 30 else "de"
+        rows.append((i, lang, f"the document number {i} talks about the weather and it "
+                              f"is long enough to pass the quality bar today d{i} " * 2))
+    src = str(tmp_path / "docs_src3")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(src)
+    out = str(tmp_path / "docs_chunks")
+    eodd_cli.main(["dataprep", "--infile", src, "--out", out,
+                   "--min-quality", "0.5", "--temperature-alpha", "0.5",
+                   "--chunk-window", "16", "--chunk-stride", "12"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_temperature"] <= stats["after_neardup"]
+    chunks = spark.read.parquet(out)
+    assert stats["n_chunks"] == chunks.count() > stats["after_temperature"]
+    assert {"doc_id", "chunk_id", "chunk_text", "n_chunk_tokens",
+            "lang", "split"} <= set(chunks.columns)
+    # every chunk of a doc carries ONE split (assigned per doc, not per chunk)
+    assert (chunks.groupBy("doc_id")
+            .agg(F.countDistinct("split").alias("n")).where("n > 1").count()) == 0
+    # chunks respect the window bound
+    assert chunks.agg(F.max("n_chunk_tokens")).first()[0] <= 16
