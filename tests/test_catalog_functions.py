@@ -518,3 +518,47 @@ def test_time_travel_excludes_partial_version(spark, landsat_scenes, tmp_path):
     assert cat.list_versions("landsat_scenes") == [0]
     with pytest.raises(FileNotFoundError, match="not readable"):
         cat.read_version("landsat_scenes", 1)
+
+
+def test_catalog_fsck(spark, landsat_scenes, tmp_path):
+    """fsck reports pointer validity, orphan dirs from crashed writes, and
+    hard-link sharing between retained versions."""
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    # two p_year partitions so the selective merge has an untouched leaf
+    extra = landsat_scenes.withColumn(
+        "date_acquired", F.add_months(F.col("date_acquired"), 12)
+    ).withColumn("pid", F.col("pid") + 100)
+    cat.write(landsat_scenes.unionByName(extra), "landsat_scenes")
+    cat.merge_updates(
+        "landsat_scenes",
+        spark.createDataFrame([(0, 55.5)], "pid long, cloud_cover double"),
+    )
+    os.makedirs(os.path.join(str(tmp_path), "landsat_scenes", "v_9"))  # crash debris
+    rep = cat.fsck("landsat_scenes")
+    assert rep["pointer"] == "v_1" and rep["pointer_valid"]
+    assert rep["versions_on_disk"] == [0, 1, 9]
+    assert rep["readable_versions"] == [0, 1]
+    assert rep["orphan_versions"] == [9]
+    # selective merge hard-linked the untouched year partition
+    assert rep["shared_inodes_newest_prev"] >= 1
+
+
+def test_embed_documents_plumbing(spark):
+    """Arrow-batched embedding plumbing: output matches the python kernel
+    exactly, schema is the embeddings-table contract, empty/None text safe,
+    and partitioning is preserved (no exchange introduced)."""
+    from eodatadown_spark.operators.multimodal import _fake_embed, embed_documents
+    from eodatadown_spark.plans import audit
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
+    ).repartition(3)
+    out = embed_documents(df, dim=8)
+    assert dict(out.dtypes) == {"doc_id": "bigint", "embedding": "array<float>"}
+    assert audit.exchange_count(out.where(F.col("doc_id") >= 0)) <= 1  # only the repartition above
+    rows = {r["doc_id"]: list(r["embedding"]) for r in out.collect()}
+    for did, text in ((1, "hello world"), (2, ""), (3, "")):
+        want = _fake_embed(text, 8)
+        assert [round(v, 4) for v in rows[did]] == [round(v, 4) for v in want]
