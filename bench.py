@@ -80,6 +80,18 @@ def main() -> None:
         run_once(queries[name](spark, sf_dir))
         warm[name] = round(time.time() - t0, 3)
 
+    # plan facts: exchange count per headline query — the shuffle budget is
+    # what extrapolates to cluster scale, so regressions here matter more
+    # than local seconds; recorded per round alongside the timings
+    from eodatadown_spark.plans import audit
+
+    plan_facts = {}
+    for name in HEADLINE:
+        try:
+            plan_facts[name] = audit.exchange_count(queries[name](spark, sf_dir))
+        except Exception:
+            plan_facts[name] = None
+
     print(
         json.dumps(
             {
@@ -92,6 +104,7 @@ def main() -> None:
                 "total_net": round(sum(net.values()), 3),
                 "queries_warm": warm,
                 "total_warm": round(sum(warm.values()), 3),
+                "plan_exchanges": plan_facts,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -119,21 +119,29 @@ class ParquetCatalog:
         return "v_0" if old is None else f"v_{int(old.split('_')[1]) + 1}"
 
     def _flip_and_gc(self, table: str, version: str) -> None:
-        """Atomic pointer flip + GC of versions beyond the retention window."""
+        """Atomic pointer flip + GC of versions beyond the retention window.
+
+        Retention ranks only versions AT OR BELOW the new pointer; dirs
+        above it are crash debris from interrupted writes and are deleted
+        outright — were they ranked, an orphan v_9 would count as "newest"
+        and push the genuinely readable previous version out of the window.
+        """
         table_dir = self._table_dir(table)
         tmp_pointer = os.path.join(table_dir, _CURRENT + ".tmp")
         with open(tmp_pointer, "w", encoding="utf-8") as fh:
             fh.write(version)
         os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))  # atomic flip
-        versions = sorted(
-            (
-                int(d.split("_")[1])
-                for d in os.listdir(table_dir)
-                if d.startswith("v_") and d.split("_")[1].isdigit()
-            ),
-            reverse=True,
-        )
-        for stale_v in versions[self.retain_versions :]:
+        new_v = int(version.split("_")[1])
+        on_disk = [
+            int(d.split("_")[1])
+            for d in os.listdir(table_dir)
+            if d.startswith("v_") and d.split("_")[1].isdigit()
+        ]
+        stale = [v for v in on_disk if v > new_v]  # crash debris
+        stale += sorted((v for v in on_disk if v <= new_v), reverse=True)[
+            self.retain_versions :
+        ]
+        for stale_v in stale:
             shutil.rmtree(os.path.join(table_dir, f"v_{stale_v}"), ignore_errors=True)
 
     def write(self, df: DataFrame, table: str, partition: bool = True) -> None:

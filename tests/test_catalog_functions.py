@@ -562,3 +562,19 @@ def test_embed_documents_plumbing(spark):
     for did, text in ((1, "hello world"), (2, ""), (3, "")):
         want = _fake_embed(text, 8)
         assert [round(v, 4) for v in rows[did]] == [round(v, 4) for v in want]
+
+
+def test_gc_ignores_orphan_versions(spark, landsat_scenes, tmp_path):
+    """Crash-debris dirs above the pointer must not consume retention slots
+    (an orphan v_9 would otherwise push the readable previous version out);
+    the next write clears the debris instead."""
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path), retain_versions=2)
+    cat.write(landsat_scenes, "landsat_scenes")            # v0
+    os.makedirs(os.path.join(str(tmp_path), "landsat_scenes", "v_9"))
+    cat.write(landsat_scenes, "landsat_scenes")            # v1
+    # v0 retained (previous readable), orphan v9 deleted
+    assert cat.list_versions("landsat_scenes") == [0, 1]
+    assert not os.path.isdir(os.path.join(str(tmp_path), "landsat_scenes", "v_9"))
+    assert cat.read_version("landsat_scenes", 0).count() == 7
