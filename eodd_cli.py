@@ -146,6 +146,29 @@ def cmd_roi(args) -> None:
     print(f"kept {cat.read_clean('landsat_scenes').count()} scenes inside ROI")
 
 
+def cmd_corpusstats(args) -> None:
+    """Corpus audit report: per-language doc/token counts + KL divergence
+    from the corpus mix, log2 length histogram, top-k tokens per language —
+    one JSON line per section (the pre-training-mix decision inputs)."""
+    from eodatadown_spark.operators.corpus import (
+        group_kl_divergence,
+        length_histogram,
+        topk_tokens,
+    )
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    docs = spark.read.parquet(args.infile)
+    kl = [r.asDict() for r in group_kl_divergence(docs).orderBy("group").collect()]
+    hist = [r.asDict() for r in length_histogram(docs, args.len_col)
+            .orderBy("len_bucket").collect()] if args.len_col in docs.columns else []
+    top = [r.asDict() for r in topk_tokens(docs, k=args.topk)
+           .orderBy("group", "rank").collect()]
+    print(json.dumps({"kl_by_group": kl}))
+    print(json.dumps({"length_histogram": hist}))
+    print(json.dumps({"top_tokens": top}))
+
+
 def cmd_bucketize(args) -> None:
     """Publish scenes + plugin_results as bucketed managed tables so pid-keyed
     joins (J2 scheduling) run shuffle-free at scale."""
@@ -332,6 +355,12 @@ def main(argv=None) -> int:
         "--chunk-stride": {"type": int, "default": None, "dest": "chunk_stride",
                            "help": "chunk stride (default = window)"},
     })
+
+    sp = sub.add_parser("corpusstats")
+    sp.add_argument("--infile", required=True)
+    sp.add_argument("--topk", type=int, default=5)
+    sp.add_argument("--len-col", default="n_chars", dest="len_col")
+    sp.set_defaults(fn=cmd_corpusstats)
 
     args = p.parse_args(argv)
     args.fn(args)

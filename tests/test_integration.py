@@ -190,3 +190,30 @@ def test_incremental_second_pass(spark, roi_df):
     assert merged.count() == catalog.count() + 1
     new_row = merged.where(F.col("scene_id") == "SC_E").first()
     assert new_row["pid"] == ingest.next_pid(catalog)  # serial: old max + 1
+
+
+def test_embed_to_ann_pipeline(spark):
+    """Operator composition end-to-end: documents → mapInPandas embedding
+    stage → IVF index → ANN query. A planted re-crawl (same text, new id)
+    embeds identically, so its original is its top neighbor at cos_sim 1;
+    self-matches are excluded by the operator contract."""
+    from pyspark.sql import functions as F
+
+    from eodatadown_spark.operators.multimodal import embed_documents
+    from eodatadown_spark.operators.similarity import ivf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    recrawl = docs.where(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    emb = embed_documents(docs.unionByName(recrawl), dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    qs = emb.where(F.col("vec_id") >= 1000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, qs, k=2, n_centroids=4, n_probe=4)
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in out.where(F.col("rank") == 1).collect()}
+    # identical text -> identical stub embedding -> original is top neighbor
+    assert top1 == {1000: 0, 1001: 1, 1002: 2}

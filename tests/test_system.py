@@ -245,3 +245,19 @@ def test_cli_dataprep_temperature_and_chunking(spark, tmp_path, capsys):
             .agg(F.countDistinct("split").alias("n")).where("n > 1").count()) == 0
     # chunks respect the window bound
     assert chunks.agg(F.max("n_chunk_tokens")).first()[0] <= 16
+
+
+def test_cli_corpusstats(spark, capsys):
+    """corpusstats emits the three audit sections as JSON lines over a real
+    documents parquet."""
+    import eodd_cli
+
+    eodd_cli.main(["corpusstats", "--infile",
+                   "/root/testdata/sf0.001/documents.parquet", "--topk", "2"])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    kl = {r["group"]: r["kl"] for r in lines[0]["kl_by_group"]}
+    assert set(kl) == {"en", "de", "zh", "fr", "es"}
+    assert all(v >= 0 for v in kl.values())        # KL is non-negative
+    assert lines[1]["length_histogram"]            # non-empty buckets
+    top = lines[2]["top_tokens"]
+    assert {r["rank"] for r in top} == {1, 2}
