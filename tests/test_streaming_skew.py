@@ -241,3 +241,55 @@ def test_stream_interval_join_live(spark, tmp_path):
                  r["gap_s"]) for r in rows} == {(1, 0, 30.0), (1, 200, 30.0)}
     finally:
         q.stop()
+
+
+def test_stream_asof_enrich_stateful(spark, tmp_path):
+    """Custom stateful as-of: left events enriched with the latest-known
+    right value per key; state carries across micro-batches and a stale
+    right arrival never regresses it."""
+    from eodatadown_spark.streaming.stateful import stream_asof_enrich
+
+    left_src = str(tmp_path / "asof_left")
+    right_src = str(tmp_path / "asof_right")
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+
+    # batch 1 files
+    spark.createDataFrame(
+        [(1, 100, s(10)), (1, 101, s(40)), (2, 200, s(10))],
+        "user_id long, event_id long, ts timestamp",
+    ).coalesce(1).write.parquet(left_src)
+    spark.createDataFrame(
+        [(1, s(5), 7.0), (1, s(30), 9.0)], "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.parquet(right_src)
+
+    lschema = "user_id long, event_id long, ts timestamp"
+    rschema = "user_id long, ts timestamp, value double"
+    out = stream_asof_enrich(
+        spark.readStream.schema(lschema).option("maxFilesPerTrigger", "1").parquet(left_src),
+        spark.readStream.schema(rschema).option("maxFilesPerTrigger", "1").parquet(right_src),
+    )
+    q = (out.writeStream.format("memory").queryName("asof_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["event_id"]: (r["right_ts"], r["right_value"])
+               for r in spark.sql("SELECT * FROM asof_out").collect()}
+        assert got[100] == (s(5), 7.0)     # only the 05s update known at 10s
+        assert got[101] == (s(30), 9.0)    # 30s update applied in-batch order
+        assert got[200] == (None, None)    # no right row for user 2
+
+        # batch 2: stale right (15s < stored 30s) must not regress state;
+        # new left at 60s still sees the 30s value
+        spark.createDataFrame(
+            [(1, s(15), 1.0)], rschema
+        ).coalesce(1).write.mode("append").parquet(right_src)
+        spark.createDataFrame(
+            [(1, 102, s(60))], lschema
+        ).coalesce(1).write.mode("append").parquet(left_src)
+        q.processAllAvailable()
+        got = {r["event_id"]: (r["right_ts"], r["right_value"])
+               for r in spark.sql("SELECT * FROM asof_out").collect()}
+        assert got[102] == (s(30), 9.0)
+    finally:
+        q.stop()
