@@ -2060,7 +2060,8 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(range(0, 16), d ->
                            CAST(list_reduce(
                                list_prepend(CAST(0 AS BIGINT), list_transform(
-                                   string_split(text || ':' || CAST(d AS VARCHAR), ''),
+                                   string_split(coalesce(text, '') || ':'
+                                                || CAST(d AS VARCHAR), ''),
                                    ch -> CAST(ord(ch) AS BIGINT))),
                                (acc, c) -> (acc * 31 + c) % 2038074743) % 10000
                                AS DOUBLE) / 10000.0

@@ -132,11 +132,7 @@ class ParquetCatalog:
             fh.write(version)
         os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))  # atomic flip
         new_v = int(version.split("_")[1])
-        on_disk = [
-            int(d.split("_")[1])
-            for d in os.listdir(table_dir)
-            if d.startswith("v_") and d.split("_")[1].isdigit()
-        ]
+        on_disk = self._versions_on_disk(table)
         stale = [v for v in on_disk if v > new_v]  # crash debris
         stale += sorted((v for v in on_disk if v <= new_v), reverse=True)[
             self.retain_versions :
@@ -274,16 +270,22 @@ class ParquetCatalog:
         a v_N directory ABOVE the pointer is a partially-written version
         from a crashed write (the pointer flips last) and is excluded — time
         travel must never serve a partial snapshot."""
+        current = self._current_version(table)
+        ceiling = int(current.split("_")[1]) if current else -1
+        return [v for v in self._versions_on_disk(table) if v <= ceiling]
+
+    def _versions_on_disk(self, table: str) -> list[int]:
+        """All v_<n> DIRECTORIES present, ascending (single definition used
+        by list_versions, fsck and GC so their notion of 'a version' can't
+        drift — a stray v_N file is never a version)."""
         table_dir = self._table_dir(table)
         if not os.path.isdir(table_dir):
             return []
-        current = self._current_version(table)
-        ceiling = int(current.split("_")[1]) if current else -1
         return sorted(
-            v
+            int(d.split("_")[1])
             for d in os.listdir(table_dir)
             if d.startswith("v_") and d.split("_")[1].isdigit()
-            and (v := int(d.split("_")[1])) <= ceiling
+            and os.path.isdir(os.path.join(table_dir, d))
         )
 
     def read_version(self, table: str, version: int) -> DataFrame:
@@ -316,15 +318,9 @@ class ParquetCatalog:
         """
         table_dir = self._table_dir(table)
         current = self._current_version(table)
-        on_disk = sorted(
-            int(d.split("_")[1])
-            for d in os.listdir(table_dir)
-            if os.path.isdir(os.path.join(table_dir, d))
-            and d.startswith("v_") and d.split("_")[1].isdigit()
-        ) if os.path.isdir(table_dir) else []
-        ceiling = int(current.split("_")[1]) if current else -1
-        orphans = [v for v in on_disk if v > ceiling]
-        readable = [v for v in on_disk if v <= ceiling]
+        on_disk = self._versions_on_disk(table)
+        readable = self.list_versions(table)
+        orphans = [v for v in on_disk if v not in readable]
 
         def inodes(version: int) -> set[int]:
             out = set()

@@ -177,11 +177,18 @@ def _fake_embed(text: str, dim: int) -> list[float]:
     hash of ``text + ':' + dim_index``.  Real deployment swaps this for a
     model forward pass (sentence-transformers etc.); the rolling form is
     chosen so an ANSI-SQL oracle can recompute every dimension exactly.
+
+    The hash is a left fold, so the text prefix folds ONCE and each
+    dimension continues from that value over only ``:<d>`` —
+    O(len(text) + dim·len(':<d>')) instead of O(dim·len(text)) per row.
     """
+    prefix = 0
+    for ch in text:
+        prefix = (prefix * 31 + ord(ch)) % EMBED_PRIME
     out = []
     for d in range(dim):
-        h = 0
-        for ch in f"{text}:{d}":
+        h = prefix
+        for ch in f":{d}":
             h = (h * 31 + ord(ch)) % EMBED_PRIME
         out.append((h % 10_000) / 10_000.0)
     return out

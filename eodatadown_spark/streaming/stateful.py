@@ -11,6 +11,13 @@ cron.
 latest-known right row and every left event is emitted enriched with it —
 semantics Spark's built-in stream-stream joins cannot express (they buffer
 bounded time windows; as-of needs "latest value ever", O(#keys) state).
+
+Chunking note: `applyInPandasWithState` delivers one key's micro-batch data
+as SEVERAL Arrow chunks (maxRecordsPerBatch) with no cross-chunk ordering
+guarantee, so both kernels concatenate the chunks and sort ONCE before
+applying state — per-chunk processing would make output depend on arbitrary
+chunk split points.  Memory is bounded by one key's share of one
+micro-batch (tune trigger size for pathological hot keys).
 """
 
 from __future__ import annotations
@@ -30,17 +37,22 @@ def _advance_watermark(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ):
     wm = state.get[0] if state.exists else None
-    out = []
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
-        fresh = pdf if wm is None else pdf[pdf["ts"] > wm]
-        if len(fresh):
-            out.append(fresh[["sensor", "key", "ts"]])
-            new_wm = fresh["ts"].max()
-            wm = new_wm if wm is None or new_wm > wm else wm
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if not chunks:
+        yield pd.DataFrame(
+            {"sensor": pd.Series(dtype="object"),
+             "key": pd.Series(dtype="object"),
+             "ts": pd.Series(dtype="datetime64[ns]")}
+        )
+        return
+    pdf = pd.concat(chunks).sort_values("ts")
+    fresh = pdf if wm is None else pdf[pdf["ts"] > wm]
+    if len(fresh):
+        new_wm = fresh["ts"].max()
+        wm = new_wm if wm is None or new_wm > wm else wm
     if wm is not None:
         state.update((wm,))
-    yield pd.concat(out) if out else pd.DataFrame(
+    yield fresh[["sensor", "key", "ts"]] if len(fresh) else pd.DataFrame(
         {"sensor": pd.Series(dtype="object"),
          "key": pd.Series(dtype="object"),
          "ts": pd.Series(dtype="datetime64[ns]")}
@@ -59,48 +71,15 @@ def running_watermark_stream(events: DataFrame) -> DataFrame:
     )
 
 
-ASOF_OUTPUT_SCHEMA = (
-    "user_id long, event_id long, ts timestamp, right_ts timestamp, right_value double"
-)
-ASOF_STATE_SCHEMA = "rts timestamp, rval double"
-
-
-def _enrich_with_latest(
-    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
-):
-    """Per-key state = the latest-known right row (ts, value); left rows are
-    emitted enriched with it.  Within a micro-batch rows are processed in
-    timestamp order, so a right update enriches only the left rows at or
-    after it, exactly like the batch as-of."""
-    rts, rval = (state.get if state.exists else (None, None))
-    out = []
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "side"])  # right (0) before left at ties
-        rows = []
-        for row in pdf.itertuples(index=False):
-            if row.side == 0:
-                if rts is None or row.ts >= rts:
-                    rts, rval = row.ts, row.right_value
-            else:
-                rows.append(
-                    (key[0], row.event_id, row.ts, rts, rval)
-                )
-        if rows:
-            out.append(pd.DataFrame(
-                rows, columns=["user_id", "event_id", "ts", "right_ts", "right_value"]
-            ))
-    if rts is not None:
-        state.update((rts, rval))
-    yield pd.concat(out) if out else pd.DataFrame(
-        {"user_id": pd.Series(dtype="int64"),
-         "event_id": pd.Series(dtype="int64"),
-         "ts": pd.Series(dtype="datetime64[ns]"),
-         "right_ts": pd.Series(dtype="datetime64[ns]"),
-         "right_value": pd.Series(dtype="float64")}
-    )
-
-
-def stream_asof_enrich(left: DataFrame, right: DataFrame) -> DataFrame:
+def stream_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_type: str = "double",
+) -> DataFrame:
     """Streaming as-of enrichment: each left event picks up the
     latest-known right row for its key (most recent profile/quote/config),
     held in ``applyInPandasWithState`` keyed state — the stateful-stream
@@ -108,8 +87,9 @@ def stream_asof_enrich(left: DataFrame, right: DataFrame) -> DataFrame:
     which Spark's built-in stream-stream joins cannot express (they buffer
     bounded windows; as-of needs "latest value ever").
 
-    Contract: left(user_id, event_id, ts), right(user_id, ts, value) →
-    (user_id, event_id, ts, right_ts, right_value).  Semantics are
+    Contract: left(key, id, ts), right(key, ts, value) →
+    (key, id, ts, right_ts, right_value); all column names and the value
+    type are parameters (the batch operator's flexibility).  Semantics are
     enrich-at-arrival: within a micro-batch rows apply in timestamp order
     (ties: right first — the batch operator's inclusive mode), across
     batches a left row sees the state as of its batch, and a stale right
@@ -118,22 +98,58 @@ def stream_asof_enrich(left: DataFrame, right: DataFrame) -> DataFrame:
     """
     import pyspark.sql.functions as F
 
+    left_id_type = dict(left.dtypes)[left_id_col]
+    out_schema = (
+        f"{key_col} {dict(left.dtypes)[key_col]}, "
+        f"{left_id_col} {left_id_type}, {ts_col} timestamp, "
+        f"right_ts timestamp, right_value {value_type}"
+    )
+    state_schema = f"rts timestamp, rval {value_type}"
+    out_cols = [key_col, left_id_col, ts_col, "right_ts", "right_value"]
+
+    def _enrich(key: tuple, batches: Iterable[pd.DataFrame], state: GroupState):
+        rts, rval = (state.get if state.exists else (None, None))
+        chunks = [pdf for pdf in batches if len(pdf)]
+        rows = []
+        if chunks:
+            # one concat + sort across ALL chunks: per-chunk processing
+            # would depend on arbitrary Arrow chunk boundaries
+            pdf = pd.concat(chunks).sort_values([ts_col, "side"])
+            for row in pdf.itertuples(index=False):
+                ts = getattr(row, ts_col)
+                if row.side == 0:
+                    if rts is None or ts >= rts:
+                        rts, rval = ts, row.right_value
+                else:
+                    rows.append(
+                        (key[0], getattr(row, left_id_col), ts, rts, rval)
+                    )
+        if rts is not None:
+            state.update((rts, rval))
+        yield (
+            pd.DataFrame(rows, columns=out_cols)
+            if rows
+            else pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        )
+
     l_tag = left.select(
-        "user_id", "event_id", "ts",
-        F.lit(None).cast("double").alias("right_value"),
+        F.col(key_col),
+        F.col(left_id_col),
+        F.col(ts_col),
+        F.lit(None).cast(value_type).alias("right_value"),
         F.lit(1).alias("side"),
     )
     r_tag = right.select(
-        "user_id",
-        F.lit(None).cast("long").alias("event_id"),
-        "ts",
-        F.col("value").alias("right_value"),
+        F.col(key_col),
+        F.lit(None).cast(left_id_type).alias(left_id_col),
+        F.col(ts_col),
+        F.col(value_col).alias("right_value"),
         F.lit(0).alias("side"),
     )
-    return l_tag.unionByName(r_tag).groupBy("user_id").applyInPandasWithState(
-        _enrich_with_latest,
-        outputStructType=ASOF_OUTPUT_SCHEMA,
-        stateStructType=ASOF_STATE_SCHEMA,
+    return l_tag.unionByName(r_tag).groupBy(key_col).applyInPandasWithState(
+        _enrich,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

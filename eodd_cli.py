@@ -159,6 +159,12 @@ def cmd_corpusstats(args) -> None:
 
     spark = get_spark("eodd_cli")
     docs = spark.read.parquet(args.infile)
+    missing = {"lang", "text"} - set(docs.columns)
+    if missing:
+        raise SystemExit(
+            f"corpusstats needs columns {sorted(missing)} missing from the "
+            f"input (columns: {docs.columns})"
+        )
     kl = [r.asDict() for r in group_kl_divergence(docs).orderBy("group").collect()]
     hist = [r.asDict() for r in length_histogram(docs, args.len_col)
             .orderBy("len_bucket").collect()] if args.len_col in docs.columns else []
@@ -273,7 +279,12 @@ def cmd_dataprep(args) -> None:
         "after_neardup": n_neardup,
     }
     # optional per-language temperature rebalancing before the split
-    if args.temperature_alpha is not None and "lang" in kept.columns:
+    if args.temperature_alpha is not None:
+        if "lang" not in kept.columns:
+            raise SystemExit(
+                "--temperature-alpha needs a 'lang' column in the input "
+                f"(columns: {kept.columns})"
+            )
         from eodatadown_spark.operators.corpus import temperature_resample
 
         kept = temperature_resample(
@@ -292,7 +303,9 @@ def cmd_dataprep(args) -> None:
             window=args.chunk_window,
             stride=args.chunk_stride or args.chunk_window,
         )
-        out = chunks.join(out.drop("text"), "doc_id")
+        # checkpoint like every other stage: the count and the write must
+        # not re-run the explode + join
+        out = chunks.join(out.drop("text"), "doc_id").localCheckpoint()
         stats["n_chunks"] = out.count()
     out.write.mode("overwrite").parquet(args.out)
     stats["out"] = args.out
