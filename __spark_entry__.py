@@ -921,6 +921,38 @@ def q68_embed_plumbing(spark, sf):
     )
 
 
+def q69_rollup_grouping(spark, sf):
+    """A-family extension: hierarchical ROLLUP (status → priority) with
+    grouping_id distinguishing subtotal levels — the reporting shape cube
+    (q37) doesn't cover."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q70_dist_windows(spark, sf):
+    """W-family extension: ntile quartiles, cume_dist and lead over customer
+    balances per market segment (the remaining SQL window functions not yet
+    exercised by q29-q33/q64)."""
+    cust = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.lead("c_custkey", 1).over(w).alias("next_custkey"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -990,6 +1022,8 @@ QUERIES: dict[str, Callable] = {
     "q66_incremental_dedup": q66_incremental_dedup,
     "q67_chunking": q67_chunking,
     "q68_embed_plumbing": q68_embed_plumbing,
+    "q69_rollup_grouping": q69_rollup_grouping,
+    "q70_dist_windows": q70_dist_windows,
 }
 
 
@@ -2077,5 +2111,27 @@ def oracle_sql() -> dict[str, str]:
                                v -> CAST(CAST(v AS FLOAT) AS DOUBLE))),
                        (a, b) -> a + b), 4) AS dim_sum
             FROM e
+        """,
+        # q69: ROLLUP with GROUPING_ID — DuckDB's grouping_id() matches
+        # Spark's bit order for the same column list.
+        "q69_rollup_grouping": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                       AS gid
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        # q70: ntile/cume_dist/lead under the identical (balance, key)
+        # ordering.
+        "q70_dist_windows": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(ntile(4) OVER w AS INTEGER) AS bal_quartile,
+                   round(cume_dist() OVER w, 6) AS cd,
+                   lead(c_custkey, 1) OVER w AS next_custkey
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal ASC, c_custkey ASC)
         """,
     }
