@@ -146,6 +146,56 @@ def cmd_roi(args) -> None:
     print(f"kept {cat.read_clean('landsat_scenes').count()} scenes inside ROI")
 
 
+def cmd_runscn(args) -> None:
+    """eoddrun -p / eoddrunscnmonitoring: drive the state machine for ONE
+    scene — each pending stage for that pid advances with a batched
+    partition-selective merge (never a whole-catalog rewrite)."""
+    from eodatadown_spark import queries as Q
+    from eodatadown_spark.sensor import get_sensor_obj
+
+    cat = _cat(args)
+    sensor = get_sensor_obj(args.sensor, cat)
+    sensor.get_scn_record(args.pid)  # F10 .one(): raises if pid unknown
+    ran = []
+    stages = [
+        ("download", Q.get_scnlist_download,
+         lambda s: {"pid": s["pid"], "downloaded": True,
+                    "download_path": f"{args.catalog}/dl/{s['pid']}"},
+         "pid long, downloaded boolean, download_path string"),
+        ("con2ard", Q.get_scnlist_con2ard,
+         lambda s: {"pid": s["pid"], "ardproduct": True,
+                    "ardproduct_path": f"{args.catalog}/ard/{s['pid']}"},
+         "pid long, ardproduct boolean, ardproduct_path string"),
+        ("datacube", Q.get_scnlist_datacube,
+         lambda s: {"pid": s["pid"], "dcloaded": True},
+         "pid long, dcloaded boolean"),
+    ]
+    for name, todo_fn, task, schema in stages:
+        todo = todo_fn(sensor.scenes(), sensor.date_col).where(
+            F.col("pid") == args.pid
+        )
+        if todo.count():
+            sensor.run_stage(todo, task, schema)
+            ran.append(name)
+    print(json.dumps({"pid": args.pid, "stages_run": ran}))
+
+
+def cmd_genobsdatecmds(args) -> None:
+    """eoddgenobsdatecmds: one shell command per obs-date needing an update
+    (engine op reports.obs_date_command_lines; {sensor}/{platform}/{date}
+    placeholders)."""
+    from eodatadown_spark.reports import build_obs_date_records, obs_date_command_lines
+
+    cat = _cat(args)
+    obs, _bridge = build_obs_date_records(
+        cat.read_clean("landsat_scenes"), "LandsatGOOG"
+    )
+    cmds = [r["cmd"] for r in obs_date_command_lines(obs, args.template).collect()]
+    with open(args.out, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(cmds) + ("\n" if cmds else ""))
+    print(f"wrote {len(cmds)} command(s) to {args.out}")
+
+
 def cmd_corpusstats(args) -> None:
     """Corpus audit report: per-language doc/token counts + KL divergence
     from the corpus mix, log2 length histogram, top-k tokens per language —
@@ -351,6 +401,12 @@ def main(argv=None) -> int:
     add("pluginreport", cmd_pluginreport)
     add("reset", cmd_reset, **{"--pids": {"default": None, "help": "comma list; all if omitted"}})
     add("buildobsdates", cmd_buildobsdates)
+    add("runscn", cmd_runscn, **{"--pid": {"type": int, "required": True},
+                                 "--sensor": {"default": "LandsatGOOG"}})
+    add("genobsdatecmds", cmd_genobsdatecmds, **{
+        "--template": {"default": "eoddcreatereport --sensor {sensor} "
+                                  "--platform {platform} --date {date}"},
+        "--out": {"required": True}})
     add("dataprep", cmd_dataprep, **{
         "--infile": {"required": True, "help": "documents parquet (doc_id, text, ...)"},
         "--out": {"required": True},

@@ -261,3 +261,54 @@ def test_cli_corpusstats(spark, capsys):
     assert lines[1]["length_histogram"]            # non-empty buckets
     top = lines[2]["top_tokens"]
     assert {r["rank"] for r in top} == {1, 2}
+
+
+def test_cli_runscn_and_genobsdatecmds(spark, tmp_path, capsys):
+    """runscn drives one scene through every pending stage (eoddrun -p
+    parity); genobsdatecmds writes templated per-obs-date commands."""
+    import eodd_cli
+
+    idx = str(tmp_path / "idx_pq")
+    spark.createDataFrame(
+        [
+            {
+                "scene_id": sid,
+                "product_id": f"LC08_L1TP_001001_{acq.replace('-', '')}_20190601_01_T1",
+                "spacecraft_id": "LANDSAT_8", "sensor_id": "OLI_TIRS",
+                "date_acquired": acq, "sensing_time": acq + "T10:11:12.000000Z",
+                "collection_number": "01", "collection_category": "T1",
+                "data_type": "L1TP", "wrs_path": "1", "wrs_row": "1",
+                "cloud_cover": "10.0", "north_lat": "52.0", "south_lat": "50.0",
+                "east_lon": "2.0", "west_lon": "0.0", "total_size": "1000",
+                "base_url": f"gs://b/{sid}",
+            }
+            for sid, acq in [("A", "2019-01-05"), ("B", "2019-02-10")]
+        ]
+    ).write.parquet(idx)
+    cat_dir = str(tmp_path / "cat")
+    eodd_cli.main(["init", "--catalog", cat_dir, "--sensors", "LandsatGOOG"])
+    eodd_cli.main(["chknewscns", "--catalog", cat_dir, "--index", idx])
+    capsys.readouterr()
+
+    eodd_cli.main(["runscn", "--catalog", cat_dir, "--pid", "0"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"pid": 0, "stages_run": ["download", "con2ard", "datacube"]}
+
+    # scene 0 fully processed, scene 1 untouched
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, cat_dir)
+    rows = {r["pid"]: r for r in cat.read_clean("landsat_scenes").collect()}
+    assert rows[0]["downloaded"] and rows[0]["ardproduct"] and rows[0]["dcloaded"]
+    assert not rows[1]["downloaded"]
+    # second run: nothing pending for pid 0
+    eodd_cli.main(["runscn", "--catalog", cat_dir, "--pid", "0"])
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "stages_run"] == []
+
+    out_file = str(tmp_path / "obs_cmds.txt")
+    eodd_cli.main(["genobsdatecmds", "--catalog", cat_dir, "--out", out_file])
+    lines = open(out_file).read().strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0] == ("eoddcreatereport --sensor LandsatGOOG "
+                        "--platform LANDSAT_8 --date 2019-01-05")
