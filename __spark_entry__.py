@@ -953,6 +953,30 @@ def q70_dist_windows(spark, sf):
     )
 
 
+def q71_asof_value_carry(spark, sf):
+    """Temporal: as-of join CARRYING a value column from the matched right
+    row — validated against DuckDB's native ASOF LEFT JOIN (struct fill
+    guarantees ts and value come from the same row)."""
+    from eodatadown_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, signups, ["user_id"], right_value_cols=["value"]
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("signup_ts"),
+        F.round("value_right", 2).alias("signup_value"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -1024,6 +1048,7 @@ QUERIES: dict[str, Callable] = {
     "q68_embed_plumbing": q68_embed_plumbing,
     "q69_rollup_grouping": q69_rollup_grouping,
     "q70_dist_windows": q70_dist_windows,
+    "q71_asof_value_carry": q71_asof_value_carry,
 }
 
 
@@ -2133,5 +2158,22 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment
                          ORDER BY c_acctbal ASC, c_custkey ASC)
+        """,
+        # q71: DuckDB's NATIVE ASOF LEFT JOIN as the oracle — independent
+        # implementation of the same backward-inclusive semantics, value
+        # column carried from the matched row.
+        "q71_asof_value_carry": """
+            WITH p AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'
+            ), s AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, p.ts,
+                   s.ts AS signup_ts,
+                   round(s.value, 2) AS signup_value
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
         """,
     }
