@@ -1,14 +1,22 @@
 """eodd_cli — command-line facade over the engine, mirroring the
 reference's bin/ tools so an eodatadown user can run the same workflows:
 
-    eoddchknewscns    → chknewscns   (index file → watermark ingest → dedup)
-    eoddrunmonitoring → process      (stage task fan-out, mocked runners)
-    eoddsensorinfo    → summary      (single-pass counts + stats)
-    eoddcreatereport  → report       (obs-date rollup → HTML)
-    eoddexportdb/-imp → export/import (JSON round trip)
-    eoddgenscncmds    → gencmds      (HPC command lists, --split)
-    eoddsenroi        → roi          (drop scenes outside an ROI bbox)
-    eoddpassencode    → passencode   (base64, driver-side)
+    eoddchknewscns      → chknewscns   (index file → watermark ingest → dedup)
+    eoddrunmonitoring   → process      (stage task fan-out, mocked runners)
+    eoddrun -p /
+    eoddrunscnmonitoring→ runscn       (one scene through pending stages)
+    eoddsensorinfo      → summary      (single-pass counts + stats; --approx)
+    eoddcreatereport    → report       (obs-date rollup → HTML)
+    eoddexportdb/-imp   → export/import (JSON round trip)
+    eoddgenscncmds      → gencmds      (HPC command lists, --split)
+    eoddgenobsdatecmds  → genobsdatecmds (per-obs-date command lists)
+    eoddsenroi          → roi          (drop scenes outside an ROI bbox)
+    eoddpassencode      → passencode   (base64, driver-side)
+
+Engine-only additions: bucketize (shuffle-free pid joins), dataprep
+(quality → dedup → near-dup → temperature → split → chunk), corpusstats
+(KL/length/top-token audits).  Every catalog command takes
+--partition-monthly for the month-level physical layout.
 
 Usage: python eodd_cli.py <command> --catalog DIR [options]
 """

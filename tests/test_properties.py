@@ -291,3 +291,30 @@ def test_range_join_matches_bruteforce(spark, events, max_gap):
     want = {(a[0], b[0]) for a in rows for b in rows
             if a[1] == b[1] and 0 < (b[2] - a[2]).total_seconds() <= max_gap}
     assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=8),
+    st.integers(1, 40),
+    st.integers(1, 40),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_matches_python(spark, n_tokens_list, window, stride):
+    """Chunk boundaries match the plain-Python windowing for arbitrary doc
+    lengths, windows, and strides (including stride > window gaps)."""
+    from eodatadown_spark.operators.corpus import chunk_documents
+
+    rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(n_tokens_list)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_id"]): r["chunk_text"]
+           for r in chunk_documents(df, window=window, stride=stride).collect()}
+    want = {}
+    for i, n in enumerate(n_tokens_list):
+        toks = [f"t{j}" for j in range(n)]
+        cid = 0
+        start = 0
+        while start < n:
+            want[(i, cid)] = " ".join(toks[start:start + window])
+            cid += 1
+            start += stride
+    assert got == want
