@@ -977,6 +977,30 @@ def q71_asof_value_carry(spark, sf):
     )
 
 
+def q72_variant_props(spark, sf):
+    """C21 modern path: Spark 4 VariantType JSON access (parse once into the
+    binary variant encoding, typed extraction) — per-event-type stats over
+    the props payload; both variant and classic getters must agree, so the
+    query asserts their equality inline via a coalesce-free sum."""
+    from eodatadown_spark.functions.codecs import json_field
+
+    ev = _t(spark, sf, "events")
+    k_variant = json_field("props", "$.k", "long", use_variant=True)
+    k_classic = json_field("props", "$.k", "long", use_variant=False)
+    return (
+        ev.select("event_type", k_variant.alias("k"), k_classic.alias("k2"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(
+                F.when(F.col("k").eqNullSafe(F.col("k2")), 0).otherwise(1)
+            ).alias("variant_classic_mismatches"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -1049,6 +1073,7 @@ QUERIES: dict[str, Callable] = {
     "q69_rollup_grouping": q69_rollup_grouping,
     "q70_dist_windows": q70_dist_windows,
     "q71_asof_value_carry": q71_asof_value_carry,
+    "q72_variant_props": q72_variant_props,
 }
 
 
@@ -2175,5 +2200,18 @@ def oracle_sql() -> dict[str, str]:
                    round(s.value, 2) AS signup_value
             FROM p ASOF LEFT JOIN s
               ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        # q72: DuckDB json_extract as the independent JSON engine; the
+        # variant/classic mismatch counter must be 0 everywhere.
+        "q72_variant_props": """
+            SELECT event_type,
+                   count(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS n_with_k,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
+                       AS avg_k,
+                   CAST(0 AS BIGINT) AS variant_classic_mismatches
+            FROM events
+            GROUP BY 1
         """,
     }

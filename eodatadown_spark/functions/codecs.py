@@ -78,3 +78,24 @@ def write_gzip_json(obj, path: str) -> None:
     eodatadownutils.py:676-687) — config/metadata documents, not tables."""
     with gzip.open(path, "wt", encoding="utf-8") as fh:
         json.dump(obj, fh)
+
+
+def json_field(
+    col: Column | str, path: str, dtype: str = "string", use_variant: bool = True
+) -> Column:
+    """C21 typed JSON getter, modern form: Spark 4's native VariantType
+    (``parse_json`` → ``try_variant_get``) — the idiomatic engine path for
+    the reference's JSONB columns (eodatadownutils.py:688-917 getters).
+
+    Variant parses once into a binary-encoded tree the extractor reads
+    directly (no per-access string re-parse, and Parquet can shred variant
+    columns for pushdown), unlike ``get_json_object`` which re-scans the
+    JSON text per call.  ``use_variant=False`` (or a pre-Variant Spark)
+    falls back to the classic getter + cast; both return NULL, never an
+    error, on missing paths or type mismatches.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if use_variant and hasattr(F, "try_variant_get"):
+        parse = getattr(F, "try_parse_json", F.parse_json)  # null, not error
+        return F.try_variant_get(parse(c), path, dtype)
+    return F.get_json_object(c, path).try_cast(dtype)

@@ -99,3 +99,26 @@ def test_render_report_and_pdf_gate(spark):
     html = render_date_report_html(df, "Report", "LandsatGOOG")
     assert "<h1>Report</h1>" in html and "2019-01-05" in html
     assert html_to_pdf(html, "/tmp/never.pdf") is False  # weasyprint absent → graceful
+
+
+def test_json_field_variant_and_classic(spark):
+    """Typed JSON getter: variant and classic paths agree on hits, missing
+    paths, type mismatches, and malformed JSON (NULL, never an error)."""
+    from eodatadown_spark.functions.codecs import json_field
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 87, "s": "x"}'), (2, '{"other": 1}'),
+         (3, 'not json'), (4, None), (5, '{"k": "notnum"}')],
+        "i long, props string",
+    )
+    for use_variant in (True, False):
+        got = {r["i"]: (r["k"], r["s"]) for r in df.select(
+            "i",
+            json_field("props", "$.k", "long", use_variant).alias("k"),
+            json_field("props", "$.s", "string", use_variant).alias("s"),
+        ).collect()}
+        assert got[1] == (87, "x")
+        assert got[2] == (None, None)
+        assert got[3] == (None, None)
+        assert got[4] == (None, None)
+        assert got[5][0] is None   # type mismatch -> NULL
