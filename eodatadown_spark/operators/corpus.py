@@ -87,7 +87,11 @@ def tfidf_topk_keywords(
         F.explode(token_array(text_col)).alias("token"),
     )
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tokens.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # document frequency derives from tf (one row per (doc, token), so a
+    # plain count equals count_distinct over the raw stream) — skips a
+    # second explode + the count_distinct expand, and the twin tf subplans
+    # collapse to a ReusedExchange
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = documents.agg(F.count("*").alias("__n"))
     scored = (
         tf.join(df_, "token")
