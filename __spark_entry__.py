@@ -963,8 +963,13 @@ def q71_asof_value_carry(spark, sf):
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", "ts", "value"
+    # deterministic right side: max(value) per (user, ts) — asof_join's
+    # docstring warns value columns are order-dependent under exact
+    # (key, ts) ties, and DuckDB's ASOF picks arbitrarily among them
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     return asof_join(
         purchases, signups, ["user_id"], right_value_cols=["value"]
@@ -2192,8 +2197,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                 FROM events WHERE event_type = 'purchase'
             ), s AS (
-                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       max(value) AS value
                 FROM events WHERE event_type = 'signup'
+                GROUP BY 1, 2
             )
             SELECT p.event_id, p.user_id, p.ts,
                    s.ts AS signup_ts,

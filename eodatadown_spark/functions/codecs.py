@@ -98,4 +98,8 @@ def json_field(
     if use_variant and hasattr(F, "try_variant_get"):
         parse = getattr(F, "try_parse_json", F.parse_json)  # null, not error
         return F.try_variant_get(parse(c), path, dtype)
-    return F.get_json_object(c, path).try_cast(dtype)
+    extracted = F.get_json_object(c, path)
+    # Column.try_cast is 3.5+; pre-Variant builds older than that get the
+    # plain cast (null-on-mismatch under their non-ANSI default)
+    cast = getattr(extracted, "try_cast", extracted.cast)
+    return cast(dtype)

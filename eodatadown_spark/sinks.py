@@ -69,6 +69,26 @@ def export_geojson(scenes: DataFrame, out_file: str) -> int:
     return len(feats)
 
 
+def write_split_lines(lines: list[str], out_base: str, n_splits: int = 1) -> list[str]:
+    """Write text lines to one file, or round-robin across N split files
+    (the reference's --split convention); single definition shared by every
+    command-list sink so the trailing-newline/empty-file behavior can't
+    drift."""
+    if n_splits <= 1:
+        with open(out_base, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        return [out_base]
+    root, ext = os.path.splitext(out_base)
+    paths = []
+    for i in range(n_splits):
+        chunk = lines[i::n_splits]
+        p = f"{root}_{i + 1}{ext}"
+        with open(p, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(chunk) + ("\n" if chunk else ""))
+        paths.append(p)
+    return paths
+
+
 def write_command_lists(
     scenes: DataFrame, cmd_template: str, out_base: str, n_splits: int = 1
 ) -> list[str]:
@@ -77,19 +97,7 @@ def write_command_lists(
     from eodatadown_spark.reports import scene_command_lines
 
     cmds = [r["cmd"] for r in scene_command_lines(scenes, cmd_template).collect()]
-    paths = []
-    if n_splits <= 1:
-        with open(out_base, "w", encoding="utf-8") as fh:
-            fh.write("\n".join(cmds) + ("\n" if cmds else ""))
-        return [out_base]
-    root, ext = os.path.splitext(out_base)
-    for i in range(n_splits):
-        chunk = cmds[i::n_splits]
-        p = f"{root}_{i + 1}{ext}"
-        with open(p, "w", encoding="utf-8") as fh:
-            fh.write("\n".join(chunk) + ("\n" if chunk else ""))
-        paths.append(p)
-    return paths
+    return write_split_lines(cmds, out_base, n_splits)
 
 
 def datacube_dataset_docs(scenes: DataFrame) -> DataFrame:

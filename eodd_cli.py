@@ -3,8 +3,8 @@ reference's bin/ tools so an eodatadown user can run the same workflows:
 
     eoddchknewscns      → chknewscns   (index file → watermark ingest → dedup)
     eoddrunmonitoring   → process      (stage task fan-out, mocked runners)
-    eoddrun -p /
-    eoddrunscnmonitoring→ runscn       (one scene through pending stages)
+    eoddrun -p          → runscn       (one scene through pending stages;
+                                        also eoddrunscnmonitoring's surface)
     eoddsensorinfo      → summary      (single-pass counts + stats; --approx)
     eoddcreatereport    → report       (obs-date rollup → HTML)
     eoddexportdb/-imp   → export/import (JSON round trip)
@@ -158,30 +158,29 @@ def cmd_runscn(args) -> None:
     """eoddrun -p / eoddrunscnmonitoring: drive the state machine for ONE
     scene — each pending stage for that pid advances with a batched
     partition-selective merge (never a whole-catalog rewrite)."""
-    from eodatadown_spark import queries as Q
     from eodatadown_spark.sensor import get_sensor_obj
 
     cat = _cat(args)
     sensor = get_sensor_obj(args.sensor, cat)
     sensor.get_scn_record(args.pid)  # F10 .one(): raises if pid unknown
     ran = []
+    # the sensor facade's own stage-list wrappers, so a subclass that
+    # customizes them keeps runscn consistent with process/monitoring
     stages = [
-        ("download", Q.get_scnlist_download,
+        ("download", sensor.get_scnlist_download,
          lambda s: {"pid": s["pid"], "downloaded": True,
                     "download_path": f"{args.catalog}/dl/{s['pid']}"},
          "pid long, downloaded boolean, download_path string"),
-        ("con2ard", Q.get_scnlist_con2ard,
+        ("con2ard", sensor.get_scnlist_con2ard,
          lambda s: {"pid": s["pid"], "ardproduct": True,
                     "ardproduct_path": f"{args.catalog}/ard/{s['pid']}"},
          "pid long, ardproduct boolean, ardproduct_path string"),
-        ("datacube", Q.get_scnlist_datacube,
+        ("datacube", sensor.get_scnlist_datacube,
          lambda s: {"pid": s["pid"], "dcloaded": True},
          "pid long, dcloaded boolean"),
     ]
     for name, todo_fn, task, schema in stages:
-        todo = todo_fn(sensor.scenes(), sensor.date_col).where(
-            F.col("pid") == args.pid
-        )
+        todo = todo_fn().where(F.col("pid") == args.pid)
         if todo.count():
             sensor.run_stage(todo, task, schema)
             ran.append(name)
@@ -191,17 +190,18 @@ def cmd_runscn(args) -> None:
 def cmd_genobsdatecmds(args) -> None:
     """eoddgenobsdatecmds: one shell command per obs-date needing an update
     (engine op reports.obs_date_command_lines; {sensor}/{platform}/{date}
-    placeholders)."""
-    from eodatadown_spark.reports import build_obs_date_records, obs_date_command_lines
+    placeholders); any sensor, --split supported."""
+    from eodatadown_spark.reports import obs_date_command_lines
+    from eodatadown_spark.sensor import get_sensor_obj
+    from eodatadown_spark.sinks import write_split_lines
 
     cat = _cat(args)
-    obs, _bridge = build_obs_date_records(
-        cat.read_clean("landsat_scenes"), "LandsatGOOG"
-    )
-    cmds = [r["cmd"] for r in obs_date_command_lines(obs, args.template).collect()]
-    with open(args.out, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(cmds) + ("\n" if cmds else ""))
-    print(f"wrote {len(cmds)} command(s) to {args.out}")
+    sensor = get_sensor_obj(args.sensor, cat)
+    obs, _bridge = sensor.build_obs_date_records(args.sensor)
+    cmds = [r["cmd"]
+            for r in obs_date_command_lines(obs, args.template, args.sensor).collect()]
+    paths = write_split_lines(cmds, args.out, args.split)
+    print(f"wrote {len(cmds)} command(s) to {len(paths)} file(s)")
 
 
 def cmd_corpusstats(args) -> None:
@@ -414,7 +414,9 @@ def main(argv=None) -> int:
     add("genobsdatecmds", cmd_genobsdatecmds, **{
         "--template": {"default": "eoddcreatereport --sensor {sensor} "
                                   "--platform {platform} --date {date}"},
-        "--out": {"required": True}})
+        "--out": {"required": True},
+        "--sensor": {"default": "LandsatGOOG"},
+        "--split": {"type": int, "default": 1}})
     add("dataprep", cmd_dataprep, **{
         "--infile": {"required": True, "help": "documents parquet (doc_id, text, ...)"},
         "--out": {"required": True},
