@@ -1006,6 +1006,40 @@ def q72_variant_props(spark, sf):
     )
 
 
+def q73_unpivot(spark, sf):
+    """Relational-surface: wide→long melt (DataFrame.unpivot) over part
+    numerics — the inverse of q32's pivot."""
+    part = _t(spark, sf, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return wide.unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
+    )
+
+
+def q74_map_ops(spark, sf):
+    """Collection-surface: per-user event-type counts assembled into a MAP
+    column (collect_list → map_from_entries) then consumed via
+    element_at/size — the map-typed path the JSONB columns can take; the
+    oracle recomputes the scalars with plain conditional counts."""
+    ev = _t(spark, sf, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return as_map.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchases"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -1079,6 +1113,8 @@ QUERIES: dict[str, Callable] = {
     "q70_dist_windows": q70_dist_windows,
     "q71_asof_value_carry": q71_asof_value_carry,
     "q72_variant_props": q72_variant_props,
+    "q73_unpivot": q73_unpivot,
+    "q74_map_ops": q74_map_ops,
 }
 
 
@@ -2218,6 +2254,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
                        AS avg_k,
                    CAST(0 AS BIGINT) AS variant_classic_mismatches
+            FROM events
+            GROUP BY 1
+        """,
+        # q73: DuckDB UNPIVOT — same wide projection, same long shape.
+        "q73_unpivot": """
+            SELECT p_partkey, metric, value FROM (
+                SELECT p_partkey,
+                       CAST(p_size AS DOUBLE) AS p_size,
+                       p_retailprice
+                FROM part
+            ) UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+        """,
+        # q74: the map is an implementation detail — the oracle recomputes
+        # the projected scalars with conditional counts.
+        "q74_map_ops": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_clicks,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchases
             FROM events
             GROUP BY 1
         """,
