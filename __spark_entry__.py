@@ -1040,6 +1040,40 @@ def q74_map_ops(spark, sf):
     )
 
 
+def q75_hll_soundness(spark, sf):
+    """Sketch soundness gate (q43 pattern): HyperLogLog distinct counts
+    (approx_count_distinct, rsd=2%) of suppliers/customers per nation must
+    sit within 5x rsd of the exact counts — rows violating the bound
+    surface here, so the result is empty iff the sketch is sound."""
+    cust = _t(spark, sf, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.count_distinct("c_custkey").alias("exact"),
+        F.approx_count_distinct("c_custkey", 0.02).alias("approx"),
+    )
+    rel_err = F.abs(F.col("approx") - F.col("exact")) / F.col("exact")
+    return per_nation.where(rel_err > 0.10).select(
+        "c_nationkey", "exact", "approx"
+    )
+
+
+def q76_approx_quantile_soundness(spark, sf):
+    """Sketch soundness gate: percentile_approx (accuracy 10k) of order
+    totals per status must land within 1% relative error of the exact
+    percentile — violations surface, empty result iff sound (the
+    column_stats(approx=True) reporting path's contract)."""
+    orders = _t(spark, sf, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_med"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_med"),
+    )
+    rel_err = F.abs(F.col("approx_med") - F.col("exact_med")) / F.col("exact_med")
+    return per_status.where(rel_err > 0.01).select(
+        "o_orderstatus",
+        F.round("exact_med", 2).alias("exact_med"),
+        F.round("approx_med", 2).alias("approx_med"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -1115,6 +1149,8 @@ QUERIES: dict[str, Callable] = {
     "q72_variant_props": q72_variant_props,
     "q73_unpivot": q73_unpivot,
     "q74_map_ops": q74_map_ops,
+    "q75_hll_soundness": q75_hll_soundness,
+    "q76_approx_quantile_soundness": q76_approx_quantile_soundness,
 }
 
 
@@ -2277,5 +2313,20 @@ def oracle_sql() -> dict[str, str]:
                        AS n_purchases
             FROM events
             GROUP BY 1
+        """,
+        # q75/q76: empty-set soundness gates (q43 pattern) — the oracle
+        # asserts the same empty schema; any sketch-out-of-bounds row on the
+        # Spark side breaks the match.
+        "q75_hll_soundness": """
+            SELECT CAST(NULL AS BIGINT) AS c_nationkey,
+                   CAST(NULL AS BIGINT) AS exact,
+                   CAST(NULL AS BIGINT) AS approx
+            WHERE FALSE
+        """,
+        "q76_approx_quantile_soundness": """
+            SELECT CAST(NULL AS VARCHAR) AS o_orderstatus,
+                   CAST(NULL AS DOUBLE) AS exact_med,
+                   CAST(NULL AS DOUBLE) AS approx_med
+            WHERE FALSE
         """,
     }
