@@ -247,11 +247,23 @@ def minhash_neardup_pairs(
 def exact_dedup(
     df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact dedup: keep the lowest-id row per content hash (md5 over the
-    concatenated content columns).  One shuffle on the hash key."""
-    hashed = df.withColumn(
-        "__h", F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
-    )
+    """Exact dedup: keep the lowest-id row per content hash.  One shuffle on
+    the hash key.
+
+    Multi-column content hashes md5 over a JSON encoding of the column
+    struct, NOT a separator-joined concatenation: any in-band separator can
+    itself occur in the data, making e.g. ``("ab<sep>c", "d")`` collide with
+    ``("ab", "c<sep>d")`` — two distinct documents silently dedup into one
+    (data loss at scale).  JSON quotes and escapes every value, keeping
+    column boundaries unambiguous, and distinguishes NULL (omitted field)
+    from empty string.  The common single-column case hashes md5(col)
+    directly so the key stays engine-portable (equals ANSI ``md5(text)``).
+    """
+    if len(content_cols) == 1:
+        key = F.md5(F.col(content_cols[0]))
+    else:
+        key = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
+    hashed = df.withColumn("__h", key)
     from pyspark.sql import Window
 
     w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())

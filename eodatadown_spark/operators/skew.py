@@ -27,32 +27,57 @@ def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 16) -> DataF
     return phase1.groupBy(*keys).agg(F.sum("__partial").alias("n"))
 
 
+#: phase-2 recombiners for decomposable aggregates: combine(partials) must
+#: equal the aggregate over the union of the salted groups.
+_RECOMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase salted aggregation for decomposable aggregates.
 
-    `aggs` maps output name → phase-1 aggregate expression; phase 2 re-sums
-    (valid for sum/count-shaped aggregates; min/max also work since
-    max-of-max = max)."""
+    ``aggs`` maps output name → ``(phase1_expr, combiner)`` where combiner is
+    one of ``"sum" | "count" | "min" | "max"`` (or a callable
+    ``colname -> Column``).  The combiner is EXPLICIT — an earlier version
+    inferred it from the output-name prefix, which silently re-summed a min
+    for aliases like ``smallest_x`` (wrong answer).  A bare Column raises so
+    no caller can fall into that trap.
+
+    Note count combines with SUM (total count = sum of per-salt counts), and
+    avg is not decomposable by itself — pass separate sum + count outputs
+    and divide afterwards.
+    """
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise ValueError(
+                f"salted_agg output {name!r}: pass (phase1_expr, combiner), "
+                "e.g. (F.min('v'), 'min') — implicit combiner inference was "
+                "removed because it mis-combined on alias names"
+            )
+        expr, comb = spec
+        if not callable(comb) and comb not in _RECOMBINE:
+            raise ValueError(
+                f"salted_agg output {name!r}: unknown combiner {comb!r} "
+                f"(expected one of {sorted(_RECOMBINE)} or a callable)"
+            )
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
-        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .agg(*[expr.alias(name) for name, (expr, _) in aggs.items()])
     )
-    # phase-2 recombination: sum for sums/counts, min/max preserved by name hint
-    def recombine(name: str) -> Column:
-        if name.startswith("min"):
-            return F.min(name).alias(name)
-        if name.startswith("max"):
-            return F.max(name).alias(name)
-        return F.sum(name).alias(name)
 
-    return phase1.groupBy(*keys).agg(*[recombine(n) for n in aggs])
+    def recombine(name: str, comb) -> Column:
+        fn = comb if callable(comb) else _RECOMBINE[comb]
+        return fn(name).alias(name)
+
+    return phase1.groupBy(*keys).agg(
+        *[recombine(n, comb) for n, (_, comb) in aggs.items()]
+    )
 
 
 def salted_join(

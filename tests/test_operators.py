@@ -45,6 +45,30 @@ def test_exact_dedup(docs):
     assert out.where(F.col("doc_id") == 200).count() == 0  # min-id kept
 
 
+def test_exact_dedup_multicol_no_boundary_ambiguity(spark):
+    # ("ab","c") and ("a","bc") concat to the same bytes under any
+    # separator-less scheme; ("ab\x01c","d") vs ("ab","c\x01d") defeats an
+    # in-band separator.  All four must survive multi-column dedup.
+    rows = [
+        (1, "ab", "c"),
+        (2, "a", "bc"),
+        (3, "ab\x01c", "d"),
+        (4, "ab", "c\x01d"),
+        (5, "ab", "c"),  # true duplicate of 1 — must still collapse
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t1 string, t2 string")
+    out = D.exact_dedup(df, ["t1", "t2"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_exact_dedup_multicol_null_vs_empty(spark):
+    # NULL and '' are distinct contents, not the same document
+    rows = [(1, "x", None), (2, "x", ""), (3, "x", None)]
+    df = spark.createDataFrame(rows, "doc_id long, t1 string, t2 string")
+    out = D.exact_dedup(df, ["t1", "t2"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
 def test_minhash_finds_planted_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"])

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -59,11 +60,27 @@ def test_salted_agg_sum_min_max(spark):
         r["k"]: r
         for r in salted_agg(
             df, ["k"],
-            {"total": F.sum("v"), "min_v": F.min("v"), "max_v": F.max("v")},
+            {
+                "total": (F.sum("v"), "sum"),
+                # alias deliberately does NOT start with "min"/"max" — the
+                # explicit combiner must be what decides phase 2
+                "smallest_v": (F.min("v"), "min"),
+                "largest_v": (F.max("v"), "max"),
+            },
         ).collect()
     }
     assert out[0]["total"] == sum(range(0, 5000, 2))
-    assert out[1]["min_v"] == 1 and out[1]["max_v"] == 4999
+    assert out[1]["smallest_v"] == 1 and out[1]["largest_v"] == 4999
+
+
+def test_salted_agg_rejects_bare_column(spark):
+    df = spark.range(10).select((F.col("id") % 2).alias("k"), F.col("id").alias("v"))
+    from eodatadown_spark.operators.skew import salted_agg
+
+    with pytest.raises(ValueError, match="combiner"):
+        salted_agg(df, ["k"], {"min_v": F.min("v")})
+    with pytest.raises(ValueError, match="unknown combiner"):
+        salted_agg(df, ["k"], {"min_v": (F.min("v"), "avg")})
 
 
 def test_salted_join_matches_plain(spark):
