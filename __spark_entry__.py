@@ -315,13 +315,17 @@ def q23_cosine_topk(spark, sf):
     return S.cosine_topk(emb, qs, k=3).select("query_id", "neighbor_id", "rank")
 
 
-def q24_minhash_neardup(spark, sf):
+def q24_minhash_neardup(spark, sf, materialize="auto"):
     """Dedup/MinHash-LSH near-duplicate pairs.  Oracle-checked against the
     exact string-level shingle Jaccard (the LSH path is an accelerator with
     ~1 recall at the planted-dup similarity levels, and the 62-bit
-    verification hashes make hashed-set Jaccard equal string-set Jaccard)."""
+    verification hashes make hashed-set Jaccard equal string-set Jaccard).
+
+    ``materialize="none"`` returns the pure un-checkpointed plan — used by
+    bench.py's plan audit so exchange counts reflect the real shuffle
+    structure instead of the lineage-truncated checkpointed result."""
     docs = _t(spark, sf, "documents")
-    return D.minhash_neardup_pairs(docs, jaccard_threshold=0.5)
+    return D.minhash_neardup_pairs(docs, jaccard_threshold=0.5, materialize=materialize)
 
 
 def q25_simhash_neardup(spark, sf):
@@ -1164,6 +1168,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
+
+
+def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Pure-plan variants (no persist/checkpoint/eager job) for the queries
+    whose executable form truncates lineage.  Plan audits (exchange counts,
+    pushed filters) should introspect these; executing them also works but
+    recomputes shared subtrees."""
+    return {
+        "q24_minhash_neardup": lambda spark, sf: q24_minhash_neardup(
+            spark, sf, materialize="none"
+        ),
+    }
 
 
 def _hyperplane_bucket_sql(vec_expr: str, n_planes: int, dim: int, seed: int = 42) -> str:

@@ -82,13 +82,18 @@ def main() -> None:
 
     # plan facts: exchange count per headline query — the shuffle budget is
     # what extrapolates to cluster scale, so regressions here matter more
-    # than local seconds; recorded per round alongside the timings
+    # than local seconds; recorded per round alongside the timings.
+    # Queries whose executable form checkpoints (lineage truncation would
+    # report 0 exchanges) are audited via their plan_only() pure-plan
+    # variants so counts reflect the real shuffle structure.
     from eodatadown_spark.plans import audit
 
+    plan_fns = dict(queries)
+    plan_fns.update(getattr(E, "plan_only", dict)())
     plan_facts = {}
     for name in HEADLINE:
         try:
-            plan_facts[name] = audit.exchange_count(queries[name](spark, sf_dir))
+            plan_facts[name] = audit.exchange_count(plan_fns[name](spark, sf_dir))
         except Exception:
             plan_facts[name] = None
 

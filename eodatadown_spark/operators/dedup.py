@@ -175,6 +175,9 @@ def minhash_neardup_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     seed: int = 42,
+    materialize: str = "auto",
+    candidate_salts: int | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
 
@@ -183,11 +186,44 @@ def minhash_neardup_pairs(
     Plan shape: project → explode(bands) → shuffle on (band, band_hash) →
     groupBy bucket self-pair → verify on shingle sets.  Candidate volume is
     bounded by bucket collisions, not n² — the standard LSH scale path.
+
+    ``materialize`` controls how the verified pair set is pinned so the
+    thrice-referenced shingle table can be persisted and released inside the
+    call:
+
+    - ``"auto"`` (default): a RELIABLE ``checkpoint`` when the session has a
+      checkpoint dir configured (recompute-safe — an executor loss replays
+      from storage), else an eager ``localCheckpoint``.  At cluster scale set
+      ``spark.sparkContext.setCheckpointDir(...)`` — localCheckpoint pins
+      blocks to executors, so losing one kills the job (lineage is gone).
+    - ``"checkpoint"`` / ``"local"``: force one of the above.
+    - ``"none"``: pure plan construction — no persist, no checkpoint, no job.
+      The shingle table recomputes per downstream reference (Catalyst reuses
+      exchanges where plans coincide); lineage stays intact, so plan audits
+      (exchange counts) see the real shuffle structure.  Caller owns any
+      caching.
+
+    Hot-bucket skew (boilerplate-heavy corpora put thousands of docs in one
+    band bucket, and the self-join emits |bucket|² candidate pairs through a
+    single reducer):
+
+    - ``candidate_salts=s`` spreads each bucket's pair generation over ``s``
+      reducers (left side salted, right side replicated ×s) — identical
+      output, bounded reducer size.
+    - ``max_band_bucket=m`` DROPS buckets with more than ``m`` members before
+      pairing — a documented recall trade (members of an oversized bucket can
+      still pair via their other ``bands-1`` buckets, so true near-dups
+      usually survive; exact-duplicate mega-clusters are better handled by
+      exact_dedup first).
     """
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    if materialize not in ("auto", "checkpoint", "local", "none"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
 
-    base = shingle_hash_table(documents, id_col, text_col, k).persist()
+    base = shingle_hash_table(documents, id_col, text_col, k)
+    if materialize != "none":
+        base = base.persist()
     sig = base.withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
 
     band_structs = F.array(
@@ -213,13 +249,42 @@ def minhash_neardup_pairs(
     banded = sig.select(F.explode(band_structs).alias("bh"), "id").select(
         "bh.band_idx", "bh.band_hash", "id"
     )
-    pairs = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["band_idx", "band_hash"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if max_band_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("__bn", F.count("*").over(wb))
+            .where(F.col("__bn") <= max_band_bucket)
+            .drop("__bn")
+        )
+    if candidate_salts and candidate_salts > 1:
+        # salt the self-join: left rows take one pseudo-random salt, right
+        # rows replicate across all salts — every (l, r) bucket pair matches
+        # exactly once (at the left row's salt), so output is unchanged while
+        # each hot bucket's |bucket|² pair generation spreads over
+        # candidate_salts reducers.
+        lhs = banded.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(candidate_salts))
+        )
+        rhs = banded.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(candidate_salts)])),
+        )
+        raw_pairs = (
+            lhs.alias("l")
+            .join(rhs.alias("r"), ["band_idx", "band_hash", "__salt"])
+            .where(F.col("l.id") < F.col("r.id"))
+        )
+    else:
+        raw_pairs = (
+            banded.alias("l")
+            .join(banded.alias("r"), ["band_idx", "band_hash"])
+            .where(F.col("l.id") < F.col("r.id"))
+        )
+    pairs = raw_pairs.select(
+        F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+    ).dropDuplicates(["id_a", "id_b"])
     # exact-Jaccard verification over the hashed shingle sets (62-bit dual
     # rolling hashes — ~2^-62 collision odds per shingle pair, genuinely
     # negligible even for 10k+-shingle documents, so this equals the
@@ -237,9 +302,18 @@ def minhash_neardup_pairs(
     out = jac.where(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+    if materialize == "none":
+        return out
     # materialize the (small) verified pair set so the persisted shingle
     # table can be released immediately instead of leaking across calls
-    out = out.localCheckpoint(eager=True)
+    mode = materialize
+    if mode == "auto":
+        ckpt_dir = documents.sparkSession.sparkContext.getCheckpointDir()
+        mode = "checkpoint" if ckpt_dir else "local"
+    if mode == "checkpoint":
+        out = out.checkpoint(eager=True)
+    else:
+        out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
 

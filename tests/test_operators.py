@@ -87,6 +87,56 @@ def test_minhash_jaccard_is_exact(docs):
         assert abs(r["jaccard"] - expect) < 1e-3
 
 
+def test_minhash_salted_candidates_identical_output(spark):
+    """Hot-bucket skew: a 400-doc duplicate cluster puts 400 ids in every
+    band bucket (159,600 candidate pairs through one reducer unsalted).
+    candidate_salts must spread the pair generation WITHOUT changing the
+    output."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    hot = " ".join(rng.choice(vocab) for _ in range(40))
+    rows = [(i, hot) for i in range(400)]
+    rows += [(1000 + i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = D.minhash_neardup_pairs(df, jaccard_threshold=0.9, materialize="none")
+    salted = D.minhash_neardup_pairs(
+        df, jaccard_threshold=0.9, materialize="none", candidate_salts=8
+    )
+    n = 400 * 399 // 2
+    assert plain.count() == n
+    assert salted.count() == n
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_minhash_band_bucket_cap_drops_mega_cluster(spark):
+    rng = random.Random(12)
+    vocab = [f"w{i}" for i in range(500)]
+    hot = " ".join(rng.choice(vocab) for _ in range(40))
+    near = hot.rsplit(" ", 1)[0] + " zzz"  # near-dup pair outside the cluster
+    rows = [(i, hot) for i in range(50)]
+    rows += [(500, near), (501, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.minhash_neardup_pairs(
+        df, jaccard_threshold=0.9, materialize="none", max_band_bucket=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    # the 50-doc mega-cluster saturates every band bucket → dropped;
+    # the 2-doc near-dup bucket is under the cap → kept
+    assert (500, 501) in got
+    assert all(a >= 500 for a, b in got)
+
+
+def test_minhash_materialize_none_keeps_lineage(docs):
+    from eodatadown_spark.plans import audit
+
+    out = D.minhash_neardup_pairs(docs, jaccard_threshold=0.6, materialize="none")
+    # the pure plan exposes the real shuffle structure (banding + joins),
+    # which the checkpointed form hides behind a Scan ExistingRDD
+    assert audit.exchange_count(out) >= 2
+    with pytest.raises(ValueError, match="materialize"):
+        D.minhash_neardup_pairs(docs, materialize="bogus")
+
+
 def test_ngram_jaccard_exact_pairs(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
