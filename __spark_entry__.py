@@ -2179,12 +2179,16 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN c2 USING (bg) JOIN c1 USING (head)
             GROUP BY doc_id
         """,
-        # q66: same fingerprint normalization as the engine (q19/q22's md5
-        # of lowercased alnum text); batch anti-joins the corpus fingerprint
-        # set, then keeps the min-id row per raw-text hash within the batch.
+        # q66: same fingerprint normalization as the engine, INCLUDING the
+        # empty-normalization fallback (docs whose alnum-normalization strips
+        # empty — non-Latin scripts — fingerprint as md5(raw text)); batch
+        # anti-joins the corpus fingerprint set, then keeps the min-id row
+        # per raw-text hash within the batch.
         "q66_incremental_dedup": """
             WITH corpus AS (
-                SELECT md5(lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))) AS fp
+                SELECT md5(CASE WHEN lower(regexp_replace(text, '[^a-z0-9]', '', 'g')) <> ''
+                                THEN lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+                                ELSE text END) AS fp
                 FROM documents WHERE doc_id < 250
             ), batch AS (
                 SELECT doc_id, lang, text FROM documents WHERE doc_id >= 250
@@ -2193,7 +2197,9 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id < 25
             ), fresh AS (
                 SELECT b.* FROM batch b
-                WHERE md5(lower(regexp_replace(b.text, '[^a-z0-9]', '', 'g')))
+                WHERE md5(CASE WHEN lower(regexp_replace(b.text, '[^a-z0-9]', '', 'g')) <> ''
+                               THEN lower(regexp_replace(b.text, '[^a-z0-9]', '', 'g'))
+                               ELSE b.text END)
                       NOT IN (SELECT fp FROM corpus)
             )
             SELECT doc_id, lang FROM (

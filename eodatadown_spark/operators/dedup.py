@@ -529,11 +529,17 @@ def contamination_pairs(
         F.col(bench_id_col).alias("bench_id"),
         F.explode(word_shingles(bench_text_col, k)).alias("sh"),
     )
-    small = (
-        broadcast_benchmark
-        if broadcast_benchmark is not None
-        else benchmark.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
-    )
+    if broadcast_benchmark is not None:
+        small = broadcast_benchmark
+    else:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "contamination_pairs: running a bounded row-count probe on the "
+            "benchmark frame to decide broadcast (re-executes its lineage); "
+            "pass broadcast_benchmark=True/False to skip"
+        )
+        small = benchmark.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
     if small:
         b_sh = F.broadcast(b_sh)
     return (

@@ -67,6 +67,13 @@ def asof_join(
     rv_out = [(right_ts, right_ts + suffix)] + [
         (c, c + suffix) for c in right_value_cols
     ]
+    clashes = sorted({dst for _, dst in rv_out} & set(lcols))
+    if clashes:
+        raise ValueError(
+            f"asof_join output column(s) {clashes} already exist on the left "
+            f"side — pass a different suffix (current: {suffix!r}) to avoid "
+            "silent duplicate column names"
+        )
     rstruct_t = ", ".join(
         f"`{dst}`: {dict(right.dtypes)[src]}" for src, dst in rv_out
     )

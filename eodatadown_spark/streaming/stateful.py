@@ -99,9 +99,11 @@ def stream_asof_enrich(
     import pyspark.sql.functions as F
 
     left_id_type = dict(left.dtypes)[left_id_col]
+    # backtick-quote caller-supplied names: the DDL parser rejects bare
+    # names containing spaces/hyphens etc.
     out_schema = (
-        f"{key_col} {dict(left.dtypes)[key_col]}, "
-        f"{left_id_col} {left_id_type}, {ts_col} timestamp, "
+        f"`{key_col}` {dict(left.dtypes)[key_col]}, "
+        f"`{left_id_col}` {left_id_type}, `{ts_col}` timestamp, "
         f"right_ts timestamp, right_value {value_type}"
     )
     state_schema = f"rts timestamp, rval {value_type}"
@@ -115,15 +117,20 @@ def stream_asof_enrich(
             # one concat + sort across ALL chunks: per-chunk processing
             # would depend on arbitrary Arrow chunk boundaries
             pdf = pd.concat(chunks).sort_values([ts_col, "side"])
-            for row in pdf.itertuples(index=False):
-                ts = getattr(row, ts_col)
-                if row.side == 0:
+            # positional access (name=None): named itertuples mangles column
+            # names that aren't valid Python identifiers (e.g. "event-id"),
+            # which would break the parameterized column-name contract
+            i_ts = pdf.columns.get_loc(ts_col)
+            i_side = pdf.columns.get_loc("side")
+            i_id = pdf.columns.get_loc(left_id_col)
+            i_rv = pdf.columns.get_loc("right_value")
+            for row in pdf.itertuples(index=False, name=None):
+                ts = row[i_ts]
+                if row[i_side] == 0:
                     if rts is None or ts >= rts:
-                        rts, rval = ts, row.right_value
+                        rts, rval = ts, row[i_rv]
                 else:
-                    rows.append(
-                        (key[0], getattr(row, left_id_col), ts, rts, rval)
-                    )
+                    rows.append((key[0], row[i_id], ts, rts, rval))
         if rts is not None:
             state.update((rts, rval))
         yield (

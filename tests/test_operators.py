@@ -761,6 +761,21 @@ def test_ivf_and_lsh_recall_floor(spark):
     assert lsh8 >= 0.6
 
 
+def test_asof_join_rejects_output_name_collision(spark):
+    import datetime as dt
+
+    from eodatadown_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5.0)], "user_id long, ts timestamp, price_right double"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 3.0)], "user_id long, ts timestamp, price double"
+    )
+    with pytest.raises(ValueError, match="price_right"):
+        asof_join(left, right, ["user_id"], right_value_cols=["price"])
+
+
 def test_asof_join_null_value_not_backfilled(spark):
     """A matched right row with a NULL value column must yield NULL — not a
     stale value leaked from an older right row (merge_asof semantics; all

@@ -310,3 +310,40 @@ def test_stream_asof_enrich_stateful(spark, tmp_path):
         assert got[102] == (s(30), 9.0)
     finally:
         q.stop()
+
+
+def test_stream_asof_enrich_non_identifier_columns(spark, tmp_path):
+    """Column names that are not valid Python identifiers (e.g. 'event-id')
+    must work — pandas itertuples renames such columns positionally, so the
+    enrich kernel has to read rows by position, not attribute name."""
+    from eodatadown_spark.streaming.stateful import stream_asof_enrich
+
+    left_src = str(tmp_path / "asof_left_h")
+    right_src = str(tmp_path / "asof_right_h")
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+
+    spark.createDataFrame(
+        [(1, 100, s(10))], "`user id` long, `event-id` long, `t s` timestamp"
+    ).coalesce(1).write.parquet(left_src)
+    spark.createDataFrame(
+        [(1, s(5), 7.0)], "`user id` long, `t s` timestamp, value double"
+    ).coalesce(1).write.parquet(right_src)
+
+    out = stream_asof_enrich(
+        spark.readStream.schema("`user id` long, `event-id` long, `t s` timestamp").parquet(left_src),
+        spark.readStream.schema("`user id` long, `t s` timestamp, value double").parquet(right_src),
+        key_col="user id",
+        left_id_col="event-id",
+        ts_col="t s",
+    )
+    q = (out.writeStream.format("memory").queryName("asof_out_h")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM asof_out_h").collect()
+        assert [(r["event-id"], r["right_ts"], r["right_value"]) for r in rows] == [
+            (100, s(5), 7.0)
+        ]
+    finally:
+        q.stop()
