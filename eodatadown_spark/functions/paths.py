@@ -50,22 +50,31 @@ def remove_punctuation(col: Column | str) -> Column:
     return F.regexp_replace(c, r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]", "")
 
 
-def reproject_bbox(west, south, east, north, src_epsg: int, dst_epsg: int):
+def reproject_bbox(
+    west, south, east, north, src_epsg: int, dst_epsg: int, densify: int = 21
+):
     """C18: bbox reprojection (ref eodatadownlandsatgoogsensor.py:723-725).
 
-    pyproj isn't in this image; identity transform for matching EPSG, else
-    NotImplementedError at call time — the ROI path that needs it is
-    driver-side and small, so a real deployment plugs pyproj in here.
+    Self-contained: uses the built-in Karney-series transverse-Mercator
+    kernel (functions/tmerc.py) — no pyproj required.  Supported CRS are
+    EPSG:4326 and the UTM zones (326xx/327xx), which covers the reference's
+    Landsat/Sentinel ROI paths; tests cross-check against pyproj when it
+    happens to be installed.
+
+    The four edges are densified (``densify`` points per edge) before taking
+    the min/max: projected edges of a geographic rectangle are curves, so
+    corner-only transforms (what the reference does) under-cover the true
+    extent — up to hundreds of meters across a UTM zone.
     """
+    import numpy as np
+
+    from eodatadown_spark.functions.tmerc import transform_points
+
     if src_epsg == dst_epsg:
         return west, south, east, north
-    try:
-        from pyproj import Transformer
-    except ImportError as exc:  # pragma: no cover - env without pyproj
-        raise NotImplementedError(
-            f"bbox reprojection {src_epsg}->{dst_epsg} requires pyproj"
-        ) from exc
-    t = Transformer.from_crs(src_epsg, dst_epsg, always_xy=True)
-    x1, y1 = t.transform(west, south)
-    x2, y2 = t.transform(east, north)
-    return min(x1, x2), min(y1, y2), max(x1, x2), max(y1, y2)
+    xs = np.linspace(west, east, densify)
+    ys = np.linspace(south, north, densify)
+    edge_x = np.concatenate([xs, xs, np.full(densify, west), np.full(densify, east)])
+    edge_y = np.concatenate([np.full(densify, south), np.full(densify, north), ys, ys])
+    ox, oy = transform_points(edge_x, edge_y, src_epsg, dst_epsg)
+    return float(ox.min()), float(oy.min()), float(ox.max()), float(oy.max())
