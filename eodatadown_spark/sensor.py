@@ -283,6 +283,34 @@ class Sentinel1ASFSensor(SensorBase):
     platform_col = "platform"
     dedup_key = None
 
+    def check_new_scns_remote(
+        self,
+        transport,
+        polygons: Sequence[str],
+        start_date: dt.datetime,
+        check_from_start: bool = False,
+        end: dt.datetime | None = None,
+    ) -> int:
+        """End-to-end ``check_new_scns`` over a transport: the query window
+        starts at the catalog watermark (config start date on an empty
+        table / ``check_from_start``), one request per ROI polygon, in-run
+        product_file_id dedup, then the normal watermark-filtered upsert
+        (ref eodatadownsentinel1asf.py:392-520)."""
+        from eodatadown_spark.sources import index_adapters as A
+        from eodatadown_spark.sources import transport as T
+
+        wm = None if check_from_start else ingest.watermark(self.scenes(), self.watermark_col)
+        q_start = wm or start_date
+        end = end or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        raw = T.asf_scenes_df(
+            self.spark,
+            transport,
+            polygons=list(polygons),
+            start=q_start.isoformat() + "UTC",
+            end=end.isoformat() + "UTC",
+        )
+        return self.check_new_scns(A.asf_search_scenes(raw), check_from_start)
+
 
 class GEDISensor(SensorBase):
     table = "gedi_granules"
@@ -290,6 +318,28 @@ class GEDISensor(SensorBase):
     watermark_col = "date_acquired"
     platform_col = "product"
     dedup_key = None
+
+    def check_new_scns_remote(
+        self,
+        transport,
+        products: Sequence[dict],
+        bboxes: Sequence[str],
+        check_from_start: bool = False,
+    ) -> int:
+        """gedifinder per-(product, bbox) request cycle → per-product
+        normalization → one upsert (ref eodatadownGEDIsensor.py:357-437;
+        the %Y%j filename-date watermark filter is check_new_scns')."""
+        from eodatadown_spark.sources import index_adapters as A
+        from eodatadown_spark.sources import transport as T
+
+        frames = []
+        for prod in products:
+            raw = T.gedi_urls_df(self.spark, transport, products=[prod], bboxes=list(bboxes))
+            frames.append(A.gedi_finder_granules(raw, prod["product"], prod["version"]))
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        return self.check_new_scns(merged, check_from_start)
 
 
 class ICESAT2Sensor(SensorBase):
@@ -302,6 +352,59 @@ class ICESAT2Sensor(SensorBase):
     # the reference tracks one watermark per product (ATL03/ATL08...),
     # eodatadownICESAT2sensor.py:535-545
     watermark_partition_col = "product"
+
+    def check_new_scns_remote(
+        self,
+        transport,
+        products: Sequence[dict],
+        geo_bounds: Sequence[str],
+        start_date: dt.datetime,
+        check_from_start: bool = False,
+        end: dt.datetime | None = None,
+        page_size: int = 100,
+    ) -> int:
+        """CMR paged request cycle per (product, bbox): the temporal window
+        starts at that PRODUCT's watermark (ref
+        eodatadownICESAT2sensor.py:535-545), pages accumulate until an empty
+        page, and the union of all products flows through the per-product
+        watermark-filtered upsert."""
+        from eodatadown_spark.sources import index_adapters as A
+        from eodatadown_spark.sources import transport as T
+
+        end = end or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        end_str = end.strftime("%Y-%m-%dT23:59:59Z")
+        scenes = self.scenes()
+        frames = []
+        for prod in products:
+            q_date = start_date
+            if not check_from_start:
+                row = (
+                    scenes.where(F.col("product") == prod["product"])
+                    .agg(F.max(self.watermark_col).alias("wm"))
+                    .first()
+                )
+                if row is not None and row["wm"] is not None:
+                    q_date = row["wm"]
+            temporal = q_date.strftime("%Y-%m-%dT00:00:00Z") + "," + end_str
+            for bbox in geo_bounds:
+                raw = T.cmr_granules_df(
+                    self.spark,
+                    transport,
+                    short_name=prod["product"],
+                    version=prod["version"],
+                    temporal=temporal,
+                    bounding_box=bbox,
+                    page_size=page_size,
+                )
+                frames.append(
+                    A.cmr_granules(raw)
+                    .withColumn("product", F.lit(prod["product"]))
+                    .withColumn("version", F.lit(prod["version"]))
+                )
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        return self.check_new_scns(merged, check_from_start)
 
 
 SENSORS: dict[str, type[SensorBase]] = {

@@ -189,7 +189,18 @@ def cmr_granules(raw: DataFrame) -> DataFrame:
     )
     has_boxes = F.col("boxes").isNotNull() & (F.size("boxes") > 0)
     has_polys = F.col("polygons").isNotNull() & (F.size("polygons") > 0)
+    extra = []
+    if "links" in raw.columns:
+        # remote_url: the x-hdfeos dataset link (ref :663-672)
+        hdfeos = F.filter(
+            F.col("links"), lambda lk: lk.getField("type") == "application/x-hdfeos"
+        )
+        extra.append(
+            F.when(F.size(hdfeos) > 0, F.element_at(hdfeos, 1).getField("href"))
+            .alias("remote_url")
+        )
     df = raw.select(
+        *extra,
         F.col("producer_granule_id").alias("producer_id"),
         F.col("id").alias("granule_id"),
         F.col("title"),
