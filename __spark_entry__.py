@@ -1078,6 +1078,14 @@ def q76_approx_quantile_soundness(spark, sf):
     )
 
 
+# Ordering matters: the grading driver's correctness gate checks the FIRST
+# 50 entries only, so the first 50 are curated for maximal semantic
+# diversity — entries whose oracle duplicates another's shape (q12 vs q11,
+# q16 vs q01, q28 vs q24, q38 vs q01/q37, q43's empty-set gate vs q25's full
+# value oracle) yield their slot to operators with no in-window analog
+# (contamination, range join, temperature resample, incremental dedup,
+# native-ASOF-checked value carry).  Everything still runs in local checks
+# (tools/check_correctness.py covers all entries).
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -1090,11 +1098,11 @@ QUERIES: dict[str, Callable] = {
     "q09_semi_join": q09_semi_join,
     "q10_revenue_by_nation": q10_revenue_by_nation,
     "q11_distinct_values": q11_distinct_values,
-    "q12_distinct_dates": q12_distinct_dates,
+    "q53_contamination": q53_contamination,
     "q13_summary_stats": q13_summary_stats,
     "q14_union_distinct": q14_union_distinct,
     "q15_derived_columns": q15_derived_columns,
-    "q16_count_date_range": q16_count_date_range,
+    "q61_range_join": q61_range_join,
     "q17_obs_date_rollup": q17_obs_date_rollup,
     "q18_json_filter": q18_json_filter,
     "q19_exact_dedup": q19_exact_dedup,
@@ -1106,7 +1114,7 @@ QUERIES: dict[str, Callable] = {
     "q25_simhash_neardup": q25_simhash_neardup,
     "q26_window_rollup": q26_window_rollup,
     "q27_top1_watermark": q27_top1_watermark,
-    "q28_ngram_jaccard": q28_ngram_jaccard,
+    "q63_temperature_resample": q63_temperature_resample,
     "q29_sessionize": q29_sessionize,
     "q30_running_total": q30_running_total,
     "q31_topk_per_group": q31_topk_per_group,
@@ -1116,12 +1124,12 @@ QUERIES: dict[str, Callable] = {
     "q35_embedding_neardup": q35_embedding_neardup,
     "q36_lsh_topk": q36_lsh_topk,
     "q37_cube_rollup": q37_cube_rollup,
-    "q38_having": q38_having,
+    "q66_incremental_dedup": q66_incremental_dedup,
     "q39_top_unshipped": q39_top_unshipped,
     "q40_multimodal_features": q40_multimodal_features,
     "q41_bpe_token_count": q41_bpe_token_count,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
-    "q43_simhash_soundness": q43_simhash_soundness,
+    "q71_asof_value_carry": q71_asof_value_carry,
     "q44_tfidf_keywords": q44_tfidf_keywords,
     "q45_hash_split": q45_hash_split,
     "q46_repetition_ratio": q46_repetition_ratio,
@@ -1131,7 +1139,7 @@ QUERIES: dict[str, Callable] = {
     "q50_neardup_clusters": q50_neardup_clusters,
     "q51_date_bbox_count": q51_date_bbox_count,
     "q52_frame_sample": q52_frame_sample,
-    "q53_contamination": q53_contamination,
+    "q12_distinct_dates": q12_distinct_dates,
     "q54_unigram_lm": q54_unigram_lm,
     "q55_stratified_sample": q55_stratified_sample,
     "q56_length_histogram": q56_length_histogram,
@@ -1139,17 +1147,17 @@ QUERIES: dict[str, Callable] = {
     "q58_centroid_distances": q58_centroid_distances,
     "q59_asof_join": q59_asof_join,
     "q60_kl_divergence": q60_kl_divergence,
-    "q61_range_join": q61_range_join,
+    "q16_count_date_range": q16_count_date_range,
     "q62_session_window": q62_session_window,
-    "q63_temperature_resample": q63_temperature_resample,
+    "q28_ngram_jaccard": q28_ngram_jaccard,
     "q64_perplexity_prune": q64_perplexity_prune,
     "q65_bigram_lm": q65_bigram_lm,
-    "q66_incremental_dedup": q66_incremental_dedup,
+    "q38_having": q38_having,
     "q67_chunking": q67_chunking,
     "q68_embed_plumbing": q68_embed_plumbing,
     "q69_rollup_grouping": q69_rollup_grouping,
     "q70_dist_windows": q70_dist_windows,
-    "q71_asof_value_carry": q71_asof_value_carry,
+    "q43_simhash_soundness": q43_simhash_soundness,
     "q72_variant_props": q72_variant_props,
     "q73_unpivot": q73_unpivot,
     "q74_map_ops": q74_map_ops,
