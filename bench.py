@@ -118,4 +118,27 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # emit a parseable payload even on failure so
+        # the per-round artifact records WHAT broke instead of a bare rc=1
+        import traceback
+
+        frame = ""
+        here = os.path.dirname(os.path.abspath(__file__))
+        for fr in traceback.extract_tb(exc.__traceback__):
+            if fr.filename.startswith(here):
+                frame = f"{os.path.relpath(fr.filename, here)}:{fr.lineno}"
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": None,
+                    "unit": "sec",
+                    "bench_status": "error",
+                    "error": f"{type(exc).__name__}: {str(exc)[:500]}",
+                    "frame": frame,
+                }
+            )
+        )
+        raise

@@ -48,13 +48,36 @@ def render_date_report_html(
 
 def html_to_pdf(html: str, out_pdf: str) -> bool:
     """K4 PDF step — weasyprint if importable, else report unavailable
-    (ref shells `weasyprint` as a subprocess)."""
+    (ref shells `weasyprint` as a subprocess).  For guaranteed PDF output
+    without weasyprint use :func:`render_date_report_pdf`."""
     try:
         import weasyprint  # noqa: F401
     except ImportError:
         return False
     weasyprint.HTML(string=html).write_pdf(out_pdf)
     return True
+
+
+def render_date_report_pdf(
+    obs_scns: DataFrame, title: str, sensor: str, out_pdf: str
+) -> bytes:
+    """K4 end-to-end PDF: the same report content as the HTML path, emitted
+    as real PDF bytes by the built-in writer (functions/minipdf.py) — no
+    external rendering stack.  When weasyprint IS available, prefer
+    render_date_report_html + html_to_pdf for full CSS typography."""
+    from eodatadown_spark.functions.minipdf import write_pdf
+
+    rows = obs_scns.collect()
+    lines = [f"Sensor: {sensor} - {len(rows)} observation dates", ""]
+    lines.append(f"{'Date':<14} {'Platform':<16} Overviews")
+    lines.append("-" * 60)
+    for r in rows:
+        d = r.asDict()
+        lines.append(
+            f"{str(d['obs_date']):<14} {str(d['platform_id']):<16} "
+            f"{d.get('overviews') or ''}"
+        )
+    return write_pdf(lines, out_pdf, title=title)
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,49 @@ def test_render_report_and_pdf_gate(spark):
     assert html_to_pdf(html, "/tmp/never.pdf") is False  # weasyprint absent → graceful
 
 
+def test_render_report_pdf_builtin(spark, tmp_path):
+    """K4 without weasyprint: the built-in writer must emit a structurally
+    valid PDF carrying the report content."""
+    from eodatadown_spark.datereports import render_date_report_pdf
+
+    df = spark.createDataFrame(
+        [("LandsatGOOG", "LANDSAT_8", f"2019-01-{d:02d}", None) for d in range(1, 26)],
+        "sensor_id string, platform_id string, obs_date string, overviews string",
+    )
+    out = str(tmp_path / "report.pdf")
+    data = render_date_report_pdf(df, "Obs (Dates) Report", "LandsatGOOG", out)
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    # startxref points at the xref table
+    tail = data.rstrip().rsplit(b"startxref", 1)[1]
+    xref_at = int(tail.split(b"%%EOF")[0].strip())
+    assert data[xref_at : xref_at + 4] == b"xref"
+    # every xref offset lands on its object header
+    import re
+
+    entries = re.findall(rb"(\d{10}) 00000 n", data)
+    for i, off in enumerate(entries, start=1):
+        assert data[int(off) : int(off) + len(f"{i} 0 obj")] == f"{i} 0 obj".encode()
+    # content is present (streams are uncompressed) with parens escaped
+    assert b"(Obs \\(Dates\\) Report) Tj" in data
+    assert b"2019-01-25" in data and b"LANDSAT_8" in data
+    with open(out, "rb") as fh:
+        assert fh.read() == data
+
+
+def test_minipdf_multipage_and_escaping(tmp_path):
+    from eodatadown_spark.functions.minipdf import write_pdf
+
+    data = write_pdf(
+        [f"line {i} (with) \\ parens" for i in range(100)],
+        str(tmp_path / "m.pdf"),
+        title="T",
+    )
+    assert data.count(b"/Type /Page ") == 3  # 100 lines @ ~44/page
+    assert b"/Count 3" in data
+    assert rb"(line 7 \(with\) \\ parens) Tj" in data
+
+
 def test_json_field_variant_and_classic(spark):
     """Typed JSON getter: variant and classic paths agree on hits, missing
     paths, type mismatches, and malformed JSON (NULL, never an error)."""

@@ -48,6 +48,18 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def first_repo_frame(exc: BaseException) -> str:
+    """file:line of the first traceback frame inside this repo — the frame
+    that matters when a deep Spark/py4j stack swallows the real call site."""
+    import traceback
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fr in traceback.extract_tb(exc.__traceback__):
+        if fr.filename.startswith(repo):
+            return f" @ {os.path.relpath(fr.filename, repo)}:{fr.lineno}"
+    return ""
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
@@ -74,7 +86,10 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             failures.append(name)
-            print(f"FAIL  {name}: SPARK ERROR {type(exc).__name__}: {str(exc)[:300]}")
+            print(
+                f"FAIL  {name}: SPARK ERROR {type(exc).__name__}: "
+                f"{str(exc)[:300]}{first_repo_frame(exc)}"
+            )
             continue
         spark_secs = time.time() - t0
         if name not in oracles:
