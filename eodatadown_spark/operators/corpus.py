@@ -533,9 +533,88 @@ def pack_sequences(
     )
 
 
+def prefix_suffix_overlap(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuation-split detection: pairs where one document's last ``k``
+    tokens equal another's first ``k`` tokens → (suffix_doc, prefix_doc).
+
+    Crawled corpora frequently shard one source page into consecutive
+    fragments; concatenating shuffled fragments teaches the model broken
+    continuations, so pipelines stitch (or at least co-locate) such pairs.
+    Scale shape: one narrow projection per side — (id, k-token boundary
+    string) — and one equi-join keyed on the boundary string; docs shorter
+    than k tokens are excluded.  Self-pairs are dropped; a doc whose prefix
+    equals its own suffix is not a split.
+    """
+    toks = token_array(text_col)
+    n = F.size(toks)
+    base = documents.select(
+        F.col(id_col).alias("id"),
+        F.array_join(F.slice(toks, 1, k), " ").alias("prefix"),
+        F.array_join(F.slice(toks, -k, k), " ").alias("suffix"),
+    ).where(n >= k)
+    sfx = base.select(F.col("id").alias("suffix_doc"), F.col("suffix").alias("boundary"))
+    pfx = base.select(F.col("id").alias("prefix_doc"), F.col("prefix").alias("boundary"))
+    return (
+        sfx.join(pfx, "boundary")
+        .where(F.col("suffix_doc") != F.col("prefix_doc"))
+        .select("suffix_doc", "prefix_doc")
+    )
+
+
+def dup_ngram_fraction(
+    documents: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-duplicate n-gram fraction per document: of a doc's DISTINCT
+    word n-grams, the share that also appear in at least one other document
+    → (doc_id, n_grams, dup_fraction).
+
+    The standard boilerplate/near-dup pressure metric (Gopher/Dolma-style
+    repetition rules measure within-doc repetition — q46; this measures
+    ACROSS-doc duplication, which is what drives memorization).  Scale
+    shape: explode distinct grams → gram-keyed count-distinct-docs (one
+    shuffle on the gram) → re-join to grams (same key, exchange reused) →
+    per-doc aggregate.  Docs with fewer than ``n`` tokens are excluded.
+    """
+    toks = token_array(text_col)
+    grams = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                )
+            )
+        ).alias("gram"),
+    ).where(F.size(toks) >= n)
+    gram_docs = grams.groupBy("gram").agg(F.count("*").alias("gram_docs"))
+    return (
+        grams.join(gram_docs, "gram")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("gram_docs") > 1, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 __all__ = [
     "split_bucket",
     "assign_split",
+    "prefix_suffix_overlap",
+    "dup_ngram_fraction",
     "tfidf_topk_keywords",
     "pack_sequences",
     "unigram_lm_scores",

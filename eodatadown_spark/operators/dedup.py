@@ -549,6 +549,36 @@ def contamination_pairs(
     )
 
 
+def substring_contamination(
+    corpus: DataFrame,
+    needles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    needle_id_col: str = "needle_id",
+    needle_col: str = "needle",
+) -> DataFrame:
+    """Exact-substring contamination: corpus docs containing a benchmark
+    needle verbatim → (doc_id, needle_id).
+
+    Complements :func:`contamination_pairs`: the 13-gram rule catches
+    paraphrase-scale overlap but misses short exact strings (answer keys,
+    canary strings, eval prompts shorter than k tokens), which substring
+    containment catches.  Scale shape: needle sets are eval-sized, so the
+    needle side broadcasts and the corpus streams through one
+    BroadcastNestedLoopJoin with a codegen'd `contains` predicate — no
+    shuffle of the corpus, no explode.
+    """
+    n = F.broadcast(
+        needles.select(
+            F.col(needle_id_col).alias("needle_id"), F.col(needle_col).alias("needle")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    return c.join(n, F.contains(F.col("__text"), F.col("needle"))).select(
+        "doc_id", "needle_id"
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -761,6 +761,54 @@ def test_ivf_and_lsh_recall_floor(spark):
     assert lsh8 >= 0.6
 
 
+def test_substring_contamination(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the canary string xj9 hides here"),
+         (2, "nothing to see"),
+         (3, "prefix then canary string xj9 again")],
+        "doc_id long, text string",
+    )
+    needles = spark.createDataFrame(
+        [(100, "canary string xj9"), (101, "absent needle")],
+        "needle_id long, needle string",
+    )
+    got = {(r["doc_id"], r["needle_id"])
+           for r in D.substring_contamination(corpus, needles).collect()}
+    assert got == {(1, 100), (3, 100)}
+
+
+def test_prefix_suffix_overlap(spark):
+    from eodatadown_spark.operators.corpus import prefix_suffix_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),       # suffix "d e f"
+         (2, "d e f g h i"),       # prefix "d e f" → (1, 2)
+         (3, "x y z"),             # suffix == prefix == own boundary: no self-pair
+         (4, "q r"),               # < k tokens: excluded
+         (5, "z z d e f")],        # suffix "d e f" → (5, 2)
+        "doc_id long, text string",
+    )
+    got = {(r["suffix_doc"], r["prefix_doc"])
+           for r in prefix_suffix_overlap(docs, k=3).collect()}
+    assert got == {(1, 2), (5, 2)}
+
+
+def test_dup_ngram_fraction(spark):
+    from eodatadown_spark.operators.corpus import dup_ngram_fraction
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, shared + " six seven"),   # grams: 3 total, 1 shared
+         (2, shared),                  # 1 gram, shared with doc 1
+         (3, "a b c d e f"),           # 2 grams, unique
+         (4, "a b")],                  # too short: excluded
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["dup_fraction"])
+           for r in dup_ngram_fraction(docs, n=5).collect()}
+    assert got == {1: (3, 0.3333), 2: (1, 1.0), 3: (2, 0.0)}
+
+
 def test_asof_join_rejects_output_name_collision(spark):
     import datetime as dt
 
