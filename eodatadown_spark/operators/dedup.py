@@ -579,6 +579,63 @@ def substring_contamination(
     )
 
 
+def substring_contamination_multi(
+    corpus: DataFrame,
+    needles: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_needles: int = 500,
+) -> DataFrame:
+    """Many-needle variant of :func:`substring_contamination`.
+
+    The BNLJ `contains` path evaluates O(docs × needles) containment checks
+    — right for eval-sized needle sets, wrong for 10⁵+ canary/plagiarism
+    corpora.  This path ships the needle list to executors once (closure
+    broadcast) and screens each document with COMPILED ALTERNATION REGEXES
+    (the stdlib stand-in for an Aho-Corasick automaton), ``batch_needles``
+    per pattern to bound pattern size.  The regex is a PREFILTER only — a
+    batch whose pattern fires verifies each of its needles exactly
+    (alternation alone under-reports overlapping/same-position matches) —
+    so clean documents, the overwhelming majority in decontamination, cost
+    one linear scan per batch instead of n_needles containment checks.
+    Arrow-batched mapInPandas; output matches the BNLJ variant:
+    (doc_id, needle_id) per containment hit.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    batch_specs = [
+        (
+            needles[i : i + batch_needles],
+            "|".join(
+                _re.escape(s) for _, s in needles[i : i + batch_needles]
+            ),
+        )
+        for i in range(0, len(needles), batch_needles)
+    ]
+
+    def scan(iterator):
+        compiled = [(batch, _re.compile(pat)) for batch, pat in batch_specs]
+        for pdf in iterator:
+            out_doc, out_needle = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for batch, rx in compiled:
+                    if rx.search(text) is None:
+                        continue
+                    for nid, s in batch:
+                        if s in text:
+                            out_doc.append(did)
+                            out_needle.append(nid)
+            yield pd.DataFrame({"doc_id": out_doc, "needle_id": out_needle})
+
+    return corpus.select(id_col, text_col).mapInPandas(
+        scan, schema="doc_id long, needle_id long"
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -777,6 +777,30 @@ def test_substring_contamination(spark):
     assert got == {(1, 100), (3, 100)}
 
 
+def test_substring_contamination_multi_matches_bnlj(spark):
+    """The many-needle mapInPandas path must agree with the BNLJ variant,
+    including overlapping needles that a bare alternation regex misses."""
+    corpus = spark.createDataFrame(
+        [(1, "xx abcd yy"),        # contains both "abc" and "bcd" (overlap)
+         (2, "only abc here"),
+         (3, "clean row")],
+        "doc_id long, text string",
+    )
+    needle_rows = [(10, "abc"), (11, "bcd"), (12, "zzz")]
+    needles_df = spark.createDataFrame(needle_rows, "needle_id long, needle string")
+    want = {(r["doc_id"], r["needle_id"])
+            for r in D.substring_contamination(corpus, needles_df).collect()}
+    got = {(r["doc_id"], r["needle_id"])
+           for r in D.substring_contamination_multi(corpus, needle_rows).collect()}
+    assert want == {(1, 10), (1, 11), (2, 10)}
+    assert got == want
+    # batching boundary: 1 needle per regex batch must not change results
+    got_b1 = {(r["doc_id"], r["needle_id"])
+              for r in D.substring_contamination_multi(
+                  corpus, needle_rows, batch_needles=1).collect()}
+    assert got_b1 == want
+
+
 def test_prefix_suffix_overlap(spark):
     from eodatadown_spark.operators.corpus import prefix_suffix_overlap
 
