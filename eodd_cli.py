@@ -336,6 +336,21 @@ def cmd_dataprep(args) -> None:
         "after_exact_dedup": n_exact,
         "after_neardup": n_neardup,
     }
+    # optional benchmark decontamination: drop docs overlapping the eval
+    # set by >= 1 shared k-gram (GPT-3-style rule) AND docs containing a
+    # short needle verbatim when the benchmark has a 'needle' column
+    if args.decontaminate is not None:
+        bench = spark.read.parquet(args.decontaminate)
+        kept = D.decontaminate(kept, bench, k=args.contam_k)
+        if "needle" in bench.columns:
+            hits = D.substring_contamination(
+                kept, bench.select("needle").withColumn(
+                    "needle_id", F.monotonically_increasing_id())
+            ).select("doc_id").distinct()
+            kept = kept.join(hits, "doc_id", "left_anti")
+        kept = kept.localCheckpoint()
+        stats["after_decontamination"] = kept.count()
+
     # optional per-language temperature rebalancing before the split
     if args.temperature_alpha is not None:
         if "lang" not in kept.columns:
@@ -429,6 +444,11 @@ def main(argv=None) -> int:
         "--temperature-alpha": {"type": float, "default": None,
                                 "dest": "temperature_alpha",
                                 "help": "per-language temperature resampling"},
+        "--decontaminate": {"default": None,
+                            "help": "benchmark parquet (doc_id, text[, needle]); "
+                                    "drops contaminated docs"},
+        "--contam-k": {"type": int, "default": 13, "dest": "contam_k",
+                       "help": "k-gram size for the collision rule"},
         "--chunk-window": {"type": int, "default": None, "dest": "chunk_window",
                            "help": "emit token-window chunks of this size"},
         "--chunk-stride": {"type": int, "default": None, "dest": "chunk_stride",

@@ -218,6 +218,34 @@ def test_cli_summary_approx_and_simhash_dataprep(spark, tmp_path, capsys):
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 4]
 
 
+def test_cli_dataprep_decontaminate(spark, tmp_path, capsys):
+    """dataprep --decontaminate: docs overlapping the benchmark by a 5-gram
+    drop; docs containing a short needle verbatim drop too."""
+    import eodd_cli
+
+    filler = "and it is a long enough document to pass the quality bar today "
+    leak = "the capital of atlantis is flooded entirely"
+    rows = [
+        (1, f"clean document about weather {filler}"),
+        (2, f"contains {leak} inside {filler}"),          # 5-gram overlap
+        (3, f"secret canary xq17 appears here {filler}"),  # needle hit
+        (4, f"another clean one about sports {filler}"),
+    ]
+    src = str(tmp_path / "docs_src3")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, leak, "canary xq17")], "doc_id long, text string, needle string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "docs_clean3")
+    eodd_cli.main(["dataprep", "--infile", src, "--out", out,
+                   "--min-quality", "0.0", "--decontaminate", bench,
+                   "--contam-k", "5"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_decontamination"] == 2
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 4]
+
+
 def test_cli_dataprep_temperature_and_chunking(spark, tmp_path, capsys):
     """dataprep with --temperature-alpha and --chunk-window: rebalanced per
     language, then one row per chunk with the doc's split carried over."""
