@@ -85,12 +85,21 @@ def shingle_hash_table(
     lambda re-evaluates it per element (O(n²) per doc — measured 6x slower),
     while referencing a projected column reads it once.
     """
-    toks = F.split(F.lower(_ws_trim(F.col(text_col))), "\\s+")
+    # tokenization materializes ONCE at its own projection boundary: the two
+    # hash-stream transforms below each reference the projected column, so
+    # the regex split/lower/trim runs once per doc instead of once per
+    # stream (referencing the expression directly would inline and
+    # re-evaluate it)
+    tokenized = documents.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(_ws_trim(F.col(text_col))), "\\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
     # TWO primitive long arrays, not one array<struct>: element_at on a
     # primitive array is a specialized UnsafeArrayData read in codegen,
     # while struct-field extraction pays per-element object overhead
-    staged = documents.select(
-        F.col(id_col).alias("id"),
+    staged = tokenized.select(
+        "id",
         F.transform(
             toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MINHASH_PRIME))
         ).alias("__th1"),
@@ -226,18 +235,20 @@ def minhash_neardup_pairs(
         base = base.persist()
     sig = base.withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
 
+    # band hash = xxhash64 over the band's signature slots directly (multi-
+    # arg form) — no per-band string materialization; two docs collide in
+    # band i iff their rows_per_band signature values there are identical
+    # (modulo 2^-64 hash collisions), same contract as hashing the joined
+    # string but without the garbage
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
                 F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
+                    *[
+                        F.element_at("sig", i * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ]
                 ).alias("band_hash"),
             )
             for i in range(bands)
