@@ -579,9 +579,13 @@ def dup_ngram_fraction(
     The standard boilerplate/near-dup pressure metric (Gopher/Dolma-style
     repetition rules measure within-doc repetition — q46; this measures
     ACROSS-doc duplication, which is what drives memorization).  Scale
-    shape: explode distinct grams → gram-keyed count-distinct-docs (one
-    shuffle on the gram) → re-join to grams (same key, exchange reused) →
-    per-doc aggregate.  Docs with fewer than ``n`` tokens are excluded.
+    shape: explode distinct grams → count-over-gram WINDOW (one shuffle on
+    the gram; grams are distinct per doc, so the partition count IS the doc
+    count) → per-doc aggregate (second shuffle).  The window formulation
+    beats the aggregate-then-rejoin alternative by a full exchange: the
+    rejoin cannot reuse the gram exchange because its aggregate side
+    partial-aggregates below the shuffle.  Docs with fewer than ``n``
+    tokens are excluded.
     """
     toks = token_array(text_col)
     grams = documents.select(
@@ -595,9 +599,9 @@ def dup_ngram_fraction(
             )
         ).alias("gram"),
     ).where(F.size(toks) >= n)
-    gram_docs = grams.groupBy("gram").agg(F.count("*").alias("gram_docs"))
+    gram_docs = F.count("*").over(Window.partitionBy("gram"))
     return (
-        grams.join(gram_docs, "gram")
+        grams.withColumn("gram_docs", gram_docs)
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count("*").alias("n_grams"),

@@ -125,6 +125,36 @@ def test_q61_range_join_is_equi(entry_spark):
     assert (joins.get("BroadcastHashJoin", 0) + joins.get("SortMergeJoin", 0)) >= 1
 
 
+def test_q77_substring_contamination_broadcasts_needles(entry_spark):
+    """The corpus side never shuffles: needles broadcast into one
+    BroadcastNestedLoopJoin with a codegen'd contains predicate, and the
+    needle scan's doc_id < 8 filter is pushed to parquet."""
+    df = E.queries()["q77_substring_contamination"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    assert joins.get("BroadcastNestedLoopJoin", 0) == 1
+    assert audit.exchange_count(df) == 0
+    assert "LessThan(doc_id" in ",".join(audit.pushed_filters(df))
+
+
+def test_q78_overlap_is_single_equi_join(entry_spark):
+    """Boundary-string equi-join — no nested loop, no cartesian."""
+    df = E.queries()["q78_prefix_suffix_overlap"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    assert joins.get("BroadcastNestedLoopJoin", 0) == 0
+    assert joins.get("CartesianProduct", 0) == 0
+    assert sum(joins.values()) == 1
+
+
+def test_q79_dup_ngram_two_exchanges_no_join(entry_spark):
+    """Window formulation: gram-count is a count-over-gram window, so the
+    whole metric is exactly two shuffles (gram, then doc) and ZERO joins —
+    one exchange fewer than aggregate-then-rejoin, which can't reuse the
+    gram exchange."""
+    df = E.queries()["q79_dup_ngram_fraction"](entry_spark, SF)
+    assert audit.exchange_count(df) == 2
+    assert audit.join_strategies(df) == {}
+
+
 def test_q54_unigram_reuses_tf_exchange(entry_spark):
     """The twin tf subplans (scoring join + corpus counts) collapse to a
     ReusedExchange — the token stream is exploded for aggregation once per
