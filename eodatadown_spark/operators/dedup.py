@@ -47,6 +47,18 @@ def _affine_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a (small) intermediate and truncate its lineage: a
+    RELIABLE checkpoint when the session has a checkpoint dir configured
+    (recompute-safe — executor loss replays from storage), else an eager
+    localCheckpoint.  At cluster scale set
+    ``spark.sparkContext.setCheckpointDir(...)``; localCheckpoint pins
+    blocks to executors, so losing one kills the job."""
+    if df.sparkSession.sparkContext.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles as an array<string> (space-joined).
 
@@ -690,8 +702,10 @@ def neardup_clusters(
     small and dense (dups of the same source), so this converges in a few
     rounds; each round is two equi-joins + one aggregate (all key-partitioned,
     no driver data path) and a monotone label-sum convergence check.
-    ``localCheckpoint`` truncates the per-round lineage so the plan doesn't
-    grow with iterations (the classic iterative-algorithm trap at scale).
+    Per-round lineage is truncated (the classic iterative-algorithm trap at
+    scale) via a reliable checkpoint when the session has a checkpoint dir,
+    else localCheckpoint — same recompute-safety posture as
+    :func:`minhash_neardup_pairs`'s ``materialize="auto"``.
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(documents, id_col, text_col, k, threshold)
@@ -699,12 +713,10 @@ def neardup_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
-        documents.select(F.col(id_col).alias("id"))
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
+    edges = _pin(edges)
+    labels = _pin(
+        documents.select(F.col(id_col).alias("id")).withColumn("lbl", F.col("id"))
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     converged = False
@@ -714,13 +726,12 @@ def neardup_clusters(
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        labels = (
+        labels = _pin(
             labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
             .select(
                 F.col("id"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint()
         )
         # labels only ever decrease → equal sum means a fixed point
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
