@@ -318,3 +318,55 @@ def test_chunk_documents_matches_python(spark, n_tokens_list, window, stride):
             cid += 1
             start += stride
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1, max_size=8,
+    ),
+    st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_prefix_suffix_overlap_matches_python(spark, token_lists, k):
+    from eodatadown_spark.operators.corpus import prefix_suffix_overlap
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["suffix_doc"], r["prefix_doc"])
+           for r in prefix_suffix_overlap(df, k=k).collect()}
+    want = set()
+    for i, a in enumerate(token_lists):
+        for j, b in enumerate(token_lists):
+            if i != j and len(a) >= k and len(b) >= k and a[-k:] == b[:k]:
+                want.add((i, j))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_dup_ngram_fraction_matches_python(spark, token_lists, n):
+    from eodatadown_spark.operators.corpus import dup_ngram_fraction
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["dup_fraction"])
+           for r in dup_ngram_fraction(df, n=n).collect()}
+    gram_sets = {
+        i: {" ".join(toks[p:p + n]) for p in range(len(toks) - n + 1)}
+        for i, toks in enumerate(token_lists) if len(toks) >= n
+    }
+    for i, grams in gram_sets.items():
+        dup = sum(
+            1 for g in grams
+            if any(j != i and g in other for j, other in gram_sets.items())
+        )
+        assert got[i][0] == len(grams)
+        assert abs(got[i][1] - round(dup / len(grams), 4)) <= 1e-9
+    assert set(got) == set(gram_sets)
