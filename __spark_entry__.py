@@ -1117,6 +1117,32 @@ def q79_dup_ngram_fraction(spark, sf):
     return C.dup_ngram_fraction(docs, n=5).select("doc_id", "n_grams", "dup_fraction")
 
 
+def q80_pq_recall_soundness(spark, sf):
+    """Sketch soundness gate (q75/q76 convention): PQ shortlist+rerank top-3
+    must overlap the exact brute-force top-3 in >= 2 of 3 neighbors for
+    every probe query — violating queries surface, empty result iff the
+    compression path is sound at this corpus scale."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, qs, k=3).select("query_id", "neighbor_id")
+    approx = S.pq_topk(emb, qs, k=3, m=8, n_codes=16, shortlist=200).select(
+        "query_id", "neighbor_id"
+    )
+    overlap = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        qs.select("query_id")
+        .join(overlap, "query_id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .where(F.col("n_overlap") < 2)
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1205,6 +1231,7 @@ QUERIES: dict[str, Callable] = {
     "q77_substring_contamination": q77_substring_contamination,
     "q78_prefix_suffix_overlap": q78_prefix_suffix_overlap,
     "q79_dup_ngram_fraction": q79_dup_ngram_fraction,
+    "q80_pq_recall_soundness": q80_pq_recall_soundness,
 }
 
 
@@ -2399,6 +2426,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS VARCHAR) AS o_orderstatus,
                    CAST(NULL AS DOUBLE) AS exact_med,
                    CAST(NULL AS DOUBLE) AS approx_med
+            WHERE FALSE
+        """,
+        # q80: soundness gate — empty iff PQ recall@3 >= 2/3 for all probes
+        "q80_pq_recall_soundness": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS n_overlap
             WHERE FALSE
         """,
         # q77: needles = first-3-token prefixes of docs 0-7 (lowercased, the

@@ -272,6 +272,162 @@ def ivf_topk(
     return _topk_tail(_score_pairs(cand), k)
 
 
+def _l2sq_lit(vec: Column, lit_vec: list[float]) -> Column:
+    """Squared L2 distance between a vector column and a literal vector."""
+    p = F.array(*[F.lit(float(v)) for v in lit_vec])
+    return F.aggregate(
+        F.zip_with(vec, p, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook ``[m][n_codes][dim/m]``: the subvectors
+    of the ``n_codes`` lowest-id corpus vectors.
+
+    Deterministic seed codebook — the same stand-in-for-k-means convention
+    as :func:`ivf_topk`'s centroids, so results are exactly reproducible;
+    a trained (k-means) codebook drops in as the same nested-list shape.
+    The collect is bounded by construction: a PQ codebook IS small
+    (n_codes × dim floats — the entire point is that the corpus compresses
+    onto it), so shipping it driver-side and inlining it as literals keeps
+    encode/scoring pure projections with zero joins.
+    """
+    rows = (
+        corpus.where(F.col(id_col) < n_codes)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(f"corpus has fewer than n_codes={n_codes} seed vectors")
+    dim = len(rows[0][0])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    return [
+        [[float(v) for v in r[0][j * sub : (j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the nearest
+    codebook entry by squared L2 → ``array<int>`` of length m.
+
+    Storage-compression path for 100 TB embedding tables: dim float32s
+    become m small ints (e.g. 64×4 bytes → 8 codes).  Pure projection —
+    m × n_codes literal-array distance expressions in whole-stage codegen,
+    no join, no shuffle; ties resolve to the lowest code id (struct
+    ordering), so encoding is deterministic.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    vec = F.col(vec_col)
+    code_cols = []
+    for j in range(m):
+        subvec = F.slice(vec, j * sub + 1, sub)
+        entries = F.array(
+            *[
+                F.struct(
+                    _l2sq_lit(subvec, c).alias("d"), F.lit(ci).alias("c")
+                )
+                for ci, c in enumerate(codebook[j])
+            ]
+        )
+        code_cols.append(F.array_min(entries).getField("c"))
+    return df.withColumn(out_col, F.array(*code_cols))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    codebook: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ-accelerated cosine top-k with asymmetric-distance shortlisting and
+    exact rerank.
+
+    Per (query, corpus) pair the scan cost is m table lookups (ADC: the
+    query precomputes an ``[m][n_codes]`` LUT of subspace distances, the
+    pair distance is Σ_j lut[j][code_j]) instead of a dim-length dot —
+    the standard PQ trade.  The ADC shortlist (``shortlist`` per query,
+    distance-asc, id-asc tie-break) is then exactly reranked by cosine, so
+    output format and semantics match the rest of the similarity family:
+    (query_id, neighbor_id, rank, cos_sim).
+
+    The corpus side stays partition-parallel (queries broadcast); compose
+    with :func:`ivf_assign_cells` to prefilter candidates by cell when even
+    the m-lookup scan is too much — the codebook/LUT plumbing is identical.
+    """
+    cb = codebook or pq_train_codebook(corpus, m, n_codes, id_col, vec_col)
+    m = len(cb)
+    sub = len(cb[0][0])
+    enc = pq_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        cb,
+        "__cv",
+        "__codes",
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+
+    qvec = F.col("__qv")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _l2sq_lit(F.slice(qvec, j * sub + 1, sub), c)
+                    for c in cb[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__qn", l2_norm(qvec))
+        .withColumn("__lut", lut)
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("__lut", j + 1), F.element_at("__codes", j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        enc.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__adc", adc)
+        .withColumn("__srank", F.row_number().over(w))
+        .where(F.col("__srank") <= shortlist)
+    )
+    return _topk_tail(_score_pairs(short), k)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

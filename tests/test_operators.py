@@ -761,6 +761,53 @@ def test_ivf_and_lsh_recall_floor(spark):
     assert lsh8 >= 0.6
 
 
+def test_pq_encode_matches_python(vectors):
+    """PQ codes equal the plain-Python nearest-subvector assignment."""
+    cb = S.pq_train_codebook(vectors, m=4, n_codes=8)
+    assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == 4
+    rows = {r["vec_id"]: list(r["embedding"])
+            for r in vectors.orderBy("vec_id").collect()}
+    got = {r["vec_id"]: list(r["pq_codes"])
+           for r in S.pq_encode(vectors, cb).collect()}
+    for vid, vec in rows.items():
+        want = []
+        for j in range(4):
+            sv = vec[j * 4:(j + 1) * 4]
+            dists = [sum((a - b) ** 2 for a, b in zip(sv, c)) for c in cb[j]]
+            want.append(min(range(8), key=lambda ci: (dists[ci], ci)))
+        assert got[vid] == want, vid
+
+
+def test_pq_topk_finds_planted_neighbor(vectors):
+    qs = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.pq_topk(vectors, qs, k=3, m=4, n_codes=8, shortlist=20).collect()
+    assert out[0]["neighbor_id"] == 100 and out[0]["rank"] == 1
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """PQ shortlist+rerank on the driver's real embeddings: recall@3 over
+    20 queries must clear a floor, and a full-corpus shortlist equals
+    exact brute force (the rerank makes the shortlist the only
+    approximation)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 3
+
+    def hits(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = hits(S.cosine_topk(emb, qs, k=k))
+    n_corpus = emb.count()
+    pq50 = hits(S.pq_topk(emb, qs, k=k, m=8, n_codes=16, shortlist=50))
+    assert len(pq50 & exact) / len(exact) >= 0.5
+    pq_full = hits(S.pq_topk(emb, qs, k=k, m=8, n_codes=16, shortlist=n_corpus))
+    assert pq_full == exact
+
+
 def test_substring_contamination(spark):
     corpus = spark.createDataFrame(
         [(1, "the canary string xj9 hides here"),
