@@ -428,6 +428,86 @@ def pq_topk(
     return _topk_tail(_score_pairs(short), k)
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    codebook: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF×PQ: the billions-of-vectors ANN configuration — IVF cells bound
+    WHICH vectors are scanned (~n_probe/n_centroids of the corpus, cell
+    equi-join, never a cross join) and PQ codes bound the COST per scanned
+    vector (m ADC lookups instead of a dim-length dot), then the shortlist
+    is exactly reranked by cosine.  Output contract matches the similarity
+    family: (query_id, neighbor_id, rank, cos_sim).
+    """
+    cb = codebook or pq_train_codebook(corpus, m, n_codes, id_col, vec_col)
+    m = len(cb)
+    sub = len(cb[0][0])
+    centroids = corpus.where(F.col(id_col) < n_centroids)
+    cells = ivf_assign_cells(
+        corpus, centroids, id_col, vec_col, n_probe=1, centroid_id_col=id_col
+    ).select(F.col("id").alias("neighbor_id"), "cell")
+    enc = (
+        pq_encode(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+            ),
+            cb,
+            "__cv",
+            "__codes",
+        )
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+        .join(cells, "neighbor_id")
+    )
+    probes = ivf_assign_cells(
+        queries, centroids, query_id_col, vec_col, n_probe=n_probe,
+        centroid_id_col=id_col,
+    ).select(F.col("id").alias("query_id"), "cell")
+    qvec = F.col("__qv")
+    lut = F.array(
+        *[
+            F.array(*[_l2sq_lit(F.slice(qvec, j * sub + 1, sub), c) for c in cb[j]])
+            for j in range(m)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__qn", l2_norm(qvec))
+        .withColumn("__lut", lut)
+        .join(probes, "query_id")
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("__lut", j + 1), F.element_at("__codes", j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        enc.join(q, "cell")
+        .drop("cell")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__adc", adc)
+        .withColumn("__srank", F.row_number().over(w))
+        .where(F.col("__srank") <= shortlist)
+    )
+    return _topk_tail(_score_pairs(short), k)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

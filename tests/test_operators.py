@@ -808,6 +808,27 @@ def test_pq_recall_vs_bruteforce(spark):
     assert pq_full == exact
 
 
+def test_ivf_pq_topk_recall_and_full_probe(spark):
+    """IVF×PQ: recall floor at modest probes; full probe + full shortlist
+    equals exact brute force (both approximations disabled at once)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 3
+
+    def hits(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = hits(S.cosine_topk(emb, qs, k=k))
+    part = hits(S.ivf_pq_topk(emb, qs, k=k, n_centroids=8, n_probe=3,
+                              m=8, n_codes=16, shortlist=60))
+    assert len(part & exact) / len(exact) >= 0.5
+    full = hits(S.ivf_pq_topk(emb, qs, k=k, n_centroids=8, n_probe=8,
+                              m=8, n_codes=16, shortlist=emb.count()))
+    assert full == exact
+
+
 def test_substring_contamination(spark):
     corpus = spark.createDataFrame(
         [(1, "the canary string xj9 hides here"),
