@@ -1143,6 +1143,24 @@ def q80_pq_recall_soundness(spark, sf):
     )
 
 
+def q81_bpe_merge_candidates(spark, sf):
+    """Corpus/vocab: top-20 BPE merge candidates (adjacent char-pair counts
+    weighted by word frequency — operators.corpus.bpe_merge_candidates)."""
+    docs = _t(spark, sf, "documents")
+    return C.bpe_merge_candidates(docs, k=20).select("pair", "n")
+
+
+def q82_gopher_quality_flags(spark, sf):
+    """Text/Gopher rule flags: per-doc booleans for each published quality
+    rule + the conjunction (operators.text.gopher_quality_flags)."""
+    docs = _t(spark, sf, "documents")
+    return X.gopher_quality_flags(docs, min_words=20).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "alpha_frac_ok", "stopwords_ok", "keep",
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1232,6 +1250,8 @@ QUERIES: dict[str, Callable] = {
     "q78_prefix_suffix_overlap": q78_prefix_suffix_overlap,
     "q79_dup_ngram_fraction": q79_dup_ngram_fraction,
     "q80_pq_recall_soundness": q80_pq_recall_soundness,
+    "q81_bpe_merge_candidates": q81_bpe_merge_candidates,
+    "q82_gopher_quality_flags": q82_gopher_quality_flags,
 }
 
 
@@ -2433,6 +2453,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS n_overlap
             WHERE FALSE
+        """,
+        # q81: BPE step-1 pair counts — words dedup to (word, count) first,
+        # pairs weighted by count; top-20 by (n desc, pair asc)
+        "q81_bpe_merge_candidates": """
+            WITH toks AS (
+                SELECT unnest(list_filter(string_split_regex(
+                    lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                    '\\s+'), t -> t <> '')) AS w
+                FROM documents
+            ), words AS (
+                SELECT w, count(*) AS wc FROM toks GROUP BY 1
+            ), pairs AS (
+                SELECT unnest(list_transform(range(1, len(string_split(w, ''))),
+                       i -> string_split(w, '')[i] || string_split(w, '')[i+1]))
+                       AS pair,
+                       wc
+                FROM words WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+            FROM pairs GROUP BY 1
+            ORDER BY n DESC, pair ASC
+            LIMIT 20
+        """,
+        # q82: Gopher rule flags, thresholds mirrored from the query call
+        # (min_words=20); symbol chars are '#' and the ellipsis
+        "q82_gopher_quality_flags": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(
+                           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                           '\\s+'), t -> t <> '') AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                 / len(toks) END AS mean_len,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(length(text)
+                                 - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+                                 / len(toks) END AS symbol_ratio,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                                 / len(toks) END AS alpha_frac,
+                       len(list_filter(toks, t -> t IN
+                           ('the','a','of','and','to','in','is','it'))) AS stop_hits
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_len, 4) AS mean_word_len,
+                   round(alpha_frac, 4) AS alpha_word_frac,
+                   (n_words >= 20 AND n_words <= 100000) AS word_count_ok,
+                   (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+                   (symbol_ratio <= 0.1) AS symbol_ratio_ok,
+                   (alpha_frac >= 0.8) AS alpha_frac_ok,
+                   (stop_hits >= 2) AS stopwords_ok,
+                   (n_words >= 20 AND n_words <= 100000
+                    AND mean_len >= 3.0 AND mean_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM m
         """,
         # q77: needles = first-3-token prefixes of docs 0-7 (lowercased, the
         # engine's token CTE); hit = verbatim containment in a lowered doc,

@@ -614,11 +614,49 @@ def dup_ngram_fraction(
     )
 
 
+def bpe_merge_candidates(
+    documents: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """First step of BPE vocabulary training: corpus-wide counts of
+    adjacent CHARACTER pairs inside words, weighted by word frequency →
+    the top-``k`` merge candidates (pair, n), count-desc / pair-asc.
+
+    The scale shape is the one that makes BPE trainable on a 100 TB
+    corpus: words aggregate to (word, count) FIRST (one shuffle keyed on
+    the word — the heavy dedup), so pair extraction runs once per DISTINCT
+    word, weighted by its count, instead of once per occurrence; pair
+    counts are a second keyed aggregate.  An actual BPE trainer iterates
+    merge→recount; each iteration is this same plan over the rewritten
+    symbol table.
+    """
+    words = (
+        documents.select(F.explode(token_array(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    chars = F.split(F.col("w"), "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
+    )
+    return (
+        words.where(F.length("w") >= 2)
+        .select(F.explode(pairs).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
 __all__ = [
     "split_bucket",
     "assign_split",
     "prefix_suffix_overlap",
     "dup_ngram_fraction",
+    "bpe_merge_candidates",
     "tfidf_topk_keywords",
     "pack_sequences",
     "unigram_lm_scores",

@@ -126,6 +126,64 @@ def quality_score(text: Column | str) -> Column:
     return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
 
 
+def gopher_quality_flags(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality RULE FLAGS per document (Rae et al. 2021 §A1.1
+    repetition/quality heuristics, the subset computable without external
+    models): word-count band, mean-word-length band, symbol-to-word ratio
+    ('#'/'…'), alphabetic-word fraction, stop-word presence.  Returns one
+    row per doc with each rule's boolean + the conjunction ``keep`` — rule
+    flags (not a blended score like :func:`quality_score`) so a pipeline
+    can report WHICH rule kills each document, the way corpus-build audits
+    are actually debugged.
+
+    Pure columnar expressions; one narrow projection, no shuffle.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(ws_trim(c)), "\\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    mean_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        .cast("double") / n_words
+    )
+    n_symbols = F.length(c) - F.length(F.regexp_replace(c, "[#…]", ""))
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_symbols.cast("double") / n_words
+    )
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_words
+    )
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_ratio <= max_symbol_ratio,
+        "alpha_frac_ok": alpha_frac >= min_alpha_word_frac,
+        "stopwords_ok": stopword_hits(c) >= min_stopword_hits,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else keep & f
+    return documents.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     lowercased/alnum-normalized text — stable across engines (DuckDB md5

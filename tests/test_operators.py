@@ -901,6 +901,34 @@ def test_dup_ngram_fraction(spark):
     assert got == {1: (3, 0.3333), 2: (1, 1.0), 3: (2, 0.0)}
 
 
+def test_bpe_merge_candidates(spark):
+    from eodatadown_spark.operators.corpus import bpe_merge_candidates
+
+    # "aaab" x2, "ab" x1 → pairs: aa (2 per word x2 = 4... careful: per
+    # DISTINCT word weighted by count: "aaab" wc=2 → aa,aa,ab per word =
+    # aa:2*2=4, ab:1*2=2; "ab" wc=1 → ab:1 → totals aa=4, ab=3
+    docs = spark.createDataFrame(
+        [(1, "aaab ab"), (2, "aaab")], "doc_id long, text string"
+    )
+    got = [(r["pair"], r["n"]) for r in bpe_merge_candidates(docs, k=5).collect()]
+    assert got == [("aa", 4), ("ab", 3)]
+
+
+def test_gopher_quality_flags(spark):
+    from eodatadown_spark.operators.text import gopher_quality_flags
+
+    good = "the cats sat on top of the brown mat and it is good " * 5  # 65 words
+    symbols = "the " + "# " * 30 + "of and it is"
+    docs = spark.createDataFrame(
+        [(1, good), (2, "tiny doc"), (3, symbols)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert got[1]["keep"] is True and got[1]["word_count_ok"] is True
+    assert got[2]["keep"] is False and got[2]["word_count_ok"] is False
+    assert got[3]["symbol_ratio_ok"] is False and got[3]["alpha_frac_ok"] is False
+
+
 def test_asof_join_rejects_output_name_collision(spark):
     import datetime as dt
 
