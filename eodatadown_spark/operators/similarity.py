@@ -188,6 +188,39 @@ def lsh_bucket_topk(
     return _topk_tail(_score_pairs(cand), k)
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Trained coarse-quantizer codebook: k-means over the embedding column
+    via Spark MLlib (distributed Lloyd's with k-means|| init, fixed seed)
+    → a centroids DataFrame shaped for :func:`ivf_assign_cells` /
+    :func:`ivf_topk` (``cell_id``-as-``id_col``, ``vec_col``).
+
+    This replaces the deterministic first-k seed convention with a real
+    trained codebook when cluster structure matters; both shapes drop into
+    the same query plans.  Train on a sample at 100 TB
+    (``vectors.sample(...)``) — codebook quality converges long before the
+    full corpus is seen.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    spark = vectors.sparkSession
+    rows = [
+        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"{id_col} long, {vec_col} array<float>")
+
+
 def ivf_assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -233,20 +266,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in ONE inverted list (their
     nearest centroid); each query probes its ``n_probe`` nearest lists and
     brute-forces only those candidates — the scan fraction is ~n_probe/
     n_centroids of the corpus instead of all of it.
 
-    Centroids here are the deterministic seed set (the first ``n_centroids``
-    corpus ids) — the stand-in for a k-means codebook so results are exactly
-    reproducible cross-engine; a trained codebook drops in as the
-    ``centroids`` DataFrame of :func:`ivf_assign_cells` without changing the
-    query plan.  Candidate generation is an equi-join on cell id (never a
-    cross join against the corpus), same 100 TB shape as the LSH path.
+    Default centroids are the deterministic seed set (the first
+    ``n_centroids`` corpus ids) so results are exactly reproducible
+    cross-engine; pass ``centroids`` (e.g. :func:`kmeans_centroids`) for a
+    trained codebook — the query plan is identical.  Candidate generation
+    is an equi-join on cell id (never a cross join against the corpus),
+    same 100 TB shape as the LSH path.
     """
-    centroids = corpus.where(F.col(id_col) < n_centroids)
+    if centroids is None:
+        centroids = corpus.where(F.col(id_col) < n_centroids)
     lists_ = ivf_assign_cells(
         corpus, centroids, id_col, vec_col, n_probe=1, centroid_id_col=id_col
     ).select(F.col("id").alias("neighbor_id"), "cell")

@@ -901,6 +901,34 @@ def test_dup_ngram_fraction(spark):
     assert got == {1: (3, 0.3333), 2: (1, 1.0), 3: (2, 0.0)}
 
 
+def test_kmeans_centroids_trained_ivf(spark):
+    """Trained k-means codebook drops into ivf_topk: centroid shape is
+    compatible, assignments use every cell, and recall with few probes
+    clears the floor on the labeled (clustered) embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.kmeans_centroids(emb, k=8)
+    rows = cents.collect()
+    assert len(rows) == 8 and len(rows[0]["embedding"]) == 64
+    cells = S.ivf_assign_cells(emb, cents, n_probe=1)
+    assert cells.select("cell").distinct().count() == 8
+
+    qs = emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def hits(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = hits(S.cosine_topk(emb, qs, k=3))
+    trained3 = hits(S.ivf_topk(emb, qs, k=3, n_centroids=8, n_probe=3,
+                               centroids=cents))
+    assert len(trained3 & exact) / len(exact) >= 0.6
+    # full probe over trained cells == exact (cell partitioning is total)
+    trained_full = hits(S.ivf_topk(emb, qs, k=3, n_centroids=8, n_probe=8,
+                                   centroids=cents))
+    assert trained_full == exact
+
+
 def test_bpe_merge_candidates(spark):
     from eodatadown_spark.operators.corpus import bpe_merge_candidates
 
