@@ -591,10 +591,13 @@ def substring_contamination(
     BroadcastNestedLoopJoin with a codegen'd `contains` predicate — no
     shuffle of the corpus, no explode.
     """
+    # empty/NULL needles are dropped, not matched: contains(text, '') is
+    # TRUE for every document, which would silently mark the whole corpus
+    # contaminated
     n = F.broadcast(
         needles.select(
             F.col(needle_id_col).alias("needle_id"), F.col(needle_col).alias("needle")
-        )
+        ).where(F.length("needle") > 0)
     )
     c = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     return c.join(n, F.contains(F.col("__text"), F.col("needle"))).select(
@@ -628,6 +631,8 @@ def substring_contamination_multi(
 
     import pandas as pd
 
+    # same empty-needle rule as the BNLJ variant: '' matches everything
+    needles = [(nid, s) for nid, s in needles if s]
     batch_specs = [
         (
             needles[i : i + batch_needles],

@@ -61,13 +61,32 @@ def _score_pairs(cand: DataFrame) -> DataFrame:
     )
 
 
-def _topk_tail(scored: DataFrame, k: int) -> DataFrame:
+def _topk_tail(scored: DataFrame, k: int, two_phase: bool = False) -> DataFrame:
     """Shared top-k tail: rank per query by (cos_sim desc, neighbor_id asc —
     deterministic tie-break), keep rank <= k.  ONE place to change ranking
-    semantics for the whole similarity family."""
+    semantics for the whole similarity family.
+
+    ``two_phase=True`` is the hot-reducer fix for few-queries-huge-corpus:
+    a single window on ``query_id`` funnels EVERY scored pair for a query
+    through one reducer.  Phase 1 windows on (query_id, input partition) —
+    same shuffle volume but reducer parallelism = #queries × #partitions —
+    keeping ≤ k rows per (query, partition); phase 2 runs the global window
+    over that ≤ k × #partitions residue.  Output is provably identical
+    (each query's true top-k survives phase 1: a true top-k row is top-k
+    within any subset containing it)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
+    if two_phase:
+        wp = Window.partitionBy("query_id", "__pt").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        scored = (
+            scored.withColumn("__pt", F.spark_partition_id())
+            .withColumn("__pr", F.row_number().over(wp))
+            .where(F.col("__pr") <= k)
+            .drop("__pt", "__pr")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -82,12 +101,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    two_phase: bool = False,
 ) -> DataFrame:
     """Exact brute-force cosine top-k of each query against the corpus.
 
     Output: (query_id, neighbor_id, rank, cos_sim) — rank 1..k, ties broken
     by neighbor_id ascending for determinism.  Self-matches excluded when a
-    query id equals a corpus id.
+    query id equals a corpus id.  ``two_phase=True`` pre-prunes top-k per
+    input partition before the global per-query window (identical output;
+    the 100 TB setting — see :func:`_topk_tail`).
     """
     # norms precomputed per side: the per-pair work is ONE dot product
     q = F.broadcast(
@@ -98,7 +120,7 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     ).withColumn("__cn", l2_norm(F.col("__cv")))
-    return _topk_tail(_score_pairs(c.crossJoin(q)), k)
+    return _topk_tail(_score_pairs(c.crossJoin(q)), k, two_phase=two_phase)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

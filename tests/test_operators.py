@@ -901,6 +901,34 @@ def test_dup_ngram_fraction(spark):
     assert got == {1: (3, 0.3333), 2: (1, 1.0), 3: (2, 0.0)}
 
 
+def test_cosine_topk_two_phase_identical(spark):
+    """Two-phase (partition-pre-pruned) top-k returns byte-identical
+    results to the single-window form."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").repartition(7)
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one = S.cosine_topk(emb, qs, k=4).collect()
+    two = S.cosine_topk(emb, qs, k=4, two_phase=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, one), key=lambda t: (t[0], t[2])) == \
+           sorted(map(tuple, two), key=lambda t: (t[0], t[2]))
+
+
+def test_substring_contamination_empty_needle_dropped(spark):
+    corpus = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
+    needles = spark.createDataFrame(
+        [(10, ""), (11, None), (12, "any")], "needle_id long, needle string"
+    )
+    got = {(r["doc_id"], r["needle_id"])
+           for r in D.substring_contamination(corpus, needles).collect()}
+    assert got == {(1, 12)}
+    got_m = {(r["doc_id"], r["needle_id"])
+             for r in D.substring_contamination_multi(
+                 corpus, [(10, ""), (12, "any")]).collect()}
+    assert got_m == {(1, 12)}
+
+
 def test_kmeans_centroids_trained_ivf(spark):
     """Trained k-means codebook drops into ivf_topk: centroid shape is
     compatible, assignments use every cell, and recall with few probes
