@@ -2283,8 +2283,8 @@ def oracle_sql() -> dict[str, str]:
         # per raw-text hash within the batch.
         "q66_incremental_dedup": """
             WITH corpus AS (
-                SELECT md5(CASE WHEN lower(regexp_replace(text, '[^a-z0-9]', '', 'g')) <> ''
-                                THEN lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+                SELECT md5(CASE WHEN regexp_replace(lower(text), '[^a-z0-9]', '', 'g') <> ''
+                                THEN regexp_replace(lower(text), '[^a-z0-9]', '', 'g')
                                 ELSE text END) AS fp
                 FROM documents WHERE doc_id < 250
             ), batch AS (
@@ -2294,8 +2294,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id < 25
             ), fresh AS (
                 SELECT b.* FROM batch b
-                WHERE md5(CASE WHEN lower(regexp_replace(b.text, '[^a-z0-9]', '', 'g')) <> ''
-                               THEN lower(regexp_replace(b.text, '[^a-z0-9]', '', 'g'))
+                WHERE md5(CASE WHEN regexp_replace(lower(b.text), '[^a-z0-9]', '', 'g') <> ''
+                               THEN regexp_replace(lower(b.text), '[^a-z0-9]', '', 'g')
                                ELSE b.text END)
                       NOT IN (SELECT fp FROM corpus)
             )

@@ -65,6 +65,10 @@ def reproject_bbox(
     the min/max: projected edges of a geographic rectangle are curves, so
     corner-only transforms (what the reference does) under-cover the true
     extent — up to hundreds of meters across a UTM zone.
+
+    CRS pairs outside 4326/UTM (e.g. 3857 web-mercator, national grids)
+    fall back to pyproj when installed — the pre-tmerc capability is kept,
+    not narrowed; without pyproj such pairs raise with both reasons.
     """
     import numpy as np
 
@@ -76,5 +80,16 @@ def reproject_bbox(
     ys = np.linspace(south, north, densify)
     edge_x = np.concatenate([xs, xs, np.full(densify, west), np.full(densify, east)])
     edge_y = np.concatenate([np.full(densify, south), np.full(densify, north), ys, ys])
-    ox, oy = transform_points(edge_x, edge_y, src_epsg, dst_epsg)
+    try:
+        ox, oy = transform_points(edge_x, edge_y, src_epsg, dst_epsg)
+    except ValueError as exc:
+        try:
+            from pyproj import Transformer
+        except ImportError:
+            raise ValueError(
+                f"{exc}; pyproj (which would handle arbitrary CRS) is not installed"
+            ) from exc
+        t = Transformer.from_crs(src_epsg, dst_epsg, always_xy=True)
+        ox, oy = t.transform(edge_x, edge_y)
+        ox, oy = np.asarray(ox), np.asarray(oy)
     return float(ox.min()), float(oy.min()), float(ox.max()), float(oy.max())

@@ -550,13 +550,15 @@ def prefix_suffix_overlap(
     than k tokens are excluded.  Self-pairs are dropped; a doc whose prefix
     equals its own suffix is not a split.
     """
-    toks = token_array(text_col)
-    n = F.size(toks)
-    base = documents.select(
-        F.col(id_col).alias("id"),
+    tokenized = documents.select(
+        F.col(id_col).alias("id"), token_array(text_col).alias("__toks")
+    ).where(F.size(F.col("__toks")) >= k)
+    toks = F.col("__toks")
+    base = tokenized.select(
+        "id",
         F.array_join(F.slice(toks, 1, k), " ").alias("prefix"),
         F.array_join(F.slice(toks, -k, k), " ").alias("suffix"),
-    ).where(n >= k)
+    )
     sfx = base.select(F.col("id").alias("suffix_doc"), F.col("suffix").alias("boundary"))
     pfx = base.select(F.col("id").alias("prefix_doc"), F.col("prefix").alias("boundary"))
     return (
@@ -587,9 +589,16 @@ def dup_ngram_fraction(
     partial-aggregates below the shuffle.  Docs with fewer than ``n``
     tokens are excluded.
     """
-    toks = token_array(text_col)
-    grams = documents.select(
-        F.col(id_col).alias("id"),
+    # token array materializes at its own projection boundary: referencing
+    # the tokenization expression inside the transform lambda would
+    # re-evaluate the regex split once per gram index (O(T²) per doc — the
+    # trap documented in dedup.shingle_hash_table)
+    tokenized = documents.select(
+        F.col(id_col).alias("id"), token_array(text_col).alias("__toks")
+    ).where(F.size(F.col("__toks")) >= n)
+    toks = F.col("__toks")
+    grams = tokenized.select(
+        "id",
         F.explode(
             F.array_distinct(
                 F.transform(
@@ -598,7 +607,7 @@ def dup_ngram_fraction(
                 )
             )
         ).alias("gram"),
-    ).where(F.size(toks) >= n)
+    )
     gram_docs = F.count("*").over(Window.partitionBy("gram"))
     return (
         grams.withColumn("gram_docs", gram_docs)
@@ -636,13 +645,16 @@ def bpe_merge_candidates(
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
     )
-    chars = F.split(F.col("w"), "")
+    # char array projected to a column before the transform: referencing
+    # F.split(w, "") inside the lambda would re-split once per pair index
+    chars = F.col("__chars")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(chars) - 1),
         lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
     )
     return (
         words.where(F.length("w") >= 2)
+        .select(F.split(F.col("w"), "").alias("__chars"), "wc")
         .select(F.explode(pairs).alias("pair"), "wc")
         .groupBy("pair")
         .agg(F.sum("wc").alias("n"))

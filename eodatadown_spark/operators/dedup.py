@@ -328,12 +328,11 @@ def minhash_neardup_pairs(
     if materialize == "none":
         return out
     # materialize the (small) verified pair set so the persisted shingle
-    # table can be released immediately instead of leaking across calls
-    mode = materialize
-    if mode == "auto":
-        ckpt_dir = documents.sparkSession.sparkContext.getCheckpointDir()
-        mode = "checkpoint" if ckpt_dir else "local"
-    if mode == "checkpoint":
+    # table can be released immediately instead of leaking across calls;
+    # "auto" shares _pin's checkpoint-dir policy with neardup_clusters
+    if materialize == "auto":
+        out = _pin(out)
+    elif materialize == "checkpoint":
         out = out.checkpoint(eager=True)
     else:
         out = out.localCheckpoint(eager=True)

@@ -336,6 +336,8 @@ class GEDISensor(SensorBase):
         for prod in products:
             raw = T.gedi_urls_df(self.spark, transport, products=[prod], bboxes=list(bboxes))
             frames.append(A.gedi_finder_granules(raw, prod["product"], prod["version"]))
+        if not frames:
+            return 0  # empty product config = no-op ingest
         merged = frames[0]
         for f in frames[1:]:
             merged = merged.unionByName(f)
@@ -401,6 +403,8 @@ class ICESAT2Sensor(SensorBase):
                     .withColumn("product", F.lit(prod["product"]))
                     .withColumn("version", F.lit(prod["version"]))
                 )
+        if not frames:
+            return 0  # empty product/ROI config = no-op ingest
         merged = frames[0]
         for f in frames[1:]:
             merged = merged.unionByName(f)

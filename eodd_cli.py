@@ -343,9 +343,11 @@ def cmd_dataprep(args) -> None:
         bench = spark.read.parquet(args.decontaminate)
         kept = D.decontaminate(kept, bench, k=args.contam_k)
         if "needle" in bench.columns:
+            # verbatim-modulo-case, matching q77's reference semantics
             hits = D.substring_contamination(
-                kept, bench.select("needle").withColumn(
-                    "needle_id", F.monotonically_increasing_id())
+                kept.select("doc_id", F.lower("text").alias("text")),
+                bench.select(F.lower("needle").alias("needle")).withColumn(
+                    "needle_id", F.monotonically_increasing_id()),
             ).select("doc_id").distinct()
             kept = kept.join(hits, "doc_id", "left_anti")
         kept = kept.localCheckpoint()

@@ -228,7 +228,7 @@ def test_cli_dataprep_decontaminate(spark, tmp_path, capsys):
     rows = [
         (1, f"clean document about weather {filler}"),
         (2, f"contains {leak} inside {filler}"),          # 5-gram overlap
-        (3, f"secret canary xq17 appears here {filler}"),  # needle hit
+        (3, f"secret Canary XQ17 appears here {filler}"),  # needle hit (case-variant)
         (4, f"another clean one about sports {filler}"),
     ]
     src = str(tmp_path / "docs_src3")

@@ -250,6 +250,23 @@ def test_gedi_check_new_scns_remote(spark, tmp_path):
     assert len(t.log) == 2  # one request per (product, bbox)
 
 
+def test_remote_check_empty_config_is_noop(spark, tmp_path):
+    """Empty product/ROI configuration = 0 new scenes, not a crash."""
+    t = FixtureTransport(tmp_path / "fx")
+    gedi = get_sensor_obj("GEDI", ParquetCatalog(spark, str(tmp_path / "c1")))
+    gedi.init_sensor_db()
+    assert gedi.check_new_scns_remote(t, products=[], bboxes=["0,0,1,1"]) == 0
+    ice = get_sensor_obj("ICESAT2", ParquetCatalog(spark, str(tmp_path / "c2")))
+    ice.init_sensor_db()
+    assert ice.check_new_scns_remote(
+        t, products=[], geo_bounds=["0,0,1,1"], start_date=dt.datetime(2019, 1, 1)
+    ) == 0
+    assert ice.check_new_scns_remote(
+        t, products=[{"product": "ATL03", "version": "003"}], geo_bounds=[],
+        start_date=dt.datetime(2019, 1, 1),
+    ) == 0
+
+
 def test_canonical_request_is_order_insensitive():
     a = canonical_request("http://x", {"b": 2, "a": 1})
     b = canonical_request("http://x", {"a": 1, "b": 2})
