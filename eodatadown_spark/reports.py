@@ -205,3 +205,41 @@ def obs_date_command_lines(
     ):
         cmd = F.replace(cmd, F.lit(placeholder), col)
     return df.orderBy("sensor_id", "platform_id", "obs_date").select(cmd.alias("cmd"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (100 TB incremental reporting)
+# ---------------------------------------------------------------------------
+
+def distinct_sketch_rollup(
+    df: DataFrame, keys, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HyperLogLog sketches → (keys..., sketch binary, estimate).
+
+    The incremental-distinct-count path at 100 TB: each batch/partition
+    aggregates to a tiny mergeable sketch once, and every later rollup
+    (another day's data, a coarser grouping, a global total) is a
+    sketch-union — no re-scan of raw data, no exact-distinct shuffle of
+    high-cardinality values.  Persist the sketch column next to the rollup;
+    combine batches with :func:`merge_distinct_sketches`.  Estimate error
+    ~1.04/sqrt(2^lg_k) (≈1.6% at the default), bounded by the q75 gate
+    convention.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    ).withColumn("estimate", F.hll_sketch_estimate("sketch"))
+
+
+def merge_distinct_sketches(sketches: DataFrame, keys) -> DataFrame:
+    """Union previously-built sketches by key → (keys..., sketch, estimate).
+
+    Input rows carry a ``sketch`` binary column (from
+    :func:`distinct_sketch_rollup`, possibly across many batches/dates);
+    the union is exact over sketches — the estimate of the union equals
+    the sketch of the union of the raw data.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return sketches.groupBy(*keys).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    ).withColumn("estimate", F.hll_sketch_estimate("sketch"))

@@ -79,3 +79,28 @@ def test_obs_date_command_lines(spark, landsat_scenes):
     ).collect()]
     assert len(out) == 5  # all fresh rollup rows need update
     assert out[0] == "eoddrun --sensor LandsatGOOG --platform LANDSAT_8 --date 2019-01-05"
+
+
+def test_distinct_sketch_rollup_and_merge(spark):
+    """Batch-wise sketches merged by key estimate the same distinct count
+    as one whole-data sketch, and land within the HLL error bound of the
+    exact count — the incremental-reporting contract."""
+    from pyspark.sql import functions as F
+
+    from eodatadown_spark.reports import distinct_sketch_rollup, merge_distinct_sketches
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 4211).alias("v")
+    )
+    whole = {r["k"]: r["estimate"]
+             for r in distinct_sketch_rollup(df, "k", "v").collect()}
+    # two "daily batches" sketched independently, then merged
+    b1 = distinct_sketch_rollup(df.where(F.col("id") < 9_000), "k", "v")
+    b2 = distinct_sketch_rollup(df.where(F.col("id") >= 9_000), "k", "v")
+    merged = {r["k"]: r["estimate"]
+              for r in merge_distinct_sketches(b1.unionByName(b2), "k").collect()}
+    assert merged == whole  # sketch union == sketch of the union
+    exact = {r["k"]: r["n"]
+             for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()}
+    for k, est in merged.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05

@@ -260,6 +260,36 @@ def test_stream_interval_join_live(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_quality_filter_stateless(spark, tmp_path):
+    """The text quality operators are pure projections, so the same plan
+    runs as a Structured Streaming pipeline unchanged — the
+    filter-as-you-ingest corpus shape."""
+    from eodatadown_spark.operators.text import gopher_quality_flags
+
+    src = str(tmp_path / "docs_stream")
+    good = "the cats sat on top of the brown mat and it is good " * 5
+    spark.createDataFrame(
+        [(1, good), (2, "tiny")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = gopher_quality_flags(stream).where("keep")
+    q = (out.writeStream.format("memory").queryName("quality_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id, keep FROM quality_out").collect()
+        assert [(r["doc_id"], r["keep"]) for r in rows] == [(1, True)]
+        # late-arriving file: stream picks it up incrementally
+        spark.createDataFrame(
+            [(3, good)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM quality_out").first()[0] == 2
+    finally:
+        q.stop()
+
+
 def test_stream_asof_enrich_stateful(spark, tmp_path):
     """Custom stateful as-of: left events enriched with the latest-known
     right value per key; state carries across micro-batches and a stale
