@@ -156,6 +156,7 @@ def lsh_bucket_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     n_tables: int = 1,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the query's hyperplane
     bucket; equi-join on (table, bucket) replaces the cross join (the 100 TB
@@ -207,7 +208,7 @@ def lsh_bucket_topk(
         # a vector lands in exactly ONE bucket per table, so duplicates can
         # only arise across tables — single-table callers skip this shuffle
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-    return _topk_tail(_score_pairs(cand), k)
+    return _topk_tail(_score_pairs(cand), k, two_phase=two_phase)
 
 
 def kmeans_centroids(
@@ -289,6 +290,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    two_phase: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in ONE inverted list (their
     nearest centroid); each query probes its ``n_probe`` nearest lists and
@@ -326,7 +328,7 @@ def ivf_topk(
         .join(c, "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _topk_tail(_score_pairs(cand), k)
+    return _topk_tail(_score_pairs(cand), k, two_phase=two_phase)
 
 
 def _l2sq_lit(vec: Column, lit_vec: list[float]) -> Column:
