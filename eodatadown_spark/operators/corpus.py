@@ -663,12 +663,127 @@ def bpe_merge_candidates(
     )
 
 
+def train_bpe(
+    documents: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge list over the corpus → ordered
+    ``[(left_symbol, right_symbol), ...]`` (the tokenizer-training artifact).
+
+    Classic Sennrich-style BPE: start from characters, repeatedly merge the
+    most frequent adjacent symbol pair (ties: lexicographic, deterministic).
+    Scale shape: the corpus collapses to the DISTINCT-word frequency table
+    ONCE (the only pass over raw data — one shuffle keyed on the word);
+    every merge iteration then runs on that vocab-sized table: one
+    pair-count aggregate to pick the merge (driver sees ONE row) and one
+    projection rewriting the symbol sequences.  Lineage is pinned per
+    iteration (the iterative-plan-growth trap); word tables are vocab-sized
+    by definition, so iterations are cheap regardless of corpus size.
+
+    Symbols are tracked as a space-joined string; the merge rewrite is a
+    regexp replace of ``left right`` with ``leftright`` at symbol
+    boundaries.
+    """
+    from eodatadown_spark.operators.dedup import _pin
+
+    words = _pin(
+        documents.select(F.explode(token_array(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        # initial symbol sequence: one char per symbol, space-joined
+        .withColumn("syms", F.array_join(F.split(F.col("w"), ""), " "))
+        .select("syms", "wc")
+    )
+    import re as _re
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        chars = F.col("__parts")
+        pair_counts = (
+            words.select(F.split(F.col("syms"), " ").alias("__parts"), "wc")
+            .where(F.size(chars) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(chars) - 1),
+                        lambda i: F.struct(
+                            F.element_at(chars, i).alias("l"),
+                            F.element_at(chars, i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+        )
+        top = pair_counts.first()
+        if top is None:
+            break
+        left, right = top["l"], top["r"]
+        merges.append((left, right))
+        # rewrite "L R" -> "LR" at symbol boundaries: the LEFT boundary is a
+        # consumed capture (re-emitted via $1) and the RIGHT boundary a
+        # zero-width lookahead, so consecutive occurrences "a b a b" both
+        # merge (a consumed right boundary would swallow the next match's
+        # left separator) — left-to-right non-overlapping, the BPE rule
+        pat = "(^|\\s)" + _re.escape(left) + " " + _re.escape(right) + "(?=\\s|$)"
+        repl = "$1" + (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        words = _pin(
+            words.withColumn("syms", F.regexp_replace(F.col("syms"), pat, repl))
+        )
+    return merges
+
+
+def bpe_token_counts(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a trained BPE merge list → (doc_id, n_tokens_bpe):
+    the real subword count of each document under the trained vocabulary
+    (vs :func:`text.bpe_like_token_count`'s pre-tokenizer approximation).
+
+    Scale shape: the merge chain (one regexp per merge, applied in training
+    order) runs on the DISTINCT-word table only — vocab-sized work however
+    big the corpus — producing (word, n_subwords); documents then explode
+    to tokens and equi-join that table (word-keyed shuffle or broadcast,
+    AQE's choice) and re-aggregate per document.
+    """
+    import re as _re
+
+    words = (
+        documents.select(F.explode(token_array(text_col)).alias("w"))
+        .distinct()
+        .withColumn("syms", F.array_join(F.split(F.col("w"), ""), " "))
+    )
+    syms = F.col("syms")
+    for left, right in merges:
+        pat = "(^|\\s)" + _re.escape(left) + " " + _re.escape(right) + "(?=\\s|$)"
+        repl = "$1" + (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        syms = F.regexp_replace(syms, pat, repl)
+    vocab = words.select("w", F.size(F.split(syms, " ")).alias("__nsub"))
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(token_array(text_col)).alias("w")
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("__nsub").alias("n_tokens_bpe"))
+    )
+
+
 __all__ = [
     "split_bucket",
     "assign_split",
     "prefix_suffix_overlap",
     "dup_ngram_fraction",
     "bpe_merge_candidates",
+    "train_bpe",
+    "bpe_token_counts",
     "tfidf_topk_keywords",
     "pack_sequences",
     "unigram_lm_scores",

@@ -970,6 +970,84 @@ def test_bpe_merge_candidates(spark):
     assert got == [("aa", 4), ("ab", 3)]
 
 
+def _python_bpe(word_counts: dict, n_merges: int):
+    """Reference Sennrich-style BPE with the same deterministic tie-break
+    (count desc, then (left, right) lexicographic asc)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0][0]
+        merges.append(best)
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    from eodatadown_spark.operators.corpus import train_bpe
+
+    text = ("low low low lower lower newest newest newest newest "
+            "widest widest wider")
+    docs = spark.createDataFrame([(1, text), (2, "low newest")],
+                                 "doc_id long, text string")
+    counts = {}
+    for w in (text + " low newest").split():
+        counts[w] = counts.get(w, 0) + 1
+    want = _python_bpe(counts, 8)
+    got = train_bpe(docs, n_merges=8)
+    assert got == want
+    # sanity: classic BPE learns 'es'/'est'-style suffix merges here
+    assert ("e", "s") in got or ("es", "t") in got or ("e", "st") in got
+
+
+def test_bpe_token_counts_matches_reference(spark):
+    from eodatadown_spark.operators.corpus import bpe_token_counts, train_bpe
+
+    text = ("low low low lower lower newest newest newest newest "
+            "widest widest wider")
+    docs = spark.createDataFrame(
+        [(1, text), (2, "low newest"), (3, "unseen zzz")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=8)
+
+    def encode_len(word):
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (left, right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r["doc_id"]: r["n_tokens_bpe"]
+           for r in bpe_token_counts(docs, merges).collect()}
+    for did, t in [(1, text), (2, "low newest"), (3, "unseen zzz")]:
+        assert got[did] == sum(encode_len(w) for w in t.split()), did
+
+
 def test_gopher_quality_flags(spark):
     from eodatadown_spark.operators.text import gopher_quality_flags
 
