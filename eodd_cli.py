@@ -294,6 +294,28 @@ def cmd_buildobsdates(args) -> None:
           f"bridge={cat.read_clean('obs_date_scns').count()}")
 
 
+def cmd_bpetrain(args) -> None:
+    """Train a BPE merge list on a documents parquet; write merges JSON and
+    print one stats line (optionally with per-doc subword counts)."""
+    from eodatadown_spark.operators.corpus import bpe_token_counts, train_bpe
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    docs = spark.read.parquet(args.infile)
+    merges = train_bpe(docs, n_merges=args.merges)
+    with open(args.out, "w", encoding="utf-8") as fh:
+        json.dump([list(m) for m in merges], fh)
+    stats = {"n_merges": len(merges), "out": args.out}
+    if args.counts_out:
+        counts = bpe_token_counts(docs, merges)
+        counts.write.mode("overwrite").parquet(args.counts_out)
+        stats["total_bpe_tokens"] = counts.agg(
+            F.sum("n_tokens_bpe").alias("s")
+        ).first()["s"]
+        stats["counts_out"] = args.counts_out
+    print(json.dumps(stats))
+
+
 def cmd_dataprep(args) -> None:
     """Training-data pipeline, end to end: quality filter → exact dedup →
     near-dup keep-canonical → deterministic split; writes the cleaned corpus
@@ -393,7 +415,7 @@ def main(argv=None) -> int:
 
     def add(name, fn, **kwargs):
         sp = sub.add_parser(name)
-        if name not in ("passencode", "dataprep"):
+        if name not in ("passencode", "dataprep", "bpetrain"):
             sp.add_argument("--catalog", required=True)
             # very-large-catalog knob: p_year/p_month two-level layout
             sp.add_argument("--partition-monthly", action="store_true",
@@ -422,6 +444,13 @@ def main(argv=None) -> int:
         "--buckets": {"type": int, "default": 16},
     })
     add("passencode", cmd_passencode, **{"--password": {"required": True}})
+    add("bpetrain", cmd_bpetrain, **{
+        "--infile": {"required": True, "help": "documents parquet"},
+        "--out": {"required": True, "help": "merges JSON path"},
+        "--merges": {"type": int, "default": 50},
+        "--counts-out": {"default": None, "dest": "counts_out",
+                         "help": "also write per-doc subword counts parquet"},
+    })
     add("exportvector", cmd_exportvector, **{"--out": {"required": True}})
     add("pluginreport", cmd_pluginreport)
     add("reset", cmd_reset, **{"--pids": {"default": None, "help": "comma list; all if omitted"}})

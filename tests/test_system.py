@@ -218,6 +218,26 @@ def test_cli_summary_approx_and_simhash_dataprep(spark, tmp_path, capsys):
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 4]
 
 
+def test_cli_bpetrain(spark, tmp_path, capsys):
+    import eodd_cli
+
+    src = str(tmp_path / "bpe_src")
+    spark.createDataFrame(
+        [(1, "low low lower newest newest newest widest")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "merges.json")
+    counts_out = str(tmp_path / "counts")
+    eodd_cli.main(["bpetrain", "--infile", src, "--out", out,
+                   "--merges", "6", "--counts-out", counts_out])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_merges"] == 6
+    merges = json.loads(open(out).read())
+    assert len(merges) == 6 and all(len(m) == 2 for m in merges)
+    row = spark.read.parquet(counts_out).first()
+    assert row["n_tokens_bpe"] == stats["total_bpe_tokens"] > 0
+
+
 def test_cli_dataprep_decontaminate(spark, tmp_path, capsys):
     """dataprep --decontaminate: docs overlapping the benchmark by a 5-gram
     drop; docs containing a short needle verbatim drop too."""
