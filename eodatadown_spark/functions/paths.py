@@ -92,4 +92,12 @@ def reproject_bbox(
         t = Transformer.from_crs(src_epsg, dst_epsg, always_xy=True)
         ox, oy = t.transform(edge_x, edge_y)
         ox, oy = np.asarray(ox), np.asarray(oy)
+        # pyproj returns inf (errcheck=False default) for points outside the
+        # target CRS domain (e.g. lat ±90 → 3857); a non-finite bound is
+        # garbage downstream, so fail loudly instead
+        if not (np.isfinite(ox).all() and np.isfinite(oy).all()):
+            raise ValueError(
+                f"bbox reprojection {src_epsg}->{dst_epsg} produced non-finite "
+                "coordinates — input extends outside the target CRS domain"
+            )
     return float(ox.min()), float(oy.min()), float(ox.max()), float(oy.max())

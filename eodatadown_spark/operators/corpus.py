@@ -663,6 +663,21 @@ def bpe_merge_candidates(
     )
 
 
+def _merge_pat_repl(left: str, right: str) -> tuple[str, str]:
+    """(pattern, replacement) rewriting symbol pair "L R" -> "LR" at symbol
+    boundaries: the LEFT boundary is a consumed capture (re-emitted via $1)
+    and the RIGHT boundary a zero-width lookahead, so consecutive
+    occurrences "a b a b" both merge (a consumed right boundary would
+    swallow the next match's left separator) — left-to-right
+    non-overlapping, the BPE rule.  Shared by the trainer and the
+    tokenizer so the merge semantics can never drift apart."""
+    import re as _re
+
+    pat = "(^|\\s)" + _re.escape(left) + " " + _re.escape(right) + "(?=\\s|$)"
+    repl = "$1" + (left + right).replace("\\", "\\\\").replace("$", "\\$")
+    return pat, repl
+
+
 def train_bpe(
     documents: DataFrame,
     n_merges: int = 50,
@@ -695,8 +710,6 @@ def train_bpe(
         .withColumn("syms", F.array_join(F.split(F.col("w"), ""), " "))
         .select("syms", "wc")
     )
-    import re as _re
-
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         chars = F.col("__parts")
@@ -724,16 +737,18 @@ def train_bpe(
             break
         left, right = top["l"], top["r"]
         merges.append((left, right))
-        # rewrite "L R" -> "LR" at symbol boundaries: the LEFT boundary is a
-        # consumed capture (re-emitted via $1) and the RIGHT boundary a
-        # zero-width lookahead, so consecutive occurrences "a b a b" both
-        # merge (a consumed right boundary would swallow the next match's
-        # left separator) — left-to-right non-overlapping, the BPE rule
-        pat = "(^|\\s)" + _re.escape(left) + " " + _re.escape(right) + "(?=\\s|$)"
-        repl = "$1" + (left + right).replace("\\", "\\\\").replace("$", "\\$")
-        words = _pin(
-            words.withColumn("syms", F.regexp_replace(F.col("syms"), pat, repl))
-        )
+        pat, repl = _merge_pat_repl(left, right)
+        # per-iteration pinning uses localCheckpoint DELIBERATELY (not
+        # _pin): a reliable checkpoint per merge would leave n_merges
+        # obsolete vocab-table snapshots on checkpoint storage (Spark does
+        # not clean non-streaming checkpoints unless
+        # spark.cleaner.referenceTracking.cleanCheckpoints is set).  The
+        # table is vocab-sized and the loop is idempotent — on executor
+        # loss, re-running the (minutes-scale) training beats accumulating
+        # durable snapshots.
+        words = words.withColumn(
+            "syms", F.regexp_replace(F.col("syms"), pat, repl)
+        ).localCheckpoint(eager=True)
     return merges
 
 
@@ -753,8 +768,6 @@ def bpe_token_counts(
     to tokens and equi-join that table (word-keyed shuffle or broadcast,
     AQE's choice) and re-aggregate per document.
     """
-    import re as _re
-
     words = (
         documents.select(F.explode(token_array(text_col)).alias("w"))
         .distinct()
@@ -762,17 +775,22 @@ def bpe_token_counts(
     )
     syms = F.col("syms")
     for left, right in merges:
-        pat = "(^|\\s)" + _re.escape(left) + " " + _re.escape(right) + "(?=\\s|$)"
-        repl = "$1" + (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        pat, repl = _merge_pat_repl(left, right)
         syms = F.regexp_replace(syms, pat, repl)
     vocab = words.select("w", F.size(F.split(syms, " ")).alias("__nsub"))
     toks = documents.select(
         F.col(id_col).alias("doc_id"), F.explode(token_array(text_col)).alias("w")
     )
-    return (
+    # LEFT join from the full doc-id set: zero-token documents (empty /
+    # whitespace-only text) must report n_tokens_bpe = 0, not vanish
+    per_doc = (
         toks.join(vocab, "w")
         .groupBy("doc_id")
-        .agg(F.sum("__nsub").alias("n_tokens_bpe"))
+        .agg(F.sum("__nsub").alias("__n"))
+    )
+    all_docs = documents.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("__n"), F.lit(0)).alias("n_tokens_bpe")
     )
 
 

@@ -307,11 +307,14 @@ def cmd_bpetrain(args) -> None:
         json.dump([list(m) for m in merges], fh)
     stats = {"n_merges": len(merges), "out": args.out}
     if args.counts_out:
-        counts = bpe_token_counts(docs, merges)
-        counts.write.mode("overwrite").parquet(args.counts_out)
-        stats["total_bpe_tokens"] = counts.agg(
-            F.sum("n_tokens_bpe").alias("s")
-        ).first()["s"]
+        bpe_token_counts(docs, merges).write.mode("overwrite").parquet(args.counts_out)
+        # aggregate from the written parquet — re-running the tokenize DAG
+        # for one sum would double the job cost at corpus scale
+        stats["total_bpe_tokens"] = (
+            spark.read.parquet(args.counts_out)
+            .agg(F.sum("n_tokens_bpe").alias("s"))
+            .first()["s"]
+        )
         stats["counts_out"] = args.counts_out
     print(json.dumps(stats))
 

@@ -915,6 +915,23 @@ def test_cosine_topk_two_phase_identical(spark):
            sorted(map(tuple, two), key=lambda t: (t[0], t[2]))
 
 
+def test_lsh_ivf_two_phase_identical(spark):
+    """two_phase on the bucketed paths returns identical results to the
+    single-window form (including across the LSH multi-table dedup and the
+    IVF probe join)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").repartition(5)
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh1 = S.lsh_bucket_topk(emb, qs, k=3, n_planes=4, dim=64, n_tables=4).collect()
+    lsh2 = S.lsh_bucket_topk(emb, qs, k=3, n_planes=4, dim=64, n_tables=4,
+                             two_phase=True).collect()
+    assert sorted(map(tuple, lsh1)) == sorted(map(tuple, lsh2))
+    ivf1 = S.ivf_topk(emb, qs, k=3, n_centroids=8, n_probe=3).collect()
+    ivf2 = S.ivf_topk(emb, qs, k=3, n_centroids=8, n_probe=3, two_phase=True).collect()
+    assert sorted(map(tuple, ivf1)) == sorted(map(tuple, ivf2))
+
+
 def test_substring_contamination_empty_needle_dropped(spark):
     corpus = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
     needles = spark.createDataFrame(
@@ -1023,7 +1040,7 @@ def test_bpe_token_counts_matches_reference(spark):
     text = ("low low low lower lower newest newest newest newest "
             "widest widest wider")
     docs = spark.createDataFrame(
-        [(1, text), (2, "low newest"), (3, "unseen zzz")],
+        [(1, text), (2, "low newest"), (3, "unseen zzz"), (4, "   ")],
         "doc_id long, text string",
     )
     merges = train_bpe(docs, n_merges=8)
@@ -1046,6 +1063,7 @@ def test_bpe_token_counts_matches_reference(spark):
            for r in bpe_token_counts(docs, merges).collect()}
     for did, t in [(1, text), (2, "low newest"), (3, "unseen zzz")]:
         assert got[did] == sum(encode_len(w) for w in t.split()), did
+    assert got[4] == 0  # whitespace-only doc reports 0, not a missing row
 
 
 def test_gopher_quality_flags(spark):
