@@ -1161,6 +1161,25 @@ def q82_gopher_quality_flags(spark, sf):
     )
 
 
+def q83_sketch_union_soundness(spark, sf):
+    """Sketch soundness gate: per-source HLL sketches built on two disjoint
+    halves of documents and UNIONED must estimate the true distinct doc_id
+    count within 5% — violating sources surface, empty iff the mergeable
+    incremental-reporting path (reports.distinct_sketch_rollup/
+    merge_distinct_sketches) is sound."""
+    from eodatadown_spark.reports import distinct_sketch_rollup, merge_distinct_sketches
+
+    docs = _t(spark, sf, "documents")
+    half = docs.agg(F.max("doc_id")).first()[0] / 2
+    b1 = distinct_sketch_rollup(docs.where(F.col("doc_id") <= half), "source", "doc_id")
+    b2 = distinct_sketch_rollup(docs.where(F.col("doc_id") > half), "source", "doc_id")
+    merged = merge_distinct_sketches(b1.unionByName(b2), "source")
+    exact = docs.groupBy("source").agg(F.count_distinct("doc_id").alias("exact"))
+    joined = merged.join(exact, "source")
+    rel_err = F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")
+    return joined.where(rel_err > 0.05).select("source", "exact", "estimate")
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1252,6 +1271,7 @@ QUERIES: dict[str, Callable] = {
     "q80_pq_recall_soundness": q80_pq_recall_soundness,
     "q81_bpe_merge_candidates": q81_bpe_merge_candidates,
     "q82_gopher_quality_flags": q82_gopher_quality_flags,
+    "q83_sketch_union_soundness": q83_sketch_union_soundness,
 }
 
 
@@ -2452,6 +2472,14 @@ def oracle_sql() -> dict[str, str]:
         "q80_pq_recall_soundness": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS n_overlap
+            WHERE FALSE
+        """,
+        # q83: soundness gate — empty iff merged per-source HLL sketches
+        # estimate exact distinct counts within 5%
+        "q83_sketch_union_soundness": """
+            SELECT CAST(NULL AS VARCHAR) AS source,
+                   CAST(NULL AS BIGINT) AS exact,
+                   CAST(NULL AS BIGINT) AS estimate
             WHERE FALSE
         """,
         # q81: BPE step-1 pair counts — words dedup to (word, count) first,
