@@ -267,6 +267,107 @@ def test_remote_check_empty_config_is_noop(spark, tmp_path):
     ) == 0
 
 
+def test_http_transport_against_local_server():
+    """HttpTransport drives a real (localhost) HTTP server: JSON parsing,
+    query-param encoding, basic-auth header, retry-after-failure, and the
+    give-up path."""
+    import base64
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from eodatadown_spark.sources.transport import HttpTransport
+
+    state = {"fails_left": 1, "requests": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            state["requests"].append(
+                (self.path, self.headers.get("Authorization"),
+                 self.headers.get("User-Agent"))
+            )
+            if self.path.startswith("/flaky") and state["fails_left"] > 0:
+                state["fails_left"] -= 1
+                self.send_response(500)
+                self.end_headers()
+                return
+            if self.path.startswith("/never"):
+                self.send_response(503)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(_json.dumps({"ok": True, "path": self.path}).encode())
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        tr = HttpTransport(auth=("user", "pw"), retries=2, backoff=0.05)
+        out = tr.get(f"http://127.0.0.1:{port}/flaky", {"a": "x y", "b": 1})
+        assert out["ok"] is True
+        # param encoding + sorted order reached the server
+        assert out["path"] == "/flaky?a=x+y&b=1"
+        # first attempt failed (500), second succeeded
+        assert len([r for r in state["requests"] if r[0].startswith("/flaky")]) == 2
+        # basic auth + UA on every request
+        tok = base64.b64encode(b"user:pw").decode()
+        assert all(r[1] == f"Basic {tok}" for r in state["requests"])
+        assert all("eodatadown-spark" in r[2] for r in state["requests"])
+        # permanent failure exhausts retries and raises
+        with pytest.raises(ConnectionError, match="after 3 attempts"):
+            tr.get(f"http://127.0.0.1:{port}/never")
+        assert len([r for r in state["requests"] if r[0].startswith("/never")]) == 3
+    finally:
+        srv.shutdown()
+
+
+def test_http_transport_drives_cmr_paging_loop():
+    """The full CMR page loop over live HTTP (localhost): pages served by
+    page_num, loop stops on the empty page."""
+    import json as _json
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from eodatadown_spark.sources.transport import HttpTransport, cmr_fetch_granules
+
+    pages = {
+        1: [{"id": "G1"}, {"id": "G2"}],
+        2: [{"id": "G3"}],
+        3: [],
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            pn = int(q["page_num"][0])
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(_json.dumps({"feed": {"entry": pages[pn]}}).encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        entries = cmr_fetch_granules(
+            HttpTransport(), short_name="ATL03", version="003",
+            temporal="a,b", bounding_box="0,0,1,1", page_size=2,
+            base_url=f"http://127.0.0.1:{port}/search/granules",
+        )
+        assert [e["id"] for e in entries] == ["G1", "G2", "G3"]
+    finally:
+        srv.shutdown()
+
+
 def test_canonical_request_is_order_insensitive():
     a = canonical_request("http://x", {"b": 2, "a": 1})
     b = canonical_request("http://x", {"a": 1, "b": 2})
