@@ -370,3 +370,28 @@ def test_dup_ngram_fraction_matches_python(spark, token_lists, n):
         assert got[i][0] == len(grams)
         assert abs(got[i][1] - round(dup / len(grams), 4)) <= 1e-9
     assert set(got) == set(gram_sets)
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(-80, 80), st.floats(-2.99, 2.99)),
+        min_size=1, max_size=20,
+    ),
+    st.integers(1, 60),
+    st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_tmerc_roundtrip_property(zone_pts, zone, northern):
+    """Karney-series UTM forward∘inverse is the identity to 1e-9 degrees for
+    arbitrary in-zone points, both hemispheres, all 60 zones."""
+    import numpy as np
+
+    from eodatadown_spark.functions.tmerc import utm_forward, utm_inverse
+
+    lat = np.array([p[0] for p in zone_pts])
+    lon0 = zone * 6.0 - 183.0
+    lon = lon0 + np.array([p[1] for p in zone_pts])
+    e, n = utm_forward(lat, lon, zone, northern)
+    la2, lo2 = utm_inverse(e, n, zone, northern)
+    assert np.abs(la2 - lat).max() < 1e-9
+    assert np.abs(lo2 - lon).max() < 1e-9
