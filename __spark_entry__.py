@@ -1180,6 +1180,52 @@ def q83_sketch_union_soundness(spark, sf):
     return joined.where(rel_err > 0.05).select("source", "exact", "estimate")
 
 
+def q84_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
+    segment — two fact joins (customer broadcast), filtered both sides of
+    the order date, agg + deterministic top-k."""
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q85_large_volume_orders(spark, sf):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer attribution — the agg-then-semi-join-back
+    'having over a fact' pattern."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1272,6 +1318,8 @@ QUERIES: dict[str, Callable] = {
     "q81_bpe_merge_candidates": q81_bpe_merge_candidates,
     "q82_gopher_quality_flags": q82_gopher_quality_flags,
     "q83_sketch_union_soundness": q83_sketch_union_soundness,
+    "q84_shipping_priority": q84_shipping_priority,
+    "q85_large_volume_orders": q85_large_volume_orders,
 }
 
 
@@ -2473,6 +2521,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS n_overlap
             WHERE FALSE
+        """,
+        # q84: TPC-H Q3 shape (top-10 by revenue, deterministic tie-break)
+        "q84_shipping_priority": """
+            SELECT l.l_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        # q85: TPC-H Q18 shape (having-over-fact, customer attribution)
+        "q85_large_volume_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+            )
+            SELECT c.c_name, o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         # q83: soundness gate — empty iff merged per-source HLL sketches
         # estimate exact distinct counts within 5%
