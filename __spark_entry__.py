@@ -1226,6 +1226,25 @@ def q85_large_volume_orders(spark, sf):
     )
 
 
+def q86_price_quartiles(spark, sf):
+    """Window/ntile: quartile assignment of orders by price within status
+    (deterministic total order), then per-(status, quartile) stats — the
+    banding-for-stratification window shape."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1320,6 +1339,7 @@ QUERIES: dict[str, Callable] = {
     "q83_sketch_union_soundness": q83_sketch_union_soundness,
     "q84_shipping_priority": q84_shipping_priority,
     "q85_large_volume_orders": q85_large_volume_orders,
+    "q86_price_quartiles": q86_price_quartiles,
 }
 
 
@@ -2521,6 +2541,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS n_overlap
             WHERE FALSE
+        """,
+        # q86: ntile quartiles under a deterministic total order
+        "q86_price_quartiles": """
+            WITH q AS (
+                SELECT o_orderstatus, o_totalprice,
+                       ntile(4) OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice ASC, o_orderkey ASC)
+                           AS quartile
+                FROM orders
+            )
+            SELECT o_orderstatus, quartile, count(*) AS n,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM q GROUP BY 1, 2
         """,
         # q84: TPC-H Q3 shape (top-10 by revenue, deterministic tie-break)
         "q84_shipping_priority": """
