@@ -1170,9 +1170,15 @@ def q83_sketch_union_soundness(spark, sf):
     from eodatadown_spark.reports import distinct_sketch_rollup, merge_distinct_sketches
 
     docs = _t(spark, sf, "documents")
-    half = docs.agg(F.max("doc_id")).first()[0] / 2
-    b1 = distinct_sketch_rollup(docs.where(F.col("doc_id") <= half), "source", "doc_id")
-    b2 = distinct_sketch_rollup(docs.where(F.col("doc_id") > half), "source", "doc_id")
+    # parity split: data-independent disjoint covering halves — no pre-scan
+    # job to pick a split point, and no empty-table edge (a max()/2 split
+    # would TypeError on None)
+    b1 = distinct_sketch_rollup(
+        docs.where(F.col("doc_id") % 2 == 0), "source", "doc_id"
+    )
+    b2 = distinct_sketch_rollup(
+        docs.where(F.col("doc_id") % 2 != 0), "source", "doc_id"
+    )
     merged = merge_distinct_sketches(b1.unionByName(b2), "source")
     exact = docs.groupBy("source").agg(F.count_distinct("doc_id").alias("exact"))
     joined = merged.join(exact, "source")

@@ -325,6 +325,7 @@ def test_http_transport_against_local_server():
         assert len([r for r in state["requests"] if r[0].startswith("/never")]) == 3
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_http_transport_drives_cmr_paging_loop():
@@ -366,6 +367,7 @@ def test_http_transport_drives_cmr_paging_loop():
         assert [e["id"] for e in entries] == ["G1", "G2", "G3"]
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_canonical_request_is_order_insensitive():
