@@ -78,9 +78,11 @@ def main() -> int:
     queries = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    attempted = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -124,7 +126,8 @@ def main() -> int:
         else:
             print(f"ok    {name}: rows={len(cs)} hash-match [{spark_secs:.1f}s]")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} passing")
+    print(f"\n{attempted - len(failures)}/{attempted} passing"
+          + ("" if attempted == len(queries) else f" (of {len(queries)} registered)"))
     spark.stop()
     return 1 if failures else 0
 
