@@ -1251,6 +1251,36 @@ def q86_price_quartiles(spark, sf):
     )
 
 
+def q87_source_set_ops(spark, sf):
+    """Set operators: sources present in BOTH corpus halves (INTERSECT)
+    minus those with any short doc (EXCEPT) — the U-family beyond union."""
+    docs = _t(spark, sf, "documents")
+    # halves split on doc_id mod 7 (coprime to the synthetic source
+    # cycle of 20): any power-of-two split correlates with the source
+    # column and makes the INTERSECT trivially empty
+    first = docs.where(F.col("doc_id") % 7 < 3).select("source")
+    second = docs.where(F.col("doc_id") % 7 >= 3).select("source")
+    short = docs.where(F.col("n_chars") < 52).select("source")
+    return first.intersect(second).exceptAll(short.distinct()).select("source")
+
+
+def q88_above_average_orders(spark, sf):
+    """Scalar-subquery filter: orders priced above 1.5× the global average —
+    the scalar aggregate broadcasts as a one-row cross join, the fact scan
+    stays partition-parallel."""
+    orders = _t(spark, sf, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > 1.5 * F.col("__avg"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1346,6 +1376,8 @@ QUERIES: dict[str, Callable] = {
     "q84_shipping_priority": q84_shipping_priority,
     "q85_large_volume_orders": q85_large_volume_orders,
     "q86_price_quartiles": q86_price_quartiles,
+    "q87_source_set_ops": q87_source_set_ops,
+    "q88_above_average_orders": q88_above_average_orders,
 }
 
 
@@ -2547,6 +2579,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS n_overlap
             WHERE FALSE
+        """,
+        # q87: INTERSECT then EXCEPT (Spark intersect/exceptAll are
+        # set-distinct on the left intersect side; mirrored exactly)
+        "q87_source_set_ops": """
+            SELECT source FROM (
+                SELECT source FROM documents WHERE doc_id % 7 < 3
+                INTERSECT
+                SELECT source FROM documents WHERE doc_id % 7 >= 3
+            )
+            EXCEPT
+            SELECT DISTINCT source FROM documents WHERE n_chars < 52
+        """,
+        # q88: scalar-subquery threshold filter
+        "q88_above_average_orders": """
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
         """,
         # q86: ntile quartiles under a deterministic total order
         "q86_price_quartiles": """
