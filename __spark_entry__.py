@@ -1281,6 +1281,46 @@ def q88_above_average_orders(spark, sf):
     )
 
 
+def q89_trailing_range_window(spark, sf):
+    """Window RANGE frame over event time: per user, the sum/count of event
+    values in the trailing 10 minutes INCLUDING the current event — a
+    range-frame (not rows-frame) window keyed on epoch seconds."""
+    ev = _t(spark, sf, "events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("trail_sum"),
+        F.count("*").over(w).alias("trail_n"),
+    )
+
+
+def q90_daily_reconciliation(spark, sf):
+    """FULL OUTER join: per-day order counts vs event counts reconciled —
+    days present on either side survive with zeroes on the missing side
+    (the audit/reconciliation join shape)."""
+    orders = (
+        _t(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    events = (
+        _t(spark, sf, "events")
+        .groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("d"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return orders.join(events, "d", "full_outer").select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1378,6 +1418,8 @@ QUERIES: dict[str, Callable] = {
     "q86_price_quartiles": q86_price_quartiles,
     "q87_source_set_ops": q87_source_set_ops,
     "q88_above_average_orders": q88_above_average_orders,
+    "q89_trailing_range_window": q89_trailing_range_window,
+    "q90_daily_reconciliation": q90_daily_reconciliation,
 }
 
 
@@ -2579,6 +2621,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS n_overlap
             WHERE FALSE
+        """,
+        # q89: RANGE-frame window on epoch seconds (ties are peers on both
+        # engines)
+        "q89_trailing_range_window": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 4) AS trail_sum,
+                   count(*) OVER w AS trail_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        """,
+        # q90: full-outer day reconciliation with zero fill
+        "q90_daily_reconciliation": """
+            WITH o AS (
+                SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+                FROM orders GROUP BY 1
+            ), e AS (
+                SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT COALESCE(o.d, e.d) AS d,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(n_events, 0) AS n_events
+            FROM o FULL OUTER JOIN e ON o.d = e.d
         """,
         # q87: INTERSECT then EXCEPT (Spark intersect/exceptAll are
         # set-distinct on the left intersect side; mirrored exactly)
