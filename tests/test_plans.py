@@ -155,6 +155,26 @@ def test_q79_dup_ngram_two_exchanges_no_join(entry_spark):
     assert audit.join_strategies(df) == {}
 
 
+def test_q84_q88_broadcast_shapes(entry_spark):
+    """q84 (TPC-H Q3 shape): the customer dim broadcasts, no nested loop;
+    q88: the one-row scalar aggregate joins as a broadcast nested loop (the
+    correct shape for a scalar — not a shuffle)."""
+    q3 = E.queries()["q84_shipping_priority"](entry_spark, SF)
+    joins = audit.join_strategies(q3)
+    assert joins.get("BroadcastHashJoin", 0) >= 1
+    scalar = E.queries()["q88_above_average_orders"](entry_spark, SF)
+    joins = audit.join_strategies(scalar)
+    assert joins.get("BroadcastNestedLoopJoin", 0) == 1
+    assert audit.exchange_count(scalar) <= 1  # only the scalar agg
+
+
+def test_q89_range_window_single_exchange(entry_spark):
+    """The trailing-range window is exactly one keyed shuffle."""
+    df = E.queries()["q89_trailing_range_window"](entry_spark, SF)
+    assert audit.exchange_count(df) == 1
+    assert audit.join_strategies(df) == {}
+
+
 def test_q54_unigram_reuses_tf_exchange(entry_spark):
     """The twin tf subplans (scoring join + corpus counts) collapse to a
     ReusedExchange — the token stream is exploded for aggregation once per
