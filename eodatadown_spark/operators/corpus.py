@@ -794,8 +794,54 @@ def bpe_token_counts(
     )
 
 
+def weighted_sample(
+    documents: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: exactly ``k`` rows,
+    inclusion probability proportional to ``weight_col`` (Efraimidis–
+    Spirakis A-ES: rank by u^(1/w) ⟺ by ln(u)/w, take the top k).
+
+    The uniform u comes from the engine-portable rolling hash of
+    ``"<id> <seed>"`` (same contract as ``split_bucket``: any ANSI engine
+    reproduces the draw, reruns and late-landing data cannot perturb rows
+    already sampled vs a fresh random()).  Rows with non-positive weight are
+    excluded.
+
+    Scale shape: a narrow projection + ``orderBy(...).limit(k)`` — Spark
+    plans TakeOrderedAndProject (per-partition top-k, driver merge bounded
+    by k); NO shuffle, no global sort.  The ranking key is dropped from the
+    output (library ln() may differ across engines in the last ulp; key
+    spacing ~1/n dwarfs that, so membership is engine-stable but the raw
+    float is not a contract).
+    """
+    u = (
+        F.pmod(
+            rolling_fingerprint(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(" "), F.lit(str(seed))
+                )
+            ),
+            F.lit(1 << 20),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 20))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        documents.where(F.col(weight_col) > 0)
+        .withColumn("__aes_key", key)
+        .orderBy(F.col("__aes_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__aes_key")
+    )
+
+
 __all__ = [
     "split_bucket",
+    "weighted_sample",
     "assign_split",
     "prefix_suffix_overlap",
     "dup_ngram_fraction",

@@ -171,19 +171,21 @@ def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 42) -> Col
 
     Computed as ONE aggregate pass over the shingle array (element-wise
     least against all num_perm permutations at once) rather than num_perm
-    separate transform+array_min scans."""
+    separate transform+array_min scans.  The mod-p reduction is hoisted to a
+    separate transform pass so it runs once per shingle, not num_perm times
+    (each array element inlines and re-evaluates its subexpressions)."""
     params = _affine_params(num_perm, seed)
 
-    def perms(h):
-        hr = F.pmod(h, F.lit(MINHASH_PRIME))
+    def perms(hr):
         return F.array(
             *[F.pmod(F.lit(a) * hr + F.lit(b), F.lit(MINHASH_PRIME)) for a, b in params]
         )
 
+    reduced = F.transform(hashes, lambda h: F.pmod(h, F.lit(MINHASH_PRIME)))
     return F.aggregate(
-        hashes,
+        reduced,
         F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_perm),
-        lambda acc, h: F.zip_with(acc, perms(h), lambda x, y: F.least(x, y)),
+        lambda acc, hr: F.zip_with(acc, perms(hr), lambda x, y: F.least(x, y)),
     )
 
 
@@ -317,10 +319,15 @@ def minhash_neardup_pairs(
     ).join(
         base.select(F.col("id").alias("id_b"), F.col("hashes").alias("sh_b")), "id_b"
     )
+    # |a ∪ b| = |a| + |b| - |a ∩ b| (both sides already distinct) — only the
+    # intersection array is built; the size is materialized at a projection
+    # boundary so the intersect runs once, not once per reference
     jac = with_sets.withColumn(
+        "__ni", F.size(F.array_intersect("sh_a", "sh_b"))
+    ).withColumn(
         "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
+        F.col("__ni").cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - F.col("__ni")),
     )
     out = jac.where(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
@@ -504,9 +511,11 @@ def ngram_jaccard_pairs(
         .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
     jac = with_sets.withColumn(
+        "__ni", F.size(F.array_intersect("sh_a", "sh_b"))
+    ).withColumn(
         "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
+        F.col("__ni").cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - F.col("__ni")),
     )
     return jac.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")

@@ -1,0 +1,218 @@
+"""MERGE / snapshot-diff operators: declarative upsert-delete semantics and
+change-data-capture between table versions.
+
+The reference mutates its catalog through per-row ORM cycles — query, mutate
+attributes, `ses.commit()`, or `ses.delete()` (e.g. the import/update loop in
+``eodatadownsentinel2googsensor.py`` and the per-scene state commits in
+``eodatadownrun.py:699-845``).  Spark-first, those cycles are ONE declarative
+``MERGE``: a single keyed full-outer join that classifies every row as
+update / delete / insert / carry-over and emits the next table version in one
+pass.  ``merge_into`` is the general form (ANSI ``MERGE INTO`` semantics, the
+operation Delta/Iceberg expose natively); ``diff_snapshots`` is its inverse —
+given two versions of a table (e.g. from ``ParquetCatalog.read_version``) it
+emits the CDC row set that transforms one into the other.
+
+Scale shape: both operators are one shuffle on the merge keys.  The source
+side's uniqueness window partitions on the same keys the join uses, so the
+exchange is shared (no second shuffle of the source); a small source can be
+``F.broadcast(...)``-ed by the caller, which removes the target-side shuffle
+entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: Sequence[str],
+    when_matched_update: Mapping[str, Column] | None = None,
+    update_condition: Column | None = None,
+    when_matched_delete: Column | None = None,
+    when_not_matched_insert: Mapping[str, Column] | bool = True,
+    insert_condition: Column | None = None,
+    validate_unique_source: bool = True,
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` over DataFrames: returns the post-merge target.
+
+    Clauses (evaluated per target row in this order, first match wins —
+    the Delta Lake clause-ordering convention):
+
+    1. matched AND ``when_matched_delete`` → row is deleted;
+    2. matched AND ``update_condition`` (default: always) → row is updated
+       with ``when_matched_update`` (columns not named keep their target
+       value);
+    3. matched otherwise → row carries over unchanged;
+    4. source-only AND ``insert_condition`` (default: always) →
+       ``when_not_matched_insert`` row is inserted.  ``True`` inserts the
+       source's same-named columns (missing target columns become NULL);
+       a mapping gives explicit per-column values; ``False`` disables
+       inserts.  Source-only rows failing the condition are dropped.
+    5. target-only rows always carry over.
+
+    Condition / value Columns reference the two sides through the ``t`` and
+    ``s`` aliases, e.g. ``F.col("s.qty") > F.col("t.qty")``.
+
+    ``validate_unique_source=True`` enforces the ANSI rule that a target row
+    may match at most ONE source row: violations raise at execution time
+    (via ``raise_error`` inside the plan — distributed, no driver-side
+    pre-count job).  The check costs a window count over the source keyed on
+    the merge keys; the join needs that same hash partitioning, so the
+    exchange is reused rather than doubled.
+
+    Output schema == target schema (same names, positions).
+    """
+    on = list(on)
+    if not on:
+        raise ValueError("merge_into requires at least one key column")
+    missing_t = [k for k in on if k not in target.columns]
+    missing_s = [k for k in on if k not in source.columns]
+    if missing_t or missing_s:
+        raise ValueError(
+            f"merge keys missing from target {missing_t} / source {missing_s}"
+        )
+    if when_matched_update:
+        bad = [c for c in when_matched_update if c not in target.columns]
+        if bad:
+            raise ValueError(f"when_matched_update names non-target columns {bad}")
+    if isinstance(when_not_matched_insert, Mapping):
+        bad = [c for c in when_not_matched_insert if c not in target.columns]
+        if bad:
+            raise ValueError(f"when_not_matched_insert names non-target columns {bad}")
+
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source
+    if validate_unique_source:
+        s = s.withColumn(
+            "__src_n", F.count(F.lit(1)).over(Window.partitionBy(*on))
+        )
+    s = s.withColumn("__s_present", F.lit(True)).alias("s")
+
+    cond = None
+    for k in on:
+        eq = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.col("t.__t_present").isNotNull() & F.col("s.__s_present").isNotNull()
+    src_only = F.col("t.__t_present").isNull() & F.col("s.__s_present").isNotNull()
+
+    # a clause condition evaluating NULL means "not satisfied" (ANSI MERGE),
+    # so user conditions are coalesced to false before entering any ~ / &
+    # composition where NULL would otherwise propagate and misroute the row
+    def _sat(c: Column | None) -> Column:
+        return F.lit(True) if c is None else F.coalesce(c, F.lit(False))
+
+    del_cond = (
+        matched & _sat(when_matched_delete)
+        if when_matched_delete is not None
+        else F.lit(False)
+    )
+    upd_cond = (
+        (matched & ~del_cond & _sat(update_condition))
+        if when_matched_update
+        else F.lit(False)
+    )
+    ins_enabled = bool(when_not_matched_insert)
+    ins_cond = (
+        (src_only & _sat(insert_condition)) if ins_enabled else F.lit(False)
+    )
+
+    # ANSI uniqueness guard lives inside the keep-predicate so it is never
+    # pruned away; CaseWhen branches evaluate lazily in codegen, so the
+    # raise fires only on an actual violation row
+    keep = F.when(~del_cond & (matched | F.col("s.__s_present").isNull() | ins_cond), F.lit(True)).otherwise(F.lit(False))
+    if validate_unique_source:
+        keep = F.when(
+            matched & (F.col("s.__src_n") > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_into: multiple source rows matched target key ("),
+                    F.concat_ws(
+                        ", ", *[F.col(f"s.{k}").cast("string") for k in on]
+                    ),
+                    F.lit(")"),
+                )
+            ).cast("boolean"),
+        ).otherwise(keep)
+
+    out_cols = []
+    for c in target.columns:
+        if c in on:
+            base = F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
+        else:
+            base = F.col(f"t.{c}")
+        expr = base
+        if ins_enabled:
+            if isinstance(when_not_matched_insert, Mapping):
+                ins_val = when_not_matched_insert.get(c)
+            else:
+                ins_val = F.col(f"s.{c}") if c in source.columns else None
+            if ins_val is not None and c not in on:
+                expr = F.when(src_only, ins_val).otherwise(expr)
+        if when_matched_update and c in when_matched_update:
+            expr = F.when(upd_cond, when_matched_update[c]).otherwise(expr)
+        tf = target.schema[c]
+        out_cols.append(expr.cast(tf.dataType).alias(c))
+
+    return joined.where(keep).select(*out_cols)
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC between two table versions: one row per changed key with
+    ``change_type`` ∈ {'insert', 'delete', 'update'}.
+
+    'insert' = key only in ``new``; 'delete' = key only in ``old``;
+    'update' = key in both with any compared column differing (null-safe).
+    Unchanged keys emit nothing.  ``compare_cols`` defaults to every shared
+    non-key column.  Output: key columns + ``change_type``.
+
+    Pairs with ``ParquetCatalog.read_version`` for version-to-version audit
+    (the reference has no equivalent — its ORM overwrites in place; this is
+    the operation that makes the versioned catalog auditable).  One shuffle
+    on the keys; null-safe struct equality keeps the comparison a single
+    codegen expression regardless of column count.
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in new.columns and c not in keys
+        ]
+    o = old.withColumn("__o", F.lit(True)).alias("o")
+    n = new.withColumn("__n", F.lit(True)).alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col("o.__o").isNotNull()
+    in_new = F.col("n.__n").isNotNull()
+    same = F.struct(*[F.col(f"o.{c}") for c in compare_cols]).eqNullSafe(
+        F.struct(*[F.col(f"n.{c}") for c in compare_cols])
+    ) if compare_cols else F.lit(True)
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys],
+            "change_type",
+        )
+    )
+
+
+__all__ = ["merge_into", "diff_snapshots"]

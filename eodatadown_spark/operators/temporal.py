@@ -205,4 +205,39 @@ def session_window_rollup(
     )
 
 
-__all__ = ["asof_join", "range_join", "session_window_rollup"]
+def detect_gaps(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    min_gap_seconds: float = 3600.0,
+) -> DataFrame:
+    """Per-key timeline gaps: consecutive-event intervals strictly longer
+    than ``min_gap_seconds`` → (keys, gap_start, gap_end, gap_seconds).
+
+    The monitoring dual of sessionization: where ``session_window_rollup``
+    reports activity blocks, this reports the silences between them — the
+    shape used for ingest-outage detection over a scene catalog's
+    acquisition timeline (the reference eyeballs this via its date reports;
+    here it is a first-class query).
+
+    One shuffle on the keys (lag window); no global sort.  ``gap_seconds``
+    is a double (microsecond-precision timestamp difference).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    return (
+        events.select(*key_cols, F.col(ts_col))
+        .withColumn("gap_start", prev)
+        .withColumn("gap_seconds", gap)
+        .where(F.col("gap_seconds") > min_gap_seconds)
+        .select(
+            *key_cols,
+            "gap_start",
+            F.col(ts_col).alias("gap_end"),
+            F.round("gap_seconds", 6).alias("gap_seconds"),
+        )
+    )
+
+
+__all__ = ["asof_join", "range_join", "session_window_rollup", "detect_gaps"]

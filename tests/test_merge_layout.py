@@ -1,0 +1,249 @@
+"""merge_into / diff_snapshots / weighted_sample / zorder / detect_gaps."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from eodatadown_spark.operators.merge import diff_snapshots, merge_into
+from eodatadown_spark.operators.corpus import weighted_sample
+from eodatadown_spark.operators.temporal import detect_gaps
+from eodatadown_spark.spatial import cluster_by_zorder, zorder_key
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [
+            Row(k=1, status="open", qty=10.0),
+            Row(k=2, status="open", qty=20.0),
+            Row(k=3, status="closed", qty=30.0),
+            Row(k=4, status="open", qty=40.0),
+        ]
+    )
+
+
+@pytest.fixture()
+def source(spark):
+    return spark.createDataFrame(
+        [
+            Row(k=2, status="shipped", qty=25.0),   # matched -> update
+            Row(k=3, status="cancel", qty=0.0),     # matched -> delete branch
+            Row(k=5, status="new", qty=50.0),       # not matched -> insert
+        ]
+    )
+
+
+class TestMergeInto:
+    def test_update_insert_delete(self, target, source):
+        out = merge_into(
+            target,
+            source,
+            on=["k"],
+            when_matched_update={
+                "status": F.col("s.status"),
+                "qty": F.col("s.qty"),
+            },
+            when_matched_delete=F.col("s.status") == "cancel",
+        )
+        rows = {r["k"]: r for r in out.collect()}
+        assert set(rows) == {1, 2, 4, 5}          # 3 deleted, 5 inserted
+        assert rows[1]["status"] == "open" and rows[1]["qty"] == 10.0
+        assert rows[2]["status"] == "shipped" and rows[2]["qty"] == 25.0
+        assert rows[5]["status"] == "new" and rows[5]["qty"] == 50.0
+        assert out.columns == target.columns
+
+    def test_update_condition_and_no_insert(self, target, source):
+        out = merge_into(
+            target,
+            source,
+            on=["k"],
+            when_matched_update={"qty": F.col("s.qty")},
+            update_condition=F.col("s.qty") > F.col("t.qty"),
+            when_not_matched_insert=False,
+        )
+        rows = {r["k"]: r for r in out.collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert rows[2]["qty"] == 25.0             # 25 > 20 -> updated
+        assert rows[3]["qty"] == 30.0             # 0 > 30 false -> kept
+
+    def test_null_condition_is_not_satisfied(self, spark, target):
+        src = spark.createDataFrame(
+            [Row(k=2, status=None, qty=None)], "k bigint, status string, qty double"
+        )
+        out = merge_into(
+            target,
+            src,
+            on=["k"],
+            when_matched_update={"qty": F.lit(-1.0)},
+            # NULL-valued condition: ANSI says "not satisfied", row carries
+            update_condition=F.col("s.qty") > 0,
+            when_matched_delete=F.col("s.status") == "cancel",  # NULL here too
+        )
+        rows = {r["k"]: r for r in out.collect()}
+        assert rows[2]["qty"] == 20.0
+
+    def test_insert_mapping_and_condition(self, target, source):
+        out = merge_into(
+            target,
+            source,
+            on=["k"],
+            when_not_matched_insert={
+                "status": F.lit("imported"),
+                "qty": F.col("s.qty") * 2,
+            },
+            insert_condition=F.col("s.qty") > 0,
+        )
+        rows = {r["k"]: r for r in out.collect()}
+        assert rows[5]["status"] == "imported" and rows[5]["qty"] == 100.0
+
+    def test_duplicate_source_key_raises(self, spark, target):
+        src = spark.createDataFrame(
+            [Row(k=2, status="a", qty=1.0), Row(k=2, status="b", qty=2.0)]
+        )
+        merged = merge_into(
+            target, src, on=["k"], when_matched_update={"qty": F.col("s.qty")}
+        )
+        with pytest.raises(Exception, match="multiple source rows"):
+            merged.collect()
+        # duplicate UNMATCHED source keys are legal: each inserts (ANSI)
+        src2 = spark.createDataFrame(
+            [Row(k=9, status="a", qty=1.0), Row(k=9, status="b", qty=2.0)]
+        )
+        out = merge_into(target, src2, on=["k"])
+        assert out.where("k = 9").count() == 2
+
+    def test_bad_args_raise(self, target, source):
+        with pytest.raises(ValueError, match="at least one key"):
+            merge_into(target, source, on=[])
+        with pytest.raises(ValueError, match="missing from target"):
+            merge_into(target, source, on=["nope"])
+        with pytest.raises(ValueError, match="non-target columns"):
+            merge_into(target, source, on=["k"], when_matched_update={"zz": F.lit(1)})
+
+
+class TestDiffSnapshots:
+    def test_cdc_classes(self, spark):
+        old = spark.createDataFrame(
+            [Row(k=1, v="a", w=1), Row(k=2, v="b", w=2), Row(k=3, v="c", w=3),
+             Row(k=4, v=None, w=4)]
+        )
+        new = spark.createDataFrame(
+            [Row(k=2, v="b", w=2),          # unchanged -> no row
+             Row(k=3, v="c2", w=3),         # update
+             Row(k=4, v="d", w=4),          # null -> value = update (null-safe)
+             Row(k=5, v="e", w=5)]          # insert
+        )
+        got = {r["k"]: r["change_type"] for r in diff_snapshots(old, new, ["k"]).collect()}
+        assert got == {1: "delete", 3: "update", 4: "update", 5: "insert"}
+
+    def test_compare_cols_subset(self, spark):
+        old = spark.createDataFrame([Row(k=1, v="a", w=1)])
+        new = spark.createDataFrame([Row(k=1, v="a", w=99)])
+        assert diff_snapshots(old, new, ["k"], compare_cols=["v"]).count() == 0
+        assert (
+            diff_snapshots(old, new, ["k"]).collect()[0]["change_type"] == "update"
+        )
+
+
+ROLLING_BASE, ROLLING_PRIME = 31, 2038074743
+
+
+def _py_rolling(s: str) -> int:
+    h = 0
+    for ch in s.lower():
+        if ch.isascii() and (ch.isalnum() or ch == " "):
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_PRIME
+    return h
+
+
+class TestWeightedSample:
+    def test_matches_python_reference(self, spark):
+        data = [Row(doc_id=i, w=float((i % 7) + 1)) for i in range(200)]
+        df = spark.createDataFrame(data)
+        got = [r["doc_id"] for r in weighted_sample(df, "w", 20, seed=7).collect()]
+
+        def key(i, w):
+            u = (_py_rolling(f"{i} 7") % (1 << 20) + 0.5) / (1 << 20)
+            return math.log(u) / w
+
+        want = sorted(data, key=lambda r: (-key(r.doc_id, r.w), r.doc_id))[:20]
+        assert sorted(got) == sorted(r.doc_id for r in want)
+
+    def test_deterministic_and_weight_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, w=1e6)] + [Row(doc_id=i, w=1e-6) for i in range(1, 100)]
+        )
+        a = {r["doc_id"] for r in weighted_sample(df, "w", 5).collect()}
+        b = {r["doc_id"] for r in weighted_sample(df, "w", 5).collect()}
+        assert a == b
+        assert 0 in a                      # ~1e12x weight: must be sampled
+        zero_w = spark.createDataFrame([Row(doc_id=1, w=0.0), Row(doc_id=2, w=2.0)])
+        assert [r["doc_id"] for r in weighted_sample(zero_w, "w", 5).collect()] == [2]
+
+
+def _py_zorder(x, y, bits, xr, yr):
+    n = 1 << bits
+    qx = min(max(int(math.floor((x - xr[0]) / (xr[1] - xr[0]) * n)), 0), n - 1)
+    qy = min(max(int(math.floor((y - yr[0]) / (yr[1] - yr[0]) * n)), 0), n - 1)
+    z = 0
+    for i in range(bits):
+        z += ((qx >> i) & 1) << (2 * i)
+        z += ((qy >> i) & 1) << (2 * i + 1)
+    return z
+
+
+class TestZOrder:
+    def test_matches_python_interleave(self, spark):
+        pts = [
+            Row(x=-180.0, y=-90.0), Row(x=179.999, y=89.999), Row(x=0.0, y=0.0),
+            Row(x=-77.1, y=38.9), Row(x=151.2, y=-33.9), Row(x=200.0, y=100.0),
+            Row(x=13.4, y=52.5),
+        ]
+        df = spark.createDataFrame(pts)
+        got = df.select("x", "y", zorder_key("x", "y", 16).alias("z")).collect()
+        for r in got:
+            assert r["z"] == _py_zorder(r["x"], r["y"], 16, (-180, 180), (-90, 90))
+
+    def test_cluster_preserves_rows_and_sorts(self, spark):
+        df = spark.createDataFrame(
+            [Row(i=i, x=float((i * 37) % 360 - 180), y=float((i * 53) % 180 - 90))
+             for i in range(500)]
+        )
+        out = cluster_by_zorder(df, "x", "y", n_partitions=4, bits=8)
+        assert sorted(r["i"] for r in out.collect()) == list(range(500))
+
+        def check(it):
+            zs = [row["__zorder"] for row in it]
+            assert zs == sorted(zs)
+            return iter([len(zs)])
+
+        sizes = out.rdd.mapPartitions(check).collect()
+        assert sum(sizes) == 500
+
+    def test_bits_bounds(self):
+        with pytest.raises(ValueError):
+            zorder_key(F.lit(0.0), F.lit(0.0), bits=0)
+
+
+class TestDetectGaps:
+    def test_gaps_strictly_greater(self, spark):
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            Row(k="a", ts=t0),
+            Row(k="a", ts=t0 + dt.timedelta(seconds=3600)),   # == gap: excluded
+            Row(k="a", ts=t0 + dt.timedelta(seconds=3600 + 3601)),  # 3601s gap
+            Row(k="b", ts=t0),
+            Row(k="b", ts=t0 + dt.timedelta(seconds=10)),
+        ]
+        out = detect_gaps(
+            spark.createDataFrame(rows), ["k"], "ts", min_gap_seconds=3600
+        ).collect()
+        assert len(out) == 1
+        g = out[0]
+        assert g["k"] == "a" and g["gap_seconds"] == 3601.0
+        assert g["gap_start"] == t0 + dt.timedelta(seconds=3600)
+        assert g["gap_end"] == t0 + dt.timedelta(seconds=7201)
