@@ -1321,6 +1321,121 @@ def q90_daily_reconciliation(spark, sf):
     )
 
 
+def q91_merge_upsert(spark, sf):
+    """ANSI MERGE (operators/merge.merge_into): target = customers with
+    c_custkey < 100, source = per-customer lifetime spend from orders.
+    Matched & spend > 3M → delete; matched → acctbal += spend; source-only
+    customers insert with segment 'NEW'.  One keyed full-outer join —
+    the declarative form of the reference's per-row ORM update/insert/
+    delete cycles (eodatadownrun.py:699-845)."""
+    from eodatadown_spark.operators.merge import merge_into
+
+    target = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+    source = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    merged = merge_into(
+        target,
+        source,
+        on=["c_custkey"],
+        when_matched_update={
+            "c_acctbal": F.round(F.col("t.c_acctbal") + F.col("s.spend"), 2)
+        },
+        when_matched_delete=F.col("s.spend") > 3_000_000,
+        when_not_matched_insert={
+            "c_acctbal": F.col("s.spend"),
+            "c_mktsegment": F.lit("NEW"),
+        },
+    )
+    return merged.orderBy("c_custkey")
+
+
+def q92_snapshot_diff(spark, sf):
+    """CDC between two catalog versions (operators/merge.diff_snapshots):
+    old = orders before 1997, new = a 1996-1997 window where every 10th
+    order is re-priced — emits (key, insert|delete|update), nothing for
+    unchanged keys.  The audit operation the reference's overwrite-in-place
+    ORM cannot express; pairs with ParquetCatalog.read_version."""
+    from eodatadown_spark.operators.merge import diff_snapshots
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    old = orders.where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))
+    ).drop("o_orderdate")
+    new = (
+        orders.where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.round(F.col("o_totalprice") * 0.9, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .drop("o_orderdate")
+    )
+    return diff_snapshots(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def q93_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (corpus.
+    weighted_sample, Efraimidis-Spirakis A-ES over the engine-portable
+    rolling hash): 50 documents, inclusion odds ∝ n_chars.  Plans as
+    TakeOrderedAndProject — per-partition top-k, no shuffle."""
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return C.weighted_sample(docs, "n_chars", k=50, seed=42).orderBy("doc_id")
+
+
+def q94_zorder_layout(spark, sf):
+    """Morton (Z-order) clustering key (spatial.zorder_key): 16-bit
+    interleave of quantized (c_acctbal, c_custkey mod 997) — the
+    data-layout primitive behind bbox row-group pruning.  Top 50 keys;
+    pure integer/IEEE arithmetic, bit-exact across engines."""
+    from eodatadown_spark.spatial import zorder_key
+
+    cust = _t(spark, sf, "customer")
+    z = zorder_key(
+        F.col("c_acctbal"),
+        (F.col("c_custkey") % 997).cast("double"),
+        bits=16,
+        x_range=(-1000.0, 10000.0),
+        y_range=(0.0, 1000.0),
+    )
+    return (
+        cust.select("c_custkey", z.alias("zkey"))
+        .orderBy(F.col("zkey").desc(), "c_custkey")
+        .limit(50)
+    )
+
+
+def q95_event_gaps(spark, sf):
+    """Per-user timeline gap detection (temporal.detect_gaps): silences
+    strictly longer than 24h between consecutive events — the ingest-outage
+    monitoring shape.  One lag window keyed on user_id."""
+    from eodatadown_spark.operators.temporal import detect_gaps
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    gaps = detect_gaps(ev, ["user_id"], "ts", min_gap_seconds=86400.0)
+    return gaps.select(
+        "user_id",
+        F.round(F.col("gap_start").cast("double"), 6).alias("gap_start_epoch"),
+        F.round(F.col("gap_end").cast("double"), 6).alias("gap_end_epoch"),
+        "gap_seconds",
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1420,6 +1535,11 @@ QUERIES: dict[str, Callable] = {
     "q88_above_average_orders": q88_above_average_orders,
     "q89_trailing_range_window": q89_trailing_range_window,
     "q90_daily_reconciliation": q90_daily_reconciliation,
+    "q91_merge_upsert": q91_merge_upsert,
+    "q92_snapshot_diff": q92_snapshot_diff,
+    "q93_weighted_sample": q93_weighted_sample,
+    "q94_zorder_layout": q94_zorder_layout,
+    "q95_event_gaps": q95_event_gaps,
 }
 
 
@@ -1462,6 +1582,35 @@ def _hyperplane_bucket_sql(vec_expr: str, n_planes: int, dim: int, seed: int = 4
             f" THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    """DuckDB twin of q94: quantize (c_acctbal, c_custkey mod 997) to
+    ``bits`` bits each and interleave — generated as explicit shift/mask
+    terms so the SQL is pure integer arithmetic, bit-identical to
+    spatial.zorder_key."""
+    n = 1 << bits
+    qx = (
+        f"least(greatest(CAST(floor((c_acctbal - (-1000.0)) / 11000.0 * {n}.0)"
+        f" AS BIGINT), 0), {n - 1})"
+    )
+    qy = (
+        f"least(greatest(CAST(floor((CAST(c_custkey % 997 AS DOUBLE) - 0.0)"
+        f" / 1000.0 * {n}.0) AS BIGINT), 0), {n - 1})"
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"((qx >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((qy >> {i}) & 1) * {1 << (2 * i + 1)}")
+    z = " + ".join(terms)
+    return f"""
+        WITH q AS (
+            SELECT c_custkey, {qx} AS qx, {qy} AS qy FROM customer
+        )
+        SELECT c_custkey, ({z}) AS zkey
+        FROM q
+        ORDER BY zkey DESC, c_custkey LIMIT 50
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2646,6 +2795,105 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_orders, 0) AS n_orders,
                    COALESCE(n_events, 0) AS n_events
             FROM o FULL OUTER JOIN e ON o.d = e.d
+        """,
+        # q91: ANSI MERGE expressed as full-outer + CASE routing — matched
+        # rows with spend > 3M delete, matched update acctbal += spend,
+        # source-only keys insert with segment 'NEW'
+        "q91_merge_upsert": """
+            WITH t AS (
+                SELECT c_custkey, c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey < 100
+            ), s AS (
+                SELECT o_custkey AS c_custkey,
+                       round(sum(o_totalprice), 2) AS spend
+                FROM orders GROUP BY 1
+            ), j AS (
+                SELECT COALESCE(t.c_custkey, s.c_custkey) AS k,
+                       t.c_custkey IS NOT NULL AS in_t,
+                       s.c_custkey IS NOT NULL AS in_s,
+                       t.c_acctbal, t.c_mktsegment, s.spend
+                FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+            )
+            SELECT k AS c_custkey,
+                   CASE WHEN in_t AND in_s THEN round(c_acctbal + spend, 2)
+                        WHEN in_t THEN c_acctbal
+                        ELSE spend END AS c_acctbal,
+                   CASE WHEN in_t THEN c_mktsegment
+                        ELSE 'NEW' END AS c_mktsegment
+            FROM j
+            WHERE NOT (in_t AND in_s AND spend > 3000000)
+            ORDER BY 1
+        """,
+        # q92: CDC diff between two order snapshots — the engine's
+        # null-safe struct compare is IS DISTINCT FROM per column here
+        "q92_snapshot_diff": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            ), n AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 10 = 0
+                            THEN round(o_totalprice * 0.9, 2)
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            ), j AS (
+                SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                       o.o_orderkey IS NOT NULL AS in_o,
+                       n.o_orderkey IS NOT NULL AS in_n,
+                       o.o_orderstatus AS os, o.o_totalprice AS op,
+                       n.o_orderstatus AS ns, n.o_totalprice AS np
+                FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT k AS o_orderkey,
+                   CASE WHEN NOT in_o THEN 'insert'
+                        WHEN NOT in_n THEN 'delete'
+                        ELSE 'update' END AS change_type
+            FROM j
+            WHERE (NOT in_o) OR (NOT in_n)
+               OR (os IS DISTINCT FROM ns) OR (op IS DISTINCT FROM np)
+            ORDER BY 1
+        """,
+        # q93: A-ES weighted sample — u from the engine-portable rolling
+        # hash of '<doc_id> 42' (base 31 mod 2038074743, q42/q45's fold),
+        # rank by ln(u)/w, top 50.  ln() is IEEE double in both engines;
+        # key spacing ~1/n dwarfs any last-ulp library difference.
+        "q93_weighted_sample": """
+            WITH keyed AS (
+                SELECT doc_id, n_chars,
+                       ln((list_reduce(
+                               list_prepend(CAST(0 AS BIGINT), list_transform(
+                                   list_filter(
+                                       string_split(CAST(doc_id AS VARCHAR) || ' 42', ''),
+                                       ch -> ch <> ''),
+                                   ch -> CAST(ord(ch) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 2038074743)
+                            % 1048576 + 0.5) / 1048576.0)
+                       / CAST(n_chars AS DOUBLE) AS aes_key
+                FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, n_chars
+            FROM keyed ORDER BY aes_key DESC, doc_id LIMIT 50
+        """,
+        # q94: generated bit-interleave SQL (see _zorder_sql) — exact
+        # integer arithmetic, no library calls
+        "q94_zorder_layout": _zorder_sql(),
+        # q95: per-user gaps strictly over 24h; epoch() is double seconds
+        # at microsecond precision in both engines
+        "q95_event_gaps": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   round(epoch(prev), 6) AS gap_start_epoch,
+                   round(epoch(ts), 6) AS gap_end_epoch,
+                   round(epoch(ts) - epoch(prev), 6) AS gap_seconds
+            FROM g
+            WHERE epoch(ts) - epoch(prev) > 86400.0
         """,
         # q87: INTERSECT then EXCEPT (Spark intersect/exceptAll are
         # set-distinct on the left intersect side; mirrored exactly)
