@@ -243,6 +243,149 @@ class ParquetCatalog:
             merged.write.mode("append").partitionBy(*part_cols).parquet(out)
         self._flip_and_gc(table, version)
 
+    def merge_into(
+        self,
+        table: str,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update=None,
+        update_condition=None,
+        when_matched_delete=None,
+        when_not_matched_insert=True,
+        insert_condition=None,
+        validate_unique_source: bool = True,
+    ) -> None:
+        """Transactional MERGE INTO the catalog table — the Delta/Iceberg
+        MERGE operation on the versioned-parquet layout, partition-selective.
+
+        Clause semantics are operators.merge.merge_into's (update / delete /
+        insert with conditions, ``t``/``s`` aliases, ANSI duplicate-source
+        guard).  Physically:
+
+        - partitions holding MATCHED keys pass through the merge join and
+          are rewritten (skipped entirely when no matched clause is given);
+        - every other partition hard-links into the new version (same
+          inodes, zero data moved);
+        - not-matched source rows append as new files into their derived
+          partitions — including brand-new ones.
+
+        Same crash posture as every write: version dir builds fully, pointer
+        flips last.  Updating the partition-source date column is rejected
+        (a partition-moving update needs a full write()).
+        """
+        from eodatadown_spark.operators.merge import merge_into as _merge_df
+
+        part_src = PARTITION_SOURCE.get(table)
+        if when_matched_update:
+            forbidden = {part_src, "p_year", "p_month"} & set(when_matched_update)
+            if forbidden:
+                raise ValueError(
+                    f"merge_into cannot update partition-source columns {sorted(forbidden)}; "
+                    "use write() for partition-moving rewrites"
+                )
+        cur = self.read(table)
+        part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
+        old_path = self.data_path(table)
+        if not part_cols or not _has_parquet_files(old_path):
+            merged = _merge_df(
+                self.read_clean(table), source, on,
+                when_matched_update, update_condition, when_matched_delete,
+                when_not_matched_insert, insert_condition, validate_unique_source,
+            )
+            self.write(merged, table)
+            return
+
+        target_cols = [c for c in cur.columns if c not in part_cols]
+        cur_keys = cur.select(*on).distinct()
+        # split ONCE: matched source drives the partition rewrite, unmatched
+        # source appends — merging only the changed-partition subset would
+        # otherwise misclassify out-of-subset matches as inserts
+        matched_src = source.join(cur_keys, on, "left_semi")
+        insert_src = source.join(cur_keys, on, "left_anti")
+
+        has_matched_clause = bool(when_matched_update) or when_matched_delete is not None
+        changed = (
+            cur.join(matched_src.select(*on).distinct(), on, "left_semi")
+            .select(*part_cols)
+            .distinct()
+            .collect()
+            if has_matched_clause
+            else []
+        )
+
+        def rel_dir(row) -> str:
+            return "/".join(
+                f"{c}={row[c]}" if row[c] is not None else f"{c}=__HIVE_DEFAULT_PARTITION__"
+                for c in part_cols
+            )
+
+        changed_rel = {rel_dir(r) for r in changed}
+        table_dir = self._table_dir(table)
+        version = self._next_version(table)
+        out = os.path.join(table_dir, version)
+        shutil.rmtree(out, ignore_errors=True)  # crash debris, see merge_updates
+        os.makedirs(out, exist_ok=True)
+        for dirpath, _dirs, files in os.walk(old_path):
+            relp = os.path.relpath(dirpath, old_path)
+            if relp == "." or not relp.startswith("p_"):
+                continue
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            if relp.replace(os.sep, "/") in changed_rel:
+                continue
+            dst = os.path.join(out, relp)
+            os.makedirs(dst, exist_ok=True)
+            for fname in files:
+                os.link(os.path.join(dirpath, fname), os.path.join(dst, fname))
+
+        def derive_parts(df: DataFrame) -> DataFrame:
+            df = df.withColumn("p_year", F.year(F.col(part_src)))
+            if "p_month" in part_cols:
+                df = df.withColumn("p_month", F.month(F.col(part_src)))
+            return df
+
+        if changed:
+            cond = F.lit(False)
+            for r in changed:
+                match = F.lit(True)
+                for c in part_cols:
+                    match = match & (
+                        F.col(c).isNull() if r[c] is None else (F.col(c) == F.lit(r[c]))
+                    )
+                cond = cond | match
+            target_sub = cur.where(cond).select(*target_cols)
+            merged = _merge_df(
+                target_sub, matched_src, on,
+                when_matched_update, update_condition, when_matched_delete,
+                False, None, validate_unique_source,
+            )
+            derive_parts(merged).write.mode("append").partitionBy(*part_cols).parquet(out)
+
+        if when_not_matched_insert:
+            ins = insert_src
+            if insert_condition is not None:
+                ins = ins.alias("s").where(F.coalesce(insert_condition, F.lit(False)))
+            else:
+                ins = ins.alias("s")
+            cols = []
+            for c in target_cols:
+                if isinstance(when_not_matched_insert, dict) and c in when_not_matched_insert:
+                    val = when_not_matched_insert[c]
+                elif c in source.columns:
+                    val = F.col(f"s.{c}")
+                else:
+                    val = F.lit(None)
+                cols.append(val.cast(cur.schema[c].dataType).alias(c))
+            ins = ins.select(*cols)
+            if part_src is None or part_src not in target_cols:
+                raise ValueError(
+                    f"cannot derive partitions for inserts: {table!r} has no "
+                    "partition-source column; use an unpartitioned table"
+                )
+            derive_parts(ins).write.mode("append").partitionBy(*part_cols).parquet(out)
+
+        self._flip_and_gc(table, version)
+
     def compact(self, table: str, target_rows_per_file: int = 1_000_000) -> None:
         """Rewrite `table` with right-sized files — the maintenance pass for
         catalogs that accumulated small part files from repeated selective

@@ -247,3 +247,76 @@ class TestDetectGaps:
         assert g["k"] == "a" and g["gap_seconds"] == 3601.0
         assert g["gap_start"] == t0 + dt.timedelta(seconds=3600)
         assert g["gap_end"] == t0 + dt.timedelta(seconds=7201)
+
+
+class TestCatalogMergeInto:
+    def test_partition_selective_merge(self, spark, landsat_scenes, tmp_path):
+        import os
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        # two partitions: the 2019 fixture rows + one row moved to 2020
+        extra = (
+            landsat_scenes.where(F.col("pid") == 1)
+            .withColumn("pid", F.lit(50).cast("long"))
+            .withColumn("scene_id", F.lit("S50"))
+            .withColumn("date_acquired", F.lit(dt.date(2020, 7, 1)))
+        )
+        cat.write(landsat_scenes.union(extra), "landsat_scenes")
+
+        def inodes(year):
+            d = os.path.join(cat.data_path("landsat_scenes"), f"p_year={year}")
+            return {
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")
+            }
+
+        ino_2020_before = inodes(2020)
+
+        upd = landsat_scenes.where(F.col("pid") == 0).withColumn(
+            "cloud_cover", F.lit(99.0)
+        ).withColumn("__op", F.lit("u"))
+        dele = landsat_scenes.where(F.col("pid") == 2).withColumn("__op", F.lit("d"))
+        ins = (
+            landsat_scenes.where(F.col("pid") == 1)
+            .withColumn("pid", F.lit(100).cast("long"))
+            .withColumn("scene_id", F.lit("S100"))
+            .withColumn("date_acquired", F.lit(dt.date(2021, 6, 1)))
+            .withColumn("__op", F.lit("i"))
+        )
+        cat.merge_into(
+            "landsat_scenes",
+            upd.union(dele).union(ins),
+            on=["pid"],
+            when_matched_update={"cloud_cover": F.col("s.cloud_cover")},
+            update_condition=F.col("s.__op") == "u",
+            when_matched_delete=F.col("s.__op") == "d",
+        )
+
+        got = cat.read_clean("landsat_scenes")
+        by_pid = {r["pid"]: r for r in got.collect()}
+        assert 2 not in by_pid                             # deleted
+        assert by_pid[0]["cloud_cover"] == 99.0            # updated
+        assert by_pid[100]["date_acquired"] == dt.date(2021, 6, 1)  # inserted
+        assert by_pid[50]["scene_id"] == "S50"             # untouched carries
+        assert len(by_pid) == 8  # 7 fixture + 1 extra - 1 deleted + 1 inserted
+
+        # untouched 2020 partition hard-linked: same inodes, zero data moved
+        assert inodes(2020) == ino_2020_before
+        # the insert created a brand-new partition dir
+        assert os.path.isdir(
+            os.path.join(cat.data_path("landsat_scenes"), "p_year=2021")
+        )
+
+    def test_update_partition_source_rejected(self, spark, landsat_scenes, tmp_path):
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes, "landsat_scenes")
+        with pytest.raises(ValueError, match="partition-source"):
+            cat.merge_into(
+                "landsat_scenes",
+                landsat_scenes.limit(1),
+                on=["pid"],
+                when_matched_update={"date_acquired": F.col("s.date_acquired")},
+            )
