@@ -177,3 +177,55 @@ def session_blocks(usage_log: DataFrame) -> DataFrame:
         "session_id",
         F.sum(F.when(F.col("start_block") == True, 1).otherwise(0)).over(w),  # noqa: E712
     )
+
+
+def stream_merge_into(
+    catalog,
+    table: str,
+    stream_df: DataFrame,
+    on: list[str],
+    checkpoint_dir: str,
+    dedup_order_col: str | None = None,
+    available_now: bool = True,
+    **merge_kwargs,
+):
+    """Continuous MERGE INTO a catalog table from a stream — the streaming
+    upsert pattern table formats expose as ``foreachBatch`` + MERGE.
+
+    Each micro-batch passes through ``ParquetCatalog.merge_into`` (same
+    clause kwargs), so a live feed keeps a catalog table current with
+    update/delete/insert semantics instead of append-only.  When a batch can
+    carry several rows per key, ``dedup_order_col`` keeps the latest per key
+    first (MERGE requires unique matched source keys).
+
+    Delivery is at-least-once per batch (checkpointed offsets; a crashed
+    batch replays) — merges whose updates set ABSOLUTE values are therefore
+    exactly-once in effect; increment-style updates are not idempotent and
+    don't belong here.
+
+    ``available_now=True`` (default) drains what exists and stops — the
+    cron-shaped catch-up run; pass False for a continuously-running query
+    (micro-batches as data arrives).  Returns the started StreamingQuery;
+    caller owns termination.
+    """
+    from pyspark.sql import Window
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        src = batch_df
+        if dedup_order_col is not None:
+            w = Window.partitionBy(*on).orderBy(F.col(dedup_order_col).desc())
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        catalog.merge_into(table, src, on, **merge_kwargs)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

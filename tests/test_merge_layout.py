@@ -320,3 +320,53 @@ class TestCatalogMergeInto:
                 on=["pid"],
                 when_matched_update={"date_acquired": F.col("s.date_acquired")},
             )
+
+
+class TestStreamMergeInto:
+    def test_stream_merges_batches_into_catalog(self, spark, tmp_path):
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.streaming.incremental import stream_merge_into
+
+        cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+        schema = "k bigint, status string, qty double, seq bigint"
+        cat.write(
+            spark.createDataFrame(
+                [(1, "open", 10.0, 0), (2, "open", 20.0, 0), (3, "open", 30.0, 0)],
+                schema,
+            ),
+            "orders_live",
+            partition=False,
+        )
+        src = str(tmp_path / "feed")
+        # one file per batch; disjoint keys per file so any batch order
+        # converges to the same final state
+        spark.createDataFrame(
+            # key 1 updated twice IN the same batch: dedup_order_col keeps seq 2
+            [(1, "shipped", 11.0, 1), (1, "delivered", 12.0, 2)], schema
+        ).coalesce(1).write.parquet(src)
+        spark.createDataFrame(
+            [(4, "new", 40.0, 1)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        q = stream_merge_into(
+            cat,
+            "orders_live",
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+            on=["k"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            dedup_order_col="seq",
+            when_matched_update={
+                "status": F.col("s.status"),
+                "qty": F.col("s.qty"),
+                "seq": F.col("s.seq"),
+            },
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        rows = {r["k"]: r for r in cat.read_clean("orders_live").collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert rows[1]["status"] == "delivered" and rows[1]["qty"] == 12.0
+        assert rows[2]["qty"] == 20.0
+        assert rows[4]["status"] == "new"
