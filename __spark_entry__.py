@@ -1436,6 +1436,54 @@ def q95_event_gaps(spark, sf):
     )
 
 
+def q96_sole_late_supplier(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier finished order ("late" = shipped >90 days after the
+    order date).  The double-correlated EXISTS / NOT EXISTS pair becomes a
+    semi-join (another supplier exists on the order) + anti-join (no OTHER
+    supplier late) with an equi key plus inequality residual — both hash
+    joins, no cartesian."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.datediff("l_shipdate", "o_orderdate") > 90)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    # EXISTS: some other supplier shipped on the same order
+    other = li.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    ).alias("l2")
+    has_other = l1.join(
+        other,
+        (F.col("l1.l_orderkey") == F.col("l2.o_k"))
+        & (F.col("l1.l_suppkey") != F.col("l2.o_s")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was late on that order
+    other_late = late.select(
+        F.col("l_orderkey").alias("ol_k"), F.col("l_suppkey").alias("ol_s")
+    ).alias("l3")
+    sole = has_other.join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("l3.ol_k"))
+        & (F.col("l1.l_suppkey") != F.col("l3.ol_s")),
+        "left_anti",
+    )
+    supp = _t(spark, sf, "supplier")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1540,6 +1588,7 @@ QUERIES: dict[str, Callable] = {
     "q93_weighted_sample": q93_weighted_sample,
     "q94_zorder_layout": q94_zorder_layout,
     "q95_event_gaps": q95_event_gaps,
+    "q96_sole_late_supplier": q96_sole_late_supplier,
 }
 
 
@@ -2880,6 +2929,28 @@ def oracle_sql() -> dict[str, str]:
         # q94: generated bit-interleave SQL (see _zorder_sql) — exact
         # integer arithmetic, no library calls
         "q94_zorder_layout": _zorder_sql(),
+        # q96: TPC-H Q21 shape — the correlated EXISTS / NOT EXISTS pair
+        # runs as literal subqueries here, as semi/anti hash joins in Spark
+        "q96_sole_late_supplier": """
+            WITH late AS (
+                SELECT l_orderkey, l_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                  AND date_diff('day', o_orderdate, l_shipdate) > 90
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (
+                    SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 25
+        """,
         # q95: per-user gaps strictly over 24h; epoch() is double seconds
         # at microsecond precision in both engines
         "q95_event_gaps": """
