@@ -183,3 +183,44 @@ def test_q54_unigram_reuses_tf_exchange(entry_spark):
     df.collect()  # AQE finalizes reuse at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_q93_weighted_sample_no_exchange(entry_spark):
+    # A-ES sampling plans as TakeOrderedAndProject: per-partition top-k,
+    # zero shuffles before the driver-bounded merge
+    df = E.queries()["q93_weighted_sample"](entry_spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert audit.exchange_count(df) == 0
+
+
+def test_q94_zorder_key_no_exchange(entry_spark):
+    df = E.queries()["q94_zorder_layout"](entry_spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert audit.exchange_count(df) == 0
+    assert audit.codegen_stage_count(df) >= 1  # interleave stays in codegen
+
+
+def test_q91_merge_shares_key_exchange(entry_spark):
+    # the ANSI-uniqueness window and the full-outer join hash on the same
+    # key: Catalyst reuses the partitioning instead of re-shuffling the
+    # source between the two operators
+    df = E.queries()["q91_merge_upsert"](entry_spark, SF)
+    # agg on o_custkey + window/join on c_custkey + final orderBy range —
+    # anything beyond 4 exchanges means the window added its own shuffle
+    assert audit.exchange_count(df) <= 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_q96_no_cartesian_and_broadcast_supplier(entry_spark):
+    df = E.queries()["q96_sole_late_supplier"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    assert "CartesianProduct" not in joins
+    assert joins.get("BroadcastHashJoin", 0) >= 1  # supplier dim broadcast
+
+
+def test_q95_gaps_single_window_exchange(entry_spark):
+    df = E.queries()["q95_event_gaps"](entry_spark, SF)
+    assert audit.exchange_count(df) == 1  # one keyed lag-window shuffle
