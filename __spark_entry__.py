@@ -1484,6 +1484,44 @@ def q96_sole_late_supplier(spark, sf):
     )
 
 
+def q97_incremental_rollup(spark, sf):
+    """Incremental materialized-aggregate maintenance (operators/merge.
+    maintain_rollup): the rollup is built from pre-1997 orders, then the
+    1997+ delta folds in WITHOUT rescanning the base — the oracle
+    re-aggregates the whole table, so the hash-match proves incremental ==
+    full recompute."""
+    from eodatadown_spark.operators.merge import maintain_rollup
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    )
+    cut = F.col("yr") < 1997
+    spec = {
+        "total": ("o_totalprice", "sum"),
+        "lo": ("o_totalprice", "min"),
+        "hi": ("o_totalprice", "max"),
+    }
+    base_rollup = orders.where(cut).groupBy("o_orderstatus", "yr").agg(
+        F.sum("o_totalprice").alias("total"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    next_rollup = maintain_rollup(
+        base_rollup, orders.where(~cut), ["o_orderstatus", "yr"], spec
+    )
+    return next_rollup.select(
+        "o_orderstatus",
+        "yr",
+        F.round("total", 2).alias("total"),
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+        "n",
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1589,6 +1627,7 @@ QUERIES: dict[str, Callable] = {
     "q94_zorder_layout": q94_zorder_layout,
     "q95_event_gaps": q95_event_gaps,
     "q96_sole_late_supplier": q96_sole_late_supplier,
+    "q97_incremental_rollup": q97_incremental_rollup,
 }
 
 
@@ -2950,6 +2989,18 @@ def oracle_sql() -> dict[str, str]:
                       AND l3.l_suppkey <> l1.l_suppkey)
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 25
+        """,
+        # q97: the oracle re-aggregates the WHOLE table — hash-match proves
+        # the engine's base-rollup + delta-merge path equals full recompute
+        "q97_incremental_rollup": """
+            SELECT o_orderstatus,
+                   CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   round(sum(o_totalprice), 2) AS total,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi,
+                   count(*) AS n
+            FROM orders
+            GROUP BY 1, 2
         """,
         # q95: per-user gaps strictly over 24h; epoch() is double seconds
         # at microsecond precision in both engines

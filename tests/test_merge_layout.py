@@ -370,3 +370,65 @@ class TestStreamMergeInto:
         assert rows[1]["status"] == "delivered" and rows[1]["qty"] == 12.0
         assert rows[2]["qty"] == 20.0
         assert rows[4]["status"] == "new"
+
+
+class TestMaintainRollup:
+    def test_incremental_equals_full_recompute(self, spark):
+        from eodatadown_spark.operators.merge import maintain_rollup
+
+        rows = [
+            Row(g=i % 5, v=float(i * 7 % 23) if i % 11 else None)
+            for i in range(300)
+        ]
+        base = spark.createDataFrame(rows[:200])
+        delta = spark.createDataFrame(rows[200:])
+        spec = {
+            "total": (F.col("v"), "sum"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        }
+
+        def full(df):
+            return df.groupBy("g").agg(
+                F.sum("v").alias("total"), F.min("v").alias("lo"),
+                F.max("v").alias("hi"), F.count(F.lit(1)).alias("n"),
+            )
+
+        r0 = full(base)
+        got = {r["g"]: r for r in maintain_rollup(r0, delta, ["g"], spec).collect()}
+        want = {r["g"]: r for r in full(base.union(delta)).collect()}
+        assert set(got) == set(want)
+        for g in want:
+            for c in ("total", "lo", "hi", "n"):
+                gv, wv = got[g][c], want[g][c]
+                if isinstance(wv, float):
+                    assert gv == pytest.approx(wv, abs=1e-9)
+                else:
+                    assert gv == wv
+
+    def test_new_groups_insert_and_all_null_groups(self, spark):
+        from eodatadown_spark.operators.merge import maintain_rollup
+
+        base = spark.createDataFrame([Row(g=1, v=2.0)])
+        delta = spark.createDataFrame(
+            [Row(g=2, v=5.0), Row(g=3, v=None)], "g bigint, v double"
+        )
+        r0 = base.groupBy("g").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+        got = {
+            r["g"]: r
+            for r in maintain_rollup(
+                r0, delta, ["g"], {"total": ("v", "sum")}
+            ).collect()
+        }
+        assert got[1]["total"] == 2.0 and got[1]["n"] == 1
+        assert got[2]["total"] == 5.0 and got[2]["n"] == 1
+        assert got[3]["total"] is None and got[3]["n"] == 1  # all-NULL sum stays NULL
+
+    def test_unknown_kind_raises(self, spark):
+        from eodatadown_spark.operators.merge import maintain_rollup
+
+        df = spark.createDataFrame([Row(g=1, v=1.0)])
+        with pytest.raises(ValueError, match="unknown aggregate kinds"):
+            maintain_rollup(df, df, ["g"], {"x": ("v", "avg")})
