@@ -319,6 +319,91 @@ def cmd_bpetrain(args) -> None:
     print(json.dumps(stats))
 
 
+def cmd_merge(args) -> None:
+    """Catalog MERGE: fold a source parquet into a catalog table.
+
+    --mode upsert  (default): matched rows take the source's same-named
+                   non-key columns, unmatched source rows insert;
+    --mode delete: keys present in the source are deleted.
+    Partition-selective underneath (catalog.ParquetCatalog.merge_into)."""
+    from eodatadown_spark.session import get_spark
+
+    cat = _cat(args)
+    spark = get_spark("eodd_cli")
+    source = spark.read.parquet(args.source)
+    on = args.on.split(",")
+    before = cat.read_clean(args.table).count()
+    if args.mode == "delete":
+        cat.merge_into(
+            args.table, source.select(*on), on,
+            when_matched_delete=F.lit(True),
+            when_not_matched_insert=False,
+        )
+    else:
+        target_cols = set(cat.read_clean(args.table).columns)
+        upd = {
+            c: F.col(f"s.{c}")
+            for c in source.columns
+            if c in target_cols and c not in on
+        }
+        cat.merge_into(
+            args.table, source, on,
+            when_matched_update=upd or None,
+            when_not_matched_insert=True,
+        )
+    after = cat.read_clean(args.table).count()
+    print(json.dumps({"table": args.table, "mode": args.mode,
+                      "rows_before": before, "rows_after": after}))
+
+
+def cmd_cdcdiff(args) -> None:
+    """CDC between two parquet snapshots → change-set parquet
+    (keys + change_type)."""
+    from eodatadown_spark.operators.merge import diff_snapshots
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    diff = diff_snapshots(old, new, args.keys.split(","))
+    diff.write.mode("overwrite").parquet(args.out)
+    counts = {r["change_type"]: r["n"] for r in
+              diff.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"out": args.out, **counts}))
+
+
+def cmd_sample(args) -> None:
+    """Deterministic weighted sample (A-ES) of a documents parquet."""
+    from eodatadown_spark.operators.corpus import weighted_sample
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    df = spark.read.parquet(args.infile)
+    out = weighted_sample(
+        df, args.weight_col, args.k, id_col=args.id_col, seed=args.seed
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "k": args.k, "rows": out.count()}))
+
+
+def cmd_zorder(args) -> None:
+    """Rewrite a parquet table Z-order-clustered on two numeric columns so
+    bbox scans prune at the file/row-group level."""
+    from eodatadown_spark.session import get_spark
+    from eodatadown_spark.spatial import cluster_by_zorder
+
+    spark = get_spark("eodd_cli")
+    df = spark.read.parquet(args.infile)
+    xr = tuple(float(v) for v in args.x_range.split(","))
+    yr = tuple(float(v) for v in args.y_range.split(","))
+    out = cluster_by_zorder(
+        df, args.x, args.y, n_partitions=args.partitions,
+        bits=args.bits, x_range=xr, y_range=yr,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "partitions": args.partitions}))
+
+
 def cmd_dataprep(args) -> None:
     """Training-data pipeline, end to end: quality filter → exact dedup →
     near-dup keep-canonical → deterministic split; writes the cleaned corpus
@@ -418,7 +503,8 @@ def main(argv=None) -> int:
 
     def add(name, fn, **kwargs):
         sp = sub.add_parser(name)
-        if name not in ("passencode", "dataprep", "bpetrain"):
+        if name not in ("passencode", "dataprep", "bpetrain", "cdcdiff",
+                        "sample", "zorder"):
             sp.add_argument("--catalog", required=True)
             # very-large-catalog knob: p_year/p_month two-level layout
             sp.add_argument("--partition-monthly", action="store_true",
@@ -487,6 +573,33 @@ def main(argv=None) -> int:
                            "help": "emit token-window chunks of this size"},
         "--chunk-stride": {"type": int, "default": None, "dest": "chunk_stride",
                            "help": "chunk stride (default = window)"},
+    })
+
+    add("merge", cmd_merge, **{
+        "--table": {"required": True},
+        "--source": {"required": True, "help": "source parquet path"},
+        "--on": {"required": True, "help": "comma-separated key columns"},
+        "--mode": {"choices": ["upsert", "delete"], "default": "upsert"},
+    })
+    add("cdcdiff", cmd_cdcdiff, **{
+        "--old": {"required": True}, "--new": {"required": True},
+        "--keys": {"required": True, "help": "comma-separated key columns"},
+        "--out": {"required": True},
+    })
+    add("sample", cmd_sample, **{
+        "--infile": {"required": True}, "--out": {"required": True},
+        "--k": {"type": int, "required": True},
+        "--weight-col": {"default": "n_chars", "dest": "weight_col"},
+        "--id-col": {"default": "doc_id", "dest": "id_col"},
+        "--seed": {"type": int, "default": 42},
+    })
+    add("zorder", cmd_zorder, **{
+        "--infile": {"required": True}, "--out": {"required": True},
+        "--x": {"required": True}, "--y": {"required": True},
+        "--x-range": {"default": "-180,180", "dest": "x_range"},
+        "--y-range": {"default": "-90,90", "dest": "y_range"},
+        "--bits": {"type": int, "default": 16},
+        "--partitions": {"type": int, "default": 8},
     })
 
     sp = sub.add_parser("corpusstats")

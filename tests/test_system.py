@@ -360,3 +360,76 @@ def test_cli_runscn_and_genobsdatecmds(spark, tmp_path, capsys):
     assert len(lines) == 2
     assert lines[0] == ("eoddcreatereport --sensor LandsatGOOG "
                         "--platform LANDSAT_8 --date 2019-01-05")
+
+
+def test_cli_sample_cdcdiff_zorder(spark, tmp_path, capsys):
+    import json
+
+    import eodd_cli
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", 10 + i) for i in range(60)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "sampled")
+    eodd_cli.main(["sample", "--infile", src, "--out", out, "--k", "10"])
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 10
+    assert spark.read.parquet(out).count() == 10
+
+    new_src = str(tmp_path / "docs2")
+    docs.where("doc_id >= 5").withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 7, F.lit(999)).otherwise(F.col("n_chars")),
+    ).write.parquet(new_src)
+    diff_out = str(tmp_path / "diff")
+    eodd_cli.main(["cdcdiff", "--old", src, "--new", new_src,
+                   "--keys", "doc_id", "--out", diff_out])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["delete"] == 5 and stats["update"] == 1
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 360 - 180), float(i % 180 - 90)) for i in range(100)],
+        "i bigint, x double, y double",
+    )
+    pts_src = str(tmp_path / "pts")
+    pts.write.parquet(pts_src)
+    z_out = str(tmp_path / "zordered")
+    eodd_cli.main(["zorder", "--infile", pts_src, "--out", z_out,
+                   "--x", "x", "--y", "y", "--partitions", "2"])
+    assert spark.read.parquet(z_out).count() == 100
+
+
+def test_cli_merge_upsert_delete(spark, tmp_path, capsys):
+    import json
+
+    import eodd_cli
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat_dir = str(tmp_path / "cat")
+    cat = ParquetCatalog(spark, cat_dir)
+    cat.write(
+        spark.createDataFrame(
+            [(1, "open", 10.0), (2, "open", 20.0)], "k bigint, st string, qty double"
+        ),
+        "tbl",
+        partition=False,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(2, "shipped", 25.0), (3, "new", 30.0)], "k bigint, st string, qty double"
+    ).write.parquet(src)
+    eodd_cli.main(["merge", "--catalog", cat_dir, "--table", "tbl",
+                   "--source", src, "--on", "k"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_before"] == 2 and stats["rows_after"] == 3
+    rows = {r["k"]: r for r in cat.read_clean("tbl").collect()}
+    assert rows[2]["st"] == "shipped" and rows[3]["qty"] == 30.0
+
+    del_src = str(tmp_path / "delsrc")
+    spark.createDataFrame([(1,)], "k bigint").write.parquet(del_src)
+    eodd_cli.main(["merge", "--catalog", cat_dir, "--table", "tbl",
+                   "--source", del_src, "--on", "k", "--mode", "delete"])
+    assert set(r["k"] for r in cat.read_clean("tbl").collect()) == {2, 3}
