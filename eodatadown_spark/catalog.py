@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from typing import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +50,27 @@ def _as_string_schema(schema):
 PARTITION_SOURCE: dict[str, str] = {
     name: col for name, col in schemas.WATERMARK_COLS.items()
 }
+
+
+def _partition_rel_dir(row, part_cols: list[str]) -> str:
+    """Hive-style relative dir for a partition-value row."""
+    return "/".join(
+        f"{c}={row[c]}" if row[c] is not None else f"{c}=__HIVE_DEFAULT_PARTITION__"
+        for c in part_cols
+    )
+
+
+def _partition_match_cond(changed, part_cols: list[str]):
+    """Column predicate selecting rows in any of the ``changed`` partitions."""
+    cond = F.lit(False)
+    for r in changed:
+        match = F.lit(True)
+        for c in part_cols:
+            match = match & (
+                F.col(c).isNull() if r[c] is None else (F.col(c) == F.lit(r[c]))
+            )
+        cond = cond | match
+    return cond
 
 
 class ParquetCatalog:
@@ -194,20 +216,29 @@ class ParquetCatalog:
             self.write(apply_updates(self.read_clean(table), updates, key), table)
             return
 
-        def rel_dir(row) -> str:
-            return "/".join(
-                f"{c}={row[c]}" if row[c] is not None else f"{c}=__HIVE_DEFAULT_PARTITION__"
-                for c in part_cols
-            )
-
         changed = (
             cur.join(updates.select(key).distinct(), key, "left_semi")
             .select(*part_cols)
             .distinct()
             .collect()
         )
-        changed_rel = {rel_dir(r) for r in changed}
+        version, out = self._begin_selective_version(table, old_path, changed, part_cols)
+        if changed:
+            merged = apply_updates(
+                cur.where(_partition_match_cond(changed, part_cols)), updates, key
+            )
+            merged.write.mode("append").partitionBy(*part_cols).parquet(out)
+        self._flip_and_gc(table, version)
 
+    def _begin_selective_version(
+        self, table: str, old_path: str, changed, part_cols: list[str]
+    ) -> tuple[str, str]:
+        """Start a partition-selective version: create the version dir and
+        hard-link every LEAF partition dir NOT in ``changed`` (same inodes,
+        no data movement; depth-generic over yearly / year-month layouts).
+        Returns (version, out_dir); the caller appends changed-partition
+        rewrites and flips the pointer last."""
+        changed_rel = {_partition_rel_dir(r, part_cols) for r in changed}
         table_dir = self._table_dir(table)
         version = self._next_version(table)
         out = os.path.join(table_dir, version)
@@ -216,8 +247,6 @@ class ParquetCatalog:
         # colliding with its hard links / duplicating its part files
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        # hard-link untouched LEAF partition dirs (depth-generic: yearly or
-        # year/month layouts): same inodes, no data movement
         for dirpath, _dirs, files in os.walk(old_path):
             relp = os.path.relpath(dirpath, old_path)
             if relp == "." or not relp.startswith("p_"):
@@ -230,18 +259,7 @@ class ParquetCatalog:
             os.makedirs(dst, exist_ok=True)
             for fname in files:
                 os.link(os.path.join(dirpath, fname), os.path.join(dst, fname))
-        if changed:
-            cond = F.lit(False)
-            for r in changed:
-                match = F.lit(True)
-                for c in part_cols:
-                    match = match & (
-                        F.col(c).isNull() if r[c] is None else (F.col(c) == F.lit(r[c]))
-                    )
-                cond = cond | match
-            merged = apply_updates(cur.where(cond), updates, key)
-            merged.write.mode("append").partitionBy(*part_cols).parquet(out)
-        self._flip_and_gc(table, version)
+        return version, out
 
     def merge_into(
         self,
@@ -296,6 +314,13 @@ class ParquetCatalog:
             return
 
         target_cols = [c for c in cur.columns if c not in part_cols]
+        # validate BEFORE any filesystem work: an abort below this point
+        # would leave a fully-built orphan version dir
+        if when_not_matched_insert and (part_src is None or part_src not in target_cols):
+            raise ValueError(
+                f"cannot derive partitions for inserts: {table!r} has no "
+                "partition-source column; use an unpartitioned table"
+            )
         cur_keys = cur.select(*on).distinct()
         # split ONCE: matched source drives the partition rewrite, unmatched
         # source appends — merging only the changed-partition subset would
@@ -304,39 +329,33 @@ class ParquetCatalog:
         insert_src = source.join(cur_keys, on, "left_anti")
 
         has_matched_clause = bool(when_matched_update) or when_matched_delete is not None
-        changed = (
-            cur.join(matched_src.select(*on).distinct(), on, "left_semi")
-            .select(*part_cols)
-            .distinct()
-            .collect()
-            if has_matched_clause
-            else []
-        )
-
-        def rel_dir(row) -> str:
-            return "/".join(
-                f"{c}={row[c]}" if row[c] is not None else f"{c}=__HIVE_DEFAULT_PARTITION__"
-                for c in part_cols
+        if has_matched_clause:
+            changed = (
+                cur.join(matched_src.select(*on).distinct(), on, "left_semi")
+                .select(*part_cols)
+                .distinct()
+                .collect()
             )
+        else:
+            changed = []
+            if validate_unique_source:
+                # the matched-partition merge (which carries the distributed
+                # ANSI guard) is skipped entirely, so check here that no
+                # target key matches two source rows
+                dup = (
+                    matched_src.groupBy(*on)
+                    .count()
+                    .where(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        "merge_into: multiple source rows matched target key "
+                        f"({', '.join(str(dup[0][k]) for k in on)})"
+                    )
 
-        changed_rel = {rel_dir(r) for r in changed}
-        table_dir = self._table_dir(table)
-        version = self._next_version(table)
-        out = os.path.join(table_dir, version)
-        shutil.rmtree(out, ignore_errors=True)  # crash debris, see merge_updates
-        os.makedirs(out, exist_ok=True)
-        for dirpath, _dirs, files in os.walk(old_path):
-            relp = os.path.relpath(dirpath, old_path)
-            if relp == "." or not relp.startswith("p_"):
-                continue
-            if not any(f.endswith(".parquet") for f in files):
-                continue
-            if relp.replace(os.sep, "/") in changed_rel:
-                continue
-            dst = os.path.join(out, relp)
-            os.makedirs(dst, exist_ok=True)
-            for fname in files:
-                os.link(os.path.join(dirpath, fname), os.path.join(dst, fname))
+        version, out = self._begin_selective_version(table, old_path, changed, part_cols)
 
         def derive_parts(df: DataFrame) -> DataFrame:
             df = df.withColumn("p_year", F.year(F.col(part_src)))
@@ -345,15 +364,9 @@ class ParquetCatalog:
             return df
 
         if changed:
-            cond = F.lit(False)
-            for r in changed:
-                match = F.lit(True)
-                for c in part_cols:
-                    match = match & (
-                        F.col(c).isNull() if r[c] is None else (F.col(c) == F.lit(r[c]))
-                    )
-                cond = cond | match
-            target_sub = cur.where(cond).select(*target_cols)
+            target_sub = cur.where(_partition_match_cond(changed, part_cols)).select(
+                *target_cols
+            )
             merged = _merge_df(
                 target_sub, matched_src, on,
                 when_matched_update, update_condition, when_matched_delete,
@@ -362,26 +375,27 @@ class ParquetCatalog:
             derive_parts(merged).write.mode("append").partitionBy(*part_cols).parquet(out)
 
         if when_not_matched_insert:
-            ins = insert_src
+            ins = insert_src.alias("s")
             if insert_condition is not None:
-                ins = ins.alias("s").where(F.coalesce(insert_condition, F.lit(False)))
-            else:
-                ins = ins.alias("s")
+                ins = ins.where(F.coalesce(insert_condition, F.lit(False)))
+            # column routing mirrors operators.merge.merge_into exactly:
+            # a mapping is authoritative for non-key columns (absent ones
+            # become NULL, not source values); key columns always come from
+            # the source; insert-all mode takes same-named source columns
             cols = []
             for c in target_cols:
-                if isinstance(when_not_matched_insert, dict) and c in when_not_matched_insert:
-                    val = when_not_matched_insert[c]
+                if c in on:
+                    val = F.col(f"s.{c}")
+                elif isinstance(when_not_matched_insert, Mapping):
+                    val = when_not_matched_insert.get(c)
+                    if val is None:
+                        val = F.lit(None)
                 elif c in source.columns:
                     val = F.col(f"s.{c}")
                 else:
                     val = F.lit(None)
                 cols.append(val.cast(cur.schema[c].dataType).alias(c))
             ins = ins.select(*cols)
-            if part_src is None or part_src not in target_cols:
-                raise ValueError(
-                    f"cannot derive partitions for inserts: {table!r} has no "
-                    "partition-source column; use an unpartitioned table"
-                )
             derive_parts(ins).write.mode("append").partitionBy(*part_cols).parquet(out)
 
         self._flip_and_gc(table, version)

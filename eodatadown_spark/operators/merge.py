@@ -93,9 +93,12 @@ def merge_into(
         )
     s = s.withColumn("__s_present", F.lit(True)).alias("s")
 
+    # plain equality, not eqNullSafe: ANSI MERGE never matches NULL keys —
+    # a NULL-keyed source row is not-matched (inserts under clause 4), a
+    # NULL-keyed target row carries over untouched
     cond = None
     for k in on:
-        eq = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = eq if cond is None else cond & eq
     joined = t.join(s, cond, "full_outer")
 
@@ -192,7 +195,10 @@ def diff_snapshots(
     n = new.withColumn("__n", F.lit(True)).alias("n")
     cond = None
     for k in keys:
-        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        # plain equality: a NULL-keyed old row reads as 'delete' and a
+        # NULL-keyed new row as 'insert' (same key semantics as merge_into
+        # and the SQL oracle; value comparison below stays null-safe)
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
     in_old = F.col("o.__o").isNotNull()

@@ -326,13 +326,14 @@ def cmd_merge(args) -> None:
                    non-key columns, unmatched source rows insert;
     --mode delete: keys present in the source are deleted.
     Partition-selective underneath (catalog.ParquetCatalog.merge_into)."""
+    from eodatadown_spark.catalog import PARTITION_SOURCE
     from eodatadown_spark.session import get_spark
 
     cat = _cat(args)
     spark = get_spark("eodd_cli")
     source = spark.read.parquet(args.source)
     on = args.on.split(",")
-    before = cat.read_clean(args.table).count()
+    n_source = source.count()
     if args.mode == "delete":
         cat.merge_into(
             args.table, source.select(*on), on,
@@ -341,19 +342,22 @@ def cmd_merge(args) -> None:
         )
     else:
         target_cols = set(cat.read_clean(args.table).columns)
+        # partition-source / physical partition columns can't be updated
+        # in place (a date change moves the row's partition) — full-row
+        # sources naturally carry them, so exclude rather than fail
+        frozen = {PARTITION_SOURCE.get(args.table), "p_year", "p_month"}
         upd = {
             c: F.col(f"s.{c}")
             for c in source.columns
-            if c in target_cols and c not in on
+            if c in target_cols and c not in on and c not in frozen
         }
         cat.merge_into(
             args.table, source, on,
             when_matched_update=upd or None,
             when_not_matched_insert=True,
         )
-    after = cat.read_clean(args.table).count()
     print(json.dumps({"table": args.table, "mode": args.mode,
-                      "rows_before": before, "rows_after": after}))
+                      "source_rows": n_source}))
 
 
 def cmd_cdcdiff(args) -> None:
@@ -367,8 +371,11 @@ def cmd_cdcdiff(args) -> None:
     new = spark.read.parquet(args.new)
     diff = diff_snapshots(old, new, args.keys.split(","))
     diff.write.mode("overwrite").parquet(args.out)
+    # count from the (small) written change-set, not by re-running the
+    # full-outer join over the snapshots a second time
+    written = spark.read.parquet(args.out)
     counts = {r["change_type"]: r["n"] for r in
-              diff.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+              written.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
     print(json.dumps({"out": args.out, **counts}))
 
 
@@ -383,7 +390,8 @@ def cmd_sample(args) -> None:
         df, args.weight_col, args.k, id_col=args.id_col, seed=args.seed
     )
     out.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"out": args.out, "k": args.k, "rows": out.count()}))
+    n = spark.read.parquet(args.out).count()  # count the written sample
+    print(json.dumps({"out": args.out, "k": args.k, "rows": n}))
 
 
 def cmd_zorder(args) -> None:
@@ -394,8 +402,8 @@ def cmd_zorder(args) -> None:
 
     spark = get_spark("eodd_cli")
     df = spark.read.parquet(args.infile)
-    xr = tuple(float(v) for v in args.x_range.split(","))
-    yr = tuple(float(v) for v in args.y_range.split(","))
+    xr = (args.x_min, args.x_max)
+    yr = (args.y_min, args.y_max)
     out = cluster_by_zorder(
         df, args.x, args.y, n_partitions=args.partitions,
         bits=args.bits, x_range=xr, y_range=yr,
@@ -596,8 +604,13 @@ def main(argv=None) -> int:
     add("zorder", cmd_zorder, **{
         "--infile": {"required": True}, "--out": {"required": True},
         "--x": {"required": True}, "--y": {"required": True},
-        "--x-range": {"default": "-180,180", "dest": "x_range"},
-        "--y-range": {"default": "-90,90", "dest": "y_range"},
+        # four scalar floats, not "lo,hi" strings: argparse rejects a
+        # space-separated value starting with '-' (looks like an option),
+        # so comma-pair form would force the awkward --x-range=-180,180
+        "--x-min": {"type": float, "default": -180.0, "dest": "x_min"},
+        "--x-max": {"type": float, "default": 180.0, "dest": "x_max"},
+        "--y-min": {"type": float, "default": -90.0, "dest": "y_min"},
+        "--y-max": {"type": float, "default": 90.0, "dest": "y_max"},
         "--bits": {"type": int, "default": 16},
         "--partitions": {"type": int, "default": 8},
     })

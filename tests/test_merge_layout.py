@@ -432,3 +432,72 @@ class TestMaintainRollup:
         df = spark.createDataFrame([Row(g=1, v=1.0)])
         with pytest.raises(ValueError, match="unknown aggregate kinds"):
             maintain_rollup(df, df, ["g"], {"x": ("v", "avg")})
+
+
+class TestMergeNullKeys:
+    def test_null_keys_never_match(self, spark):
+        # ANSI MERGE: NULL = NULL is not a match — the NULL-keyed target row
+        # carries over and the NULL-keyed source row inserts a second row
+        target = spark.createDataFrame(
+            [Row(k=None, v="t"), Row(k=1, v="a")], "k bigint, v string"
+        )
+        src = spark.createDataFrame(
+            [Row(k=None, v="s"), Row(k=1, v="b")], "k bigint, v string"
+        )
+        out = merge_into(
+            target, src, on=["k"], when_matched_update={"v": F.col("s.v")}
+        ).collect()
+        assert (1, "b") in [(r["k"], r["v"]) for r in out]
+        null_vs = sorted(r["v"] for r in out if r["k"] is None)
+        assert null_vs == ["s", "t"]  # carry-over + insert, no update
+
+    def test_diff_null_keys_delete_insert(self, spark):
+        old = spark.createDataFrame([Row(k=None, v="x")], "k bigint, v string")
+        new = spark.createDataFrame([Row(k=None, v="x")], "k bigint, v string")
+        got = sorted(r["change_type"] for r in diff_snapshots(old, new, ["k"]).collect())
+        assert got == ["delete", "insert"]
+
+
+class TestCatalogMergeSemanticsParity:
+    def test_mapping_insert_absent_cols_null_on_partitioned(
+        self, spark, landsat_scenes, tmp_path
+    ):
+        # partitioned path must follow operators.merge mapping semantics:
+        # columns absent from the mapping insert as NULL, not source values
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes, "landsat_scenes")
+        src = (
+            landsat_scenes.where(F.col("pid") == 1)
+            .withColumn("pid", F.lit(200).cast("long"))
+            .withColumn("date_acquired", F.lit(dt.date(2022, 1, 1)))
+        )
+        cat.merge_into(
+            "landsat_scenes",
+            src,
+            on=["pid"],
+            when_not_matched_insert={
+                "scene_id": F.lit("MAPPED"),
+                "date_acquired": F.col("s.date_acquired"),
+            },
+        )
+        row = cat.read_clean("landsat_scenes").where("pid = 200").collect()[0]
+        assert row["scene_id"] == "MAPPED"
+        assert row["date_acquired"] == dt.date(2022, 1, 1)
+        assert row["remote_url"] is None  # absent from mapping -> NULL
+
+    def test_insert_only_duplicate_matched_source_raises(
+        self, spark, landsat_scenes, tmp_path
+    ):
+        # no matched clause -> the partition rewrite is skipped, but the
+        # ANSI duplicate-source guard must still fire for matched keys
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes, "landsat_scenes")
+        dup = landsat_scenes.where(F.col("pid") == 1).union(
+            landsat_scenes.where(F.col("pid") == 1)
+        )
+        with pytest.raises(ValueError, match="multiple source rows"):
+            cat.merge_into("landsat_scenes", dup, on=["pid"])

@@ -424,8 +424,9 @@ def test_cli_merge_upsert_delete(spark, tmp_path, capsys):
     eodd_cli.main(["merge", "--catalog", cat_dir, "--table", "tbl",
                    "--source", src, "--on", "k"])
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert stats["rows_before"] == 2 and stats["rows_after"] == 3
+    assert stats["source_rows"] == 2
     rows = {r["k"]: r for r in cat.read_clean("tbl").collect()}
+    assert len(rows) == 3
     assert rows[2]["st"] == "shipped" and rows[3]["qty"] == 30.0
 
     del_src = str(tmp_path / "delsrc")
