@@ -1522,6 +1522,119 @@ def q97_incremental_rollup(spark, sf):
     )
 
 
+def q98_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year — a fact⋈fact⋈two-dim-chain join where both nation lookups
+    broadcast and the OR-of-pairs predicate prunes before the aggregate."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    a, b = "NATION_3", "NATION_8"
+    df = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nat.withColumnRenamed("n_name", "cust_nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return (
+        df.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q99_market_share(spark, sf):
+    """TPC-H Q8 shape: one nation's supplier revenue share inside one
+    region's customer orders, per order year — conditional-sum ratio over
+    the same broadcast dim chain as q98."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region")
+    asia_nations = nat.join(
+        F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        df.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_8", rev).otherwise(F.lit(0.0))),
+                2,
+            ).alias("nation_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q100_sales_opportunity(spark, sf):
+    """TPC-H Q22 shape: well-funded customers (balance above the positive-
+    balance average, a scalar subquery) with no orders since 2000
+    (anti-join on a filtered fact), tallied per nation."""
+    cust = _t(spark, sf, "customer")
+    orders = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    never_ordered = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        never_ordered.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1628,6 +1741,9 @@ QUERIES: dict[str, Callable] = {
     "q95_event_gaps": q95_event_gaps,
     "q96_sole_late_supplier": q96_sole_late_supplier,
     "q97_incremental_rollup": q97_incremental_rollup,
+    "q98_volume_shipping": q98_volume_shipping,
+    "q99_market_share": q99_market_share,
+    "q100_sales_opportunity": q100_sales_opportunity,
 }
 
 
@@ -3001,6 +3117,61 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders
             GROUP BY 1, 2
+        """,
+        # q98-q100: TPC-H Q7/Q8/Q22 shapes
+        "q98_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+                   OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3')
+            )
+            GROUP BY 1, 2, 3
+        """,
+        "q99_market_share": """
+            WITH base AS (
+                SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       ns.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                WHERE c_nationkey IN (
+                    SELECT n_nationkey FROM nation
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA')
+            ), agg AS (
+                SELECT o_year,
+                       round(sum(CASE WHEN supp_nation = 'NATION_8'
+                                      THEN volume ELSE 0.0 END), 2) AS nation_rev,
+                       round(sum(volume), 2) AS total_rev
+                FROM base GROUP BY 1
+            )
+            SELECT o_year, nation_rev, total_rev,
+                   round(nation_rev / total_rev, 6) AS mkt_share
+            FROM agg
+        """,
+        "q100_sales_opportunity": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY 1
         """,
         # q95: per-user gaps strictly over 24h; epoch() is double seconds
         # at microsecond precision in both engines
