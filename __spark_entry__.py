@@ -1639,10 +1639,14 @@ def q100_sales_opportunity(spark, sf):
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
 # q16 vs q01, q28 vs q24, q38 vs q01/q37, q43's empty-set gate vs q25's full
-# value oracle) yield their slot to operators with no in-window analog
-# (contamination, range join, temperature resample, incremental dedup,
-# native-ASOF-checked value carry).  Everything still runs in local checks
-# (tools/check_correctness.py covers all entries).
+# value oracle; this round also q15's narrow projection, q27's max-row
+# watermark [q04 keeps the family in-window] and q42's rolling fingerprint
+# [q22 keeps the family]) yield their slot to operators with no in-window
+# analog (contamination, range join, temperature resample, incremental
+# dedup, native-ASOF-checked value carry; this round ANSI MERGE q91, the
+# correlated-EXISTS pair q96, and the incremental-rollup differential q97).
+# Everything still runs in local checks (tools/check_correctness.py covers
+# all entries).
 QUERIES: dict[str, Callable] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
@@ -1658,7 +1662,7 @@ QUERIES: dict[str, Callable] = {
     "q53_contamination": q53_contamination,
     "q13_summary_stats": q13_summary_stats,
     "q14_union_distinct": q14_union_distinct,
-    "q15_derived_columns": q15_derived_columns,
+    "q91_merge_upsert": q91_merge_upsert,
     "q61_range_join": q61_range_join,
     "q17_obs_date_rollup": q17_obs_date_rollup,
     "q18_json_filter": q18_json_filter,
@@ -1670,7 +1674,7 @@ QUERIES: dict[str, Callable] = {
     "q24_minhash_neardup": q24_minhash_neardup,
     "q25_simhash_neardup": q25_simhash_neardup,
     "q26_window_rollup": q26_window_rollup,
-    "q27_top1_watermark": q27_top1_watermark,
+    "q96_sole_late_supplier": q96_sole_late_supplier,
     "q63_temperature_resample": q63_temperature_resample,
     "q29_sessionize": q29_sessionize,
     "q30_running_total": q30_running_total,
@@ -1685,7 +1689,7 @@ QUERIES: dict[str, Callable] = {
     "q39_top_unshipped": q39_top_unshipped,
     "q40_multimodal_features": q40_multimodal_features,
     "q41_bpe_token_count": q41_bpe_token_count,
-    "q42_rolling_fingerprint": q42_rolling_fingerprint,
+    "q97_incremental_rollup": q97_incremental_rollup,
     "q71_asof_value_carry": q71_asof_value_carry,
     "q44_tfidf_keywords": q44_tfidf_keywords,
     "q45_hash_split": q45_hash_split,
@@ -1697,6 +1701,9 @@ QUERIES: dict[str, Callable] = {
     "q51_date_bbox_count": q51_date_bbox_count,
     "q52_frame_sample": q52_frame_sample,
     "q12_distinct_dates": q12_distinct_dates,
+    "q15_derived_columns": q15_derived_columns,
+    "q27_top1_watermark": q27_top1_watermark,
+    "q42_rolling_fingerprint": q42_rolling_fingerprint,
     "q54_unigram_lm": q54_unigram_lm,
     "q55_stratified_sample": q55_stratified_sample,
     "q56_length_histogram": q56_length_histogram,
@@ -1734,13 +1741,10 @@ QUERIES: dict[str, Callable] = {
     "q88_above_average_orders": q88_above_average_orders,
     "q89_trailing_range_window": q89_trailing_range_window,
     "q90_daily_reconciliation": q90_daily_reconciliation,
-    "q91_merge_upsert": q91_merge_upsert,
     "q92_snapshot_diff": q92_snapshot_diff,
     "q93_weighted_sample": q93_weighted_sample,
     "q94_zorder_layout": q94_zorder_layout,
     "q95_event_gaps": q95_event_gaps,
-    "q96_sole_late_supplier": q96_sole_late_supplier,
-    "q97_incremental_rollup": q97_incremental_rollup,
     "q98_volume_shipping": q98_volume_shipping,
     "q99_market_share": q99_market_share,
     "q100_sales_opportunity": q100_sales_opportunity,
