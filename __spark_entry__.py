@@ -1635,6 +1635,18 @@ def q100_sales_opportunity(spark, sf):
     )
 
 
+def q101_cdc_dup_stats(spark, sf):
+    """Content-defined chunking dedup profile (dedup.cdc_dup_stats):
+    rolling-hash boundaries → chunk fingerprints → per-doc shared-chunk
+    counts.  Shift-robust (an inserted paragraph moves offsets but not the
+    other chunks' fingerprints); the oracle recomputes the chunking with
+    SQL list ops."""
+    from eodatadown_spark.operators.dedup import cdc_dup_stats
+
+    docs = _t(spark, sf, "documents")
+    return cdc_dup_stats(docs, window=8, divisor=64)
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1748,6 +1760,7 @@ QUERIES: dict[str, Callable] = {
     "q98_volume_shipping": q98_volume_shipping,
     "q99_market_share": q99_market_share,
     "q100_sales_opportunity": q100_sales_opportunity,
+    "q101_cdc_dup_stats": q101_cdc_dup_stats,
 }
 
 
@@ -3176,6 +3189,57 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
             GROUP BY 1
+        """,
+        # q101: CDC chunking recomputed with DuckDB list ops — same
+        # normalization, window hash (base 1000003 mod 2038074743), cut
+        # rule, bound handling, and md5 chunk fingerprints as
+        # dedup.cdc_chunks; array_slice is 1-based end-inclusive, range()
+        # end-exclusive (matching Spark's inclusive sequence(0, n-w))
+        "q101_cdc_dup_stats": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
+                FROM documents
+            ), codes AS (
+                SELECT doc_id, norm, len(norm) AS n,
+                       list_transform(
+                           list_filter(string_split(norm, ''), c -> c <> ''),
+                           c -> CAST(ord(c) AS BIGINT)) AS cs
+                FROM d WHERE len(norm) > 0
+            ), cuts AS (
+                SELECT doc_id, norm, n,
+                       CASE WHEN n >= 8 THEN
+                           list_sort(list_distinct(
+                               [CAST(0 AS BIGINT)] ||
+                               list_filter(
+                                   list_transform(range(0, n - 8 + 1), i ->
+                                       CASE WHEN list_reduce(
+                                               list_prepend(CAST(0 AS BIGINT),
+                                                   array_slice(cs, i + 1, i + 8)),
+                                               (acc, c) -> (acc * 1000003 + c)
+                                                           % 2038074743) % 64 = 0
+                                            THEN CAST(i + 8 AS BIGINT)
+                                            ELSE CAST(-1 AS BIGINT) END),
+                                   x -> x <> -1) ||
+                               [CAST(n AS BIGINT)]))
+                       ELSE [CAST(0 AS BIGINT), CAST(n AS BIGINT)] END AS bounds
+                FROM codes
+            ), chunks AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(bounds)), j ->
+                           md5(substr(norm, CAST(bounds[j] + 1 AS INTEGER),
+                                      CAST(bounds[j + 1] - bounds[j] AS INTEGER)))))
+                           AS chunk_fp
+                FROM cuts
+            ), flagged AS (
+                SELECT doc_id, chunk_fp,
+                       count(DISTINCT doc_id) OVER (PARTITION BY chunk_fp)
+                           AS docs_with
+                FROM chunks
+            )
+            SELECT doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS n_shared
+            FROM flagged GROUP BY 1
         """,
         # q95: per-user gaps strictly over 24h; epoch() is double seconds
         # at microsecond precision in both engines

@@ -765,3 +765,125 @@ def neardup_clusters(
         F.col("lbl").alias("cluster_id"),
         (F.col("lbl") == F.col("id")).alias("is_canonical"),
     )
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where the
+    ``window``-char rolling hash ≡ 0 (mod ``divisor``) → (id, chunk_idx,
+    chunk, chunk_fp) rows.
+
+    Boundaries depend only on LOCAL content, so inserting a paragraph shifts
+    every byte offset but leaves all other chunk fingerprints intact — the
+    property that lets chunk-level dedup catch duplicated passages at
+    arbitrary offsets, where word-shingle MinHash sees one near-dup pair and
+    exact dedup sees nothing.  The storage-dedup technique (LBFS/rsync
+    lineage) applied to corpus text.
+
+    Cut RULE (engine-portable, no sequential scan state): cut after every
+    position i in [0, n-window] whose hash divides — no min-length
+    suppression, so each position's boundary decision is independent and any
+    ANSI engine reproduces it (q101's oracle recomputes chunks in SQL).
+    Expected chunk length ≈ ``divisor`` chars.  Docs shorter than ``window``
+    (after normalization) form one whole-doc chunk; empty-normalized docs
+    emit nothing.
+
+    Pure per-row expression work (O(n·window) codegen ops per doc): no
+    shuffle, no UDF.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    staged = documents.select(
+        F.col(id_col).alias("id"), norm.alias("__norm")
+    ).where(F.length("__norm") > 0)
+    # codepoint array materializes ONCE at a projection boundary (higher-
+    # order lambdas re-evaluate inlined subexpressions per element)
+    staged = staged.select(
+        "id",
+        "__norm",
+        F.transform(
+            F.filter(F.split(F.col("__norm"), ""), lambda c: c != ""),
+            lambda c: F.ascii(c).cast("long"),
+        ).alias("__codes"),
+    )
+    codes, n = F.col("__codes"), F.size("__codes")
+
+    def win_hash(i):
+        return F.aggregate(
+            F.slice(codes, i + 1, window),
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(
+                acc * F.lit(_SHINGLE_BASE) + c, F.lit(MINHASH_PRIME)
+            ),
+        )
+
+    cut_candidates = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.when(
+            F.pmod(win_hash(i), F.lit(divisor)) == 0, i + window
+        ).otherwise(F.lit(-1)),
+    )
+    cuts = F.filter(cut_candidates, lambda x: x != -1)
+    # cut list is ascending by construction; bound with 0 and n, then drop
+    # degenerate repeats (a cut AT n duplicates the end bound)
+    bounds = F.array_distinct(
+        F.concat(F.array(F.lit(0).cast("long")), cuts.cast("array<long>"), F.array(n.cast("long")))
+    )
+    staged = staged.withColumn(
+        "__bounds", F.when(n >= window, bounds).otherwise(F.array(F.lit(0).cast("long"), n.cast("long")))
+    )
+    b = F.col("__bounds")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(b) - 2),
+        lambda j: F.substring(
+            F.col("__norm"),
+            (F.element_at(b, j + 1) + 1).cast("int"),
+            (F.element_at(b, j + 2) - F.element_at(b, j + 1)).cast("int"),
+        ),
+    )
+    exploded = staged.select(
+        "id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    return exploded.select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        "chunk",
+        F.md5(F.col("chunk")).alias("chunk_fp"),
+    )
+
+
+def cdc_dup_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Per-document shared-content profile over CDC chunks: (id, n_chunks,
+    n_shared) where a chunk is 'shared' when its fingerprint also appears in
+    at least one OTHER document.
+
+    Same count-over-fingerprint-window trick as dup_ngram_fraction: one
+    exchange on chunk_fp, no self-join, chunk strings never shuffle twice
+    (only fp + id cross the wire).
+    """
+    from pyspark.sql import Window as W
+
+    ch = cdc_chunks(documents, id_col, text_col, window, divisor).select(
+        id_col, "chunk_fp"
+    )
+    wfp = W.partitionBy("chunk_fp")
+    flagged = ch.withColumn(
+        "__docs_with", F.size(F.collect_set(F.col(id_col)).over(wfp))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("__docs_with") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )

@@ -501,3 +501,80 @@ class TestCatalogMergeSemanticsParity:
         )
         with pytest.raises(ValueError, match="multiple source rows"):
             cat.merge_into("landsat_scenes", dup, on=["pid"])
+
+
+def _py_cdc_chunks(text, window=8, divisor=64):
+    import re
+    norm = re.sub(r"[^a-z0-9 ]", "", text.lower())
+    if not norm:
+        return []
+    n = len(norm)
+    if n < window:
+        return [norm]
+    P, B = 2038074743, 1_000_003
+    cuts = [0]
+    for i in range(0, n - window + 1):
+        h = 0
+        for ch in norm[i:i + window]:
+            h = (h * B + ord(ch)) % P
+        if h % divisor == 0:
+            if i + window != cuts[-1]:
+                cuts.append(i + window)
+    if cuts[-1] != n:
+        cuts.append(n)
+    return [norm[a:b] for a, b in zip(cuts, cuts[1:])]
+
+
+class TestCDCChunks:
+    def test_matches_python_reference(self, spark):
+        from eodatadown_spark.operators.dedup import cdc_chunks
+
+        texts = [
+            "The quick brown fox jumps over the lazy dog again and again. " * 4,
+            "Lorem ipsum dolor sit amet, consectetur adipiscing elit sed do " * 3,
+            "short",
+            "punct!!!???",
+            "",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = {}
+        for r in cdc_chunks(df, window=8, divisor=16).collect():
+            got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+        for i, t in enumerate(texts):
+            want = _py_cdc_chunks(t, 8, 16)
+            have = [c for _, c in sorted(got.get(i, []))]
+            assert have == want, f"doc {i}"
+
+    def test_shift_robustness(self, spark):
+        # inserting a leading paragraph shifts every offset; chunk
+        # fingerprints after the insertion point survive — the property
+        # fixed-window shingling at the char level cannot give
+        from eodatadown_spark.operators.dedup import cdc_chunks
+
+        body = "the common body of text that should dedup across docs " * 10
+        df = spark.createDataFrame(
+            [(1, body), (2, "an entirely new intro paragraph here. " + body)],
+            "doc_id bigint, text string",
+        )
+        rows = cdc_chunks(df, window=8, divisor=16).collect()
+        fps = {1: set(), 2: set()}
+        for r in rows:
+            fps[r["doc_id"]].add(r["chunk_fp"])
+        shared = fps[1] & fps[2]
+        assert len(shared) >= len(fps[1]) * 0.5  # most of doc 1 re-found
+
+    def test_dup_stats(self, spark):
+        from eodatadown_spark.operators.dedup import cdc_dup_stats
+
+        body = "repeated passage that appears in two documents verbatim " * 8
+        df = spark.createDataFrame(
+            [(1, body), (2, "prefix. " + body), (3, "completely different unrelated text with no overlap at all " * 8)],
+            "doc_id bigint, text string",
+        )
+        stats = {r["doc_id"]: r for r in cdc_dup_stats(df, window=8, divisor=16).collect()}
+        assert stats[1]["n_shared"] > 0
+        assert stats[2]["n_shared"] > 0
+        assert stats[3]["n_shared"] == 0
+        assert stats[3]["n_chunks"] > 0
