@@ -1647,6 +1647,16 @@ def q101_cdc_dup_stats(spark, sf):
     return cdc_dup_stats(docs, window=8, divisor=64)
 
 
+def q102_table_profile(spark, sf):
+    """One-pass per-column data-quality profile (reports.profile_columns):
+    rows/nulls/exact-distincts/min/max for four document columns in a
+    single aggregate scan."""
+    from eodatadown_spark.reports import profile_columns
+
+    docs = _t(spark, sf, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1761,6 +1771,7 @@ QUERIES: dict[str, Callable] = {
     "q99_market_share": q99_market_share,
     "q100_sales_opportunity": q100_sales_opportunity,
     "q101_cdc_dup_stats": q101_cdc_dup_stats,
+    "q102_table_profile": q102_table_profile,
 }
 
 
@@ -3189,6 +3200,39 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
             GROUP BY 1
+        """,
+        # q102: per-column profile — UNION ALL of per-column aggregates;
+        # n_distinct counts non-NULL values (both engines' COUNT(DISTINCT))
+        "q102_table_profile": """
+            SELECT 'doc_id' AS column, count(*) AS n_rows,
+                   count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS DOUBLE) AS min_num,
+                   CAST(max(doc_id) AS DOUBLE) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*),
+                   count(CASE WHEN lang IS NULL THEN 1 END),
+                   count(DISTINCT lang),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*),
+                   count(CASE WHEN source IS NULL THEN 1 END),
+                   count(DISTINCT source),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*),
+                   count(CASE WHEN n_chars IS NULL THEN 1 END),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM documents
         """,
         # q101: CDC chunking recomputed with DuckDB list ops — same
         # normalization, window hash (base 1000003 mod 2038074743), cut

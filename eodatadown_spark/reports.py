@@ -243,3 +243,55 @@ def merge_distinct_sketches(sketches: DataFrame, keys) -> DataFrame:
     return sketches.groupBy(*keys).agg(
         F.hll_union_agg("sketch").alias("sketch")
     ).withColumn("estimate", F.hll_sketch_estimate("sketch"))
+
+
+def profile_columns(df: DataFrame, cols) -> DataFrame:
+    """Per-column data-quality profile in ONE scan: (column, n_rows,
+    n_nulls, n_distinct, min_num, max_num, min_str, max_str).
+
+    Numeric columns report min/max as doubles (string slots NULL), others
+    as raw strings (numeric slots NULL) — min/max never cross-cast, so the
+    output is engine-portable (double→string formatting differs between
+    engines; this schema avoids it).
+
+    The whole profile is a single aggregate over one pass of the table —
+    multiple exact count-distincts plan through Spark's Expand (one
+    shuffle), which is the right trade for a profiling pass; at 100 TB
+    switch counts to approx_count_distinct or the HLL sketch rollup above
+    for a near-free estimate.
+    """
+    from pyspark.sql import types as T
+
+    cols = list(cols)
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.NumericType,))
+    }
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (F.col(f"__mn_{c}") if c in numeric else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"__mx_{c}") if c in numeric else F.lit(None).cast("double")).alias("max_num"),
+                (F.lit(None).cast("string") if c in numeric else F.col(f"__mn_{c}")).alias("min_str"),
+                (F.lit(None).cast("string") if c in numeric else F.col(f"__mx_{c}")).alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

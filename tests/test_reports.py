@@ -104,3 +104,21 @@ def test_distinct_sketch_rollup_and_merge(spark):
              for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()}
     for k, est in merged.items():
         assert abs(est - exact[k]) / exact[k] < 0.05
+
+
+def test_profile_columns_one_pass(spark):
+    from pyspark.sql import Row
+    from eodatadown_spark.reports import profile_columns
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b=None), Row(a=2, b="y")],
+        "a bigint, b string",
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert got["a"]["n_rows"] == 3 and got["a"]["n_nulls"] == 0
+    assert got["a"]["n_distinct"] == 2
+    assert got["a"]["min_num"] == 1.0 and got["a"]["max_num"] == 2.0
+    assert got["a"]["min_str"] is None
+    assert got["b"]["n_nulls"] == 1 and got["b"]["n_distinct"] == 2
+    assert got["b"]["min_str"] == "x" and got["b"]["max_str"] == "y"
+    assert got["b"]["min_num"] is None
