@@ -37,6 +37,16 @@ HEADLINE = [
     "q31_topk_per_group",
 ]
 
+# round-4 operators benched warm-only in a separate JSON section (headline
+# membership is frozen for round-over-round comparability)
+EXTENDED = [
+    "q91_merge_upsert",
+    "q93_weighted_sample",
+    "q96_sole_late_supplier",
+    "q97_incremental_rollup",
+    "q101_cdc_dup_stats",
+]
+
 
 def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -97,6 +107,16 @@ def main() -> None:
         except Exception:
             plan_facts[name] = None
 
+    # extended (non-headline) section: round-4 operators timed warm-only.
+    # Kept OUT of HEADLINE so the headline total stays round-over-round
+    # comparable; these numbers track the new operators' own trajectory.
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        run_once(queries[name](spark, sf_dir))  # warm-up pass
+        t0 = time.time()
+        run_once(queries[name](spark, sf_dir))
+        extended[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -110,6 +130,7 @@ def main() -> None:
                 "queries_warm": warm,
                 "total_warm": round(sum(warm.values()), 3),
                 "plan_exchanges": plan_facts,
+                "queries_extended_warm": extended,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
