@@ -395,3 +395,51 @@ def test_tmerc_roundtrip_property(zone_pts, zone, northern):
     la2, lo2 = utm_inverse(e, n, zone, northern)
     assert np.abs(la2 - lat).max() < 1e-9
     assert np.abs(lo2 - lon).max() < 1e-9
+
+
+@given(
+    st.dictionaries(st.integers(0, 12), st.one_of(st.none(), st.integers(-50, 50)),
+                    max_size=10),
+    st.dictionaries(st.integers(0, 12), st.one_of(st.none(), st.integers(-50, 50)),
+                    max_size=10),
+)
+@settings(**_SETTINGS)
+def test_merge_into_matches_python(spark, tgt, src):
+    """merge_into == plain-Python MERGE for a fixed clause set: delete when
+    s.v < 0, else update v = s.v (only when s.v is not NULL — the update
+    condition), insert unmatched."""
+    from eodatadown_spark.operators.merge import merge_into
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)], "k bigint, v bigint"
+    ).where("k is not null" if not tgt else "true")
+    source = spark.createDataFrame(
+        [(k, v) for k, v in src.items()] or [(None, None)], "k bigint, v bigint"
+    ).where("k is not null" if not src else "true")
+
+    got = {
+        r["k"]: r["v"]
+        for r in merge_into(
+            target,
+            source,
+            on=["k"],
+            when_matched_update={"v": F.col("s.v")},
+            update_condition=F.col("s.v").isNotNull(),
+            when_matched_delete=F.col("s.v") < 0,
+        ).collect()
+    }
+
+    want = {}
+    for k, v in tgt.items():
+        if k in src:
+            sv = src[k]
+            if sv is not None and sv < 0:
+                continue  # deleted
+            want[k] = sv if sv is not None else v  # update or carry (NULL cond)
+        else:
+            want[k] = v
+    for k, v in src.items():
+        if k not in tgt:
+            want[k] = v  # insert
+    assert got == want
