@@ -400,6 +400,38 @@ class ParquetCatalog:
 
         self._flip_and_gc(table, version)
 
+    def append(self, table: str, rows: DataFrame) -> None:
+        """Append-only fast path: hard-link EVERY existing partition into a
+        new version and add the new rows as extra files in their derived
+        partitions — no join, no rewrite, no shuffle of existing data.
+
+        The right ingest shape when keys are known-new (e.g. downstream of
+        an anti-join the caller already ran, or an event log); use
+        ``merge_into`` when dedup/upsert semantics are needed — append does
+        NOT check for key collisions.  Same pointer-flip-last crash posture
+        as every write.
+        """
+        cur = self.read(table)
+        part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
+        old_path = self.data_path(table)
+        if not part_cols or not _has_parquet_files(old_path):
+            base = self.read_clean(table)
+            self.write(base.unionByName(rows.select(*base.columns)), table)
+            return
+        part_src = PARTITION_SOURCE.get(table)
+        if part_src is None:
+            raise ValueError(
+                f"cannot derive partitions for appended rows: {table!r} has "
+                "no partition-source column"
+            )
+        version, out = self._begin_selective_version(table, old_path, [], part_cols)
+        target_cols = [c for c in cur.columns if c not in part_cols]
+        df = rows.select(*target_cols).withColumn("p_year", F.year(F.col(part_src)))
+        if "p_month" in part_cols:
+            df = df.withColumn("p_month", F.month(F.col(part_src)))
+        df.write.mode("append").partitionBy(*part_cols).parquet(out)
+        self._flip_and_gc(table, version)
+
     def compact(self, table: str, target_rows_per_file: int = 1_000_000) -> None:
         """Rewrite `table` with right-sized files — the maintenance pass for
         catalogs that accumulated small part files from repeated selective

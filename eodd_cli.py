@@ -362,13 +362,31 @@ def cmd_merge(args) -> None:
 
 def cmd_cdcdiff(args) -> None:
     """CDC between two parquet snapshots → change-set parquet
-    (keys + change_type)."""
+    (keys + change_type).  Snapshots are either plain parquet paths
+    (--old/--new) or two versions of a catalog table
+    (--catalog --table --from-version --to-version via time travel)."""
     from eodatadown_spark.operators.merge import diff_snapshots
     from eodatadown_spark.session import get_spark
 
     spark = get_spark("eodd_cli")
-    old = spark.read.parquet(args.old)
-    new = spark.read.parquet(args.new)
+    if args.table:
+        if not getattr(args, "catalog", None):
+            raise SystemExit("cdcdiff --table requires --catalog")
+        cat = _cat(args)
+        old = cat.read_version(args.table, args.from_version)
+        new = (
+            cat.read_version(args.table, args.to_version)
+            if args.to_version is not None
+            else cat.read(args.table)
+        )
+        drop = [c for c in ("p_year", "p_month")]
+        old = old.drop(*drop)
+        new = new.drop(*drop)
+    elif args.old and args.new:
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+    else:
+        raise SystemExit("cdcdiff needs --old/--new or --catalog/--table/--from-version")
     diff = diff_snapshots(old, new, args.keys.split(","))
     diff.write.mode("overwrite").parquet(args.out)
     # count from the (small) written change-set, not by re-running the
@@ -590,9 +608,14 @@ def main(argv=None) -> int:
         "--mode": {"choices": ["upsert", "delete"], "default": "upsert"},
     })
     add("cdcdiff", cmd_cdcdiff, **{
-        "--old": {"required": True}, "--new": {"required": True},
+        "--old": {"default": None}, "--new": {"default": None},
         "--keys": {"required": True, "help": "comma-separated key columns"},
         "--out": {"required": True},
+        "--catalog": {"default": None},
+        "--table": {"default": None},
+        "--from-version": {"type": int, "default": None, "dest": "from_version"},
+        "--to-version": {"type": int, "default": None, "dest": "to_version",
+                         "help": "defaults to the current version"},
     })
     add("sample", cmd_sample, **{
         "--infile": {"required": True}, "--out": {"required": True},

@@ -578,3 +578,62 @@ class TestCDCChunks:
         assert stats[2]["n_shared"] > 0
         assert stats[3]["n_shared"] == 0
         assert stats[3]["n_chunks"] > 0
+
+
+class TestCatalogAppend:
+    def test_append_hard_links_everything(self, spark, landsat_scenes, tmp_path):
+        import os
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes, "landsat_scenes")
+
+        def inodes():
+            d = os.path.join(cat.data_path("landsat_scenes"), "p_year=2019")
+            return {
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")
+            }
+
+        before = inodes()
+        new_rows = (
+            landsat_scenes.where(F.col("pid") == 0)
+            .withColumn("pid", F.lit(300).cast("long"))
+            .withColumn("scene_id", F.lit("S300"))
+            .withColumn("date_acquired", F.lit(dt.date(2023, 3, 1)))
+        )
+        cat.append("landsat_scenes", new_rows)
+        got = cat.read_clean("landsat_scenes")
+        assert got.count() == 8
+        assert got.where("pid = 300").count() == 1
+        # every pre-existing file hard-linked (superset: append may add
+        # files to an existing partition, never rewrites one)
+        assert before <= inodes()
+        assert os.path.isdir(
+            os.path.join(cat.data_path("landsat_scenes"), "p_year=2023")
+        )
+
+
+def test_cli_cdcdiff_catalog_versions(spark, tmp_path, capsys):
+    import json
+
+    import eodd_cli
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat_dir = str(tmp_path / "cat")
+    cat = ParquetCatalog(spark, cat_dir, retain_versions=3)
+    cat.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        "tbl",
+        partition=False,
+    )
+    cat.write(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string"),
+        "tbl",
+        partition=False,
+    )
+    out = str(tmp_path / "diff")
+    eodd_cli.main(["cdcdiff", "--catalog", cat_dir, "--table", "tbl",
+                   "--from-version", "0", "--keys", "k", "--out", out])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"out": out, "delete": 1, "update": 1, "insert": 1}
