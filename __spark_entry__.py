@@ -1657,6 +1657,17 @@ def q102_table_profile(spark, sf):
     return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
+def q103_knn_label_vote(spark, sf):
+    """k-NN majority-vote labeling (similarity.knn_label_vote): 20 query
+    vectors classified by their 5 exact cosine neighbors' labels, ties by
+    summed similarity then label."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_label_vote(emb, qs, k=5)
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1772,6 +1783,7 @@ QUERIES: dict[str, Callable] = {
     "q100_sales_opportunity": q100_sales_opportunity,
     "q101_cdc_dup_stats": q101_cdc_dup_stats,
     "q102_table_profile": q102_table_profile,
+    "q103_knn_label_vote": q103_knn_label_vote,
 }
 
 
@@ -3200,6 +3212,50 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
             GROUP BY 1
+        """,
+        # q103: k-NN vote — same ranking/tie-break chain as the engine
+        # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);
+        # cosine in DOUBLE, avg rounded to 4 (q35's float-tolerance
+        # convention)
+        "q103_knn_label_vote": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 20
+            ), c AS (
+                SELECT vec_id AS neighbor_id, embedding AS cv, label
+                FROM embeddings
+            ), scored AS (
+                -- bit-exact mirror of the engine's dot: per-element product
+                -- in FLOAT32 (Spark's zip_with multiplies the float elements
+                -- before the double accumulator sees them), then strictly
+                -- left-to-right double summation via list_reduce —
+                -- list_dot_product would accumulate in a different order/
+                -- precision and drift in the 4th decimal
+                SELECT query_id, neighbor_id, label,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] * cv[i] AS DOUBLE))), (acc, v) -> acc + v)
+                       / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] * qv[i] AS DOUBLE))), (acc, v) -> acc + v))
+                          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(cv) + 1), i -> CAST(cv[i] * cv[i] AS DOUBLE))), (acc, v) -> acc + v))) AS cos_sim
+                FROM q, c WHERE neighbor_id <> query_id
+            ), topk AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rn
+                    FROM scored) WHERE rn <= 5
+            ), votes AS (
+                -- cosine_topk OUTPUTS cos_sim rounded to 4 (its value
+                -- contract); the vote aggregates those rounded values, so
+                -- the oracle rounds per-neighbor BEFORE summing
+                SELECT query_id, label, count(*) AS votes,
+                       sum(round(cos_sim, 4)) AS sim_sum
+                FROM topk GROUP BY 1, 2
+            )
+            SELECT query_id, label, votes, round(sim_sum, 4) AS sim_sum
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY votes DESC, sim_sum DESC, label) AS rn
+                FROM votes) WHERE rn = 1
         """,
         # q102: per-column profile — UNION ALL of per-column aggregates;
         # n_distinct counts non-NULL values (both engines' COUNT(DISTINCT))

@@ -643,3 +643,58 @@ def label_centroid_distances(
         F.round(F.avg("dist"), round_to).alias("avg_dist"),
         F.round(F.max("dist"), round_to).alias("max_dist"),
     )
+
+
+def knn_label_vote(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    two_phase: bool = False,
+) -> DataFrame:
+    """k-NN majority-vote classification: each query takes the label most
+    common among its ``k`` exact cosine neighbors in the labeled corpus →
+    (query_id, label, votes, sim_sum).
+
+    The score column is the SUM of the (4-decimal) neighbor similarities,
+    not their mean: a mean of 4-decimal values lands on exact-half decimals
+    (x.xxxx5) where engines' rounding conventions legitimately disagree,
+    while a sum of 4-decimal multiples never does — the cross-engine-stable
+    choice (divide by ``votes`` downstream if a mean is wanted).
+
+    Ties break deterministically: more votes → higher summed similarity →
+    lexicographically smaller label.  Built on :func:`cosine_topk`, so the
+    scale shape is the broadcast-queries / partition-parallel-corpus scan
+    (``two_phase=True`` for the huge-corpus setting); the vote itself is
+    one small aggregation over q×k rows.  For a labeled corpus too big to
+    scan per batch, swap the neighbor stage for :func:`ivf_topk` /
+    :func:`pq_topk` — the vote tail is identical.
+    """
+    nn = cosine_topk(
+        labeled, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, two_phase=two_phase,
+    )
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("label")
+    )
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.count("*").alias("votes"),
+            F.sum("cos_sim").alias("__sim_sum"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__sim_sum").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id", "label", "votes", F.round("__sim_sum", 4).alias("sim_sum")
+        )
+    )

@@ -637,3 +637,27 @@ def test_cli_cdcdiff_catalog_versions(spark, tmp_path, capsys):
                    "--from-version", "0", "--keys", "k", "--out", out])
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats == {"out": out, "delete": 1, "update": 1, "insert": 1}
+
+
+class TestKnnLabelVote:
+    def test_majority_and_tiebreak(self, spark):
+        from eodatadown_spark.operators.similarity import knn_label_vote
+
+        # labeled points on two axes: label 1 along x, label 2 along y
+        labeled = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], "x"), (2, [0.9, 0.1], "x"), (3, [0.8, 0.2], "x"),
+                (4, [0.0, 1.0], "y"), (5, [0.1, 0.9], "y"),
+            ],
+            "vec_id bigint, embedding array<double>, label string",
+        )
+        queries = spark.createDataFrame(
+            [(100, [1.0, 0.05]), (200, [0.05, 1.0])],
+            "query_id bigint, embedding array<double>",
+        )
+        got = {
+            r["query_id"]: r
+            for r in knn_label_vote(labeled, queries, k=3).collect()
+        }
+        assert got[100]["label"] == "x" and got[100]["votes"] == 3
+        assert got[200]["label"] == "y" and got[200]["votes"] == 2
