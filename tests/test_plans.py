@@ -224,3 +224,19 @@ def test_q96_no_cartesian_and_broadcast_supplier(entry_spark):
 def test_q95_gaps_single_window_exchange(entry_spark):
     df = E.queries()["q95_event_gaps"](entry_spark, SF)
     assert audit.exchange_count(df) == 1  # one keyed lag-window shuffle
+
+
+def test_q101_cdc_single_exchange_no_join(entry_spark):
+    # chunking is per-row expression work; the only shuffle is the
+    # fingerprint window (count-over-fp, no self-join)
+    df = E.queries()["q101_cdc_dup_stats"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    assert not joins  # zero joins of any kind
+    assert audit.exchange_count(df) <= 2  # fp window + final group
+
+def test_q103_knn_broadcast_queries(entry_spark):
+    df = E.queries()["q103_knn_label_vote"](entry_spark, SF)
+    joins = audit.join_strategies(df)
+    # the query side broadcasts through the scoring cross join; the label
+    # attach is a hash join on neighbor_id
+    assert joins.get("BroadcastNestedLoopJoin", 0) == 1
