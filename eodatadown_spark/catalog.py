@@ -213,7 +213,13 @@ class ParquetCatalog:
         # yearly layout — unreadable table)
         part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
         if not part_cols or not _has_parquet_files(old_path):
-            self.write(apply_updates(self.read_clean(table), updates, key), table)
+            # same layout-preservation rule as append(): only an empty
+            # table gets (re-)partitioned by the full write
+            self.write(
+                apply_updates(self.read_clean(table), updates, key),
+                table,
+                partition=not _has_parquet_files(old_path),
+            )
             return
 
         changed = (
@@ -310,7 +316,8 @@ class ParquetCatalog:
                 when_matched_update, update_condition, when_matched_delete,
                 when_not_matched_insert, insert_condition, validate_unique_source,
             )
-            self.write(merged, table)
+            # layout-preservation rule shared with append()/merge_updates()
+            self.write(merged, table, partition=not _has_parquet_files(old_path))
             return
 
         target_cols = [c for c in cur.columns if c not in part_cols]
@@ -416,7 +423,14 @@ class ParquetCatalog:
         old_path = self.data_path(table)
         if not part_cols or not _has_parquet_files(old_path):
             base = self.read_clean(table)
-            self.write(base.unionByName(rows.select(*base.columns)), table)
+            # an EMPTY table takes the standard layout; a table that HAS
+            # data but no partition dirs was deliberately written flat —
+            # preserve that rather than silently re-partitioning it
+            self.write(
+                base.unionByName(rows.select(*base.columns)),
+                table,
+                partition=not _has_parquet_files(old_path),
+            )
             return
         part_src = PARTITION_SOURCE.get(table)
         if part_src is None:

@@ -677,9 +677,11 @@ def knn_label_vote(
         labeled, queries, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, two_phase=two_phase,
     )
+    # NULL-labeled corpus rows cannot vote (and Spark's asc = NULLS FIRST
+    # would otherwise let a NULL win ties, diverging from SQL's NULLS LAST)
     lab = labeled.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("label")
-    )
+    ).where(F.col("label").isNotNull())
     votes = (
         nn.join(lab, "neighbor_id")
         .groupBy("query_id", "label")

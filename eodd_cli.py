@@ -372,6 +372,8 @@ def cmd_cdcdiff(args) -> None:
     if args.table:
         if not getattr(args, "catalog", None):
             raise SystemExit("cdcdiff --table requires --catalog")
+        if args.from_version is None:
+            raise SystemExit("cdcdiff --table requires --from-version")
         cat = _cat(args)
         old = cat.read_version(args.table, args.from_version)
         new = (
@@ -379,9 +381,9 @@ def cmd_cdcdiff(args) -> None:
             if args.to_version is not None
             else cat.read(args.table)
         )
-        drop = [c for c in ("p_year", "p_month")]
-        old = old.drop(*drop)
-        new = new.drop(*drop)
+        # drop() ignores absent columns, so flat tables pass through
+        old = old.drop("p_year", "p_month")
+        new = new.drop("p_year", "p_month")
     elif args.old and args.new:
         old = spark.read.parquet(args.old)
         new = spark.read.parquet(args.new)

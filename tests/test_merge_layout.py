@@ -661,3 +661,26 @@ class TestKnnLabelVote:
         }
         assert got[100]["label"] == "x" and got[100]["votes"] == 3
         assert got[200]["label"] == "y" and got[200]["votes"] == 2
+
+
+def test_append_preserves_flat_layout(spark, tmp_path):
+    import os
+    from pyspark.sql import Row
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    # landsat_scenes IS in PARTITION_SOURCE but written deliberately flat
+    df = spark.createDataFrame(
+        [Row(pid=1, date_acquired=dt.date(2019, 1, 1), scene_id="A")]
+    )
+    cat.write(df, "landsat_scenes", partition=False)
+    cat.append(
+        "landsat_scenes",
+        spark.createDataFrame(
+            [Row(pid=2, date_acquired=dt.date(2020, 1, 1), scene_id="B")]
+        ),
+    )
+    assert cat.read_clean("landsat_scenes").count() == 2
+    assert not any(
+        d.startswith("p_year=") for d in os.listdir(cat.data_path("landsat_scenes"))
+    )
