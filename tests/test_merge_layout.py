@@ -684,3 +684,42 @@ def test_append_preserves_flat_layout(spark, tmp_path):
     assert not any(
         d.startswith("p_year=") for d in os.listdir(cat.data_path("landsat_scenes"))
     )
+
+
+def test_zorder_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """The scale claim behind cluster_by_zorder: after the clustered write,
+    each parquet file covers a disjoint __zorder interval (range partition +
+    in-partition sort), so bbox scans can skip whole files on footer
+    min/max stats."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from eodatadown_spark.spatial import cluster_by_zorder
+
+    df = spark.createDataFrame(
+        [Row(i=i, x=float((i * 131) % 360 - 180), y=float((i * 211) % 180 - 90))
+         for i in range(2000)]
+    )
+    out = str(tmp_path / "clustered")
+    cluster_by_zorder(df, "x", "y", n_partitions=4, bits=12).write.parquet(out)
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out, f))
+        lo = min(
+            md.row_group(i).column(3).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(3).statistics.max for i in range(md.num_row_groups)
+        )
+        # column 3 must actually be __zorder for the stats to mean anything
+        assert md.schema.column(3).name == "__zorder"
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2  # range partitioning actually split
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo  # files cover disjoint z intervals
