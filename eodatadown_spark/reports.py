@@ -42,20 +42,28 @@ def column_stats(
     aggregate with a mergeable t-digest-style sketch — partial aggregation
     map-side, no full sort of the column at 100 TB."""
     c = F.col(col)
+    # ONE percentile aggregate with an array of percentages, not three
+    # scalar calls: each scalar `percentile` carries its own full value
+    # buffer through the exchange and sorts it independently — the array
+    # form shares one buffer and one sort for all three quartiles
     if approx:
-        quartile = lambda p: F.percentile_approx(c, p, 10_000)  # noqa: E731
+        quartiles = F.percentile_approx(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10_000)
     else:
-        quartile = lambda p: F.expr(f"percentile({col}, {p})")  # noqa: E731
-    return df.where(c.isNotNull()).agg(
+        quartiles = F.expr(f"percentile({col}, array(0.25D, 0.5D, 0.75D))")
+    agg = df.where(c.isNotNull()).agg(
         F.count(c).alias("n"),
         F.round(F.sum(c), round_to).alias("total"),
         F.round(F.avg(c), round_to).alias("mean"),
         F.round(F.min(c), round_to).alias("min"),
         F.round(F.max(c), round_to).alias("max"),
         F.round(F.stddev_samp(c), round_to).alias("stdev"),
-        F.round(quartile(0.25), round_to).alias("q1"),
-        F.round(quartile(0.5), round_to).alias("median"),
-        F.round(quartile(0.75), round_to).alias("q3"),
+        quartiles.alias("__q"),
+    )
+    return agg.select(
+        "n", "total", "mean", "min", "max", "stdev",
+        F.round(F.element_at("__q", 1), round_to).alias("q1"),
+        F.round(F.element_at("__q", 2), round_to).alias("median"),
+        F.round(F.element_at("__q", 3), round_to).alias("q3"),
     )
 
 
