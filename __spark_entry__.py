@@ -1668,6 +1668,16 @@ def q103_knn_label_vote(spark, sf):
     return S.knn_label_vote(emb, qs, k=5)
 
 
+def q104_balanced_sample(spark, sf):
+    """Balanced per-source weighted sampling (corpus.weighted_sample_by_
+    group): 10 docs per source, odds ∝ n_chars within each source — one
+    keyed window, no global sort."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return C.weighted_sample_by_group(
+        docs, "n_chars", 10, "source", seed=42
+    ).orderBy("source", "doc_id")
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1784,6 +1794,7 @@ QUERIES: dict[str, Callable] = {
     "q101_cdc_dup_stats": q101_cdc_dup_stats,
     "q102_table_profile": q102_table_profile,
     "q103_knn_label_vote": q103_knn_label_vote,
+    "q104_balanced_sample": q104_balanced_sample,
 }
 
 
@@ -3212,6 +3223,30 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
             GROUP BY 1
+        """,
+        # q104: per-group A-ES — q93's key formula ranked per source
+        "q104_balanced_sample": """
+            WITH keyed AS (
+                SELECT doc_id, source, n_chars,
+                       ln((list_reduce(
+                               list_prepend(CAST(0 AS BIGINT), list_transform(
+                                   list_filter(
+                                       string_split(CAST(doc_id AS VARCHAR) || ' 42', ''),
+                                       ch -> ch <> ''),
+                                   ch -> CAST(ord(ch) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 2038074743)
+                            % 1048576 + 0.5) / 1048576.0)
+                       / CAST(n_chars AS DOUBLE) AS aes_key
+                FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, source, n_chars
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY aes_key DESC, doc_id) AS rn
+                FROM keyed
+            ) WHERE rn <= 10
+            ORDER BY source, doc_id
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

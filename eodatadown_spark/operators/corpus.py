@@ -839,9 +839,53 @@ def weighted_sample(
     )
 
 
+def weighted_sample_by_group(
+    documents: DataFrame,
+    weight_col: str,
+    k_per_group: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Balanced deterministic weighted sampling: ``k_per_group`` rows per
+    ``group_col`` value, inclusion odds ∝ weight within each group — the
+    per-source curation shape (cap every source at k docs, favoring heavy
+    ones) that a single global sample cannot give.
+
+    Same A-ES key as :func:`weighted_sample` (portable rolling-hash draw),
+    ranked per group via one keyed window — one shuffle on ``group_col``,
+    no global sort.  A group's hot reducer holds only its own rows; skewed
+    group sizes are the input's shape, not an artifact (cap candidates with
+    a filter first if one group dwarfs memory).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.pmod(
+            rolling_fingerprint(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(" "), F.lit(str(seed))
+                )
+            ),
+            F.lit(1 << 20),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 20))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.col("__aes_key").desc(), F.col(id_col))
+    return (
+        documents.where(F.col(weight_col) > 0)
+        .withColumn("__aes_key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k_per_group)
+        .drop("__aes_key", "__rn")
+    )
+
+
 __all__ = [
     "split_bucket",
     "weighted_sample",
+    "weighted_sample_by_group",
     "assign_split",
     "prefix_suffix_overlap",
     "dup_ngram_fraction",

@@ -723,3 +723,24 @@ def test_zorder_write_produces_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) >= 2  # range partitioning actually split
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo  # files cover disjoint z intervals
+
+
+def test_weighted_sample_by_group(spark):
+    from eodatadown_spark.operators.corpus import (
+        weighted_sample, weighted_sample_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, g=("a" if i % 2 == 0 else "b"), w=float((i % 5) + 1))
+         for i in range(100)]
+    )
+    out = weighted_sample_by_group(df, "w", 7, "g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["doc_id"])
+    assert len(by_g["a"]) == 7 and len(by_g["b"]) == 7
+    # within one group, the selection equals the global sampler run on that
+    # group alone (same key, same ordering)
+    only_a = df.where("g = 'a'")
+    global_a = {r["doc_id"] for r in weighted_sample(only_a, "w", 7).collect()}
+    assert set(by_g["a"]) == global_a
