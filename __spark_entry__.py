@@ -1678,6 +1678,44 @@ def q104_balanced_sample(spark, sf):
     ).orderBy("source", "doc_id")
 
 
+def q105_source_mix(spark, sf):
+    """Token-budget source mixing (corpus.mix_sources): per-source doc
+    selection in portable-hash order until each source's size budget is
+    spent — the training-mix recipe step, fully value-oracled."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return C.mix_sources(
+        docs, {"src0": 3000, "src1": 2000, "src2": 1000}, seed=42
+    ).orderBy("doc_id")
+
+
+def q106_split_leakage_gate(spark, sf):
+    """Leakage soundness gate: near-dup-aware split (corpus.assign_split_
+    clustered over dedup.neardup_clusters) must put every near-dup pair in
+    ONE split — returns the violating pairs, empty iff sound.  The oracle
+    recomputes clusters (recursive CTE), the cluster-keyed rolling-hash
+    split, and the same check; pytest covers the planted-dup positive
+    case."""
+    from eodatadown_spark.operators.corpus import assign_split_clustered
+    from eodatadown_spark.operators.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = neardup_clusters(docs, pairs=pairs)
+    split = assign_split_clustered(docs, clusters).select("doc_id", "split")
+    return (
+        pairs.join(
+            split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"),
+            "id_a",
+        )
+        .join(
+            split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"),
+            "id_b",
+        )
+        .where("sa <> sb")
+        .select("id_a", "id_b", "sa", "sb")
+    )
+
+
 # Ordering matters: the grading driver's correctness gate checks the FIRST
 # 50 entries only, so the first 50 are curated for maximal semantic
 # diversity — entries whose oracle duplicates another's shape (q12 vs q11,
@@ -1795,6 +1833,8 @@ QUERIES: dict[str, Callable] = {
     "q102_table_profile": q102_table_profile,
     "q103_knn_label_vote": q103_knn_label_vote,
     "q104_balanced_sample": q104_balanced_sample,
+    "q105_source_mix": q105_source_mix,
+    "q106_split_leakage_gate": q106_split_leakage_gate,
 }
 
 
@@ -3223,6 +3263,87 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
             GROUP BY 1
+        """,
+        # q105: per-source budgeted mix — q93's hash order + running
+        # INCLUSIVE size sum per source against a CASE budget
+        "q105_source_mix": """
+            WITH keyed AS (
+                SELECT doc_id, source, n_chars,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), list_transform(
+                               list_filter(
+                                   string_split(CAST(doc_id AS VARCHAR) || ' 42', ''),
+                                   ch -> ch <> ''),
+                               ch -> CAST(ord(ch) AS BIGINT))),
+                           (acc, c) -> (acc * 31 + c) % 2038074743) % 1048576
+                           AS mix_u,
+                       CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000
+                                   WHEN 'src2' THEN 1000 ELSE 0 END AS budget
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, source, n_chars, budget,
+                       sum(n_chars) OVER (
+                           PARTITION BY source ORDER BY mix_u, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS running
+                FROM keyed
+            )
+            SELECT doc_id, source, n_chars FROM cum
+            WHERE running <= budget ORDER BY doc_id
+        """,
+        # q106: leakage gate — recursive-CTE clusters (q50's), cluster-keyed
+        # rolling-hash split, violating pairs (empty iff sound)
+        "q106_split_leakage_gate": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                      / len(list_distinct(list_cat(a.shingles, b.shingles))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ), comp AS (
+                SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ), split AS (
+                SELECT doc_id,
+                       CASE WHEN b < 90 THEN 'train'
+                            WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+                FROM (
+                    SELECT doc_id,
+                           list_reduce(
+                               list_prepend(CAST(0 AS BIGINT), list_transform(
+                                   list_filter(
+                                       string_split(CAST(cluster_id AS VARCHAR), ''),
+                                       ch -> ch <> ''),
+                                   ch -> CAST(ord(ch) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 2038074743) % 100 AS b
+                    FROM comp
+                )
+            )
+            SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb
+            FROM pairs p
+            JOIN split sa ON p.id_a = sa.doc_id
+            JOIN split sb ON p.id_b = sb.doc_id
+            WHERE sa.split <> sb.split
         """,
         # q104: per-group A-ES — q93's key formula ranked per source
         "q104_balanced_sample": """

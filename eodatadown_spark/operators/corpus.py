@@ -882,10 +882,87 @@ def weighted_sample_by_group(
     )
 
 
+def mix_sources(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budget source mixing: build a training mix by taking documents
+    per source, in deterministic hash-shuffled order, until that source's
+    size budget is spent → the "N tokens of web, M of code, K of books"
+    recipe step.
+
+    A doc is kept iff its source's running INCLUSIVE size total (in hash
+    order) stays ≤ the budget (sources absent from ``budgets`` get
+    ``default_budget``; 0 excludes).  The order key is the portable-hash
+    uniform (same contract as weighted_sample with unit weights), so the
+    mix is reproducible in any engine and stable under appends — docs
+    already in the mix stay in it as long as the budget doesn't shrink.
+
+    One keyed window shuffle (source), running-sum frame; no global sort.
+    """
+    from pyspark.sql import Window
+
+    budget = F.lit(default_budget).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(b).cast("long")).otherwise(budget)
+    u = F.pmod(
+        rolling_fingerprint(
+            F.concat(F.col(id_col).cast("string"), F.lit(" "), F.lit(str(seed)))
+        ),
+        F.lit(1 << 20),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("__mix_u"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        documents.withColumn("__mix_u", u)
+        .withColumn("__cum", F.sum(F.col(size_col).cast("long")).over(w))
+        .where(F.col("__cum") <= budget)
+        .drop("__mix_u", "__cum")
+    )
+
+
+def assign_split_clustered(
+    documents: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Leakage-proof train/val/test assignment: split by the near-dup
+    CLUSTER representative's hash, not the document's own — every member of
+    a near-dup component lands in the SAME split, so no variant of a
+    training document can leak into eval.
+
+    ``clusters`` is :func:`eodatadown_spark.operators.dedup.
+    neardup_clusters` output (doc_id, cluster_id, ...); documents missing
+    from it split by their own id (isolated docs — same result either way).
+    One broadcast-or-keyed join + the narrow bucket projection.
+    """
+    c = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
+    joined = documents.join(c, id_col, "left")
+    bucket = split_bucket(F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.withColumn("split", split).drop("cluster_id")
+
+
 __all__ = [
     "split_bucket",
     "weighted_sample",
     "weighted_sample_by_group",
+    "mix_sources",
+    "assign_split_clustered",
     "assign_split",
     "prefix_suffix_overlap",
     "dup_ngram_fraction",
