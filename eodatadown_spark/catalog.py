@@ -446,6 +446,22 @@ class ParquetCatalog:
         df.write.mode("append").partitionBy(*part_cols).parquet(out)
         self._flip_and_gc(table, version)
 
+    def changes_since(self, table: str, version: int, keys=("pid",)) -> DataFrame:
+        """Change feed: CDC rows (keys + change_type) between a retained
+        historical version and the CURRENT table — ``diff_snapshots`` over
+        time travel, so a downstream consumer can ask "what changed since
+        the version I last saw?" instead of re-reading the table.
+
+        Only versions inside the retention window are diffable (raise
+        ``retain_versions`` for longer-lived consumers).
+        """
+        from eodatadown_spark.operators.merge import diff_snapshots
+
+        old = self.read_version(table, version)
+        new = self.read(table)
+        drop = [c for c in ("p_year", "p_month")]
+        return diff_snapshots(old.drop(*drop), new.drop(*drop), list(keys))
+
     def compact(self, table: str, target_rows_per_file: int = 1_000_000) -> None:
         """Rewrite `table` with right-sized files — the maintenance pass for
         catalogs that accumulated small part files from repeated selective

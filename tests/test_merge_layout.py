@@ -819,3 +819,20 @@ class TestClusteredSplit:
             .where("sa <> sb")
         )
         assert crossed.count() == 0
+
+
+def test_catalog_changes_since(spark, tmp_path):
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path), retain_versions=3)
+    cat.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "pid bigint, v string"),
+        "tbl", partition=False,
+    )
+    cat.write(
+        spark.createDataFrame([(2, "B"), (3, "c")], "pid bigint, v string"),
+        "tbl", partition=False,
+    )
+    got = {r["pid"]: r["change_type"]
+           for r in cat.changes_since("tbl", 0, keys=("pid",)).collect()}
+    assert got == {1: "delete", 2: "update", 3: "insert"}
