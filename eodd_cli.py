@@ -465,9 +465,16 @@ def cmd_dataprep(args) -> None:
         pairs = D.minhash_neardup_pairs(
             kept, jaccard_threshold=args.jaccard
         ).select("id_a", "id_b")
-    canon = D.neardup_clusters(kept, pairs=pairs).where(F.col("is_canonical"))
-    kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
-    n_neardup = kept.count()
+    clusters = D.neardup_clusters(kept, pairs=pairs)
+    if args.clustered_split:
+        # near-dup variants are KEPT but pinned to one split (leakage-proof
+        # policy: duplicates may train, none may straddle into eval)
+        clusters = clusters.localCheckpoint()
+        n_neardup = kept.count()
+    else:
+        canon = clusters.where(F.col("is_canonical"))
+        kept = kept.join(canon.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+        n_neardup = kept.count()
     stats = {
         "input": n_in,
         "after_quality": n_quality,
@@ -504,7 +511,26 @@ def cmd_dataprep(args) -> None:
             kept, alpha=args.temperature_alpha
         ).localCheckpoint()
         stats["after_temperature"] = kept.count()
-    out = assign_split(kept)
+    # optional token-budget source mixing (training-mix recipe step)
+    if args.mix_budgets is not None:
+        from eodatadown_spark.operators.corpus import mix_sources
+
+        budgets = json.loads(args.mix_budgets)
+        if "source" not in kept.columns:
+            raise SystemExit(
+                f"--mix-budgets needs a 'source' column (columns: {kept.columns})"
+            )
+        size_col = "n_chars" if "n_chars" in kept.columns else None
+        if size_col is None:
+            kept = kept.withColumn("n_chars", F.length("text"))
+        kept = mix_sources(kept, budgets).localCheckpoint()
+        stats["after_mix"] = kept.count()
+    if args.clustered_split:
+        from eodatadown_spark.operators.corpus import assign_split_clustered
+
+        out = assign_split_clustered(kept, clusters)
+    else:
+        out = assign_split(kept)
     # optional context-window chunking: the written corpus becomes one row
     # per chunk (split assignment made per-DOC first, so chunks of one doc
     # never straddle train/val/test)
@@ -601,6 +627,12 @@ def main(argv=None) -> int:
                            "help": "emit token-window chunks of this size"},
         "--chunk-stride": {"type": int, "default": None, "dest": "chunk_stride",
                            "help": "chunk stride (default = window)"},
+        "--clustered-split": {"action": "store_true", "dest": "clustered_split",
+                              "help": "keep near-dups but pin each cluster "
+                                      "to one split (leakage-proof policy)"},
+        "--mix-budgets": {"default": None, "dest": "mix_budgets",
+                          "help": "JSON source->char-budget map for "
+                                  "token-budget mixing"},
     })
 
     add("merge", cmd_merge, **{

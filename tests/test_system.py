@@ -434,3 +434,32 @@ def test_cli_merge_upsert_delete(spark, tmp_path, capsys):
     eodd_cli.main(["merge", "--catalog", cat_dir, "--table", "tbl",
                    "--source", del_src, "--on", "k", "--mode", "delete"])
     assert set(r["k"] for r in cat.read_clean("tbl").collect()) == {2, 3}
+
+
+def test_cli_dataprep_clustered_split_and_mix(spark, tmp_path, capsys):
+    import json
+
+    import eodd_cli
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"a perfectly fine unique document number {i} with plenty of words", "s0", 60)
+            for i in range(30)]
+    rows += [(100, base, "s1", len(base)), (101, base + " extra", "s1", len(base) + 6)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, n_chars bigint"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "prepped")
+    eodd_cli.main([
+        "dataprep", "--infile", src, "--out", out, "--min-quality", "0.0",
+        "--clustered-split", "--mix-budgets", json.dumps({"s0": 600, "s1": 500}),
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # near-dups kept (clustered-split policy), mix capped s0 at 10 docs
+    assert stats["after_neardup"] == 32
+    assert stats["after_mix"] <= 12
+    got = spark.read.parquet(out)
+    splits = {r["doc_id"]: r["split"] for r in got.collect()}
+    if 100 in splits and 101 in splits:
+        assert splits[100] == splits[101]  # same cluster -> same split
