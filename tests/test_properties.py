@@ -443,3 +443,45 @@ def test_merge_into_matches_python(spark, tgt, src):
         if k not in tgt:
             want[k] = v  # insert
     assert got == want
+
+
+@given(st.lists(
+    st.text(alphabet="abc XY.,7", min_size=0, max_size=120),
+    min_size=1, max_size=5,
+))
+@settings(**_SETTINGS)
+def test_cdc_chunks_match_python(spark, texts):
+    """cdc_chunks == the plain-Python chunker on arbitrary text (mixed
+    case, punctuation, spaces, digits, short/empty docs)."""
+    import re
+
+    from eodatadown_spark.operators.dedup import cdc_chunks
+
+    W, D, P, B = 8, 16, 2038074743, 1_000_003
+
+    def py_chunks(text):
+        norm = re.sub(r"[^a-z0-9 ]", "", text.lower())
+        if not norm:
+            return []
+        n = len(norm)
+        if n < W:
+            return [norm]
+        cuts = [0]
+        for i in range(0, n - W + 1):
+            h = 0
+            for ch in norm[i:i + W]:
+                h = (h * B + ord(ch)) % P
+            if h % D == 0 and i + W != cuts[-1]:
+                cuts.append(i + W)
+        if cuts[-1] != n:
+            cuts.append(n)
+        return [norm[a:b] for a, b in zip(cuts, cuts[1:])]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {}
+    for r in cdc_chunks(df, window=W, divisor=D).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    for i, t in enumerate(texts):
+        assert [c for _, c in sorted(got.get(i, []))] == py_chunks(t)
