@@ -867,23 +867,29 @@ def cdc_dup_stats(
     n_shared) where a chunk is 'shared' when its fingerprint also appears in
     at least one OTHER document.
 
-    Same count-over-fingerprint-window trick as dup_ngram_fraction: one
-    exchange on chunk_fp, no self-join, chunk strings never shuffle twice
-    (only fp + id cross the wire).
+    Memory-bounded at any skew: distinct (doc, fp) pairs → per-fp doc
+    count (plain count, constant-memory partial aggregation) → shared-fp
+    set joins back on fp.  A collect_set-over-window formulation would be
+    one exchange cheaper but holds every doc id of a fingerprint in one
+    reducer's state — a single boilerplate chunk shared by 10⁶ documents
+    kills it; this shape never materializes a per-fp id list.  Only
+    (fp, id) pairs cross the wire, never chunk text.
     """
-    from pyspark.sql import Window as W
-
     ch = cdc_chunks(documents, id_col, text_col, window, divisor).select(
         id_col, "chunk_fp"
     )
-    wfp = W.partitionBy("chunk_fp")
-    flagged = ch.withColumn(
-        "__docs_with", F.size(F.collect_set(F.col(id_col)).over(wfp))
+    shared_fps = (
+        ch.dropDuplicates([id_col, "chunk_fp"])
+        .groupBy("chunk_fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") > 1)
+        .select("chunk_fp", F.lit(1).alias("__shared"))
     )
+    flagged = ch.join(shared_fps, "chunk_fp", "left")
     return (
         flagged.groupBy(id_col)
         .agg(
             F.count("*").alias("n_chunks"),
-            F.sum(F.when(F.col("__docs_with") > 1, 1).otherwise(0)).alias("n_shared"),
+            F.sum(F.coalesce(F.col("__shared"), F.lit(0))).alias("n_shared"),
         )
     )

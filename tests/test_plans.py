@@ -226,13 +226,18 @@ def test_q95_gaps_single_window_exchange(entry_spark):
     assert audit.exchange_count(df) == 1  # one keyed lag-window shuffle
 
 
-def test_q101_cdc_single_exchange_no_join(entry_spark):
-    # chunking is per-row expression work; the only shuffle is the
-    # fingerprint window (count-over-fp, no self-join)
+def test_q101_cdc_bounded_memory_shape(entry_spark):
+    # chunking is per-row expression work; the dup profile deliberately
+    # trades one extra exchange for bounded reducer memory (distinct-pair
+    # aggregate + fp equi-join, NEVER a per-fp id list in window state)
     df = E.queries()["q101_cdc_dup_stats"](entry_spark, SF)
     joins = audit.join_strategies(df)
-    assert not joins  # zero joins of any kind
-    assert audit.exchange_count(df) <= 2  # fp window + final group
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+    assert sum(joins.values()) == 1  # the single fp equi-join
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan  # the unbounded-state formulation
+    assert audit.exchange_count(df) <= 4
 
 def test_q103_knn_broadcast_queries(entry_spark):
     df = E.queries()["q103_knn_label_vote"](entry_spark, SF)
