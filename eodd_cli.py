@@ -319,6 +319,23 @@ def cmd_bpetrain(args) -> None:
     print(json.dumps(stats))
 
 
+def cmd_fsck(args) -> None:
+    """Catalog health report: pointer validity, orphan version dirs from
+    crashed writes, hard-link sharing between retained versions."""
+    cat = _cat(args)
+    print(json.dumps(cat.fsck(args.table), default=str))
+
+
+def cmd_versions(args) -> None:
+    """List a table's readable (time-travelable) versions."""
+    cat = _cat(args)
+    print(json.dumps({
+        "table": args.table,
+        "current": cat._current_version(args.table),
+        "readable": cat.list_versions(args.table),
+    }))
+
+
 def cmd_merge(args) -> None:
     """Catalog MERGE: fold a source parquet into a catalog table.
 
@@ -635,6 +652,8 @@ def main(argv=None) -> int:
                                   "token-budget mixing"},
     })
 
+    add("fsck", cmd_fsck, **{"--table": {"default": "landsat_scenes"}})
+    add("versions", cmd_versions, **{"--table": {"default": "landsat_scenes"}})
     add("merge", cmd_merge, **{
         "--table": {"required": True},
         "--source": {"required": True, "help": "source parquet path"},

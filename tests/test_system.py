@@ -463,3 +463,23 @@ def test_cli_dataprep_clustered_split_and_mix(spark, tmp_path, capsys):
     splits = {r["doc_id"]: r["split"] for r in got.collect()}
     if 100 in splits and 101 in splits:
         assert splits[100] == splits[101]  # same cluster -> same split
+
+
+def test_cli_fsck_and_versions(spark, tmp_path, capsys):
+    import json
+
+    import eodd_cli
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat_dir = str(tmp_path / "cat")
+    cat = ParquetCatalog(spark, cat_dir)
+    cat.write(spark.createDataFrame([(1, "a")], "pid bigint, v string"),
+              "tbl", partition=False)
+    cat.write(spark.createDataFrame([(2, "b")], "pid bigint, v string"),
+              "tbl", partition=False)
+    eodd_cli.main(["versions", "--catalog", cat_dir, "--table", "tbl"])
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["current"] == "v_1" and v["readable"] == [0, 1]
+    eodd_cli.main(["fsck", "--catalog", cat_dir, "--table", "tbl"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report.get("orphans") == [] or report.get("orphan_versions") == []
