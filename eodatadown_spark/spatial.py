@@ -120,3 +120,45 @@ def cluster_by_zorder(
         .repartitionByRange(n_partitions, F.col("__zorder"))
         .sortWithinPartitions("__zorder")
     )
+
+
+def zorder_key_n(
+    cols,
+    ranges,
+    bits: int = 12,
+) -> F.Column:
+    """N-dimensional Morton key: quantize each column to ``bits`` bits and
+    round-robin interleave (column j owns bit positions i*k + j) → bigint.
+
+    The multi-column generalization of :func:`zorder_key` for layouts that
+    must serve predicates over several dimensions at once (e.g. date-bucket
+    × lat × lon): sorting by this key gives every dimension partial
+    locality, so min/max file stats prune on ANY subset of the columns.
+    ``bits * len(cols)`` must stay ≤ 62 (signed-long safe).  Same exact
+    IEEE/integer arithmetic as the 2-D form — engine-portable, clamping
+    out-of-range values to the boundary cells.
+    """
+    cols = list(cols)
+    ranges = list(ranges)
+    if len(cols) != len(ranges) or not cols:
+        raise ValueError("cols and ranges must be equal-length and non-empty")
+    k = len(cols)
+    if bits < 1 or bits * k > 62:
+        raise ValueError(f"bits*len(cols) must be in [1, 62], got {bits * k}")
+    n_cells = 1 << bits
+
+    def quantize(c, lo: float, hi: float) -> F.Column:
+        cc = F.col(c) if isinstance(c, str) else c
+        scaled = F.floor(
+            (cc.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n_cells))
+        )
+        return F.least(F.greatest(scaled, F.lit(0)), F.lit(n_cells - 1)).cast("long")
+
+    qs = [quantize(c, lo, hi) for c, (lo, hi) in zip(cols, ranges)]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            z = z + F.shiftright(q, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (i * k + j)
+            )
+    return z

@@ -836,3 +836,52 @@ def test_catalog_changes_since(spark, tmp_path):
     got = {r["pid"]: r["change_type"]
            for r in cat.changes_since("tbl", 0, keys=("pid",)).collect()}
     assert got == {1: "delete", 2: "update", 3: "insert"}
+
+
+def _py_zorder_n(vals, bits, ranges):
+    n = 1 << bits
+    k = len(vals)
+    qs = []
+    for v, (lo, hi) in zip(vals, ranges):
+        qs.append(min(max(int(math.floor((v - lo) / (hi - lo) * n)), 0), n - 1))
+    z = 0
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            z += ((q >> i) & 1) << (i * k + j)
+    return z
+
+
+class TestZOrderN:
+    def test_matches_python_3d(self, spark):
+        from eodatadown_spark.spatial import zorder_key_n
+
+        ranges = [(-180.0, 180.0), (-90.0, 90.0), (0.0, 365.0)]
+        rows = [Row(x=-180.0, y=-90.0, t=0.0), Row(x=179.9, y=89.9, t=364.9),
+                Row(x=13.4, y=52.5, t=180.5), Row(x=500.0, y=-500.0, t=12.0)]
+        df = spark.createDataFrame(rows)
+        got = df.select(
+            "x", "y", "t",
+            zorder_key_n(["x", "y", "t"], ranges, bits=10).alias("z"),
+        ).collect()
+        for r in got:
+            assert r["z"] == _py_zorder_n((r["x"], r["y"], r["t"]), 10, ranges)
+
+    def test_2d_round_robin_matches_zorder_key(self, spark):
+        # with k=2, round-robin interleave == the 2-D key's even/odd layout
+        from eodatadown_spark.spatial import zorder_key, zorder_key_n
+
+        df = spark.createDataFrame([Row(x=-77.1, y=38.9), Row(x=151.2, y=-33.9)])
+        out = df.select(
+            (zorder_key("x", "y", 16)
+             == zorder_key_n(["x", "y"], [(-180.0, 180.0), (-90.0, 90.0)], 16)
+             ).alias("eq")
+        ).collect()
+        assert all(r["eq"] for r in out)
+
+    def test_bounds(self):
+        from eodatadown_spark.spatial import zorder_key_n
+
+        with pytest.raises(ValueError):
+            zorder_key_n(["a"] * 8, [(0.0, 1.0)] * 8, bits=8)  # 64 > 62
+        with pytest.raises(ValueError):
+            zorder_key_n([], [], bits=8)
