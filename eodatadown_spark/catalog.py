@@ -459,8 +459,10 @@ class ParquetCatalog:
 
         old = self.read_version(table, version)
         new = self.read(table)
-        drop = [c for c in ("p_year", "p_month")]
-        return diff_snapshots(old.drop(*drop), new.drop(*drop), list(keys))
+        # drop() ignores absent columns, so flat tables pass through
+        return diff_snapshots(
+            old.drop("p_year", "p_month"), new.drop("p_year", "p_month"), list(keys)
+        )
 
     def compact(self, table: str, target_rows_per_file: int = 1_000_000) -> None:
         """Rewrite `table` with right-sized files — the maintenance pass for

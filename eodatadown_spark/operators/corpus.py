@@ -31,6 +31,35 @@ def token_array(text_col: Column | str) -> Column:
     return F.filter(F.split(F.lower(ws_trim(c)), "\\s+"), lambda t: t != "")
 
 
+def _portable_uniform(id_col: Column | str, seed: int) -> Column:
+    """Deterministic uniform in (0,1) from the engine-portable rolling hash
+    of ``"<id> <seed>"`` — THE sampling-draw contract every sampler and
+    every SQL oracle mirrors; keep exactly one copy of the formula."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.pmod(
+            rolling_fingerprint(
+                F.concat(c.cast("string"), F.lit(" "), F.lit(str(seed)))
+            ),
+            F.lit(1 << 20),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 20))
+
+
+def _aes_key(id_col: Column | str, weight_col: str, seed: int) -> Column:
+    """Efraimidis-Spirakis ranking key ln(u)/w (monotone with u^(1/w))."""
+    return F.log(_portable_uniform(id_col, seed)) / F.col(weight_col).cast("double")
+
+
+def _split_label(bucket: Column, train_pct: int, val_pct: int) -> Column:
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic [0, n_buckets) bucket from the decimal id string's
     rolling hash.
@@ -57,12 +86,9 @@ def assign_split(
     every rerun agrees on each document's split.
     """
     bucket = split_bucket(id_col)
-    split = (
-        F.when(bucket < train_pct, F.lit("train"))
-        .when(bucket < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
+    return documents.withColumn(
+        "split", _split_label(bucket, train_pct, val_pct)
     )
-    return documents.withColumn("split", split)
 
 
 def tfidf_topk_keywords(
@@ -818,21 +844,9 @@ def weighted_sample(
     spacing ~1/n dwarfs that, so membership is engine-stable but the raw
     float is not a contract).
     """
-    u = (
-        F.pmod(
-            rolling_fingerprint(
-                F.concat(
-                    F.col(id_col).cast("string"), F.lit(" "), F.lit(str(seed))
-                )
-            ),
-            F.lit(1 << 20),
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 20))
-    key = F.log(u) / F.col(weight_col).cast("double")
     return (
         documents.where(F.col(weight_col) > 0)
-        .withColumn("__aes_key", key)
+        .withColumn("__aes_key", _aes_key(id_col, weight_col, seed))
         .orderBy(F.col("__aes_key").desc(), F.col(id_col))
         .limit(k)
         .drop("__aes_key")
@@ -860,22 +874,10 @@ def weighted_sample_by_group(
     """
     from pyspark.sql import Window
 
-    u = (
-        F.pmod(
-            rolling_fingerprint(
-                F.concat(
-                    F.col(id_col).cast("string"), F.lit(" "), F.lit(str(seed))
-                )
-            ),
-            F.lit(1 << 20),
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 20))
-    key = F.log(u) / F.col(weight_col).cast("double")
     w = Window.partitionBy(group_col).orderBy(F.col("__aes_key").desc(), F.col(id_col))
     return (
         documents.where(F.col(weight_col) > 0)
-        .withColumn("__aes_key", key)
+        .withColumn("__aes_key", _aes_key(id_col, weight_col, seed))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k_per_group)
         .drop("__aes_key", "__rn")
@@ -900,8 +902,11 @@ def mix_sources(
     order) stays ≤ the budget (sources absent from ``budgets`` get
     ``default_budget``; 0 excludes).  The order key is the portable-hash
     uniform (same contract as weighted_sample with unit weights), so the
-    mix is reproducible in any engine and stable under appends — docs
-    already in the mix stay in it as long as the budget doesn't shrink.
+    mix is a pure, engine-reproducible function of the input set + budgets.
+    NOTE: appending data CAN displace marginal selections — a new doc
+    hashing earlier in the order pushes later docs' running totals past the
+    budget; pin a mix by materializing its id list, not by re-running over
+    grown data.
 
     One keyed window shuffle (source), running-sum frame; no global sort.
     """
@@ -949,12 +954,9 @@ def assign_split_clustered(
     c = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
     joined = documents.join(c, id_col, "left")
     bucket = split_bucket(F.coalesce(F.col("cluster_id"), F.col(id_col)))
-    split = (
-        F.when(bucket < train_pct, F.lit("train"))
-        .when(bucket < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return joined.withColumn("split", split).drop("cluster_id")
+    return joined.withColumn(
+        "split", _split_label(bucket, train_pct, val_pct)
+    ).drop("cluster_id")
 
 
 __all__ = [

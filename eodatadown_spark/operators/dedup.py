@@ -875,9 +875,16 @@ def cdc_dup_stats(
     kills it; this shape never materializes a per-fp id list.  Only
     (fp, id) pairs cross the wire, never chunk text.
     """
+    # the (id, fp) projection feeds BOTH the shared-fp aggregate and the
+    # flag join; without persistence the O(chars·window) chunking lineage
+    # runs twice (the two consumers need different partitionings, so no
+    # exchange reuse).  MEMORY_AND_DISK keeps the narrow pair relation,
+    # never chunk text; Spark evicts it LRU after the query.
+    from pyspark import StorageLevel
+
     ch = cdc_chunks(documents, id_col, text_col, window, divisor).select(
         id_col, "chunk_fp"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     shared_fps = (
         ch.dropDuplicates([id_col, "chunk_fp"])
         .groupBy("chunk_fp")

@@ -70,29 +70,11 @@ def zorder_key(
     """
     if bits < 1 or bits > 31:
         raise ValueError("bits must be in [1, 31]")
-    xc = F.col(x) if isinstance(x, str) else x
-    yc = F.col(y) if isinstance(y, str) else y
-    n_cells = 1 << bits
-
-    def quantize(c: F.Column, lo: float, hi: float) -> F.Column:
-        scaled = F.floor(
-            (c.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n_cells))
-        )
-        return F.least(F.greatest(scaled, F.lit(0)), F.lit(n_cells - 1)).cast("long")
-
-    qx = quantize(xc, *x_range)
-    qy = quantize(yc, *y_range)
-    # materialization note: qx/qy appear once per bit below; both are cheap
-    # pure-arithmetic scalars (one floor + clamp), so inlining 2*bits times
-    # is a few ALU ops per row — no projection boundary needed
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (
-            z
-            + F.shiftright(qx, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-            + F.shiftright(qy, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
-        )
-    return z
+    # k=2 round-robin interleave == the classic even/odd bit layout, so the
+    # 2-D key IS the N-D key specialized (bit-for-bit equality pinned by
+    # test_2d_round_robin_matches_zorder_key) — one copy of the
+    # engine-portability-sensitive quantize/interleave arithmetic
+    return zorder_key_n([x, y], [x_range, y_range], bits)
 
 
 def cluster_by_zorder(
@@ -145,6 +127,11 @@ def zorder_key_n(
     k = len(cols)
     if bits < 1 or bits * k > 62:
         raise ValueError(f"bits*len(cols) must be in [1, 62], got {bits * k}")
+    for lo, hi in ranges:
+        if not (hi > lo):
+            # a zero/negative span divides by 0 (or negates the scale) and
+            # silently collapses every row to a boundary cell — refuse
+            raise ValueError(f"range ({lo}, {hi}) must have hi > lo")
     n_cells = 1 << bits
 
     def quantize(c, lo: float, hi: float) -> F.Column:

@@ -329,10 +329,14 @@ def cmd_fsck(args) -> None:
 def cmd_versions(args) -> None:
     """List a table's readable (time-travelable) versions."""
     cat = _cat(args)
+    readable = cat.list_versions(args.table)
+    # public surface only; current == newest readable, emitted as an int so
+    # the JSON is self-consistent ("is current in readable?" is a plain
+    # membership check)
     print(json.dumps({
         "table": args.table,
-        "current": cat._current_version(args.table),
-        "readable": cat.list_versions(args.table),
+        "current": readable[-1] if readable else None,
+        "readable": readable,
     }))
 
 

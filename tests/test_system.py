@@ -479,7 +479,7 @@ def test_cli_fsck_and_versions(spark, tmp_path, capsys):
               "tbl", partition=False)
     eodd_cli.main(["versions", "--catalog", cat_dir, "--table", "tbl"])
     v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert v["current"] == "v_1" and v["readable"] == [0, 1]
+    assert v["current"] == 1 and v["readable"] == [0, 1]
     eodd_cli.main(["fsck", "--catalog", cat_dir, "--table", "tbl"])
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report.get("orphans") == [] or report.get("orphan_versions") == []
