@@ -1498,13 +1498,20 @@ def q97_incremental_rollup(spark, sf):
         "o_totalprice",
     )
     cut = F.col("yr") < 1997
+    # the summed money column rides as DECIMAL end-to-end: decimal addition
+    # is exact and associative, so base-rollup + delta-merge equals full
+    # re-aggregation BIT-FOR-BIT regardless of fold order — a double sum's
+    # (t + s) association differs from the oracle's full re-scan and can
+    # flip round(., 2) at an ulp boundary.  min/max are order-insensitive
+    # and stay double.
+    money = F.col("o_totalprice").cast("decimal(18,2)")
     spec = {
-        "total": ("o_totalprice", "sum"),
+        "total": (money, "sum"),
         "lo": ("o_totalprice", "min"),
         "hi": ("o_totalprice", "max"),
     }
     base_rollup = orders.where(cut).groupBy("o_orderstatus", "yr").agg(
-        F.sum("o_totalprice").alias("total"),
+        F.sum(money).alias("total"),
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
         F.count(F.lit(1)).alias("n"),
@@ -1515,7 +1522,9 @@ def q97_incremental_rollup(spark, sf):
     return next_rollup.select(
         "o_orderstatus",
         "yr",
-        F.round("total", 2).alias("total"),
+        # exact decimal → double only at the presentation edge (both
+        # engines cast the same exact decimal to the same nearest double)
+        F.col("total").cast("double").alias("total"),
         F.round("lo", 2).alias("lo"),
         F.round("hi", 2).alias("hi"),
         "n",
@@ -1726,6 +1735,14 @@ def q106_split_leakage_gate(spark, sf):
 # analog (contamination, range join, temperature resample, incremental
 # dedup, native-ASOF-checked value carry; this round ANSI MERGE q91, the
 # correlated-EXISTS pair q96, and the incremental-rollup differential q97).
+# Round 5 rotates the window again to convert never-driver-checked families
+# into driver-grade evidence: q21/q25/q30/q33/q34/q39/q46 (langid ⊂ q20's
+# text profile, simhash ∥ q24's minhash, running-total ∥ q26's window
+# rollup, asof-prior ∥ q71's value carry, quality-filter ⊂ q20, top-unshipped
+# ∥ q96's join shape, repetition ⊂ q20 — all with driver-green rows already
+# recorded in r1–r4) yield their slots to q59 native asof join, q87
+# INTERSECT/EXCEPT set ops, q89 time-RANGE window frame, q92 snapshot CDC
+# diff, q94 z-order layout, and the q104/q105 samplers.
 # Everything still runs in local checks (tools/check_correctness.py covers
 # all entries).
 QUERIES: dict[str, Callable] = {
@@ -1749,32 +1766,32 @@ QUERIES: dict[str, Callable] = {
     "q18_json_filter": q18_json_filter,
     "q19_exact_dedup": q19_exact_dedup,
     "q20_text_profile": q20_text_profile,
-    "q21_langid": q21_langid,
+    "q59_asof_join": q59_asof_join,
     "q22_fingerprint": q22_fingerprint,
     "q23_cosine_topk": q23_cosine_topk,
     "q24_minhash_neardup": q24_minhash_neardup,
-    "q25_simhash_neardup": q25_simhash_neardup,
+    "q87_source_set_ops": q87_source_set_ops,
     "q26_window_rollup": q26_window_rollup,
     "q96_sole_late_supplier": q96_sole_late_supplier,
     "q63_temperature_resample": q63_temperature_resample,
     "q29_sessionize": q29_sessionize,
-    "q30_running_total": q30_running_total,
+    "q89_trailing_range_window": q89_trailing_range_window,
     "q31_topk_per_group": q31_topk_per_group,
     "q32_pivot": q32_pivot,
-    "q33_asof_prior_event": q33_asof_prior_event,
-    "q34_quality_filter": q34_quality_filter,
+    "q92_snapshot_diff": q92_snapshot_diff,
+    "q94_zorder_layout": q94_zorder_layout,
     "q35_embedding_neardup": q35_embedding_neardup,
     "q36_lsh_topk": q36_lsh_topk,
     "q37_cube_rollup": q37_cube_rollup,
     "q66_incremental_dedup": q66_incremental_dedup,
-    "q39_top_unshipped": q39_top_unshipped,
+    "q104_balanced_sample": q104_balanced_sample,
     "q40_multimodal_features": q40_multimodal_features,
     "q41_bpe_token_count": q41_bpe_token_count,
     "q97_incremental_rollup": q97_incremental_rollup,
     "q71_asof_value_carry": q71_asof_value_carry,
     "q44_tfidf_keywords": q44_tfidf_keywords,
     "q45_hash_split": q45_hash_split,
-    "q46_repetition_ratio": q46_repetition_ratio,
+    "q105_source_mix": q105_source_mix,
     "q47_pii_redaction": q47_pii_redaction,
     "q48_sequence_packing": q48_sequence_packing,
     "q49_ivf_topk": q49_ivf_topk,
@@ -1790,7 +1807,7 @@ QUERIES: dict[str, Callable] = {
     "q56_length_histogram": q56_length_histogram,
     "q57_topk_tokens": q57_topk_tokens,
     "q58_centroid_distances": q58_centroid_distances,
-    "q59_asof_join": q59_asof_join,
+    "q21_langid": q21_langid,
     "q60_kl_divergence": q60_kl_divergence,
     "q16_count_date_range": q16_count_date_range,
     "q62_session_window": q62_session_window,
@@ -1818,13 +1835,13 @@ QUERIES: dict[str, Callable] = {
     "q84_shipping_priority": q84_shipping_priority,
     "q85_large_volume_orders": q85_large_volume_orders,
     "q86_price_quartiles": q86_price_quartiles,
-    "q87_source_set_ops": q87_source_set_ops,
+    "q25_simhash_neardup": q25_simhash_neardup,
     "q88_above_average_orders": q88_above_average_orders,
-    "q89_trailing_range_window": q89_trailing_range_window,
+    "q30_running_total": q30_running_total,
     "q90_daily_reconciliation": q90_daily_reconciliation,
-    "q92_snapshot_diff": q92_snapshot_diff,
+    "q33_asof_prior_event": q33_asof_prior_event,
     "q93_weighted_sample": q93_weighted_sample,
-    "q94_zorder_layout": q94_zorder_layout,
+    "q34_quality_filter": q34_quality_filter,
     "q95_event_gaps": q95_event_gaps,
     "q98_volume_shipping": q98_volume_shipping,
     "q99_market_share": q99_market_share,
@@ -1832,8 +1849,8 @@ QUERIES: dict[str, Callable] = {
     "q101_cdc_dup_stats": q101_cdc_dup_stats,
     "q102_table_profile": q102_table_profile,
     "q103_knn_label_vote": q103_knn_label_vote,
-    "q104_balanced_sample": q104_balanced_sample,
-    "q105_source_mix": q105_source_mix,
+    "q39_top_unshipped": q39_top_unshipped,
+    "q46_repetition_ratio": q46_repetition_ratio,
     "q106_split_leakage_gate": q106_split_leakage_gate,
 }
 
@@ -3202,7 +3219,10 @@ def oracle_sql() -> dict[str, str]:
         "q97_incremental_rollup": """
             SELECT o_orderstatus,
                    CAST(year(o_orderdate) AS INTEGER) AS yr,
-                   round(sum(o_totalprice), 2) AS total,
+                   -- DECIMAL sum (exact, association-independent) cast to
+                   -- double at the edge, mirroring the engine's decimal
+                   -- rollup column
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
                    round(min(o_totalprice), 2) AS lo,
                    round(max(o_totalprice), 2) AS hi,
                    count(*) AS n
@@ -3401,10 +3421,13 @@ def oracle_sql() -> dict[str, str]:
             ), votes AS (
                 -- cosine_topk OUTPUTS cos_sim rounded to 4 (its value
                 -- contract); the vote aggregates those rounded values, so
-                -- the oracle rounds per-neighbor BEFORE summing
+                -- the oracle rounds per-neighbor BEFORE summing.
+                -- NULL-labeled neighbors consume top-k slots but cannot
+                -- vote (the engine joins labels AFTER top-k and drops
+                -- NULLs) — filter here, after topk, not in the corpus CTE
                 SELECT query_id, label, count(*) AS votes,
                        sum(round(cos_sim, 4)) AS sim_sum
-                FROM topk GROUP BY 1, 2
+                FROM topk WHERE label IS NOT NULL GROUP BY 1, 2
             )
             SELECT query_id, label, votes, round(sim_sum, 4) AS sim_sum
             FROM (

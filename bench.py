@@ -80,15 +80,23 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     net = {k: round(max(0.0, v - overhead), 3) for k, v in timings.items()}
 
-    # second, warm pass: same plans re-executed — codegen/compile cost is
-    # gone, so this is the data-proportional steady-state number (the one
-    # that extrapolates to cluster scale); the cold pass above stays the
-    # headline for round-over-round comparability
+    # warm passes: same plans re-executed — codegen/compile cost is gone, so
+    # this is the data-proportional steady-state number (the one that
+    # extrapolates to cluster scale); the cold pass above stays the headline
+    # for round-over-round comparability.  Three samples per query, reported
+    # as median plus [min, max] spread, so a round-over-round delta can be
+    # told apart from host noise using the artifact alone.
     warm: dict[str, float] = {}
+    warm_spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        run_once(queries[name](spark, sf_dir))
-        warm[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            run_once(queries[name](spark, sf_dir))
+            samples.append(round(time.time() - t0, 3))
+        samples.sort()
+        warm[name] = samples[1]
+        warm_spread[name] = [samples[0], samples[-1]]
 
     # plan facts: exchange count per headline query — the shuffle budget is
     # what extrapolates to cluster scale, so regressions here matter more
@@ -111,11 +119,17 @@ def main() -> None:
     # Kept OUT of HEADLINE so the headline total stays round-over-round
     # comparable; these numbers track the new operators' own trajectory.
     extended: dict[str, float] = {}
+    extended_spread: dict[str, list[float]] = {}
     for name in EXTENDED:
         run_once(queries[name](spark, sf_dir))  # warm-up pass
-        t0 = time.time()
-        run_once(queries[name](spark, sf_dir))
-        extended[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            run_once(queries[name](spark, sf_dir))
+            samples.append(round(time.time() - t0, 3))
+        samples.sort()
+        extended[name] = samples[1]
+        extended_spread[name] = [samples[0], samples[-1]]
 
     print(
         json.dumps(
@@ -129,8 +143,10 @@ def main() -> None:
                 "total_net": round(sum(net.values()), 3),
                 "queries_warm": warm,
                 "total_warm": round(sum(warm.values()), 3),
+                "queries_warm_spread": warm_spread,
                 "plan_exchanges": plan_facts,
                 "queries_extended_warm": extended,
+                "queries_extended_warm_spread": extended_spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -382,7 +382,16 @@ class ParquetCatalog:
             derive_parts(merged).write.mode("append").partitionBy(*part_cols).parquet(out)
 
         if when_not_matched_insert:
-            ins = insert_src.alias("s")
+            # evaluate the condition / mapping against a frame that ALSO
+            # carries the target columns (all NULL) under alias 't', so an
+            # insert clause referencing t.<col> NULL-evaluates exactly as it
+            # does against operators.merge.merge_into's full-outer frame —
+            # without this, the same merge_into call would raise
+            # AnalysisException only on partitioned layouts.  A left join on
+            # a False condition against an empty build side is a no-op plan
+            # (BroadcastNestedLoopJoin with zero build rows).
+            t_nulls = cur.select(*target_cols).limit(0)
+            ins = insert_src.alias("s").join(t_nulls.alias("t"), F.lit(False), "left")
             if insert_condition is not None:
                 ins = ins.where(F.coalesce(insert_condition, F.lit(False)))
             # column routing mirrors operators.merge.merge_into exactly:
@@ -421,6 +430,14 @@ class ParquetCatalog:
         cur = self.read(table)
         part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
         old_path = self.data_path(table)
+        # cast incoming rows to the table schema up front (as the merge_into
+        # insert path does) — appending rows with their incoming dtypes
+        # would otherwise put mixed-schema parquet files (int32 next to
+        # int64) inside one partition, failing or coercing on later reads
+        rows = rows.select(
+            *[F.col(c).cast(cur.schema[c].dataType).alias(c)
+              for c in cur.columns if c not in part_cols]
+        )
         if not part_cols or not _has_parquet_files(old_path):
             base = self.read_clean(table)
             # an EMPTY table takes the standard layout; a table that HAS

@@ -876,15 +876,20 @@ def cdc_dup_stats(
     (fp, id) pairs cross the wire, never chunk text.
     """
     # the (id, fp) projection feeds BOTH the shared-fp aggregate and the
-    # flag join; without persistence the O(chars·window) chunking lineage
-    # runs twice (the two consumers need different partitionings, so no
-    # exchange reuse).  MEMORY_AND_DISK keeps the narrow pair relation,
-    # never chunk text; Spark evicts it LRU after the query.
-    from pyspark import StorageLevel
-
-    ch = cdc_chunks(documents, id_col, text_col, window, divisor).select(
-        id_col, "chunk_fp"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # flag join; without materialization the O(chars·window) chunking
+    # lineage runs twice (the two consumers need different partitionings,
+    # so no exchange reuse).  _pin (reliable checkpoint when a checkpoint
+    # dir is set, else eager localCheckpoint) rather than persist(): a
+    # lazy DataFrame can't unpersist before its consumer runs, and a
+    # never-unpersisted cache entry stays registered in the CacheManager
+    # for the life of the session — checkpoint blocks are instead released
+    # by the ContextCleaner once unreferenced.  Only the narrow (id, fp)
+    # pair relation is pinned, never chunk text.
+    ch = _pin(
+        cdc_chunks(documents, id_col, text_col, window, divisor).select(
+            id_col, "chunk_fp"
+        )
+    )
     shared_fps = (
         ch.dropDuplicates([id_col, "chunk_fp"])
         .groupBy("chunk_fp")

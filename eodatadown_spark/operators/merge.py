@@ -253,6 +253,13 @@ def maintain_rollup(
 
     Proven equal to full re-aggregation by differential test and by q97's
     whole-table oracle.
+
+    Exactness note: a 'sum' rollup folds as (t + s) — for floating-point
+    columns that is a DIFFERENT association than a full re-aggregation, so
+    the two can differ in the last ulp (enough to flip a round(., 2) at a
+    half-cent boundary).  For money/exactness-sensitive sums, pass the base
+    expression cast to DECIMAL: decimal addition is exact and associative,
+    making incremental == full recompute bit-for-bit (q97 does this).
     """
     kinds = {k for _, k in agg_spec.values()}
     unknown = kinds - set(_ROLLUP_COMBINE)

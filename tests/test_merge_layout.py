@@ -308,6 +308,41 @@ class TestCatalogMergeInto:
             os.path.join(cat.data_path("landsat_scenes"), "p_year=2021")
         )
 
+    def test_insert_condition_may_reference_t_alias(
+        self, spark, landsat_scenes, tmp_path
+    ):
+        # ADVICE r4: on the partitioned layout the insert clause used to be
+        # evaluated against a source-only frame, so a condition referencing
+        # 't.' (valid and NULL-evaluating in operators.merge.merge_into)
+        # raised AnalysisException only here.  Now both paths agree:
+        # t.<col> is NULL for not-matched rows.
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        def ins_src(pid):
+            return (
+                landsat_scenes.where(F.col("pid") == 1)
+                .withColumn("pid", F.lit(pid).cast("long"))
+                .withColumn("scene_id", F.lit(f"S{pid}"))
+            )
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes, "landsat_scenes")
+        # t.pid IS NULL for a not-matched row -> condition true -> inserted
+        cat.merge_into(
+            "landsat_scenes", ins_src(400), on=["pid"],
+            when_not_matched_insert=True,
+            insert_condition=F.col("t.pid").isNull(),
+        )
+        assert cat.read_clean("landsat_scenes").where("pid = 400").count() == 1
+        # t.pid IS NOT NULL null-evaluates false -> not inserted (same as
+        # the operators.merge full-outer frame)
+        cat.merge_into(
+            "landsat_scenes", ins_src(401), on=["pid"],
+            when_not_matched_insert=True,
+            insert_condition=F.col("t.pid").isNotNull(),
+        )
+        assert cat.read_clean("landsat_scenes").where("pid = 401").count() == 0
+
     def test_update_partition_source_rejected(self, spark, landsat_scenes, tmp_path):
         from eodatadown_spark.catalog import ParquetCatalog
 
@@ -612,6 +647,29 @@ class TestCatalogAppend:
         assert os.path.isdir(
             os.path.join(cat.data_path("landsat_scenes"), "p_year=2023")
         )
+
+    def test_append_casts_to_table_schema(self, spark, landsat_scenes, tmp_path):
+        # ADVICE r4: appending rows with narrower incoming dtypes (int32
+        # pid vs the table's int64) used to write mixed-schema parquet
+        # files inside one partition; append now casts to the table schema
+        # up front, like the merge_into insert path.
+        from pyspark.sql.types import IntegerType, LongType
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes, "landsat_scenes")
+        new_rows = (
+            landsat_scenes.where(F.col("pid") == 0)
+            .withColumn("pid", F.lit(301).cast(IntegerType()))
+            .withColumn("scene_id", F.lit("S301"))
+            .withColumn("date_acquired", F.lit(dt.date(2019, 8, 1)))
+        )
+        cat.append("landsat_scenes", new_rows)
+        got = cat.read_clean("landsat_scenes")
+        assert isinstance(got.schema["pid"].dataType, LongType)
+        # the mixed-file partition must scan cleanly end-to-end
+        assert got.where("pid = 301").count() == 1
+        assert got.count() == 8
 
 
 def test_cli_cdcdiff_catalog_versions(spark, tmp_path, capsys):

@@ -25,7 +25,12 @@ def main() -> None:
     if unknown:
         print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
         raise SystemExit(2)
-    for name, fn in E.queries().items():
+    # Audit pure-plan variants where they exist (mirrors bench.py): queries
+    # whose executable form checkpoints would otherwise report truncated
+    # lineage (scans=[], exchanges=0) instead of the real shuffle structure.
+    fns = dict(E.queries())
+    fns.update(getattr(E, "plan_only", dict)())
+    for name, fn in fns.items():
         if only and name not in only:
             continue
         df = fn(spark, sf_dir)
