@@ -1704,25 +1704,19 @@ def q106_split_leakage_gate(spark, sf):
     recomputes clusters (recursive CTE), the cluster-keyed rolling-hash
     split, and the same check; pytest covers the planted-dup positive
     case."""
-    from eodatadown_spark.operators.corpus import assign_split_clustered
+    from eodatadown_spark.operators.corpus import (
+        assign_split_clustered,
+        split_leakage_gate,
+    )
     from eodatadown_spark.operators.dedup import neardup_clusters, ngram_jaccard_pairs
 
     docs = _t(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.5)
     clusters = neardup_clusters(docs, pairs=pairs)
     split = assign_split_clustered(docs, clusters).select("doc_id", "split")
-    return (
-        pairs.join(
-            split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"),
-            "id_a",
-        )
-        .join(
-            split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"),
-            "id_b",
-        )
-        .where("sa <> sb")
-        .select("id_a", "id_b", "sa", "sb")
-    )
+    # exhaustive mode — the release-gate posture; per-batch pipelines use
+    # mode="bounded" (sampled pairs, <1 s) via the same operator
+    return split_leakage_gate(docs, split, threshold=0.5)
 
 
 # Ordering matters: the grading driver's correctness gate checks the FIRST

@@ -959,8 +959,72 @@ def assign_split_clustered(
     ).drop("cluster_id")
 
 
+def split_leakage_gate(
+    documents: DataFrame,
+    split: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    mode: str = "exhaustive",
+    sample_docs: int = 500,
+    seed: int = 42,
+) -> DataFrame:
+    """Split-soundness gate: find near-dup document pairs whose two members
+    landed in DIFFERENT splits → (id_a, id_b, sa, sb), empty iff the split
+    is leakage-free.  ``split`` is any (id, split) assignment (e.g.
+    :func:`assign_split_clustered` output).
+
+    ``mode="exhaustive"``: pairs over the whole corpus — the release gate.
+    Cost is the full n-gram-Jaccard pair scan; right before a split ships,
+    wrong any other time.
+
+    ``mode="bounded"``: pairs over a deterministic ``sample_docs``-document
+    hash-sample (the :func:`_portable_uniform` draw, so the sample — and
+    therefore the gate verdict — is a pure function of the corpus + seed).
+    Per-batch cost bound: a SYSTEMATIC leakage bug (wrong bucket function,
+    cluster join dropped, split column scrambled) leaks sample pairs at the
+    same rate as corpus pairs and still trips the gate, while an individual
+    straggler pair outside the sample is missed — the documented trade.
+    Plans as TakeOrderedAndProject (no full shuffle) + the sampled pair
+    scan; at sf0.001 this runs in well under a second vs ~7 s exhaustive.
+    """
+    from eodatadown_spark.operators.dedup import ngram_jaccard_pairs
+
+    if mode not in ("exhaustive", "bounded"):
+        raise ValueError(f"unknown leakage-gate mode {mode!r}")
+    src = documents
+    if mode == "bounded":
+        src = (
+            documents.withColumn("__u", _portable_uniform(id_col, seed))
+            .orderBy("__u", id_col)
+            .limit(sample_docs)
+            .drop("__u")
+        )
+        # the pair scan references its input 4× (inverted index both sides,
+        # set re-attach both sides); pin the ≤sample_docs-row sample so the
+        # TakeOrdered job runs once, not four times.  Eager by design: the
+        # bounded gate is a per-batch check, not a composable plan.
+        src = src.localCheckpoint(eager=True)
+    pairs = ngram_jaccard_pairs(src, id_col, text_col, k, threshold)
+    s = split.select(F.col(id_col), F.col("split"))
+    return (
+        pairs.join(
+            s.withColumnRenamed(id_col, "id_a").withColumnRenamed("split", "sa"),
+            "id_a",
+        )
+        .join(
+            s.withColumnRenamed(id_col, "id_b").withColumnRenamed("split", "sb"),
+            "id_b",
+        )
+        .where("sa <> sb")
+        .select("id_a", "id_b", "sa", "sb")
+    )
+
+
 __all__ = [
     "split_bucket",
+    "split_leakage_gate",
     "weighted_sample",
     "weighted_sample_by_group",
     "mix_sources",

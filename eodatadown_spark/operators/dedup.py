@@ -59,6 +59,18 @@ def _pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _pin_mode(df: DataFrame, materialize: str) -> DataFrame:
+    """Apply a ``materialize`` mode ('auto' → :func:`_pin` policy,
+    'checkpoint'/'local' → forced, 'none' → pure plan, untouched)."""
+    if materialize == "auto":
+        return _pin(df)
+    if materialize == "checkpoint":
+        return df.checkpoint(eager=True)
+    if materialize == "local":
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles as an array<string> (space-joined).
 
@@ -81,10 +93,20 @@ _SHINGLE_BASE = 1_000_003
 
 
 def shingle_hash_table(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """(id, hashes) — distinct word-k-shingle hashes per document, WITHOUT
     materializing shingle strings.
+
+    ``distinct=False`` skips the per-document array_distinct pass and
+    returns the raw shingle-hash stream in document order.  Min-wise
+    consumers (minhash signatures: min over a multiset == min over its set)
+    get identical results one whole-corpus hash-set pass cheaper; set
+    consumers (Jaccard verification) need the default.
 
     Each token hashes once into TWO independent 31-bit streams (xxhash64 with
     distinct salts, reduced mod two primes); a shingle hash is the pair of
@@ -150,9 +172,10 @@ def shingle_hash_table(
         whole_doc_roll(th1, MINHASH_PRIME) * F.lit(1 << 31)
         + whole_doc_roll(th2, MINHASH_PRIME2)
     )
+    raw = F.when(n >= k, full).otherwise(short)
     return staged.select(
         "id",
-        F.array_distinct(F.when(n >= k, full).otherwise(short)).alias("hashes"),
+        (F.array_distinct(raw) if distinct else raw).alias("hashes"),
     )
 
 
@@ -210,9 +233,19 @@ def minhash_neardup_pairs(
     groupBy bucket self-pair → verify on shingle sets.  Candidate volume is
     bounded by bucket collisions, not n² — the standard LSH scale path.
 
-    ``materialize`` controls how the verified pair set is pinned so the
-    thrice-referenced shingle table can be persisted and released inside the
-    call:
+    Nothing corpus-sized is ever cached: signatures are computed from the
+    RAW (non-distinct) shingle-hash stream — min over a multiset equals min
+    over its set, so signatures are bit-identical while the whole-corpus
+    array_distinct pass disappears — and exact verification recomputes
+    distinct shingle sets ONLY for candidate documents (corpus ⋉ candidate
+    ids, AQE-broadcast when the id set is small).  That replaces the old
+    persist-the-whole-shingle-table design: at 100 TB the derived shingle
+    arrays dwarf executor storage, while the candidate set is bounded by
+    LSH bucket collisions.
+
+    ``materialize`` controls how the candidate and verified pair sets are
+    pinned (both are narrow, collision-bounded relations — pinning them
+    keeps the LSH pipeline from re-running per downstream reference):
 
     - ``"auto"`` (default): a RELIABLE ``checkpoint`` when the session has a
       checkpoint dir configured (recompute-safe — an executor loss replays
@@ -221,7 +254,7 @@ def minhash_neardup_pairs(
       blocks to executors, so losing one kills the job (lineage is gone).
     - ``"checkpoint"`` / ``"local"``: force one of the above.
     - ``"none"``: pure plan construction — no persist, no checkpoint, no job.
-      The shingle table recomputes per downstream reference (Catalyst reuses
+      The LSH pipeline recomputes per downstream reference (Catalyst reuses
       exchanges where plans coincide); lineage stays intact, so plan audits
       (exchange counts) see the real shuffle structure.  Caller owns any
       caching.
@@ -244,10 +277,11 @@ def minhash_neardup_pairs(
     if materialize not in ("auto", "checkpoint", "local", "none"):
         raise ValueError(f"unknown materialize mode {materialize!r}")
 
-    base = shingle_hash_table(documents, id_col, text_col, k)
-    if materialize != "none":
-        base = base.persist()
-    sig = base.withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
+    # signature source: raw shingle stream, no array_distinct, nothing
+    # persisted — one straight-line codegen pass per document
+    sig = shingle_hash_table(
+        documents, id_col, text_col, k, distinct=False
+    ).withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
 
     # band hash = xxhash64 over the band's signature slots directly (multi-
     # arg form) — no per-band string materialization; two docs collide in
@@ -274,6 +308,13 @@ def minhash_neardup_pairs(
     banded = sig.select(F.explode(band_structs).alias("bh"), "id").select(
         "bh.band_idx", "bh.band_hash", "id"
     )
+    # pin the LSH index before the self-join: the join references `banded`
+    # on BOTH sides, and without materialization each side re-runs the
+    # whole shingle+signature pipeline (the broadcast side has no exchange
+    # for Catalyst to reuse) — measured 2× the signature cost at sf0.1.
+    # The index is bands narrow rows per doc (two longs + id), the classic
+    # LSH materialization point.
+    banded = _pin_mode(banded, materialize)
     if max_band_bucket is not None:
         from pyspark.sql import Window
 
@@ -310,14 +351,29 @@ def minhash_neardup_pairs(
     pairs = raw_pairs.select(
         F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
     ).dropDuplicates(["id_a", "id_b"])
+    # pin the candidate set so (a) the id-set semi-join below replays only
+    # the cheap join-over-pinned-index, and (b) downstream references
+    # replay verification only, never candidate generation
+    pairs = _pin_mode(pairs, materialize)
     # exact-Jaccard verification over the hashed shingle sets (62-bit dual
     # rolling hashes — ~2^-62 collision odds per shingle pair, genuinely
     # negligible even for 10k+-shingle documents, so this equals the
-    # string-level Jaccard and is oracle-checked against it via q24)
+    # string-level Jaccard and is oracle-checked against it via q24).
+    # Distinct shingle sets are recomputed ONLY for candidate documents:
+    # corpus ⋉ candidate-ids, which AQE plans as a broadcast semi-join
+    # whenever the collision-bounded id set is small (the normal case) —
+    # the full corpus never shuffles and no derived table is ever stored.
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    cand_docs = documents.join(
+        cand_ids, F.col(id_col) == cand_ids["id"], "left_semi"
+    )
+    subset = shingle_hash_table(cand_docs, id_col, text_col, k)
     with_sets = pairs.join(
-        base.select(F.col("id").alias("id_a"), F.col("hashes").alias("sh_a")), "id_a"
+        subset.select(F.col("id").alias("id_a"), F.col("hashes").alias("sh_a")), "id_a"
     ).join(
-        base.select(F.col("id").alias("id_b"), F.col("hashes").alias("sh_b")), "id_b"
+        subset.select(F.col("id").alias("id_b"), F.col("hashes").alias("sh_b")), "id_b"
     )
     # |a ∪ b| = |a| + |b| - |a ∩ b| (both sides already distinct) — only the
     # intersection array is built; the size is materialized at a projection
@@ -332,19 +388,11 @@ def minhash_neardup_pairs(
     out = jac.where(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
-    if materialize == "none":
-        return out
-    # materialize the (small) verified pair set so the persisted shingle
-    # table can be released immediately instead of leaking across calls;
+    # pin the (small) verified pair set too — candidate generation is
+    # already pinned above, so this adds only the cheap verification job
+    # and gives downstream iterative consumers a fully-materialized result;
     # "auto" shares _pin's checkpoint-dir policy with neardup_clusters
-    if materialize == "auto":
-        out = _pin(out)
-    elif materialize == "checkpoint":
-        out = out.checkpoint(eager=True)
-    else:
-        out = out.localCheckpoint(eager=True)
-    base.unpersist()
-    return out
+    return _pin_mode(out, materialize)
 
 
 def exact_dedup(

@@ -347,18 +347,59 @@ def pq_train_codebook(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "seed",
+    max_iter: int = 20,
+    seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> list[list[list[float]]]:
-    """Product-quantization codebook ``[m][n_codes][dim/m]``: the subvectors
-    of the ``n_codes`` lowest-id corpus vectors.
+    """Product-quantization codebook ``[m][n_codes][dim/m]``.
 
-    Deterministic seed codebook — the same stand-in-for-k-means convention
-    as :func:`ivf_topk`'s centroids, so results are exactly reproducible;
-    a trained (k-means) codebook drops in as the same nested-list shape.
-    The collect is bounded by construction: a PQ codebook IS small
-    (n_codes × dim floats — the entire point is that the corpus compresses
-    onto it), so shipping it driver-side and inlining it as literals keeps
-    encode/scoring pure projections with zero joins.
+    ``method="seed"`` (default): the subvectors of the ``n_codes`` lowest-id
+    corpus vectors — a deterministic stand-in, the same convention as
+    :func:`ivf_topk`'s centroids, so results are exactly reproducible.
+
+    ``method="kmeans"``: the real thing — per-subspace k-means (the
+    textbook PQ trainer: each of the m subspaces gets its own ``n_codes``
+    centroids minimizing that subspace's quantization error) via Spark
+    MLlib, fixed seed.  Better centroids → tighter ADC distances → higher
+    shortlist recall at the same m/n_codes (asserted on the embeddings
+    table in tests).  Training cost is m small fits; at 100 TB pass
+    ``sample_fraction`` — PQ codebooks converge on a sample long before
+    the corpus is seen.
+
+    Either way the collect is bounded by construction: a PQ codebook IS
+    small (m × n_codes × dim/m floats — the entire point is that the
+    corpus compresses onto it), so shipping it driver-side and inlining it
+    as literals keeps encode/scoring pure projections with zero joins.
     """
+    if method not in ("seed", "kmeans"):
+        raise ValueError(f"unknown codebook method {method!r}")
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        src = (
+            corpus.sample(fraction=sample_fraction, seed=seed)
+            if sample_fraction
+            else corpus
+        )
+        first = src.select(vec_col).first()
+        if first is None:
+            raise ValueError("corpus is empty")
+        dim = len(first[0])
+        if dim % m != 0:
+            raise ValueError(f"m={m} must divide dim={dim}")
+        sub = dim // m
+        book = []
+        for j in range(m):
+            feats = src.select(
+                array_to_vector(
+                    F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+                ).alias("features")
+            )
+            model = KMeans(k=n_codes, maxIter=max_iter, seed=seed).fit(feats)
+            book.append([[float(v) for v in c] for c in model.clusterCenters()])
+        return book
     rows = (
         corpus.where(F.col(id_col) < n_codes)
         .orderBy(id_col)

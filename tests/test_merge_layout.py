@@ -889,6 +889,74 @@ class TestClusteredSplit:
         )
         assert crossed.count() == 0
 
+    def test_leakage_gate_bounded_catches_planted_dup(self, spark):
+        """The shared split_leakage_gate operator: a near-dup pair assigned
+        to different splits trips BOTH modes (bounded mode samples docs by
+        the portable uniform, and with sample_docs >= corpus the sample is
+        total — the per-batch machinery, exercised end-to-end); a sound
+        clustered split passes both; unknown mode raises."""
+        from eodatadown_spark.operators.corpus import (
+            assign_split_clustered,
+            split_leakage_gate,
+        )
+        from eodatadown_spark.operators.dedup import neardup_clusters
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [Row(doc_id=i, text=f"unique document number {i} " * 5)
+                for i in range(30)]
+        rows += [Row(doc_id=100, text=base), Row(doc_id=201, text=base + " extra")]
+        docs = spark.createDataFrame(rows)
+
+        # leaky split: planted near-dups forced into different splits
+        leaky = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") == 100, "train")
+            .when(F.col("doc_id") == 201, "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+        for mode in ("exhaustive", "bounded"):
+            bad = split_leakage_gate(
+                docs, leaky, threshold=0.5, mode=mode, sample_docs=1000
+            ).collect()
+            assert {(r["id_a"], r["id_b"]) for r in bad} == {(100, 201)}, mode
+
+        # sound split: cluster-keyed assignment passes both modes
+        clusters = neardup_clusters(docs, threshold=0.5)
+        sound = assign_split_clustered(docs, clusters).select("doc_id", "split")
+        for mode in ("exhaustive", "bounded"):
+            assert split_leakage_gate(
+                docs, sound, threshold=0.5, mode=mode, sample_docs=1000
+            ).count() == 0, mode
+
+        with pytest.raises(ValueError, match="mode"):
+            split_leakage_gate(docs, sound, mode="bogus")
+
+    def test_leakage_gate_bounded_is_deterministic_subset(self, spark):
+        """Bounded-mode sampling: same corpus + seed → same verdict rows;
+        the sampled gate's violations are a subset of the exhaustive ones."""
+        from eodatadown_spark.operators.corpus import split_leakage_gate
+
+        base = "shared boilerplate text repeated across many documents here"
+        rows = [Row(doc_id=i, text=f"{base} variant {i % 7}") for i in range(60)]
+        docs = spark.createDataFrame(rows)
+        # split everything by parity — guaranteed-leaky on purpose
+        split = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, "train").otherwise("test").alias("split"),
+        )
+        full = {(r["id_a"], r["id_b"])
+                for r in split_leakage_gate(docs, split, threshold=0.3).collect()}
+        b1 = {(r["id_a"], r["id_b"])
+              for r in split_leakage_gate(docs, split, threshold=0.3,
+                                          mode="bounded", sample_docs=20).collect()}
+        b2 = {(r["id_a"], r["id_b"])
+              for r in split_leakage_gate(docs, split, threshold=0.3,
+                                          mode="bounded", sample_docs=20).collect()}
+        assert b1 == b2                     # deterministic
+        assert b1 <= full                   # sampled subset of exhaustive
+        assert b1                           # systematic leak trips the sample
+
 
 def test_catalog_changes_since(spark, tmp_path):
     from eodatadown_spark.catalog import ParquetCatalog

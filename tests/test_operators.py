@@ -808,6 +808,61 @@ def test_pq_recall_vs_bruteforce(spark):
     assert pq_full == exact
 
 
+def test_pq_trained_codebook_beats_seed(spark):
+    """Per-subspace k-means training (method='kmeans') vs the deterministic
+    seed codebook at equal m/n_codes on the driver's real embeddings:
+
+    - lower quantization MSE at BOTH tested configs (the k-means objective —
+      the seed codebook just reuses the first n_codes data points);
+    - higher shortlist recall@3 at m=8/n_codes=32 (where the extra code
+      capacity lets training matter; at small n_codes the data-point seed
+      codewords are already competitive on this synthetic table, so MSE is
+      the config-independent assertion and recall the capacity-dependent
+      one).  Everything is seeded, so the comparison is deterministic.
+    """
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    m, nc = 8, 32
+    sub = X.shape[1] // m
+
+    def mse(cb):
+        err = 0.0
+        for j in range(m):
+            Sx = X[:, j * sub:(j + 1) * sub]
+            C = np.array(cb[j])
+            err += ((Sx[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(1).sum()
+        return err / X.size
+
+    seed_cb = S.pq_train_codebook(emb, m=m, n_codes=nc)
+    tr_cb = S.pq_train_codebook(emb, m=m, n_codes=nc, method="kmeans")
+    assert mse(tr_cb) < mse(seed_cb)
+    seed16 = S.pq_train_codebook(emb, m=m, n_codes=16)
+    tr16 = S.pq_train_codebook(emb, m=m, n_codes=16, method="kmeans")
+    assert mse(tr16) < mse(seed16)
+
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def hits(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = hits(S.cosine_topk(emb, qs, k=3))
+    for sl in (15, 30):
+        rs = len(hits(S.pq_topk(emb, qs, k=3, m=m, n_codes=nc, shortlist=sl,
+                                codebook=seed_cb)) & exact)
+        rt = len(hits(S.pq_topk(emb, qs, k=3, m=m, n_codes=nc, shortlist=sl,
+                                codebook=tr_cb)) & exact)
+        assert rt > rs, f"shortlist={sl}: trained {rt} <= seed {rs}"
+
+    with pytest.raises(ValueError, match="method"):
+        S.pq_train_codebook(emb, method="bogus")
+
+
 def test_ivf_pq_topk_recall_and_full_probe(spark):
     """IVF×PQ: recall floor at modest probes; full probe + full shortlist
     equals exact brute force (both approximations disabled at once)."""
