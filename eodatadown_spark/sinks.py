@@ -69,6 +69,81 @@ def export_geojson(scenes: DataFrame, out_file: str) -> int:
     return len(feats)
 
 
+def export_vector_layer(
+    scenes: DataFrame,
+    out_file: str,
+    layer_name: str = "scenes",
+    driver_name: str = "GPKG",
+    add_lyr: bool = False,
+) -> dict:
+    """K2 (native OGR flavor): write scene outline features to a GDAL
+    vector layer — GPKG by default — with the reference's exact file/layer
+    semantics (create_gdal_gis_lyr,
+    eodatadownlandsatgoogsensor.py:2688-2845):
+
+    - file exists and ``add_lyr=True`` → open for update; the named layer
+      is created if missing, extended if present (multi-sensor files);
+    - file exists and ``add_lyr=False`` → delete + recreate;
+    - one polygon feature per antimeridian-cut bbox, attribute fields from
+      the scene columns.
+
+    osgeo/GDAL is an optional dependency: when it isn't importable the
+    SAME features go out as GeoJSON to ``<out_file>.geojson`` (a sidecar
+    extension, never GeoJSON bytes inside a mislabeled .gpkg) — the
+    returned dict says which driver actually ran.
+    """
+    try:
+        from osgeo import gdal, ogr, osr
+    except ImportError:
+        alt = out_file if out_file.endswith(".geojson") else out_file + ".geojson"
+        n = export_geojson(scenes, alt)
+        return {"driver": "GeoJSON-fallback", "path": alt, "features": n}
+
+    gdal.UseExceptions()
+    feats = scene_features(scenes)
+    rows = feats.collect()  # scene exports are filtered result sets (ref parity)
+    attr_cols = [c for c in feats.columns if c != "wkt"]
+    srs = osr.SpatialReference()
+    srs.ImportFromEPSG(4326)
+    driver = ogr.GetDriverByName(driver_name)
+    if os.path.exists(out_file) and add_lyr:
+        ds = gdal.OpenEx(out_file, gdal.OF_UPDATE)
+    else:
+        if os.path.exists(out_file):
+            driver.DeleteDataSource(out_file)
+        ds = driver.CreateDataSource(out_file)
+    lyr = ds.GetLayerByName(layer_name)
+    if lyr is None:
+        lyr = ds.CreateLayer(layer_name, srs=srs, geom_type=ogr.wkbPolygon)
+        type_map = {
+            "bigint": ogr.OFTInteger64, "int": ogr.OFTInteger,
+            "double": ogr.OFTReal, "float": ogr.OFTReal,
+            "boolean": ogr.OFTInteger,
+        }
+        for name, dtype in feats.dtypes:
+            if name == "wkt":
+                continue
+            fd = ogr.FieldDefn(name, type_map.get(dtype, ogr.OFTString))
+            if fd.GetType() == ogr.OFTString:
+                fd.SetWidth(256)
+            if lyr.CreateField(fd) != 0:
+                raise RuntimeError(f"could not create field {name!r}")
+    defn = lyr.GetLayerDefn()
+    for r in rows:
+        d = r.asDict()
+        feat = ogr.Feature(defn)
+        for c in attr_cols:
+            v = d[c]
+            if v is not None:
+                feat.SetField(c, v if isinstance(v, (int, float, bool)) else str(v))
+        feat.SetGeometry(ogr.CreateGeometryFromWkt(d["wkt"]))
+        lyr.CreateFeature(feat)
+        feat = None
+    lyr = None
+    ds = None
+    return {"driver": driver_name, "path": out_file, "features": len(rows)}
+
+
 def write_split_lines(lines: list[str], out_base: str, n_splits: int = 1) -> list[str]:
     """Write text lines to one file, or round-robin across N split files
     (the reference's --split convention); single definition shared by every

@@ -179,6 +179,33 @@ def session_blocks(usage_log: DataFrame) -> DataFrame:
     )
 
 
+def events_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Rate-limited file-stream source for an events feed (T1's streaming
+    half): ``readStream`` over a directory that files land in, with
+    ``maxFilesPerTrigger`` bounding every micro-batch — the file-drop shape
+    (a downloader writes a file per fetch; the stream drains the directory
+    in bounded batches, oldest first, offsets checkpointed by the sink).
+
+    Feed the result to :func:`stream_merge_into` for continuous upsert into
+    a catalog table, or to the windowed/sessionized aggregations — the
+    source composes with any of them.  ``schema`` comes from the caller or,
+    when omitted, from a one-shot batch probe of the files already present
+    (a directory that starts empty needs the explicit schema).
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
 def stream_merge_into(
     catalog,
     table: str,

@@ -406,6 +406,87 @@ class TestStreamMergeInto:
         assert rows[2]["qty"] == 20.0
         assert rows[4]["status"] == "new"
 
+    def test_events_file_stream_multibatch_parity(self, spark, tmp_path):
+        """End-to-end: the rate-limited events_file_stream source drains a
+        file-drop directory in maxFilesPerTrigger-bounded micro-batches
+        through stream_merge_into, and the final catalog state equals a
+        batch keep-latest ingest of the same files — streaming == batch on
+        the driver's real events table, including cross-file key overlaps
+        (later files update earlier rows)."""
+        import os
+        import time as _time
+
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.streaming.incremental import (
+            events_file_stream,
+            stream_merge_into,
+        )
+
+        e = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        # three overlapping slices: overlaps become MERGE updates
+        batches = [
+            (e.where("event_id < 400"), 0),
+            (e.where("event_id >= 300 AND event_id < 700")
+              .withColumn("value", F.col("value") + 100), 1),
+            (e.where("event_id >= 600")
+              .withColumn("value", F.col("value") + 200), 2),
+        ]
+        feed = str(tmp_path / "feed")
+        os.makedirs(feed)
+        for df, i in batches:
+            part = str(tmp_path / f"b{i}")
+            df.coalesce(1).write.parquet(part)
+            f = [p for p in os.listdir(part) if p.endswith(".parquet")][0]
+            dst = os.path.join(feed, f"f{i}.parquet")
+            os.rename(os.path.join(part, f), dst)
+            # distinct mtimes: the file source processes oldest-first
+            os.utime(dst, (1_000_000 + i * 60, 1_000_000 + i * 60))
+
+        cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+        cat.write(e.limit(0), "events_live", partition=False)
+        stream = events_file_stream(spark, feed, schema=e.schema)
+        q = stream_merge_into(
+            cat,
+            "events_live",
+            stream,
+            on=["event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            when_matched_update={
+                c: F.col(f"s.{c}") for c in e.columns if c != "event_id"
+            },
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+        # rate limiting produced one micro-batch per file
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(data_batches) == 3
+
+        # batch-ingest oracle: union all files with their batch index,
+        # keep-latest per key (J4 window) — the same final state
+        from pyspark.sql import Window
+
+        u = None
+        for df, i in batches:
+            tagged = df.withColumn("__b", F.lit(i))
+            u = tagged if u is None else u.unionByName(tagged)
+        w = Window.partitionBy("event_id").orderBy(F.col("__b").desc())
+        expected = (
+            u.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__b", "__rn")
+        )
+        got = cat.read_clean("events_live")
+        assert got.count() == 1000
+        assert (
+            got.exceptAll(expected).count() == 0
+            and expected.exceptAll(got).count() == 0
+        )
+
 
 class TestMaintainRollup:
     def test_incremental_equals_full_recompute(self, spark):

@@ -101,6 +101,46 @@ def test_render_report_and_pdf_gate(spark):
     assert html_to_pdf(html, "/tmp/never.pdf") is False  # weasyprint absent → graceful
 
 
+def test_report_template_matches_reference_sections(spark):
+    """Snapshot of the reference's report_scn_date template structure
+    (templates/report_scn_date_html.jinja2 + _css.jinja2): page/second
+    titles, div#gridimg of <figure> with quicklook img + figcaption
+    (date / mapped sensor name / platform), and the A4 @page CSS chrome
+    with header/footer content fields."""
+    import json as _json
+
+    from eodatadown_spark.datereports import (
+        render_date_report_html,
+        render_report_css,
+    )
+
+    df = spark.createDataFrame(
+        [("LandsatGOOG", "LANDSAT_8", "2019-01-05",
+          _json.dumps({"250": "/img/ql_250.png", "100": "/img/ql_100.png"}))],
+        "sensor_id string, platform_id string, obs_date string, overviews string",
+    )
+    html = render_date_report_html(df, "Landsat", "LandsatGOOG")
+    for section in (
+        "<h1>Landsat</h1>",
+        "<h2>A report from EODataDown",
+        '<div id="gridimg">',
+        "<figure>",
+        '<img src="/img/ql_250.png" alt="Image for 2019-01-05" />',  # largest overview wins
+        "<figcaption>",
+        "<p>2019-01-05</p>",
+        "<p>Landsat</p>",          # SensorID -> display-name mapping
+        "<p>LANDSAT_8</p>",
+    ):
+        assert section in html, section
+    css = render_report_css("EODataDown Report: Landsat",
+                            copyright_footer="Copyright 2026")
+    for rule in ("@page", "size: A4",
+                 'content: "EODataDown Report: Landsat"',
+                 'content: "Copyright 2026"',
+                 "display: inline-block"):
+        assert rule in css, rule
+
+
 def test_render_report_pdf_builtin(spark, tmp_path):
     """K4 without weasyprint: the built-in writer must emit a structurally
     valid PDF carrying the report content."""
