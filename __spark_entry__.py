@@ -472,6 +472,39 @@ def q35_embedding_neardup(spark, sf):
     return S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=6)
 
 
+def q107_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup): nearest-
+    centroid cell assignment (deterministic seed centroids — the q49/IVF
+    convention), then inside each cell any vector with a lower-id cell-mate
+    at cosine ≥ 0.42 is dropped.  Output (vec_id, cell, is_kept) carries no
+    float, and every within-cell cosine sits ≥ 1.7e-3 from the threshold on
+    this table, so the cross-engine comparison is margin-safe."""
+    emb = _t(spark, sf, "embeddings")
+    return S.semantic_dedup(emb, n_clusters=8, threshold=0.42)
+
+
+def q108_rrf_fusion(spark, sf):
+    """Hybrid-retrieval fusion (similarity.rrf_fuse): reciprocal-rank
+    fusion of the exact cosine top-3 run (q23's shape) with the
+    hyperplane-LSH bucketed top-3 run (q36's shape) — the dense+approx
+    combiner a retrieval/curation pipeline runs after multiple ANN passes.
+    Rank-only output: with two runs every fused score is a ≤2-term double
+    sum (order-independent, bit-exact cross-engine), so fused ranks are
+    deterministic; the float score itself stays engine-side (the q23/q36
+    convention)."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, qs, k=3).select("query_id", "neighbor_id", "rank")
+    approx = S.lsh_bucket_topk(emb, qs, k=3, n_planes=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    return S.rrf_fuse([exact, approx]).select(
+        "query_id", "neighbor_id", "fused_rank"
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -1644,7 +1677,7 @@ def q100_sales_opportunity(spark, sf):
     )
 
 
-def q101_cdc_dup_stats(spark, sf):
+def q101_cdc_dup_stats(spark, sf, materialize="auto"):
     """Content-defined chunking dedup profile (dedup.cdc_dup_stats):
     rolling-hash boundaries → chunk fingerprints → per-doc shared-chunk
     counts.  Shift-robust (an inserted paragraph moves offsets but not the
@@ -1653,7 +1686,7 @@ def q101_cdc_dup_stats(spark, sf):
     from eodatadown_spark.operators.dedup import cdc_dup_stats
 
     docs = _t(spark, sf, "documents")
-    return cdc_dup_stats(docs, window=8, divisor=64)
+    return cdc_dup_stats(docs, window=8, divisor=64, materialize=materialize)
 
 
 def q102_table_profile(spark, sf):
@@ -1846,6 +1879,8 @@ QUERIES: dict[str, Callable] = {
     "q39_top_unshipped": q39_top_unshipped,
     "q46_repetition_ratio": q46_repetition_ratio,
     "q106_split_leakage_gate": q106_split_leakage_gate,
+    "q107_semantic_dedup": q107_semantic_dedup,
+    "q108_rrf_fusion": q108_rrf_fusion,
 }
 
 
@@ -1868,6 +1903,9 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recomputes shared subtrees."""
     return {
         "q24_minhash_neardup": lambda spark, sf: q24_minhash_neardup(
+            spark, sf, materialize="none"
+        ),
+        "q101_cdc_dup_stats": lambda spark, sf: q101_cdc_dup_stats(
             spark, sf, materialize="none"
         ),
     }
@@ -3382,6 +3420,76 @@ def oracle_sql() -> dict[str, str]:
                 FROM keyed
             ) WHERE rn <= 10
             ORDER BY source, doc_id
+        """,
+        # q107: semantic dedup — cell assignment mirrors q49's asn CTE;
+        # the threshold compare uses list_cosine_similarity (loose) because
+        # every within-cell pair sits >= 1.7e-3 from 0.42 on this table,
+        # orders of magnitude beyond any engine fold difference
+        "q107_semantic_dedup": """
+            WITH cent AS (
+                SELECT vec_id AS cell, embedding AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), asn AS (
+                SELECT id, cell FROM (
+                    SELECT e.vec_id AS id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, c.cv)
+                                        DESC, c.cell ASC) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ), v AS (
+                SELECT vec_id AS id, embedding FROM embeddings
+            ), dropped AS (
+                SELECT DISTINCT b.id AS id
+                FROM asn a JOIN asn b ON a.cell = b.cell AND a.id < b.id
+                JOIN v va ON va.id = a.id
+                JOIN v vb ON vb.id = b.id
+                WHERE list_cosine_similarity(va.embedding, vb.embedding) >= 0.42
+            )
+            SELECT a.id AS vec_id, a.cell,
+                   (d.id IS NULL) AS is_kept
+            FROM asn a LEFT JOIN dropped d ON a.id = d.id
+        """,
+        # q108: RRF fusion of the q23 exact run and the q36 LSH run; the
+        # two contribution sums are <=2-term double adds (order-independent,
+        # bit-exact), so rank comparisons need no rounding guard
+        "q108_rrf_fusion": f"""
+            WITH ex AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                        c.vec_id ASC) AS rank
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+                ) WHERE rank <= 3
+            ), b AS (
+                SELECT vec_id AS id, embedding AS v, {b35} AS bucket
+                FROM embeddings
+            ), ap AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT q.id AS query_id, c.id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.id
+                               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                        c.id ASC) AS rank
+                    FROM b q JOIN b c ON q.bucket = c.bucket AND c.id <> q.id
+                    WHERE q.id < 5
+                ) WHERE rank <= 3
+            ), contrib AS (
+                SELECT query_id, neighbor_id, 1.0 / (60 + rank) AS c FROM ex
+                UNION ALL
+                SELECT query_id, neighbor_id, 1.0 / (60 + rank) AS c FROM ap
+            )
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sum_c DESC, neighbor_id ASC) AS fused_rank
+            FROM (
+                SELECT query_id, neighbor_id, sum(c) AS sum_c
+                FROM contrib GROUP BY 1, 2
+            )
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -910,6 +910,7 @@ def cdc_dup_stats(
     text_col: str = "text",
     window: int = 8,
     divisor: int = 64,
+    materialize: str = "auto",
 ) -> DataFrame:
     """Per-document shared-content profile over CDC chunks: (id, n_chunks,
     n_shared) where a chunk is 'shared' when its fingerprint also appears in
@@ -932,11 +933,14 @@ def cdc_dup_stats(
     # never-unpersisted cache entry stays registered in the CacheManager
     # for the life of the session — checkpoint blocks are instead released
     # by the ContextCleaner once unreferenced.  Only the narrow (id, fp)
-    # pair relation is pinned, never chunk text.
-    ch = _pin(
+    # pair relation is pinned, never chunk text.  ``materialize`` follows
+    # the minhash convention: "none" keeps the pure plan (chunking lineage
+    # recomputes per consumer; plan audits see the real structure).
+    ch = _pin_mode(
         cdc_chunks(documents, id_col, text_col, window, divisor).select(
             id_col, "chunk_fp"
-        )
+        ),
+        materialize,
     )
     shared_fps = (
         ch.dropDuplicates([id_col, "chunk_fp"])

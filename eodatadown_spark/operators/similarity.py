@@ -608,6 +608,120 @@ def ivf_pq_topk(
     return _topk_tail(_score_pairs(short), k)
 
 
+def rrf_fuse(
+    runs: list[DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    topk: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of retrieval
+    runs: score(q, d) = Σ over runs of 1 / (k + rank_run(q, d)), a document
+    absent from a run contributing nothing — the standard hybrid-retrieval
+    combiner (dense ANN + lexical, or several ANN variants), rank-based so
+    it needs no score calibration across runs.
+
+    Returns (query, id, rrf_score, fused_rank); ties break by id.  Scale
+    shape: every input run is already a per-query top-k (tiny relative to
+    the corpus), so fusion is a union + one keyed aggregate + one per-query
+    window — nothing corpus-sized moves.
+
+    Determinism note: with TWO runs every score is a sum of ≤2 doubles
+    (order-independent, bit-exact on any engine), so fused ranks are
+    exactly reproducible; with ≥3 runs the last-ulp of the sum depends on
+    aggregation order, which the rounded ``rrf_score`` hides but an exact
+    rank tie at that ulp could expose — q108's oracle checks the 2-run
+    case, rank-only.
+    """
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    u = None
+    for run in runs:
+        r = run.select(
+            F.col(query_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "__contrib"
+            ),
+        )
+        u = r if u is None else u.unionByName(r)
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    fused = (
+        u.groupBy(query_col, id_col)
+        .agg(F.sum("__contrib").alias("__score"))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .select(
+            query_col,
+            id_col,
+            F.round("__score", round_to).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+    if topk is not None:
+        fused = fused.where(F.col("fused_rank") <= topk)
+    return fused
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: data-
+    efficient learning at web-scale through semantic deduplication": keep
+    one representative per ε-ball inside k-means clusters): assign every
+    vector to its nearest centroid cell, and inside each cell drop any
+    vector that has a LOWER-id cell-mate with cosine ≥ ``threshold`` →
+    (vec_id, cell, is_kept).
+
+    The drop rule is closed-form — "any lower-id cell-mate", not the
+    sequential "any *kept* lower-id cell-mate" greedy chain.  Same
+    direction of aggressiveness (it can only drop MORE than the greedy,
+    and drops exactly one representative, the min id, from any clique of
+    mutual near-dups), but it evaluates as ONE within-cell self-join
+    instead of an id-ordered iteration, so the pair volume is bounded by
+    cluster granularity (Σ|cell|²), never corpus² — raise ``n_clusters``
+    as the corpus grows, exactly as SemDeDup does.
+
+    Default centroids are the deterministic seed set (lowest-id vectors —
+    the :func:`ivf_topk` convention) for cross-engine reproducibility;
+    pass :func:`kmeans_centroids` for trained cells (identical plan).
+    """
+    if centroids is None:
+        centroids = corpus.where(F.col(id_col) < n_clusters)
+    cells = ivf_assign_cells(
+        corpus, centroids, id_col, vec_col, n_probe=1, centroid_id_col=id_col
+    ).select("id", "cell")
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    tagged = cells.join(v, "id")
+    lhs = tagged.select(
+        F.col("id").alias("id_a"), "cell", F.col("__v").alias("__va")
+    )
+    rhs = tagged.select(
+        F.col("id").alias("id_b"), "cell", F.col("__v").alias("__vb")
+    )
+    dropped = (
+        lhs.join(rhs, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return cells.join(dropped, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cell",
+        F.col("__dup").isNull().alias("is_kept"),
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

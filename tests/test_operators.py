@@ -808,6 +808,63 @@ def test_pq_recall_vs_bruteforce(spark):
     assert pq_full == exact
 
 
+def test_rrf_fuse_combines_runs(spark):
+    """rrf_fuse: a doc ranked well in BOTH runs outranks a doc that tops
+    only one; absent docs contribute nothing; ties break by id; topk
+    truncates; empty run list raises."""
+    import pytest as _pytest
+
+    run1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank bigint",
+    )
+    run2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 99, 3)],
+        "query_id long, neighbor_id long, rank bigint",
+    )
+    got = {r["neighbor_id"]: r for r in S.rrf_fuse([run1, run2]).collect()}
+    # 10: 1/61+1/62, 11: 1/62+1/61 (tie -> id asc), 12: 1/63, 99: 1/63
+    assert got[10]["fused_rank"] == 1 and got[11]["fused_rank"] == 2
+    assert got[12]["fused_rank"] == 3 and got[99]["fused_rank"] == 4  # tie: id asc
+    assert got[10]["rrf_score"] == got[11]["rrf_score"]
+    top2 = S.rrf_fuse([run1, run2], topk=2).collect()
+    assert {r["neighbor_id"] for r in top2} == {10, 11}
+    with _pytest.raises(ValueError, match="at least one run"):
+        S.rrf_fuse([])
+
+
+def test_semantic_dedup_keeps_clique_representative(spark):
+    """semantic_dedup: a clique of mutual near-identical vectors keeps
+    exactly its min id; dissimilar cell-mates all survive; vectors in
+    different cells never suppress each other even at cosine 1."""
+    rows = [
+        # clique in one direction: 10 is the representative
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0, 0.0]),
+        (12, [0.998, 0.02, 0.0, 0.0]),
+        # different direction, same magnitude id range
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    # seed centroids = ids < n_clusters: add two orthogonal anchors so the
+    # clique and the singletons land in different cells
+    anchors = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(
+        anchors + rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["is_kept"])
+        for r in S.semantic_dedup(emb, n_clusters=2, threshold=0.95).collect()
+    }
+    # anchor 0 is the clique's lowest id -> it represents; 10-12 drop
+    assert got[0][1] is True
+    assert got[10][1] is False and got[11][1] is False and got[12][1] is False
+    assert {got[i][0] for i in (0, 10, 11, 12)} == {0}   # same cell
+    # 21 ([0,0,1,0]) is orthogonal to everything -> kept wherever it lands
+    assert got[21][1] is True
+    assert got[1][1] is True and got[20][1] is False  # 20 dups anchor 1
+
+
 def test_pq_trained_codebook_beats_seed(spark):
     """Per-subspace k-means training (method='kmeans') vs the deterministic
     seed codebook at equal m/n_codes on the driver's real embeddings:
