@@ -505,6 +505,27 @@ def q108_rrf_fusion(spark, sf):
     )
 
 
+def q109_funnel(spark, sf):
+    """Ordered funnel over the events table (temporal.funnel_stages):
+    signup → view → click → purchase, each stage counting users whose
+    stage event falls strictly after their first previous-stage event.
+    Broadcast-join chain on the user dimension; the event scan carries a
+    pushed stage filter per aggregate."""
+    from eodatadown_spark.operators.temporal import funnel_stages
+
+    ev = _t(spark, sf, "events")
+    return funnel_stages(ev, ["signup", "view", "click", "purchase"])
+
+
+def q110_cohort_retention(spark, sf):
+    """Weekly cohort retention (temporal.cohort_retention): users bucketed
+    by first-event week, distinct-counted per activity-week offset."""
+    from eodatadown_spark.operators.temporal import cohort_retention
+
+    ev = _t(spark, sf, "events")
+    return cohort_retention(ev)
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -1881,6 +1902,8 @@ QUERIES: dict[str, Callable] = {
     "q106_split_leakage_gate": q106_split_leakage_gate,
     "q107_semantic_dedup": q107_semantic_dedup,
     "q108_rrf_fusion": q108_rrf_fusion,
+    "q109_funnel": q109_funnel,
+    "q110_cohort_retention": q110_cohort_retention,
 }
 
 
@@ -3490,6 +3513,51 @@ def oracle_sql() -> dict[str, str]:
                 SELECT query_id, neighbor_id, sum(c) AS sum_c
                 FROM contrib GROUP BY 1, 2
             )
+        """,
+        # q109/q110: event-log product analytics
+        "q109_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ets
+                FROM events
+            ), s0 AS (
+                SELECT user_id, min(ets) AS t0 FROM e
+                WHERE event_type = 'signup' GROUP BY 1
+            ), s1 AS (
+                SELECT e.user_id, min(ets) AS t1
+                FROM e JOIN s0 USING (user_id)
+                WHERE event_type = 'view' AND ets > t0 GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(ets) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND ets > t1 GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(ets) AS t3
+                FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND ets > t2 GROUP BY 1
+            )
+            SELECT CAST(stage AS INTEGER) AS stage, stage_name, n_users
+            FROM (VALUES
+                (0, 'signup',   (SELECT count(*) FROM s0)),
+                (1, 'view',     (SELECT count(*) FROM s1)),
+                (2, 'click',    (SELECT count(*) FROM s2)),
+                (3, 'purchase', (SELECT count(*) FROM s3))
+            ) AS t(stage, stage_name, n_users)
+        """,
+        "q110_cohort_retention": """
+            WITH e AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+                FROM events
+            ), first AS (
+                SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1
+            ), active AS (
+                SELECT DISTINCT user_id, wk FROM e
+            )
+            SELECT cohort_week,
+                   CAST((wk - cohort_week) / 7 AS INTEGER) AS week_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -240,4 +240,102 @@ def detect_gaps(
     )
 
 
-__all__ = ["asof_join", "range_join", "session_window_rollup", "detect_gaps"]
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed stage k strictly
+    AFTER their first completion of stage k-1 → (stage, stage_name,
+    n_users), monotonically non-increasing down the funnel.
+
+    The classic product-analytics query (view → click → purchase) done the
+    distributed way: one conditional min-ts aggregate per stage, each
+    joined against the previous stage's per-user reach time.  The reach
+    table is user-dimension-sized (≪ events), so every join broadcasts and
+    the event log itself is scanned once per stage with the stage filter
+    pushed down — no sessionization state, no per-user event sorting.
+
+    "Strictly after" uses the event timestamp only; same-timestamp events
+    do not chain (the cross-engine-stable contract — no ordering exists
+    within one timestamp).
+    """
+    if not stages:
+        raise ValueError("funnel_stages needs at least one stage")
+    ts = F.col(ts_col).cast("timestamp")
+    reach = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("t0"))
+    )
+    for i, st in enumerate(stages[1:], 1):
+        nxt = (
+            events.where(F.col(type_col) == st)
+            .join(reach.select(user_col, f"t{i - 1}"), user_col)
+            .where(ts > F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts).alias(f"t{i}"))
+        )
+        reach = reach.join(nxt, user_col, "left")
+    counts = reach.agg(
+        *[F.count(f"t{i}").alias(f"__s{i}") for i in range(len(stages))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(st).alias("stage_name"),
+                F.col(f"__s{i}").alias("n_users"),
+            )
+            for i, st in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.stage", "r.stage_name", "r.n_users"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    event, counted distinct in each subsequent activity week →
+    (cohort_week, week_offset, n_users).
+
+    Two aggregates and one broadcastable join: per-user first-event week
+    (user-dimension-sized), distinct (user, activity-week) pairs, then the
+    offset bucketing — the event log never self-joins and never sorts.
+    Weeks are Monday-truncated (`date_trunc('week')`, identical convention
+    in Spark and ANSI SQL engines).
+    """
+    wk = F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+    first = events.groupBy(user_col).agg(
+        F.to_date(F.min(wk)).alias("cohort_week")
+    )
+    active = events.select(
+        F.col(user_col), F.to_date(wk).alias("__week")
+    ).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("__week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+__all__ = [
+    "asof_join",
+    "range_join",
+    "session_window_rollup",
+    "detect_gaps",
+    "funnel_stages",
+    "cohort_retention",
+]

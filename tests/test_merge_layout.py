@@ -1103,3 +1103,64 @@ class TestZOrderN:
             zorder_key_n(["a"] * 8, [(0.0, 1.0)] * 8, bits=8)  # 64 > 62
         with pytest.raises(ValueError):
             zorder_key_n([], [], bits=8)
+
+
+class TestEventAnalytics:
+    def test_funnel_stage_chaining(self, spark):
+        """Funnel: stage events count only strictly AFTER the user's first
+        previous-stage event; same-timestamp events don't chain; stage
+        counts are monotone non-increasing."""
+        from eodatadown_spark.operators.temporal import funnel_stages
+
+        rows = [
+            # u1 completes the whole funnel in order
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:05:00", "click"),
+            (1, "2024-01-01 10:10:00", "purchase"),
+            # u2 clicks BEFORE viewing -> click doesn't count
+            (2, "2024-01-01 09:00:00", "click"),
+            (2, "2024-01-01 09:30:00", "view"),
+            # u3 clicks at the SAME instant as the view -> no chain
+            (3, "2024-01-01 08:00:00", "view"),
+            (3, "2024-01-01 08:00:00", "click"),
+            # u4 never views
+            (4, "2024-01-01 07:00:00", "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            [(u, ts, t) for u, ts, t in rows],
+            "user_id long, ts string, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["stage_name"]: r["n_users"]
+               for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+        assert got == {"view": 3, "click": 1, "purchase": 1}
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="at least one stage"):
+            funnel_stages(ev, [])
+
+    def test_cohort_retention_offsets(self, spark):
+        """Cohorts keyed by Monday-truncated first-event week; offsets in
+        whole weeks; distinct users per cell."""
+        from eodatadown_spark.operators.temporal import cohort_retention
+
+        rows = [
+            # u1: first event Tue Jan 2 2024 (week of Mon Jan 1), active
+            # again 2 weeks later (twice in that week -> counted once)
+            (1, "2024-01-02 10:00:00"),
+            (1, "2024-01-15 10:00:00"),
+            (1, "2024-01-16 11:00:00"),
+            # u2: same cohort week, only week 0
+            (2, "2024-01-05 10:00:00"),
+            # u3: cohort a week later
+            (3, "2024-01-10 10:00:00"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+               for r in cohort_retention(ev).collect()}
+        assert got == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1,
+        }
