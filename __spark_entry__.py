@@ -526,6 +526,32 @@ def q110_cohort_retention(spark, sf):
     return cohort_retention(ev)
 
 
+def q111_sliding_window(spark, sf):
+    """Sliding-window rollup (streaming.sliding_window_counts): 2-hour
+    windows sliding hourly — each event lands in two overlapping windows,
+    the trailing-coverage view tumbling windows can't give.  The oracle
+    regenerates the overlapping window starts with generate_series."""
+    from eodatadown_spark.streaming.incremental import sliding_window_counts
+
+    ev = _t(spark, sf, "events")
+    out = sliding_window_counts(ev, duration="2 hours", slide="1 hour")
+    return out.select(
+        F.col("win").start.alias("win_start"),
+        F.col("win").end.alias("win_end"),
+        "event_type", "n", "total_value",
+    )
+
+
+def q112_daily_anomaly(spark, sf):
+    """Daily-volume anomaly scores (temporal.daily_anomaly_scores): per
+    event type, each day's count z-scored against the type's own daily
+    distribution."""
+    from eodatadown_spark.operators.temporal import daily_anomaly_scores
+
+    ev = _t(spark, sf, "events")
+    return daily_anomaly_scores(ev)
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -1904,6 +1930,8 @@ QUERIES: dict[str, Callable] = {
     "q108_rrf_fusion": q108_rrf_fusion,
     "q109_funnel": q109_funnel,
     "q110_cohort_retention": q110_cohort_retention,
+    "q111_sliding_window": q111_sliding_window,
+    "q112_daily_anomaly": q112_daily_anomaly,
 }
 
 
@@ -3558,6 +3586,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY 1, 2
+        """,
+        "q111_sliding_window": """
+            WITH e AS (
+                SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
+                FROM events
+            ), x AS (
+                SELECT unnest(generate_series(
+                           date_trunc('hour', t) - INTERVAL 1 HOUR,
+                           date_trunc('hour', t),
+                           INTERVAL 1 HOUR)) AS wstart,
+                       event_type, value
+                FROM e
+            )
+            SELECT wstart AS win_start,
+                   wstart + INTERVAL 2 HOUR AS win_end,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM x GROUP BY 1, 2, 3
+        """,
+        "q112_daily_anomaly": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, n,
+                   round((n - avg(n) OVER (PARTITION BY event_type))
+                         / stddev_samp(n) OVER (PARTITION BY event_type),
+                         3) AS z
+            FROM d
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -331,6 +331,35 @@ def cohort_retention(
     )
 
 
+def daily_anomaly_scores(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_to: int = 3,
+) -> DataFrame:
+    """Daily-volume anomaly scoring: per event type, each day's event count
+    z-scored against that type's own daily distribution → (event_type,
+    day, n, z).  The monitoring primitive behind "error volume spiked
+    today" alerts; filter ``abs(z) >= k`` downstream for the alert itself.
+
+    One aggregate (events → per-type-day counts, map-side combined) and
+    one keyed window over the tiny per-day table; the raw event log is
+    scanned once.  z uses the sample stddev; a type with a single day (or
+    zero variance) yields NULL z rather than an error.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    z = F.try_divide(
+        F.col("n") - F.avg("n").over(w), F.stddev_samp("n").over(w)
+    )
+    return daily.select(
+        "event_type", "day", "n", F.round(z, round_to).alias("z")
+    )
+
+
 __all__ = [
     "asof_join",
     "range_join",
@@ -338,4 +367,5 @@ __all__ = [
     "detect_gaps",
     "funnel_stages",
     "cohort_retention",
+    "daily_anomaly_scores",
 ]

@@ -83,6 +83,32 @@ def windowed_event_counts(
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
 
 
+def sliding_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    lateness: str = "1 day",
+) -> DataFrame:
+    """SLIDING-window per-type counts: each event lands in duration/slide
+    overlapping windows (epoch-aligned starts every ``slide``), the
+    trailing-coverage view a tumbling window can't give ("events in the
+    last 2 h, refreshed hourly").  Streaming-capable exactly like the
+    tumbling variant — ``window(ts, duration, slide)`` works in both modes,
+    with the watermark bounding state in streaming.
+
+    Cost model: the window explode multiplies rows by duration/slide BEFORE
+    the aggregate's map-side combine, so keep that ratio small at scale
+    (2× here); for large ratios prefer tumbling panes + a rolling sum over
+    pane aggregates (q89's time-RANGE frame shape).
+    """
+    return (
+        events.withWatermark(ts_col, lateness) if events.isStreaming else events
+    ).groupBy(
+        F.window(F.col(ts_col), duration, slide).alias("win"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str],

@@ -128,6 +128,80 @@ def test_windowed_counts_streaming_mode(spark, tmp_path):
         q.stop()
 
 
+def test_sliding_window_counts_batch_and_stream(spark, tmp_path):
+    """Sliding windows: an event lands in duration/slide overlapping
+    windows (2h/1h -> two each); the same plan runs as a stream and emits
+    watermark-closed windows."""
+    import datetime as dt
+
+    from eodatadown_spark.streaming.incremental import sliding_window_counts
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 1, 10), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 1, 50), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 2, 10), "view", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {
+        (r["win"]["start"].hour, r["event_type"]): (r["n"], r["total_value"])
+        for r in sliding_window_counts(df).collect()
+    }
+    # clicks at 1:10/1:50 cover windows starting 0:00 and 1:00; the view at
+    # 2:10 covers 1:00 and 2:00
+    assert got == {
+        (0, "click"): (2, 3.0),
+        (1, "click"): (2, 3.0),
+        (1, "view"): (1, 4.0),
+        (2, "view"): (1, 4.0),
+    }
+
+    src = str(tmp_path / "slide_src")
+    extra = rows + [(dt.datetime(2024, 1, 1, 6, 0), "view", 0.5)]  # advances wm
+    spark.createDataFrame(
+        extra, "ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = sliding_window_counts(
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(src),
+        lateness="1 hour",
+    )
+    q = (stream.writeStream.format("memory").queryName("slide_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        closed = {
+            (r["win"]["start"].hour, r["event_type"])
+            for r in spark.sql("SELECT * FROM slide_out").collect()
+        }
+        # every window ending at or before the 5:00 watermark is emitted
+        assert closed == {(0, "click"), (1, "click"), (1, "view"), (2, "view")}
+    finally:
+        q.stop()
+
+
+def test_daily_anomaly_scores(spark):
+    """z-scores against each type's own daily distribution; single-day or
+    zero-variance types yield NULL z instead of erroring."""
+    import datetime as dt
+
+    from eodatadown_spark.operators.temporal import daily_anomaly_scores
+
+    rows = (
+        # 'a': counts 1,1,4 across three days -> day3 is the spike
+        [(dt.datetime(2024, 1, 1, 1), "a")]
+        + [(dt.datetime(2024, 1, 2, 1), "a")]
+        + [(dt.datetime(2024, 1, 3, h), "a") for h in range(1, 5)]
+        # 'b': a single day -> stddev undefined -> NULL z
+        + [(dt.datetime(2024, 1, 1, 1), "b")]
+    )
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {(r["event_type"], str(r["day"])): (r["n"], r["z"])
+           for r in daily_anomaly_scores(ev).collect()}
+    assert got[("a", "2024-01-03")][0] == 4
+    assert got[("a", "2024-01-03")][1] == round((4 - 2.0) / 1.7320508075688772, 3)
+    assert got[("b", "2024-01-01")] == (1, None)
+
+
 def test_sessionize_gap_semantics(spark):
     """Gap strictly > threshold starts a new session; ties at the threshold
     stay in-session; per-key numbering restarts at 1."""
