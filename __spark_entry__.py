@@ -552,6 +552,23 @@ def q112_daily_anomaly(spark, sf):
     return daily_anomaly_scores(ev)
 
 
+def q113_vocab_overlap(spark, sf):
+    """Pairwise per-source vocabulary Jaccard (corpus.vocab_overlap): the
+    corpus collapses to distinct (source, token) first, so only the
+    vocabulary-sized relation self-joins."""
+    from eodatadown_spark.operators.corpus import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf, "documents"))
+
+
+def q114_zipf_slope(spark, sf):
+    """Zipf rank-frequency OLS slope per source (corpus.zipf_slope) — the
+    model-free corpus-quality screen; natural text sits near -1."""
+    from eodatadown_spark.operators.corpus import zipf_slope
+
+    return zipf_slope(_t(spark, sf, "documents"))
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -1932,6 +1949,8 @@ QUERIES: dict[str, Callable] = {
     "q110_cohort_retention": q110_cohort_retention,
     "q111_sliding_window": q111_sliding_window,
     "q112_daily_anomaly": q112_daily_anomaly,
+    "q113_vocab_overlap": q113_vocab_overlap,
+    "q114_zipf_slope": q114_zipf_slope,
 }
 
 
@@ -3617,6 +3636,51 @@ def oracle_sql() -> dict[str, str]:
                          / stddev_samp(n) OVER (PARTITION BY event_type),
                          3) AS z
             FROM d
+        """,
+        # q113/q114: corpus diagnostics over the shared token CTE shape
+        "q113_vocab_overlap": """
+            WITH vocab AS (
+                SELECT DISTINCT source AS src, t.tok AS token
+                FROM documents,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        x -> x <> '')) AS t(tok)
+            ), sizes AS (
+                SELECT src, count(*) AS n_tok FROM vocab GROUP BY 1
+            ), shared AS (
+                SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+                FROM vocab a JOIN vocab b ON a.token = b.token AND a.src < b.src
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared,
+                   sa.n_tok AS n_a, sb.n_tok AS n_b,
+                   round(n_shared / (sa.n_tok + sb.n_tok - n_shared), 4) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.src = source_a
+            JOIN sizes sb ON sb.src = source_b
+        """,
+        "q114_zipf_slope": """
+            WITH counts AS (
+                SELECT source, t.tok AS token, count(*) AS n
+                FROM documents,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        x -> x <> '')) AS t(tok)
+                GROUP BY 1, 2
+            ), xy AS (
+                SELECT source, n,
+                       ln(CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n DESC, token ASC) AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM counts
+            ), agg AS (
+                SELECT source, count(*) AS n_types, sum(n) AS n_tokens,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM xy GROUP BY 1
+            )
+            SELECT source, n_types, n_tokens,
+                   round((n_types * sxy - sx * sy)
+                         / nullif(n_types * sxx - sx * sx, 0), 3) AS slope
+            FROM agg
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -959,6 +959,105 @@ def assign_split_clustered(
     ).drop("cluster_id")
 
 
+def vocab_overlap(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources → (source_a, source_b,
+    n_shared, n_a, n_b, jaccard), source_a < source_b.  The corpus-mixing
+    diagnostic: two "different" sources whose vocabularies are near-
+    identical add diversity on paper only.
+
+    Scale shape: the corpus collapses to distinct (source, token) pairs
+    FIRST (vocabulary-sized, map-side combined), and only that small
+    relation self-joins on token — the raw text never joins anything.
+    Jaccard = |∩| / (|A| + |B| - |∩|), exact integer arithmetic until the
+    final division.
+    """
+    vocab = (
+        documents.select(
+            F.col(source_col).alias("src"),
+            F.explode(token_array(text_col)).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).alias("n_tok"))
+    shared = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "token")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("src").alias("source_a"),
+                                 F.col("n_tok").alias("n_a")), "source_a")
+        .join(sizes.select(F.col("src").alias("source_b"),
+                           F.col("n_tok").alias("n_b")), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "n_a", "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def zipf_slope(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 3,
+) -> DataFrame:
+    """Zipf rank-frequency fit per source → (source, n_types, n_tokens,
+    slope): the OLS slope of ln(freq) against ln(rank) over that source's
+    token frequency table.  Natural text tracks slope ≈ -1; strong
+    deviation flags templated / synthetic / scraped-boilerplate sources —
+    a corpus-quality screen that needs no reference model.
+
+    One token-count aggregate (vocabulary-sized output), one per-source
+    rank window over it, then the closed-form OLS
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) as four sum aggregates.  A source with
+    a single type yields NULL slope (zero x-variance) rather than an
+    error.
+    """
+    counts = (
+        documents.select(
+            F.col(source_col).alias("source"),
+            F.explode(token_array(text_col)).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
+    xy = counts.select(
+        "source",
+        "n",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = F.try_divide(
+        F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    return agg.select(
+        "source", "n_types", "n_tokens", F.round(slope, round_to).alias("slope")
+    )
+
+
 def split_leakage_gate(
     documents: DataFrame,
     split: DataFrame,

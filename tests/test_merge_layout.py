@@ -1164,3 +1164,47 @@ class TestEventAnalytics:
             ("2024-01-01", 2): 1,
             ("2024-01-08", 0): 1,
         }
+
+
+class TestCorpusDiagnostics:
+    def test_vocab_overlap_exact_jaccard(self, spark):
+        from eodatadown_spark.operators.corpus import vocab_overlap
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "s1"),
+                (2, "beta gamma delta", "s2"),
+                (3, "ALPHA  beta", "s1"),     # case/whitespace-normalized
+                (4, "zeta", "s3"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {(r["source_a"], r["source_b"]): r
+               for r in vocab_overlap(docs).collect()}
+        # s1 vocab {alpha,beta,gamma}, s2 {beta,gamma,delta}: share 2 of 4
+        r = got[("s1", "s2")]
+        assert (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]) == (2, 3, 3, 0.5)
+        # disjoint sources never emit a row (inner join on token)
+        assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+    def test_zipf_slope_reference_fit(self, spark):
+        """Slope equals the plain-Python OLS on the same rank/freq table;
+        a single-type source yields NULL (zero x-variance)."""
+        from eodatadown_spark.operators.corpus import zipf_slope
+
+        text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+        docs = spark.createDataFrame(
+            [(1, text, "s1"), (2, "solo solo", "s2")],
+            "doc_id long, text string, source string",
+        )
+        got = {r["source"]: r for r in zipf_slope(docs).collect()}
+        freqs = [8, 4, 2, 1]  # ranks 1..4
+        xs = [math.log(i + 1) for i in range(4)]
+        ys = [math.log(f) for f in freqs]
+        n = 4
+        want = (n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+            n * sum(x * x for x in xs) - sum(xs) ** 2
+        )
+        assert got["s1"]["slope"] == round(want, 3)
+        assert got["s1"]["n_types"] == 4 and got["s1"]["n_tokens"] == 15
+        assert got["s2"]["slope"] is None          # one type -> undefined
