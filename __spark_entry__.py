@@ -478,9 +478,15 @@ def q107_semantic_dedup(spark, sf):
     convention), then inside each cell any vector with a lower-id cell-mate
     at cosine ≥ 0.42 is dropped.  Output (vec_id, cell, is_kept) carries no
     float, and every within-cell cosine sits ≥ 1.7e-3 from the threshold on
-    this table, so the cross-engine comparison is margin-safe."""
+    this table, so the cross-engine comparison is margin-safe.
+
+    n_clusters=None auto-scales the cell count with corpus size (the
+    SemDeDup prescription — within-cell pairs are quadratic per cell); on
+    the 500-vector oracle tables that resolves to 8, exactly what the SQL
+    oracle's `vec_id < 8` centroid CTE hardcodes, so the differential
+    check stays valid while bench runs at larger sf get more cells."""
     emb = _t(spark, sf, "embeddings")
-    return S.semantic_dedup(emb, n_clusters=8, threshold=0.42)
+    return S.semantic_dedup(emb, n_clusters=None, threshold=0.42)
 
 
 def q108_rrf_fusion(spark, sf):

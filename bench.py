@@ -37,14 +37,18 @@ HEADLINE = [
     "q31_topk_per_group",
 ]
 
-# round-4 operators benched warm-only in a separate JSON section (headline
-# membership is frozen for round-over-round comparability)
+# round-4/5 operators benched warm-only in a separate JSON section
+# (headline membership is frozen for round-over-round comparability)
 EXTENDED = [
     "q91_merge_upsert",
     "q93_weighted_sample",
     "q96_sole_late_supplier",
     "q97_incremental_rollup",
     "q101_cdc_dup_stats",
+    "q107_semantic_dedup",
+    "q109_funnel",
+    "q111_sliding_window",
+    "q113_vocab_overlap",
 ]
 
 

@@ -668,11 +668,13 @@ def rrf_fuse(
 
 def semantic_dedup(
     corpus: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    materialize: str = "auto",
+    impl: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: data-
     efficient learning at web-scale through semantic deduplication": keep
@@ -693,29 +695,190 @@ def semantic_dedup(
     Default centroids are the deterministic seed set (lowest-id vectors —
     the :func:`ivf_topk` convention) for cross-engine reproducibility;
     pass :func:`kmeans_centroids` for trained cells (identical plan).
+
+    ``materialize`` (the minhash convention: auto/checkpoint/local/none)
+    pins the (id, cell, vector) assignment before the self-join — the
+    plan references it three times (both join sides and the output), and
+    without pinning each reference replays the centroid scoring.  The
+    pinned relation is input-sized (the SemDeDup index itself); "none"
+    keeps a pure plan for audits.
+
+    ``impl``:
+
+    - ``"arrow"`` (default): centroid assignment and within-cell pair
+      scoring run as numpy matmuls (Arrow-batched ``mapInPandas`` /
+      per-cell ``applyInPandas`` with row-blocked Gram products, memory
+      bounded at block × |cell|).  Interpreted higher-order lambdas cost
+      ~1 µs per 64-dim dot; BLAS does the same work three orders of
+      magnitude faster, and both assignment (n·k dots) and pairing
+      (Σ|cell|²/2 dots) are dot-product-bound.  float64 math — decision
+      margins (argmax cells, threshold compares) are validated against
+      the independently-computed DuckDB oracle.
+    - ``"sql"``: pure Catalyst expressions (the oracle-mirroring reference
+      formulation; zero Python).
     """
+    from eodatadown_spark.operators.dedup import _pin_mode
+
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"unknown semantic_dedup impl {impl!r}")
+    if n_clusters is None and centroids is None:
+        # auto-scale cluster count with corpus size (cells of ≈≤5000/8
+        # vectors): within-cell pair volume is quadratic PER CELL, so a
+        # fixed cell count turns sublinear into quadratic as the corpus
+        # grows — SemDeDup's own prescription is more clusters, not bigger
+        # ones.  One bounded count job at plan-build time; pass an explicit
+        # n_clusters (or centroids) to stay pure-plan.
+        import math
+
+        n_clusters = 8 * max(1, math.ceil(corpus.count() / 5000))
     if centroids is None:
         centroids = corpus.where(F.col(id_col) < n_clusters)
+    if impl == "arrow":
+        return _semantic_dedup_arrow(
+            corpus, centroids, threshold, id_col, vec_col, materialize
+        )
     cells = ivf_assign_cells(
         corpus, centroids, id_col, vec_col, n_probe=1, centroid_id_col=id_col
     ).select("id", "cell")
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
-    tagged = cells.join(v, "id")
-    lhs = tagged.select(
-        F.col("id").alias("id_a"), "cell", F.col("__v").alias("__va")
+    # norms precompute once per VECTOR here; the pair predicate below then
+    # evaluates one higher-order dot per pair instead of three (HOF lambdas
+    # run interpreted, not codegen — they are the per-pair unit cost)
+    tagged = _pin_mode(
+        cells.join(v, "id").withColumn("__n", l2_norm(F.col("__v"))), materialize
+    )
+    # spread the probe side across partitions: the within-cell join's pair
+    # generation + scoring parallelism follows the LEFT side's partitioning
+    # (a broadcast join preserves it, and a narrow parquet scan can arrive
+    # as one partition), so an id-hash repartition of input-sized data buys
+    # full-core scoring; a shuffle equi-join at cluster scale re-exchanges
+    # on cell anyway, with skew bounded by cluster granularity.  The
+    # partition count is EXPLICIT because AQE sizes exchanges by input
+    # bytes and would coalesce the (small) pre-join side to one partition
+    # — it cannot see that the join explodes rows or that the per-pair
+    # predicate is an interpreted higher-order dot.
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    lhs = tagged.repartition(npart, F.col("id")).select(
+        F.col("id").alias("id_a"), "cell",
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
     )
     rhs = tagged.select(
-        F.col("id").alias("id_b"), "cell", F.col("__v").alias("__vb")
+        F.col("id").alias("id_b"), "cell",
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    sim = F.try_divide(
+        dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")
     )
     dropped = (
         lhs.join(rhs, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .where(sim >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("__dup", F.lit(True))
     )
-    return cells.join(dropped, "id", "left").select(
+    return tagged.select("id", "cell").join(dropped, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cell",
+        F.col("__dup").isNull().alias("is_kept"),
+    )
+
+
+def _semantic_dedup_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    materialize: str,
+) -> DataFrame:
+    """Vectorized semantic_dedup body: numpy-matmul assignment + per-cell
+    row-blocked Gram pairing.  Same contract as the sql path: nearest cell
+    by cosine with lowest-cell-id tie-break, drop any vector with a
+    LOWER-id cell-mate at cosine ≥ threshold; zero-norm/NULL vectors get
+    no cell and are excluded (as the sql path's null-sim filter does)."""
+    import numpy as np
+
+    from eodatadown_spark.operators.dedup import _pin_mode
+
+    # a coarse-quantizer codebook is small by construction (same bounded
+    # collect as pq_train_codebook); rows sorted by cell id so np.argmax's
+    # first-max rule == the sql path's (sim desc, cell asc) tie-break
+    cent_rows = sorted(
+        (r[0], list(r[1]))
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+    cell_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    spark = corpus.sparkSession
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, v in zip(pdf["id"], pdf["__v"]):
+                if v is None:
+                    continue
+                ids.append(i)
+                vecs.append(np.asarray(v, dtype=np.float64))
+            if not ids:
+                yield pd.DataFrame({"id": [], "cell": [], "__v": []})
+                continue
+            V = np.stack(vecs)
+            Vn = np.linalg.norm(V, axis=1)
+            ok = (Vn > 0) & np.isfinite(Vn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (V @ C.T) / np.outer(Vn, Cn)
+            best = cell_ids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "id": np.asarray(ids)[ok],
+                    "cell": best[ok],
+                    "__v": [v.tolist() for v, k in zip(vecs, ok) if k],
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    tagged = _pin_mode(
+        src.mapInPandas(assign, "id long, cell long, __v array<double>"),
+        materialize,
+    )
+
+    block = 1024
+
+    def pair_drops(key, pdf):
+        import pandas as pd
+
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack([np.asarray(v) for v in pdf["__v"].to_numpy()[order]])
+        n = len(ids)
+        Vn = np.linalg.norm(V, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            U = V / Vn[:, None]
+        dropped = np.zeros(n, dtype=bool)
+        # row-blocked upper-triangle Gram: memory ≤ block × |cell| doubles
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            G = U[s:e] @ U.T            # (block, n)
+            for bi in range(e - s):
+                i = s + bi
+                row = G[bi, i + 1:]     # strictly higher ids (sorted)
+                hits = np.flatnonzero(row >= threshold) + i + 1
+                dropped[hits] = True
+        return pd.DataFrame({"id": ids[dropped]})
+
+    dropped = (
+        tagged.groupBy("cell")
+        .applyInPandas(pair_drops, "id long")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return tagged.select("id", "cell").join(dropped, "id", "left").select(
         F.col("id").alias(id_col),
         "cell",
         F.col("__dup").isNull().alias("is_kept"),

@@ -1268,3 +1268,18 @@ def test_usr_analysis_agg_duplicate_plugin_names(spark, landsat_scenes, plugin_r
     c = [r["pid"] for r in Q.get_scnlist_usr_analysis_agg(
         landsat_scenes, plugin_results_df, ["PlgA"]).collect()]
     assert a == b == c
+
+
+def test_semantic_dedup_arrow_equals_sql(spark):
+    """The numpy-matmul (arrow) and pure-Catalyst (sql) semantic_dedup
+    implementations agree row-for-row on the real embeddings table — the
+    argmax/threshold decision margins dwarf the float32-fold vs float64-
+    matmul differences (also validated by q107's independent oracle)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = S.semantic_dedup(emb, n_clusters=8, threshold=0.42, impl="arrow")
+    b = S.semantic_dedup(emb, n_clusters=8, threshold=0.42, impl="sql")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    import pytest
+    with pytest.raises(ValueError, match="impl"):
+        S.semantic_dedup(emb, impl="bogus")

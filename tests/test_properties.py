@@ -485,3 +485,19 @@ def test_cdc_chunks_match_python(spark, texts):
         got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
     for i, t in enumerate(texts):
         assert [c for _, c in sorted(got.get(i, []))] == py_chunks(t)
+
+
+def test_cdc_chunks_arrow_equals_sql(spark):
+    """The numpy (arrow) and pure-Catalyst (sql) CDC implementations are
+    row-for-row identical on the real documents table — same polynomial
+    mod p, different evaluation order (mod is a ring homomorphism)."""
+    from eodatadown_spark.operators.dedup import cdc_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = cdc_chunks(docs, impl="arrow")
+    b = cdc_chunks(docs, impl="sql")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    import pytest
+    with pytest.raises(ValueError, match="impl"):
+        cdc_chunks(docs, impl="bogus")
