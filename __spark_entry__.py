@@ -1817,9 +1817,11 @@ def q106_split_leakage_gate(spark, sf):
     pairs = ngram_jaccard_pairs(docs, threshold=0.5)
     clusters = neardup_clusters(docs, pairs=pairs)
     split = assign_split_clustered(docs, clusters).select("doc_id", "split")
-    # exhaustive mode — the release-gate posture; per-batch pipelines use
-    # mode="bounded" (sampled pairs, <1 s) via the same operator
-    return split_leakage_gate(docs, split, threshold=0.5)
+    # exhaustive posture, reusing the pair frame already computed to BUILD
+    # the split (the gate would otherwise rescan all pairs — clusters'
+    # iterative checkpoints break lineage, so Catalyst can't dedupe the two
+    # subtrees); per-batch pipelines use mode="bounded" instead
+    return split_leakage_gate(docs, split, threshold=0.5, pairs=pairs)
 
 
 # Ordering matters: the grading driver's correctness gate checks the FIRST

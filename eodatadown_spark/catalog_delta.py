@@ -33,16 +33,17 @@ merge_into()       full MERGE clause routing via
                    ``validate_unique_source`` guard) natively.
 read_version()     time travel: ``option("versionAsOf", v)``.
 list_versions()    ``DESCRIBE HISTORY`` version column.
-changes_since()    Change Data Feed: ``readChangeFeed`` +
-                   ``startingVersion`` when CDF is enabled, else the
-                   snapshot-diff fallback (time travel + diff), which
-                   is exactly ParquetCatalog's implementation.
+changes_since()    time travel + snapshot diff — exactly
+                   ParquetCatalog's implementation and net-change-per-
+                   key contract (deliberately NOT the per-commit Change
+                   Data Feed; see the method docstring).
 compact()          ``OPTIMIZE`` (bin-packing); a zorder_by arg maps to
                    ``OPTIMIZE ... ZORDER BY`` — the transactional form
                    of spatial.cluster_by_zorder.
-fsck()             ``FSCK REPAIR TABLE`` (drops log entries whose data
-                   files vanished) + ``VACUUM`` for the GC half that
-                   our retain_versions pruning does.
+fsck()             consistency report: log-referenced files missing on
+                   disk (via inputFiles — FSCK REPAIR TABLE is
+                   Databricks-only) + VACUUM DRY RUN's unreferenced
+                   list, the retain_versions-GC analog.
 =================  ====================================================
 
 The adapter needs the ``delta-spark`` package and a session configured with
@@ -89,6 +90,7 @@ def delta_merge_clauses(
     when_not_matched_insert=True,
     insert_condition=None,
     source_columns: list[str] | None = None,
+    target_columns: list[str] | None = None,
 ) -> tuple[str, list[tuple[str, object, object]]]:
     """Translate the catalog MERGE clause kwargs into Delta's merge-builder
     call sequence: (join condition SQL, [(builder_method, condition, set)]).
@@ -101,6 +103,16 @@ def delta_merge_clauses(
     Clause order matters and mirrors the operator: delete is evaluated
     before update when both are present (Delta applies whenMatched clauses
     in order, first condition wins — same as our CASE routing).
+
+    Insert-all (``when_not_matched_insert=True``) is TARGET-schema-governed
+    like ``operators.merge.merge_into``: given ``target_columns`` (and
+    ``source_columns``) it expands to an explicit values mapping — key
+    columns from the source, same-named source columns, NULL otherwise —
+    so a source carrying extra columns inserts identically against both
+    catalogs instead of tripping Delta's ``whenNotMatchedInsertAll`` on
+    the unknown column (or silently schema-evolving the table).  Without
+    ``target_columns`` the translation falls back to InsertAll with
+    source-schema semantics — pass the table's columns to get parity.
     """
     cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
     calls: list[tuple[str, object, object]] = []
@@ -110,7 +122,18 @@ def delta_merge_clauses(
         raise TypeError("when_matched_update must be a column mapping")
     if when_matched_update:
         calls.append(("whenMatchedUpdate", update_condition, dict(when_matched_update)))
-    if when_not_matched_insert is True:
+    if when_not_matched_insert is True and target_columns is not None:
+        src_cols = set(source_columns or [])
+        ins_all = {
+            c: (
+                F.col(f"s.{c}")
+                if c in on or c in src_cols
+                else F.lit(None)
+            )
+            for c in target_columns
+        }
+        calls.append(("whenNotMatchedInsert", insert_condition, ins_all))
+    elif when_not_matched_insert is True:
         calls.append(("whenNotMatchedInsertAll", insert_condition, None))
     elif isinstance(when_not_matched_insert, Mapping):
         ins = dict(when_not_matched_insert)
@@ -168,9 +191,6 @@ class DeltaCatalog:
             w.write.format("delta")
             .mode("overwrite")
             .option("overwriteSchema", "true")
-            # CDF on from the first write so changes_since can use the
-            # change feed instead of the snapshot-diff fallback
-            .option("delta.enableChangeDataFeed", "true")
         )
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -231,6 +251,9 @@ class DeltaCatalog:
                     f"merge_into cannot update partition-source columns "
                     f"{sorted(forbidden)}; use write() for partition-moving rewrites"
                 )
+        cur_cols = [
+            c for c in self.read(table).columns if c not in ("p_year", "p_month")
+        ]
         cond, calls = delta_merge_clauses(
             on,
             when_matched_update,
@@ -239,6 +262,7 @@ class DeltaCatalog:
             when_not_matched_insert,
             insert_condition,
             source_columns=source.columns,
+            target_columns=cur_cols,
         )
         builder = self._dt(table).alias("t").merge(source.alias("s"), cond)
         for method, condition, values in calls:
@@ -265,12 +289,16 @@ class DeltaCatalog:
         )
 
     def changes_since(self, table: str, version: int, keys=("pid",)) -> DataFrame:
-        """CDC rows (keys + change_type) between `version` and now.
+        """CDC rows (keys + change_type) between `version` and now, via
+        time travel + snapshot diff — EXACTLY ParquetCatalog's
+        implementation and output contract (net change per key, not
+        per-commit history).
 
-        Uses Delta's Change Data Feed when the table has it enabled
-        (collapsing per-commit update_pre/postimage pairs to one 'update'
-        row, net inserts/deletes otherwise), else falls back to the same
-        snapshot diff ParquetCatalog uses — identical output contract.
+        Deliberately not Delta's Change Data Feed: CDF emits per-commit
+        update_pre/postimage rows, and collapsing a multi-commit history
+        to the net per-key change is precisely the diff this method
+        already computes — reading two snapshots is the simpler, contract-
+        identical plan (and needs no table property on every write).
         """
         from eodatadown_spark.operators.merge import diff_snapshots
 
@@ -289,14 +317,31 @@ class DeltaCatalog:
             dt.optimize().executeCompaction()
 
     def fsck(self, table: str) -> dict:
-        """Repair + report: FSCK REPAIR TABLE drops transaction-log entries
-        whose data files vanished (ParquetCatalog.fsck's dangling-pointer
-        check); VACUUM prunes unreferenced files past the retention window
-        (its retain_versions GC)."""
+        """Consistency REPORT (matching ParquetCatalog.fsck's posture —
+        report, don't mutate), using only OSS-delta-supported surfaces:
+
+        - ``missing_files``: current-snapshot data files the transaction
+          log references but the filesystem lacks (ParquetCatalog's
+          dangling-pointer check).  ``FSCK REPAIR TABLE`` — the statement
+          that would drop such entries — is Databricks-runtime-only and
+          does not parse on open-source delta-spark, so detection is done
+          directly against ``inputFiles()`` (bounded by current-version
+          file count, a driver-side listing either way).
+        - ``unreferenced_files``: VACUUM DRY RUN's candidate list (the
+          retain_versions-GC analog); an actual ``VACUUM`` is the user's
+          retention decision, not a health check's.
+        """
         path = self.data_path(table)
-        self.spark.sql(f"FSCK REPAIR TABLE delta.`{path}` DRY RUN")
-        removed = self.spark.sql(f"VACUUM delta.`{path}` DRY RUN").count()
-        return {"table": table, "unreferenced_files": removed}
+        missing = [
+            f for f in self.read(table).inputFiles()
+            if f.startswith("file:") and not os.path.exists(f[len("file:"):])
+        ]
+        unreferenced = self.spark.sql(f"VACUUM delta.`{path}` RETAIN 168 HOURS DRY RUN").count()
+        return {
+            "table": table,
+            "missing_files": missing,
+            "unreferenced_files": unreferenced,
+        }
 
 
 __all__ = ["DeltaCatalog", "delta_merge_clauses"]

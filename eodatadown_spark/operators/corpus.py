@@ -1068,6 +1068,7 @@ def split_leakage_gate(
     mode: str = "exhaustive",
     sample_docs: int = 500,
     seed: int = 42,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Split-soundness gate: find near-dup document pairs whose two members
     landed in DIFFERENT splits → (id_a, id_b, sa, sb), empty iff the split
@@ -1092,20 +1093,25 @@ def split_leakage_gate(
 
     if mode not in ("exhaustive", "bounded"):
         raise ValueError(f"unknown leakage-gate mode {mode!r}")
-    src = documents
-    if mode == "bounded":
-        src = (
-            documents.withColumn("__u", _portable_uniform(id_col, seed))
-            .orderBy("__u", id_col)
-            .limit(sample_docs)
-            .drop("__u")
-        )
-        # the pair scan references its input 4× (inverted index both sides,
-        # set re-attach both sides); pin the ≤sample_docs-row sample so the
-        # TakeOrdered job runs once, not four times.  Eager by design: the
-        # bounded gate is a per-batch check, not a composable plan.
-        src = src.localCheckpoint(eager=True)
-    pairs = ngram_jaccard_pairs(src, id_col, text_col, k, threshold)
+    if pairs is None:
+        src = documents
+        if mode == "bounded":
+            src = (
+                documents.withColumn("__u", _portable_uniform(id_col, seed))
+                .orderBy("__u", id_col)
+                .limit(sample_docs)
+                .drop("__u")
+            )
+            # the pair scan references its input 4× (inverted index both
+            # sides, set re-attach both sides); pin the ≤sample_docs-row
+            # sample so the TakeOrdered job runs once, not four times.
+            # Eager by design: the bounded gate is a per-batch check, not
+            # a composable plan.
+            src = src.localCheckpoint(eager=True)
+        pairs = ngram_jaccard_pairs(src, id_col, text_col, k, threshold)
+    # an explicit ``pairs`` frame (e.g. the one the caller already computed
+    # to BUILD the clustered split) skips the pair scan entirely — mode/
+    # sample settings apply only when the gate finds pairs itself
     s = split.select(F.col(id_col), F.col("split"))
     return (
         pairs.join(

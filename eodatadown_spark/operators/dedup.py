@@ -363,11 +363,13 @@ def minhash_neardup_pairs(
     # corpus ⋉ candidate-ids, which AQE plans as a broadcast semi-join
     # whenever the collision-bounded id set is small (the normal case) —
     # the full corpus never shuffles and no derived table is ever stored.
+    # the candidate-id column takes a reserved name so the join condition
+    # stays unambiguous even when the caller's id_col is literally "id"
     cand_ids = pairs.select(
-        F.explode(F.array("id_a", "id_b")).alias("id")
+        F.explode(F.array("id_a", "id_b")).alias("__cand_id")
     ).distinct()
     cand_docs = documents.join(
-        cand_ids, F.col(id_col) == cand_ids["id"], "left_semi"
+        cand_ids, F.col(id_col) == F.col("__cand_id"), "left_semi"
     )
     subset = shingle_hash_table(cand_docs, id_col, text_col, k)
     with_sets = pairs.join(
@@ -865,6 +867,10 @@ def cdc_chunks(
     if impl == "arrow":
         import numpy as np
 
+        # the mapInPandas schema carries the CALLER's id dtype (string keys
+        # etc. work identically to the sql path, which preserves it via
+        # alias) — only chunk_idx/chunk are fixed
+        id_type = documents.schema[id_col].dataType.simpleString()
         pows = [
             pow(_SHINGLE_BASE, window - 1 - j, MINHASH_PRIME)
             for j in range(window)
@@ -899,7 +905,7 @@ def cdc_chunks(
                 )
 
         return staged.mapInPandas(
-            cut_and_slice, "id long, chunk_idx int, chunk string"
+            cut_and_slice, f"id {id_type}, chunk_idx int, chunk string"
         ).select(
             F.col("id").alias(id_col),
             "chunk_idx",

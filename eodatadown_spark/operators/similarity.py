@@ -803,15 +803,33 @@ def _semantic_dedup_arrow(
 
     # a coarse-quantizer codebook is small by construction (same bounded
     # collect as pq_train_codebook); rows sorted by cell id so np.argmax's
-    # first-max rule == the sql path's (sim desc, cell asc) tie-break
+    # first-max rule == the sql path's (sim desc, cell asc) tie-break.
+    # Zero-norm / non-finite centroids are dropped HERE, mirroring the sql
+    # path's NULL-sim filter (a NaN column would otherwise win argmax and
+    # swallow the whole corpus into one cell).
     cent_rows = sorted(
-        (r[0], list(r[1]))
+        (r[0], np.asarray(r[1], dtype=np.float64))
         for r in centroids.select(id_col, vec_col).collect()
+        if r[1] is not None
     )
+    cent_rows = [
+        (c, v) for c, v in cent_rows
+        if np.isfinite(v).all() and np.linalg.norm(v) > 0
+    ]
+    # the schemas below carry the caller's id dtype (string keys work
+    # exactly as in the sql path)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if not cent_rows:
+        # no usable centroid → no vector gets a cell; mirror the sql
+        # path's empty output (every row's sim is NULL and is filtered)
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cell"),
+            F.lit(True).alias("is_kept"),
+        ).where(F.lit(False))
     cell_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
-    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    C = np.stack([v for _, v in cent_rows])
     Cn = np.linalg.norm(C, axis=1)
-    spark = corpus.sparkSession
 
     def assign(batches):
         import pandas as pd
@@ -832,11 +850,12 @@ def _semantic_dedup_arrow(
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = (V @ C.T) / np.outer(Vn, Cn)
             best = cell_ids[np.argmax(sims, axis=1)]
+            keep = [bool(k) for k in ok]
             yield pd.DataFrame(
                 {
-                    "id": np.asarray(ids)[ok],
+                    "id": [i for i, k in zip(ids, keep) if k],
                     "cell": best[ok],
-                    "__v": [v.tolist() for v, k in zip(vecs, ok) if k],
+                    "__v": [v.tolist() for v, k in zip(vecs, keep) if k],
                 }
             )
 
@@ -844,7 +863,7 @@ def _semantic_dedup_arrow(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
     tagged = _pin_mode(
-        src.mapInPandas(assign, "id long, cell long, __v array<double>"),
+        src.mapInPandas(assign, f"id {id_type}, cell long, __v array<double>"),
         materialize,
     )
 
@@ -874,7 +893,7 @@ def _semantic_dedup_arrow(
 
     dropped = (
         tagged.groupBy("cell")
-        .applyInPandas(pair_drops, "id long")
+        .applyInPandas(pair_drops, f"id {id_type}")
         .distinct()
         .withColumn("__dup", F.lit(True))
     )

@@ -616,6 +616,17 @@ class TestDeltaAdapter:
         assert [m for m, _, _ in calls] == [
             "whenMatchedUpdate", "whenNotMatchedInsertAll",
         ]
+        # insert-all WITH target columns expands to a target-schema-governed
+        # mapping (extra source columns ignored, absent ones NULL), exactly
+        # operators.merge.merge_into's insert-all routing
+        _, calls = delta_merge_clauses(
+            ["k"],
+            source_columns=["k", "v", "extra_audit"],
+            target_columns=["k", "v", "w"],
+        )
+        method, _, ins = calls[0]
+        assert method == "whenNotMatchedInsert"
+        assert set(ins) == {"k", "v", "w"}   # extra_audit dropped, w NULLed
         with _pytest.raises(ValueError, match="WHEN clause"):
             delta_merge_clauses(["k"], when_not_matched_insert=False)
         with _pytest.raises(TypeError, match="mapping"):

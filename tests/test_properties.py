@@ -501,3 +501,34 @@ def test_cdc_chunks_arrow_equals_sql(spark):
     import pytest
     with pytest.raises(ValueError, match="impl"):
         cdc_chunks(docs, impl="bogus")
+
+
+def test_cdc_chunks_string_id_column(spark):
+    """Both CDC impls accept a non-bigint id column (the arrow schema
+    carries the caller's id dtype instead of hardcoding long)."""
+    from eodatadown_spark.operators.dedup import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [("doc-a", "some repeated text " * 20), ("doc-b", "other words " * 25)],
+        "key string, text string",
+    )
+    a = cdc_chunks(docs, id_col="key", impl="arrow")
+    b = cdc_chunks(docs, id_col="key", impl="sql")
+    assert dict(a.dtypes)["key"] == "string"
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_minhash_id_col_named_id(spark):
+    """id_col literally named 'id' must not trip an ambiguous-reference
+    error in the candidate semi-join."""
+    from eodatadown_spark.operators.dedup import minhash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here")],
+        "id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_neardup_pairs(
+               docs, id_col="id", jaccard_threshold=0.5).collect()}
+    assert (1, 2) in got
