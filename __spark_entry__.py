@@ -1986,6 +1986,14 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_cdc_dup_stats": lambda spark, sf: q101_cdc_dup_stats(
             spark, sf, materialize="none"
         ),
+        # pure-plan q107: fixed cell count (no count job), the Catalyst sql
+        # impl (no plan-build centroid collect), nothing pinned
+        "q107_semantic_dedup": lambda spark, sf: __import__(
+            "eodatadown_spark.operators.similarity", fromlist=["semantic_dedup"]
+        ).semantic_dedup(
+            _t(spark, sf, "embeddings"), n_clusters=8, threshold=0.42,
+            materialize="none", impl="sql",
+        ),
     }
 
 

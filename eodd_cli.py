@@ -453,6 +453,38 @@ def cmd_zorder(args) -> None:
     print(json.dumps({"out": args.out, "partitions": args.partitions}))
 
 
+def cmd_eventstats(args) -> None:
+    """Event-log analytics bundle: ordered funnel, weekly cohort retention,
+    and daily per-type anomaly z-scores over an events parquet — one JSON
+    report per sub-analysis."""
+    from eodatadown_spark.operators.temporal import (
+        cohort_retention,
+        daily_anomaly_scores,
+        funnel_stages,
+    )
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    ev = spark.read.parquet(args.infile)
+    report = {}
+    if args.funnel:
+        stages = args.funnel.split(",")
+        report["funnel"] = [
+            r.asDict() for r in funnel_stages(ev, stages).collect()
+        ]
+    coh = cohort_retention(ev)
+    report["cohorts"] = coh.count()
+    anom = daily_anomaly_scores(ev)
+    report["anomalies"] = (
+        anom.where(F.abs(F.col("z")) >= args.z_threshold).count()
+    )
+    if args.out:
+        coh.write.mode("overwrite").parquet(args.out + "/cohorts")
+        anom.write.mode("overwrite").parquet(args.out + "/anomalies")
+        report["out"] = args.out
+    print(json.dumps(report))
+
+
 def cmd_dataprep(args) -> None:
     """Training-data pipeline, end to end: quality filter → exact dedup →
     near-dup keep-canonical → deterministic split; writes the cleaned corpus
@@ -579,7 +611,7 @@ def main(argv=None) -> int:
     def add(name, fn, **kwargs):
         sp = sub.add_parser(name)
         if name not in ("passencode", "dataprep", "bpetrain", "cdcdiff",
-                        "sample", "zorder"):
+                        "sample", "zorder", "eventstats"):
             sp.add_argument("--catalog", required=True)
             # very-large-catalog knob: p_year/p_month two-level layout
             sp.add_argument("--partition-monthly", action="store_true",
@@ -673,6 +705,13 @@ def main(argv=None) -> int:
         "--from-version": {"type": int, "default": None, "dest": "from_version"},
         "--to-version": {"type": int, "default": None, "dest": "to_version",
                          "help": "defaults to the current version"},
+    })
+    add("eventstats", cmd_eventstats, **{
+        "--infile": {"required": True},
+        "--funnel": {"default": None,
+                     "help": "comma list of event_type stages, in order"},
+        "--z-threshold": {"type": float, "default": 2.0, "dest": "z_threshold"},
+        "--out": {"default": None, "help": "write cohorts/anomalies parquet"},
     })
     add("sample", cmd_sample, **{
         "--infile": {"required": True}, "--out": {"required": True},

@@ -483,3 +483,23 @@ def test_cli_fsck_and_versions(spark, tmp_path, capsys):
     eodd_cli.main(["fsck", "--catalog", cat_dir, "--table", "tbl"])
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report.get("orphans") == [] or report.get("orphan_versions") == []
+
+
+def test_cli_eventstats(spark, tmp_path, capsys):
+    import json as _json
+
+    import eodd_cli
+
+    out = str(tmp_path / "ev")
+    eodd_cli.main([
+        "eventstats", "--infile", "/root/testdata/sf0.001/events.parquet",
+        "--funnel", "signup,view,click,purchase", "--out", out,
+    ])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = {d["stage_name"]: d["n_users"] for d in rep["funnel"]}
+    # monotone non-increasing down the funnel
+    vals = [stages[s] for s in ("signup", "view", "click", "purchase")]
+    assert vals == sorted(vals, reverse=True) and vals[0] > 0
+    assert rep["cohorts"] > 0
+    assert spark.read.parquet(out + "/cohorts").count() == rep["cohorts"]
+    assert spark.read.parquet(out + "/anomalies").count() > 0
