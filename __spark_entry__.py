@@ -575,6 +575,55 @@ def q114_zipf_slope(spark, sf):
     return zipf_slope(_t(spark, sf, "documents"))
 
 
+def q115_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand's
+    small parts — the correlated AVG subquery decorrelated into a per-part
+    aggregate joined back (the classic rewrite Catalyst also applies to
+    the subquery form).  The brand dim filters + broadcasts; the per-part
+    quantity caps come from ONE aggregate over the semi-joined fact."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf, "part").where(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 20)
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    fact = li.join(F.broadcast(part), "l_partkey")
+    caps = fact.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        fact.join(caps, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q116_top_supplier(spark, sf):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum half-year
+    revenue — aggregate, then a scalar max over the aggregate (empty-
+    partition window on the 100-row supplier rollup, not a re-scan),
+    equality-selected and enriched from the supplier dim."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    top = (
+        rev.withColumn("__mx", F.max("total_revenue").over(w))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .drop("__mx")
+    )
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(sup), "s_suppkey").select(
+        "s_suppkey", "s_name", "total_revenue"
+    ).orderBy("s_suppkey")
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -1959,6 +2008,8 @@ QUERIES: dict[str, Callable] = {
     "q112_daily_anomaly": q112_daily_anomaly,
     "q113_vocab_overlap": q113_vocab_overlap,
     "q114_zipf_slope": q114_zipf_slope,
+    "q115_small_qty_revenue": q115_small_qty_revenue,
+    "q116_top_supplier": q116_top_supplier,
 }
 
 
@@ -3697,6 +3748,37 @@ def oracle_sql() -> dict[str, str]:
                    round((n_types * sxy - sx * sy)
                          / nullif(n_types * sxx - sx * sx, 0), 3) AS slope
             FROM agg
+        """,
+        # q115/q116: TPC-H Q17/Q15 shapes
+        "q115_small_qty_revenue": """
+            WITH part_f AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#4' AND p_size < 20
+            ), fact AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part_f ON l_partkey = p_partkey
+            ), caps AS (
+                SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cap
+                FROM fact GROUP BY 1
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM fact JOIN caps USING (l_partkey)
+            WHERE l_quantity < qty_cap
+        """,
+        "q116_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-07-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier USING (s_suppkey)
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_suppkey
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);
