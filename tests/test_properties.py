@@ -532,3 +532,41 @@ def test_minhash_id_col_named_id(spark):
            for r in minhash_neardup_pairs(
                docs, id_col="id", jaccard_threshold=0.5).collect()}
     assert (1, 2) in got
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),                      # user
+            st.integers(0, 50),                     # ts offset (seconds)
+            st.sampled_from(["a", "b", "c", "x"]),  # event type
+        ),
+        min_size=1, max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_funnel_matches_python_reference(spark, events):
+    """funnel_stages == plain-Python strictly-after chaining on arbitrary
+    event streams (duplicate timestamps, out-of-order arrival, users
+    skipping stages)."""
+    from eodatadown_spark.operators.temporal import funnel_stages
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(seconds=o), t) for u, o, t in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    stages = ["a", "b", "c"]
+    got = {r["stage_name"]: r["n_users"]
+           for r in funnel_stages(df, stages).collect()}
+
+    want = {s: 0 for s in stages}
+    for u in {r[0] for r in rows}:
+        ev = [(ts, t) for uu, ts, t in rows if uu == u]
+        prev = None
+        for s in stages:
+            cand = [ts for ts, t in ev
+                    if t == s and (prev is None or ts > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            want[s] += 1
+    assert got == want
