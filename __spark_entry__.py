@@ -624,6 +624,30 @@ def q116_top_supplier(spark, sf):
     ).orderBy("s_suppkey")
 
 
+def q117_incremental_minhash(spark, sf):
+    """Continuous near-dup detection (dedup.minhash_neardup_against_index):
+    a stored LSH band index + fingerprint table built from the existing
+    corpus (doc_id % 10 != 0) is probed with the new batch (doc_id % 10
+    == 0) — per batch only the new docs shingle/band, and the corpus is
+    touched through colliding index rows and candidate fingerprints.  The
+    oracle computes ALL near-dup pairs from scratch and keeps those with a
+    new endpoint, so the hash-match proves incremental == full recompute."""
+    from eodatadown_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_neardup_against_index,
+        shingle_hash_table,
+    )
+
+    docs = _t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    index = minhash_band_index(old)
+    fps = shingle_hash_table(old)
+    return minhash_neardup_against_index(
+        new, index, fps, jaccard_threshold=0.5
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2010,6 +2034,7 @@ QUERIES: dict[str, Callable] = {
     "q114_zipf_slope": q114_zipf_slope,
     "q115_small_qty_revenue": q115_small_qty_revenue,
     "q116_top_supplier": q116_top_supplier,
+    "q117_incremental_minhash": q117_incremental_minhash,
 }
 
 
@@ -3779,6 +3804,35 @@ def oracle_sql() -> dict[str, str]:
             FROM rev JOIN supplier USING (s_suppkey)
             WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
             ORDER BY s_suppkey
+        """,
+        # q117: incremental minhash — the oracle recomputes ALL pairs from
+        # scratch (q24's formulation) and keeps those with a new endpoint
+        "q117_incremental_minhash": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                           / len(list_distinct(list_cat(a.shingles, b.shingles)))
+                           AS j
+                FROM sh a JOIN sh b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM pairs
+            WHERE j >= 0.5 AND (id_a % 10 = 0 OR id_b % 10 = 0)
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -212,6 +212,137 @@ def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 42) -> Col
     )
 
 
+def _exact_jaccard_filter(
+    pairs: DataFrame, hashes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared exact-verification tail: attach both sides' distinct shingle-
+    hash sets to the candidate pairs, compute exact Jaccard, filter →
+    (id_a, id_b, jaccard).  ``hashes`` is a (id, hashes) relation covering
+    at least every candidate id."""
+    with_sets = pairs.join(
+        hashes.select(F.col("id").alias("id_a"), F.col("hashes").alias("sh_a")),
+        "id_a",
+    ).join(
+        hashes.select(F.col("id").alias("id_b"), F.col("hashes").alias("sh_b")),
+        "id_b",
+    )
+    # |a ∪ b| = |a| + |b| - |a ∩ b| (both sides already distinct) — only the
+    # intersection array is built; the size is materialized at a projection
+    # boundary so the intersect runs once, not once per reference
+    jac = with_sets.withColumn(
+        "__ni", F.size(F.array_intersect("sh_a", "sh_b"))
+    ).withColumn(
+        "jaccard",
+        F.col("__ni").cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - F.col("__ni")),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def minhash_band_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistent half of continuous near-dup detection: the banded
+    LSH index rows (id, band_idx, band_hash) for a corpus — bands narrow
+    rows per document, the relation :func:`minhash_neardup_against_index`
+    probes with each new batch.  Store it (plus
+    :func:`shingle_hash_table`'s (id, hashes) fingerprints) in a catalog
+    table; appending a batch's own index rows keeps it current.
+
+    Parameters (k / num_perm / bands / seed) are part of the index
+    identity — probe with the same values or collisions are meaningless.
+    """
+    sig = shingle_hash_table(
+        documents, id_col, text_col, k, distinct=False
+    ).withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", i * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig.select(F.explode(band_structs).alias("bh"), "id").select(
+        "id", "bh.band_idx", "bh.band_hash"
+    )
+
+
+def minhash_neardup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+    materialize: str = "auto",
+) -> DataFrame:
+    """Incremental near-dup detection: pairs (id_a, id_b, jaccard) where at
+    least one side is a NEW document — new-vs-corpus and new-vs-new — by
+    probing a STORED LSH index instead of re-banding the corpus.
+
+    The continuous-dedup production shape: per batch the work is the new
+    docs' shingling/banding plus an equi-join of the (tiny) new band rows
+    against the stored index on (band_idx, band_hash) — the 100 TB corpus
+    is touched only through index rows that share a band bucket with the
+    batch and through the fingerprint rows of actual candidates.  Output
+    is IDENTICAL to running :func:`minhash_neardup_pairs` over old ∪ new
+    and keeping pairs with a new endpoint (q117 proves it against the
+    all-pairs oracle).
+
+    ``index`` is :func:`minhash_band_index` output for the existing
+    corpus, ``fingerprints`` the matching :func:`shingle_hash_table`
+    (id, hashes) relation — both typically catalog tables the caller
+    appends each batch's rows to afterwards.  Parameters must match the
+    ones the index was built with.
+    """
+    if materialize not in ("auto", "checkpoint", "local", "none"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
+    new_banded = _pin_mode(
+        minhash_band_index(new_docs, id_col, text_col, k, num_perm, bands, seed),
+        materialize,
+    )
+    all_banded = index.select("id", "band_idx", "band_hash").unionByName(
+        new_banded
+    )
+    raw = (
+        new_banded.alias("l")
+        .join(all_banded.alias("r"), ["band_idx", "band_hash"])
+        .where(F.col("l.id") != F.col("r.id"))
+    )
+    pairs = _pin_mode(
+        raw.select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+        ).dropDuplicates(["id_a", "id_b"]),
+        materialize,
+    )
+    new_fps = shingle_hash_table(new_docs, id_col, text_col, k)
+    all_fps = fingerprints.select("id", "hashes").unionByName(new_fps)
+    out = _exact_jaccard_filter(pairs, all_fps, jaccard_threshold)
+    return _pin_mode(out, materialize)
+
+
 def minhash_neardup_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -277,44 +408,20 @@ def minhash_neardup_pairs(
     if materialize not in ("auto", "checkpoint", "local", "none"):
         raise ValueError(f"unknown materialize mode {materialize!r}")
 
-    # signature source: raw shingle stream, no array_distinct, nothing
-    # persisted — one straight-line codegen pass per document
-    sig = shingle_hash_table(
-        documents, id_col, text_col, k, distinct=False
-    ).withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
-
-    # band hash = xxhash64 over the band's signature slots directly (multi-
-    # arg form) — no per-band string materialization; two docs collide in
-    # band i iff their rows_per_band signature values there are identical
-    # (modulo 2^-64 hash collisions), same contract as hashing the joined
-    # string but without the garbage
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig", i * rows_per_band + j + 1)
-                        for j in range(rows_per_band)
-                    ]
-                ).alias("band_hash"),
-            )
-            for i in range(bands)
-        ]
+    # the banded LSH index (band join carries ONLY (band, id) — the
+    # shingle-hash arrays re-attach to the deduped candidate pairs
+    # afterwards, so the wide arrays are never replicated × bands through
+    # the shuffle).  Pinned before the self-join: the join references
+    # `banded` on BOTH sides, and without materialization each side
+    # re-runs the whole shingle+signature pipeline (the broadcast side has
+    # no exchange for Catalyst to reuse) — measured 2× the signature cost
+    # at sf0.1.  The index is bands narrow rows per doc (two longs + id),
+    # the classic LSH materialization point — the same relation
+    # minhash_band_index persists for the incremental path.
+    banded = _pin_mode(
+        minhash_band_index(documents, id_col, text_col, k, num_perm, bands, seed),
+        materialize,
     )
-    # band join carries ONLY (band, id) — the shingle-hash arrays re-attach
-    # to the (deduped) candidate pairs afterwards, so the wide arrays are
-    # never replicated x bands through the shuffle.
-    banded = sig.select(F.explode(band_structs).alias("bh"), "id").select(
-        "bh.band_idx", "bh.band_hash", "id"
-    )
-    # pin the LSH index before the self-join: the join references `banded`
-    # on BOTH sides, and without materialization each side re-runs the
-    # whole shingle+signature pipeline (the broadcast side has no exchange
-    # for Catalyst to reuse) — measured 2× the signature cost at sf0.1.
-    # The index is bands narrow rows per doc (two longs + id), the classic
-    # LSH materialization point.
-    banded = _pin_mode(banded, materialize)
     if max_band_bucket is not None:
         from pyspark.sql import Window
 
@@ -372,24 +479,7 @@ def minhash_neardup_pairs(
         cand_ids, F.col(id_col) == F.col("__cand_id"), "left_semi"
     )
     subset = shingle_hash_table(cand_docs, id_col, text_col, k)
-    with_sets = pairs.join(
-        subset.select(F.col("id").alias("id_a"), F.col("hashes").alias("sh_a")), "id_a"
-    ).join(
-        subset.select(F.col("id").alias("id_b"), F.col("hashes").alias("sh_b")), "id_b"
-    )
-    # |a ∪ b| = |a| + |b| - |a ∩ b| (both sides already distinct) — only the
-    # intersection array is built; the size is materialized at a projection
-    # boundary so the intersect runs once, not once per reference
-    jac = with_sets.withColumn(
-        "__ni", F.size(F.array_intersect("sh_a", "sh_b"))
-    ).withColumn(
-        "jaccard",
-        F.col("__ni").cast("double")
-        / (F.size("sh_a") + F.size("sh_b") - F.col("__ni")),
-    )
-    out = jac.where(F.col("jaccard") >= jaccard_threshold).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    )
+    out = _exact_jaccard_filter(pairs, subset, jaccard_threshold)
     # pin the (small) verified pair set too — candidate generation is
     # already pinned above, so this adds only the cheap verification job
     # and gives downstream iterative consumers a fully-materialized result;

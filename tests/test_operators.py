@@ -1283,3 +1283,46 @@ def test_semantic_dedup_arrow_equals_sql(spark):
     import pytest
     with pytest.raises(ValueError, match="impl"):
         S.semantic_dedup(emb, impl="bogus")
+
+
+def test_incremental_minhash_equals_full_run(docs):
+    """Probing a stored band index with a new batch yields exactly the
+    full-corpus near-dup pairs restricted to pairs with a new endpoint —
+    including new-vs-new pairs — and never re-bands the old corpus."""
+    old = docs.where(F.col("doc_id") < 100)          # the 60 base docs + none
+    new = docs.where(F.col("doc_id") >= 100)         # planted dups of 0,1,2 + copy of 5
+    index = D.minhash_band_index(old)
+    fps = D.shingle_hash_table(old)
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_neardup_against_index(
+            new, index, fps, jaccard_threshold=0.6
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_neardup_pairs(docs, jaccard_threshold=0.6).collect()
+        if r["id_a"] >= 100 or r["id_b"] >= 100
+    }
+    assert inc == full and len(inc) == 4   # (0,100),(1,101),(2,102),(5,200)
+
+
+def test_incremental_minhash_new_vs_new_pairs(spark):
+    """Two near-identical docs arriving in the SAME batch pair with each
+    other, not only with the stored corpus."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [(1, "completely unrelated corpus content here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, base + " extra")], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_neardup_against_index(
+            new, D.minhash_band_index(old), D.shingle_hash_table(old),
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert got == {(10, 11)}
