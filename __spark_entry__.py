@@ -648,6 +648,19 @@ def q117_incremental_minhash(spark, sf):
     )
 
 
+def q118_langid_eval(spark, sf):
+    """Heuristic-filter evaluation (text.confusion_matrix): the stopword
+    language detector judged against the table's GOLD lang labels (binary
+    en-vs-other, the detector's contract) — the evaluation harness every
+    corpus-gating classifier runs before deployment.  Count-only output,
+    exact cross-engine."""
+    docs = _t(spark, sf, "documents")
+    gold = F.when(F.col("lang") == "en", "en").otherwise("other")
+    return X.confusion_matrix(
+        docs, gold, X.language_guess(F.col("text"))
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2035,6 +2048,7 @@ QUERIES: dict[str, Callable] = {
     "q115_small_qty_revenue": q115_small_qty_revenue,
     "q116_top_supplier": q116_top_supplier,
     "q117_incremental_minhash": q117_incremental_minhash,
+    "q118_langid_eval": q118_langid_eval,
 }
 
 
@@ -3833,6 +3847,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(j, 4) AS jaccard
             FROM pairs
             WHERE j >= 0.5 AND (id_a % 10 = 0 OR id_b % 10 = 0)
+        """,
+        "q118_langid_eval": """
+            SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS label,
+                   CASE WHEN len(list_filter(
+                       regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+'),
+                       t -> t IN ('the','a','of','and','to','in','is','it'))) >= 1
+                   THEN 'en' ELSE 'other' END AS predicted,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

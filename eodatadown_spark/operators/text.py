@@ -261,3 +261,20 @@ def profile_documents(documents: DataFrame, text_col: str = "text") -> DataFrame
         F.round(quality_score(c), 4).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: Column | str, pred_col: Column | str
+) -> DataFrame:
+    """Classifier evaluation: (label, predicted, n) confusion counts — the
+    harness every heuristic filter (language ID, quality classifier, PII
+    detector) is judged with before it gates a corpus.  One map-side-
+    combined aggregate over the scored table; outputs are pure counts, so
+    the cross-engine comparison is exact (derive precision/recall
+    downstream — ratio columns invite engine-specific rounding at decimal
+    boundaries)."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    prd = F.col(pred_col) if isinstance(pred_col, str) else pred_col
+    return df.groupBy(lab.alias("label"), prd.alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

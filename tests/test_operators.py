@@ -1326,3 +1326,14 @@ def test_incremental_minhash_new_vs_new_pairs(spark):
         ).collect()
     }
     assert got == {(10, 11)}
+
+
+def test_confusion_matrix_counts(spark):
+    df = spark.createDataFrame(
+        [("en", "en"), ("en", "other"), ("other", "other"), ("other", "other"),
+         ("en", "en")],
+        "gold string, pred string",
+    )
+    got = {(r["label"], r["predicted"]): r["n"]
+           for r in X.confusion_matrix(df, "gold", "pred").collect()}
+    assert got == {("en", "en"): 2, ("en", "other"): 1, ("other", "other"): 2}
