@@ -624,7 +624,7 @@ def q116_top_supplier(spark, sf):
     ).orderBy("s_suppkey")
 
 
-def q117_incremental_minhash(spark, sf):
+def q117_incremental_minhash(spark, sf, materialize="auto"):
     """Continuous near-dup detection (dedup.minhash_neardup_against_index):
     a stored LSH band index + fingerprint table built from the existing
     corpus (doc_id % 10 != 0) is probed with the new batch (doc_id % 10
@@ -644,7 +644,7 @@ def q117_incremental_minhash(spark, sf):
     index = minhash_band_index(old)
     fps = shingle_hash_table(old)
     return minhash_neardup_against_index(
-        new, index, fps, jaccard_threshold=0.5
+        new, index, fps, jaccard_threshold=0.5, materialize=materialize
     )
 
 
@@ -659,6 +659,31 @@ def q118_langid_eval(spark, sf):
     return X.confusion_matrix(
         docs, gold, X.language_guess(F.col("text"))
     )
+
+
+def q119_shot_boundaries(spark, sf):
+    """Multimodal plumbing: video shot-boundary detection — frame fan-out,
+    Arrow-batched per-frame featurize (stub kernel), per-media lag-window
+    L2 distance, threshold flag.  The stub feature is the rolling-hash
+    fake embed, so the oracle recomputes every distance bit-for-bit."""
+    from eodatadown_spark.operators.multimodal import detect_shot_boundaries
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "video")
+        .otherwise("image")
+        .alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(F.length("text"), F.lit(120)) + 1).cast("int").alias("n_frames"),
+            F.lit("mp4").alias("format"),
+        ).alias("meta"),
+    )
+    return detect_shot_boundaries(media, every_n=10, dim=4, threshold=0.6)
 
 
 def q36_lsh_topk(spark, sf):
@@ -2049,6 +2074,7 @@ QUERIES: dict[str, Callable] = {
     "q116_top_supplier": q116_top_supplier,
     "q117_incremental_minhash": q117_incremental_minhash,
     "q118_langid_eval": q118_langid_eval,
+    "q119_shot_boundaries": q119_shot_boundaries,
 }
 
 
@@ -2078,6 +2104,9 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # pure-plan q107: fixed cell count (no count job), the Catalyst sql
         # impl (no plan-build centroid collect), nothing pinned
+        "q117_incremental_minhash": lambda spark, sf: q117_incremental_minhash(
+            spark, sf, materialize="none"
+        ),
         "q107_semantic_dedup": lambda spark, sf: __import__(
             "eodatadown_spark.operators.similarity", fromlist=["semantic_dedup"]
         ).semantic_dedup(
@@ -3856,6 +3885,52 @@ def oracle_sql() -> dict[str, str]:
                    THEN 'en' ELSE 'other' END AS predicted,
                    count(*) AS n
             FROM documents GROUP BY 1, 2
+        """,
+        # q119: shot boundaries — frame stride + rolling-hash stub feature
+        # + lag distance, all recomputed exactly (identical double ops in
+        # identical order, so the pre-round distances are bit-equal)
+        "q119_shot_boundaries": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       strlen(text) % 120 + 1 AS n_frames
+                FROM documents
+                WHERE doc_id < 100 AND doc_id % 3 = 0
+            ), f AS (
+                SELECT media_id,
+                       CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+                FROM v
+            ), feat AS (
+                SELECT media_id, frame_idx,
+                       list_transform(range(0, 4), d ->
+                           CAST(list_reduce(
+                               list_prepend(CAST(0 AS BIGINT), list_transform(
+                                   string_split(CAST(media_id AS VARCHAR) || ':'
+                                                || CAST(frame_idx AS VARCHAR) || ':'
+                                                || CAST(d AS VARCHAR), ''),
+                                   ch -> CAST(ord(ch) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 2038074743) % 10000
+                               AS DOUBLE) / 10000.0
+                       ) AS feat
+                FROM f
+            ), lagd AS (
+                SELECT media_id, frame_idx, feat,
+                       lag(feat) OVER (PARTITION BY media_id
+                                       ORDER BY frame_idx) AS prev
+                FROM feat
+            )
+            SELECT media_id, frame_idx,
+                   round(sqrt(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, 5),
+                               i -> (feat[i] - prev[i]) * (feat[i] - prev[i]))),
+                       (a, b) -> a + b)), 4) AS dist,
+                   (prev IS NULL OR
+                    round(sqrt(list_reduce(
+                        list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(range(1, 5),
+                                i -> (feat[i] - prev[i]) * (feat[i] - prev[i]))),
+                        (a, b) -> a + b)), 4) > 0.6) AS is_boundary
+            FROM lagd
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

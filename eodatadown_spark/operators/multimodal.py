@@ -169,6 +169,66 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def detect_shot_boundaries(
+    media: DataFrame,
+    every_n: int = 10,
+    dim: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Video shot-boundary detection plumbing: sample frames, featurize
+    each sampled frame (Arrow-batched stub kernel — a real frame decoder +
+    visual encoder drops into the same per-row-batch slot), then flag
+    frames whose feature L2 distance to the PREVIOUS sampled frame exceeds
+    ``threshold`` → (media_id, frame_idx, dist, is_boundary).
+
+    The first sampled frame of every video is a boundary by definition
+    (dist NULL).  Plan shape: the frame fan-out explode, one mapInPandas
+    featurize pass, one per-media lag window — no shuffle beyond the
+    window's keyed exchange; the per-frame feature is the stub
+    ``_fake_embed("<media_id>:<frame_idx>")`` so an ANSI oracle recomputes
+    every distance bit-for-bit (q119).
+    """
+    frames = sample_frames(media, every_n)
+
+    def featurize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "feat": [
+                        _fake_embed(f"{m}:{f}", dim)
+                        for m, f in zip(pdf["media_id"], pdf["frame_idx"])
+                    ],
+                }
+            )
+
+    feats = frames.mapInPandas(
+        featurize, "media_id long, frame_idx int, feat array<double>"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("feat").over(w)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("feat"), prev, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        feats.withColumn("dist", F.round(dist, 4))
+        .withColumn(
+            "is_boundary",
+            F.col("dist").isNull() | (F.col("dist") > threshold),
+        )
+        .select("media_id", "frame_idx", "dist", "is_boundary")
+    )
+
+
 EMBED_PRIME = 2038074743  # same modulus as the engine's rolling fingerprint
 
 

@@ -1337,3 +1337,21 @@ def test_confusion_matrix_counts(spark):
     got = {(r["label"], r["predicted"]): r["n"]
            for r in X.confusion_matrix(df, "gold", "pred").collect()}
     assert got == {("en", "en"): 2, ("en", "other"): 1, ("other", "other"): 2}
+
+
+def test_shot_boundaries_flags_first_frame_and_jumps(spark):
+    from eodatadown_spark.operators.multimodal import detect_shot_boundaries
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), (None, None, 16000, 35, "mp4")),
+         (2, "image", bytearray(b"y"), (1, 1, None, None, "png"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,format:string>",
+    )
+    rows = {r["frame_idx"]: r
+            for r in detect_shot_boundaries(media, every_n=10).collect()}
+    assert set(rows) == {0, 10, 20, 30}          # video only, stride 10
+    assert rows[0]["dist"] is None and rows[0]["is_boundary"] is True
+    for idx in (10, 20, 30):                      # dist present downstream
+        assert rows[idx]["dist"] is not None
+        assert rows[idx]["is_boundary"] == (rows[idx]["dist"] > 0.6)
