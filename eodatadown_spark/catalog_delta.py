@@ -251,9 +251,9 @@ class DeltaCatalog:
                     f"merge_into cannot update partition-source columns "
                     f"{sorted(forbidden)}; use write() for partition-moving rewrites"
                 )
-        cur_cols = [
-            c for c in self.read(table).columns if c not in ("p_year", "p_month")
-        ]
+        all_cols = self.read(table).columns
+        part_cols = [c for c in ("p_year", "p_month") if c in all_cols]
+        cur_cols = [c for c in all_cols if c not in part_cols]
         cond, calls = delta_merge_clauses(
             on,
             when_matched_update,
@@ -264,6 +264,22 @@ class DeltaCatalog:
             source_columns=source.columns,
             target_columns=cur_cols,
         )
+        if part_cols and part_src:
+            # not-matched rows must land in their DERIVED partitions (the
+            # ParquetCatalog parity contract) — Delta fills unmapped insert
+            # columns with NULL, which would file the row under the HIVE
+            # default partition and break pruning.  Derive from whatever
+            # value the insert clause assigns to the partition-source
+            # column (mapping value, else the source column).
+            for i, (method, condition, values) in enumerate(calls):
+                if method != "whenNotMatchedInsert" or values is None:
+                    continue
+                src_date = values.get(part_src, F.col(f"s.{part_src}"))
+                values = dict(values)
+                values["p_year"] = F.year(src_date)
+                if "p_month" in part_cols:
+                    values["p_month"] = F.month(src_date)
+                calls[i] = (method, condition, values)
         builder = self._dt(table).alias("t").merge(source.alias("s"), cond)
         for method, condition, values in calls:
             fn = getattr(builder, method)
@@ -331,10 +347,15 @@ class DeltaCatalog:
           retain_versions-GC analog); an actual ``VACUUM`` is the user's
           retention decision, not a health check's.
         """
+        from urllib.parse import unquote, urlparse
+
         path = self.data_path(table)
+        # inputFiles() returns percent-encoded file: URIs — decode before
+        # the existence check or paths with spaces read as missing
         missing = [
             f for f in self.read(table).inputFiles()
-            if f.startswith("file:") and not os.path.exists(f[len("file:"):])
+            if f.startswith("file:")
+            and not os.path.exists(unquote(urlparse(f).path))
         ]
         unreferenced = self.spark.sql(f"VACUUM delta.`{path}` RETAIN 168 HOURS DRY RUN").count()
         return {

@@ -808,9 +808,12 @@ def _semantic_dedup_arrow(
     # path's NULL-sim filter (a NaN column would otherwise win argmax and
     # swallow the whole corpus into one cell).
     cent_rows = sorted(
-        (r[0], np.asarray(r[1], dtype=np.float64))
-        for r in centroids.select(id_col, vec_col).collect()
-        if r[1] is not None
+        (
+            (r[0], np.asarray(r[1], dtype=np.float64))
+            for r in centroids.select(id_col, vec_col).collect()
+            if r[1] is not None
+        ),
+        key=lambda t: t[0],  # id only — tuple fallback would compare ndarrays
     )
     cent_rows = [
         (c, v) for c, v in cent_rows

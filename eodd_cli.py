@@ -473,15 +473,19 @@ def cmd_eventstats(args) -> None:
             r.asDict() for r in funnel_stages(ev, stages).collect()
         ]
     coh = cohort_retention(ev)
-    report["cohorts"] = coh.count()
     anom = daily_anomaly_scores(ev)
+    if args.out:
+        # write first, count the written parquet — counting the lazy frame
+        # and then writing would run each analysis twice
+        coh.write.mode("overwrite").parquet(args.out + "/cohorts")
+        anom.write.mode("overwrite").parquet(args.out + "/anomalies")
+        coh = spark.read.parquet(args.out + "/cohorts")
+        anom = spark.read.parquet(args.out + "/anomalies")
+        report["out"] = args.out
+    report["cohorts"] = coh.count()
     report["anomalies"] = (
         anom.where(F.abs(F.col("z")) >= args.z_threshold).count()
     )
-    if args.out:
-        coh.write.mode("overwrite").parquet(args.out + "/cohorts")
-        anom.write.mode("overwrite").parquet(args.out + "/anomalies")
-        report["out"] = args.out
     print(json.dumps(report))
 
 
