@@ -686,6 +686,162 @@ def q119_shot_boundaries(spark, sf):
     return detect_shot_boundaries(media, every_n=10, dim=4, threshold=0.6)
 
 
+def q120_bm25(spark, sf):
+    """Retrieval scoring (corpus.bm25_scores): BM25 of every document
+    against a 4-term query bag — the RAG-curation / topical-sweep
+    primitive.  idf·tf terms are summed per doc and rounded to 4."""
+    docs = _t(spark, sf, "documents")
+    return C.bm25_scores(docs, ["hash", "join", "stream", "vector"])
+
+
+def q121_cluster_reps(spark, sf):
+    """Curation: quality-aware representative election per near-dup
+    cluster (dedup.cluster_representatives) — keep the LONGEST member,
+    ties to lowest id, instead of neardup_clusters' min-id canonical.
+    Multi-member clusters only (singletons elect themselves trivially)."""
+    docs = _t(spark, sf, "documents")
+    return D.cluster_representatives(docs).where(F.col("n_members") > 1)
+
+
+def q122_fuzzy_blocking(spark, sf):
+    """Entity resolution (dedup.blocked_edit_pairs): customer-name
+    candidate pairs within (nation, segment) blocks at Levenshtein ≤ 2 —
+    the blocked record-linkage shape (no all-pairs join anywhere)."""
+    cust = _t(spark, sf, "customer")
+    return D.blocked_edit_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"], max_edit=2
+    )
+
+
+def q123_disjunctive_filter(spark, sf):
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunct blocks — the disjunctive-pushdown stress (Catalyst extracts
+    the common l_partkey join key; the broadcast part dim carries the
+    brand/size half of each disjunct)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(15, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q124_nation_share(spark, sf):
+    """TPC-H Q11 shape: nations holding > 5% of global account balance —
+    the scalar-subquery-threshold aggregate (global total rides a 1-row
+    broadcast crossJoin, never a re-scan)."""
+    cust = _t(spark, sf, "customer")
+    tot = cust.agg(F.sum("c_acctbal").alias("__tot"))
+    per = cust.groupBy("c_nationkey").agg(F.sum("c_acctbal").alias("__bal"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("__bal") > 0.05 * F.col("__tot"))
+        .select("c_nationkey", F.round("__bal", 2).alias("nation_bal"))
+    )
+
+
+def q125_late_order_priority(spark, sf):
+    """TPC-H Q4 shape: orders with ≥1 lineitem shipped >60 days after the
+    order date, counted per priority — correlated EXISTS as a left-semi
+    join whose condition mixes the equi key with a cross-side date
+    inequality."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q126_transitions(spark, sf):
+    """Behavioral model (temporal.transition_counts): first-order Markov
+    transition counts + conditional probabilities over each user's
+    (ts, event_id)-ordered stream.  p is the raw IEEE quotient —
+    identical bits cross-engine, no rounding to diverge."""
+    from eodatadown_spark.operators.temporal import transition_counts
+
+    ev = _t(spark, sf, "events")
+    return transition_counts(ev, tie_col="event_id")
+
+
+def q127_time_to_conversion(spark, sf):
+    """Conversion latency (temporal.time_to_conversion): each user's first
+    signup and first strictly-later purchase with the gap in seconds —
+    the funnel-latency companion of q109 (µs-exact epoch math)."""
+    from eodatadown_spark.operators.temporal import time_to_conversion
+
+    ev = _t(spark, sf, "events")
+    return time_to_conversion(ev, "signup", "purchase")
+
+
+def q128_ewma(spark, sf):
+    """Smoothed daily volume (temporal.ewma_daily): per-type EWMA over
+    observed days — the inherently-sequential recurrence as ONE
+    applyInPandas over the tiny per-(type, day) count table; the oracle
+    replays the same recurrence with a recursive CTE, bit-for-bit."""
+    from eodatadown_spark.operators.temporal import ewma_daily
+
+    ev = _t(spark, sf, "events")
+    return ewma_daily(ev, alpha=0.25)
+
+
+def q129_winsorized_stats(spark, sf):
+    """Robust-stats prep: global exact p01/p99 of extended price (one
+    array-percentile buffer, q13's A7 machinery), broadcast back to clip
+    (winsorize) every row, then per-flag raw-vs-winsorized sums — the
+    outlier-capping step feature pipelines run before normalization."""
+    li = _t(spark, sf, "lineitem")
+    pcts = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("__p")
+    ).select(
+        F.col("__p")[0].alias("__lo"), F.col("__p")[1].alias("__hi")
+    )
+    return (
+        li.crossJoin(F.broadcast(pcts))
+        .withColumn(
+            "__w",
+            F.greatest(F.col("__lo"), F.least(F.col("__hi"), F.col("l_extendedprice"))),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_raw"),
+            F.round(F.sum("__w"), 2).alias("sum_winsorized"),
+        )
+    )
+
+
+def q130_pmi(spark, sf):
+    """Collocation screen (corpus.pmi_cooccurrence): document-level PMI of
+    top-vocabulary token pairs — boilerplate/template-residue detection.
+    Pair space capped by the broadcast top-15 vocabulary."""
+    docs = _t(spark, sf, "documents")
+    return C.pmi_cooccurrence(docs, vocab_k=15, min_pairs=5)
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2075,6 +2231,17 @@ QUERIES: dict[str, Callable] = {
     "q117_incremental_minhash": q117_incremental_minhash,
     "q118_langid_eval": q118_langid_eval,
     "q119_shot_boundaries": q119_shot_boundaries,
+    "q120_bm25": q120_bm25,
+    "q121_cluster_reps": q121_cluster_reps,
+    "q122_fuzzy_blocking": q122_fuzzy_blocking,
+    "q123_disjunctive_filter": q123_disjunctive_filter,
+    "q124_nation_share": q124_nation_share,
+    "q125_late_order_priority": q125_late_order_priority,
+    "q126_transitions": q126_transitions,
+    "q127_time_to_conversion": q127_time_to_conversion,
+    "q128_ewma": q128_ewma,
+    "q129_winsorized_stats": q129_winsorized_stats,
+    "q130_pmi": q130_pmi,
 }
 
 
@@ -2107,9 +2274,7 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_incremental_minhash": lambda spark, sf: q117_incremental_minhash(
             spark, sf, materialize="none"
         ),
-        "q107_semantic_dedup": lambda spark, sf: __import__(
-            "eodatadown_spark.operators.similarity", fromlist=["semantic_dedup"]
-        ).semantic_dedup(
+        "q107_semantic_dedup": lambda spark, sf: S.semantic_dedup(
             _t(spark, sf, "embeddings"), n_clusters=8, threshold=0.42,
             materialize="none", impl="sql",
         ),
@@ -3931,6 +4096,227 @@ def oracle_sql() -> dict[str, str]:
                                 i -> (feat[i] - prev[i]) * (feat[i] - prev[i]))),
                         (a, b) -> a + b)), 4) > 0.6) AS is_boundary
             FROM lagd
+        """,
+        # q120: BM25 — identical operation order in idf/tf terms (left-to-
+        # right products, division last), so round(·,4) cannot diverge
+        "q120_bm25": """
+            WITH toks AS (
+                SELECT doc_id, t.tok AS token
+                FROM documents,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        x -> x <> '')) AS t(tok)
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+            ), stats AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN ('hash', 'join', 'stream', 'vector')
+                GROUP BY 1, 2
+            ), dfq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                             * tf * 2.2
+                             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+                       AS score,
+                   count(*) AS n_matched
+            FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY 1
+        """,
+        # q121: cluster representatives — q50's recursive-CTE components,
+        # then a (quality DESC, id ASC) argmax per multi-member cluster
+        "q121_cluster_reps": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                      / len(list_distinct(list_cat(a.shingles, b.shingles))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ), comp AS (
+                SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ), qual AS (
+                SELECT comp.doc_id, comp.cluster_id,
+                       CAST(length(regexp_replace(d.text, '^\\s+|\\s+$', '', 'g'))
+                            AS INT) AS q
+                FROM comp JOIN documents d USING (doc_id)
+            ), ranked AS (
+                SELECT cluster_id, doc_id, q,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY q DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                       max(q) OVER (PARTITION BY cluster_id) AS max_quality
+                FROM qual
+            )
+            SELECT cluster_id, doc_id AS rep_doc_id, n_members, max_quality
+            FROM ranked WHERE rn = 1 AND n_members > 1
+        """,
+        "q122_fuzzy_blocking": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_nationkey, a.c_mktsegment,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        """,
+        "q123_disjunctive_filter": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
+                   AND l_quantity BETWEEN 10 AND 35)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)
+        """,
+        "q124_nation_share": """
+            SELECT c_nationkey, round(sum(c_acctbal), 2) AS nation_bal
+            FROM customer GROUP BY 1
+            HAVING sum(c_acctbal) >
+                   0.05 * (SELECT sum(c_acctbal) FROM customer)
+        """,
+        "q125_late_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        # q126: p is the raw IEEE quotient of two exact integers —
+        # identical bits in any engine, deliberately unrounded
+        "q126_transitions": """
+            WITH ordered AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+                FROM events
+            ), c AS (
+                SELECT event_type AS from_type, nxt AS to_type,
+                       count(*) AS n_trans
+                FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n_trans,
+                   CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+                       AS n_from,
+                   n_trans / CAST(sum(n_trans) OVER (PARTITION BY from_type)
+                                  AS BIGINT) AS p
+            FROM c
+        """,
+        "q127_time_to_conversion": """
+            WITH s AS (
+                SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS start_ts
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            ), conv AS (
+                SELECT e.user_id, s.start_ts,
+                       min(CAST(e.ts AS TIMESTAMP)) AS convert_ts
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND CAST(e.ts AS TIMESTAMP) > s.start_ts
+                GROUP BY 1, 2
+            )
+            SELECT user_id, start_ts, convert_ts,
+                   CAST(epoch_us(convert_ts) - epoch_us(start_ts) AS DOUBLE)
+                       / 1e6 AS seconds
+            FROM conv
+        """,
+        # q128: the EWMA recurrence replayed step-by-step by a recursive
+        # CTE — α=0.25 exactly representable, so e_t = 0.25·n + 0.75·e is
+        # the same two IEEE multiplies + add the numpy scan performs
+        "q128_ewma": """
+            WITH RECURSIVE d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT event_type, day, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS rk
+                FROM d
+            ), e AS (
+                SELECT event_type, day, n, rk, CAST(n AS DOUBLE) AS ewma
+                FROM r WHERE rk = 1
+                UNION ALL
+                SELECT r.event_type, r.day, r.n, r.rk,
+                       0.25 * r.n + 0.75 * e.ewma
+                FROM e JOIN r ON r.event_type = e.event_type
+                             AND r.rk = e.rk + 1
+            )
+            SELECT event_type, day, n, ewma FROM e
+        """,
+        "q129_winsorized_stats": """
+            WITH p AS (
+                SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                       quantile_cont(l_extendedprice, 0.99) AS hi
+                FROM lineitem
+            )
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_raw,
+                   round(sum(greatest(lo, least(hi, l_extendedprice))), 2)
+                       AS sum_winsorized
+            FROM lineitem CROSS JOIN p
+            GROUP BY 1
+        """,
+        "q130_pmi": """
+            WITH pres AS (
+                SELECT DISTINCT doc_id, t.tok AS token
+                FROM documents,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        x -> x <> '')) AS t(tok)
+            ), freq AS (
+                SELECT token, count(*) AS c FROM pres GROUP BY 1
+            ), vocab AS (
+                SELECT token, c FROM (
+                    SELECT token, c,
+                           row_number() OVER (ORDER BY c DESC, token ASC) AS r
+                    FROM freq
+                ) WHERE r <= 15
+            ), nn AS (SELECT count(*) AS n FROM documents),
+            prs AS (
+                SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+                FROM pres a
+                JOIN pres b ON a.doc_id = b.doc_id AND a.token < b.token
+                JOIN vocab va ON va.token = a.token
+                JOIN vocab vb ON vb.token = b.token
+                GROUP BY 1, 2
+            )
+            SELECT tok_a, tok_b, n_ab,
+                   round(ln(CAST(n_ab AS DOUBLE) * n
+                            / (CAST(va.c AS DOUBLE) * vb.c)), 4) AS pmi
+            FROM prs
+            JOIN vocab va ON va.token = tok_a
+            JOIN vocab vb ON vb.token = tok_b
+            CROSS JOIN nn
+            WHERE n_ab >= 5
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -15,6 +15,7 @@ analog — these extend the engine per the LLM-data-pipeline surface
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1127,7 +1128,143 @@ def split_leakage_gate(
     )
 
 
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms →
+    (doc_id, score, n_matched).  The retrieval primitive behind RAG-corpus
+    curation and "find training docs about X" sweeps.
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)) with
+    the Robertson-Sparck-Jones idf ln(1 + (N−df+0.5)/(df+0.5)) — always
+    positive, so more matched terms never lower the score.
+
+    Scale shape: the query bag broadcasts twice (term filter + df join);
+    the corpus explodes once, collapses immediately to per-(doc, matched
+    term) tf — everything downstream runs on the matched subset, which for
+    selective queries is a tiny fraction of the corpus.  Document lengths
+    come from one pass over the token stream (shared subplan with tf →
+    ReusedExchange), N and avglen ride a 1-row broadcast crossJoin.  No
+    collect, no Python.
+    """
+    spark = documents.sparkSession
+    terms = F.broadcast(
+        spark.createDataFrame([(t,) for t in query_terms], "token string").distinct()
+    )
+    tokens = _tokens(documents, id_col, text_col)
+    doclen = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        tokens.join(terms, "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1) / denom), round_to
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+def pmi_cooccurrence(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 20,
+    min_pairs: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the same
+    document → (tok_a, tok_b, n_ab, pmi), tok_a < tok_b.  The collocation /
+    topic-drift screen: pmi ≫ 0 flags tokens that travel together
+    (boilerplate phrases, template residue), pmi < 0 tokens that repel.
+
+    pmi = ln(N·c_ab / (c_a·c_b)) over document-level presence counts.
+
+    All-pairs across an open vocabulary is quadratic, so the pair space is
+    capped to the top ``vocab_k`` corpus tokens (by document frequency,
+    ties token-ascending) — the shippable formulation; raise ``vocab_k``
+    to widen.  Shape: one explode → distinct (doc, token) presence →
+    broadcast the tiny vocabulary to filter presence → per-doc sorted
+    token-array self-pairing via one ``transform``/``flatten`` (array ops
+    on ≤vocab_k elements, no row blow-up beyond the true pair count) →
+    one pair-count aggregate; marginals broadcast back onto pair counts.
+    """
+    presence = _tokens(documents, id_col, text_col).dropDuplicates(
+        ["doc_id", "token"]
+    )
+    dfreq = presence.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    vocab = F.broadcast(
+        dfreq.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= vocab_k)
+        .select("token", "c")
+    )
+    n = documents.agg(F.count(F.lit(1)).alias("__n"))
+    # per-doc sorted vocab-token array → all ordered pairs inside one row
+    doc_toks = (
+        presence.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("token")).alias("toks"))
+    )
+    pairs = doc_toks.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(toks, (a, i) -> "
+                    "transform(slice(toks, i + 2, size(toks)), x -> struct(a AS tok_a, x AS tok_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    counts = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ca = vocab.select(F.col("token").alias("tok_a"), F.col("c").alias("__ca"))
+    cb = vocab.select(F.col("token").alias("tok_b"), F.col("c").alias("__cb"))
+    return (
+        counts.where(F.col("n_ab") >= min_pairs)
+        .join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("__n")
+                    / (F.col("__ca").cast("double") * F.col("__cb"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+
+
 __all__ = [
+    "bm25_scores",
+    "pmi_cooccurrence",
     "split_bucket",
     "split_leakage_gate",
     "weighted_sample",

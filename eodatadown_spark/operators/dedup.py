@@ -1111,3 +1111,86 @@ def cdc_dup_stats(
             F.sum(F.coalesce(F.col("__shared"), F.lit(0))).alias("n_shared"),
         )
     )
+
+
+def cluster_representatives(
+    documents: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware representative selection over near-dup clusters →
+    (cluster_id, rep_doc_id, n_members, max_quality).
+
+    :func:`neardup_clusters` keeps the MIN-id member per component — fine
+    for idempotence, wrong for data curation, where the kept duplicate
+    should be the best one (longest, highest quality score, freshest).
+    This operator re-elects each cluster's representative by
+    ``quality_col`` descending (ties: lowest id, so election is total),
+    the standard "keep best member" step between near-dup clustering and
+    the final training-mix write.
+
+    Shape: clusters (doc-dimension-sized, NOT the corpus) join documents
+    on id for the quality attribute, then one per-cluster max_by — a
+    single shuffle on cluster_id over the members-of-multi-doc-clusters
+    subset.  No text moves: only (id, cluster, quality) triples.
+    """
+    if clusters is None:
+        clusters = neardup_clusters(documents, None, id_col, text_col, k, threshold)
+    qcol = quality_col or "__quality"
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        (F.length(_ws_trim(text_col)) if quality_col is None else F.col(quality_col))
+        .alias(qcol),
+    )
+    members = clusters.join(docs, "doc_id")
+    # max_by with a struct key gives the (quality DESC, id ASC) argmax in one
+    # aggregate — no window, no second pass over members
+    return members.groupBy("cluster_id").agg(
+        F.expr(f"max_by(doc_id, struct({qcol}, -doc_id))").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(qcol).alias("max_quality"),
+    )
+
+
+def blocked_edit_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_edit: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: records sharing a blocking key
+    whose names are within ``max_edit`` Levenshtein distance →
+    (id_a, id_b, <block_cols...>, edit_dist).
+
+    The classic record-linkage shape: an all-pairs fuzzy match is O(n²)
+    and unshippable, so candidates are generated only WITHIN blocks
+    (deterministic attributes two true duplicates must share — here the
+    caller's ``block_cols``), then scored with the exact edit distance.
+    Pair volume scales with Σ block_size², not n² — the blocking key
+    choice, not the engine, is what bounds the blow-up, so the operator
+    exposes it explicitly.
+
+    Shape: one self-equi-join on the blocking key (shuffle on block_cols;
+    AQE handles skewed blocks), ``F.levenshtein`` JVM-side inside
+    whole-stage codegen (optionally short-circuited by its threshold
+    form), id_a < id_b to emit each unordered pair once.
+    """
+    probe = records.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("__name_a"), *block_cols
+    )
+    build = records.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("__name_b"), *block_cols
+    )
+    dist = F.levenshtein(F.col("__name_a"), F.col("__name_b"))
+    return (
+        probe.join(build, on=list(block_cols))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", dist)
+        .where(F.col("edit_dist") <= max_edit)
+        .select("id_a", "id_b", *block_cols, "edit_dist")
+    )

@@ -360,6 +360,144 @@ def daily_anomaly_scores(
     )
 
 
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition profile of the event stream →
+    (from_type, to_type, n_trans, n_from, p).  Each user's events are
+    ordered by (ts, tie_col) and every consecutive pair counts one
+    transition; ``p`` is the row-conditional probability n_trans/n_from —
+    emitted as the raw IEEE quotient (identical bits on any engine),
+    deliberately unrounded: a half-decimal ratio rounds differently under
+    decimal-string vs binary rounding, the raw double never diverges.
+    The behavioral-model primitive behind next-action prediction features
+    and bot-detection (improbable-transition) screens.
+
+    One keyed window (`lead` over user, the same single shuffle a
+    sessionize takes) then one small aggregate on (from, to) — the event
+    log is scanned once and never self-joins.  Last-event rows (no
+    successor) drop out, matching the textbook bigram count.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .where(F.col("__next").isNotNull())
+        .select(F.col(type_col).alias("from_type"), F.col("__next").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.sum("n_trans").over(wf).alias("n_from"),
+        (F.col("n_trans") / F.sum("n_trans").over(wf)).alias("p"),
+    )
+
+
+def time_to_conversion(
+    events: DataFrame,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user conversion latency → (user_id, start_ts, convert_ts,
+    seconds): the user's FIRST ``start_type`` event and their first
+    ``end_type`` event STRICTLY after it.  Users who never start, or start
+    but never convert, are absent — feed the output through an anti-join
+    for drop-off analysis.
+
+    One conditional aggregate over the (type-filtered) event stream per
+    user: min(start ts) and min(end ts > start ts) cannot be computed in
+    one grouped pass (the second depends on the first), so the shape is
+    per-user min(start) — a user-dimension-sized frame — broadcast-joined
+    back onto the end-type events for the conditional second min.  Two
+    scans of the type-pruned log, no windows, no ordering.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    starts = (
+        events.where(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("start_ts"))
+    )
+    ends = events.where(F.col(type_col) == end_type).select(
+        F.col(user_col), ts.alias("__end_ts")
+    )
+    return (
+        ends.join(starts, user_col)
+        .where(F.col("__end_ts") > F.col("start_ts"))
+        .groupBy(user_col, "start_ts")
+        .agg(F.min("__end_ts").alias("convert_ts"))
+        .select(
+            user_col,
+            "start_ts",
+            "convert_ts",
+            (
+                F.unix_micros(F.col("convert_ts").cast("timestamp_ltz"))
+                - F.unix_micros(F.col("start_ts").cast("timestamp_ltz"))
+            ).cast("double").alias("micros"),
+        )
+        .withColumn("seconds", (F.col("micros") / F.lit(1e6)))
+        .drop("micros")
+    )
+
+
+def ewma_daily(
+    events: DataFrame,
+    alpha: float = 0.25,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type → (event_type, day, n, ewma).  e_1 = n_1; e_t = α·n_t +
+    (1−α)·e_{t−1} over that type's OBSERVED days in date order — the
+    smoothed-baseline series behind alerting dashboards (compare ``n``
+    against ``ewma`` for spike detection, cf. :func:`daily_anomaly_scores`
+    for the z-score variant).
+
+    An EWMA is inherently a sequential scan — no closed-form window
+    rewrite is numerically safe (the (1−α)^{-k} prefix-sum trick
+    overflows past a few hundred steps).  So: one aggregate collapses the
+    raw log to per-(type, day) counts — the tiny frame — and ONE
+    ``applyInPandas`` per type runs the recurrence vectorized in numpy.
+    Python touches days×types rows, never the event log; with α exactly
+    representable (default 0.25) the recurrence is pure IEEE ·/+ in fixed
+    order, bit-reproducible across engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", ignore_index=True)
+        x = pdf["n"].to_numpy(dtype=np.float64)
+        e = np.empty_like(x)
+        if len(x):
+            e[0] = x[0]
+            for i in range(1, len(x)):
+                e[i] = alpha * x[i] + (1.0 - alpha) * e[i - 1]
+        pdf["ewma"] = e
+        return pdf
+
+    schema = "event_type string, day date, n bigint, ewma double"
+    return daily.groupBy("event_type").applyInPandas(_scan, schema=schema)
+
+
 __all__ = [
     "asof_join",
     "range_join",
@@ -368,4 +506,7 @@ __all__ = [
     "funnel_stages",
     "cohort_retention",
     "daily_anomaly_scores",
+    "transition_counts",
+    "time_to_conversion",
+    "ewma_daily",
 ]

@@ -1208,3 +1208,88 @@ class TestCorpusDiagnostics:
         assert got["s1"]["slope"] == round(want, 3)
         assert got["s1"]["n_types"] == 4 and got["s1"]["n_tokens"] == 15
         assert got["s2"]["slope"] is None          # one type -> undefined
+
+
+class TestTransitionCounts:
+    def test_bigram_counts_and_probs(self, spark):
+        from eodatadown_spark.operators.temporal import transition_counts
+
+        rows = [
+            (1, "2024-01-01 10:00:00", "a", 1),
+            (1, "2024-01-01 10:01:00", "b", 2),
+            (1, "2024-01-01 10:02:00", "a", 3),
+            (2, "2024-01-01 09:00:00", "a", 4),
+            (2, "2024-01-01 09:01:00", "a", 5),
+            (3, "2024-01-01 08:00:00", "b", 6),   # single event: no transition
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(r["from_type"], r["to_type"]): r
+               for r in transition_counts(ev, tie_col="event_id").collect()}
+        assert {(k, v["n_trans"]) for k, v in got.items()} == {
+            (("a", "b"), 1), (("b", "a"), 1), (("a", "a"), 1)
+        }
+        assert got[("a", "b")]["n_from"] == 2
+        assert got[("a", "b")]["p"] == 0.5
+        assert got[("b", "a")]["p"] == 1.0
+
+    def test_tie_break_orders_same_timestamp(self, spark):
+        from eodatadown_spark.operators.temporal import transition_counts
+
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "x", 2), (1, "2024-01-01 10:00:00", "y", 1)],
+            "user_id long, ts string, event_type string, event_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = transition_counts(ev, tie_col="event_id").collect()
+        assert [(r["from_type"], r["to_type"]) for r in got] == [("y", "x")]
+
+
+class TestTimeToConversion:
+    def test_first_start_first_later_end(self, spark):
+        from eodatadown_spark.operators.temporal import time_to_conversion
+
+        rows = [
+            # u1: converts 90s after first signup; later purchase ignored
+            (1, "2024-01-01 10:00:00", "signup"),
+            (1, "2024-01-01 10:01:30", "purchase"),
+            (1, "2024-01-01 11:00:00", "purchase"),
+            # u2: purchase BEFORE signup only -> no conversion
+            (2, "2024-01-01 09:00:00", "purchase"),
+            (2, "2024-01-01 10:00:00", "signup"),
+            # u3: signup only
+            (3, "2024-01-01 08:00:00", "signup"),
+            # u4: purchase at the same instant -> strictly-after excludes it
+            (4, "2024-01-01 07:00:00", "signup"),
+            (4, "2024-01-01 07:00:00", "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["user_id"]: r
+               for r in time_to_conversion(ev, "signup", "purchase").collect()}
+        assert set(got) == {1}
+        assert got[1]["seconds"] == 90.0
+
+
+class TestEwmaDaily:
+    def test_recurrence_matches_python(self, spark):
+        from eodatadown_spark.operators.temporal import ewma_daily
+
+        rows = []
+        counts = [4, 1, 7, 2]
+        for day, n in enumerate(counts, start=1):
+            for i in range(n):
+                rows.append(("click", f"2024-02-0{day} 10:{i:02d}:00"))
+        rows.append(("error", "2024-02-01 09:00:00"))  # single-day type
+        ev = spark.createDataFrame(
+            rows, "event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(r["event_type"], str(r["day"])): r
+               for r in ewma_daily(ev, alpha=0.25).collect()}
+        e = None
+        for day, n in enumerate(counts, start=1):
+            e = float(n) if e is None else 0.25 * n + 0.75 * e
+            row = got[("click", f"2024-02-0{day}")]
+            assert row["n"] == n and row["ewma"] == e  # bit-exact recurrence
+        assert got[("error", "2024-02-01")]["ewma"] == 1.0

@@ -1355,3 +1355,137 @@ def test_shot_boundaries_flags_first_frame_and_jumps(spark):
     for idx in (10, 20, 30):                      # dist present downstream
         assert rows[idx]["dist"] is not None
         assert rows[idx]["is_boundary"] == (rows[idx]["dist"] > 0.6)
+
+
+class TestBm25:
+    def test_scores_match_python_reference(self, spark):
+        corpus = [
+            (1, "hash join hash hash scan"),
+            (2, "stream window stream"),
+            (3, "sort merge only"),
+            (4, "hash"),
+        ]
+        from eodatadown_spark.operators.corpus import bm25_scores
+
+        got = {r["doc_id"]: r for r in bm25_scores(
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            ["hash", "stream"],
+        ).collect()}
+        # python reference, same formula
+        toks = {d: t.split() for d, t in corpus}
+        N, avgdl = len(toks), sum(map(len, toks.values())) / len(toks)
+        df = {q: sum(q in t for t in toks.values()) for q in ("hash", "stream")}
+        for d, t in toks.items():
+            terms = [q for q in ("hash", "stream") if q in t]
+            if not terms:
+                assert d not in got  # doc 3 matches nothing -> absent
+                continue
+            exp = sum(
+                math.log(1 + (N - df[q] + 0.5) / (df[q] + 0.5))
+                * t.count(q) * 2.2
+                / (t.count(q) + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+                for q in terms
+            )
+            assert got[d]["score"] == pytest.approx(exp, abs=1e-4)
+            assert got[d]["n_matched"] == len(terms)
+
+    def test_more_matches_never_hurt(self, spark):
+        # RSJ idf is always positive: a doc matching {a,b} outranks the
+        # same doc matching only {a}
+        from eodatadown_spark.operators.corpus import bm25_scores
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta x y"), (2, "alpha x y z")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["score"]
+               for r in bm25_scores(docs, ["alpha", "beta"]).collect()}
+        assert got[1] > got[2]
+
+
+class TestPmi:
+    def test_counts_and_sign(self, spark):
+        from eodatadown_spark.operators.corpus import pmi_cooccurrence
+
+        # a,b always co-occur (attract); a,c never do but both are frequent
+        docs = spark.createDataFrame(
+            [(i, "a b filler%d" % i) for i in range(6)]
+            + [(10 + i, "c filler%d" % i) for i in range(6)],
+            "doc_id long, text string",
+        )
+        got = {(r["tok_a"], r["tok_b"]): r
+               for r in pmi_cooccurrence(docs, vocab_k=3, min_pairs=1).collect()}
+        ab = got[("a", "b")]
+        assert ab["n_ab"] == 6
+        assert ab["pmi"] == pytest.approx(math.log(6 * 12 / (6 * 6)), abs=1e-4)
+        assert ("a", "c") not in got  # zero co-occurrence -> no row
+
+    def test_vocab_cap_and_ordering(self, spark):
+        from eodatadown_spark.operators.corpus import pmi_cooccurrence
+
+        docs = spark.createDataFrame(
+            [(1, "z a"), (2, "z a"), (3, "z b"), (4, "b a z")],
+            "doc_id long, text string",
+        )
+        # vocab_k=2 keeps {a, z} (df 3 each, ties token-asc drop b)
+        got = pmi_cooccurrence(docs, vocab_k=2, min_pairs=1).collect()
+        assert {(r["tok_a"], r["tok_b"]) for r in got} == {("a", "z")}
+        # pairs are emitted tok_a < tok_b exactly once
+
+
+class TestClusterRepresentatives:
+    def test_longest_wins_ties_to_lowest_id(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog today"),  # longer
+                (3, "the quick brown fox jumps over the lazy dog"),       # == 1
+                (9, "completely unrelated text about something else"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["cluster_id"]: r
+               for r in D.cluster_representatives(docs, threshold=0.3).collect()}
+        multi = [r for r in got.values() if r["n_members"] > 1]
+        assert len(multi) == 1 and multi[0]["rep_doc_id"] == 2
+        assert multi[0]["n_members"] == 3
+        # singleton clusters elect themselves
+        singles = [r for r in got.values() if r["n_members"] == 1]
+        assert {r["rep_doc_id"] for r in singles} == {9}
+
+    def test_quality_column_override(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g", 0.1), (2, "a b c d e f g", 0.9)],
+            "doc_id long, text string, quality double",
+        )
+        got = D.cluster_representatives(
+            docs, quality_col="quality", threshold=0.3
+        ).collect()
+        multi = [r for r in got if r["n_members"] > 1]
+        assert multi and multi[0]["rep_doc_id"] == 2
+        assert multi[0]["max_quality"] == 0.9
+
+
+class TestBlockedEditPairs:
+    def test_blocking_and_threshold(self, spark):
+        recs = spark.createDataFrame(
+            [
+                (1, "smith", "NY"), (2, "smyth", "NY"),   # dist 1, same block
+                (3, "smith", "CA"),                        # same name, other block
+                (4, "jones", "NY"),                        # dist > 2 from smith
+                (5, "smitx", "NY"),                        # dist 1 from smith
+            ],
+            "rid long, name string, state string",
+        )
+        got = {(r["id_a"], r["id_b"]): r["edit_dist"]
+               for r in D.blocked_edit_pairs(recs, "rid", "name", ["state"], 2).collect()}
+        assert got == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
+
+    def test_each_pair_once(self, spark):
+        recs = spark.createDataFrame(
+            [(1, "aa", "X"), (2, "aa", "X"), (3, "aa", "X")],
+            "rid long, name string, state string",
+        )
+        pairs = D.blocked_edit_pairs(recs, "rid", "name", ["state"], 0).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2), (1, 3), (2, 3)}
+        assert all(r["edit_dist"] == 0 for r in pairs)
