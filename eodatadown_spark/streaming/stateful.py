@@ -160,3 +160,91 @@ def stream_asof_enrich(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Stateful streaming sessionization emitting CLOSED sessions →
+    (user, session_start, session_end, n_events).  The session-lifecycle
+    semantics Spark's built-in ``session_window`` aggregate cannot give in
+    append mode without also aggregating: here each emitted row is a
+    finalized session, closed either by a later in-stream event beyond
+    the gap or by the event-time watermark passing ``last_event + gap``
+    (``GroupStateTimeout.EventTimeTimeout``), so downstream sinks receive
+    exactly-once session records as they complete.
+
+    Gap semantics match :func:`..incremental.sessionize` (a gap strictly
+    greater than ``gap`` splits; equality stays in-session), so a
+    batch-vs-stream parity check is a per-(user, session_id) rollup of
+    the batch operator.  State is one open session per user — O(#users),
+    bounded; late events inside the watermark merge into the open
+    session, later ones are dropped by the watermark before the kernel.
+    """
+    gap_secs = pd.Timedelta(gap).total_seconds()
+    gap_ms = int(gap_secs * 1000)
+    user_type = dict(events.dtypes)[user_col]
+    out_schema = (
+        f"`{user_col}` {user_type}, session_start timestamp, "
+        f"session_end timestamp, n_events bigint"
+    )
+    out_cols = [user_col, "session_start", "session_end", "n_events"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                user_col: pd.Series(dtype="object"),
+                "session_start": pd.Series(dtype="datetime64[ns]"),
+                "session_end": pd.Series(dtype="datetime64[ns]"),
+                "n_events": pd.Series(dtype="int64"),
+            }
+        )
+
+    def _kernel(key: tuple, batches: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], start, last, n)], columns=out_cols)
+            return
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        closed = []
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            # one concat + sort across all Arrow chunks (see module note)
+            pdf = pd.concat(chunks).sort_values(ts_col)
+            for ts in pdf[ts_col]:
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif (ts - last).total_seconds() > gap_secs:
+                    closed.append((key[0], start, last, n))
+                    start, last, n = ts, ts, 1
+                else:
+                    # covers in-gap forward steps AND late arrivals that
+                    # the watermark let through: merge, never regress
+                    last = max(last, ts)
+                    n += 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_ms)
+        yield (
+            pd.DataFrame(closed, columns=out_cols) if closed else _empty()
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _kernel,
+            outputStructType=out_schema,
+            stateStructType="start timestamp, last timestamp, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

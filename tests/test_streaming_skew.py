@@ -451,3 +451,63 @@ def test_stream_asof_enrich_non_identifier_columns(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_stream_sessionize_closes_and_matches_batch(spark, tmp_path):
+    """Sessions close by in-stream gap AND by event-time timeout; the
+    closed set equals a per-(user, session_id) rollup of the batch
+    sessionize operator on the same events."""
+    from eodatadown_spark.streaming.incremental import sessionize
+    from eodatadown_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    schema = "user_id string, ts timestamp"
+    T = dt.datetime
+    f1 = [("u1", T(2024, 1, 1, 10, 0)), ("u1", T(2024, 1, 1, 10, 5)),
+          ("u2", T(2024, 1, 1, 11, 0))]
+    # u1 10:20 continues (gap 15m ≤ 30m); u2 13:00 splits (gap 2h)
+    f2 = [("u1", T(2024, 1, 1, 10, 20)), ("u2", T(2024, 1, 1, 13, 0))]
+    # sentinel batches: advance the global watermark far past every
+    # last_event+gap, then one more trigger so the timeouts fire
+    f3 = [("u99", T(2024, 1, 2, 0, 0))]
+    f4 = [("u98", T(2024, 1, 3, 0, 0))]
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+
+    # 2h watermark delay: cross-USER event-time skew within a batch (u2's
+    # 11:00 vs u1's next 10:20) must not advance the watermark past rows
+    # still in flight — delay 0 would drop u1's 10:20 as late
+    out = stream_sessionize(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        gap="30 minutes",
+        watermark_delay="2 hours",
+    )
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        for batch in (f2, f3, f4):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        got = {
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM sess_out WHERE user_id IN ('u1','u2')"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    batch_events = spark.createDataFrame(f1 + f2, schema)
+    want = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(batch_events, ["user_id"], gap_seconds=1800.0)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .drop("session_id")
+        .collect()
+    }
+    assert got == want
+    assert ("u1", "2024-01-01 10:00:00", "2024-01-01 10:20:00", 3) in got
+    assert len(got) == 3  # u1×1, u2×2 — every session closed exactly once
