@@ -842,6 +842,41 @@ def q130_pmi(spark, sf):
     return C.pmi_cooccurrence(docs, vocab_k=15, min_pairs=5)
 
 
+def q131_prefix_jaccard(spark, sf, materialize="auto"):
+    """Scale path for exact set-similarity (dedup.jaccard_prefix_pairs):
+    AllPairs/PPJoin prefix filtering under a rarest-first shingle order —
+    provably the SAME pairs as the full inverted-index join, with the
+    boilerplate-shingle candidate blow-up filtered before it exists.  The
+    oracle recomputes all-pairs Jaccard from scratch (k=4, t=0.6), so the
+    hash-match proves the filter loses nothing."""
+    docs = _t(spark, sf, "documents")
+    return D.jaccard_prefix_pairs(
+        docs, "doc_id", "text", k=4, threshold=0.6, materialize=materialize
+    )
+
+
+def q132_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: per ship-month promo vs total revenue — the
+    conditional-aggregation (CASE-inside-SUM) shape, emitted as two sums
+    (cross-engine ratio rounding is the q-family's documented trap)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2242,6 +2277,8 @@ QUERIES: dict[str, Callable] = {
     "q128_ewma": q128_ewma,
     "q129_winsorized_stats": q129_winsorized_stats,
     "q130_pmi": q130_pmi,
+    "q131_prefix_jaccard": q131_prefix_jaccard,
+    "q132_promo_revenue": q132_promo_revenue,
 }
 
 
@@ -2277,6 +2314,9 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_semantic_dedup": lambda spark, sf: S.semantic_dedup(
             _t(spark, sf, "embeddings"), n_clusters=8, threshold=0.42,
             materialize="none", impl="sql",
+        ),
+        "q131_prefix_jaccard": lambda spark, sf: q131_prefix_jaccard(
+            spark, sf, materialize="none"
         ),
     }
 
@@ -4317,6 +4357,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN vocab vb ON vb.token = tok_b
             CROSS JOIN nn
             WHERE n_ab >= 5
+        """,
+        # q131: the oracle is the NAIVE all-pairs recompute (k=4, t=0.6) —
+        # hash-match proves prefix filtering drops no qualifying pair
+        "q131_prefix_jaccard": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 4
+                                THEN list_transform(range(1, len(toks) - 2),
+                                         i -> array_to_string(toks[i:i+3], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                           / len(list_distinct(list_cat(a.shingles, b.shingles)))
+                           AS j
+                FROM sh a JOIN sh b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.6
+        """,
+        "q132_promo_revenue": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   round(sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END), 2) AS promo_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

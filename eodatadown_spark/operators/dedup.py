@@ -19,7 +19,7 @@ ANSI arithmetic, everything in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_PRIME = 2038074743  # 31-bit prime (as in Spark MLlib MinHashLSH)
@@ -1193,4 +1193,81 @@ def blocked_edit_pairs(
         .withColumn("edit_dist", dist)
         .where(F.col("edit_dist") <= max_edit)
         .select("id_a", "id_b", *block_cols, "edit_dist")
+    )
+
+
+def jaccard_prefix_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    materialize: str = "auto",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    family) — same output contract as :func:`ngram_jaccard_pairs`, much
+    smaller candidate space.
+
+    The inverted-index join indexes EVERY shingle, so two documents
+    sharing any boilerplate shingle become a candidate.  Prefix filtering
+    indexes only each document's first ``|S| - ⌈t·|S|⌉ + 1`` shingles
+    under a global shingle order (rarest-first): if J(A,B) ≥ t the two
+    prefixes provably intersect, so no qualifying pair is lost, while
+    frequent (boilerplate) shingles almost never land in a prefix and
+    stop generating candidates.  A length filter (min size ≥ t·max size,
+    a Jaccard necessary condition) prunes further before verification.
+
+    Scale shape: one shingle explode → global frequency agg (token-keyed)
+    → per-doc rank window (partitioned by doc, frames of doc-shingle
+    count) → prefix-only self-equi-join on the shingle → distinct pair
+    dedup → exact verify on the candidate subset.  Candidate volume
+    scales with prefix-token collision counts — at a high threshold a
+    small fraction of the full inverted index's Σ df² blow-up.
+    """
+    base = _pin_mode(
+        documents.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
+        ),
+        materialize,
+    )
+    inv = base.select("id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh"))
+    freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("sh").asc())
+    prefix = (
+        inv.join(freq, "sh")
+        .withColumn("__pos", F.row_number().over(w))
+        # ε-guard: ceil(t·s) computed in floats can land one ABOVE the true
+        # integer (0.1·10 → 1.0000000000000002 → ceil 2), silently
+        # shortening the prefix and dropping qualifying pairs; backing off
+        # 1e-9 only ever lengthens the prefix (still a correct filter)
+        .where(
+            F.col("__pos")
+            <= F.col("sz") - F.ceil(threshold * F.col("sz") - 1e-9) + 1
+        )
+        .select("id", "sz", "sh")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "sh")
+        .where(
+            (F.col("l.id") < F.col("r.id"))
+            & (F.least("l.sz", "r.sz") >= threshold * F.greatest("l.sz", "r.sz"))
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    with_sets = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
+    )
+    jac = with_sets.withColumn(
+        "__ni", F.size(F.array_intersect("sh_a", "sh_b"))
+    ).withColumn(
+        "jaccard",
+        F.col("__ni").cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - F.col("__ni")),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )

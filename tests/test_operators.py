@@ -1489,3 +1489,27 @@ class TestBlockedEditPairs:
         pairs = D.blocked_edit_pairs(recs, "rid", "name", ["state"], 0).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2), (1, 3), (2, 3)}
         assert all(r["edit_dist"] == 0 for r in pairs)
+
+
+class TestJaccardPrefixPairs:
+    def test_matches_inverted_index_exact(self, spark, docs):
+        want = {(r["id_a"], r["id_b"], r["jaccard"])
+                for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()}
+        got = {(r["id_a"], r["id_b"], r["jaccard"])
+               for r in D.jaccard_prefix_pairs(docs, "doc_id", "text", 3, 0.5).collect()}
+        assert got == want and want  # planted dups found, none lost
+
+    def test_low_threshold_epsilon_guard(self, spark):
+        # t=0.1 hits the ceil(0.1*10)=1.0000000000000002 float trap: the
+        # ε-guard must keep the prefix long enough to lose nothing
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(12)))
+             for i in range(12)],
+            "doc_id long, text string",
+        )
+        for t in (0.1, 0.3, 0.8):
+            want = {(r["id_a"], r["id_b"])
+                    for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, t).collect()}
+            got = {(r["id_a"], r["id_b"])
+                   for r in D.jaccard_prefix_pairs(docs, "doc_id", "text", 3, t).collect()}
+            assert got == want
