@@ -511,3 +511,55 @@ def test_stream_sessionize_closes_and_matches_batch(spark, tmp_path):
     assert got == want
     assert ("u1", "2024-01-01 10:00:00", "2024-01-01 10:20:00", 3) in got
     assert len(got) == 3  # u1×1, u2×2 — every session closed exactly once
+
+
+def test_stream_sessionize_state_survives_restart(spark, tmp_path):
+    """Kill the query mid-session and restart from the same checkpoint:
+    the open-session state must survive, so the session closes as ONE
+    record spanning both runs (state loss would emit two)."""
+    from eodatadown_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = "user_id string, ts timestamp"
+    T = dt.datetime
+
+    sink = str(tmp_path / "sess_sink")
+
+    def start_query():
+        out = stream_sessionize(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            gap="30 minutes", watermark_delay="2 hours",
+        )
+        # a FILE sink: the memory sink cannot recover from a checkpoint,
+        # which is the whole point of this test
+        return (out.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    spark.createDataFrame([("u1", T(2024, 1, 1, 10, 0))], schema
+                          ).coalesce(1).write.parquet(src)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # while the query is DOWN: an in-gap continuation + watermark sentinels
+    for batch in ([("u1", T(2024, 1, 1, 10, 10))],
+                  [("u99", T(2024, 1, 2, 0, 0))],
+                  [("u98", T(2024, 1, 3, 0, 0))]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(sink).where("user_id = 'u1'").collect()
+    ]
+    assert rows == [("u1", "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2)]
