@@ -877,6 +877,30 @@ def q132_promo_revenue(spark, sf):
     )
 
 
+def q133_asof_forward(spark, sf):
+    """Temporal: FORWARD as-of (each signup ← the user's earliest purchase
+    at-or-after it, with its value) — the direction="forward" contract of
+    the union+window as-of operator (pandas-merge_asof-verified in tests);
+    oracle = per-signup rank-1 row over later purchases."""
+    from eodatadown_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        signups, purchases, ["user_id"],
+        right_value_cols=["value"], direction="forward",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.round("value_right", 2).alias("purchase_value"),
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2279,6 +2303,7 @@ QUERIES: dict[str, Callable] = {
     "q130_pmi": q130_pmi,
     "q131_prefix_jaccard": q131_prefix_jaccard,
     "q132_promo_revenue": q132_promo_revenue,
+    "q133_asof_forward": q133_asof_forward,
 }
 
 
@@ -4396,6 +4421,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
+        """,
+        # q133: forward as-of — rank-1 over strictly-later-or-equal
+        # purchases per signup; LEFT JOIN keeps never-converting signups
+        "q133_asof_forward": """
+            WITH s AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'signup'
+            ), p AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value
+                FROM events WHERE event_type = 'purchase'
+            ), ranked AS (
+                SELECT s.event_id, s.user_id, s.ts, p.pts, p.value,
+                       row_number() OVER (PARTITION BY s.event_id
+                                          ORDER BY p.pts) AS rn
+                FROM s LEFT JOIN p
+                  ON p.user_id = s.user_id AND p.pts >= s.ts
+            )
+            SELECT event_id, user_id, ts,
+                   pts AS purchase_ts,
+                   round(value, 2) AS purchase_value
+            FROM ranked WHERE rn = 1
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -37,12 +37,20 @@ def asof_join(
     right_value_cols: Sequence[str] = (),
     allow_exact_matches: bool = True,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the right row's timestamp
-    (``<right_ts><suffix>``) and ``right_value_cols`` from the most recent
-    right row with the same keys and ``right.ts <= left.ts``
-    (``< left.ts`` when ``allow_exact_matches=False``); NULLs when no prior
-    right row exists (left-join semantics).
+    """As-of join: each left row gains the right row's timestamp
+    (``<right_ts><suffix>``) and ``right_value_cols`` from the matched
+    right row with the same keys; NULLs when none exists (left-join
+    semantics).  ``direction`` picks the match (pandas ``merge_asof``
+    contract):
+
+    - ``"backward"`` (default) — most recent right row with
+      ``right.ts <= left.ts`` (``<`` when ``allow_exact_matches=False``);
+    - ``"forward"`` — earliest right row with ``right.ts >= left.ts``
+      (``>`` when strict);
+    - ``"nearest"`` — whichever of the two is closer in time (ties and
+      equal distance resolve backward, matching pandas).
 
     Shape: tag both inputs, union, one window per key ordered by
     (ts, side-marker) taking ``last(ignorenulls)`` of ONE struct packing the
@@ -58,9 +66,15 @@ def asof_join(
     (inclusive) or after (strict).
 
     Ties between right rows at identical (key, ts) resolve to the one last
-    in the union sort — pass pre-deduplicated right input when value columns
-    must be deterministic under such ties.
+    in the union sort (backward) / first (forward) — pass pre-deduplicated
+    right input when value columns must be deterministic under such ties.
+
+    All three directions keep the single-shuffle union+window shape;
+    ``nearest`` evaluates the backward and forward frames over the SAME
+    window partitioning (one sort, two frame scans) and picks per row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     key_cols = list(key_cols)
     lcols = left.columns
     ldt = dict(left.dtypes)
@@ -92,13 +106,39 @@ def asof_join(
         F.struct(*[F.col(src).alias(dst) for src, dst in rv_out]).alias("__rv"),
         F.lit(0).alias("__is_left"),
     )
-    marker = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
-    w = (
+    # tie markers: the frame endpoints are row-based, so whether an
+    # equal-timestamp right row is visible from a left row is decided by
+    # the sort position of right (0) vs left (1) rows — backward-inclusive
+    # wants right first; forward-inclusive wants right after the left row
+    marker_bw = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
+    marker_fw = F.col("__is_left").desc() if allow_exact_matches else F.col("__is_left").asc()
+    w_bw = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("__ts").asc(), marker)
+        .orderBy(F.col("__ts").asc(), marker_bw)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched = F.last("__rv", ignorenulls=True).over(w)
+    w_fw = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), marker_fw)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    bw = F.last("__rv", ignorenulls=True).over(w_bw)
+    fw = F.first("__rv", ignorenulls=True).over(w_fw)
+    if direction == "backward":
+        matched = bw
+    elif direction == "forward":
+        matched = fw
+    else:
+        ts_us = F.unix_micros(F.col("__ts").cast("timestamp"))
+        rts = rv_out[0][1]
+        d_bw = ts_us - F.unix_micros(bw.getField(rts).cast("timestamp"))
+        d_fw = F.unix_micros(fw.getField(rts).cast("timestamp")) - ts_us
+        matched = (
+            F.when(bw.isNull(), fw)
+            .when(fw.isNull(), bw)
+            .when(d_fw < d_bw, fw)
+            .otherwise(bw)  # equal distance resolves backward (pandas)
+        )
     filled = left_proj.unionByName(right_proj).select(
         *lcols,
         "__is_left",

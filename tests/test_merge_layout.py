@@ -1293,3 +1293,60 @@ class TestEwmaDaily:
             row = got[("click", f"2024-02-0{day}")]
             assert row["n"] == n and row["ewma"] == e  # bit-exact recurrence
         assert got[("error", "2024-02-01")]["ewma"] == 1.0
+
+
+class TestAsofDirections:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Randomized differential vs pandas merge_asof across all three
+        directions × inclusive/strict — the reference implementation of
+        the as-of contract."""
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(11)
+        base = dt.datetime(2024, 1, 1)
+        keys = ["a", "b", "c"]
+        lrows, rrows = [], []
+        for k in keys:
+            # unique per-key right timestamps (tie-break among identical
+            # right rows is unspecified on both sides)
+            r_ts = rng.sample(range(0, 4000, 2), 25)
+            for t in r_ts:
+                rrows.append((k, base + dt.timedelta(seconds=t), float(t)))
+            for t in rng.choices(range(0, 4000), k=40):
+                lrows.append((k, base + dt.timedelta(seconds=t), len(lrows)))
+        ldf = spark.createDataFrame(lrows, "k string, ts timestamp, lid long")
+        rdf = spark.createDataFrame(rrows, "k string, ts timestamp, val double")
+        lpd = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+        rpd = pd.DataFrame(rrows, columns=["k", "ts", "val"]).sort_values("ts")
+
+        from eodatadown_spark.operators.temporal import asof_join
+
+        for direction in ("backward", "forward", "nearest"):
+            for inclusive in (True, False):
+                got = {
+                    r["lid"]: (r["ts_right"], r["val_right"])
+                    for r in asof_join(
+                        ldf, rdf, ["k"], right_value_cols=["val"],
+                        allow_exact_matches=inclusive, direction=direction,
+                    ).collect()
+                }
+                want_df = pd.merge_asof(
+                    lpd, rpd, on="ts", by="k", direction=direction,
+                    allow_exact_matches=inclusive, suffixes=("", "_right"),
+                )
+                for row in want_df.itertuples():
+                    wts = None if pd.isna(row.val) else row.ts
+                    g_ts, g_val = got[row.lid]
+                    assert (g_ts is None) == (wts is None), (direction, inclusive, row.lid)
+                    if g_ts is not None:
+                        # matched right row's value identifies the row (val == seconds)
+                        assert g_val == row.val, (direction, inclusive, row.lid)
+
+    def test_unknown_direction_rejected(self, spark):
+        from eodatadown_spark.operators.temporal import asof_join
+
+        df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k long, ts timestamp")
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(df, df, ["k"], direction="sideways")
