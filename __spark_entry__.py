@@ -901,6 +901,19 @@ def q133_asof_forward(spark, sf):
     )
 
 
+def q134_mmr_rerank(spark, sf, materialize="auto"):
+    """Diversified retrieval (similarity.mmr_rerank): greedy
+    Maximal-Marginal-Relevance over an 8-candidate shortlist, k=3, λ=0.7.
+    The oracle unrolls the same greedy steps in SQL (double-cast cosines,
+    round-6 argmax keys, id tie-breaks) — matching ranks prove the
+    distributed loop equals the textbook sequential algorithm."""
+    emb = _t(spark, sf, "embeddings")
+    return S.mmr_rerank(
+        emb, emb.where(F.col("vec_id") < 4), k=3, shortlist=8, lam=0.7,
+        materialize=materialize,
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2304,6 +2317,7 @@ QUERIES: dict[str, Callable] = {
     "q131_prefix_jaccard": q131_prefix_jaccard,
     "q132_promo_revenue": q132_promo_revenue,
     "q133_asof_forward": q133_asof_forward,
+    "q134_mmr_rerank": q134_mmr_rerank,
 }
 
 
@@ -2341,6 +2355,9 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             materialize="none", impl="sql",
         ),
         "q131_prefix_jaccard": lambda spark, sf: q131_prefix_jaccard(
+            spark, sf, materialize="none"
+        ),
+        "q134_mmr_rerank": lambda spark, sf: q134_mmr_rerank(
             spark, sf, materialize="none"
         ),
     }
@@ -4442,6 +4459,64 @@ def oracle_sql() -> dict[str, str]:
                    pts AS purchase_ts,
                    round(value, 2) AS purchase_value
             FROM ranked WHERE rn = 1
+        """,
+        # q134: MMR greedy unrolled (k=3) — rank 1 = relevance argmax,
+        # ranks 2/3 = argmax of 0.7·rel − (1−0.7)·max-sim-to-selected;
+        # all cosines on DOUBLE[] casts, argmax keys rounded to 6, ties on
+        # id — the engine's exact determinism contract
+        "q134_mmr_rerank": """
+            WITH c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 4
+            ), sc AS (
+                SELECT query_id, c.vec_id AS nid, c.v AS cv,
+                       list_cosine_similarity(qv, c.v) AS rel
+                FROM q JOIN c ON c.vec_id <> q.query_id
+            ), shortlist AS (
+                SELECT query_id, nid, cv, rel FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(rel, 6) DESC, nid) AS rk
+                    FROM sc WHERE rel IS NOT NULL
+                ) WHERE rk <= 8
+            ), s1 AS (
+                SELECT query_id, nid, cv FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(rel, 6) DESC, nid) AS r
+                    FROM shortlist
+                ) WHERE r = 1
+            ), rem1 AS (
+                FROM shortlist ANTI JOIN s1 USING (query_id, nid)
+            ), pick2 AS (
+                SELECT query_id, nid, cv FROM (
+                    SELECT r.query_id, r.nid, r.cv,
+                           row_number() OVER (PARTITION BY r.query_id
+                               ORDER BY round(0.7 * r.rel - (1 - 0.7) *
+                                   list_cosine_similarity(r.cv, s.cv), 6) DESC,
+                                   r.nid) AS p
+                    FROM rem1 r JOIN s1 s USING (query_id)
+                ) WHERE p = 1
+            ), rem2 AS (
+                FROM rem1 ANTI JOIN pick2 USING (query_id, nid)
+            ), pick3 AS (
+                SELECT query_id, nid FROM (
+                    SELECT r.query_id, r.nid,
+                           row_number() OVER (PARTITION BY r.query_id
+                               ORDER BY round(0.7 * r.rel - (1 - 0.7) *
+                                   greatest(list_cosine_similarity(r.cv, s.cv),
+                                            list_cosine_similarity(r.cv, p.cv)),
+                                   6) DESC, r.nid) AS p3
+                    FROM rem2 r
+                    JOIN s1 s USING (query_id)
+                    JOIN pick2 p USING (query_id)
+                ) WHERE p3 = 1
+            )
+            SELECT query_id, nid AS neighbor_id, CAST(1 AS INT) AS rank FROM s1
+            UNION ALL
+            SELECT query_id, nid, CAST(2 AS INT) FROM pick2
+            UNION ALL
+            SELECT query_id, nid, CAST(3 AS INT) FROM pick3
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

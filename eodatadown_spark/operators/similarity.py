@@ -1040,3 +1040,115 @@ def knn_label_vote(
             "query_id", "label", "votes", F.round("__sim_sum", 4).alias("sim_sum")
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    shortlist: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    materialize: str = "auto",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k → (query_id,
+    neighbor_id, rank): greedily pick the candidate maximizing
+    ``λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`` — the diverse
+    retrieval / few-shot-example-selection step that plain top-k cannot
+    give (it returns k near-copies when the corpus has near-dup clusters).
+
+    Fully distributed greedy: each of the k rounds is one broadcast join
+    of the (queries × ≤shortlist) candidate table against the selected
+    set, a per-candidate max-sim aggregate, and a per-query argmax window
+    — no pandas, no per-query Python, scales across millions of queries.
+    Per-round lineage is pinned (tiny frames).  ``candidates`` lets the
+    caller feed an ANN shortlist (LSH/IVF) instead of the default exact
+    one — the 100 TB path; the greedy tail only ever touches
+    queries × shortlist rows.
+
+    Determinism contract (oracle-checkable): all cosines run on
+    double-cast arrays (f64 everywhere — cross-engine noise ~1e-15) and
+    every argmax orders by (round(score, 6) DESC, id ASC), so rank flips
+    would need a true score gap under 1e-6 that also straddles a grid
+    boundary.  Output carries ranks only, no float columns.
+    """
+    from eodatadown_spark.operators.dedup import _pin_mode
+
+    dbl = f"cast({vec_col} as array<double>)"
+    if candidates is None:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.expr(dbl).alias("__qv")
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.expr(dbl).alias("__cv")
+        ).withColumn("__cn", l2_norm(F.col("__cv")))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "rel",
+                F.try_divide(
+                    dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")
+                ),
+            )
+            .where(F.col("rel").isNotNull())
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round("rel", 6).desc(), F.col("neighbor_id").asc()
+        )
+        candidates = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= shortlist)
+            .select("query_id", "neighbor_id", "rel", "__cv")
+        )
+    cand = _pin_mode(candidates, materialize)
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.round("rel", 6).desc(), F.col("neighbor_id").asc()
+    )
+    selected = _pin_mode(
+        cand.withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") == 1)
+        .select(
+            "query_id", "neighbor_id", "__cv", F.lit(1).cast("int").alias("rank")
+        ),
+        materialize,
+    )
+    for step in range(2, k + 1):
+        rem = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        sel = selected.select(
+            F.col("query_id"), F.col("__cv").alias("__sv")
+        ).withColumn("__sn", l2_norm(F.col("__sv")))
+        pairs = rem.withColumn("__rn", l2_norm(F.col("__cv"))).join(
+            F.broadcast(sel), "query_id"
+        )
+        maxsim = (
+            pairs.withColumn(
+                "__sim",
+                F.try_divide(
+                    dot(F.col("__cv"), F.col("__sv")), F.col("__rn") * F.col("__sn")
+                ),
+            )
+            .groupBy("query_id", "neighbor_id", "rel", "__cv")
+            .agg(F.max("__sim").alias("__ms"))
+        )
+        mmr = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("__ms")
+        wp = Window.partitionBy("query_id").orderBy(
+            F.round(mmr, 6).desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            maxsim.withColumn("__p", F.row_number().over(wp))
+            .where(F.col("__p") == 1)
+            .select(
+                "query_id", "neighbor_id", "__cv",
+                F.lit(step).cast("int").alias("rank"),
+            )
+        )
+        selected = _pin_mode(selected.unionByName(pick), materialize)
+    return selected.select("query_id", "neighbor_id", "rank")

@@ -1513,3 +1513,85 @@ class TestJaccardPrefixPairs:
             got = {(r["id_a"], r["id_b"])
                    for r in D.jaccard_prefix_pairs(docs, "doc_id", "text", 3, t).collect()}
             assert got == want
+
+
+class TestMmrRerank:
+    @staticmethod
+    def _py_mmr(vecs, query_ids, k, shortlist, lam):
+        import math as m
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = m.sqrt(sum(x * x for x in a))
+            nb = m.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        out = {}
+        for qid in query_ids:
+            qv = vecs[qid]
+            scored = sorted(
+                ((round(cos(qv, v), 6), -i) for i, v in vecs.items() if i != qid),
+                reverse=True,
+            )[:shortlist]
+            cand = {-ni: r for r, ni in scored}
+            sel = []
+            rels = dict(cand)
+            while len(sel) < k and len(sel) < len(cand):
+                best = None
+                for i, rel in rels.items():
+                    if i in sel:
+                        continue
+                    ms = max(cos(vecs[i], vecs[s]) for s in sel) if sel else None
+                    score = rel if ms is None else round(0.7 * rel - (1 - 0.7) * ms, 6)
+                    key = (score, -i)
+                    if best is None or key > best[0]:
+                        best = (key, i)
+                sel.append(best[1])
+            out[qid] = sel
+        return out
+
+    def test_matches_python_greedy(self, spark):
+        import random
+
+        rng = random.Random(3)
+        vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(20)}
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        got = {}
+        rows = S.mmr_rerank(
+            df, df.where("vec_id < 3"), k=3, shortlist=6, lam=0.7
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+        # python reference works on the same float32-truncated vectors the
+        # engine reads back from the array<float> column
+        f32 = {
+            r["vec_id"]: [float(x) for x in r["embedding"]] for r in df.collect()
+        }
+        want = self._py_mmr(f32, [0, 1, 2], 3, 6, 0.7)
+        for qid, sel in want.items():
+            assert [got[qid][r] for r in (1, 2, 3)] == sel
+
+    def test_diversifies_near_dup_cluster(self, spark):
+        # corpus: three near-identical A vectors + one orthogonal B; plain
+        # top-2 returns two As, MMR at λ=0.3 swaps B in at rank 2
+        rows = [
+            (0, [1.0, 0.0]),         # the query
+            (1, [1.0, 0.01]), (2, [1.0, 0.011]), (3, [1.0, 0.012]),
+            (4, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = df.where("vec_id = 0")
+        got = {
+            r["rank"]: r["neighbor_id"]
+            for r in S.mmr_rerank(df, q, k=2, shortlist=4, lam=0.3).collect()
+        }
+        assert got[1] in (1, 2, 3)   # most relevant wins rank 1
+        assert got[2] == 4           # diversity beats the second near-dup
+        topk = {
+            r["rank"]: r["neighbor_id"]
+            for r in S.mmr_rerank(df, q, k=2, shortlist=4, lam=1.0).collect()
+        }
+        assert topk[2] in (1, 2, 3)  # λ=1 degenerates to plain top-k
