@@ -914,6 +914,16 @@ def q134_mmr_rerank(spark, sf, materialize="auto"):
     )
 
 
+def q135_volume_trend(spark, sf):
+    """Monitoring (temporal.daily_trend): per-type OLS slope of daily
+    event volume — drift detection via closed-form Σ sums; the division
+    is the only float op, bit-identical cross-engine, unrounded."""
+    from eodatadown_spark.operators.temporal import daily_trend
+
+    ev = _t(spark, sf, "events")
+    return daily_trend(ev)
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2318,6 +2328,7 @@ QUERIES: dict[str, Callable] = {
     "q132_promo_revenue": q132_promo_revenue,
     "q133_asof_forward": q133_asof_forward,
     "q134_mmr_rerank": q134_mmr_rerank,
+    "q135_volume_trend": q135_volume_trend,
 }
 
 
@@ -4517,6 +4528,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, nid, CAST(2 AS INT) FROM pick2
             UNION ALL
             SELECT query_id, nid, CAST(3 AS INT) FROM pick3
+        """,
+        "q135_volume_trend": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), xy AS (
+                SELECT event_type,
+                       CAST(day - min(day) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS x,
+                       n AS y
+                FROM d
+            ), agg AS (
+                SELECT event_type, count(*) AS n_days,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM xy GROUP BY 1
+            )
+            SELECT event_type, n_days,
+                   CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(n_days * sxy - sx * sy AS DOUBLE)
+                             / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                   END AS slope
+            FROM agg
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -49,6 +49,10 @@ EXTENDED = [
     "q109_funnel",
     "q111_sliding_window",
     "q113_vocab_overlap",
+    "q120_bm25",
+    "q126_transitions",
+    "q131_prefix_jaccard",
+    "q134_mmr_rerank",
 ]
 
 

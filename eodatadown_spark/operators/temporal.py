@@ -538,6 +538,45 @@ def ewma_daily(
     return daily.groupBy("event_type").applyInPandas(_scan, schema=schema)
 
 
+def daily_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type linear trend of daily volume → (event_type, n_days, slope):
+    the OLS slope of count-vs-day-index (closed-form Σ sums, no ML lib) —
+    "is error volume drifting up" in one aggregate.  ``slope`` is
+    events/day; NULL for single-day types (zero variance).
+
+    One count aggregate, one keyed window for the per-type day origin, one
+    closed-form aggregate.  All sums are exact integers, so the final
+    division is the only float op — bit-identical on any engine,
+    deliberately unrounded.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    xy = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("long").alias("x"),
+        F.col("n").alias("y"),
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = F.try_divide(
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double"),
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+    )
+    return agg.select("event_type", "n_days", slope.alias("slope"))
+
+
 __all__ = [
     "asof_join",
     "range_join",
@@ -549,4 +588,5 @@ __all__ = [
     "transition_counts",
     "time_to_conversion",
     "ewma_daily",
+    "daily_trend",
 ]

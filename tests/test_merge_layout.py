@@ -1350,3 +1350,21 @@ class TestAsofDirections:
         df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k long, ts timestamp")
         with pytest.raises(ValueError, match="direction"):
             asof_join(df, df, ["k"], direction="sideways")
+
+
+class TestDailyTrend:
+    def test_exact_slope_and_null_variance(self, spark):
+        from eodatadown_spark.operators.temporal import daily_trend
+
+        rows = []
+        # 'up': counts 1,3,5,7 over four days -> slope exactly 2.0
+        for day, n in enumerate([1, 3, 5, 7], start=1):
+            rows += [("up", f"2024-03-0{day} 12:00:00")] * n
+        # 'flat single day' -> NULL slope
+        rows.append(("one", "2024-03-01 09:00:00"))
+        ev = spark.createDataFrame(
+            rows, "event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["event_type"]: r for r in daily_trend(ev).collect()}
+        assert got["up"]["slope"] == 2.0 and got["up"]["n_days"] == 4
+        assert got["one"]["slope"] is None
