@@ -924,6 +924,34 @@ def q135_volume_trend(spark, sf):
     return daily_trend(ev)
 
 
+def q136_robust_anomaly(spark, sf):
+    """Monitoring (temporal.robust_anomaly_scores): median/MAD daily
+    z-scores — the outlier-resistant twin of q112 (a spike can't hide
+    itself by inflating its own baseline)."""
+    from eodatadown_spark.operators.temporal import robust_anomaly_scores
+
+    ev = _t(spark, sf, "events")
+    return robust_anomaly_scores(ev)
+
+
+def q137_gapfilled_counts(spark, sf):
+    """Date spine (temporal.fill_daily_gaps): dense per-type daily series
+    with zero-filled missing days — 'no events' as a first-class signal.
+    Summed per type so the row volume stays bounded; n_zero_days is the
+    gap count the observed-days series can't see."""
+    from eodatadown_spark.operators.temporal import fill_daily_gaps
+
+    ev = _t(spark, sf, "events")
+    dense = fill_daily_gaps(ev)
+    return dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias("n_zero_days"),
+        F.sum("n").alias("total_events"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2329,6 +2357,8 @@ QUERIES: dict[str, Callable] = {
     "q133_asof_forward": q133_asof_forward,
     "q134_mmr_rerank": q134_mmr_rerank,
     "q135_volume_trend": q135_volume_trend,
+    "q136_robust_anomaly": q136_robust_anomaly,
+    "q137_gapfilled_counts": q137_gapfilled_counts,
 }
 
 
@@ -4553,6 +4583,50 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_days * sxx - sx * sx AS DOUBLE)
                    END AS slope
             FROM agg
+        """,
+        "q136_robust_anomaly": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), med AS (
+                SELECT event_type, quantile_cont(n, 0.5) AS m
+                FROM d GROUP BY 1
+            ), dev AS (
+                SELECT d.*, m FROM d JOIN med USING (event_type)
+            ), mad AS (
+                SELECT event_type, quantile_cont(abs(n - m), 0.5) AS md
+                FROM dev GROUP BY 1
+            )
+            SELECT event_type, day, n,
+                   round(CASE WHEN 1.4826 * md = 0 THEN NULL
+                         ELSE (n - m) / (1.4826 * md) END, 3) AS robust_z
+            FROM dev JOIN mad USING (event_type)
+        """,
+        "q137_gapfilled_counts": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), rng AS (
+                SELECT event_type, min(day) AS lo, max(day) AS hi
+                FROM d GROUP BY 1
+            ), spine AS (
+                SELECT event_type,
+                       CAST(unnest(generate_series(
+                           CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                FROM rng
+            )
+            SELECT s.event_type, count(*) AS n_days,
+                   CAST(sum(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero_days,
+                   CAST(sum(coalesce(d.n, 0)) AS BIGINT) AS total_events,
+                   min(s.day) AS first_day, max(s.day) AS last_day
+            FROM spine s LEFT JOIN d USING (event_type, day)
+            GROUP BY 1
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -577,6 +577,80 @@ def daily_trend(
     return agg.select("event_type", "n_days", slope.alias("slope"))
 
 
+def robust_anomaly_scores(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_to: int = 3,
+) -> DataFrame:
+    """Median/MAD daily-volume anomaly scoring → (event_type, day, n,
+    robust_z): ``(n − median) / (1.4826·MAD)`` per type, the
+    outlier-resistant companion of :func:`daily_anomaly_scores` — one
+    spike day inflates a mean/stddev z enough to hide itself; the median
+    and MAD don't move.
+
+    Two exact-percentile aggregates over the per-(type, day) count table
+    (daily median, then median absolute deviation) joined back — all on
+    the tiny daily frame, the raw log is scanned once.  Zero MAD (≥half
+    the days share the median) yields NULL rather than an error.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("__med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(n - __med), 0.5)").alias("__mad")
+    )
+    z = F.try_divide(
+        F.col("n") - F.col("__med"), F.lit(1.4826) * F.col("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "day", "n", F.round(z, round_to).alias("robust_z")
+        )
+    )
+
+
+def fill_daily_gaps(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Dense per-type daily series → (event_type, day, n) with EVERY
+    calendar day between a type's first and last observation present,
+    zero-filled.  The date-spine step the trend/EWMA/anomaly family needs
+    when "no events" is itself the signal (observed-days-only series
+    silently skip outage days).
+
+    One count aggregate, a per-type (min, max) rollup, ONE
+    ``sequence()``+``explode`` over the tiny per-type range table (the
+    spine never touches the event log), and a left join of spine←counts.
+    Spine size = Σ type date-spans — independent of event volume.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("__n"), F.lit(0)).alias("n")
+    )
+
+
 __all__ = [
     "asof_join",
     "range_join",
@@ -589,4 +663,6 @@ __all__ = [
     "time_to_conversion",
     "ewma_daily",
     "daily_trend",
+    "robust_anomaly_scores",
+    "fill_daily_gaps",
 ]
