@@ -2232,10 +2232,10 @@ QUERIES: dict[str, Callable] = {
     "q08_anti_join": q08_anti_join,
     "q09_semi_join": q09_semi_join,
     "q10_revenue_by_nation": q10_revenue_by_nation,
-    "q11_distinct_values": q11_distinct_values,
+    "q128_ewma": q128_ewma,
     "q53_contamination": q53_contamination,
     "q13_summary_stats": q13_summary_stats,
-    "q14_union_distinct": q14_union_distinct,
+    "q131_prefix_jaccard": q131_prefix_jaccard,
     "q91_merge_upsert": q91_merge_upsert,
     "q61_range_join": q61_range_join,
     "q17_obs_date_rollup": q17_obs_date_rollup,
@@ -2243,7 +2243,7 @@ QUERIES: dict[str, Callable] = {
     "q19_exact_dedup": q19_exact_dedup,
     "q20_text_profile": q20_text_profile,
     "q59_asof_join": q59_asof_join,
-    "q22_fingerprint": q22_fingerprint,
+    "q134_mmr_rerank": q134_mmr_rerank,
     "q23_cosine_topk": q23_cosine_topk,
     "q24_minhash_neardup": q24_minhash_neardup,
     "q87_source_set_ops": q87_source_set_ops,
@@ -2266,7 +2266,7 @@ QUERIES: dict[str, Callable] = {
     "q97_incremental_rollup": q97_incremental_rollup,
     "q71_asof_value_carry": q71_asof_value_carry,
     "q44_tfidf_keywords": q44_tfidf_keywords,
-    "q45_hash_split": q45_hash_split,
+    "q126_transitions": q126_transitions,
     "q105_source_mix": q105_source_mix,
     "q47_pii_redaction": q47_pii_redaction,
     "q48_sequence_packing": q48_sequence_packing,
@@ -2347,18 +2347,18 @@ QUERIES: dict[str, Callable] = {
     "q123_disjunctive_filter": q123_disjunctive_filter,
     "q124_nation_share": q124_nation_share,
     "q125_late_order_priority": q125_late_order_priority,
-    "q126_transitions": q126_transitions,
     "q127_time_to_conversion": q127_time_to_conversion,
-    "q128_ewma": q128_ewma,
     "q129_winsorized_stats": q129_winsorized_stats,
     "q130_pmi": q130_pmi,
-    "q131_prefix_jaccard": q131_prefix_jaccard,
     "q132_promo_revenue": q132_promo_revenue,
     "q133_asof_forward": q133_asof_forward,
-    "q134_mmr_rerank": q134_mmr_rerank,
     "q135_volume_trend": q135_volume_trend,
     "q136_robust_anomaly": q136_robust_anomaly,
     "q137_gapfilled_counts": q137_gapfilled_counts,
+    "q11_distinct_values": q11_distinct_values,
+    "q14_union_distinct": q14_union_distinct,
+    "q22_fingerprint": q22_fingerprint,
+    "q45_hash_split": q45_hash_split,
 }
 
 
