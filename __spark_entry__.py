@@ -952,6 +952,22 @@ def q137_gapfilled_counts(spark, sf):
     )
 
 
+def q138_custdist(spark, sf):
+    """TPC-H Q13 shape: distribution of customers by (filtered) order
+    count INCLUDING zero-order customers — the left-join + two-level
+    aggregation that inner-join rollups silently get wrong."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2355,6 +2371,7 @@ QUERIES: dict[str, Callable] = {
     "q135_volume_trend": q135_volume_trend,
     "q136_robust_anomaly": q136_robust_anomaly,
     "q137_gapfilled_counts": q137_gapfilled_counts,
+    "q138_custdist": q138_custdist,
     "q11_distinct_values": q11_distinct_values,
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
@@ -4627,6 +4644,17 @@ def oracle_sql() -> dict[str, str]:
                    min(s.day) AS first_day, max(s.day) AS last_day
             FROM spine s LEFT JOIN d USING (event_type, day)
             GROUP BY 1
+        """,
+        "q138_custdist": """
+            WITH per AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per GROUP BY 1
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);
