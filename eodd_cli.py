@@ -489,6 +489,52 @@ def cmd_eventstats(args) -> None:
     print(json.dumps(report))
 
 
+def cmd_search(args) -> None:
+    """BM25 retrieval over a documents parquet; with --embeddings, the
+    shortlist is MMR-diversified (λ·rel − (1−λ)·max-sim-to-selected) so
+    near-duplicate hits don't crowd the result list."""
+    from pyspark.sql import Window
+
+    from eodatadown_spark.operators.corpus import bm25_scores
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    docs = spark.read.parquet(args.infile)
+    terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+    scored = bm25_scores(docs, terms)
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(args.k).localCheckpoint()
+    report = {
+        "terms": terms,
+        "hits": [
+            {"doc_id": r["doc_id"], "score": r["score"]}
+            for r in top.collect()
+        ],
+    }
+    if args.embeddings:
+        from eodatadown_spark.operators.similarity import mmr_rerank
+
+        emb = spark.read.parquet(args.embeddings)
+        # BM25 scores become the relevance term, max-normalized so λ
+        # weighs comparable [0,1] quantities
+        cand = top.join(emb, top["doc_id"] == emb[args.vec_id_col]).select(
+            F.lit(0).alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+            (F.col("score") / F.max("score").over(Window.partitionBy()))
+            .alias("rel"),
+            F.expr(f"cast({args.vec_col} as array<double>)").alias("__cv"),
+        )
+        sel = mmr_rerank(
+            None, None, k=args.diverse_k, lam=args.lam, candidates=cand
+        )
+        report["diversified"] = [
+            r["neighbor_id"]
+            for r in sel.orderBy("rank").collect()
+        ]
+    print(json.dumps(report))
+
+
 def cmd_dataprep(args) -> None:
     """Training-data pipeline, end to end: quality filter → exact dedup →
     near-dup keep-canonical → deterministic split; writes the cleaned corpus
@@ -737,6 +783,18 @@ def main(argv=None) -> int:
         "--bits": {"type": int, "default": 16},
         "--partitions": {"type": int, "default": 8},
     })
+
+    sp = sub.add_parser("search")
+    sp.add_argument("--infile", required=True, help="documents parquet")
+    sp.add_argument("--terms", required=True, help="comma list of query terms")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--embeddings", default=None,
+                    help="embeddings parquet enabling MMR diversification")
+    sp.add_argument("--vec-id-col", default="vec_id", dest="vec_id_col")
+    sp.add_argument("--vec-col", default="embedding", dest="vec_col")
+    sp.add_argument("--diverse-k", type=int, default=5, dest="diverse_k")
+    sp.add_argument("--lam", type=float, default=0.7)
+    sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("corpusstats")
     sp.add_argument("--infile", required=True)

@@ -503,3 +503,23 @@ def test_cli_eventstats(spark, tmp_path, capsys):
     assert rep["cohorts"] > 0
     assert spark.read.parquet(out + "/cohorts").count() == rep["cohorts"]
     assert spark.read.parquet(out + "/anomalies").count() > 0
+
+
+def test_cli_search_and_diversify(spark, tmp_path, capsys):
+    import json as _json
+
+    import eodd_cli
+
+    eodd_cli.main([
+        "search", "--infile", "/root/testdata/sf0.001/documents.parquet",
+        "--terms", "hash,join,stream", "--k", "8",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--diverse-k", "3",
+    ])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["hits"]) == 8
+    scores = [h["score"] for h in rep["hits"]]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+    ids = {h["doc_id"] for h in rep["hits"]}
+    assert len(rep["diversified"]) == 3
+    assert set(rep["diversified"]) <= ids  # diversified ⊆ BM25 shortlist
