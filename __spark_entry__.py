@@ -968,6 +968,23 @@ def q138_custdist(spark, sf):
     return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
+def q139_phash_neardup(spark, sf, radius=2):
+    """Multimodal dedup (multimodal.phash_neardup_pairs): banded
+    perceptual-hash near-dup pairs over binary payloads — 4×15-bit salted
+    stub chunks (a real DCT pHash drops into the Arrow-batch slot), band
+    equi-join candidates, XOR+bit_count verify.  The oracle recomputes
+    EVERY pair's hamming naively, so the hash-match proves the 4-band
+    pigeonhole loses nothing at radius<4."""
+    from eodatadown_spark.operators.multimodal import phash_neardup_pairs
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return phash_neardup_pairs(media, radius=radius)
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2372,6 +2389,7 @@ QUERIES: dict[str, Callable] = {
     "q136_robust_anomaly": q136_robust_anomaly,
     "q137_gapfilled_counts": q137_gapfilled_counts,
     "q138_custdist": q138_custdist,
+    "q139_phash_neardup": q139_phash_neardup,
     "q11_distinct_values": q11_distinct_values,
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
@@ -4655,6 +4673,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_count, count(*) AS custdist
             FROM per GROUP BY 1
+        """,
+        # q139: pHash stub chunks rebuilt from text (payload bytes ==
+        # ASCII codes); the oracle is the NAIVE all-pairs hamming — the
+        # hash-match proves the band join's pigeonhole recall
+        "q139_phash_neardup": """
+            WITH m AS (
+                SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
+            ), h AS (
+                SELECT id,
+                       list_transform(range(0, 4), d ->
+                           list_reduce(
+                               list_prepend(CAST(0 AS BIGINT),
+                                   list_transform(
+                                       string_split(text || ':'
+                                           || CAST(d AS VARCHAR), ''),
+                                       ch -> CAST(ord(ch) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 2038074743)
+                           % 32768
+                       ) AS cs
+                FROM m
+            ), p AS (
+                SELECT id,
+                       ((cs[1] * 32768 + cs[2]) * 32768 + cs[3]) * 32768
+                           + cs[4] AS phash
+                FROM h
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM p a JOIN p b ON a.id < b.id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -286,3 +286,98 @@ def embed_documents(
             )
 
     return documents.select(id_col, text_col).mapInPandas(_run, schema=schema)
+
+
+def _roll15(data: bytes) -> int:
+    """15-bit rolling hash of a byte string (stub pHash chunk kernel)."""
+    acc = 0
+    for b in data:
+        acc = (acc * 31 + b) % EMBED_PRIME
+    return acc % 32768
+
+
+def phash_neardup_pairs(
+    media: DataFrame,
+    radius: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs → (id_a, id_b, hamming):
+    the image-dedup step of a multimodal pipeline, banded so no all-pairs
+    join ever runs.
+
+    Each payload maps to a 60-bit perceptual hash built from four salted
+    15-bit chunks.  The chunk kernel here is the engine's deterministic
+    STUB (rolling hash over the raw bytes — a real pHash, DCT over the
+    decoded image, drops into the same Arrow-batch slot); everything
+    downstream is the production shape: explode the 4 (chunk_idx, chunk)
+    bands, equi-join candidates on identical bands, verify exact Hamming
+    distance with XOR+bit_count on the packed hash.  For ``radius < 4``
+    the banding is EXACT by pigeonhole: ≤3 differing bits touch ≤3 of the
+    4 chunks, so one band always collides — no recall loss, unlike LSH.
+
+    Scale: candidates = Σ per-band collision counts; the verify is one
+    integer op per pair.  Identical payloads give hamming 0.
+    """
+    if not 0 <= radius < 4:
+        raise ValueError(
+            "radius must be in [0, 4): the 4-band pigeonhole guarantee "
+            "breaks at 4+ bit flips — re-band with more chunks instead"
+        )
+    import pandas as pd
+
+    id_type = dict(media.dtypes)[id_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            chunks = [
+                [
+                    _roll15(bytes(p) + f":{d}".encode())
+                    for p in pdf[payload_col]
+                ]
+                for d in range(4)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [
+                        ((c0 * 32768 + c1) * 32768 + c2) * 32768 + c3
+                        for c0, c1, c2, c3 in zip(*chunks)
+                    ],
+                    **{f"c{d}": chunks[d] for d in range(4)},
+                }
+            )
+
+    hashed = media.select(id_col, payload_col).mapInPandas(
+        kernel,
+        f"`{id_col}` {id_type}, phash long, c0 int, c1 int, c2 int, c3 int",
+    )
+    bands = hashed.select(
+        F.col(id_col).alias("id"),
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), F.col(f"c{d}").alias("chunk"))
+                for d in range(4)
+            ])
+        ).alias("b"),
+    ).select("id", "phash", "b.d", "b.chunk")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["d", "chunk"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.phash").alias("__pa"),
+            F.col("r.phash").alias("__pb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("__pa ^ __pb")).cast("int")
+        )
+        .where(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1595,3 +1595,59 @@ class TestMmrRerank:
             for r in S.mmr_rerank(df, q, k=2, shortlist=4, lam=1.0).collect()
         }
         assert topk[2] in (1, 2, 3)  # λ=1 degenerates to plain top-k
+
+
+class TestPhashNeardup:
+    def test_exact_dups_and_banding(self, spark):
+        from eodatadown_spark.operators.multimodal import phash_neardup_pairs
+
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(b"same payload bytes")),
+                (2, bytearray(b"same payload bytes")),   # exact dup of 1
+                (3, bytearray(b"same payload bytes")),   # and of 2
+                (4, bytearray(b"completely different content here")),
+            ],
+            "media_id long, payload binary",
+        )
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in phash_neardup_pairs(media, radius=0).collect()}
+        assert got == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+
+    def test_radius_guard(self, spark):
+        from eodatadown_spark.operators.multimodal import phash_neardup_pairs
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"x"))], "media_id long, payload binary"
+        )
+        with pytest.raises(ValueError, match="pigeonhole"):
+            phash_neardup_pairs(media, radius=4)
+
+    def test_within_radius_found_via_any_band(self, spark):
+        from eodatadown_spark.operators.multimodal import (
+            _roll15, phash_neardup_pairs,
+        )
+
+        # two payloads whose stub hashes differ in ≤3 bits are guaranteed
+        # found; assert against a direct python recompute of the hashes
+        payloads = {i: f"doc body {i % 2}".encode() for i in range(6)}
+        media = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in payloads.items()],
+            "media_id long, payload binary",
+        )
+
+        def phash(p):
+            cs = [_roll15(p + f":{d}".encode()) for d in range(4)]
+            return ((cs[0] * 32768 + cs[1]) * 32768 + cs[2]) * 32768 + cs[3]
+
+        want = {}
+        ids = sorted(payloads)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    h = bin(phash(payloads[i]) ^ phash(payloads[j])).count("1")
+                    if h <= 3:
+                        want[(i, j)] = h
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in phash_neardup_pairs(media, radius=3).collect()}
+        assert got == want and want  # the %2 duplicates guarantee non-empty
