@@ -1153,6 +1153,8 @@ def bm25_scores(
     ReusedExchange), N and avglen ride a 1-row broadcast crossJoin.  No
     collect, no Python.
     """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
     spark = documents.sparkSession
     terms = F.broadcast(
         spark.createDataFrame([(t,) for t in query_terms], "token string").distinct()

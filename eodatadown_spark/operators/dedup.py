@@ -1180,6 +1180,10 @@ def blocked_edit_pairs(
     whole-stage codegen (optionally short-circuited by its threshold
     form), id_a < id_b to emit each unordered pair once.
     """
+    if not block_cols:
+        # an empty blocking key would silently degenerate to the O(n²)
+        # all-pairs join this operator exists to prevent
+        raise ValueError("blocked_edit_pairs requires at least one block column")
     probe = records.select(
         F.col(id_col).alias("id_a"), F.col(name_col).alias("__name_a"), *block_cols
     )

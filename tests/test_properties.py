@@ -570,3 +570,49 @@ def test_funnel_matches_python_reference(spark, events):
             prev = min(cand)
             want[s] += 1
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 5),                      # user
+            st.integers(0, 30),                     # ts offset (seconds)
+            st.sampled_from(["a", "b", "c"]),       # event type
+        ),
+        min_size=2, max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_transition_counts_match_python_reference(spark, events):
+    """transition_counts == plain-Python bigram counting over each user's
+    (ts, event_id)-ordered stream, on arbitrary streams (duplicate
+    timestamps resolved by the tie column, single-event users dropped)."""
+    from eodatadown_spark.operators.temporal import transition_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=o), t, i)
+        for i, (u, o, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["n_from"], r["p"])
+        for r in transition_counts(df, tie_col="event_id").collect()
+    }
+
+    from collections import Counter
+
+    pairs = Counter()
+    for u in {r[0] for r in rows}:
+        ev = sorted(((ts, i, t) for uu, ts, t, i in rows if uu == u))
+        for (_, _, t1), (_, _, t2) in zip(ev, ev[1:]):
+            pairs[(t1, t2)] += 1
+    fromtot = Counter()
+    for (t1, _), n in pairs.items():
+        fromtot[t1] += n
+    want = {
+        k: (n, fromtot[k[0]], n / fromtot[k[0]]) for k, n in pairs.items()
+    }
+    assert got == want
