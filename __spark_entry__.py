@@ -974,7 +974,10 @@ def q139_phash_neardup(spark, sf, radius=2):
     stub chunks (a real DCT pHash drops into the Arrow-batch slot), band
     equi-join candidates, XOR+bit_count verify.  The oracle recomputes
     EVERY pair's hamming naively, so the hash-match proves the 4-band
-    pigeonhole loses nothing at radius<4."""
+    pigeonhole loses nothing at radius<4.  The synthetic corpus has no
+    duplicate texts, so every third doc is re-uploaded under a shifted id
+    (media_id + 1000, identical payload) — the result is non-trivially
+    populated and each planted pair MUST surface at hamming 0."""
     from eodatadown_spark.operators.multimodal import phash_neardup_pairs
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
@@ -982,7 +985,11 @@ def q139_phash_neardup(spark, sf, radius=2):
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return phash_neardup_pairs(media, radius=radius)
+    reups = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return phash_neardup_pairs(media.unionByName(reups), radius=radius)
 
 
 def q36_lsh_topk(spark, sf):
@@ -4680,6 +4687,9 @@ def oracle_sql() -> dict[str, str]:
         "q139_phash_neardup": """
             WITH m AS (
                 SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT doc_id + 1000, text FROM documents
+                WHERE doc_id < 200 AND doc_id % 3 = 0
             ), h AS (
                 SELECT id,
                        list_transform(range(0, 4), d ->

@@ -1217,10 +1217,12 @@ def pmi_cooccurrence(
         ["doc_id", "token"]
     )
     dfreq = presence.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    # TakeOrdered top-k, not a global row_number window: an unpartitioned
+    # window funnels the whole vocabulary through ONE sort task; (c desc,
+    # token asc) is a total order, so limit() is deterministic
     vocab = F.broadcast(
-        dfreq.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= vocab_k)
+        dfreq.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(vocab_k)
         .select("token", "c")
     )
     n = documents.agg(F.count(F.lit(1)).alias("__n"))

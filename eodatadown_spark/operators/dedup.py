@@ -1147,12 +1147,23 @@ def cluster_representatives(
         .alias(qcol),
     )
     members = clusters.join(docs, "doc_id")
-    # max_by with a struct key gives the (quality DESC, id ASC) argmax in one
-    # aggregate — no window, no second pass over members
-    return members.groupBy("cluster_id").agg(
-        F.expr(f"max_by(doc_id, struct({qcol}, -doc_id))").alias("rep_doc_id"),
-        F.count(F.lit(1)).alias("n_members"),
-        F.max(qcol).alias("max_quality"),
+    # (quality DESC, id ASC) election via a window rather than
+    # max_by(struct(q, -id)): negation would break non-numeric id columns
+    # (string/UUID ids are valid with caller-supplied clusters), and the
+    # count/max ride the same cluster partitioning — still one shuffle
+    wc = Window.partitionBy("cluster_id")
+    wr = wc.orderBy(F.col(qcol).desc(), F.col("doc_id").asc())
+    return (
+        members.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("max_quality", F.max(qcol).over(wc))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            "max_quality",
+        )
     )
 
 
@@ -1255,7 +1266,12 @@ def jaccard_prefix_pairs(
         .join(prefix.alias("r"), "sh")
         .where(
             (F.col("l.id") < F.col("r.id"))
-            & (F.least("l.sz", "r.sz") >= threshold * F.greatest("l.sz", "r.sz"))
+            # same ε-guard as the prefix length: t·s overshooting an integer
+            # (0.07·100 → 7.000000000000001) must not drop a J == t pair
+            & (
+                F.least("l.sz", "r.sz")
+                >= threshold * F.greatest("l.sz", "r.sz") - 1e-9
+            )
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()

@@ -348,9 +348,15 @@ def phash_neardup_pairs(
                 }
             )
 
-    hashed = media.select(id_col, payload_col).mapInPandas(
-        kernel,
-        f"`{id_col}` {id_type}, phash long, c0 int, c1 int, c2 int, c3 int",
+    hashed = (
+        media.select(id_col, payload_col)
+        # failed-fetch rows (NULL payload) have no content to hash — skip
+        # them instead of dying on bytes(None) inside the kernel
+        .where(F.col(payload_col).isNotNull())
+        .mapInPandas(
+            kernel,
+            f"`{id_col}` {id_type}, phash long, c0 int, c1 int, c2 int, c3 int",
+        )
     )
     bands = hashed.select(
         F.col(id_col).alias("id"),

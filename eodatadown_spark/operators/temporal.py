@@ -69,9 +69,13 @@ def asof_join(
     in the union sort (backward) / first (forward) — pass pre-deduplicated
     right input when value columns must be deterministic under such ties.
 
-    All three directions keep the single-shuffle union+window shape;
-    ``nearest`` evaluates the backward and forward frames over the SAME
-    window partitioning (one sort, two frame scans) and picks per row.
+    All three directions keep the single-shuffle union+window shape.
+    ``nearest`` evaluates both frames over the same key partitioning —
+    one exchange, but the two frames order by OPPOSITE tie markers, so
+    the plan sorts the unioned input twice (inherent to inclusive
+    semantics on both sides; strictness of a frame endpoint is decided by
+    sort position, and one sort order cannot put right rows both before
+    and after their equal-ts left rows).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
@@ -371,6 +375,19 @@ def cohort_retention(
     )
 
 
+def _daily_counts(
+    events: DataFrame, ts_col: str, type_col: str
+) -> DataFrame:
+    """Canonical per-(type, day) count table → (event_type, day, n): the
+    shared first stage of the volume-monitoring family (anomaly, robust
+    anomaly, EWMA, trend, gap fill) — ONE place owns the day derivation
+    (NTZ-safe cast → to_date, see session.py's timestamp note)."""
+    return events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def daily_anomaly_scores(
     events: DataFrame,
     ts_col: str = "ts",
@@ -387,10 +404,7 @@ def daily_anomaly_scores(
     scanned once.  z uses the sample stddev; a type with a single day (or
     zero variance) yields NULL z rather than an error.
     """
-    daily = events.groupBy(
-        F.col(type_col).alias("event_type"),
-        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_counts(events, ts_col, type_col)
     w = Window.partitionBy("event_type")
     z = F.try_divide(
         F.col("n") - F.avg("n").over(w), F.stddev_samp("n").over(w)
@@ -518,10 +532,7 @@ def ewma_daily(
     import numpy as np
     import pandas as pd
 
-    daily = events.groupBy(
-        F.col(type_col).alias("event_type"),
-        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_counts(events, ts_col, type_col)
 
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day", ignore_index=True)
@@ -553,10 +564,7 @@ def daily_trend(
     division is the only float op — bit-identical on any engine,
     deliberately unrounded.
     """
-    daily = events.groupBy(
-        F.col(type_col).alias("event_type"),
-        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_counts(events, ts_col, type_col)
     w = Window.partitionBy("event_type")
     xy = daily.select(
         "event_type",
@@ -594,10 +602,7 @@ def robust_anomaly_scores(
     the tiny daily frame, the raw log is scanned once.  Zero MAD (≥half
     the days share the median) yields NULL rather than an error.
     """
-    daily = events.groupBy(
-        F.col(type_col).alias("event_type"),
-        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _daily_counts(events, ts_col, type_col)
     med = daily.groupBy("event_type").agg(
         F.expr("percentile(n, 0.5)").alias("__med")
     )
@@ -632,10 +637,7 @@ def fill_daily_gaps(
     spine never touches the event log), and a left join of spine←counts.
     Spine size = Σ type date-spans — independent of event volume.
     """
-    daily = events.groupBy(
-        F.col(type_col).alias("event_type"),
-        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
-    ).agg(F.count(F.lit(1)).alias("__n"))
+    daily = _daily_counts(events, ts_col, type_col).withColumnRenamed("n", "__n")
     spine = (
         daily.groupBy("event_type")
         .agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))

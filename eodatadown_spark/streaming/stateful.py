@@ -214,6 +214,9 @@ def stream_sessionize(
         n = 0
         if state.exists:
             start, last, n = state.get
+            # state round-trips as python datetime; batch rows are pandas
+            # Timestamps — normalize so min/max/epoch math is one type
+            start, last = pd.Timestamp(start), pd.Timestamp(last)
         closed = []
         chunks = [pdf for pdf in batches if len(pdf)]
         if chunks:
@@ -227,12 +230,23 @@ def stream_sessionize(
                     start, last, n = ts, ts, 1
                 else:
                     # covers in-gap forward steps AND late arrivals that
-                    # the watermark let through: merge, never regress
+                    # the watermark let through: merge, never regress the
+                    # end — and a late event EARLIER than the open start
+                    # extends the session backward (batch parity: the
+                    # batch operator sees the true global order)
+                    start = min(start, ts)
                     last = max(last, ts)
                     n += 1
         if start is not None:
             state.update((start, last, n))
-            state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_ms)
+            # epoch via an explicit UTC localization: the engine runs UTC
+            # session time so stream timestamps are UTC-naive, but a bare
+            # .timestamp() on a python datetime read back from state would
+            # use the OS timezone — normalize through pandas first
+            last_utc = pd.Timestamp(last).tz_localize("UTC")
+            state.setTimeoutTimestamp(
+                int(last_utc.timestamp() * 1000) + gap_ms
+            )
         yield (
             pd.DataFrame(closed, columns=out_cols) if closed else _empty()
         )

@@ -518,9 +518,11 @@ def cmd_search(args) -> None:
         emb = spark.read.parquet(args.embeddings)
         # BM25 scores become the relevance term, max-normalized so λ
         # weighs comparable [0,1] quantities
+        # dataframe-qualified doc_id: with --vec-id-col doc_id both join
+        # sides carry the column and a bare F.col would be ambiguous
         cand = top.join(emb, top["doc_id"] == emb[args.vec_id_col]).select(
             F.lit(0).alias("query_id"),
-            F.col("doc_id").alias("neighbor_id"),
+            top["doc_id"].alias("neighbor_id"),
             (F.col("score") / F.max("score").over(Window.partitionBy()))
             .alias("rel"),
             F.expr(f"cast({args.vec_col} as array<double>)").alias("__cv"),
