@@ -563,3 +563,38 @@ def test_stream_sessionize_state_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(sink).where("user_id = 'u1'").collect()
     ]
     assert rows == [("u1", "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2)]
+
+
+def test_stream_sessionize_late_event_extends_backward(spark, tmp_path):
+    """A late in-watermark event EARLIER than the open session's start
+    must extend the session backward (batch parity), not just bump the
+    event count under the stale start."""
+    from eodatadown_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "late_src")
+    schema = "user_id string, ts timestamp"
+    T = dt.datetime
+    spark.createDataFrame([("u1", T(2024, 1, 1, 10, 0))], schema
+                          ).coalesce(1).write.parquet(src)
+    out = stream_sessionize(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        gap="30 minutes", watermark_delay="2 hours",
+    )
+    q = (out.writeStream.format("memory").queryName("late_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        for batch in ([("u1", T(2024, 1, 1, 9, 58))],       # late, in-gap
+                      [("u99", T(2024, 1, 2, 0, 0))],        # advance wm
+                      [("u98", T(2024, 1, 3, 0, 0))]):       # fire timeout
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        rows = [
+            (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM late_out WHERE user_id = 'u1'").collect()
+        ]
+    finally:
+        q.stop()
+    assert rows == [("2024-01-01 09:58:00", "2024-01-01 10:00:00", 2)]
