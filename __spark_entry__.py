@@ -992,6 +992,30 @@ def q139_phash_neardup(spark, sf, radius=2):
     return phash_neardup_pairs(media.unionByName(reups), radius=radius)
 
 
+def q140_asof_nearest(spark, sf):
+    """Temporal: NEAREST as-of (each signup ← the user's closest purchase
+    in EITHER direction, equal distance resolving backward — the pandas
+    merge_asof contract, differential-tested in tests); the oracle picks
+    per row between the max-earlier and min-later candidate."""
+    from eodatadown_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        signups, purchases, ["user_id"],
+        right_value_cols=["value"], direction="nearest",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.round("value_right", 2).alias("purchase_value"),
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2397,6 +2421,7 @@ QUERIES: dict[str, Callable] = {
     "q137_gapfilled_counts": q137_gapfilled_counts,
     "q138_custdist": q138_custdist,
     "q139_phash_neardup": q139_phash_neardup,
+    "q140_asof_nearest": q140_asof_nearest,
     "q11_distinct_values": q11_distinct_values,
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
@@ -4713,6 +4738,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
             FROM p a JOIN p b ON a.id < b.id
             WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        """,
+        # q140: nearest as-of — per signup the backward (max earlier) and
+        # forward (min later) purchase candidates, CASE-picked by distance
+        # with the backward tie preference; value joined back on the
+        # chosen timestamp (purchase (user, ts) keys are unique)
+        "q140_asof_nearest": """
+            WITH s AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'signup'
+            ), p AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value
+                FROM events WHERE event_type = 'purchase'
+            ), bw AS (
+                SELECT s.event_id, max(p.pts) AS bts
+                FROM s JOIN p ON p.user_id = s.user_id AND p.pts <= s.ts
+                GROUP BY 1
+            ), fw AS (
+                SELECT s.event_id, min(p.pts) AS fts
+                FROM s JOIN p ON p.user_id = s.user_id AND p.pts >= s.ts
+                GROUP BY 1
+            ), sel AS (
+                SELECT s.event_id, s.user_id, s.ts,
+                       CASE WHEN bts IS NULL THEN fts
+                            WHEN fts IS NULL THEN bts
+                            WHEN epoch_us(s.ts) - epoch_us(bts)
+                                 <= epoch_us(fts) - epoch_us(s.ts) THEN bts
+                            ELSE fts END AS mts
+                FROM s
+                LEFT JOIN bw USING (event_id)
+                LEFT JOIN fw USING (event_id)
+            )
+            SELECT sel.event_id, sel.user_id, sel.ts,
+                   sel.mts AS purchase_ts,
+                   round(p.value, 2) AS purchase_value
+            FROM sel LEFT JOIN p
+              ON p.user_id = sel.user_id AND p.pts = sel.mts
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -616,3 +616,28 @@ def test_transition_counts_match_python_reference(spark, events):
         k: (n, fromtot[k[0]], n / fromtot[k[0]]) for k, n in pairs.items()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=14),
+        min_size=2, max_size=10,
+    ),
+    st.sampled_from([0.1, 0.25, 0.3, 0.5, 0.6, 0.7, 0.8, 0.07]),
+)
+@settings(max_examples=8, deadline=None)
+def test_prefix_jaccard_equals_inverted_index(spark, token_lists, threshold):
+    """jaccard_prefix_pairs == ngram_jaccard_pairs on arbitrary corpora and
+    thresholds — including thresholds (0.07, 0.1) whose t·s products
+    overshoot integers in floats, the ε-guard's adversarial cases."""
+    from eodatadown_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    want = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 2, threshold).collect()}
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in D.jaccard_prefix_pairs(docs, "doc_id", "text", 2, threshold).collect()}
+    assert got == want
