@@ -1239,9 +1239,20 @@ def jaccard_prefix_pairs(
     scales with prefix-token collision counts — at a high threshold a
     small fraction of the full inverted index's Σ df² blow-up.
     """
+    # shingles become 64-bit hashes IMMEDIATELY (the minhash-family
+    # convention): every downstream shuffle — the frequency aggregate, the
+    # freq join, the per-doc rank window, the candidate self-join, the
+    # verify intersections — moves longs instead of ~40-char strings, and
+    # any total order over hashes is a valid prefix order.  Exactness
+    # caveat (same as the minhash verifier): distinct shingles are assumed
+    # hash-distinct; a 64-bit collision could merge two shingles and
+    # perturb one Jaccard value.
     base = _pin_mode(
         documents.select(
-            F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_shingles(text_col, k), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
         ),
         materialize,
     )
