@@ -119,6 +119,14 @@ def shingle_hash_table(
     lambda re-evaluates it per element (O(n²) per doc — measured 6x slower),
     while referencing a projected column reads it once.
     """
+    # parallelism floor: a small parquet scan (one file, few row groups)
+    # yields a handful of partitions, and the CPU-heavy tokenize+hash would
+    # run on that handful of cores no matter how wide the machine is.
+    # Scale UP only — at real scale the scan already has ≥ cores partitions
+    # and repartitioning would shuffle the whole corpus for nothing.
+    target = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
     # tokenization materializes ONCE at its own projection boundary: the two
     # hash-stream transforms below each reference the projected column, so
     # the regex split/lower/trim runs once per doc instead of once per
@@ -1239,21 +1247,18 @@ def jaccard_prefix_pairs(
     scales with prefix-token collision counts — at a high threshold a
     small fraction of the full inverted index's Σ df² blow-up.
     """
-    # shingles become 64-bit hashes IMMEDIATELY (the minhash-family
-    # convention): every downstream shuffle — the frequency aggregate, the
-    # freq join, the per-doc rank window, the candidate self-join, the
-    # verify intersections — moves longs instead of ~40-char strings, and
-    # any total order over hashes is a valid prefix order.  Exactness
-    # caveat (same as the minhash verifier): distinct shingles are assumed
-    # hash-distinct; a 64-bit collision could merge two shingles and
-    # perturb one Jaccard value.
+    # shingles are 62-bit hashes, via the minhash family's staged
+    # shingle_hash_table (token-hash streams + rolling combine — it never
+    # materializes shingle STRINGS, and it raises the parallelism floor on
+    # small scans): every downstream shuffle — the frequency aggregate,
+    # the freq join, the per-doc rank window, the candidate self-join, the
+    # verify intersections — moves longs, and any total order over hashes
+    # is a valid prefix order.  Exactness caveat (same as the minhash
+    # verifier): distinct shingles are assumed hash-distinct; a collision
+    # could merge two shingles and perturb one Jaccard value.
     base = _pin_mode(
-        documents.select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                word_shingles(text_col, k), lambda s: F.xxhash64(s)
-            ).alias("shingles"),
-        ),
+        shingle_hash_table(documents, id_col, text_col, k, distinct=True)
+        .withColumnRenamed("hashes", "shingles"),
         materialize,
     )
     inv = base.select("id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh"))
