@@ -537,6 +537,34 @@ def cmd_search(args) -> None:
     print(json.dumps(report))
 
 
+def cmd_linkage(args) -> None:
+    """Blocked fuzzy record linkage: candidate pairs within shared blocking
+    keys at Levenshtein ≤ threshold, written as parquet + a JSON summary."""
+    from eodatadown_spark.operators.dedup import blocked_edit_pairs
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    df = spark.read.parquet(args.infile)
+    pairs = blocked_edit_pairs(
+        df, args.id_col, args.name_col,
+        [b for b in args.block_cols.split(",") if b],
+        max_edit=args.max_edit,
+    )
+    pairs.write.mode("overwrite").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    by_dist = {
+        int(r["edit_dist"]): r["n"]
+        for r in written.groupBy("edit_dist").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    print(json.dumps({
+        "out": args.out,
+        "pairs": sum(by_dist.values()),
+        "by_edit_dist": by_dist,
+    }))
+
+
 def cmd_dataprep(args) -> None:
     """Training-data pipeline, end to end: quality filter → exact dedup →
     near-dup keep-canonical → deterministic split; writes the cleaned corpus
@@ -785,6 +813,16 @@ def main(argv=None) -> int:
         "--bits": {"type": int, "default": 16},
         "--partitions": {"type": int, "default": 8},
     })
+
+    sp = sub.add_parser("linkage")
+    sp.add_argument("--infile", required=True, help="records parquet")
+    sp.add_argument("--id-col", required=True, dest="id_col")
+    sp.add_argument("--name-col", required=True, dest="name_col")
+    sp.add_argument("--block-cols", required=True, dest="block_cols",
+                    help="comma list of blocking key columns")
+    sp.add_argument("--max-edit", type=int, default=2, dest="max_edit")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_linkage)
 
     sp = sub.add_parser("search")
     sp.add_argument("--infile", required=True, help="documents parquet")

@@ -641,3 +641,47 @@ def test_prefix_jaccard_equals_inverted_index(spark, token_lists, threshold):
     got = {(r["id_a"], r["id_b"], r["jaccard"])
            for r in D.jaccard_prefix_pairs(docs, "doc_id", "text", 2, threshold).collect()}
     assert got == want
+
+
+@given(
+    st.lists(texts, min_size=1, max_size=8),
+    st.sets(st.sampled_from(["abc", "XYZ", "019", "a", "x"]), min_size=1, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_python_reference(spark, doc_texts, terms):
+    """bm25_scores == plain-Python BM25 (RSJ idf, k1=1.2, b=0.75) on
+    arbitrary corpora — docs with no matching term are absent."""
+    import pytest
+
+    from eodatadown_spark.operators.corpus import bm25_scores
+
+    docs = spark.createDataFrame(
+        list(enumerate(doc_texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["score"], r["n_matched"])
+           for r in bm25_scores(docs, sorted(terms)).collect()}
+
+    toks = {i: t.lower().split() for i, t in enumerate(doc_texts)}
+    toks = {i: t for i, t in toks.items() if t}          # empty docs have no length
+    if not toks:
+        assert got == {}
+        return
+    n_docs = len(toks)
+    avgdl = sum(map(len, toks.values())) / n_docs
+    df = {q: sum(q in t for t in toks.values()) for q in terms}
+    want = {}
+    for i, t in toks.items():
+        matched = [q for q in terms if q in t]
+        if not matched:
+            continue
+        s = sum(
+            math.log(1 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+            * t.count(q) * 2.2
+            / (t.count(q) + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            for q in matched
+        )
+        want[i] = (len(matched), s)
+    assert set(got) == set(want)
+    for i, (nm, s) in want.items():
+        assert got[i][1] == nm
+        assert got[i][0] == pytest.approx(s, abs=1e-3)

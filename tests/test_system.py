@@ -523,3 +523,23 @@ def test_cli_search_and_diversify(spark, tmp_path, capsys):
     ids = {h["doc_id"] for h in rep["hits"]}
     assert len(rep["diversified"]) == 3
     assert set(rep["diversified"]) <= ids  # diversified ⊆ BM25 shortlist
+
+
+def test_cli_linkage(spark, tmp_path, capsys):
+    import json as _json
+
+    import eodd_cli
+
+    out = str(tmp_path / "pairs")
+    eodd_cli.main([
+        "linkage", "--infile", "/root/testdata/sf0.001/customer.parquet",
+        "--id-col", "c_custkey", "--name-col", "c_name",
+        "--block-cols", "c_nationkey,c_mktsegment", "--max-edit", "2",
+        "--out", out,
+    ])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pairs"] > 0
+    assert set(map(int, rep["by_edit_dist"])) <= {0, 1, 2}
+    written = spark.read.parquet(out)
+    assert written.count() == rep["pairs"]
+    assert {r["id_a"] for r in written.collect()}  # non-empty, real ids
