@@ -1651,3 +1651,48 @@ class TestPhashNeardup:
         got = {(r["id_a"], r["id_b"]): r["hamming"]
                for r in phash_neardup_pairs(media, radius=3).collect()}
         assert got == want and want  # the %2 duplicates guarantee non-empty
+
+
+def test_bm25_empty_terms_rejected(spark):
+    from eodatadown_spark.operators.corpus import bm25_scores
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="query term"):
+        bm25_scores(docs, [])
+
+
+def test_blocked_pairs_empty_blocking_rejected(spark):
+    recs = spark.createDataFrame([(1, "x", "A")], "rid long, name string, st string")
+    with pytest.raises(ValueError, match="block column"):
+        D.blocked_edit_pairs(recs, "rid", "name", [])
+
+
+def test_mmr_accepts_ann_shortlist(spark):
+    """The candidates= hook: an LSH shortlist (enriched with rel + vectors)
+    feeds the greedy tail directly — the 100 TB path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    short = S.lsh_bucket_topk(emb, qs, k=6, n_planes=2)  # few planes: recall-rich
+    cand = short.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.expr("cast(embedding as array<double>)").alias("__cv")),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"), "__cv")
+    sel = S.mmr_rerank(None, None, k=3, lam=0.6, candidates=cand).collect()
+    got = {}
+    for r in sel:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    short_ids = {}
+    for r in short.collect():
+        short_ids.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, ids in got.items():
+        assert len(ids) == 3
+        assert ids <= short_ids[qid]  # selection ⊆ the ANN shortlist
