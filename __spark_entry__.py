@@ -1016,6 +1016,58 @@ def q140_asof_nearest(spark, sf):
     )
 
 
+def q141_wow_revenue(spark, sf):
+    """Period-over-period: weekly revenue with the prior week's value,
+    absolute delta, and pct change (raw IEEE quotient, unrounded) — the
+    lag-over-aggregated-series monitoring shape."""
+    orders = _t(spark, sf, "orders")
+    weekly = orders.groupBy(
+        F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("week")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        ((F.col("revenue") - prev) / prev).alias("pct_change"),
+    )
+
+
+def q142_rfm_segments(spark, sf):
+    """RFM segmentation: per-customer recency (days since last order),
+    frequency, monetary buckets via ntile(4) on deterministic total
+    orders, rolled up per segment — the classic customer-scoring shape."""
+    orders = _t(spark, sf, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("__mx"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("__freq"),
+            F.sum("o_totalprice").alias("__spend"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .withColumn("__rec", F.datediff(F.col("__mx"), F.col("__last")))
+    )
+    # deterministic ntile orders: every key chain ends on o_custkey
+    r = F.ntile(4).over(Window.orderBy(F.col("__rec").asc(), F.col("o_custkey").asc()))
+    fq = F.ntile(4).over(Window.orderBy(F.col("__freq").desc(), F.col("o_custkey").asc()))
+    m = F.ntile(4).over(Window.orderBy(F.col("__spend").desc(), F.col("o_custkey").asc()))
+    seg = per.select(
+        "o_custkey",
+        r.alias("r_bucket"),
+        fq.alias("f_bucket"),
+        m.alias("m_bucket"),
+        F.col("__spend").alias("__spend"),
+    )
+    return seg.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("__spend"), 2).alias("segment_spend"),
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2422,6 +2474,8 @@ QUERIES: dict[str, Callable] = {
     "q138_custdist": q138_custdist,
     "q139_phash_neardup": q139_phash_neardup,
     "q140_asof_nearest": q140_asof_nearest,
+    "q141_wow_revenue": q141_wow_revenue,
+    "q142_rfm_segments": q142_rfm_segments,
     "q11_distinct_values": q11_distinct_values,
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
@@ -4774,6 +4828,46 @@ def oracle_sql() -> dict[str, str]:
                    round(p.value, 2) AS purchase_value
             FROM sel LEFT JOIN p
               ON p.user_id = sel.user_id AND p.pts = sel.mts
+        """,
+        "q141_wow_revenue": """
+            WITH weekly AS (
+                SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT week, revenue,
+                   lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+                   round(revenue - lag(revenue) OVER (ORDER BY week), 2)
+                       AS delta,
+                   (revenue - lag(revenue) OVER (ORDER BY week))
+                       / lag(revenue) OVER (ORDER BY week) AS pct_change
+            FROM weekly
+        """,
+        # q142: ntile chains end on o_custkey so bucketing is a total
+        # order; rec/freq are exact ints, spend ties are custkey-broken
+        "q142_rfm_segments": """
+            WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+            per AS (
+                SELECT o_custkey,
+                       CAST((SELECT m FROM mx) AS DATE)
+                           - CAST(max(o_orderdate) AS DATE) AS rec,
+                       count(*) AS freq,
+                       sum(o_totalprice) AS spend
+                FROM orders GROUP BY 1
+            ), seg AS (
+                SELECT o_custkey, spend,
+                       ntile(4) OVER (ORDER BY rec ASC, o_custkey ASC)
+                           AS r_bucket,
+                       ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC)
+                           AS f_bucket,
+                       ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC)
+                           AS m_bucket
+                FROM per
+            )
+            SELECT r_bucket, f_bucket, m_bucket,
+                   count(*) AS n_customers,
+                   round(sum(spend), 2) AS segment_spend
+            FROM seg GROUP BY 1, 2, 3
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);
