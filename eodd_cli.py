@@ -594,6 +594,13 @@ def cmd_dataprep(args) -> None:
         pairs = D.simhash_neardup_pairs(
             kept, gram_hash=args.gram_hash
         ).select("id_a", "id_b")
+    elif args.neardup == "prefix":
+        # EXACT Jaccard pairs at the threshold (prefix filtering, zero
+        # recall loss) — for corpora where approximate LSH recall is not
+        # acceptable and the candidate volume stays bounded
+        pairs = D.jaccard_prefix_pairs(
+            kept, threshold=args.jaccard
+        ).select("id_a", "id_b")
     else:
         pairs = D.minhash_neardup_pairs(
             kept, jaccard_threshold=args.jaccard
@@ -744,7 +751,8 @@ def main(argv=None) -> int:
         "--out": {"required": True},
         "--min-quality": {"type": float, "default": 0.5, "dest": "min_quality"},
         "--jaccard": {"type": float, "default": 0.7},
-        "--neardup": {"choices": ["minhash", "simhash"], "default": "minhash"},
+        "--neardup": {"choices": ["minhash", "simhash", "prefix"],
+                      "default": "minhash"},
         "--gram-hash": {"choices": ["md5", "xxhash64"], "default": "md5",
                         "dest": "gram_hash",
                         "help": "simhash gram hash (xxhash64 = fast path)"},

@@ -543,3 +543,26 @@ def test_cli_linkage(spark, tmp_path, capsys):
     written = spark.read.parquet(out)
     assert written.count() == rep["pairs"]
     assert {r["id_a"] for r in written.collect()}  # non-empty, real ids
+
+
+def test_cli_dataprep_prefix_strategy(spark, tmp_path, capsys):
+    """--neardup prefix: the exact prefix-filtered Jaccard path through the
+    CLI pipeline collapses the same near-dup the LSH path finds."""
+    import eodd_cli
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, base),
+        (3, base + "edited"),
+        (4, "another perfectly fine unique document about the weather today and it is long enough"),
+    ]
+    src = str(tmp_path / "docs_src_pf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "docs_clean_pf")
+    eodd_cli.main(["dataprep", "--infile", src, "--out", out,
+                   "--min-quality", "0.7", "--jaccard", "0.5",
+                   "--neardup", "prefix"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_neardup"] == 2
+    cleaned = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in cleaned.collect()) == [1, 4]
