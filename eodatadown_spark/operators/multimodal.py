@@ -16,6 +16,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from eodatadown_spark.operators.dedup import ensure_min_parallelism
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -81,7 +83,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     df = media
     if batch_hint:
         df = df.repartition(batch_hint)
-    return df.mapInPandas(_run, schema=FEATURE_SCHEMA)
+    return ensure_min_parallelism(df).mapInPandas(_run, schema=FEATURE_SCHEMA)
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -114,7 +116,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             yield pd.DataFrame([_resize_row(dict(r)) for _, r in pdf.iterrows()])
 
-    return media.mapInPandas(_run, schema=out_schema)
+    return ensure_min_parallelism(media).mapInPandas(_run, schema=out_schema)
 
 
 def audio_windows(
@@ -205,7 +207,7 @@ def detect_shot_boundaries(
                 }
             )
 
-    feats = frames.mapInPandas(
+    feats = ensure_min_parallelism(frames).mapInPandas(
         featurize, "media_id long, frame_idx int, feat array<double>"
     )
     from pyspark.sql import Window
@@ -285,7 +287,9 @@ def embed_documents(
                 }
             )
 
-    return documents.select(id_col, text_col).mapInPandas(_run, schema=schema)
+    return ensure_min_parallelism(
+        documents.select(id_col, text_col)
+    ).mapInPandas(_run, schema=schema)
 
 
 def _roll15(data: bytes) -> int:
@@ -349,10 +353,12 @@ def phash_neardup_pairs(
             )
 
     hashed = (
-        media.select(id_col, payload_col)
-        # failed-fetch rows (NULL payload) have no content to hash — skip
-        # them instead of dying on bytes(None) inside the kernel
-        .where(F.col(payload_col).isNotNull())
+        ensure_min_parallelism(
+            media.select(id_col, payload_col)
+            # failed-fetch rows (NULL payload) have no content to hash —
+            # skip them instead of dying on bytes(None) inside the kernel
+            .where(F.col(payload_col).isNotNull())
+        )
         .mapInPandas(
             kernel,
             f"`{id_col}` {id_type}, phash long, c0 int, c1 int, c2 int, c3 int",
