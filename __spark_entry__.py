@@ -1068,6 +1068,53 @@ def q142_rfm_segments(spark, sf):
     )
 
 
+def q143_ordered_string_agg(spark, sf):
+    """Ordered string aggregation: per nation the top-3 customers by
+    balance, names concatenated in rank order — the LISTAGG/string_agg
+    shape via sort_array(collect_list(struct)) → slice → array_join
+    (deterministic: the struct key ends on c_custkey)."""
+    cust = _t(spark, sf, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("c_acctbal")).alias("negbal"),
+                                    F.col("c_custkey").alias("k"),
+                                    F.col("c_name").alias("name"),
+                                )
+                            )
+                        ),
+                        1,
+                        3,
+                    ),
+                    lambda s: s["name"],
+                ),
+                ",",
+            ).alias("top3_names"),
+        )
+    )
+
+
+def q144_grouped_corr(spark, sf):
+    """Statistics agg: per-returnflag Pearson correlation of quantity vs
+    discounted price plus covariance (F.corr/covar_samp ↔ DuckDB
+    corr/covar_samp; rounded to 4 — the sums-of-products differ only in
+    association order)."""
+    li = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(F.col("l_quantity"), price), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp(F.col("l_quantity"), price), 4).alias("covar_qty_price"),
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2476,6 +2523,8 @@ QUERIES: dict[str, Callable] = {
     "q140_asof_nearest": q140_asof_nearest,
     "q141_wow_revenue": q141_wow_revenue,
     "q142_rfm_segments": q142_rfm_segments,
+    "q143_ordered_string_agg": q143_ordered_string_agg,
+    "q144_grouped_corr": q144_grouped_corr,
     "q11_distinct_values": q11_distinct_values,
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
@@ -4868,6 +4917,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_customers,
                    round(sum(spend), 2) AS segment_spend
             FROM seg GROUP BY 1, 2, 3
+        """,
+        "q143_ordered_string_agg": """
+            WITH ranked AS (
+                SELECT c_nationkey, c_name,
+                       row_number() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                FROM customer
+            ), agg AS (
+                SELECT c_nationkey, count(*) AS n_customers
+                FROM customer GROUP BY 1
+            ), top3 AS (
+                SELECT c_nationkey,
+                       string_agg(c_name, ',' ORDER BY rn) AS top3_names
+                FROM ranked WHERE rn <= 3 GROUP BY 1
+            )
+            SELECT a.c_nationkey, a.n_customers, t.top3_names
+            FROM agg a JOIN top3 t USING (c_nationkey)
+        """,
+        "q144_grouped_corr": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(corr(l_quantity,
+                              l_extendedprice * (1 - l_discount)), 4)
+                       AS corr_qty_price,
+                   round(covar_samp(l_quantity,
+                                    l_extendedprice * (1 - l_discount)), 4)
+                       AS covar_qty_price
+            FROM lineitem GROUP BY 1
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);
