@@ -1115,6 +1115,43 @@ def q144_grouped_corr(spark, sf):
     )
 
 
+def q145_sketch_rollup(spark, sf):
+    """Mergeable distinct-count rollup soundness gate
+    (merge.build/merge_distinct_sketches): per-month distinct-customer HLL
+    sketches built from two disjoint halves and MERGED must estimate
+    exactly what a full one-pass build estimates (HLL union is
+    associative — incremental == recompute), and land within 10% of the
+    exact distinct count.  Violating months surface; empty iff sound."""
+    from eodatadown_spark.operators.merge import (
+        build_distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    orders = _t(spark, sf, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    old = build_distinct_sketches(
+        orders.where(F.col("o_orderkey") % 2 == 0), ["month"], "o_custkey"
+    )
+    delta = build_distinct_sketches(
+        orders.where(F.col("o_orderkey") % 2 == 1), ["month"], "o_custkey"
+    )
+    merged = merge_distinct_sketches(old, delta, ["month"]).select(
+        "month", F.col("approx_distinct").alias("inc_est")
+    )
+    full = build_distinct_sketches(orders, ["month"], "o_custkey").select(
+        "month", F.col("approx_distinct").alias("full_est")
+    )
+    exact = orders.groupBy("month").agg(
+        F.count_distinct("o_custkey").alias("exact")
+    )
+    j = merged.join(full, "month").join(exact, "month")
+    bad = (F.col("inc_est") != F.col("full_est")) | (
+        F.abs(F.col("inc_est") - F.col("exact")) / F.col("exact") > 0.10
+    )
+    return j.where(bad).select("month", "inc_est", "full_est", "exact")
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2525,6 +2562,7 @@ QUERIES: dict[str, Callable] = {
     "q142_rfm_segments": q142_rfm_segments,
     "q143_ordered_string_agg": q143_ordered_string_agg,
     "q144_grouped_corr": q144_grouped_corr,
+    "q145_sketch_rollup": q145_sketch_rollup,
     "q11_distinct_values": q11_distinct_values,
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
@@ -4944,6 +4982,15 @@ def oracle_sql() -> dict[str, str]:
                                     l_extendedprice * (1 - l_discount)), 4)
                        AS covar_qty_price
             FROM lineitem GROUP BY 1
+        """,
+        # q145: soundness gate (q75 pattern) — merged-vs-full sketch
+        # equality and the error bound hold, so the result is empty
+        "q145_sketch_rollup": """
+            SELECT CAST(NULL AS VARCHAR) AS month,
+                   CAST(NULL AS DOUBLE) AS inc_est,
+                   CAST(NULL AS DOUBLE) AS full_est,
+                   CAST(NULL AS BIGINT) AS exact
+            WHERE FALSE
         """,
         # q103: k-NN vote — same ranking/tie-break chain as the engine
         # (cos desc, neighbor asc; then votes desc, sim-sum desc, label asc);

@@ -1368,3 +1368,33 @@ class TestDailyTrend:
         got = {r["event_type"]: r for r in daily_trend(ev).collect()}
         assert got["up"]["slope"] == 2.0 and got["up"]["n_days"] == 4
         assert got["one"]["slope"] is None
+
+
+class TestDistinctSketchRollup:
+    def test_incremental_merge_equals_full_and_bounds(self, spark):
+        from eodatadown_spark.operators.merge import (
+            build_distinct_sketches,
+            merge_distinct_sketches,
+        )
+
+        rows = [(f"g{i % 3}", i % 40) for i in range(500)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        a = df.where("v % 2 = 0")
+        b = df.where("v % 2 = 1")
+        merged = {
+            r["g"]: r["approx_distinct"]
+            for r in merge_distinct_sketches(
+                build_distinct_sketches(a, ["g"], "v"),
+                build_distinct_sketches(b, ["g"], "v"),
+                ["g"],
+            ).collect()
+        }
+        full = {
+            r["g"]: r["approx_distinct"]
+            for r in build_distinct_sketches(df, ["g"], "v").collect()
+        }
+        assert merged == full  # HLL union associativity: inc == recompute
+        exact = {r["g"]: r["n"] for r in df.groupBy("g").agg(
+            F.count_distinct("v").alias("n")).collect()}
+        for g, est in merged.items():
+            assert abs(est - exact[g]) / exact[g] <= 0.05
