@@ -80,7 +80,17 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     10 MB shuffle this inserts is three orders of magnitude cheaper than
     the serialized compute it prevents (measured: q24 sf1.0 warm 11.8 →
     2.9 s).  Plan-build-time decision, mirroring semantic_dedup's explicit
-    repartition rationale."""
+    repartition rationale.
+
+    LEAF-SCAN-ONLY CONTRACT: the partition probe materializes ``df.rdd``,
+    and with AQE enabled that finalizes the adaptive plan — on a plan with
+    exchanges upstream (joins/aggregates) it EXECUTES those query stages
+    as real jobs at plan-build time.  On a narrow plan over a file scan
+    there are no query stages, so the probe is job-free.  Apply this only
+    at leaf entry points (file scan + narrow projections/filters); derived
+    inputs (e.g. the candidate-subset verify path of
+    ``minhash_neardup_pairs``) must pass ``floor=False`` through
+    :func:`shingle_hash_table` and keep their upstream partitioning."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -114,9 +124,17 @@ def shingle_hash_table(
     text_col: str = "text",
     k: int = 3,
     distinct: bool = True,
+    floor: bool = True,
 ) -> DataFrame:
     """(id, hashes) — distinct word-k-shingle hashes per document, WITHOUT
     materializing shingle strings.
+
+    ``floor=False`` skips the :func:`ensure_min_parallelism` partition
+    floor.  REQUIRED when ``documents`` is a derived relation with
+    exchanges upstream (joins/aggregates): the floor's partition probe
+    finalizes the AQE plan and would execute those stages as real jobs at
+    plan construction, breaking the ``materialize='none'`` pure-plan
+    contract and double-running candidate generation in 'auto' mode.
 
     ``distinct=False`` skips the per-document array_distinct pass and
     returns the raw shingle-hash stream in document order.  Min-wise
@@ -135,7 +153,8 @@ def shingle_hash_table(
     lambda re-evaluates it per element (O(n²) per doc — measured 6x slower),
     while referencing a projected column reads it once.
     """
-    documents = ensure_min_parallelism(documents)
+    if floor:
+        documents = ensure_min_parallelism(documents)
     # tokenization materializes ONCE at its own projection boundary: the two
     # hash-stream transforms below each reference the projected column, so
     # the regex split/lower/trim runs once per doc instead of once per
@@ -495,7 +514,11 @@ def minhash_neardup_pairs(
     cand_docs = documents.join(
         cand_ids, F.col(id_col) == F.col("__cand_id"), "left_semi"
     )
-    subset = shingle_hash_table(cand_docs, id_col, text_col, k)
+    # floor=False: cand_docs has a semi-join (and, transitively, the whole
+    # LSH candidate pipeline) upstream — the partition floor's probe would
+    # execute those stages at plan-build time (see shingle_hash_table).
+    # The semi-join output inherits the corpus scan's parallelism anyway.
+    subset = shingle_hash_table(cand_docs, id_col, text_col, k, floor=False)
     out = _exact_jaccard_filter(pairs, subset, jaccard_threshold)
     # pin the (small) verified pair set too — candidate generation is
     # already pinned above, so this adds only the cheap verification job

@@ -183,7 +183,10 @@ def stream_sessionize(
     batch-vs-stream parity check is a per-(user, session_id) rollup of
     the batch operator.  State is one open session per user — O(#users),
     bounded; late events inside the watermark merge into the open
-    session, later ones are dropped by the watermark before the kernel.
+    session when they land within ``gap`` of it, and close as their OWN
+    session(s) when they fall more than ``gap`` before the open start
+    (batch parity — the batch operator would split there); events past
+    the watermark are dropped before the kernel.
     """
     gap_secs = pd.Timedelta(gap).total_seconds()
     gap_ms = int(gap_secs * 1000)
@@ -218,6 +221,11 @@ def stream_sessionize(
             # Timestamps — normalize so min/max/epoch math is one type
             start, last = pd.Timestamp(start), pd.Timestamp(last)
         closed = []
+        # accumulator for late events MORE than gap before the open
+        # session's start (admissible when watermark_delay > gap): batch
+        # parity demands they form their OWN session(s), never a backward
+        # extension of the open one — (lstart, llast, ln)
+        late = None
         chunks = [pdf for pdf in batches if len(pdf)]
         if chunks:
             # one concat + sort across all Arrow chunks (see module note)
@@ -225,18 +233,39 @@ def stream_sessionize(
             for ts in pdf[ts_col]:
                 if start is None:
                     start, last, n = ts, ts, 1
+                elif ts < start:
+                    # late arrival before the open session's start
+                    if (start - ts).total_seconds() <= gap_secs:
+                        # within gap of the open start: genuine backward
+                        # extension (the batch operator, seeing the true
+                        # global order, would merge it too)
+                        start = ts
+                        n += 1
+                    elif late is None:
+                        late = (ts, ts, 1)
+                    elif (ts - late[1]).total_seconds() <= gap_secs:
+                        late = (late[0], ts, late[2] + 1)
+                    else:
+                        closed.append((key[0], *late))
+                        late = (ts, ts, 1)
                 elif (ts - last).total_seconds() > gap_secs:
                     closed.append((key[0], start, last, n))
                     start, last, n = ts, ts, 1
                 else:
-                    # covers in-gap forward steps AND late arrivals that
-                    # the watermark let through: merge, never regress the
-                    # end — and a late event EARLIER than the open start
-                    # extends the session backward (batch parity: the
-                    # batch operator sees the true global order)
-                    start = min(start, ts)
+                    # in-gap forward step or event inside [start, last]
                     last = max(last, ts)
                     n += 1
+        if late is not None:
+            # sorted iteration means backward extensions may have pulled
+            # the open start down to within gap of the late block's tail —
+            # then the whole block chains into the open session; otherwise
+            # it closes as its own session, exactly as the batch operator
+            # splits the globally-sorted stream
+            if start is not None and (start - late[1]).total_seconds() <= gap_secs:
+                start = late[0]
+                n += late[2]
+            else:
+                closed.append((key[0], *late))
         if start is not None:
             state.update((start, last, n))
             # epoch via an explicit UTC localization: the engine runs UTC
