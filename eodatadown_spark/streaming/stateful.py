@@ -181,12 +181,25 @@ def stream_sessionize(
     Gap semantics match :func:`..incremental.sessionize` (a gap strictly
     greater than ``gap`` splits; equality stays in-session), so a
     batch-vs-stream parity check is a per-(user, session_id) rollup of
-    the batch operator.  State is one open session per user — O(#users),
-    bounded; late events inside the watermark merge into the open
-    session when they land within ``gap`` of it, and close as their OWN
-    session(s) when they fall more than ``gap`` before the open start
-    (batch parity — the batch operator would split there); events past
-    the watermark are dropped before the kernel.
+    the batch operator.
+
+    State is the per-user list of ALIVE sessions — every session whose
+    ``end + gap`` the event-time watermark has not yet passed, which is
+    the exact set a still-admissible late event could merge into or
+    bridge.  Each batch folds its events into that list by interval
+    merging (sort by start; chain while the gap between neighbours is
+    ≤ ``gap``), which reproduces batch sessionization over the union of
+    all admissible events regardless of arrival order or batch
+    boundaries: late blocks more than ``gap`` before the open session
+    stay alive as their own sessions until the watermark seals them, so
+    a later micro-batch can still extend or bridge them (the round-6
+    ADVICE scenario).  A session is emitted exactly once, when the
+    watermark passes ``end + gap`` — no admissible event can reach it
+    after that (admissible ts ≥ watermark > end + gap), so emitted
+    records are final.  State size is O(#users × sessions-inside-one-
+    watermark-delay), bounded by the watermark delay.  The only
+    remaining batch-parity gap is inherent to streaming: events older
+    than the watermark are dropped before the kernel.
     """
     gap_secs = pd.Timedelta(gap).total_seconds()
     gap_ms = int(gap_secs * 1000)
@@ -207,75 +220,73 @@ def stream_sessionize(
             }
         )
 
+    def _epoch_ms(ts) -> int:
+        # epoch via an explicit UTC localization: the engine runs UTC
+        # session time so stream timestamps are UTC-naive, but a bare
+        # .timestamp() on a python datetime read back from state would
+        # use the OS timezone — normalize through pandas first
+        return int(pd.Timestamp(ts).tz_localize("UTC").timestamp() * 1000)
+
     def _kernel(key: tuple, batches: Iterable[pd.DataFrame], state: GroupState):
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame([(key[0], start, last, n)], columns=out_cols)
-            return
-        start = last = None
-        n = 0
+        # alive sessions as [start, last, n], sorted by start, pairwise
+        # separated by more than gap (invariant of the merge below)
+        sessions: list[list] = []
         if state.exists:
-            start, last, n = state.get
+            starts, lasts, ns = state.get
             # state round-trips as python datetime; batch rows are pandas
             # Timestamps — normalize so min/max/epoch math is one type
-            start, last = pd.Timestamp(start), pd.Timestamp(last)
-        closed = []
-        # accumulator for late events MORE than gap before the open
-        # session's start (admissible when watermark_delay > gap): batch
-        # parity demands they form their OWN session(s), never a backward
-        # extension of the open one — (lstart, llast, ln)
-        late = None
+            sessions = [
+                [pd.Timestamp(s), pd.Timestamp(l), int(c)]
+                for s, l, c in zip(starts, lasts, ns)
+            ]
+        if state.hasTimedOut:
+            # timeout fires when the watermark passes max(last)+gap with
+            # no new data for the key — every alive session is sealed
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], s, l, c) for s, l, c in sessions], columns=out_cols
+            )
+            return
         chunks = [pdf for pdf in batches if len(pdf)]
         if chunks:
-            # one concat + sort across all Arrow chunks (see module note)
+            # one concat + sort across all Arrow chunks (see module note);
+            # fold each event into the alive-session list by interval
+            # merge — sessions arrive sorted and events are iterated in
+            # ascending order, so a single forward scan with bisect-free
+            # appends reproduces batch sessionization exactly
             pdf = pd.concat(chunks).sort_values(ts_col)
-            for ts in pdf[ts_col]:
-                if start is None:
-                    start, last, n = ts, ts, 1
-                elif ts < start:
-                    # late arrival before the open session's start
-                    if (start - ts).total_seconds() <= gap_secs:
-                        # within gap of the open start: genuine backward
-                        # extension (the batch operator, seeing the true
-                        # global order, would merge it too)
-                        start = ts
-                        n += 1
-                    elif late is None:
-                        late = (ts, ts, 1)
-                    elif (ts - late[1]).total_seconds() <= gap_secs:
-                        late = (late[0], ts, late[2] + 1)
-                    else:
-                        closed.append((key[0], *late))
-                        late = (ts, ts, 1)
-                elif (ts - last).total_seconds() > gap_secs:
-                    closed.append((key[0], start, last, n))
-                    start, last, n = ts, ts, 1
+            items = [[s, l, c] for s, l, c in sessions]
+            items += [[ts, ts, 1] for ts in pdf[ts_col]]
+            items.sort(key=lambda it: (it[0], it[1]))
+            merged: list[list] = []
+            for it in items:
+                if merged and (it[0] - merged[-1][1]).total_seconds() <= gap_secs:
+                    # within gap of the previous block: chain (an event
+                    # INSIDE a session interval also lands here, since
+                    # its start precedes the session's last)
+                    merged[-1][1] = max(merged[-1][1], it[1])
+                    merged[-1][2] += it[2]
                 else:
-                    # in-gap forward step or event inside [start, last]
-                    last = max(last, ts)
-                    n += 1
-        if late is not None:
-            # sorted iteration means backward extensions may have pulled
-            # the open start down to within gap of the late block's tail —
-            # then the whole block chains into the open session; otherwise
-            # it closes as its own session, exactly as the batch operator
-            # splits the globally-sorted stream
-            if start is not None and (start - late[1]).total_seconds() <= gap_secs:
-                start = late[0]
-                n += late[2]
-            else:
-                closed.append((key[0], *late))
-        if start is not None:
-            state.update((start, last, n))
-            # epoch via an explicit UTC localization: the engine runs UTC
-            # session time so stream timestamps are UTC-naive, but a bare
-            # .timestamp() on a python datetime read back from state would
-            # use the OS timezone — normalize through pandas first
-            last_utc = pd.Timestamp(last).tz_localize("UTC")
-            state.setTimeoutTimestamp(
-                int(last_utc.timestamp() * 1000) + gap_ms
-            )
+                    merged.append(it)
+            sessions = merged
+        # seal every session the watermark has passed: no admissible
+        # event (ts ≥ watermark) can be within gap of its end anymore
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = [
+            (key[0], s, l, c)
+            for s, l, c in sessions
+            if _epoch_ms(l) + gap_ms < wm_ms
+        ]
+        alive = [it for it in sessions if _epoch_ms(it[1]) + gap_ms >= wm_ms]
+        if alive:
+            state.update((
+                [it[0] for it in alive],
+                [it[1] for it in alive],
+                [it[2] for it in alive],
+            ))
+            state.setTimeoutTimestamp(_epoch_ms(alive[-1][1]) + gap_ms)
+        elif state.exists:
+            state.remove()
         yield (
             pd.DataFrame(closed, columns=out_cols) if closed else _empty()
         )
@@ -286,7 +297,10 @@ def stream_sessionize(
         .applyInPandasWithState(
             _kernel,
             outputStructType=out_schema,
-            stateStructType="start timestamp, last timestamp, n bigint",
+            stateStructType=(
+                "starts array<timestamp>, lasts array<timestamp>, "
+                "ns array<bigint>"
+            ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

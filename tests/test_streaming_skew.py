@@ -598,3 +598,95 @@ def test_stream_sessionize_late_event_extends_backward(spark, tmp_path):
     finally:
         q.stop()
     assert rows == [("2024-01-01 09:58:00", "2024-01-01 10:00:00", 2)]
+
+
+def test_stream_sessionize_backward_then_split_one_batch(spark, tmp_path):
+    """Round-6 ADVICE (high): a backward extension followed by a forward
+    split in ONE micro-batch.  gap=10m, open session {10:00}; batch
+    [9:45, 9:55, 12:30].  Batch semantics: 9:45–9:55–10:00 chain into one
+    session (each step exactly the gap), 12:30 opens its own.  The old
+    kernel resolved the late block only at end-of-batch against the NEW
+    post-split start (12:30) and emitted {9:45} separately."""
+    from eodatadown_spark.streaming.incremental import sessionize
+    from eodatadown_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "bsplit_src")
+    schema = "user_id string, ts timestamp"
+    T = dt.datetime
+    f1 = [("u1", T(2024, 1, 1, 10, 0))]
+    f2 = [("u1", T(2024, 1, 1, 9, 45)), ("u1", T(2024, 1, 1, 9, 55)),
+          ("u1", T(2024, 1, 1, 12, 30))]
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    out = stream_sessionize(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        gap="10 minutes", watermark_delay="6 hours",
+    )
+    q = (out.writeStream.format("memory").queryName("bsplit_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        for batch in (f2,
+                      [("u99", T(2024, 1, 2, 0, 0))],
+                      [("u98", T(2024, 1, 3, 0, 0))]):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        got = {
+            (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM bsplit_out WHERE user_id = 'u1'").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(
+            spark.createDataFrame(f1 + f2, schema), ["user_id"],
+            gap_seconds=600.0)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    assert got == {("2024-01-01 09:45:00", "2024-01-01 10:00:00", 3),
+                   ("2024-01-01 12:30:00", "2024-01-01 12:30:00", 1)}
+
+
+def test_stream_sessionize_late_block_bridged_across_batches(spark, tmp_path):
+    """Round-6 ADVICE (medium): a late block must stay ALIVE (unsealed by
+    the watermark) so a later micro-batch can bridge it into the open
+    session.  gap=10m: batch1 {10:00}; batch2 late {9:40} (>gap before
+    the open start — its own block); batch3 {9:50} bridges both into ONE
+    session.  The old kernel emitted {9:40} at batch2's end, making the
+    final result a split record."""
+    from eodatadown_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "bridge_src")
+    schema = "user_id string, ts timestamp"
+    T = dt.datetime
+    spark.createDataFrame([("u1", T(2024, 1, 1, 10, 0))], schema
+                          ).coalesce(1).write.parquet(src)
+    out = stream_sessionize(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        gap="10 minutes", watermark_delay="6 hours",
+    )
+    q = (out.writeStream.format("memory").queryName("bridge_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        for batch in ([("u1", T(2024, 1, 1, 9, 40))],
+                      [("u1", T(2024, 1, 1, 9, 50))],
+                      [("u99", T(2024, 1, 2, 0, 0))],
+                      [("u98", T(2024, 1, 3, 0, 0))]):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        rows = [
+            (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM bridge_out WHERE user_id = 'u1'").collect()
+        ]
+    finally:
+        q.stop()
+    assert rows == [("2024-01-01 09:40:00", "2024-01-01 10:00:00", 3)]
