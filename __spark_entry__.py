@@ -2449,27 +2449,27 @@ QUERIES: dict[str, Callable] = {
     "q87_source_set_ops": q87_source_set_ops,
     "q26_window_rollup": q26_window_rollup,
     "q96_sole_late_supplier": q96_sole_late_supplier,
-    "q63_temperature_resample": q63_temperature_resample,
+    "q121_cluster_reps": q121_cluster_reps,
     "q29_sessionize": q29_sessionize,
-    "q89_trailing_range_window": q89_trailing_range_window,
+    "q139_phash_neardup": q139_phash_neardup,
     "q31_topk_per_group": q31_topk_per_group,
-    "q32_pivot": q32_pivot,
+    "q107_semantic_dedup": q107_semantic_dedup,
     "q92_snapshot_diff": q92_snapshot_diff,
     "q94_zorder_layout": q94_zorder_layout,
     "q35_embedding_neardup": q35_embedding_neardup,
-    "q36_lsh_topk": q36_lsh_topk,
+    "q108_rrf_fusion": q108_rrf_fusion,
     "q37_cube_rollup": q37_cube_rollup,
-    "q66_incremental_dedup": q66_incremental_dedup,
+    "q122_fuzzy_blocking": q122_fuzzy_blocking,
     "q104_balanced_sample": q104_balanced_sample,
     "q40_multimodal_features": q40_multimodal_features,
     "q41_bpe_token_count": q41_bpe_token_count,
     "q97_incremental_rollup": q97_incremental_rollup,
-    "q71_asof_value_carry": q71_asof_value_carry,
-    "q44_tfidf_keywords": q44_tfidf_keywords,
+    "q130_pmi": q130_pmi,
+    "q117_incremental_minhash": q117_incremental_minhash,
     "q126_transitions": q126_transitions,
-    "q105_source_mix": q105_source_mix,
+    "q145_sketch_rollup": q145_sketch_rollup,
     "q47_pii_redaction": q47_pii_redaction,
-    "q48_sequence_packing": q48_sequence_packing,
+    "q120_bm25": q120_bm25,
     "q49_ivf_topk": q49_ivf_topk,
     "q50_neardup_clusters": q50_neardup_clusters,
     "q51_date_bbox_count": q51_date_bbox_count,
@@ -2528,8 +2528,8 @@ QUERIES: dict[str, Callable] = {
     "q39_top_unshipped": q39_top_unshipped,
     "q46_repetition_ratio": q46_repetition_ratio,
     "q106_split_leakage_gate": q106_split_leakage_gate,
-    "q107_semantic_dedup": q107_semantic_dedup,
-    "q108_rrf_fusion": q108_rrf_fusion,
+    "q32_pivot": q32_pivot,
+    "q36_lsh_topk": q36_lsh_topk,
     "q109_funnel": q109_funnel,
     "q110_cohort_retention": q110_cohort_retention,
     "q111_sliding_window": q111_sliding_window,
@@ -2538,31 +2538,31 @@ QUERIES: dict[str, Callable] = {
     "q114_zipf_slope": q114_zipf_slope,
     "q115_small_qty_revenue": q115_small_qty_revenue,
     "q116_top_supplier": q116_top_supplier,
-    "q117_incremental_minhash": q117_incremental_minhash,
+    "q44_tfidf_keywords": q44_tfidf_keywords,
     "q118_langid_eval": q118_langid_eval,
     "q119_shot_boundaries": q119_shot_boundaries,
-    "q120_bm25": q120_bm25,
-    "q121_cluster_reps": q121_cluster_reps,
-    "q122_fuzzy_blocking": q122_fuzzy_blocking,
+    "q48_sequence_packing": q48_sequence_packing,
+    "q63_temperature_resample": q63_temperature_resample,
+    "q66_incremental_dedup": q66_incremental_dedup,
     "q123_disjunctive_filter": q123_disjunctive_filter,
     "q124_nation_share": q124_nation_share,
     "q125_late_order_priority": q125_late_order_priority,
     "q127_time_to_conversion": q127_time_to_conversion,
     "q129_winsorized_stats": q129_winsorized_stats,
-    "q130_pmi": q130_pmi,
+    "q71_asof_value_carry": q71_asof_value_carry,
     "q132_promo_revenue": q132_promo_revenue,
     "q133_asof_forward": q133_asof_forward,
     "q135_volume_trend": q135_volume_trend,
     "q136_robust_anomaly": q136_robust_anomaly,
     "q137_gapfilled_counts": q137_gapfilled_counts,
     "q138_custdist": q138_custdist,
-    "q139_phash_neardup": q139_phash_neardup,
+    "q89_trailing_range_window": q89_trailing_range_window,
     "q140_asof_nearest": q140_asof_nearest,
     "q141_wow_revenue": q141_wow_revenue,
     "q142_rfm_segments": q142_rfm_segments,
     "q143_ordered_string_agg": q143_ordered_string_agg,
     "q144_grouped_corr": q144_grouped_corr,
-    "q145_sketch_rollup": q145_sketch_rollup,
+    "q105_source_mix": q105_source_mix,
     "q11_distinct_values": q11_distinct_values,
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
