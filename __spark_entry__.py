@@ -969,27 +969,39 @@ def q138_custdist(spark, sf):
 
 
 def q139_phash_neardup(spark, sf, radius=2):
-    """Multimodal dedup (multimodal.phash_neardup_pairs): banded
-    perceptual-hash near-dup pairs over binary payloads — 4×15-bit salted
-    stub chunks (a real DCT pHash drops into the Arrow-batch slot), band
-    equi-join candidates, XOR+bit_count verify.  The oracle recomputes
-    EVERY pair's hamming naively, so the hash-match proves the 4-band
-    pigeonhole loses nothing at radius<4.  The synthetic corpus has no
-    duplicate texts, so every third doc is re-uploaded under a shifted id
-    (media_id + 1000, identical payload) — the result is non-trivially
-    populated and each planted pair MUST surface at hamming 0."""
+    """Multimodal dedup (multimodal.phash_neardup_pairs): REAL DCT
+    perceptual-hash near-dup pairs — each 32×32 grayscale raster maps to
+    a 63-bit hash via the integer-scaled orthonormal DCT-II (numpy int64
+    matmul, 8×8 low-frequency block, median threshold), banded into
+    radius+1 bit-slices, equi-joined, XOR+bit_count verified.  The oracle
+    recomputes the SAME hash relationally in DuckDB (inlined integer
+    cosine table, two relational matmul passes, window median) and then
+    every pair's hamming naively — the hash-match proves both the DCT
+    arithmetic cross-engine-exact and the pigeonhole banding lossless.
+    Rasters: text rpad-truncated to 1024 bytes; every third doc re-ups
+    identically under media_id+1000 (MUST pair at hamming 0) and every
+    fifth re-ups with one character flipped (media_id+2000, 1-pixel
+    noise) pairing at small hamming."""
     from eodatadown_spark.operators.multimodal import phash_neardup_pairs
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    rp = F.rpad(F.substring("text", 1, 1024), 1024, " ")
     media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
+        F.col("doc_id").alias("media_id"), rp.cast("binary").alias("payload")
     )
     reups = docs.where(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1000).alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
+        rp.cast("binary").alias("payload"),
     )
-    return phash_neardup_pairs(media.unionByName(reups), radius=radius)
+    noisy = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000).alias("media_id"),
+        F.concat(
+            F.substring(rp, 1, 16), F.lit("~"), F.substring(rp, 18, 1007)
+        ).cast("binary").alias("payload"),
+    )
+    return phash_neardup_pairs(
+        media.unionByName(reups).unionByName(noisy), radius=radius
+    )
 
 
 def q140_asof_nearest(spark, sf):
@@ -2627,6 +2639,19 @@ def _hyperplane_bucket_sql(vec_expr: str, n_planes: int, dim: int, seed: int = 4
             f" THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _phash_table_sql() -> str:
+    """VALUES rows (u, i, w) of the engine's integer DCT cosine table
+    (multimodal._dct_table — the single source of truth), inlined into the
+    q139 oracle so DuckDB recomputes the identical integer DCT."""
+    from eodatadown_spark.operators.multimodal import _dct_table
+
+    return ", ".join(
+        f"({u}, {i}, {w})"
+        for u, row in enumerate(_dct_table())
+        for i, w in enumerate(row)
+    )
 
 
 def _zorder_sql(bits: int = 16) -> str:
@@ -4847,37 +4872,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_count, count(*) AS custdist
             FROM per GROUP BY 1
         """,
-        # q139: pHash stub chunks rebuilt from text (payload bytes ==
-        # ASCII codes); the oracle is the NAIVE all-pairs hamming — the
-        # hash-match proves the band join's pigeonhole recall
-        "q139_phash_neardup": """
+        # q139: the REAL DCT pHash recomputed relationally — pixels
+        # exploded from the rpad-1024 raster text, two relational matmul
+        # passes against the inlined integer cosine table (the engine's
+        # _dct_table literals), window median over the 63 AC coefficients,
+        # bit-packed hash, then NAIVE all-pairs hamming.  Integer
+        # arithmetic end-to-end: bit-exact across engines, and the
+        # hash-match proves the band join's pigeonhole recall.
+        "q139_phash_neardup": f"""
             WITH m AS (
-                SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
+                SELECT doc_id AS id,
+                       rpad(substr(text, 1, 1024), 1024, ' ') AS t
+                FROM documents WHERE doc_id < 200
                 UNION ALL
-                SELECT doc_id + 1000, text FROM documents
-                WHERE doc_id < 200 AND doc_id % 3 = 0
+                SELECT doc_id + 1000, rpad(substr(text, 1, 1024), 1024, ' ')
+                FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 2000,
+                       substr(rpad(substr(text, 1, 1024), 1024, ' '), 1, 16)
+                       || '~'
+                       || substr(rpad(substr(text, 1, 1024), 1024, ' '),
+                                 18, 1007)
+                FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+            ), d(u, i, w) AS (VALUES {_phash_table_sql()}),
+            pix AS (
+                SELECT id, CAST(p // 32 AS INT) AS i, CAST(p % 32 AS INT) AS j,
+                       CAST(ord(substr(t, CAST(p + 1 AS INT), 1)) AS BIGINT) AS v
+                FROM m, range(0, 1024) r(p)
+            ), t1 AS (
+                SELECT pix.id, d.u, pix.j, SUM(d.w * pix.v) AS s
+                FROM pix JOIN d ON d.i = pix.i GROUP BY 1, 2, 3
+            ), c AS (
+                SELECT t1.id, t1.u, d2.u AS vv, SUM(t1.s * d2.w) AS coef
+                FROM t1 JOIN d d2 ON d2.i = t1.j GROUP BY 1, 2, 3
+            ), f AS (
+                SELECT id, u * 8 + vv - 1 AS idx, coef
+                FROM c WHERE NOT (u = 0 AND vv = 0)
+            ), med AS (
+                SELECT id, coef AS m FROM (
+                    SELECT id, coef,
+                           row_number() OVER (
+                               PARTITION BY id ORDER BY coef) AS rn
+                    FROM f) WHERE rn = 32
             ), h AS (
-                SELECT id,
-                       list_transform(range(0, 4), d ->
-                           list_reduce(
-                               list_prepend(CAST(0 AS BIGINT),
-                                   list_transform(
-                                       string_split(text || ':'
-                                           || CAST(d AS VARCHAR), ''),
-                                       ch -> CAST(ord(ch) AS BIGINT))),
-                               (acc, c) -> (acc * 31 + c) % 2038074743)
-                           % 32768
-                       ) AS cs
-                FROM m
-            ), p AS (
-                SELECT id,
-                       ((cs[1] * 32768 + cs[2]) * 32768 + cs[3]) * 32768
-                           + cs[4] AS phash
-                FROM h
+                SELECT f.id,
+                       SUM(CASE WHEN f.coef > med.m
+                           THEN (CAST(1 AS BIGINT) << CAST(f.idx AS INT))
+                           ELSE 0 END) AS phash
+                FROM f JOIN med ON med.id = f.id GROUP BY 1
             )
             SELECT a.id AS id_a, b.id AS id_b,
                    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-            FROM p a JOIN p b ON a.id < b.id
+            FROM h a JOIN h b ON a.id < b.id
             WHERE bit_count(xor(a.phash, b.phash)) <= 2
         """,
         # q140: nearest as-of — per signup the backward (max earlier) and

@@ -3,9 +3,11 @@
 Images/audio/video ride as `binary` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample are Arrow-batched `mapInPandas`
 stages.  The image/audio codec libraries are NOT in this container, so the
-decode kernels are STUBBED with a deterministic fake (clearly marked); the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape — is
-real and tested.
+format-decode kernels are STUBBED with a deterministic fake (clearly
+marked); the Spark-side plumbing — schema, partitioning, UDF signature,
+batch shape — is real and tested.  The perceptual hash (:func:`phash64`)
+is NOT a stub: a real integer-scaled 32-point DCT-II over raw grayscale
+rasters, computed in numpy.
 """
 
 from __future__ import annotations
@@ -292,12 +294,75 @@ def embed_documents(
     ).mapInPandas(_run, schema=schema)
 
 
-def _roll15(data: bytes) -> int:
-    """15-bit rolling hash of a byte string (stub pHash chunk kernel)."""
-    acc = 0
-    for b in data:
-        acc = (acc * 31 + b) % EMBED_PRIME
-    return acc % 32768
+PHASH_SIDE = 32          # raster side the decode normalizes to
+PHASH_SCALE = 2048       # integer scale of the DCT cosine table (2^11)
+PHASH_BITS = 63          # 8×8 low-frequency block minus the DC coefficient
+
+
+def _dct_table() -> tuple[tuple[int, ...], ...]:
+    """First 8 rows of the orthonormal 32-point DCT-II matrix, integer-
+    scaled (×2048, round-half-even) — the JPEG-style scaled-integer DCT.
+
+    Integer weights make the whole hash pipeline EXACT arithmetic, so an
+    independent engine (the DuckDB oracle, the naive-Python test
+    reference) reproduces every bit without float-summation-order risk.
+    This table is the single source of truth: the oracle SQL inlines
+    these literals via this function.
+    """
+    import math
+
+    rows = []
+    for u in range(8):
+        alpha = math.sqrt((1 if u == 0 else 2) / PHASH_SIDE)
+        rows.append(tuple(
+            round(alpha * math.cos(math.pi * (2 * i + 1) * u / (2 * PHASH_SIDE))
+                  * PHASH_SCALE)
+            for i in range(PHASH_SIDE)
+        ))
+    return tuple(rows)
+
+
+def phash64(payload: bytes) -> int:
+    """Real DCT perceptual hash of a grayscale raster payload → 63-bit int.
+
+    Decode: the payload is a row-major uint8 raster, truncated/cycled to
+    32×32 (a real image decoder + area resampler drops in here; the
+    fixture rasters are already 1024 bytes so this step is the identity).
+    Transform: C = D·X·Dᵀ with the integer-scaled orthonormal DCT-II
+    rows (``_dct_table``), int64 matmul — exact (|coef| < 2^41).  The
+    8×8 low-frequency block minus the DC coefficient gives 63 values;
+    each bit is coef > median (the 32nd smallest of 63 — a true odd-count
+    median), packed little-endian by (u·8+v)−1.  63 bits keeps the hash
+    in a signed BIGINT for JVM/DuckDB xor + bit_count verify.
+    """
+    import numpy as np
+
+    if not payload:
+        x = np.zeros((PHASH_SIDE, PHASH_SIDE), dtype=np.int64)
+    else:
+        n = PHASH_SIDE * PHASH_SIDE
+        buf = (payload * (n // len(payload) + 1))[:n]
+        x = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64).reshape(
+            PHASH_SIDE, PHASH_SIDE
+        )
+    d = np.array(_dct_table(), dtype=np.int64)
+    coef = (d @ x @ d.T).reshape(-1)[1:]          # drop DC, 63 ints
+    med = int(np.partition(coef, 31)[31])          # 32nd smallest of 63
+    bits = coef > med
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def _band_slices(n_bands: int) -> list[tuple[int, int]]:
+    """Split the 63 hash bits into ``n_bands`` contiguous (offset, width)
+    slices, widths differing by at most one — the widest chunks the
+    pigeonhole split allows, maximizing band-bucket cardinality."""
+    base, rem = divmod(PHASH_BITS, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
 
 
 def phash_neardup_pairs(
@@ -305,50 +370,46 @@ def phash_neardup_pairs(
     radius: int = 3,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate media pairs → (id_a, id_b, hamming):
     the image-dedup step of a multimodal pipeline, banded so no all-pairs
     join ever runs.
 
-    Each payload maps to a 60-bit perceptual hash built from four salted
-    15-bit chunks.  The chunk kernel here is the engine's deterministic
-    STUB (rolling hash over the raw bytes — a real pHash, DCT over the
-    decoded image, drops into the same Arrow-batch slot); everything
-    downstream is the production shape: explode the 4 (chunk_idx, chunk)
-    bands, equi-join candidates on identical bands, verify exact Hamming
-    distance with XOR+bit_count on the packed hash.  For ``radius < 4``
-    the banding is EXACT by pigeonhole: ≤3 differing bits touch ≤3 of the
-    4 chunks, so one band always collides — no recall loss, unlike LSH.
+    Each payload maps to a real 63-bit DCT perceptual hash
+    (:func:`phash64`: integer-scaled 32-point DCT-II, 8×8 low-frequency
+    block, median threshold) in one Arrow ``mapInPandas`` pass.  The hash
+    is then sliced JVM-side into ``n_bands`` contiguous bit chunks
+    (default ``radius+1``, the minimum that keeps banding EXACT by
+    pigeonhole: ≤radius differing bits touch ≤radius chunks, so one band
+    always collides — no recall loss, unlike LSH); candidates equi-join
+    on identical (band, chunk), and the verify is one XOR+bit_count per
+    pair on the packed hash.
 
-    Scale: candidates = Σ per-band collision counts; the verify is one
-    integer op per pair.  Identical payloads give hamming 0.
+    Scale: candidates = Σ per-band collision counts; fewer bands mean
+    wider chunks (radius 2 → 21-bit chunks, 2M buckets), so the default
+    uses the coarsest split the radius allows.  Identical payloads give
+    hamming 0; a one-pixel perturbation moves only borderline-median
+    coefficient bits, so near-identical rasters land within small radii.
     """
-    if not 0 <= radius < 4:
+    n_bands = radius + 1 if n_bands is None else n_bands
+    if not 0 <= radius < n_bands:
         raise ValueError(
-            "radius must be in [0, 4): the 4-band pigeonhole guarantee "
-            "breaks at 4+ bit flips — re-band with more chunks instead"
+            "radius must be < n_bands: the pigeonhole guarantee needs "
+            "more chunks than differing bits — raise n_bands (≤63) instead"
         )
+    if n_bands > PHASH_BITS:
+        raise ValueError("n_bands cannot exceed the 63 hash bits")
     import pandas as pd
 
     id_type = dict(media.dtypes)[id_col]
 
     def kernel(batches):
         for pdf in batches:
-            chunks = [
-                [
-                    _roll15(bytes(p) + f":{d}".encode())
-                    for p in pdf[payload_col]
-                ]
-                for d in range(4)
-            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "phash": [
-                        ((c0 * 32768 + c1) * 32768 + c2) * 32768 + c3
-                        for c0, c1, c2, c3 in zip(*chunks)
-                    ],
-                    **{f"c{d}": chunks[d] for d in range(4)},
+                    "phash": [phash64(bytes(p)) for p in pdf[payload_col]],
                 }
             )
 
@@ -359,18 +420,20 @@ def phash_neardup_pairs(
             # skip them instead of dying on bytes(None) inside the kernel
             .where(F.col(payload_col).isNotNull())
         )
-        .mapInPandas(
-            kernel,
-            f"`{id_col}` {id_type}, phash long, c0 int, c1 int, c2 int, c3 int",
-        )
+        .mapInPandas(kernel, f"`{id_col}` {id_type}, phash long")
     )
     bands = hashed.select(
         F.col(id_col).alias("id"),
         "phash",
         F.explode(
             F.array(*[
-                F.struct(F.lit(d).alias("d"), F.col(f"c{d}").alias("chunk"))
-                for d in range(4)
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(
+                        f"(phash >> {off}) & {(1 << w) - 1}"
+                    ).alias("chunk"),
+                )
+                for d, (off, w) in enumerate(_band_slices(n_bands))
             ])
         ).alias("b"),
     ).select("id", "phash", "b.d", "b.chunk")

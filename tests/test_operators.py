@@ -1621,36 +1621,97 @@ class TestPhashNeardup:
             [(1, bytearray(b"x"))], "media_id long, payload binary"
         )
         with pytest.raises(ValueError, match="pigeonhole"):
-            phash_neardup_pairs(media, radius=4)
+            phash_neardup_pairs(media, radius=4, n_bands=4)
 
-    def test_within_radius_found_via_any_band(self, spark):
-        from eodatadown_spark.operators.multimodal import (
-            _roll15, phash_neardup_pairs,
-        )
+    @staticmethod
+    def _naive_phash(payload: bytes) -> int:
+        """Independent reference: the same 63-bit DCT hash via explicit
+        double-loop cosine sums — no numpy, no matmul, no shared code
+        beyond the integer cosine table (the pinned contract)."""
+        from eodatadown_spark.operators.multimodal import _dct_table
 
-        # two payloads whose stub hashes differ in ≤3 bits are guaranteed
-        # found; assert against a direct python recompute of the hashes
-        payloads = {i: f"doc body {i % 2}".encode() for i in range(6)}
+        n = 32 * 32
+        buf = (payload * (n // max(len(payload), 1) + 1))[:n] if payload \
+            else bytes(n)
+        d = _dct_table()
+        coef = []
+        for u in range(8):
+            for v in range(8):
+                s = 0
+                for i in range(32):
+                    for j in range(32):
+                        s += d[u][i] * d[v][j] * buf[i * 32 + j]
+                coef.append(s)
+        coef = coef[1:]
+        med = sorted(coef)[31]
+        return sum(1 << i for i, c in enumerate(coef) if c > med)
+
+    def test_dct_hash_matches_naive_reference(self):
+        from eodatadown_spark.operators.multimodal import phash64
+
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        for payload in (
+            bytes(rng.randint(0, 256, 1024, dtype=np.uint8)),
+            b"short payload cycles",
+            b"",
+        ):
+            assert phash64(payload) == self._naive_phash(payload)
+
+    def test_one_pixel_noise_pairs_distinct_rasters_dont(self, spark):
+        """Planted near-identical rasters (1-pixel noise) pair at small
+        radius; independent random rasters don't."""
+        from eodatadown_spark.operators.multimodal import phash_neardup_pairs
+
+        import numpy as np
+
+        rng = np.random.RandomState(42)
+        base = rng.randint(0, 256, 1024, dtype=np.uint8)
+        noisy = base.copy()
+        noisy[17] = (int(noisy[17]) + 9) % 256          # one-pixel noise
+        other = rng.randint(0, 256, 1024, dtype=np.uint8)
         media = spark.createDataFrame(
-            [(i, bytearray(p)) for i, p in payloads.items()],
+            [(1, bytearray(base.tobytes())),
+             (2, bytearray(noisy.tobytes())),
+             (3, bytearray(other.tobytes()))],
             "media_id long, payload binary",
         )
-
-        def phash(p):
-            cs = [_roll15(p + f":{d}".encode()) for d in range(4)]
-            return ((cs[0] * 32768 + cs[1]) * 32768 + cs[2]) * 32768 + cs[3]
-
-        want = {}
-        ids = sorted(payloads)
-        for i in ids:
-            for j in ids:
-                if i < j:
-                    h = bin(phash(payloads[i]) ^ phash(payloads[j])).count("1")
-                    if h <= 3:
-                        want[(i, j)] = h
         got = {(r["id_a"], r["id_b"]): r["hamming"]
                for r in phash_neardup_pairs(media, radius=3).collect()}
-        assert got == want and want  # the %2 duplicates guarantee non-empty
+        assert set(got) == {(1, 2)} and got[(1, 2)] <= 3
+
+    def test_banding_exact_vs_naive_all_pairs(self, spark):
+        """The banded plan loses nothing: every ≤radius pair from a naive
+        all-pairs recompute with the no-numpy reference hash surfaces."""
+        from eodatadown_spark.operators.multimodal import phash_neardup_pairs
+
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        payloads = {}
+        for i in range(4):
+            payloads[i] = rng.randint(0, 256, 1024, dtype=np.uint8)
+        for i in range(4):                               # noisy twins
+            tw = payloads[i].copy()
+            tw[5 * i] = (int(tw[5 * i]) + 3) % 256
+            payloads[10 + i] = tw
+        media = spark.createDataFrame(
+            [(i, bytearray(p.tobytes())) for i, p in payloads.items()],
+            "media_id long, payload binary",
+        )
+        want = {}
+        hashes = {i: self._naive_phash(p.tobytes())
+                  for i, p in payloads.items()}
+        for i in sorted(payloads):
+            for j in sorted(payloads):
+                if i < j:
+                    h = bin(hashes[i] ^ hashes[j]).count("1")
+                    if h <= 2:
+                        want[(i, j)] = h
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in phash_neardup_pairs(media, radius=2).collect()}
+        assert got == want and want
 
 
 def test_bm25_empty_terms_rejected(spark):
