@@ -379,6 +379,42 @@ def minhash_neardup_against_index(
     return _pin_mode(out, materialize)
 
 
+def _banded_candidate_pairs(
+    banded: DataFrame, candidate_salts: int | None, seed: int
+) -> DataFrame:
+    """Raw (pre-dedup) candidate pairs from a banded LSH index self-join.
+
+    With ``candidate_salts=s`` the self-join is salted: left rows take one
+    pseudo-random salt, right rows replicate across all ``s`` salts —
+    every (l, r) bucket pair matches exactly once (at the left row's
+    salt), so output is IDENTICAL while each hot bucket's |bucket|² pair
+    generation spreads over ``s`` reducers.  Exposed as a module-level
+    helper so skew tests can measure per-reducer row counts directly via
+    ``spark_partition_id`` on this exact join.
+    """
+    if candidate_salts and candidate_salts > 1:
+        lhs = banded.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(candidate_salts)),
+        )
+        rhs = banded.withColumn(
+            "__salt",
+            F.explode(
+                F.array(*[F.lit(i).cast("bigint") for i in range(candidate_salts)])
+            ),
+        )
+        return (
+            lhs.alias("l")
+            .join(rhs.alias("r"), ["band_idx", "band_hash", "__salt"])
+            .where(F.col("l.id") < F.col("r.id"))
+        )
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "band_hash"])
+        .where(F.col("l.id") < F.col("r.id"))
+    )
+
+
 def minhash_neardup_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -467,30 +503,7 @@ def minhash_neardup_pairs(
             .where(F.col("__bn") <= max_band_bucket)
             .drop("__bn")
         )
-    if candidate_salts and candidate_salts > 1:
-        # salt the self-join: left rows take one pseudo-random salt, right
-        # rows replicate across all salts — every (l, r) bucket pair matches
-        # exactly once (at the left row's salt), so output is unchanged while
-        # each hot bucket's |bucket|² pair generation spreads over
-        # candidate_salts reducers.
-        lhs = banded.withColumn(
-            "__salt", F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(candidate_salts))
-        )
-        rhs = banded.withColumn(
-            "__salt",
-            F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(candidate_salts)])),
-        )
-        raw_pairs = (
-            lhs.alias("l")
-            .join(rhs.alias("r"), ["band_idx", "band_hash", "__salt"])
-            .where(F.col("l.id") < F.col("r.id"))
-        )
-    else:
-        raw_pairs = (
-            banded.alias("l")
-            .join(banded.alias("r"), ["band_idx", "band_hash"])
-            .where(F.col("l.id") < F.col("r.id"))
-        )
+    raw_pairs = _banded_candidate_pairs(banded, candidate_salts, seed)
     pairs = raw_pairs.select(
         F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
     ).dropDuplicates(["id_a", "id_b"])
