@@ -139,6 +139,60 @@ def main() -> None:
         extended[name] = samples[1]
         extended_spread[name] = [samples[0], samples[-1]]
 
+    # ANN retrieval quality at the bench scale factor: recall@10 vs exact
+    # cosine for each approximate index (same configs the pytest floors
+    # gate) — correctness-vs-oracle proves the plans, recall proves the
+    # approximations still RETRIEVE; tracked round-over-round here.
+    import eodatadown_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
+    qvecs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint()
+    ann_exact = S.cosine_topk(emb, qvecs, k=10).localCheckpoint()
+    ann_recall = {
+        "ivf_np4": round(S.topk_recall(
+            S.ivf_topk(emb, qvecs, k=10, n_centroids=8, n_probe=4), ann_exact
+        ), 3),
+        "ivf_np6": round(S.topk_recall(
+            S.ivf_topk(emb, qvecs, k=10, n_centroids=8, n_probe=6), ann_exact
+        ), 3),
+        "ivf_pq_np8_sl120": round(S.topk_recall(
+            S.ivf_pq_topk(emb, qvecs, k=10, n_centroids=8, n_probe=8,
+                          m=8, n_codes=16, shortlist=120),
+            ann_exact,
+        ), 3),
+        "lsh_p4_t8": round(S.topk_recall(
+            S.lsh_bucket_topk(emb, qvecs, k=10, n_planes=4, dim=64,
+                              n_tables=8),
+            ann_exact,
+        ), 3),
+    }
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    extended_payload = {
+        "metric": "headline_queries_extended",
+        "queries_net": net,
+        "total_net": round(sum(net.values()), 3),
+        "queries_warm_spread": warm_spread,
+        "plan_exchanges": plan_facts,
+        "queries_extended_warm": extended,
+        "queries_extended_warm_spread": extended_spread,
+        "sf": sf_val,
+    }
+    # extended sections go FIRST (and to a sidecar file): the driver's
+    # artifact keeps only the TAIL of stdout, so the required one-line
+    # JSON prints LAST and short enough to always survive the capture
+    print(json.dumps(extended_payload))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_extended_latest.json"), "w"
+        ) as fh:
+            json.dump(extended_payload, fh, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -147,15 +201,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "overhead_sec": overhead,
-                "queries_net": net,
-                "total_net": round(sum(net.values()), 3),
                 "queries_warm": warm,
                 "total_warm": round(sum(warm.values()), 3),
-                "queries_warm_spread": warm_spread,
-                "plan_exchanges": plan_facts,
-                "queries_extended_warm": extended,
-                "queries_extended_warm_spread": extended_spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ann_recall": ann_recall,
+                "sf": sf_val,
             }
         )
     )

@@ -94,6 +94,34 @@ def _topk_tail(scored: DataFrame, k: int, two_phase: bool = False) -> DataFrame:
     )
 
 
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> float:
+    """Mean recall of an approximate top-k result against the exact one:
+    |approx ∩ exact| / |exact| over all queries (micro-averaged, so
+    queries with fewer than k exact neighbors weigh by what exists).
+
+    This is the ANN quality contract — correctness-vs-own-oracle proves a
+    plan computes what it promises, recall proves the approximation still
+    RETRIEVES.  Tracked per-round in the bench artifact (``ann_recall``)
+    and floor-gated in tests so quality drift fails loudly.  Driver-side
+    scalar: both inputs are k·#queries rows, never corpus-sized.
+    """
+    ex = exact.select(query_id_col, neighbor_col)
+    den = ex.count()
+    if not den:
+        return float("nan")
+    hits = (
+        approx.select(query_id_col, neighbor_col)
+        .join(ex, [query_id_col, neighbor_col], "left_semi")
+        .count()
+    )
+    return hits / den
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
