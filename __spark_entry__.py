@@ -1117,23 +1117,35 @@ def q144_grouped_corr(spark, sf):
     """Statistics agg: per-returnflag Pearson correlation of quantity vs
     discounted price plus covariance (F.corr/covar_samp ↔ DuckDB
     corr/covar_samp; rounded to 4 — the sums-of-products differ only in
-    association order)."""
+    association order).  ``+ 0.0`` after the round collapses IEEE signed
+    zero: a ~1e-12 correlation rounds to -0.0 on one engine and +0.0 on
+    the other (observed at sf0.1), which string-compares unequal."""
     li = _t(spark, sf, "lineitem")
     price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr(F.col("l_quantity"), price), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp(F.col("l_quantity"), price), 4).alias("covar_qty_price"),
+        (F.round(F.corr(F.col("l_quantity"), price), 4) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.covar_samp(F.col("l_quantity"), price), 4) + F.lit(0.0)).alias(
+            "covar_qty_price"
+        ),
     )
 
 
 def q145_sketch_rollup(spark, sf):
     """Mergeable distinct-count rollup soundness gate
     (merge.build/merge_distinct_sketches): per-month distinct-customer HLL
-    sketches built from two disjoint halves and MERGED must estimate
-    exactly what a full one-pass build estimates (HLL union is
-    associative — incremental == recompute), and land within 10% of the
-    exact distinct count.  Violating months surface; empty iff sound."""
+    sketches built from two disjoint halves and MERGED must estimate what
+    a full one-pass build estimates, and land within 10% of the exact
+    distinct count.  Violating months surface; empty iff sound.
+
+    Merged-vs-full tolerance is 4%, not exact equality: in DataSketches
+    coupon (exact) mode union IS bit-identical to a one-pass build (the
+    unit test pins that), but once sketches go dense the union's internal
+    HLL_8 gadget re-estimates through a different register path, so the
+    two estimates differ within sketch error (first observed at sf0.1,
+    ~1800 distincts/month: 1793 vs 1813 ≈ 1.1%; lgK=12 → ~1.6% RSE)."""
     from eodatadown_spark.operators.merge import (
         build_distinct_sketches,
         merge_distinct_sketches,
@@ -1158,9 +1170,9 @@ def q145_sketch_rollup(spark, sf):
         F.count_distinct("o_custkey").alias("exact")
     )
     j = merged.join(full, "month").join(exact, "month")
-    bad = (F.col("inc_est") != F.col("full_est")) | (
-        F.abs(F.col("inc_est") - F.col("exact")) / F.col("exact") > 0.10
-    )
+    bad = (
+        F.abs(F.col("inc_est") - F.col("full_est")) / F.col("full_est") > 0.04
+    ) | (F.abs(F.col("inc_est") - F.col("exact")) / F.col("exact") > 0.10)
     return j.where(bad).select("month", "inc_est", "full_est", "exact")
 
 
@@ -1813,15 +1825,19 @@ def q80_pq_recall_soundness(spark, sf):
     """Sketch soundness gate (q75/q76 convention): PQ shortlist+rerank top-3
     must overlap the exact brute-force top-3 in >= 2 of 3 neighbors for
     every probe query — violating queries surface, empty result iff the
-    compression path is sound at this corpus scale."""
+    compression path is sound at this corpus scale.  The shortlist scales
+    with the corpus (20%, floor 200): a fixed 200 calibrated on 500
+    vectors starves the rerank at sf0.1's 2000 vectors (observed: one
+    probe query dropped to 1/3 overlap)."""
     emb = _t(spark, sf, "embeddings")
     qs = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    shortlist = max(200, emb.count() // 5)
     exact = S.cosine_topk(emb, qs, k=3).select("query_id", "neighbor_id")
-    approx = S.pq_topk(emb, qs, k=3, m=8, n_codes=16, shortlist=200).select(
-        "query_id", "neighbor_id"
-    )
+    approx = S.pq_topk(
+        emb, qs, k=3, m=8, n_codes=16, shortlist=shortlist
+    ).select("query_id", "neighbor_id")
     overlap = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -5022,10 +5038,10 @@ def oracle_sql() -> dict[str, str]:
         "q144_grouped_corr": """
             SELECT l_returnflag, count(*) AS n,
                    round(corr(l_quantity,
-                              l_extendedprice * (1 - l_discount)), 4)
+                              l_extendedprice * (1 - l_discount)), 4) + 0.0
                        AS corr_qty_price,
                    round(covar_samp(l_quantity,
-                                    l_extendedprice * (1 - l_discount)), 4)
+                                    l_extendedprice * (1 - l_discount)), 4) + 0.0
                        AS covar_qty_price
             FROM lineitem GROUP BY 1
         """,

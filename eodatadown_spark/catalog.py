@@ -23,6 +23,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 from typing import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,6 +142,39 @@ class ParquetCatalog:
         old = self._current_version(table)
         return "v_0" if old is None else f"v_{int(old.split('_')[1]) + 1}"
 
+    @contextmanager
+    def _commit_lock(self, table: str, timeout: float = 30.0,
+                     steal_after: float = 120.0):
+        """Exclusive commit section via atomic ``mkdir`` (POSIX-local lock
+        — the deployment shape of this catalog; on object stores use the
+        Delta adapter, whose log IS the commit protocol).  A lock dir
+        older than ``steal_after`` is presumed crash debris and stolen."""
+        lock = os.path.join(self._table_dir(table), "_COMMIT_LOCK")
+        deadline = time.time() + timeout
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > steal_after:
+                        os.rmdir(lock)
+                        continue
+                except OSError:
+                    continue  # lock vanished between probe and stat
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"catalog commit lock busy for table {table!r}"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.rmdir(lock)
+            except OSError:
+                pass
+
     def _flip_and_gc(self, table: str, version: str) -> None:
         """Atomic pointer flip + GC of versions beyond the retention window.
 
@@ -179,7 +214,10 @@ class ParquetCatalog:
         writer.parquet(out)
         self._flip_and_gc(table, version)
 
-    def merge_updates(self, table: str, updates: DataFrame, key: str = "pid") -> None:
+    def merge_updates(
+        self, table: str, updates: DataFrame, key: str = "pid",
+        occ_retries: int = 5,
+    ) -> None:
         """M2 at catalog scale: apply a batched point-update set rewriting
         ONLY the ``p_year`` partitions that contain updated keys.
 
@@ -189,6 +227,16 @@ class ParquetCatalog:
         stage merge touching one month rewrites that month, not the decade.
         State-column updates never move a row across partitions, so the
         partition-source column must not appear in ``updates``.
+
+        CONCURRENCY (optimistic): the base version is captured at read
+        time; the pointer flip happens under :meth:`_commit_lock` only if
+        the pointer still names that base.  A concurrent commit in the
+        window → this writer discards its built version dir and REBUILDS
+        from the new current (up to ``occ_retries`` times), so concurrent
+        merges of different keys serialize with neither update lost —
+        never last-writer-wins.  A build error is re-raised unless the
+        pointer moved meanwhile (then it is conflict fallout — e.g. the
+        winner's GC collected our base or claimed dir — and retries).
 
         Falls back to a full versioned write for unpartitioned tables.
         """
@@ -204,37 +252,55 @@ class ParquetCatalog:
             # a patched physical partition column would silently break the
             # p_year/p_month == year/month(date_col) invariant pruning relies on
             raise ValueError("merge_updates cannot patch physical partition columns")
-        old_path = self.data_path(table)
-        cur = self.read(table)
-        # partition depth follows the ON-DISK layout, not the constructor
-        # flag: a monthly table opened by a yearly-configured process must
-        # still merge at month depth (a flag-based depth would hard-link
-        # whole changed years as "untouched" and append a conflicting
-        # yearly layout — unreadable table)
-        part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
-        if not part_cols or not _has_parquet_files(old_path):
-            # same layout-preservation rule as append(): only an empty
-            # table gets (re-)partitioned by the full write
-            self.write(
-                apply_updates(self.read_clean(table), updates, key),
-                table,
-                partition=not _has_parquet_files(old_path),
-            )
+        for _attempt in range(1 + occ_retries):
+            base = self._current_version(table)
+            old_path = self.data_path(table)
+            cur = self.read(table)
+            # partition depth follows the ON-DISK layout, not the constructor
+            # flag: a monthly table opened by a yearly-configured process must
+            # still merge at month depth (a flag-based depth would hard-link
+            # whole changed years as "untouched" and append a conflicting
+            # yearly layout — unreadable table)
+            part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
+            if not part_cols or not _has_parquet_files(old_path):
+                # same layout-preservation rule as append(): only an empty
+                # table gets (re-)partitioned by the full write
+                self.write(
+                    apply_updates(self.read_clean(table), updates, key),
+                    table,
+                    partition=not _has_parquet_files(old_path),
+                )
+                return
+            try:
+                changed = (
+                    cur.join(updates.select(key).distinct(), key, "left_semi")
+                    .select(*part_cols)
+                    .distinct()
+                    .collect()
+                )
+                version, out = self._begin_selective_version(
+                    table, old_path, changed, part_cols
+                )
+                if changed:
+                    merged = apply_updates(
+                        cur.where(_partition_match_cond(changed, part_cols)),
+                        updates, key,
+                    )
+                    merged.write.mode("append").partitionBy(*part_cols).parquet(out)
+            except Exception:
+                if self._current_version(table) != base:
+                    continue  # conflict fallout, not a real build error
+                raise
+            with self._commit_lock(table):
+                if self._current_version(table) != base:
+                    shutil.rmtree(out, ignore_errors=True)
+                    continue
+                self._flip_and_gc(table, version)
             return
-
-        changed = (
-            cur.join(updates.select(key).distinct(), key, "left_semi")
-            .select(*part_cols)
-            .distinct()
-            .collect()
+        raise RuntimeError(
+            f"merge_updates lost the optimistic-commit race {1 + occ_retries} "
+            f"times on table {table!r}"
         )
-        version, out = self._begin_selective_version(table, old_path, changed, part_cols)
-        if changed:
-            merged = apply_updates(
-                cur.where(_partition_match_cond(changed, part_cols)), updates, key
-            )
-            merged.write.mode("append").partitionBy(*part_cols).parquet(out)
-        self._flip_and_gc(table, version)
 
     def _begin_selective_version(
         self, table: str, old_path: str, changed, part_cols: list[str]
@@ -246,13 +312,22 @@ class ParquetCatalog:
         rewrites and flips the pointer last."""
         changed_rel = {_partition_rel_dir(r, part_cols) for r in changed}
         table_dir = self._table_dir(table)
-        version = self._next_version(table)
-        out = os.path.join(table_dir, version)
-        # crash-idempotent: the pointer flips LAST, so a half-built version
-        # dir from an interrupted merge is dead weight — clear it rather than
-        # colliding with its hard links / duplicating its part files
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
+        # claim the version dir EXCLUSIVELY (atomic mkdir), bumping past any
+        # existing dir: a leftover same-numbered dir may be crash debris (GC
+        # clears it at the next flip) or a CONCURRENT writer's live build —
+        # either way, never rmtree-and-reuse it (the old behavior), which
+        # under concurrency would delete another writer's work mid-build.
+        # The pointer still flips LAST, so claimed-but-uncommitted dirs are
+        # invisible to readers.
+        n = int(self._next_version(table).split("_")[1])
+        while True:
+            version = f"v_{n}"
+            out = os.path.join(table_dir, version)
+            try:
+                os.makedirs(out)
+                break
+            except FileExistsError:
+                n += 1
         for dirpath, _dirs, files in os.walk(old_path):
             relp = os.path.relpath(dirpath, old_path)
             if relp == "." or not relp.startswith("p_"):

@@ -328,9 +328,13 @@ def merge_distinct_sketches(
 ) -> DataFrame:
     """Merge two per-group sketch tables (stored state + a new batch's
     sketches) → the same (group_cols..., sketch, approx_distinct) shape.
-    Because HLL union is associative+commutative, incremental maintenance
-    is EXACTLY full recompute: merge(build(A), build(B)) ==
-    build(A ∪ B) sketch-for-sketch — tested, not assumed."""
+    HLL union is associative+commutative, so incremental maintenance
+    carries the SAME accuracy contract as a full recompute.  In coupon
+    (exact) mode the merged sketch is bit-identical to a one-pass build —
+    merge(build(A), build(B)) == build(A ∪ B), unit-tested; once sketches
+    go dense, DataSketches' union re-estimates through its internal HLL_8
+    gadget and the two estimates agree only within sketch error (~1% at
+    lgK=12, observed at sf0.1; q145 gates a 4% bound plus 10% vs exact)."""
     cols = [*group_cols, "sketch"]
     both = stored.select(*cols).unionByName(delta.select(*cols))
     return (

@@ -7,6 +7,7 @@ import datetime as dt
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -671,3 +672,136 @@ class TestDeltaAdapter:
         kinds = {r["pid"]: r["change_type"]
                  for r in cat.changes_since("tbl", 0).collect()}
         assert kinds == {2: "update", 3: "insert", 4: "insert"}
+
+
+class TestMergeUpdatesOCC:
+    """Concurrent-commit contract (round-5 VERDICT item 6): two concurrent
+    merge_updates on one table must serialize with NEITHER update lost —
+    the pointer flip is optimistic (base-version check under the commit
+    lock) with rebuild-on-conflict, never last-writer-wins."""
+
+    def test_deterministic_conflict_rebuilds_and_keeps_both(
+        self, spark, landsat_scenes, tmp_path, monkeypatch
+    ):
+        """Deterministic interleaving: a competing merge commits in the
+        window between this writer's base-version read and its build.  The
+        loser must detect the moved pointer at flip time, throw away its
+        built version dir, and rebuild on top of the winner's commit."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=3)
+        cat.write(landsat_scenes, "landsat_scenes")  # v_0
+        competing = spark.createDataFrame(
+            [(1, 77.0)], "pid long, cloud_cover double"
+        )
+        mine = spark.createDataFrame(
+            [(2, 88.0)], "pid long, cloud_cover double"
+        )
+        orig = ParquetCatalog._begin_selective_version
+        fired = {"done": False}
+
+        def hooked(self, table, old_path, changed, part_cols):
+            if not fired["done"]:
+                fired["done"] = True
+                ParquetCatalog(
+                    spark, str(tmp_path), retain_versions=3
+                ).merge_updates("landsat_scenes", competing)
+            return orig(self, table, old_path, changed, part_cols)
+
+        monkeypatch.setattr(
+            ParquetCatalog, "_begin_selective_version", hooked
+        )
+        cat.merge_updates("landsat_scenes", mine)
+        got = {
+            r["pid"]: r["cloud_cover"]
+            for r in cat.read("landsat_scenes")
+            .where(F.col("pid").isin(1, 2)).collect()
+        }
+        assert got == {1: 77.0, 2: 88.0}          # neither commit lost
+        # winner took v_1; the loser's first build was discarded and its
+        # retry committed v_2 on top of the winner
+        assert cat._current_version("landsat_scenes") == "v_2"
+
+    def test_conflict_exhaustion_raises(
+        self, spark, landsat_scenes, tmp_path, monkeypatch
+    ):
+        """With zero retries, a detected conflict must surface as an error,
+        not silently drop either commit."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=3)
+        cat.write(landsat_scenes, "landsat_scenes")
+        competing = spark.createDataFrame(
+            [(1, 77.0)], "pid long, cloud_cover double"
+        )
+        orig = ParquetCatalog._begin_selective_version
+
+        def hooked(self, table, old_path, changed, part_cols):
+            ParquetCatalog(
+                spark, str(tmp_path), retain_versions=3
+            ).merge_updates("landsat_scenes", competing)
+            return orig(self, table, old_path, changed, part_cols)
+
+        hooked_once = {"n": 0}
+
+        def hooked_outer(self, table, old_path, changed, part_cols):
+            if hooked_once["n"] == 0:
+                hooked_once["n"] += 1
+                return hooked(self, table, old_path, changed, part_cols)
+            return orig(self, table, old_path, changed, part_cols)
+
+        monkeypatch.setattr(
+            ParquetCatalog, "_begin_selective_version", hooked_outer
+        )
+        mine = spark.createDataFrame(
+            [(2, 88.0)], "pid long, cloud_cover double"
+        )
+        with pytest.raises(RuntimeError, match="optimistic-commit"):
+            cat.merge_updates("landsat_scenes", mine, occ_retries=0)
+        # the competing commit survives untouched
+        got = {
+            r["pid"]: r["cloud_cover"]
+            for r in cat.read("landsat_scenes")
+            .where(F.col("pid") == 1).collect()
+        }
+        assert got == {1: 77.0}
+
+    def test_threaded_commits_all_land(self, spark, landsat_scenes, tmp_path):
+        """Four genuinely concurrent merge_updates (threads, shared root):
+        all four point updates must be present afterwards."""
+        import threading
+
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=6)
+        cat.write(landsat_scenes, "landsat_scenes")
+        errs = []
+
+        def work(pid):
+            try:
+                ParquetCatalog(
+                    spark, str(tmp_path), retain_versions=6
+                ).merge_updates(
+                    "landsat_scenes",
+                    spark.createDataFrame(
+                        [(pid, 10.0 + pid)], "pid long, cloud_cover double"
+                    ),
+                    occ_retries=10,
+                )
+            except Exception as exc:  # surfaced after join
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=work, args=(p,)) for p in (0, 1, 2, 3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        got = {
+            r["pid"]: r["cloud_cover"]
+            for r in cat.read("landsat_scenes")
+            .where(F.col("pid").isin(0, 1, 2, 3)).collect()
+        }
+        assert got == {0: 10.0, 1: 11.0, 2: 12.0, 3: 13.0}

@@ -6,6 +6,15 @@ and an order-insensitive value hash (strict cell equality after dtype
 normalization).  Run BEFORE committing query changes:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+``--sampled`` swaps the documents table for a DETERMINISTIC hash-sample
+(~12% of docs by a Knuth multiplicative hash of doc_id, plus 50 planted
+exact re-uploads under doc_id+10_000_000 so dedup output stays
+non-trivial; every other table passes through untouched via symlink).
+Both engines read the identical sampled parquet, so the differential
+stays exact while the 25M-pair quadratic oracles of the pairwise family
+collapse to sf0.01-like volume — this is how the full 145-query sweep
+runs at sf0.1 in minutes.
 """
 
 from __future__ import annotations
@@ -33,7 +42,9 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             out[col] = pd.to_datetime(s).astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(s):
-            out[col] = s.round(9)
+            # + 0.0 collapses IEEE signed zero (-0.0 + 0.0 == +0.0): a
+            # ~1e-12 value rounds to differently-signed zeros per engine
+            out[col] = s.round(9) + 0.0
         else:
             try:
                 if s.map(lambda v: hasattr(v, "isoformat")).any():
@@ -60,9 +71,55 @@ def first_repo_frame(exc: BaseException) -> str:
     return ""
 
 
+def prepare_sampled_dir(sf_dir: str) -> str:
+    """Build (once, cached) the deterministic-sample twin of ``sf_dir``:
+    documents hash-sampled + planted dups, every other table symlinked."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_sampled_{base}"
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = os.path.join(out, "documents.parquet")
+    if os.path.exists(dst):
+        os.remove(dst)
+    # Knuth multiplicative hash — portable integer arithmetic, no reliance
+    # on any engine's hash() stability (only the PREP uses it; both engines
+    # then read the same parquet).  ~12% keep rate: sf0.1's 5000 docs → ~600.
+    duckdb.connect().execute(f"""
+        COPY (
+            WITH s AS (
+                SELECT * FROM read_parquet('{src}')
+                WHERE (doc_id * 2654435761) % 4294967296 % 97 < 12
+            ), planted AS (
+                SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM s
+                ORDER BY doc_id LIMIT 50
+            )
+            SELECT * FROM s
+            UNION ALL
+            SELECT * FROM planted
+        ) TO '{dst}' (FORMAT PARQUET)
+    """)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        link = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), link)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    args = [a for a in sys.argv[1:] if a != "--sampled"]
+    sampled = "--sampled" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in args if not os.path.isdir(a))
+    if sampled:
+        sf_dir = prepare_sampled_dir(sf_dir)
+        print(f"sampled mode: {sf_dir}")
 
     import __spark_entry__ as E
     from eodatadown_spark.session import get_spark
