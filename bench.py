@@ -60,6 +60,79 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def e2e_pipeline_sec(spark, sf_dir: str) -> float:
+    """End-to-end state-machine wall time (VERDICT r5 item 7): the full
+    CLI lifecycle — index ingest (chknewscns) → process stage
+    (read-modify-write through the versioned catalog) → summary → obs-date
+    report — against a landsat-index-shaped view of the orders table, so
+    the M1-M6 read-modify-write overhead is tracked round-over-round, not
+    just per-query analytics."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from eodatadown_spark import pipeline, reports, queries as Q
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.sensor import get_sensor_obj
+    from eodatadown_spark.sources.index_adapters import landsat_index_scenes
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.date_format("o_orderdate", "yyyy-MM-dd")
+    dc = F.date_format("o_orderdate", "yyyyMMdd")
+    raw = orders.select(
+        F.concat(F.lit("SC_"), F.col("o_orderkey")).alias("scene_id"),
+        # field 4 (0-indexed) must be the yyyyMMdd processing date the
+        # dedup stage parses (ingest.parse_product_process_date)
+        F.concat(
+            F.lit("LC08_L1TP_001001_"), dc, F.lit("_"), dc, F.lit("_01_T1_"),
+            F.col("o_orderkey"),
+        ).alias("product_id"),
+        F.lit("LANDSAT_8").alias("spacecraft_id"),
+        F.lit("OLI_TIRS").alias("sensor_id"),
+        d.alias("date_acquired"),
+        F.concat(d, F.lit("T10:00:00.000000Z")).alias("sensing_time"),
+        F.lit("01").alias("collection_number"),
+        F.lit("T1").alias("collection_category"),
+        F.lit("L1TP").alias("data_type"),
+        (F.col("o_orderkey") % 233).cast("string").alias("wrs_path"),
+        (F.col("o_orderkey") % 248).cast("string").alias("wrs_row"),
+        (F.col("o_custkey") % 100).cast("string").alias("cloud_cover"),
+        ((F.col("o_custkey") % 80) - 30).cast("string").alias("north_lat"),
+        ((F.col("o_custkey") % 80) - 32).cast("string").alias("south_lat"),
+        ((F.col("o_orderkey") % 360) - 178).cast("string").alias("east_lon"),
+        ((F.col("o_orderkey") % 360) - 180).cast("string").alias("west_lon"),
+        F.col("o_totalprice").cast("long").cast("string").alias("total_size"),
+        F.concat(F.lit("gs://bench/"), F.col("o_orderkey")).alias("base_url"),
+    )
+    work = tempfile.mkdtemp(prefix="eodd_bench_e2e_")
+    try:
+        t0 = time.time()
+        cat = ParquetCatalog(spark, work)
+        sensor = get_sensor_obj("LandsatGOOG", cat)
+        sensor.init_sensor_db()
+        sensor.check_new_scns(landsat_index_scenes(raw))
+        catalog = cat.read_clean("landsat_scenes")
+        pipeline.scenes_need_processing(catalog).count()
+        updates = pipeline.run_scene_tasks(
+            catalog.join(
+                Q.get_scnlist_download(catalog), "pid", "left_semi"
+            ).select("pid"),
+            lambda s: {"pid": s["pid"], "downloaded": True,
+                       "download_path": f"{work}/dl/{s['pid']}"},
+            "pid long, downloaded boolean, download_path string",
+        )
+        cat.write(pipeline.apply_updates(catalog, updates), "landsat_scenes")
+        catalog = cat.read_clean("landsat_scenes")
+        reports.sensor_summary_counts(catalog).first()
+        reports.column_stats(catalog, "total_size", approx=True).first()
+        obs, _bridge = reports.build_obs_date_records(catalog, "LandsatGOOG")
+        reports.get_obs_scns(obs).count()
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -170,6 +243,8 @@ def main() -> None:
         ), 3),
     }
 
+    e2e_sec = e2e_pipeline_sec(spark, sf_dir)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     extended_payload = {
         "metric": "headline_queries_extended",
@@ -204,6 +279,7 @@ def main() -> None:
                 "queries_warm": warm,
                 "total_warm": round(sum(warm.values()), 3),
                 "ann_recall": ann_recall,
+                "e2e_pipeline_sec": e2e_sec,
                 "sf": sf_val,
             }
         )
