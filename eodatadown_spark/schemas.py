@@ -11,6 +11,7 @@ Mirrors the reference's SQLAlchemy declarative models (snake_cased):
 - obs_dates           ← EDDObsDates        (eodatadownsensor.py:53-61)
 - obs_date_scns       ← EDDObsDatesScns    (eodatadownsensor.py:63-68)
 - usage_log           ← EDDUsageLog        (eodatadownusagedb.py:46-60)
+- jaxa_sar_tiles      ← EDDJAXASARTiles    (sep_utils/CreateLclJAXAFileLst.py:9-38)
 
 JSONB columns (`extended_info`, `overviews`) are carried as JSON strings and
 queried with ``get_json_object`` — the reference's only dynamic-schema escape
@@ -175,6 +176,38 @@ ICESAT2_GRANULES = T.StructType(
     ]
 )
 
+JAXA_SAR_TILES = T.StructType(
+    [
+        _f("pid", T.LongType(), nullable=False),
+        _f("tile_name", T.StringType()),
+        _f("parent_tile", T.StringType()),
+        _f("year", T.IntegerType()),
+        _f("file_name", T.StringType()),
+        _f("server_file_path", T.StringType()),
+        _f("instrument_name", T.StringType()),
+        _f("start_date", T.TimestampType()),  # watermark / partition source
+        _f("end_date", T.TimestampType()),
+        _f("incident_angle_low", T.DoubleType()),
+        _f("incident_angle_high", T.DoubleType()),
+        *_BBOX,
+        _f("remote_url", T.StringType()),
+        _f("remote_url_md5", T.StringType()),
+        _f("total_size", T.LongType()),
+        # partial state block — the JAXA tile tracker's lifecycle stops at
+        # ARD (ref sep_utils/CreateLclJAXAFileLst.py:30-38: no archived /
+        # dcloaded / invalid / extended_info columns in its declarative_base)
+        _f("query_date", T.TimestampType()),
+        _f("download_start_date", T.TimestampType()),
+        _f("download_end_date", T.TimestampType()),
+        _f("downloaded", T.BooleanType()),
+        _f("download_path", T.StringType()),
+        _f("ardproduct_start_date", T.TimestampType()),
+        _f("ardproduct_end_date", T.TimestampType()),
+        _f("ardproduct", T.BooleanType()),
+        _f("ardproduct_path", T.StringType()),
+    ]
+)
+
 PLUGIN_RESULTS = T.StructType(
     [
         _f("scene_pid", T.LongType(), nullable=False),
@@ -245,6 +278,7 @@ SENSOR_SCHEMAS: dict[str, T.StructType] = {
     "sentinel1_scenes": SENTINEL1_SCENES,
     "gedi_granules": GEDI_GRANULES,
     "icesat2_granules": ICESAT2_GRANULES,
+    "jaxa_sar_tiles": JAXA_SAR_TILES,
 }
 
 ALL_SCHEMAS: dict[str, T.StructType] = {
@@ -267,6 +301,7 @@ INGEST_KEYS: dict[str, list[str]] = {
     "sentinel1_scenes": ["product_file_id"],
     "gedi_granules": ["file_name"],
     "icesat2_granules": ["granule_id"],
+    "jaxa_sar_tiles": ["server_file_path"],
 }
 
 # High-watermark column per sensor table (T1; SURVEY §2.9).
@@ -276,4 +311,5 @@ WATERMARK_COLS: dict[str, str] = {
     "sentinel1_scenes": "begin_position",
     "gedi_granules": "date_acquired",
     "icesat2_granules": "start_time",
+    "jaxa_sar_tiles": "start_date",
 }

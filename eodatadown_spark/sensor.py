@@ -411,12 +411,115 @@ class ICESAT2Sensor(SensorBase):
         return self.check_new_scns(merged, check_from_start)
 
 
+class JAXASARTileSensor(SensorBase):
+    """JAXA SAR annual-mosaic tile tracker — the reference keeps this as a
+    one-off script with its own declarative_base OUTSIDE the sensor
+    framework (sep_utils/CreateLclJAXAFileLst.py); here it is a sixth
+    first-class sensor built entirely from existing primitives
+    (schema-declared catalog, watermark ingest, gzip-JSON S9 codec,
+    date/tile filters)."""
+
+    table = "jaxa_sar_tiles"
+    ingest_keys = tuple(schemas.INGEST_KEYS["jaxa_sar_tiles"])
+    watermark_col = "start_date"
+    date_col = "start_date"
+    platform_col = "instrument_name"
+    dedup_key = None
+
+    # the reference's hard-coded mosaic release years (ref :45)
+    AVAIL_YEARS = (1996, 2007, 2008, 2009, 2010, 2015, 2016, 2017)
+
+    def tiles_for(
+        self,
+        years: Sequence[int] | None = None,
+        tile_names: Sequence[str] | None = None,
+        parent_tiles: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Year / tile IN-list filters (F4 over the tile catalog)."""
+        df = self.scenes()
+        if years is not None:
+            df = df.where(F.col("year").isin(list(years)))
+        if tile_names is not None:
+            df = df.where(F.col("tile_name").isin(list(tile_names)))
+        if parent_tiles is not None:
+            df = df.where(F.col("parent_tile").isin(list(parent_tiles)))
+        return df
+
+    def year_file_lists(
+        self, years: Sequence[int] | None = None
+    ) -> dict[int, list[str]]:
+        """{year: [server_file_path, ...]} — the JAXASARMosaicFiles export
+        body (ref :45-53).  Years with no tiles map to [] exactly as the
+        reference pre-seeds empty lists; per-year order is PID order (the
+        reference's query-iteration order), made deterministic with one
+        sort_array over (pid, path) structs — a single per-year aggregate,
+        no driver-side loop over years."""
+        years = list(self.AVAIL_YEARS if years is None else years)
+        rows = (
+            self.scenes()
+            .where(F.col("year").isin(years))
+            .groupBy("year")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("pid", "server_file_path"))
+                ).alias("recs")
+            )
+            .select(
+                "year",
+                F.transform("recs", lambda r: r["server_file_path"]).alias(
+                    "files"
+                ),
+            )
+            .collect()
+        )
+        got = {int(r["year"]): list(r["files"]) for r in rows}
+        return {y: got.get(y, []) for y in years}
+
+    def export_year_file_lists(
+        self, path: str, years: Sequence[int] | None = None
+    ) -> None:
+        """Gzip-JSON export of the per-year file lists (ref :57-61 writes
+        JAXASARMosaicFiles.json.gz via json.dumps + gzip)."""
+        from eodatadown_spark.functions.codecs import write_gzip_json
+
+        write_gzip_json(
+            {str(y): fl for y, fl in self.year_file_lists(years).items()}, path
+        )
+
+    def import_file_lists(self, path: str) -> int:
+        """Inverse ingest: a gzip-JSON {year: [server_file_path, ...]}
+        document (the export shape) becomes tile rows — file_name is the
+        path basename, tile_name its leading ``_`` token — and flows
+        through the standard watermark-ingest path.  start_date is pinned
+        to Jan 1 of the mosaic year (the tracker is year-granular), which
+        also feeds the catalog's p_year partitioning."""
+        import gzip as _gzip
+        import json as _json
+
+        with _gzip.open(path, "rt", encoding="utf-8") as fh:
+            payload = _json.load(fh)
+        rows = []
+        for year, files in payload.items():
+            for p in files:
+                base = p.rsplit("/", 1)[-1]
+                rows.append((base.split("_")[0], int(year), base, p))
+        incoming = self.spark.createDataFrame(
+            rows, "tile_name string, year int, file_name string, "
+                  "server_file_path string"
+        ).withColumn(
+            "start_date",
+            F.to_timestamp(F.concat(F.col("year").cast("string"), F.lit("-01-01"))),
+        ).withColumn("instrument_name", F.lit("PALSAR"))
+        return self.check_new_scns(incoming, check_from_start=True)
+
+
 SENSORS: dict[str, type[SensorBase]] = {
     "LandsatGOOG": LandsatGoogSensor,
     "Sentinel2GOOG": Sentinel2GoogSensor,
     "Sentinel1ASF": Sentinel1ASFSensor,
     "GEDI": GEDISensor,
     "ICESAT2": ICESAT2Sensor,
+    "JAXASARTiles": JAXASARTileSensor,
 }
 
 

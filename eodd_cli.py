@@ -128,6 +128,25 @@ def cmd_import(args) -> None:
     print(f"imported {cat.read_clean('landsat_scenes').count()} scenes")
 
 
+def cmd_jaxafilelist(args) -> None:
+    """CreateLclJAXAFileLst: per-year JAXA SAR mosaic file lists →
+    gzip JSON (ref sep_utils/CreateLclJAXAFileLst.py end-to-end)."""
+    from eodatadown_spark.sensor import get_sensor_obj
+
+    cat = _cat(args)
+    sensor = get_sensor_obj("JAXASARTiles", cat)
+    if not cat.exists(sensor.table):
+        sensor.init_sensor_db()
+    if args.import_json:
+        n = sensor.import_file_lists(args.import_json)
+        print(f"imported {n} tile record(s)")
+    years = (
+        [int(y) for y in args.years.split(",")] if args.years else None
+    )
+    sensor.export_year_file_lists(args.out, years)
+    print(f"wrote {args.out}")
+
+
 def cmd_gencmds(args) -> None:
     from eodatadown_spark import sinks
 
@@ -716,6 +735,12 @@ def main(argv=None) -> int:
     })
     add("report", cmd_report, **{"--out": {"default": "date_report.html"}})
     add("export", cmd_export, **{"--out": {"required": True}})
+    add("jaxafilelist", cmd_jaxafilelist, **{
+        "--out": {"required": True},
+        "--import-json": {"default": None, "dest": "import_json",
+                          "help": "ingest a gzip-JSON year→files doc first"},
+        "--years": {"default": None, "help": "comma list; ref avail_years if omitted"},
+    })
     add("import", cmd_import, **{"--infile": {"required": True},
                                  "--replace-path": {"default": None}})
     add("gencmds", cmd_gencmds, **{"--template": {"default": "eoddrun --pid {pid}"},

@@ -236,3 +236,116 @@ def test_events_ts_type_canary(spark):
     # resolves + executes (would raise AnalysisException on a direct cast)
     row = ev.select(F.col("ts").cast("timestamp").cast("double").alias("e")).first()
     assert row["e"] is not None
+
+
+class TestJAXASARTiles:
+    """Sixth sensor adapter: the reference's one-off JAXA SAR tile tracker
+    (sep_utils/CreateLclJAXAFileLst.py) — schema-declared catalog, per-year
+    file-list export in PID order with pre-seeded empty years, gzip-JSON
+    roundtrip, year/tile filters."""
+
+    @staticmethod
+    def _fixture_rows():
+        # (tile_name, parent_tile, year, file_name, server_file_path)
+        def r(tile, parent, year):
+            fn = f"{tile}_{str(year)[2:]}_MOS.tar.gz"
+            return (tile, parent, year,
+                    fn, f"/data/jaxa/{year}/{parent}/{fn}")
+        return [
+            r("N10E010", "N10E010", 1996),
+            r("N10E011", "N10E010", 1996),
+            r("N10E010", "N10E010", 2007),
+            r("N11E012", "N11E012", 2007),
+            r("N12E013", "N12E013", 2017),
+        ]
+
+    def _sensor(self, spark, tmp_path):
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.sensor import get_sensor_obj
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        sensor = get_sensor_obj("JAXASARTiles", cat)
+        sensor.init_sensor_db()
+        incoming = spark.createDataFrame(
+            self._fixture_rows(),
+            "tile_name string, parent_tile string, year int, "
+            "file_name string, server_file_path string",
+        ).withColumn(
+            "start_date",
+            F.to_timestamp(F.concat(F.col("year").cast("string"),
+                                    F.lit("-01-01"))),
+        ).withColumn("instrument_name", F.lit("PALSAR"))
+        assert sensor.check_new_scns(incoming) == 5
+        return sensor
+
+    def test_year_file_lists_parity(self, spark, tmp_path):
+        """Parity with the reference script's body: for each avail year a
+        pre-seeded list, filled with Server_File_Path in PID (insertion)
+        order — empty years PRESENT as empty lists (ref :48-53)."""
+        sensor = self._sensor(spark, tmp_path)
+        got = sensor.year_file_lists()
+        tiles = {
+            (r["year"], r["pid"]): r["server_file_path"]
+            for r in sensor.scenes().collect()
+        }
+        want = {}
+        for cyear in sensor.AVAIL_YEARS:          # ref avail_years loop
+            want[cyear] = [
+                tiles[(y, p)] for (y, p) in sorted(tiles) if y == cyear
+            ]
+        assert got == want
+        assert got[2008] == [] and len(got[1996]) == 2  # empty year kept
+
+    def test_gzip_roundtrip_and_filters(self, spark, tmp_path):
+        sensor = self._sensor(spark, tmp_path)
+        out = str(tmp_path / "JAXASARMosaicFiles.json.gz")
+        sensor.export_year_file_lists(out)
+        import gzip, json
+
+        with gzip.open(out, "rt") as fh:
+            payload = json.load(fh)
+        assert sorted(payload) == sorted(
+            str(y) for y in sensor.AVAIL_YEARS
+        )
+        assert payload["1996"] == sensor.year_file_lists()[1996]
+
+        # inverse ingest into a fresh catalog reproduces the lists
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.sensor import get_sensor_obj
+
+        cat2 = ParquetCatalog(spark, str(tmp_path / "cat2"))
+        s2 = get_sensor_obj("JAXASARTiles", cat2)
+        s2.init_sensor_db()
+        assert s2.import_file_lists(out) == 5
+        assert s2.year_file_lists() == sensor.year_file_lists()
+
+        # F4 filters over the tile catalog
+        assert sensor.tiles_for(years=[1996]).count() == 2
+        assert sensor.tiles_for(parent_tiles=["N10E010"]).count() == 3
+        assert sensor.tiles_for(
+            years=[2007], tile_names=["N11E012"]
+        ).count() == 1
+
+    def test_watermark_ingest_skips_old_years(self, spark, tmp_path):
+        """Standard T1 watermark semantics apply to the tile tracker: tiles
+        at or below the max ingested start_date (2017) are skipped, a
+        newer release year ingests."""
+        sensor = self._sensor(spark, tmp_path)
+        more = spark.createDataFrame(
+            [("N09E009", "N09E009", 2018, "N09E009_18_MOS.tar.gz",
+              "/data/jaxa/2018/N09E009/N09E009_18_MOS.tar.gz"),
+             ("N10E012", "N10E012", 1996, "N10E012_96_MOS.tar.gz",
+              "/data/jaxa/1996/N10E012/N10E012_96_MOS.tar.gz")],
+            "tile_name string, parent_tile string, year int, "
+            "file_name string, server_file_path string",
+        ).withColumn(
+            "start_date",
+            F.to_timestamp(F.concat(F.col("year").cast("string"),
+                                    F.lit("-01-01"))),
+        ).withColumn("instrument_name", F.lit("PALSAR"))
+        assert sensor.check_new_scns(more) == 1     # 1996 behind watermark
+        assert sensor.tiles_for(years=[2018]).count() == 1
+        # check_from_start bypasses the watermark (the reference's full
+        # re-scan mode) and the upsert anti-join still dedups exactly
+        assert sensor.check_new_scns(more, check_from_start=True) == 1
+        assert sensor.tiles_for(years=[1996]).count() == 3
