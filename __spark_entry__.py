@@ -1176,6 +1176,23 @@ def q145_sketch_rollup(spark, sf):
     return j.where(bad).select("month", "inc_est", "full_est", "exact")
 
 
+def q146_lsh_multiprobe(spark, sf):
+    """Similarity: MULTIPROBE LSH top-k (similarity.lsh_bucket_topk
+    n_probe=2) — each query also probes the two lowest-|margin| bit-flip
+    buckets, query side only.  The oracle recomputes the probe set
+    relationally (inlined plane literals, margin sort, xor bit flips) and
+    ranks candidates by exact cosine — proving the Catalyst probe
+    generation bit-equivalent.  cos_sim projected out (q23/q36 float
+    convention)."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_bucket_topk(emb, qs, k=3, n_planes=6, n_probe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q36_lsh_topk(spark, sf):
     """Similarity: bucketed approximate top-k, oracle-checked with inlined
     hyperplane literals.  cos_sim is projected out (as in q23): rank order is
@@ -2595,6 +2612,7 @@ QUERIES: dict[str, Callable] = {
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
     "q45_hash_split": q45_hash_split,
+    "q146_lsh_multiprobe": q146_lsh_multiprobe,
 }
 
 
@@ -2655,6 +2673,21 @@ def _hyperplane_bucket_sql(vec_expr: str, n_planes: int, dim: int, seed: int = 4
             f" THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_dots_sql(vec_expr: str, n_planes: int, dim: int, seed: int = 42) -> str:
+    """DuckDB list expression of the query's per-plane dot products against
+    the SAME deterministic hyperplane literals the engine uses — the raw
+    material the q146 oracle needs for both the base bucket and the
+    multiprobe margin sort."""
+    from eodatadown_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return "[" + ", ".join(
+        f"list_dot_product({vec_expr}, "
+        + "[" + ", ".join(repr(x) for x in p) + "])"
+        for p in planes
+    ) + "]"
 
 
 def _phash_table_sql() -> str:
@@ -3136,6 +3169,43 @@ def oracle_sql() -> dict[str, str]:
                        AS cos_sim
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
             WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+        """,
+        # q146: multiprobe LSH — dots against the inlined plane literals,
+        # base bucket from signs, probe set = base plus xor-flips of the
+        # two lowest-|margin| bits (margin sort tie-breaks by plane index,
+        # same as the engine's array_sort over (m, i) structs); candidates
+        # ranked by exact cosine.  A corpus vector sits in ONE bucket and a
+        # query's probe buckets are pairwise distinct, so the join is
+        # already duplicate-free.
+        "q146_lsh_multiprobe": f"""
+            WITH base AS (
+                SELECT vec_id AS id, embedding AS v,
+                       {_lsh_dots_sql("embedding", 6, 64)} AS dots
+                FROM embeddings
+            ), b AS (
+                SELECT id, v, dots,
+                       ({" + ".join(f"(CASE WHEN dots[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(6))})::BIGINT AS bucket
+                FROM base
+            ), probes AS (
+                SELECT id, v,
+                       unnest(list_prepend(bucket,
+                           list_transform(
+                               list_sort(list_transform(range(1, 7),
+                                   i -> {{'m': abs(dots[i]), 'i': i - 1}}
+                               ))[1:2],
+                               s -> xor(bucket, CAST(2 ** (s.i) AS BIGINT))
+                           ))) AS bucket
+                FROM b WHERE id < 5
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT p.id AS query_id, c.id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.id
+                           ORDER BY list_cosine_similarity(p.v, c.v) DESC,
+                                    c.id ASC) AS rank
+                FROM probes p JOIN b c ON p.bucket = c.bucket
+                 AND c.id <> p.id
+            ) WHERE rank <= 3
         """,
         "q36_lsh_topk": f"""
             WITH b AS (

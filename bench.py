@@ -241,6 +241,11 @@ def main() -> None:
                               n_tables=8),
             ann_exact,
         ), 3),
+        "lsh_p4_t8_mp2": round(S.topk_recall(
+            S.lsh_bucket_topk(emb, qvecs, k=10, n_planes=4, dim=64,
+                              n_tables=8, n_probe=2),
+            ann_exact,
+        ), 3),
     }
 
     e2e_sec = e2e_pipeline_sec(spark, sf_dir)

@@ -285,6 +285,7 @@ def minhash_band_index(
     num_perm: int = 32,
     bands: int = 8,
     seed: int = 42,
+    floor: bool = True,
 ) -> DataFrame:
     """The persistent half of continuous near-dup detection: the banded
     LSH index rows (id, band_idx, band_hash) for a corpus — bands narrow
@@ -295,9 +296,13 @@ def minhash_band_index(
 
     Parameters (k / num_perm / bands / seed) are part of the index
     identity — probe with the same values or collisions are meaningless.
+
+    ``floor=False`` skips the parallelism-floor probe — REQUIRED when
+    ``documents`` is a derived relation with exchanges upstream (see
+    :func:`shingle_hash_table`); leaf file scans keep the default.
     """
     sig = shingle_hash_table(
-        documents, id_col, text_col, k, distinct=False
+        documents, id_col, text_col, k, distinct=False, floor=floor
     ).withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
@@ -332,6 +337,7 @@ def minhash_neardup_against_index(
     jaccard_threshold: float = 0.7,
     seed: int = 42,
     materialize: str = "auto",
+    floor: bool = True,
 ) -> DataFrame:
     """Incremental near-dup detection: pairs (id_a, id_b, jaccard) where at
     least one side is a NEW document — new-vs-corpus and new-vs-new — by
@@ -355,7 +361,9 @@ def minhash_neardup_against_index(
     if materialize not in ("auto", "checkpoint", "local", "none"):
         raise ValueError(f"unknown materialize mode {materialize!r}")
     new_banded = _pin_mode(
-        minhash_band_index(new_docs, id_col, text_col, k, num_perm, bands, seed),
+        minhash_band_index(
+            new_docs, id_col, text_col, k, num_perm, bands, seed, floor=floor
+        ),
         materialize,
     )
     all_banded = index.select("id", "band_idx", "band_hash").unionByName(
@@ -373,7 +381,7 @@ def minhash_neardup_against_index(
         ).dropDuplicates(["id_a", "id_b"]),
         materialize,
     )
-    new_fps = shingle_hash_table(new_docs, id_col, text_col, k)
+    new_fps = shingle_hash_table(new_docs, id_col, text_col, k, floor=floor)
     all_fps = fingerprints.select("id", "hashes").unionByName(new_fps)
     out = _exact_jaccard_filter(pairs, all_fps, jaccard_threshold)
     return _pin_mode(out, materialize)
@@ -427,6 +435,7 @@ def minhash_neardup_pairs(
     materialize: str = "auto",
     candidate_salts: int | None = None,
     max_band_bucket: int | None = None,
+    floor: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
 
@@ -491,7 +500,9 @@ def minhash_neardup_pairs(
     # the classic LSH materialization point — the same relation
     # minhash_band_index persists for the incremental path.
     banded = _pin_mode(
-        minhash_band_index(documents, id_col, text_col, k, num_perm, bands, seed),
+        minhash_band_index(
+            documents, id_col, text_col, k, num_perm, bands, seed, floor=floor
+        ),
         materialize,
     )
     if max_band_bucket is not None:

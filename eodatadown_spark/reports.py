@@ -17,17 +17,28 @@ from pyspark.sql import functions as F
 
 def sensor_summary_counts(scenes: DataFrame) -> DataFrame:
     """A3 as a single pass: the six summary counts
-    (ref :2949-2954 issues six separate queries)."""
+    (ref :2949-2954 issues six separate queries).
+
+    Column-aware: a sensor with a PARTIAL state block (the JAXA tile
+    tracker stops at ARD — no invalid/dcloaded/archived) gets counts only
+    for the lifecycle columns it actually declares."""
     b = lambda c: F.sum(F.when(F.col(c) == True, 1).otherwise(0))  # noqa: E712,E731
-    return scenes.agg(
-        F.count("*").alias("n_scenes"),
-        F.sum(F.when(F.col("invalid") == False, 1).otherwise(0)).alias("n_valid"),  # noqa: E712
-        b("invalid").alias("n_invalid"),
-        b("downloaded").alias("n_downloaded"),
-        b("ardproduct").alias("n_ard"),
-        b("dcloaded").alias("n_dcloaded"),
-        b("archived").alias("n_archived"),
-    )
+    cols = set(scenes.columns)
+    aggs = [F.count("*").alias("n_scenes")]
+    if "invalid" in cols:
+        aggs.append(
+            F.sum(F.when(F.col("invalid") == False, 1).otherwise(0)).alias("n_valid")  # noqa: E712
+        )
+        aggs.append(b("invalid").alias("n_invalid"))
+    for col, name in (
+        ("downloaded", "n_downloaded"),
+        ("ardproduct", "n_ard"),
+        ("dcloaded", "n_dcloaded"),
+        ("archived", "n_archived"),
+    ):
+        if col in cols:
+            aggs.append(b(col).alias(name))
+    return scenes.agg(*aggs)
 
 
 def column_stats(

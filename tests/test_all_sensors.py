@@ -37,6 +37,11 @@ FEEDS: dict[str, list[dict]] = {
         {"granule_id": "IG1", "producer_id": "P1", "start_time": _TS,
          "product": "ATL03", "total_size": 10.0},
     ],
+    "JAXASARTiles": [
+        {"server_file_path": "/data/jaxa/2017/N10E010/N10E010_17_MOS.tar.gz",
+         "tile_name": "N10E010", "year": 2017, "start_date": _TS,
+         "instrument_name": "PALSAR", "total_size": 10},
+    ],
 }
 
 

@@ -83,3 +83,28 @@ def test_lsh_recall_floor(spark, emb_and_exact):
     )
     # 4 planes × 8 tables on structure-poor vectors (measured 0.66)
     assert r >= 0.55
+
+
+def test_lsh_multiprobe_recall_lift_and_monotone(spark, emb_and_exact):
+    """Multiprobe (lowest-|margin| bit flips, query side only) must lift
+    recall substantially over bare bucket match at the same index size,
+    and — structurally — probing more buckets only widens the candidate
+    set, so recall is monotone in n_probe."""
+    import eodatadown_spark.operators.similarity as S
+
+    emb, qs, exact = emb_and_exact
+
+    def rec(n_probe):
+        return S.topk_recall(
+            S.lsh_bucket_topk(
+                emb, qs, k=10, n_planes=4, dim=64, n_tables=8,
+                n_probe=n_probe,
+            ),
+            exact,
+        )
+
+    r0, r1, r2 = rec(0), rec(1), rec(2)
+    assert r0 <= r1 <= r2
+    # measured: 0.66 bare → 0.965 with two probes (calibrated floor below)
+    assert r2 >= 0.85
+    assert r2 >= r0 + 0.15

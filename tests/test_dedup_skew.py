@@ -222,3 +222,41 @@ def test_scaling_md_quotes_match(spark):
     this test pins the numbers the doc quotes so they cannot drift."""
     docs, n_boiler = _boiler_corpus(spark)
     assert n_boiler == 36 and n_boiler * (n_boiler - 1) // 2 == 630
+
+
+def test_floor_plumbs_through_public_minhash_entry_points(spark):
+    """Round-6 ADVICE (low): the public minhash entry points accept
+    ``floor=False`` so a caller with a DERIVED input (exchanges upstream)
+    can keep plan construction job-free — the partition-floor probe
+    materializes df.rdd, which under AQE executes upstream stages at
+    plan-build time.  Asserted directly via job-group tracking, plus
+    output identity."""
+    from eodatadown_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_neardup_pairs,
+    )
+
+    docs, _ = _boiler_corpus(spark, n_total=40)
+    derived = docs.join(docs.select("doc_id"), "doc_id")  # exchange upstream
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("floor_off_probe", "plan build must be job-free")
+    minhash_band_index(derived, floor=False)              # plan only
+    jobs_off = tracker.getJobIdsForGroup("floor_off_probe")
+    sc.setJobGroup("floor_on_probe", "the trap this guards against")
+    minhash_band_index(derived)                           # floor probe runs
+    jobs_on = tracker.getJobIdsForGroup("floor_on_probe")
+    sc.setJobGroup(None, None)
+    assert jobs_off == []          # job-free plan construction
+    assert jobs_on != []           # the default on a derived input is not
+
+    base = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_neardup_pairs(docs, materialize="none").collect()}
+    derived_out = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_neardup_pairs(
+            derived, materialize="none", floor=False
+        ).collect()
+    }
+    assert derived_out == base
