@@ -1176,6 +1176,111 @@ def q145_sketch_rollup(spark, sf):
     return j.where(bad).select("month", "inc_est", "full_est", "exact")
 
 
+def q147_quantile_sketch_rollup(spark, sf):
+    """Mergeable QUANTILE-sketch rollup gate (merge.build/
+    merge_quantile_sketches — KLL): per-month sketches of o_totalprice
+    built from two disjoint halves and MERGED; the merged sketch's median
+    estimate must sit within the KLL rank guarantee of the month's exact
+    data (|exact rank of estimate − 0.5| ≤ 0.04; measured max 0.0075 at
+    both SFs, k=200 99%-conf bound 0.0165).  Every sound month emits
+    (month, exact_median) hash-checked against the oracle's exact
+    medians — an unsound month DROPS its row and fails rows_match, so
+    the sketch gate rides the strong value oracle."""
+    from eodatadown_spark.operators.merge import (
+        build_quantile_sketches,
+        merge_quantile_sketches,
+        sketch_quantile,
+    )
+
+    orders = _t(spark, sf, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    old = build_quantile_sketches(
+        orders.where(F.col("o_orderkey") % 2 == 0), ["month"], "o_totalprice"
+    )
+    delta = build_quantile_sketches(
+        orders.where(F.col("o_orderkey") % 2 == 1), ["month"], "o_totalprice"
+    )
+    merged = merge_quantile_sketches(old, delta, ["month"])
+    est = merged.select("month", sketch_quantile("qsketch", 0.5).alias("est_med"))
+    per = (
+        orders.join(est, "month")
+        .groupBy("month")
+        .agg(
+            (
+                F.sum((F.col("o_totalprice") <= F.col("est_med")).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("est_rank"),
+            F.count(F.lit(1)).alias("n"),
+            # round to 3, not 2: the interpolated median of 2-decimal
+            # prices is an exact 3-decimal value, so both engines recover
+            # it exactly — rounding to 2 would tie-break x.xx5 midpoints
+            # differently (HALF_UP vs half-even across engines)
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 3).alias(
+                "exact_median"
+            ),
+        )
+    )
+    # + 1/n: tiny months return a discrete element whose rank can sit a
+    # full 1/n from 0.5 with the sketch in exact mode and zero error
+    return per.where(
+        F.abs(F.col("est_rank") - 0.5) <= 0.04 + 1.0 / F.col("n")
+    ).select("month", "exact_median")
+
+
+def q148_theta_setops(spark, sf):
+    """Theta-sketch SET-ALGEBRA gate (merge.build_theta_sketches): distinct
+    customers per order-year as stored theta sketches; the 1995∩1996,
+    1995∖1996 and 1995∪1996 DISTINCT counts estimated purely from sketch
+    BYTES must land within sketch tolerance of the exact set operations
+    (measured rel-err at sf0.1: 0.008 / 0.049 / 0.007; bounds 0.05 / 0.15
+    / 0.05 — intersection and difference are what HLL cannot answer).
+    Sound labels emit (label, exact_count) hash-checked against the
+    oracle's INTERSECT/EXCEPT/UNION counts; an unsound label drops its
+    row and fails rows_match."""
+    from eodatadown_spark.operators.merge import build_theta_sketches
+
+    orders = _t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    sk = build_theta_sketches(
+        orders.where(yr.isin(1995, 1996)).withColumn("yy", yr),
+        ["yy"], "o_custkey",
+    )
+    a = sk.where(F.col("yy") == 1995).select(F.col("tsketch").alias("sa"))
+    b = sk.where(F.col("yy") == 1996).select(F.col("tsketch").alias("sb"))
+    ests = a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("inter"),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias("diff"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("uni"),
+    )
+    c95 = orders.where(yr == 1995).select("o_custkey").distinct()
+    c96 = orders.where(yr == 1996).select("o_custkey").distinct()
+    exact = ests.crossJoin(
+        spark.createDataFrame(
+            [(
+                c95.intersect(c96).count(),
+                c95.exceptAll(c96).count(),
+                c95.union(c96).distinct().count(),
+            )],
+            "e_inter long, e_diff long, e_uni long",
+        )
+    )
+    def sound(label: str, est_col: str, exact_col: str, tol: float):
+        return exact.where(
+            F.abs(F.col(est_col) - F.col(exact_col))
+            / F.greatest(F.col(exact_col), F.lit(1))
+            <= tol
+        ).select(
+            F.lit(label).alias("label"), F.col(exact_col).alias("exact_count")
+        )
+
+    return (
+        sound("difference", "diff", "e_diff", 0.15)
+        .unionByName(sound("intersection", "inter", "e_inter", 0.05))
+        .unionByName(sound("union", "uni", "e_uni", 0.05))
+    )
+
+
 def q146_lsh_multiprobe(spark, sf):
     """Similarity: MULTIPROBE LSH top-k (similarity.lsh_bucket_topk
     n_probe=2) — each query also probes the two lowest-|margin| bit-flip
@@ -2613,6 +2718,8 @@ QUERIES: dict[str, Callable] = {
     "q22_fingerprint": q22_fingerprint,
     "q45_hash_split": q45_hash_split,
     "q146_lsh_multiprobe": q146_lsh_multiprobe,
+    "q147_quantile_sketch_rollup": q147_quantile_sketch_rollup,
+    "q148_theta_setops": q148_theta_setops,
 }
 
 
@@ -3169,6 +3276,31 @@ def oracle_sql() -> dict[str, str]:
                        AS cos_sim
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
             WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+        """,
+        # q147: the KLL gate's sound months carry the month's EXACT median
+        # (interpolated, the q13 percentile convention) — the oracle
+        # recomputes every exact median; a sketch violation would drop a
+        # month row and break rows_match
+        "q147_quantile_sketch_rollup": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   round(quantile_cont(o_totalprice, 0.5), 3) AS exact_median
+            FROM orders GROUP BY 1
+        """,
+        # q148: exact INTERSECT/EXCEPT/UNION distinct-customer counts —
+        # the theta gate's sound labels must reproduce them exactly
+        "q148_theta_setops": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE year(o_orderdate) = 1995),
+                 b AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE year(o_orderdate) = 1996)
+            SELECT 'difference' AS label,
+                   (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS exact_count
+            UNION ALL
+            SELECT 'intersection',
+                   (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+            UNION ALL
+            SELECT 'union',
+                   (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
         """,
         # q146: multiprobe LSH — dots against the inlined plane literals,
         # base bucket from signs, probe set = base plus xor-flips of the

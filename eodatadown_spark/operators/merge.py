@@ -344,10 +344,111 @@ def merge_distinct_sketches(
     )
 
 
+def build_quantile_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Per-group mergeable QUANTILE sketches → (group_cols..., qsketch):
+    Apache DataSketches KLL state as a binary column.
+
+    The quantile sibling of :func:`build_distinct_sketches`: exact
+    percentiles need a full sort (or all values on one reducer) every
+    time; stored KLL sketches make percentile rollups INCREMENTAL (merge
+    the new batch's sketches into stored state) and COMPOSABLE (any
+    date-range p50/p99 = merge of per-day sketches).  KLL guarantees
+    RANK error (~1.65% two-sided at k=200, 99% confidence), not value
+    error — gates should test the rank of an estimated quantile against
+    exact data, as q147 does.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(k)
+        ).alias("qsketch")
+    )
+
+
+def merge_quantile_sketches(
+    stored: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 200,
+) -> DataFrame:
+    """Merge two per-group KLL tables (stored state + a new batch) → the
+    same (group_cols..., qsketch) shape.  Merging preserves the KLL rank
+    guarantee, so incremental maintenance carries the same accuracy
+    contract as a one-pass build (compaction is randomized, so merged and
+    full sketches need not be bit-identical — both stay rank-bounded)."""
+    cols = [*group_cols, "qsketch"]
+    both = stored.select(*cols).unionByName(delta.select(*cols))
+    return both.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double("qsketch", F.lit(k)).alias("qsketch")
+    )
+
+
+def sketch_quantile(sketch: Column | str, q: float) -> Column:
+    """Estimated value at rank ``q`` from a stored KLL sketch column."""
+    return F.kll_sketch_get_quantile_double(sketch, F.lit(float(q)))
+
+
+def sketch_rank(sketch: Column | str, value: Column) -> Column:
+    """Estimated rank of ``value`` from a stored KLL sketch column."""
+    return F.kll_sketch_get_rank_double(sketch, value)
+
+
+def build_theta_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group mergeable Theta sketches → (group_cols..., tsketch,
+    approx_distinct).
+
+    Theta is the SET-ALGEBRA distinct sketch: unlike HLL it supports
+    INTERSECTION and DIFFERENCE, so stored per-period sketches answer
+    "distinct users active in January AND February" or "in January but
+    NOT February" in bytes — questions that otherwise force a re-scan
+    and a distinct-heavy join of both periods' raw data.  Union keeps
+    the ~1/sqrt(2^lg_k) relative error; intersection error grows as the
+    overlap shrinks (small intersections of large sets are the hard
+    case — gate with tolerance, as q148 does).
+    """
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.theta_sketch_agg(value_col, F.lit(lg_k)).alias("tsketch"))
+        .withColumn("approx_distinct", F.theta_sketch_estimate("tsketch"))
+    )
+
+
+def merge_theta_sketches(
+    stored: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Merge two per-group Theta tables → same shape; union is
+    associative+commutative so incremental == recompute in accuracy."""
+    cols = [*group_cols, "tsketch"]
+    both = stored.select(*cols).unionByName(delta.select(*cols))
+    return (
+        both.groupBy(*group_cols)
+        .agg(F.theta_union_agg("tsketch", F.lit(lg_k)).alias("tsketch"))
+        .withColumn("approx_distinct", F.theta_sketch_estimate("tsketch"))
+    )
+
+
 __all__ = [
     "merge_into",
     "diff_snapshots",
     "maintain_rollup",
     "build_distinct_sketches",
     "merge_distinct_sketches",
+    "build_quantile_sketches",
+    "merge_quantile_sketches",
+    "sketch_quantile",
+    "sketch_rank",
+    "build_theta_sketches",
+    "merge_theta_sketches",
 ]

@@ -1398,3 +1398,84 @@ class TestDistinctSketchRollup:
             F.count_distinct("v").alias("n")).collect()}
         for g, est in merged.items():
             assert abs(est - exact[g]) / exact[g] <= 0.05
+
+
+class TestQuantileSketchRollup:
+    def test_merged_sketch_keeps_rank_guarantee(self, spark):
+        from eodatadown_spark.operators.merge import (
+            build_quantile_sketches,
+            merge_quantile_sketches,
+            sketch_quantile,
+            sketch_rank,
+        )
+
+        rows = [(f"g{i % 2}", float(i)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        merged = merge_quantile_sketches(
+            build_quantile_sketches(df.where("v % 2 = 0"), ["g"], "v"),
+            build_quantile_sketches(df.where("v % 2 = 1"), ["g"], "v"),
+            ["g"],
+        )
+        est = {
+            r["g"]: (r["p50"], r["p99"], r["r500"])
+            for r in merged.select(
+                "g",
+                sketch_quantile("qsketch", 0.5).alias("p50"),
+                sketch_quantile("qsketch", 0.99).alias("p99"),
+                sketch_rank("qsketch", F.lit(500.0)).alias("r500"),
+            ).collect()
+        }
+        # per-group values are 0..1998 (even ids g0) / 1..1999 (g1): the
+        # KLL rank guarantee at k=200 is ~1.65%; assert 4% end to end
+        for g, (p50, p99, r500) in est.items():
+            assert abs(p50 - 1000.0) <= 0.04 * 2000
+            assert abs(p99 - 1980.0) <= 0.04 * 2000
+            assert abs(r500 - 0.25) <= 0.04
+
+    def test_quantile_estimates_within_rank_bound_vs_exact(self, spark):
+        from eodatadown_spark.operators.merge import (
+            build_quantile_sketches,
+            sketch_quantile,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        vals = [rng.lognormvariate(0, 1) for _ in range(3000)]
+        df = spark.createDataFrame([("a", v) for v in vals], "g string, v double")
+        sk = build_quantile_sketches(df, ["g"], "v")
+        for q in (0.1, 0.5, 0.9):
+            est = sk.select(sketch_quantile("qsketch", q)).first()[0]
+            rank = sum(v <= est for v in vals) / len(vals)
+            assert abs(rank - q) <= 0.04
+
+
+class TestThetaSketchSetOps:
+    def test_exact_mode_set_ops_are_exact_and_merge_matches(self, spark):
+        from eodatadown_spark.operators.merge import (
+            build_theta_sketches,
+            merge_theta_sketches,
+        )
+
+        rows = [("a", i) for i in range(300)] + [("b", i) for i in range(150, 450)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        sk = build_theta_sketches(df, ["g"], "v")
+        a = sk.where("g = 'a'").select(F.col("tsketch").alias("sa"))
+        b = sk.where("g = 'b'").select(F.col("tsketch").alias("sb"))
+        got = a.crossJoin(b).select(
+            F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("i"),
+            F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias("d"),
+            F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("u"),
+        ).first()
+        # 300-element sets sit in theta's exact (sub-sampling-free) mode
+        assert (got["i"], got["d"], got["u"]) == (150, 150, 450)
+
+        merged = {
+            r["g"]: r["approx_distinct"]
+            for r in merge_theta_sketches(
+                build_theta_sketches(df.where("v % 2 = 0"), ["g"], "v"),
+                build_theta_sketches(df.where("v % 2 = 1"), ["g"], "v"),
+                ["g"],
+            ).collect()
+        }
+        assert merged == {"a": 300, "b": 300}
