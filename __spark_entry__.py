@@ -1281,6 +1281,40 @@ def q148_theta_setops(spark, sf):
     )
 
 
+def q149_incremental_phash(spark, sf, radius=2):
+    """Incremental media dedup (multimodal.phash_neardup_against_index):
+    the corpus's banded pHash index is STORED and a new batch — q139's
+    exact re-ups (+1000) and one-pixel-noisy re-ups (+2000) — probes it,
+    hashing only the batch.  Output = pairs with ≥1 new endpoint; the
+    oracle recomputes the DCT relationally (q139's CTE) and filters the
+    naive all-pairs to new endpoints, so the hash-match proves the stored
+    index probe equals a full re-run."""
+    from eodatadown_spark.operators.multimodal import (
+        phash_index,
+        phash_neardup_against_index,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    rp = F.rpad(F.substring("text", 1, 1024), 1024, " ")
+    corpus = docs.select(
+        F.col("doc_id").alias("media_id"), rp.cast("binary").alias("payload")
+    )
+    reups = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("media_id"),
+        rp.cast("binary").alias("payload"),
+    )
+    noisy = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000).alias("media_id"),
+        F.concat(
+            F.substring(rp, 1, 16), F.lit("~"), F.substring(rp, 18, 1007)
+        ).cast("binary").alias("payload"),
+    )
+    index = phash_index(corpus, n_bands=radius + 1)
+    return phash_neardup_against_index(
+        reups.unionByName(noisy), index, radius=radius, n_bands=radius + 1
+    )
+
+
 def q146_lsh_multiprobe(spark, sf):
     """Similarity: MULTIPROBE LSH top-k (similarity.lsh_bucket_topk
     n_probe=2) — each query also probes the two lowest-|margin| bit-flip
@@ -2720,6 +2754,7 @@ QUERIES: dict[str, Callable] = {
     "q146_lsh_multiprobe": q146_lsh_multiprobe,
     "q147_quantile_sketch_rollup": q147_quantile_sketch_rollup,
     "q148_theta_setops": q148_theta_setops,
+    "q149_incremental_phash": q149_incremental_phash,
 }
 
 
@@ -5143,6 +5178,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
             FROM h a JOIN h b ON a.id < b.id
             WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        """,
+        # q149: same relational DCT as q139, naive all-pairs restricted to
+        # pairs with a NEW endpoint (new ids are +1000/+2000, corpus ids
+        # < 200, so the larger endpoint of any such pair is >= 1000) —
+        # proving the stored-index probe equals a full re-run
+        "q149_incremental_phash": f"""
+            WITH m AS (
+                SELECT doc_id AS id,
+                       rpad(substr(text, 1, 1024), 1024, ' ') AS t
+                FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT doc_id + 1000, rpad(substr(text, 1, 1024), 1024, ' ')
+                FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 2000,
+                       substr(rpad(substr(text, 1, 1024), 1024, ' '), 1, 16)
+                       || '~'
+                       || substr(rpad(substr(text, 1, 1024), 1024, ' '),
+                                 18, 1007)
+                FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+            ), d(u, i, w) AS (VALUES {_phash_table_sql()}),
+            pix AS (
+                SELECT id, CAST(p // 32 AS INT) AS i, CAST(p % 32 AS INT) AS j,
+                       CAST(ord(substr(t, CAST(p + 1 AS INT), 1)) AS BIGINT) AS v
+                FROM m, range(0, 1024) r(p)
+            ), t1 AS (
+                SELECT pix.id, d.u, pix.j, SUM(d.w * pix.v) AS s
+                FROM pix JOIN d ON d.i = pix.i GROUP BY 1, 2, 3
+            ), c AS (
+                SELECT t1.id, t1.u, d2.u AS vv, SUM(t1.s * d2.w) AS coef
+                FROM t1 JOIN d d2 ON d2.i = t1.j GROUP BY 1, 2, 3
+            ), f AS (
+                SELECT id, u * 8 + vv - 1 AS idx, coef
+                FROM c WHERE NOT (u = 0 AND vv = 0)
+            ), med AS (
+                SELECT id, coef AS m FROM (
+                    SELECT id, coef,
+                           row_number() OVER (
+                               PARTITION BY id ORDER BY coef) AS rn
+                    FROM f) WHERE rn = 32
+            ), h AS (
+                SELECT f.id,
+                       SUM(CASE WHEN f.coef > med.m
+                           THEN (CAST(1 AS BIGINT) << CAST(f.idx AS INT))
+                           ELSE 0 END) AS phash
+                FROM f JOIN med ON med.id = f.id GROUP BY 1
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM h a JOIN h b ON a.id < b.id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
+              AND b.id >= 1000
         """,
         # q140: nearest as-of — per signup the backward (max earlier) and
         # forward (min later) purchase candidates, CASE-picked by distance

@@ -365,6 +365,121 @@ def _band_slices(n_bands: int) -> list[tuple[int, int]]:
     return out
 
 
+def _phash_hashed(
+    media: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """(id, phash) via one Arrow mapInPandas pass over non-NULL payloads."""
+    import pandas as pd
+
+    id_type = dict(media.dtypes)[id_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [phash64(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return ensure_min_parallelism(
+        media.select(id_col, payload_col)
+        # failed-fetch rows (NULL payload) have no content to hash —
+        # skip them instead of dying on bytes(None) inside the kernel
+        .where(F.col(payload_col).isNotNull())
+    ).mapInPandas(kernel, f"`{id_col}` {id_type}, phash long")
+
+
+def _phash_banded(hashed: DataFrame, n_bands: int) -> DataFrame:
+    """Explode (id, phash) into (id, phash, d, chunk) band rows — the
+    JVM-side bit-slice banding shared by the one-shot and incremental
+    paths."""
+    return hashed.select(
+        F.col(hashed.columns[0]).alias("id"),
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(
+                        f"(phash >> {off}) & {(1 << w) - 1}"
+                    ).alias("chunk"),
+                )
+                for d, (off, w) in enumerate(_band_slices(n_bands))
+            ])
+        ).alias("b"),
+    ).select("id", "phash", "b.d", "b.chunk")
+
+
+def phash_index(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_bands: int = 4,
+) -> DataFrame:
+    """The PERSISTENT half of continuous media dedup: banded pHash index
+    rows (id, phash, d, chunk) for a corpus — n_bands narrow rows per
+    media item, the relation :func:`phash_neardup_against_index` probes
+    with each new batch.  Store it in a catalog table and append each
+    batch's own rows to keep it current (the minhash_band_index pattern,
+    ref dedup.py).  ``n_bands`` is part of the index identity — probe
+    with the same value, and keep ``radius < n_bands`` for the
+    pigeonhole guarantee."""
+    return _phash_banded(_phash_hashed(media, id_col, payload_col), n_bands)
+
+
+def phash_neardup_against_index(
+    new_media: DataFrame,
+    index: DataFrame,
+    radius: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental media near-dup: (id_a, id_b, hamming) pairs with at
+    least one NEW endpoint — new-vs-corpus and new-vs-new — by probing a
+    STORED banded index instead of re-hashing the corpus.
+
+    Per batch the work is the new payloads' DCT hash (Arrow pass over the
+    batch only) plus an equi-join of the new band rows against the index
+    on (d, chunk); the 100 TB media corpus is touched only through index
+    rows sharing a band bucket with the batch.  Output equals running
+    :func:`phash_neardup_pairs` over old ∪ new and keeping pairs with a
+    new endpoint (pigeonhole-exact for ``radius < n_bands``) — q149
+    proves it against the naive all-pairs oracle.
+    """
+    if not 0 <= radius < n_bands:
+        raise ValueError(
+            "radius must be < n_bands: the pigeonhole guarantee needs "
+            "more chunks than differing bits"
+        )
+    new_banded = _phash_banded(
+        _phash_hashed(new_media, id_col, payload_col), n_bands
+    )
+    all_banded = index.select("id", "phash", "d", "chunk").unionByName(
+        new_banded
+    )
+    cand = (
+        new_banded.alias("l")
+        .join(all_banded.alias("r"), ["d", "chunk"])
+        .where(F.col("l.id") != F.col("r.id"))
+        .select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+            F.least("l.phash", "r.phash").alias("__pa"),
+            F.greatest("l.phash", "r.phash").alias("__pb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("__pa ^ __pb")).cast("int")
+        )
+        .where(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def phash_neardup_pairs(
     media: DataFrame,
     radius: int = 3,
@@ -400,43 +515,7 @@ def phash_neardup_pairs(
         )
     if n_bands > PHASH_BITS:
         raise ValueError("n_bands cannot exceed the 63 hash bits")
-    import pandas as pd
-
-    id_type = dict(media.dtypes)[id_col]
-
-    def kernel(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "phash": [phash64(bytes(p)) for p in pdf[payload_col]],
-                }
-            )
-
-    hashed = (
-        ensure_min_parallelism(
-            media.select(id_col, payload_col)
-            # failed-fetch rows (NULL payload) have no content to hash —
-            # skip them instead of dying on bytes(None) inside the kernel
-            .where(F.col(payload_col).isNotNull())
-        )
-        .mapInPandas(kernel, f"`{id_col}` {id_type}, phash long")
-    )
-    bands = hashed.select(
-        F.col(id_col).alias("id"),
-        "phash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    F.expr(
-                        f"(phash >> {off}) & {(1 << w) - 1}"
-                    ).alias("chunk"),
-                )
-                for d, (off, w) in enumerate(_band_slices(n_bands))
-            ])
-        ).alias("b"),
-    ).select("id", "phash", "b.d", "b.chunk")
+    bands = _phash_banded(_phash_hashed(media, id_col, payload_col), n_bands)
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["d", "chunk"])

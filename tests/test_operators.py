@@ -1757,3 +1757,49 @@ def test_mmr_accepts_ann_shortlist(spark):
     for qid, ids in got.items():
         assert len(ids) == 3
         assert ids <= short_ids[qid]  # selection ⊆ the ANN shortlist
+
+
+def test_phash_incremental_index_matches_full_run(spark):
+    """Stored-index probe parity: phash_neardup_against_index(new, index)
+    must equal phash_neardup_pairs(old ∪ new) restricted to pairs with a
+    new endpoint — new-vs-corpus AND new-vs-new."""
+    from eodatadown_spark.operators.multimodal import (
+        phash_index,
+        phash_neardup_against_index,
+        phash_neardup_pairs,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    corpus_payloads = {i: rng.randint(0, 256, 1024, dtype=np.uint8)
+                       for i in range(6)}
+    new_payloads = {}
+    for i in range(3):                      # noisy twins of corpus items
+        tw = corpus_payloads[i].copy()
+        tw[7 * i] = (int(tw[7 * i]) + 4) % 256
+        new_payloads[100 + i] = tw
+    new_payloads[110] = new_payloads[100].copy()   # new-vs-new exact dup
+    new_payloads[111] = rng.randint(0, 256, 1024, dtype=np.uint8)  # novel
+
+    mk = lambda d: spark.createDataFrame(
+        [(i, bytearray(p.tobytes())) for i, p in d.items()],
+        "media_id long, payload binary",
+    )
+    corpus, new = mk(corpus_payloads), mk(new_payloads)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_against_index(
+            new, phash_index(corpus, n_bands=4), radius=3, n_bands=4
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(
+            corpus.unionByName(new), radius=3, n_bands=4
+        ).collect()
+        if r["id_b"] >= 100
+    }
+    assert got == want
+    assert (100, 110) in got               # new-vs-new surfaces
+    assert any(a < 100 for a, _ in got)    # new-vs-corpus surfaces
