@@ -2611,7 +2611,7 @@ QUERIES: dict[str, Callable] = {
     "q03_bbox_overlap": q03_bbox_overlap,
     "q04_watermark_incremental": q04_watermark_incremental,
     "q05_inlist_month": q05_inlist_month,
-    "q06_dup_detect": q06_dup_detect,
+    "q146_lsh_multiprobe": q146_lsh_multiprobe,
     "q07_keep_latest": q07_keep_latest,
     "q08_anti_join": q08_anti_join,
     "q09_semi_join": q09_semi_join,
@@ -2630,7 +2630,7 @@ QUERIES: dict[str, Callable] = {
     "q134_mmr_rerank": q134_mmr_rerank,
     "q23_cosine_topk": q23_cosine_topk,
     "q24_minhash_neardup": q24_minhash_neardup,
-    "q87_source_set_ops": q87_source_set_ops,
+    "q148_theta_setops": q148_theta_setops,
     "q26_window_rollup": q26_window_rollup,
     "q96_sole_late_supplier": q96_sole_late_supplier,
     "q121_cluster_reps": q121_cluster_reps,
@@ -2638,9 +2638,9 @@ QUERIES: dict[str, Callable] = {
     "q139_phash_neardup": q139_phash_neardup,
     "q31_topk_per_group": q31_topk_per_group,
     "q107_semantic_dedup": q107_semantic_dedup,
-    "q92_snapshot_diff": q92_snapshot_diff,
+    "q149_incremental_phash": q149_incremental_phash,
     "q94_zorder_layout": q94_zorder_layout,
-    "q35_embedding_neardup": q35_embedding_neardup,
+    "q147_quantile_sketch_rollup": q147_quantile_sketch_rollup,
     "q108_rrf_fusion": q108_rrf_fusion,
     "q37_cube_rollup": q37_cube_rollup,
     "q122_fuzzy_blocking": q122_fuzzy_blocking,
@@ -2751,10 +2751,10 @@ QUERIES: dict[str, Callable] = {
     "q14_union_distinct": q14_union_distinct,
     "q22_fingerprint": q22_fingerprint,
     "q45_hash_split": q45_hash_split,
-    "q146_lsh_multiprobe": q146_lsh_multiprobe,
-    "q147_quantile_sketch_rollup": q147_quantile_sketch_rollup,
-    "q148_theta_setops": q148_theta_setops,
-    "q149_incremental_phash": q149_incremental_phash,
+    "q06_dup_detect": q06_dup_detect,
+    "q35_embedding_neardup": q35_embedding_neardup,
+    "q87_source_set_ops": q87_source_set_ops,
+    "q92_snapshot_diff": q92_snapshot_diff,
 }
 
 
