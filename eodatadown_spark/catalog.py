@@ -178,12 +178,21 @@ class ParquetCatalog:
     def _flip_and_gc(self, table: str, version: str) -> None:
         """Atomic pointer flip + GC of versions beyond the retention window.
 
-        Retention ranks only versions AT OR BELOW the new pointer; dirs
-        above it are crash debris from interrupted writes and are deleted
-        outright — were they ranked, an orphan v_9 would count as "newest"
-        and push the genuinely readable previous version out of the window.
+        Retention ranks only versions that were ever COMMITTED — i.e. at
+        or below the pointer being replaced — plus the new version.  Dirs
+        ABOVE the new pointer are crash debris from interrupted writes,
+        and (since the exclusive version-dir claim of round 7) dirs
+        strictly BETWEEN the previous pointer and the new one are
+        claimed-but-never-committed debris too: a crashed writer's
+        claimed dir, or a concurrent loser's build (which rebuilds via
+        its conflict retry).  Both classes are deleted outright — were
+        they ranked, an orphan would consume a retention slot and push a
+        genuinely readable old version out of the window, breaking lazy
+        readers.
         """
         table_dir = self._table_dir(table)
+        prev = self._current_version(table)
+        prev_v = int(prev.split("_")[1]) if prev else -1
         tmp_pointer = os.path.join(table_dir, _CURRENT + ".tmp")
         with open(tmp_pointer, "w", encoding="utf-8") as fh:
             fh.write(version)
@@ -191,9 +200,11 @@ class ParquetCatalog:
         new_v = int(version.split("_")[1])
         on_disk = self._versions_on_disk(table)
         stale = [v for v in on_disk if v > new_v]  # crash debris
-        stale += sorted((v for v in on_disk if v <= new_v), reverse=True)[
-            self.retain_versions :
-        ]
+        stale += [v for v in on_disk if prev_v < v < new_v]  # unclaimed debris
+        committed = sorted(
+            (v for v in on_disk if v <= prev_v), reverse=True
+        )
+        stale += committed[max(self.retain_versions - 1, 0):]
         for stale_v in stale:
             shutil.rmtree(os.path.join(table_dir, f"v_{stale_v}"), ignore_errors=True)
 

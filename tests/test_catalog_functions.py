@@ -805,3 +805,26 @@ class TestMergeUpdatesOCC:
             .where(F.col("pid").isin(0, 1, 2, 3)).collect()
         }
         assert got == {0: 10.0, 1: 11.0, 2: 12.0, 3: 13.0}
+
+
+def test_gc_ignores_unclaimed_debris_below_new_version(spark, landsat_scenes, tmp_path):
+    """A crashed writer's CLAIMED-but-never-committed version dir (below
+    the next commit's number, above the previous pointer) must not
+    consume a retention slot: with the round-7 exclusive claim, the next
+    commit skips past such debris, and ranking it would push the
+    genuinely readable previous version out of the window."""
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path), retain_versions=2)
+    cat.write(landsat_scenes, "landsat_scenes")              # v_0 committed
+    # simulate a writer that claimed v_1 and died mid-build
+    os.makedirs(os.path.join(str(tmp_path), "landsat_scenes", "v_1"))
+    cat.merge_updates(
+        "landsat_scenes",
+        spark.createDataFrame([(0, 41.0)], "pid long, cloud_cover double"),
+    )
+    # the merge claimed v_2 (bumping past the debris); after its commit
+    # the debris is gone, v_0 stays readable, pointer is v_2
+    assert cat.list_versions("landsat_scenes") == [0, 2]
+    assert cat._current_version("landsat_scenes") == "v_2"
+    assert cat.read_version("landsat_scenes", 0).count() == 7
