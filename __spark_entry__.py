@@ -1315,6 +1315,38 @@ def q149_incremental_phash(spark, sf, radius=2):
     )
 
 
+def q150_incremental_clusters(spark, sf):
+    """Incremental cluster maintenance (dedup.update_clusters): stored
+    near-dup cluster assignments are updated with a new batch's
+    pairs-with-a-new-endpoint, re-resolving ONLY touched components (old
+    connectivity carried by star edges, untouched clusters copied through
+    frozen).  Labels are min-ids, so the incremental result must EXACTLY
+    equal a full recompute over the whole old∪new corpus — which is what
+    the oracle does with a recursive CTE (q50's components over the union
+    corpus).  New batch = every seventh doc re-uploaded verbatim under
+    doc_id+100000; output = q50's multi-member-cluster shape."""
+    docs = _t(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    old_assign = D.neardup_clusters(docs, threshold=0.5)
+    all_docs = docs.select("doc_id", "text").unionByName(new)
+    new_pairs = D.jaccard_prefix_pairs(
+        all_docs, threshold=0.5, materialize="none"
+    ).where(F.col("id_b") >= 100000)
+    updated = D.update_clusters(
+        old_assign, new_pairs, new_docs=new.select("doc_id")
+    )
+    sizes = updated.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        updated.join(sizes, "cluster_id")
+        .where(F.col("n_members") > 1)
+        .select("doc_id", "cluster_id", "is_canonical", "n_members")
+    )
+
+
 def q146_lsh_multiprobe(spark, sf):
     """Similarity: MULTIPROBE LSH top-k (similarity.lsh_bucket_topk
     n_probe=2) — each query also probes the two lowest-|margin| bit-flip
@@ -2755,6 +2787,7 @@ QUERIES: dict[str, Callable] = {
     "q35_embedding_neardup": q35_embedding_neardup,
     "q87_source_set_ops": q87_source_set_ops,
     "q92_snapshot_diff": q92_snapshot_diff,
+    "q150_incremental_clusters": q150_incremental_clusters,
 }
 
 
@@ -3556,6 +3589,52 @@ def oracle_sql() -> dict[str, str]:
         # q50: connected components over the exact-Jaccard pair graph via a
         # recursive CTE (min reachable id ≡ the min-label fixed point the
         # Spark propagation loop converges to).
+        # q150: FULL recompute over the old ∪ new corpus — the incremental
+        # star-edge update must hash-match it exactly (labels are min-ids)
+        "q150_incremental_clusters": """
+            WITH RECURSIVE m AS (
+                SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents
+                WHERE doc_id % 7 = 0
+            ), sh AS (
+                SELECT id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM m
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                      / len(list_distinct(list_cat(a.shingles, b.shingles))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT id, id FROM m
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ), comp AS (
+                SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ), sizes AS (
+                SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY 1
+            )
+            SELECT comp.doc_id, comp.cluster_id,
+                   comp.doc_id = comp.cluster_id AS is_canonical,
+                   sizes.n_members
+            FROM comp JOIN sizes USING (cluster_id)
+            WHERE sizes.n_members > 1
+        """,
         "q50_neardup_clusters": """
             WITH RECURSIVE sh AS (
                 SELECT doc_id AS id,

@@ -935,6 +935,20 @@ def neardup_clusters(
     labels = _pin(
         documents.select(F.col(id_col).alias("id")).withColumn("lbl", F.col("id"))
     )
+    labels = _min_label_components(labels, edges, max_iter)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("id")).alias("is_canonical"),
+    )
+
+
+def _min_label_components(
+    labels: DataFrame, edges: DataFrame, max_iter: int
+) -> DataFrame:
+    """Min-label propagation to a fixed point over (id, lbl) / (src, dst)
+    — the shared core of :func:`neardup_clusters` and
+    :func:`update_clusters`; raises loudly on non-convergence."""
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     converged = False
     for _ in range(max_iter):
@@ -960,14 +974,82 @@ def neardup_clusters(
         # silent truncation would split one true component into several
         # clusters and keep extra "canonicals" — fail loudly instead
         raise RuntimeError(
-            f"neardup_clusters did not converge in {max_iter} rounds; a "
+            f"label propagation did not converge in {max_iter} rounds; a "
             "component's diameter exceeds max_iter — raise max_iter for "
             "long-chain duplicate families"
         )
-    return labels.select(
-        F.col("id").alias("doc_id"),
+    return labels
+
+
+def update_clusters(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    new_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental cluster maintenance: fold a new batch's near-dup pairs
+    into STORED cluster assignments, re-resolving only the components the
+    batch touches → the same (doc_id, cluster_id, is_canonical) shape.
+
+    The continuous-dedup tail: :func:`minhash_neardup_against_index` (or
+    :func:`..multimodal.phash_neardup_against_index`) yields the batch's
+    pairs-with-a-new-endpoint; this folds them into the stored
+    assignment table without re-walking the corpus graph:
+
+    - clusters with NO endpoint in the batch are copied through frozen —
+      at 100 TB the overwhelming majority; the work is proportional to
+      the touched components, not the corpus;
+    - old connectivity inside touched clusters is carried by STAR EDGES
+      (member → its stored cluster_id), which reproduce each old
+      component exactly without storing the original pair set;
+    - min-label propagation over star ∪ new edges then yields labels
+      IDENTICAL to a full recompute over (all old pairs ∪ new pairs),
+      because labels are min-ids and star edges preserve connectivity —
+      deterministic, so q150 hash-checks incremental == full recompute.
+
+    ``new_docs`` (optional, (id_col)-shaped) registers batch documents
+    with no pairs so they surface as singleton clusters.
+    """
+    touched = new_pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("__tid")
+    ).distinct()
+    if new_docs is not None:
+        touched = touched.unionByName(
+            new_docs.select(F.col(id_col).alias("__tid"))
+        ).distinct()
+    touched = _pin(touched)
+    affected = (
+        assignments.join(touched, F.col(id_col) == F.col("__tid"), "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = assignments.join(affected, "cluster_id", "left_semi")
+    frozen = assignments.join(affected, "cluster_id", "left_anti")
+    star = members.where(F.col(id_col) != F.col("cluster_id")).select(
+        F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    pairs = star.unionByName(new_pairs.select("id_a", "id_b"))
+    edges = _pin(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    nodes = (
+        members.select(F.col(id_col).alias("id"))
+        .unionByName(touched.select(F.col("__tid").alias("id")))
+        .distinct()
+    )
+    labels = _min_label_components(
+        _pin(nodes.withColumn("lbl", F.col("id"))), edges, max_iter
+    )
+    resolved = labels.select(
+        F.col("id").alias(id_col),
         F.col("lbl").alias("cluster_id"),
         (F.col("lbl") == F.col("id")).alias("is_canonical"),
+    )
+    return frozen.select(id_col, "cluster_id", "is_canonical").unionByName(
+        resolved
     )
 
 

@@ -1803,3 +1803,33 @@ def test_phash_incremental_index_matches_full_run(spark):
     assert got == want
     assert (100, 110) in got               # new-vs-new surfaces
     assert any(a < 100 for a, _ in got)    # new-vs-corpus surfaces
+
+
+def test_update_clusters_incremental_equals_full(spark):
+    """Star-edge incremental cluster maintenance == full recompute: new
+    pairs bridge two OLD clusters and attach a new doc; untouched
+    clusters pass through frozen; pairless new docs become singletons."""
+    from eodatadown_spark.operators.dedup import update_clusters
+
+    # stored assignments: {1,2} (min 1), {5,6} (min 5), {9} singleton
+    assignments = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (5, 5, True), (6, 5, False),
+         (9, 9, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    # batch: doc 100 pairs with 2 AND 6 (bridges the two clusters),
+    # doc 200 arrives pairless
+    new_pairs = spark.createDataFrame(
+        [(2, 100), (6, 100)], "id_a long, id_b long"
+    )
+    new_docs = spark.createDataFrame([(100,), (200,)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in update_clusters(assignments, new_pairs, new_docs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 5: (1, False), 6: (1, False),
+        100: (1, False),          # the bridge merges {1,2}∪{5,6}∪{100}
+        9: (9, True),             # untouched cluster frozen
+        200: (200, True),         # pairless new doc → singleton
+    }
