@@ -2646,7 +2646,7 @@ QUERIES: dict[str, Callable] = {
     "q146_lsh_multiprobe": q146_lsh_multiprobe,
     "q07_keep_latest": q07_keep_latest,
     "q08_anti_join": q08_anti_join,
-    "q09_semi_join": q09_semi_join,
+    "q150_incremental_clusters": q150_incremental_clusters,
     "q10_revenue_by_nation": q10_revenue_by_nation,
     "q128_ewma": q128_ewma,
     "q53_contamination": q53_contamination,
@@ -2787,7 +2787,7 @@ QUERIES: dict[str, Callable] = {
     "q35_embedding_neardup": q35_embedding_neardup,
     "q87_source_set_ops": q87_source_set_ops,
     "q92_snapshot_diff": q92_snapshot_diff,
-    "q150_incremental_clusters": q150_incremental_clusters,
+    "q09_semi_join": q09_semi_join,
 }
 
 
