@@ -1329,11 +1329,18 @@ def q150_incremental_clusters(spark, sf):
     new = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    old_assign = D.neardup_clusters(docs, threshold=0.5)
+    # the stored baseline: pair detection via the prefix-filtered exact
+    # join (identical output to the naive quadratic path, oracle-proven
+    # by q131 — at sf0.1's 5000 docs the naive path alone is ~2 min)
+    old_assign = D.neardup_clusters(
+        docs,
+        pairs=D.jaccard_prefix_pairs(docs, threshold=0.5),
+        threshold=0.5,
+    )
     all_docs = docs.select("doc_id", "text").unionByName(new)
-    new_pairs = D.jaccard_prefix_pairs(
-        all_docs, threshold=0.5, materialize="none"
-    ).where(F.col("id_b") >= 100000)
+    new_pairs = D.jaccard_prefix_pairs(all_docs, threshold=0.5).where(
+        F.col("id_b") >= 100000
+    )
     updated = D.update_clusters(
         old_assign, new_pairs, new_docs=new.select("doc_id")
     )

@@ -53,6 +53,11 @@ EXTENDED = [
     "q126_transitions",
     "q131_prefix_jaccard",
     "q134_mmr_rerank",
+    # round-7 operators
+    "q139_phash_neardup",
+    "q146_lsh_multiprobe",
+    "q149_incremental_phash",
+    "q150_incremental_clusters",
 ]
 
 

@@ -1011,6 +1011,10 @@ def update_clusters(
     ``new_docs`` (optional, (id_col)-shaped) registers batch documents
     with no pairs so they surface as singleton clusters.
     """
+    # pin the batch pair set ONCE: it is referenced by the touched-node
+    # explode and twice by the symmetric edge union — an unpinned caller
+    # plan (e.g. a prefix-join pipeline) would re-execute per reference
+    new_pairs = _pin(new_pairs.select("id_a", "id_b"))
     touched = new_pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("__tid")
     ).distinct()
