@@ -293,3 +293,28 @@ def test_runtime_bloom_filter_injection(entry_spark):
             old_app)
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", old_cr)
+
+
+def test_q146_multiprobe_single_bucket_exchange(entry_spark):
+    """Multiprobe probe-set generation is pure Catalyst on the broadcast
+    query side: the plan carries ONE exchange (the bucket equi-join's
+    corpus side never shuffles beyond it) and a broadcast join."""
+    df = E.queries()["q146_lsh_multiprobe"](entry_spark, SF)
+    assert audit.exchange_count(df) <= 2
+    assert "BroadcastHashJoin" in (audit.join_strategies(df) or {})
+
+
+def test_q149_incremental_phash_broadcast_probe(entry_spark):
+    """The new-batch band rows probe the index through a broadcast hash
+    join (batch side small by construction); one exchange for the pair
+    dedup."""
+    df = E.queries()["q149_incremental_phash"](entry_spark, SF)
+    assert audit.exchange_count(df) <= 2
+    assert "BroadcastHashJoin" in (audit.join_strategies(df) or {})
+
+
+def test_q147_sketch_rollup_bounded_exchanges(entry_spark):
+    """KLL build + merge + exact-median verify: each groupBy is one
+    partial→final exchange; no join-induced extra shuffles."""
+    df = E.queries()["q147_quantile_sketch_rollup"](entry_spark, SF)
+    assert audit.exchange_count(df) <= 3
