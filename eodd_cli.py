@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import base64
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -145,6 +146,85 @@ def cmd_jaxafilelist(args) -> None:
     )
     sensor.export_year_file_lists(args.out, years)
     print(f"wrote {args.out}")
+
+
+def cmd_dedupindex(args) -> None:
+    """Continuous-dedup lifecycle as a CLI: --build stores the banded
+    MinHash index + shingle fingerprints + cluster assignments (versioned
+    ParquetCatalog tables, atomic flips); --probe checks a new batch
+    against the stored index WITHOUT re-banding the corpus, and --apply
+    additionally folds the batch in — update_clusters re-resolves only
+    touched components, and the batch's own index/fingerprint rows append
+    so the next probe sees it.  One JSON stats line per invocation."""
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.operators import dedup as D
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    cat = ParquetCatalog(spark, args.index_dir)
+    meta_path = os.path.join(args.index_dir, "dedup_meta.json")
+    if args.build:
+        params = {
+            "k": args.k, "num_perm": args.num_perm, "bands": args.bands,
+            "threshold": args.jaccard,
+        }
+        docs = spark.read.parquet(args.build)
+        index = D.minhash_band_index(
+            docs, k=params["k"], num_perm=params["num_perm"],
+            bands=params["bands"],
+        )
+        fps = D.shingle_hash_table(docs, k=params["k"])
+        pairs = D.minhash_neardup_pairs(
+            docs, k=params["k"], num_perm=params["num_perm"],
+            bands=params["bands"], jaccard_threshold=params["threshold"],
+        )
+        clusters = D.neardup_clusters(
+            docs, pairs=pairs.select("id_a", "id_b")
+        )
+        cat.write(index, "band_index", partition=False)
+        cat.write(fps, "fingerprints", partition=False)
+        cat.write(clusters, "clusters", partition=False)
+        os.makedirs(args.index_dir, exist_ok=True)
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            json.dump(params, fh)
+        print(json.dumps({
+            "built": True, "docs": docs.count(),
+            "clusters": clusters.where(F.col("is_canonical")).count(),
+            **params,
+        }))
+        return
+    with open(meta_path, encoding="utf-8") as fh:
+        params = json.load(fh)
+    batch = spark.read.parquet(args.probe)
+    index = cat.read("band_index")
+    fps = cat.read("fingerprints")
+    pairs = D.minhash_neardup_against_index(
+        batch, index, fps, k=params["k"], num_perm=params["num_perm"],
+        bands=params["bands"], jaccard_threshold=params["threshold"],
+    ).localCheckpoint()
+    stats = {"batch_docs": batch.count(), "new_pairs": pairs.count()}
+    if args.apply:
+        clusters = cat.read("clusters")
+        updated = D.update_clusters(
+            clusters, pairs.select("id_a", "id_b"),
+            new_docs=batch.select("doc_id"),
+        )
+        cat.write(updated, "clusters", partition=False)
+        cat.write(
+            index.unionByName(D.minhash_band_index(
+                batch, k=params["k"], num_perm=params["num_perm"],
+                bands=params["bands"],
+            )),
+            "band_index", partition=False,
+        )
+        cat.write(
+            fps.unionByName(D.shingle_hash_table(batch, k=params["k"])),
+            "fingerprints", partition=False,
+        )
+        stats["clusters"] = cat.read("clusters").where(
+            F.col("is_canonical")).count()
+        stats["applied"] = True
+    print(json.dumps(stats))
 
 
 def cmd_gencmds(args) -> None:
@@ -735,6 +815,18 @@ def main(argv=None) -> int:
     })
     add("report", cmd_report, **{"--out": {"default": "date_report.html"}})
     add("export", cmd_export, **{"--out": {"required": True}})
+    sp = sub.add_parser("dedupindex")
+    sp.add_argument("--index-dir", required=True, dest="index_dir")
+    sp.add_argument("--build", default=None, help="corpus parquet to index")
+    sp.add_argument("--probe", default=None, help="new-batch parquet")
+    sp.add_argument("--apply", action="store_true",
+                    help="fold the probed batch into the stored state")
+    sp.add_argument("--jaccard", type=float, default=0.7)
+    sp.add_argument("--k", type=int, default=3)
+    sp.add_argument("--num-perm", type=int, default=32, dest="num_perm")
+    sp.add_argument("--bands", type=int, default=8)
+    sp.set_defaults(fn=cmd_dedupindex)
+
     add("jaxafilelist", cmd_jaxafilelist, **{
         "--out": {"required": True},
         "--import-json": {"default": None, "dest": "import_json",

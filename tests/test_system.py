@@ -566,3 +566,56 @@ def test_cli_dataprep_prefix_strategy(spark, tmp_path, capsys):
     assert stats["after_neardup"] == 2
     cleaned = spark.read.parquet(out)
     assert sorted(r["doc_id"] for r in cleaned.collect()) == [1, 4]
+
+
+def test_cli_dedupindex_lifecycle(spark, tmp_path, capsys):
+    """dedupindex CLI: --build stores index/fingerprints/clusters; --probe
+    finds a batch's pairs against the STORED index; --apply folds the
+    batch in so the final assignments equal a from-scratch rebuild over
+    the whole corpus."""
+    import eodd_cli
+    from eodatadown_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    corpus_rows = [
+        (1, base),
+        (2, base + "edited"),               # near-dup of 1
+        (3, "a perfectly unique document about the weather today and "
+            "tomorrow with plenty of words"),
+    ]
+    batch_rows = [
+        (100, base),                        # dups into cluster {1,2}
+        (101, "an entirely novel payload document with its own words "
+              "unlike anything stored before now"),
+    ]
+    src = str(tmp_path / "corpus")
+    bsrc = str(tmp_path / "batch")
+    idx = str(tmp_path / "dedup_idx")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(src)
+    spark.createDataFrame(batch_rows, "doc_id long, text string").write.parquet(bsrc)
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--build", src,
+                   "--jaccard", "0.5"])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["docs"] == 3 and built["clusters"] == 2  # {1,2} and {3}
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", bsrc,
+                   "--apply"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["batch_docs"] == 2 and stats["new_pairs"] >= 2
+    assert stats["applied"] and stats["clusters"] == 3  # {1,2,100},{3},{101}
+
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in ParquetCatalog(spark, idx).read("clusters").collect()
+    }
+    all_docs = spark.createDataFrame(
+        corpus_rows + batch_rows, "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.neardup_clusters(all_docs, threshold=0.5).collect()
+    }
+    assert got == want  # incremental apply == from-scratch rebuild
