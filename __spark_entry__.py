@@ -1354,6 +1354,23 @@ def q150_incremental_clusters(spark, sf):
     )
 
 
+def q151_sq8_topk(spark, sf):
+    """Similarity: SQ8 scalar-quantized top-3 (similarity.sq8_topk) — int8
+    codes (1 byte/dim) scanned for a dequantized-cosine shortlist, exact
+    rerank on the raw vectors.  The oracle reproduces the ENTIRE path
+    relationally in DuckDB: per-dim min/max training, floor(x+0.5) encode
+    (no banker's rounding — the cross-engine trap), dequantize, shortlist
+    rank, exact rerank.  Integer codes are bit-exact cross-engine; ranks
+    only in the output (q23 float convention)."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.sq8_topk(emb, qs, k=3, shortlist=25).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q146_lsh_multiprobe(spark, sf):
     """Similarity: MULTIPROBE LSH top-k (similarity.lsh_bucket_topk
     n_probe=2) — each query also probes the two lowest-|margin| bit-flip
@@ -2795,6 +2812,7 @@ QUERIES: dict[str, Callable] = {
     "q87_source_set_ops": q87_source_set_ops,
     "q92_snapshot_diff": q92_snapshot_diff,
     "q09_semi_join": q09_semi_join,
+    "q151_sq8_topk": q151_sq8_topk,
 }
 
 
@@ -3412,6 +3430,51 @@ def oracle_sql() -> dict[str, str]:
                                     c.id ASC) AS rank
                 FROM probes p JOIN b c ON p.bucket = c.bucket
                  AND c.id <> p.id
+            ) WHERE rank <= 3
+        """,
+        # q151: SQ8 scalar quantization replayed relationally end-to-end —
+        # per-dim min/max train, floor(x+0.5) integer encode (bit-exact
+        # cross-engine), dequantize, shortlist by dequantized cosine, exact
+        # rerank.  Ranks only in the output (q23 float convention); the
+        # integer codes and the dequantized doubles are IDENTICAL in both
+        # engines, so shortlist membership cannot drift.
+        "q151_sq8_topk": """
+            WITH dims AS (
+                SELECT pos,
+                       CAST(min(v) AS DOUBLE) AS mn,
+                       CASE WHEN max(v) > min(v)
+                            THEN (CAST(max(v) AS DOUBLE) - CAST(min(v) AS DOUBLE)) / 255.0
+                            ELSE 1.0 END AS st
+                FROM (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS pos
+                      FROM embeddings)
+                GROUP BY pos
+            ), sc AS (
+                SELECT list(mn ORDER BY pos) AS mins,
+                       list(st ORDER BY pos) AS steps
+                FROM dims
+            ), deq AS (
+                SELECT vec_id, embedding,
+                       list_transform(embedding, (x, i) ->
+                           mins[i] + CAST(LEAST(255, GREATEST(0,
+                               CAST(FLOOR((CAST(x AS DOUBLE) - mins[i]) / steps[i] + 0.5) AS INTEGER)
+                           )) AS DOUBLE) * steps[i]) AS dv
+                FROM embeddings, sc
+            ), short AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       q.embedding AS qemb, c.embedding AS cemb,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, c.dv) DESC,
+                                    c.vec_id ASC) AS srank
+                FROM embeddings q, deq c
+                WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY list_cosine_similarity(qemb, cemb) DESC,
+                                    neighbor_id ASC) AS rank
+                FROM short WHERE srank <= 25
             ) WHERE rank <= 3
         """,
         "q36_lsh_topk": f"""

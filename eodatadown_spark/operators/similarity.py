@@ -697,6 +697,144 @@ def ivf_pq_topk(
     return _topk_tail(_score_pairs(short), k)
 
 
+def sq8_train(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension ``(mins, steps)`` for 8-bit scalar quantization (SQ8).
+
+    The trained scalars are the per-dimension min and ``(max-min)/255`` —
+    order-independent aggregates, so the training pass is one shuffle of
+    ``dim`` rows regardless of corpus size, and the result is bit-identical
+    to any other engine computing min/max over the same floats (the q151
+    oracle recomputes them relationally in DuckDB).  Degenerate constant
+    dimensions get step=1.0 so encode never divides by zero.
+
+    Collect is bounded by construction: ``dim`` rows (one per vector
+    position), never corpus-sized.
+    """
+    stats = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    if not stats:
+        raise ValueError("corpus is empty")
+    mins = [float(r["mn"]) for r in stats]
+    steps = [
+        ((float(r["mx"]) - float(r["mn"])) / 255.0) if r["mx"] > r["mn"] else 1.0
+        for r in stats
+    ]
+    return mins, steps
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: list[float],
+    steps: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "sq8_codes",
+) -> DataFrame:
+    """Encode vectors to SQ8 codes: ``code_i = clamp(round((x_i-min_i)/step_i))``
+    stored shifted by -128 as ``array<tinyint>`` — 1 byte/dim vs 8 for
+    doubles, the storage-compression tier between raw floats and PQ.
+
+    Pure projection (two ``zip_with`` passes against literal scalar arrays,
+    whole-stage codegen, no join/shuffle).  Rounding is ``floor(x + 0.5)``
+    — identical semantics in every ANSI engine, unlike banker's rounding —
+    so codes are reproducible cross-engine (memory: round-half-even is a
+    known Spark↔DuckDB hash-mismatch trap).
+    """
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    st = F.array(*[F.lit(float(v)) for v in steps])
+    centered = F.zip_with(F.col(vec_col), mn, lambda x, m: x - m)
+    code = F.zip_with(
+        centered,
+        st,
+        lambda d, s: F.least(
+            F.lit(255), F.greatest(F.lit(0), F.floor(d / s + F.lit(0.5)).cast("int"))
+        )
+        - F.lit(128),
+    )
+    return df.withColumn(out_col, code.cast("array<tinyint>"))
+
+
+def sq8_dequantize(
+    codes: Column | str, mins: list[float], steps: list[float]
+) -> Column:
+    """Reconstruct ``array<double>`` from SQ8 codes: ``min_i + code_i*step_i``."""
+    c = F.col(codes) if isinstance(codes, str) else codes
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    st = F.array(*[F.lit(float(v)) for v in steps])
+    widened = F.zip_with(c, st, lambda ci, s: (ci.cast("int") + F.lit(128)) * s)
+    return F.zip_with(widened, mn, lambda w, m: w + m)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    scalars: tuple[list[float], list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    two_phase: bool = False,
+) -> DataFrame:
+    """SQ8-compressed cosine top-k: scan dequantized int8 codes for a
+    shortlist, exactly rerank the shortlist with the raw vectors.
+
+    The scale story is bandwidth, not FLOPs: at 100 TB the embedding table
+    is read from storage 8× smaller (1 byte/dim), and only the ``shortlist``
+    rows per query ever touch the full-precision column (in a real layout
+    the raw vectors live in a separate parquet column/file, so the rerank
+    is a narrow self-join — here both columns ride the same scan).  Queries
+    broadcast; the corpus side never shuffles — identical plan shape to
+    :func:`cosine_topk` with a shortlist window between scan and rerank.
+
+    Output: (query_id, neighbor_id, rank, cos_sim), same contract as the
+    rest of the family.  Recall@k is gated in tests and tracked in the
+    bench ``ann_recall`` block; the q151 oracle reproduces the ENTIRE path
+    (min/max training, floor-rounding encode, dequantized shortlist, exact
+    rerank) relationally in DuckDB and hash-matches.
+    """
+    mins, steps = scalars if scalars is not None else sq8_train(corpus, vec_col)
+    enc = sq8_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        mins,
+        steps,
+        "__cv",
+        "__codes",
+    )
+    deq = enc.withColumn("__dv", sq8_dequantize("__codes", mins, steps)).withColumn(
+        "__dn", l2_norm(F.col("__dv"))
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__aprx").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        deq.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__aprx",
+            F.try_divide(dot(F.col("__qv"), F.col("__dv")), F.col("__qn") * F.col("__dn")),
+        )
+        .where(F.col("__aprx").isNotNull())
+        .withColumn("__srank", F.row_number().over(w))
+        .where(F.col("__srank") <= shortlist)
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+    )
+    return _topk_tail(_score_pairs(short), k, two_phase=two_phase)
+
+
 def rrf_fuse(
     runs: list[DataFrame],
     k: int = 60,
