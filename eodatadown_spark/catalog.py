@@ -158,10 +158,17 @@ class ParquetCatalog:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lock) > steal_after:
-                        os.rmdir(lock)
+                        # steal by ATOMIC RENAME to a unique name — exactly
+                        # one stealer wins the rename; an rmdir here could
+                        # delete a FRESH lock recreated by another stealer
+                        # between our getmtime and the rmdir, letting two
+                        # writers into the commit section at once
+                        stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                        os.rename(lock, stale)
+                        shutil.rmtree(stale, ignore_errors=True)
                         continue
                 except OSError:
-                    continue  # lock vanished between probe and stat
+                    continue  # lock vanished / another stealer won the rename
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"catalog commit lock busy for table {table!r}"
@@ -208,22 +215,73 @@ class ParquetCatalog:
         for stale_v in stale:
             shutil.rmtree(os.path.join(table_dir, f"v_{stale_v}"), ignore_errors=True)
 
-    def write(self, df: DataFrame, table: str, partition: bool = True) -> None:
-        """Atomically replace `table` with `df` (new version dir + pointer flip)."""
+    def _claim_version(self, table: str) -> tuple[str, str]:
+        """Claim the next version dir EXCLUSIVELY via atomic ``mkdir``,
+        bumping past any existing dir: a leftover same-numbered dir may be
+        crash debris (GC clears it at the next flip) or a CONCURRENT
+        writer's live build — either way, never rmtree-and-reuse it, which
+        under concurrency would delete another writer's work mid-build.
+        The pointer always flips LAST (and under :meth:`_commit_lock`), so
+        claimed-but-uncommitted dirs are invisible to readers."""
         table_dir = self._table_dir(table)
         os.makedirs(table_dir, exist_ok=True)
-        version = self._next_version(table)
-        out = os.path.join(table_dir, version)
+        n = int(self._next_version(table).split("_")[1])
+        while True:
+            version = f"v_{n}"
+            out = os.path.join(table_dir, version)
+            try:
+                os.makedirs(out)
+                return version, out
+            except FileExistsError:
+                n += 1
 
-        writer = df.write.mode("overwrite")
-        part_src = PARTITION_SOURCE.get(table)
-        if partition and part_src is not None and part_src in df.columns:
-            df = df.withColumn("p_year", F.year(F.col(part_src)))
-            if self.partition_monthly:
-                df = df.withColumn("p_month", F.month(F.col(part_src)))
-            writer = df.write.mode("overwrite").partitionBy(*self._part_cols)
-        writer.parquet(out)
-        self._flip_and_gc(table, version)
+    def _write_version(
+        self, df: DataFrame, table: str, partition: bool = True
+    ) -> tuple[str, str]:
+        """Materialize ``df`` into a freshly CLAIMED (exclusive) version dir
+        without flipping the pointer; the caller commits under
+        :meth:`_commit_lock`.  Writes with mode('append') into the empty
+        claimed dir — mode('overwrite') would momentarily DELETE the dir,
+        releasing the exclusivity the atomic-mkdir claim just bought.
+        A failed build removes its claimed dir (no orphan v_N debris)."""
+        version, out = self._claim_version(table)
+        try:
+            part_src = PARTITION_SOURCE.get(table)
+            writer = df.write.mode("append")
+            if partition and part_src is not None and part_src in df.columns:
+                df = df.withColumn("p_year", F.year(F.col(part_src)))
+                if self.partition_monthly:
+                    df = df.withColumn("p_month", F.month(F.col(part_src)))
+                writer = df.write.mode("append").partitionBy(*self._part_cols)
+            writer.parquet(out)
+        except Exception:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+        return version, out
+
+    def _commit_if_base(self, table: str, version: str, out: str,
+                        base: str | None) -> bool:
+        """Flip the pointer to ``version`` under the commit lock IF the
+        pointer still names ``base`` (optimistic-concurrency check); on a
+        moved pointer the built dir is discarded and False returned so the
+        caller can rebuild from the winner's commit."""
+        with self._commit_lock(table):
+            if self._current_version(table) != base:
+                shutil.rmtree(out, ignore_errors=True)
+                return False
+            self._flip_and_gc(table, version)
+        return True
+
+    def write(self, df: DataFrame, table: str, partition: bool = True) -> None:
+        """Atomically replace `table` with `df` (new version dir + pointer
+        flip).  The version dir is claimed exclusively (atomic mkdir) and
+        the flip happens under the commit lock, so a full replace can race
+        concurrent merges without clobbering their claimed builds — the
+        replace itself is intentionally last-writer-wins (it does not
+        derive from the previous contents, so there is no base to check)."""
+        version, out = self._write_version(df, table, partition)
+        with self._commit_lock(table):
+            self._flip_and_gc(table, version)
 
     def merge_updates(
         self, table: str, updates: DataFrame, key: str = "pid",
@@ -249,7 +307,10 @@ class ParquetCatalog:
         pointer moved meanwhile (then it is conflict fallout — e.g. the
         winner's GC collected our base or claimed dir — and retries).
 
-        Falls back to a full versioned write for unpartitioned tables.
+        Unpartitioned tables take a full (non-selective) rewrite but run the
+        SAME optimistic protocol — base-checked flip under the commit lock,
+        rebuild-on-conflict — so e.g. two concurrent dedupindex merges never
+        lose each other's updates.
         """
         from eodatadown_spark.pipeline import apply_updates
 
@@ -275,13 +336,26 @@ class ParquetCatalog:
             part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
             if not part_cols or not _has_parquet_files(old_path):
                 # same layout-preservation rule as append(): only an empty
-                # table gets (re-)partitioned by the full write
-                self.write(
-                    apply_updates(self.read_clean(table), updates, key),
-                    table,
-                    partition=not _has_parquet_files(old_path),
-                )
-                return
+                # table gets (re-)partitioned by the full write.  This path
+                # still runs the FULL OCC protocol (unlike a plain write()):
+                # the merged frame derives from the base contents, so two
+                # concurrent merges on an unpartitioned table (e.g. the
+                # dedupindex tables) must never both flip over the same base
+                # — the loser rebuilds from the winner's commit.
+                try:
+                    version, out = self._write_version(
+                        apply_updates(self.read_clean(table), updates, key),
+                        table,
+                        partition=not _has_parquet_files(old_path),
+                    )
+                except Exception:
+                    if self._current_version(table) != base:
+                        continue  # conflict fallout, not a real build error
+                    raise
+                if self._commit_if_base(table, version, out, base):
+                    return
+                continue
+            out = None
             try:
                 changed = (
                     cur.join(updates.select(key).distinct(), key, "left_semi")
@@ -299,15 +373,16 @@ class ParquetCatalog:
                     )
                     merged.write.mode("append").partitionBy(*part_cols).parquet(out)
             except Exception:
+                # remove the claimed dir before retrying/raising — leaving it
+                # would orphan a v_N that survives until a later commit's GC
+                # and inflates subsequent claim numbering meanwhile
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
                 if self._current_version(table) != base:
                     continue  # conflict fallout, not a real build error
                 raise
-            with self._commit_lock(table):
-                if self._current_version(table) != base:
-                    shutil.rmtree(out, ignore_errors=True)
-                    continue
-                self._flip_and_gc(table, version)
-            return
+            if self._commit_if_base(table, version, out, base):
+                return
         raise RuntimeError(
             f"merge_updates lost the optimistic-commit race {1 + occ_retries} "
             f"times on table {table!r}"
@@ -322,35 +397,24 @@ class ParquetCatalog:
         Returns (version, out_dir); the caller appends changed-partition
         rewrites and flips the pointer last."""
         changed_rel = {_partition_rel_dir(r, part_cols) for r in changed}
-        table_dir = self._table_dir(table)
-        # claim the version dir EXCLUSIVELY (atomic mkdir), bumping past any
-        # existing dir: a leftover same-numbered dir may be crash debris (GC
-        # clears it at the next flip) or a CONCURRENT writer's live build —
-        # either way, never rmtree-and-reuse it (the old behavior), which
-        # under concurrency would delete another writer's work mid-build.
-        # The pointer still flips LAST, so claimed-but-uncommitted dirs are
-        # invisible to readers.
-        n = int(self._next_version(table).split("_")[1])
-        while True:
-            version = f"v_{n}"
-            out = os.path.join(table_dir, version)
-            try:
-                os.makedirs(out)
-                break
-            except FileExistsError:
-                n += 1
-        for dirpath, _dirs, files in os.walk(old_path):
-            relp = os.path.relpath(dirpath, old_path)
-            if relp == "." or not relp.startswith("p_"):
-                continue
-            if not any(f.endswith(".parquet") for f in files):
-                continue  # intermediate level
-            if relp.replace(os.sep, "/") in changed_rel:
-                continue
-            dst = os.path.join(out, relp)
-            os.makedirs(dst, exist_ok=True)
-            for fname in files:
-                os.link(os.path.join(dirpath, fname), os.path.join(dst, fname))
+        version, out = self._claim_version(table)
+        try:
+            for dirpath, _dirs, files in os.walk(old_path):
+                relp = os.path.relpath(dirpath, old_path)
+                if relp == "." or not relp.startswith("p_"):
+                    continue
+                if not any(f.endswith(".parquet") for f in files):
+                    continue  # intermediate level
+                if relp.replace(os.sep, "/") in changed_rel:
+                    continue
+                dst = os.path.join(out, relp)
+                os.makedirs(dst, exist_ok=True)
+                for fname in files:
+                    os.link(os.path.join(dirpath, fname), os.path.join(dst, fname))
+        except Exception:
+            # a failed link phase must not orphan the claimed dir
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         return version, out
 
     def merge_into(
@@ -364,6 +428,7 @@ class ParquetCatalog:
         when_not_matched_insert=True,
         insert_condition=None,
         validate_unique_source: bool = True,
+        occ_retries: int = 5,
     ) -> None:
         """Transactional MERGE INTO the catalog table — the Delta/Iceberg
         MERGE operation on the versioned-parquet layout, partition-selective.
@@ -382,6 +447,11 @@ class ParquetCatalog:
         Same crash posture as every write: version dir builds fully, pointer
         flips last.  Updating the partition-source date column is rejected
         (a partition-moving update needs a full write()).
+
+        CONCURRENCY: same optimistic protocol as :meth:`merge_updates` —
+        the merged frame derives from the base version, so the pointer flip
+        is base-checked under the commit lock and a lost race rebuilds from
+        the winner's commit (up to ``occ_retries`` times).
         """
         from eodatadown_spark.operators.merge import merge_into as _merge_df
 
@@ -393,116 +463,156 @@ class ParquetCatalog:
                     f"merge_into cannot update partition-source columns {sorted(forbidden)}; "
                     "use write() for partition-moving rewrites"
                 )
-        cur = self.read(table)
-        part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
-        old_path = self.data_path(table)
-        if not part_cols or not _has_parquet_files(old_path):
-            merged = _merge_df(
-                self.read_clean(table), source, on,
-                when_matched_update, update_condition, when_matched_delete,
-                when_not_matched_insert, insert_condition, validate_unique_source,
-            )
-            # layout-preservation rule shared with append()/merge_updates()
-            self.write(merged, table, partition=not _has_parquet_files(old_path))
-            return
-
-        target_cols = [c for c in cur.columns if c not in part_cols]
-        # validate BEFORE any filesystem work: an abort below this point
-        # would leave a fully-built orphan version dir
-        if when_not_matched_insert and (part_src is None or part_src not in target_cols):
-            raise ValueError(
-                f"cannot derive partitions for inserts: {table!r} has no "
-                "partition-source column; use an unpartitioned table"
-            )
-        cur_keys = cur.select(*on).distinct()
-        # split ONCE: matched source drives the partition rewrite, unmatched
-        # source appends — merging only the changed-partition subset would
-        # otherwise misclassify out-of-subset matches as inserts
-        matched_src = source.join(cur_keys, on, "left_semi")
-        insert_src = source.join(cur_keys, on, "left_anti")
-
-        has_matched_clause = bool(when_matched_update) or when_matched_delete is not None
-        if has_matched_clause:
-            changed = (
-                cur.join(matched_src.select(*on).distinct(), on, "left_semi")
-                .select(*part_cols)
-                .distinct()
-                .collect()
-            )
-        else:
-            changed = []
-            if validate_unique_source:
-                # the matched-partition merge (which carries the distributed
-                # ANSI guard) is skipped entirely, so check here that no
-                # target key matches two source rows
-                dup = (
-                    matched_src.groupBy(*on)
-                    .count()
-                    .where(F.col("count") > 1)
-                    .limit(1)
-                    .collect()
+        for _attempt in range(1 + occ_retries):
+            base = self._current_version(table)
+            cur = self.read(table)
+            part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
+            old_path = self.data_path(table)
+            if not part_cols or not _has_parquet_files(old_path):
+                merged = _merge_df(
+                    self.read_clean(table), source, on,
+                    when_matched_update, update_condition, when_matched_delete,
+                    when_not_matched_insert, insert_condition, validate_unique_source,
                 )
-                if dup:
-                    raise ValueError(
-                        "merge_into: multiple source rows matched target key "
-                        f"({', '.join(str(dup[0][k]) for k in on)})"
+                try:
+                    # layout-preservation rule shared with append()/merge_updates()
+                    version, out = self._write_version(
+                        merged, table, partition=not _has_parquet_files(old_path)
                     )
+                except Exception:
+                    if self._current_version(table) != base:
+                        continue  # conflict fallout, not a real build error
+                    raise
+                if self._commit_if_base(table, version, out, base):
+                    return
+                continue
 
-        version, out = self._begin_selective_version(table, old_path, changed, part_cols)
+            target_cols = [c for c in cur.columns if c not in part_cols]
+            # validate BEFORE any filesystem work: an abort below this point
+            # would leave a fully-built orphan version dir
+            if when_not_matched_insert and (part_src is None or part_src not in target_cols):
+                raise ValueError(
+                    f"cannot derive partitions for inserts: {table!r} has no "
+                    "partition-source column; use an unpartitioned table"
+                )
+            out = None
+            try:
+                cur_keys = cur.select(*on).distinct()
+                # split ONCE: matched source drives the partition rewrite,
+                # unmatched source appends — merging only the
+                # changed-partition subset would otherwise misclassify
+                # out-of-subset matches as inserts
+                matched_src = source.join(cur_keys, on, "left_semi")
+                insert_src = source.join(cur_keys, on, "left_anti")
 
-        def derive_parts(df: DataFrame) -> DataFrame:
-            df = df.withColumn("p_year", F.year(F.col(part_src)))
-            if "p_month" in part_cols:
-                df = df.withColumn("p_month", F.month(F.col(part_src)))
-            return df
-
-        if changed:
-            target_sub = cur.where(_partition_match_cond(changed, part_cols)).select(
-                *target_cols
-            )
-            merged = _merge_df(
-                target_sub, matched_src, on,
-                when_matched_update, update_condition, when_matched_delete,
-                False, None, validate_unique_source,
-            )
-            derive_parts(merged).write.mode("append").partitionBy(*part_cols).parquet(out)
-
-        if when_not_matched_insert:
-            # evaluate the condition / mapping against a frame that ALSO
-            # carries the target columns (all NULL) under alias 't', so an
-            # insert clause referencing t.<col> NULL-evaluates exactly as it
-            # does against operators.merge.merge_into's full-outer frame —
-            # without this, the same merge_into call would raise
-            # AnalysisException only on partitioned layouts.  A left join on
-            # a False condition against an empty build side is a no-op plan
-            # (BroadcastNestedLoopJoin with zero build rows).
-            t_nulls = cur.select(*target_cols).limit(0)
-            ins = insert_src.alias("s").join(t_nulls.alias("t"), F.lit(False), "left")
-            if insert_condition is not None:
-                ins = ins.where(F.coalesce(insert_condition, F.lit(False)))
-            # column routing mirrors operators.merge.merge_into exactly:
-            # a mapping is authoritative for non-key columns (absent ones
-            # become NULL, not source values); key columns always come from
-            # the source; insert-all mode takes same-named source columns
-            cols = []
-            for c in target_cols:
-                if c in on:
-                    val = F.col(f"s.{c}")
-                elif isinstance(when_not_matched_insert, Mapping):
-                    val = when_not_matched_insert.get(c)
-                    if val is None:
-                        val = F.lit(None)
-                elif c in source.columns:
-                    val = F.col(f"s.{c}")
+                has_matched_clause = (
+                    bool(when_matched_update) or when_matched_delete is not None
+                )
+                if has_matched_clause:
+                    changed = (
+                        cur.join(matched_src.select(*on).distinct(), on, "left_semi")
+                        .select(*part_cols)
+                        .distinct()
+                        .collect()
+                    )
                 else:
-                    val = F.lit(None)
-                cols.append(val.cast(cur.schema[c].dataType).alias(c))
-            ins = ins.select(*cols)
-            derive_parts(ins).write.mode("append").partitionBy(*part_cols).parquet(out)
+                    changed = []
+                    if validate_unique_source:
+                        # the matched-partition merge (which carries the
+                        # distributed ANSI guard) is skipped entirely, so check
+                        # here that no target key matches two source rows
+                        dup = (
+                            matched_src.groupBy(*on)
+                            .count()
+                            .where(F.col("count") > 1)
+                            .limit(1)
+                            .collect()
+                        )
+                        if dup:
+                            raise ValueError(
+                                "merge_into: multiple source rows matched target key "
+                                f"({', '.join(str(dup[0][k]) for k in on)})"
+                            )
 
-        self._flip_and_gc(table, version)
+                version, out = self._begin_selective_version(
+                    table, old_path, changed, part_cols
+                )
 
-    def append(self, table: str, rows: DataFrame) -> None:
+                def derive_parts(df: DataFrame) -> DataFrame:
+                    df = df.withColumn("p_year", F.year(F.col(part_src)))
+                    if "p_month" in part_cols:
+                        df = df.withColumn("p_month", F.month(F.col(part_src)))
+                    return df
+
+                if changed:
+                    target_sub = cur.where(
+                        _partition_match_cond(changed, part_cols)
+                    ).select(*target_cols)
+                    merged = _merge_df(
+                        target_sub, matched_src, on,
+                        when_matched_update, update_condition, when_matched_delete,
+                        False, None, validate_unique_source,
+                    )
+                    derive_parts(merged).write.mode("append").partitionBy(
+                        *part_cols
+                    ).parquet(out)
+
+                if when_not_matched_insert:
+                    # evaluate the condition / mapping against a frame that ALSO
+                    # carries the target columns (all NULL) under alias 't', so an
+                    # insert clause referencing t.<col> NULL-evaluates exactly as it
+                    # does against operators.merge.merge_into's full-outer frame —
+                    # without this, the same merge_into call would raise
+                    # AnalysisException only on partitioned layouts.  A left join on
+                    # a False condition against an empty build side is a no-op plan
+                    # (BroadcastNestedLoopJoin with zero build rows).
+                    t_nulls = cur.select(*target_cols).limit(0)
+                    ins = insert_src.alias("s").join(
+                        t_nulls.alias("t"), F.lit(False), "left"
+                    )
+                    if insert_condition is not None:
+                        ins = ins.where(F.coalesce(insert_condition, F.lit(False)))
+                    # column routing mirrors operators.merge.merge_into exactly:
+                    # a mapping is authoritative for non-key columns (absent ones
+                    # become NULL, not source values); key columns always come from
+                    # the source; insert-all mode takes same-named source columns
+                    cols = []
+                    for c in target_cols:
+                        if c in on:
+                            val = F.col(f"s.{c}")
+                        elif isinstance(when_not_matched_insert, Mapping):
+                            val = when_not_matched_insert.get(c)
+                            if val is None:
+                                val = F.lit(None)
+                        elif c in source.columns:
+                            val = F.col(f"s.{c}")
+                        else:
+                            val = F.lit(None)
+                        cols.append(val.cast(cur.schema[c].dataType).alias(c))
+                    ins = ins.select(*cols)
+                    derive_parts(ins).write.mode("append").partitionBy(
+                        *part_cols
+                    ).parquet(out)
+            except ValueError:
+                # deterministic user/validation error (e.g. the duplicate-
+                # source guard) — never conflict fallout; clean up the claim
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                raise
+            except Exception:
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                if self._current_version(table) != base:
+                    continue  # conflict fallout, not a real build error
+                raise
+            if self._commit_if_base(table, version, out, base):
+                return
+        raise RuntimeError(
+            f"merge_into lost the optimistic-commit race {1 + occ_retries} "
+            f"times on table {table!r}"
+        )
+
+    def append(self, table: str, rows: DataFrame, occ_retries: int = 5) -> None:
         """Append-only fast path: hard-link EVERY existing partition into a
         new version and add the new rows as extra files in their derived
         partitions — no join, no rewrite, no shuffle of existing data.
@@ -511,43 +621,74 @@ class ParquetCatalog:
         an anti-join the caller already ran, or an event log); use
         ``merge_into`` when dedup/upsert semantics are needed — append does
         NOT check for key collisions.  Same pointer-flip-last crash posture
-        as every write.
+        as every write, and the same optimistic-commit protocol as
+        :meth:`merge_updates`: the new version hard-links the BASE version's
+        files, so flipping over a concurrently-moved pointer would silently
+        drop that commit — instead the loser re-links from the winner.
         """
-        cur = self.read(table)
-        part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
-        old_path = self.data_path(table)
-        # cast incoming rows to the table schema up front (as the merge_into
-        # insert path does) — appending rows with their incoming dtypes
-        # would otherwise put mixed-schema parquet files (int32 next to
-        # int64) inside one partition, failing or coercing on later reads
-        rows = rows.select(
-            *[F.col(c).cast(cur.schema[c].dataType).alias(c)
-              for c in cur.columns if c not in part_cols]
+        incoming = rows
+        for _attempt in range(1 + occ_retries):
+            base = self._current_version(table)
+            cur = self.read(table)
+            part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
+            old_path = self.data_path(table)
+            # cast incoming rows to the table schema up front (as the
+            # merge_into insert path does) — appending rows with their
+            # incoming dtypes would otherwise put mixed-schema parquet files
+            # (int32 next to int64) inside one partition, failing or
+            # coercing on later reads
+            rows = incoming.select(
+                *[F.col(c).cast(cur.schema[c].dataType).alias(c)
+                  for c in cur.columns if c not in part_cols]
+            )
+            if not part_cols or not _has_parquet_files(old_path):
+                base_df = self.read_clean(table)
+                # an EMPTY table takes the standard layout; a table that HAS
+                # data but no partition dirs was deliberately written flat —
+                # preserve that rather than silently re-partitioning it
+                try:
+                    version, out = self._write_version(
+                        base_df.unionByName(rows.select(*base_df.columns)),
+                        table,
+                        partition=not _has_parquet_files(old_path),
+                    )
+                except Exception:
+                    if self._current_version(table) != base:
+                        continue  # conflict fallout, not a real build error
+                    raise
+                if self._commit_if_base(table, version, out, base):
+                    return
+                continue
+            part_src = PARTITION_SOURCE.get(table)
+            if part_src is None:
+                raise ValueError(
+                    f"cannot derive partitions for appended rows: {table!r} has "
+                    "no partition-source column"
+                )
+            out = None
+            try:
+                version, out = self._begin_selective_version(
+                    table, old_path, [], part_cols
+                )
+                target_cols = [c for c in cur.columns if c not in part_cols]
+                df = rows.select(*target_cols).withColumn(
+                    "p_year", F.year(F.col(part_src))
+                )
+                if "p_month" in part_cols:
+                    df = df.withColumn("p_month", F.month(F.col(part_src)))
+                df.write.mode("append").partitionBy(*part_cols).parquet(out)
+            except Exception:
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                if self._current_version(table) != base:
+                    continue  # conflict fallout, not a real build error
+                raise
+            if self._commit_if_base(table, version, out, base):
+                return
+        raise RuntimeError(
+            f"append lost the optimistic-commit race {1 + occ_retries} "
+            f"times on table {table!r}"
         )
-        if not part_cols or not _has_parquet_files(old_path):
-            base = self.read_clean(table)
-            # an EMPTY table takes the standard layout; a table that HAS
-            # data but no partition dirs was deliberately written flat —
-            # preserve that rather than silently re-partitioning it
-            self.write(
-                base.unionByName(rows.select(*base.columns)),
-                table,
-                partition=not _has_parquet_files(old_path),
-            )
-            return
-        part_src = PARTITION_SOURCE.get(table)
-        if part_src is None:
-            raise ValueError(
-                f"cannot derive partitions for appended rows: {table!r} has "
-                "no partition-source column"
-            )
-        version, out = self._begin_selective_version(table, old_path, [], part_cols)
-        target_cols = [c for c in cur.columns if c not in part_cols]
-        df = rows.select(*target_cols).withColumn("p_year", F.year(F.col(part_src)))
-        if "p_month" in part_cols:
-            df = df.withColumn("p_month", F.month(F.col(part_src)))
-        df.write.mode("append").partitionBy(*part_cols).parquet(out)
-        self._flip_and_gc(table, version)
 
     def changes_since(self, table: str, version: int, keys=("pid",)) -> DataFrame:
         """Change feed: CDC rows (keys + change_type) between a retained

@@ -828,3 +828,275 @@ def test_gc_ignores_unclaimed_debris_below_new_version(spark, landsat_scenes, tm
     assert cat.list_versions("landsat_scenes") == [0, 2]
     assert cat._current_version("landsat_scenes") == "v_2"
     assert cat.read_version("landsat_scenes", 0).count() == 7
+
+
+class TestRound8ConcurrencyHardening:
+    """Round-8 ADVICE closures: OCC on the unpartitioned merge fallback,
+    write()/append()/merge_into() claim+lock discipline, rename-based lock
+    steal, and orphan-free conflict retries."""
+
+    def test_unpartitioned_merge_updates_concurrent_keeps_both(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Two merge_updates on an UNPARTITIONED table (the dedupindex-table
+        shape) with a deterministic conflict in the window: the fallback
+        path must run the full OCC protocol — the loser rebuilds from the
+        winner's commit, neither update lost."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=4)
+        cat.write(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "pid long, v string"
+            ),
+            "flat", partition=False,
+        )
+        competing = spark.createDataFrame([(1, "A")], "pid long, v string")
+        mine = spark.createDataFrame([(2, "B")], "pid long, v string")
+        orig = ParquetCatalog._write_version
+        fired = {"done": False}
+
+        def hooked(self, df, table, partition=True):
+            if not fired["done"]:
+                fired["done"] = True
+                ParquetCatalog(
+                    spark, str(tmp_path), retain_versions=4
+                ).merge_updates("flat", competing, key="pid")
+            return orig(self, df, table, partition)
+
+        monkeypatch.setattr(ParquetCatalog, "_write_version", hooked)
+        cat.merge_updates("flat", mine, key="pid")
+        got = {r["pid"]: r["v"] for r in cat.read("flat").collect()}
+        assert got == {1: "A", 2: "B"}  # neither commit lost
+        # winner v_1; loser discarded its build and retried onto v_2+
+        assert cat._current_version("flat") != "v_1"
+
+    def test_threaded_unpartitioned_merges_all_land(self, spark, tmp_path):
+        import threading
+
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=8)
+        cat.write(
+            spark.createDataFrame(
+                [(p, "x") for p in range(4)], "pid long, v string"
+            ),
+            "flat", partition=False,
+        )
+        errs = []
+
+        def work(pid):
+            try:
+                ParquetCatalog(
+                    spark, str(tmp_path), retain_versions=8
+                ).merge_updates(
+                    "flat",
+                    spark.createDataFrame(
+                        [(pid, f"u{pid}")], "pid long, v string"
+                    ),
+                    key="pid", occ_retries=10,
+                )
+            except Exception as exc:
+                errs.append(exc)
+
+        threads = [
+            __import__("threading").Thread(target=work, args=(p,))
+            for p in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        got = {r["pid"]: r["v"] for r in cat.read("flat").collect()}
+        assert got == {0: "u0", 1: "u1", 2: "u2", 3: "u3"}
+
+    def test_append_conflict_rebuilds_not_lost(
+        self, spark, landsat_scenes, tmp_path, monkeypatch
+    ):
+        """append() hard-links the BASE version, so flipping over a pointer
+        moved by a concurrent merge would drop that merge — the loser must
+        re-link from the winner's commit instead."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=4)
+        cat.write(landsat_scenes, "landsat_scenes")
+        competing = spark.createDataFrame(
+            [(1, 55.0)], "pid long, cloud_cover double"
+        )
+        orig = ParquetCatalog._begin_selective_version
+        fired = {"done": False}
+
+        def hooked(self, table, old_path, changed, part_cols):
+            if not fired["done"]:
+                fired["done"] = True
+                ParquetCatalog(
+                    spark, str(tmp_path), retain_versions=4
+                ).merge_updates("landsat_scenes", competing)
+            return orig(self, table, old_path, changed, part_cols)
+
+        monkeypatch.setattr(
+            ParquetCatalog, "_begin_selective_version", hooked
+        )
+        new_row = landsat_scenes.where(F.col("pid") == 1).withColumn(
+            "pid", F.lit(99).cast("long")
+        )
+        cat.append("landsat_scenes", new_row)
+        tbl = cat.read("landsat_scenes")
+        assert tbl.where(F.col("pid") == 99).count() == 1  # append landed
+        got = tbl.where(F.col("pid") == 1).select("cloud_cover").collect()
+        assert got[0][0] == 55.0  # concurrent merge NOT lost
+
+    def test_merge_into_conflict_rebuilds_not_lost(
+        self, spark, landsat_scenes, tmp_path, monkeypatch
+    ):
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=4)
+        cat.write(landsat_scenes, "landsat_scenes")
+        competing = spark.createDataFrame(
+            [(1, 66.0)], "pid long, cloud_cover double"
+        )
+        orig = ParquetCatalog._begin_selective_version
+        fired = {"done": False}
+
+        def hooked(self, table, old_path, changed, part_cols):
+            if not fired["done"]:
+                fired["done"] = True
+                ParquetCatalog(
+                    spark, str(tmp_path), retain_versions=4
+                ).merge_updates("landsat_scenes", competing)
+            return orig(self, table, old_path, changed, part_cols)
+
+        monkeypatch.setattr(
+            ParquetCatalog, "_begin_selective_version", hooked
+        )
+        cat.merge_into(
+            "landsat_scenes",
+            spark.createDataFrame([(2, 77.0)], "pid long, cloud_cover double"),
+            on=["pid"],
+            when_matched_update={"cloud_cover": F.col("s.cloud_cover")},
+            when_not_matched_insert=False,
+        )
+        tbl = cat.read("landsat_scenes")
+        vals = {
+            r["pid"]: r["cloud_cover"]
+            for r in tbl.where(F.col("pid").isin(1, 2)).collect()
+        }
+        assert vals == {1: 66.0, 2: 77.0}  # both commits present
+
+    def test_write_claims_exclusively_never_clobbers_live_build(
+        self, spark, landsat_scenes, tmp_path, monkeypatch
+    ):
+        """A full write() racing a merge's claimed build must take a HIGHER
+        version number (atomic-mkdir claim), never reuse/overwrite the
+        claimed dir; the losing merge retries cleanly."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=4)
+        cat.write(landsat_scenes, "landsat_scenes")  # v_0
+        orig = ParquetCatalog._begin_selective_version
+        seen = {}
+        fired = {"done": False}
+
+        def hooked(self, table, old_path, changed, part_cols):
+            version, out = orig(self, table, old_path, changed, part_cols)
+            if not fired["done"]:
+                fired["done"] = True
+                seen["merge_claimed"] = version
+                # a concurrent FULL REPLACE lands while the merge builds
+                writer = ParquetCatalog(
+                    spark, str(tmp_path), retain_versions=4
+                )
+                writer.write(landsat_scenes.where(F.col("pid") < 100),
+                             "landsat_scenes")
+                seen["write_committed"] = writer._current_version(
+                    "landsat_scenes"
+                )
+            return version, out
+
+        monkeypatch.setattr(
+            ParquetCatalog, "_begin_selective_version", hooked
+        )
+        cat.merge_updates(
+            "landsat_scenes",
+            spark.createDataFrame([(1, 88.0)], "pid long, cloud_cover double"),
+        )
+        # the write() claimed a DISTINCT higher version, never reusing the
+        # merge's claimed v_1 (the pre-round-8 write() reused the same v_N,
+        # overwriting the live build and risking the loser's cleanup
+        # deleting the committed dir); its commit GC'd the in-flight loser
+        # build — which the merge survives by OCC retry
+        assert seen["merge_claimed"] == "v_1"
+        assert seen["write_committed"] == "v_2"
+        got = cat.read("landsat_scenes").where(F.col("pid") == 1).collect()
+        assert got[0]["cloud_cover"] == 88.0  # merge retried and landed
+        assert cat._current_version("landsat_scenes") == "v_3"
+
+    def test_build_error_leaves_no_orphan_version_dir(
+        self, spark, landsat_scenes, tmp_path, monkeypatch
+    ):
+        """A real build failure (pointer unmoved) must remove its claimed
+        version dir before re-raising — no orphan v_N debris inflating
+        later claim numbering."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        import eodatadown_spark.catalog as catmod
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=4)
+        cat.write(landsat_scenes, "landsat_scenes")  # v_0
+        # fail the changed-partition rewrite — runs AFTER the version dir
+        # is claimed, BEFORE the flip (the orphan-prone window)
+        def boom(changed, part_cols):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(catmod, "_partition_match_cond", boom)
+        with pytest.raises(OSError, match="disk full"):
+            cat.merge_updates(
+                "landsat_scenes",
+                spark.createDataFrame(
+                    [(1, 70.0)], "pid long, cloud_cover double"
+                ),
+            )
+        dirs = sorted(
+            d for d in os.listdir(tmp_path / "landsat_scenes")
+            if d.startswith("v_")
+        )
+        assert dirs == ["v_0"]  # claimed v_1 cleaned up
+
+    def test_stale_lock_steal_via_rename(self, spark, tmp_path, monkeypatch):
+        """A crash-orphaned lock dir is stolen by ATOMIC RENAME; a loser
+        whose rename fails (another stealer won) retries instead of
+        deleting a fresh lock."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        tdir = os.path.join(str(tmp_path), "tbl")
+        os.makedirs(tdir, exist_ok=True)
+        lock = os.path.join(tdir, "_COMMIT_LOCK")
+        os.mkdir(lock)
+        old = __import__("time").time() - 1_000
+        os.utime(lock, (old, old))  # stale enough to steal
+        with cat._commit_lock("tbl", timeout=5.0, steal_after=120.0):
+            assert os.path.isdir(lock)  # we re-created and hold it
+        assert not os.path.exists(lock)
+        # no stale-rename debris left behind
+        assert not [d for d in os.listdir(tdir) if d.startswith("_COMMIT_LOCK.")]
+
+        # loser path: rename raises (someone else stole first) → retry loop
+        os.mkdir(lock)
+        os.utime(lock, (old, old))
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst, **kw):
+            if src == lock and calls["n"] == 0:
+                calls["n"] += 1
+                real_rename(src, dst, **kw)  # simulate the OTHER stealer
+                raise FileNotFoundError(src)  # then our own rename loses
+            return real_rename(src, dst, **kw)
+
+        monkeypatch.setattr(os, "rename", flaky_rename)
+        with cat._commit_lock("tbl", timeout=5.0, steal_after=120.0):
+            pass  # must still acquire after losing the steal race
+        assert calls["n"] == 1

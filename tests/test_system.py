@@ -619,3 +619,61 @@ def test_cli_dedupindex_lifecycle(spark, tmp_path, capsys):
         for r in D.neardup_clusters(all_docs, threshold=0.5).collect()
     }
     assert got == want  # incremental apply == from-scratch rebuild
+
+
+def test_cli_dedupindex_apply_is_replay_safe(spark, tmp_path, capsys):
+    """Re-running --apply for the SAME batch (the recovery action after a
+    crash between the three catalog commits) must converge: no duplicate
+    index/fingerprint rows per doc, and cluster assignments identical to
+    the single-apply state — the round-8 partial-apply hardening."""
+    import eodd_cli
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    src = str(tmp_path / "corpus")
+    bsrc = str(tmp_path / "batch")
+    idx = str(tmp_path / "dedup_idx")
+    spark.createDataFrame(
+        [(1, base), (2, base + "edited"),
+         (3, "a perfectly unique document about the weather today and "
+             "tomorrow with plenty of words")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(100, base),
+         (101, "an entirely novel payload document with its own words "
+               "unlike anything stored before now")],
+        "doc_id long, text string",
+    ).write.parquet(bsrc)
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--build", src,
+                   "--jaccard", "0.5"])
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", bsrc,
+                   "--apply"])
+    capsys.readouterr()
+    cat = ParquetCatalog(spark, idx)
+    first = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cat.read("clusters").collect()
+    }
+    idx_rows = cat.read("band_index").count()
+    fp_rows = cat.read("fingerprints").count()
+
+    # replay the SAME batch — simulates rerun after a mid-apply crash
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", bsrc,
+                   "--apply"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["applied"] and stats["clusters"] == 3
+    again = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cat.read("clusters").collect()
+    }
+    assert again == first                       # assignments unchanged
+    assert cat.read("band_index").count() == idx_rows   # no dup rows
+    assert cat.read("fingerprints").count() == fp_rows  # no dup rows
+    # per-doc uniqueness holds across the whole stored index
+    dup = (
+        cat.read("band_index").groupBy("id", "band_idx").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup == 0
