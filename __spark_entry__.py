@@ -1341,15 +1341,18 @@ def q150_incremental_clusters(spark, sf):
     all_pairs = D.jaccard_prefix_pairs(
         all_docs, threshold=0.5
     ).localCheckpoint()
+    # the stored baseline — pinned: update_clusters and the final size
+    # join reference it repeatedly, and in production it IS a materialized
+    # catalog table, not a live clustering plan
     old_assign = D.neardup_clusters(
         docs,
         pairs=all_pairs.where(F.col("id_b") < 100000),
         threshold=0.5,
-    )
+    ).localCheckpoint()
     new_pairs = all_pairs.where(F.col("id_b") >= 100000)
     updated = D.update_clusters(
         old_assign, new_pairs, new_docs=new.select("doc_id")
-    )
+    ).localCheckpoint()
     sizes = updated.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )

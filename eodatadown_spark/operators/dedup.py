@@ -987,6 +987,7 @@ def update_clusters(
     new_docs: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    small_graph_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Incremental cluster maintenance: fold a new batch's near-dup pairs
     into STORED cluster assignments, re-resolving only the components the
@@ -1010,6 +1011,16 @@ def update_clusters(
 
     ``new_docs`` (optional, (id_col)-shaped) registers batch documents
     with no pairs so they surface as singleton clusters.
+
+    ``small_graph_edges`` — runtime strategy switch (the AQE-broadcast
+    pattern): the touched subgraph is BATCH-proportional by construction
+    (star edges + the batch's pairs), so when its edge count is at or
+    under the cutoff the components resolve with a driver-side
+    union-find — one collect + one createDataFrame instead of
+    O(diameter) join/agg rounds.  Labels are identical (min id per
+    component, deterministic).  Above the cutoff — a mega-component, or
+    a huge batch — the distributed min-label propagation runs as before.
+    ``None`` forces the distributed path.
     """
     # pin the batch pair set ONCE: it is referenced by the touched-node
     # explode and twice by the symmetric edge union — an unpinned caller
@@ -1033,20 +1044,23 @@ def update_clusters(
     star = members.where(F.col(id_col) != F.col("cluster_id")).select(
         F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    pairs = star.unionByName(new_pairs.select("id_a", "id_b"))
-    edges = _pin(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-    )
-    nodes = (
+    pairs = _pin(star.unionByName(new_pairs.select("id_a", "id_b")).distinct())
+    nodes = _pin(
         members.select(F.col(id_col).alias("id"))
         .unionByName(touched.select(F.col("__tid").alias("id")))
         .distinct()
     )
-    labels = _min_label_components(
-        _pin(nodes.withColumn("lbl", F.col("id"))), edges, max_iter
-    )
+    if small_graph_edges is not None and pairs.count() <= small_graph_edges:
+        labels = _driver_union_find(nodes, pairs)
+    else:
+        edges = _pin(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+            .distinct()
+        )
+        labels = _min_label_components(
+            _pin(nodes.withColumn("lbl", F.col("id"))), edges, max_iter
+        )
     resolved = labels.select(
         F.col("id").alias(id_col),
         F.col("lbl").alias("cluster_id"),
@@ -1054,6 +1068,40 @@ def update_clusters(
     )
     return frozen.select(id_col, "cluster_id", "is_canonical").unionByName(
         resolved
+    )
+
+
+def _driver_union_find(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id, lbl) labels — min id per connected component — via driver-side
+    union-find over a PRE-CHECKED small edge set (path-halving find +
+    size union, O(E·α)).  Same labels as :func:`_min_label_components`
+    without its O(diameter) join/agg rounds; only valid when the caller
+    bounded |pairs| (update_clusters' batch-proportional touched
+    subgraph), never over a corpus-scale graph."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    node_ids = [r[0] for r in nodes.collect()]
+    for nid in node_ids:
+        parent[nid] = nid
+    for a, b in ((r[0], r[1]) for r in pairs.collect()):
+        if a not in parent or b not in parent:
+            # an endpoint outside `nodes` cannot occur from update_clusters'
+            # construction; the distributed propagation treats such edges
+            # as inert (no label to propagate), so skip for exact parity
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id survives as root
+    id_type = nodes.schema[0].dataType.simpleString()
+    return nodes.sparkSession.createDataFrame(
+        [(nid, find(nid)) for nid in node_ids],
+        schema=f"id {id_type}, lbl {id_type}",
     )
 
 
@@ -1419,8 +1467,21 @@ def jaccard_prefix_pairs(
             F.col("__pos")
             <= F.col("sz") - F.ceil(threshold * F.col("sz") - 1e-9) + 1
         )
-        .select("id", "sz", "sh")
+        .select("id", "sz", "sh", "__pos")
     )
+    # POSITIONAL filter (the PPJoin refinement), at the pair's MINIMAL
+    # shared token: both docs rank shingles by the same global
+    # (rarest-first) order, so the smallest shared prefix token τ* — the
+    # one attaining min(i) and min(j) over a pair's matches — has NO
+    # shared token before it in either list (a smaller shared token would
+    # sit at a smaller position, hence inside both prefixes, contradicting
+    # minimality).  Every other shared token follows τ*, so
+    #   |A∩B| ≤ 1 + min(sz_l - i*, sz_r - j*),
+    # while J ≥ t needs |A∩B| ≥ t/(1+t)·(sz_l+sz_r).  Dropping pairs whose
+    # bound falls short is lossless (the verify below stays exact) — and
+    # at low thresholds, where plain prefix filtering admits hundreds of
+    # spurious candidates per true pair (one shared mid-list token), it
+    # prunes the verify input by orders of magnitude.
     cand = (
         prefix.alias("l")
         .join(prefix.alias("r"), "sh")
@@ -1433,8 +1494,28 @@ def jaccard_prefix_pairs(
                 >= threshold * F.greatest("l.sz", "r.sz") - 1e-9
             )
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .agg(
+            F.min("l.__pos").alias("__imin"),
+            F.min("r.__pos").alias("__jmin"),
+            F.first(F.col("l.sz")).alias("__szl"),
+            F.first(F.col("r.sz")).alias("__szr"),
+        )
+        .where(
+            (
+                1
+                + F.least(
+                    F.col("__szl") - F.col("__imin"),
+                    F.col("__szr") - F.col("__jmin"),
+                )
+            ).cast("double")
+            >= F.lit(threshold / (1.0 + threshold))
+            * (F.col("__szl") + F.col("__szr")).cast("double")
+            - 1e-9
+        )
+        .select("id_a", "id_b")
     )
     with_sets = cand.join(
         base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"

@@ -1833,3 +1833,52 @@ def test_update_clusters_incremental_equals_full(spark):
         9: (9, True),             # untouched cluster frozen
         200: (200, True),         # pairless new doc → singleton
     }
+
+
+def test_update_clusters_driver_vs_distributed_identical(spark):
+    """The small-graph union-find fast path must produce labels IDENTICAL
+    to the distributed min-label propagation (small_graph_edges=None),
+    including chained merges and singletons — min id per component is
+    deterministic in both."""
+    from eodatadown_spark.operators.dedup import update_clusters
+
+    assignments = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (5, 5, True), (6, 5, False),
+         (9, 9, True), (11, 11, True), (12, 11, False)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    # a CHAIN through the batch: 2-100, 100-101, 101-6 (merges {1,2} and
+    # {5,6} through two new docs) plus 12-300 (touches {11,12})
+    new_pairs = spark.createDataFrame(
+        [(2, 100), (100, 101), (6, 101), (12, 300)],
+        "id_a long, id_b long",
+    )
+    new_docs = spark.createDataFrame(
+        [(100,), (101,), (300,), (400,)], "doc_id long"
+    )
+    fast = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in update_clusters(
+            assignments, new_pairs, new_docs, small_graph_edges=10_000
+        ).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in update_clusters(
+            assignments, new_pairs, new_docs, small_graph_edges=None
+        ).collect()
+    }
+    assert fast == dist
+    labels = {d: c for d, c, _ in fast}
+    assert labels[100] == 1 and labels[101] == 1 and labels[6] == 1
+    assert labels[300] == 11 and labels[400] == 400 and labels[9] == 9
+
+    # cutover: an edge count ABOVE the cutoff must take the distributed
+    # path and still produce the same answer
+    over = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in update_clusters(
+            assignments, new_pairs, new_docs, small_graph_edges=1
+        ).collect()
+    }
+    assert over == dist
