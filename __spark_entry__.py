@@ -855,6 +855,20 @@ def q131_prefix_jaccard(spark, sf, materialize="auto"):
     )
 
 
+def q152_positional_prefix(spark, sf, materialize="auto"):
+    """Positional-filter stress (round 8): exact n-gram Jaccard at the
+    HARSH threshold 0.4 / k=3, where plain prefix filtering admits the
+    densest candidate sets (prefix ≈ 60% of each doc) and the
+    minimal-shared-token positional bound does the real pruning.  The
+    oracle recomputes all-pairs Jaccard naively, so the hash-match proves
+    the positional refinement loses nothing at a threshold q131 (t=0.6,
+    k=4) never reaches."""
+    docs = _t(spark, sf, "documents")
+    return D.jaccard_prefix_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, materialize=materialize
+    )
+
+
 def q132_promo_revenue(spark, sf):
     """TPC-H Q14 shape: per ship-month promo vs total revenue — the
     conditional-aggregation (CASE-inside-SUM) shape, emitted as two sums
@@ -2822,6 +2836,7 @@ QUERIES: dict[str, Callable] = {
     "q92_snapshot_diff": q92_snapshot_diff,
     "q09_semi_join": q09_semi_join,
     "q151_sq8_topk": q151_sq8_topk,
+    "q152_positional_prefix": q152_positional_prefix,
 }
 
 
@@ -5084,6 +5099,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN vocab vb ON vb.token = tok_b
             CROSS JOIN nn
             WHERE n_ab >= 5
+        """,
+        # q152: naive all-pairs recompute at the HARSH k=3 / t=0.4 — the
+        # positional (minimal-shared-token) bound does the pruning there,
+        # so the hash-match proves that refinement lossless
+        "q152_positional_prefix": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+2], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                           / len(list_distinct(list_cat(a.shingles, b.shingles)))
+                           AS j
+                FROM sh a JOIN sh b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.4
         """,
         # q131: the oracle is the NAIVE all-pairs recompute (k=4, t=0.6) —
         # hash-match proves prefix filtering drops no qualifying pair

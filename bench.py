@@ -58,6 +58,8 @@ EXTENDED = [
     "q146_lsh_multiprobe",
     "q149_incremental_phash",
     "q150_incremental_clusters",
+    # round-8 operator
+    "q152_positional_prefix",
 ]
 
 

@@ -987,7 +987,7 @@ def update_clusters(
     new_docs: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 20,
-    small_graph_edges: int | None = 2_000_000,
+    small_graph_edges: int | None = 1_000_000,
 ) -> DataFrame:
     """Incremental cluster maintenance: fold a new batch's near-dup pairs
     into STORED cluster assignments, re-resolving only the components the
@@ -1015,7 +1015,8 @@ def update_clusters(
     ``small_graph_edges`` — runtime strategy switch (the AQE-broadcast
     pattern): the touched subgraph is BATCH-proportional by construction
     (star edges + the batch's pairs), so when its edge count is at or
-    under the cutoff the components resolve with a driver-side
+    under the cutoff (default 1M edges ≈ a few hundred MB collected — far
+    under driver headroom) the components resolve with a driver-side
     union-find — one collect + one createDataFrame instead of
     O(diameter) join/agg rounds.  Labels are identical (min id per
     component, deterministic).  Above the cutoff — a mega-component, or
