@@ -282,3 +282,103 @@ def stream_merge_into(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_neardup_batch(
+    catalog,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    index_table: str = "band_index",
+    fingerprint_table: str = "fingerprints",
+    clusters_table: str = "clusters",
+) -> dict:
+    """Fold ONE document batch into the stored continuous-dedup state:
+    probe the banded MinHash index (never re-banding the corpus), append
+    the batch's index/fingerprint rows, and update the cluster
+    assignments — the shared core of the ``dedupindex --apply`` CLI and
+    :func:`stream_neardup_apply`.
+
+    REPLAY-SAFE by construction, which is what makes it a valid
+    at-least-once streaming sink body: index/fingerprint appends anti-join
+    out already-stored doc ids (a replayed batch adds nothing), the
+    clusters table — the one probes consult for canonical answers —
+    commits LAST (a crash mid-apply leaves harmless extra index rows, not
+    assignments whose supporting index rows are missing), and
+    ``update_clusters`` re-folds identical pairs to identical assignments.
+    Each catalog commit is individually atomic (exclusive version claim +
+    locked pointer flip).  Returns ``{"batch_docs", "new_pairs"}`` stats.
+    """
+    from eodatadown_spark.operators import dedup as D
+
+    index = catalog.read(index_table)
+    fps = catalog.read(fingerprint_table)
+    # pin the pair set BEFORE any table is rewritten: it is derived from
+    # the index/fingerprint versions read above, which the appends below
+    # replace (retention keeps one prior version, but relying on that for
+    # an unpinned triple-referenced plan would be fragile)
+    pairs = D.minhash_neardup_against_index(
+        batch, index, fps, id_col=id_col, text_col=text_col, k=k,
+        num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold,
+    ).localCheckpoint()
+    new_index_rows = D.minhash_band_index(
+        batch, id_col, text_col, k, num_perm, bands
+    ).join(index.select("id").distinct(), "id", "left_anti")
+    catalog.append(index_table, new_index_rows)
+    new_fp_rows = D.shingle_hash_table(batch, id_col, text_col, k).join(
+        fps.select("id").distinct(), "id", "left_anti"
+    )
+    catalog.append(fingerprint_table, new_fp_rows)
+    clusters = catalog.read(clusters_table)
+    updated = D.update_clusters(
+        clusters, pairs.select("id_a", "id_b"),
+        new_docs=batch.select(F.col(id_col).alias("doc_id")).distinct(),
+    )
+    catalog.write(updated, clusters_table, partition=False)
+    return {"batch_docs": batch.count(), "new_pairs": pairs.count()}
+
+
+def stream_neardup_apply(
+    catalog,
+    stream_docs: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **batch_kwargs,
+):
+    """Continuous near-duplicate maintenance as a Structured Streaming
+    pipeline: each micro-batch of documents runs
+    :func:`apply_neardup_batch` — stored-index probe → index/fingerprint
+    append → touched-component cluster update — so the dedup state stays
+    current as documents land, without ever re-walking the corpus.
+
+    The streaming face of the round-7 continuous-dedup lifecycle
+    (minhash_neardup_against_index + update_clusters): delivery is
+    at-least-once per micro-batch (checkpointed source offsets; a crashed
+    batch replays), and apply_neardup_batch is replay-idempotent, so the
+    stored state converges exactly-once in effect.  Micro-batches run
+    serially (one foreachBatch at a time), so batch N+1's probe always
+    sees batch N's index rows.
+
+    ``stream_docs`` is any streaming DataFrame of (doc_id, text, ...) —
+    typically :func:`events_file_stream`-style ``readStream.parquet`` over
+    a drop directory with ``maxFilesPerTrigger`` bounding batch size.
+    ``available_now=True`` drains what exists and stops (the cron-shaped
+    catch-up); False keeps the query live.  Returns the started
+    StreamingQuery; caller owns termination.
+    """
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        apply_neardup_batch(catalog, batch_df, **batch_kwargs)
+
+    writer = stream_docs.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -204,35 +204,16 @@ def cmd_dedupindex(args) -> None:
     ).localCheckpoint()
     stats = {"batch_docs": batch.count(), "new_pairs": pairs.count()}
     if args.apply:
-        # The three table writes are independent catalog commits, so a
-        # crash mid-apply must leave a RE-RUNNABLE state, never a silently
-        # lossy one.  Two mechanisms: (1) each index/fingerprint append
-        # anti-joins out doc_ids already stored, so replaying a batch
-        # never duplicates rows; (2) clusters — the table probes consult
-        # for canonical answers — commits LAST, so a crash before it
-        # leaves extra (harmless, idempotently-skipped) index rows rather
-        # than cluster assignments whose supporting index rows are
-        # missing (which would make later probes silently miss pairs
-        # against this batch).  update_clusters itself is idempotent:
-        # re-folding the same pairs/new_docs re-resolves to the same
-        # components.
-        batch_ids = batch.select("doc_id").distinct()
-        new_index_rows = D.minhash_band_index(
-            batch, k=params["k"], num_perm=params["num_perm"],
-            bands=params["bands"],
-        ).join(index.select("id").distinct(), "id", "left_anti")
-        cat.write(index.unionByName(new_index_rows), "band_index",
-                  partition=False)
-        new_fp_rows = D.shingle_hash_table(batch, k=params["k"]).join(
-            fps.select("id").distinct(), "id", "left_anti"
+        # shared replay-safe core (streaming/incremental.apply_neardup_batch):
+        # idempotent index/fingerprint appends first, clusters commit LAST —
+        # a crash between the three catalog commits is repaired by simply
+        # re-running the same batch
+        from eodatadown_spark.streaming.incremental import apply_neardup_batch
+
+        apply_neardup_batch(
+            cat, batch, k=params["k"], num_perm=params["num_perm"],
+            bands=params["bands"], jaccard_threshold=params["threshold"],
         )
-        cat.write(fps.unionByName(new_fp_rows), "fingerprints",
-                  partition=False)
-        clusters = cat.read("clusters")
-        updated = D.update_clusters(
-            clusters, pairs.select("id_a", "id_b"), new_docs=batch_ids,
-        )
-        cat.write(updated, "clusters", partition=False)
         stats["clusters"] = cat.read("clusters").where(
             F.col("is_canonical")).count()
         stats["applied"] = True

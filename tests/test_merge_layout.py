@@ -1479,3 +1479,80 @@ class TestThetaSketchSetOps:
             ).collect()
         }
         assert merged == {"a": 300, "b": 300}
+
+
+class TestStreamNeardupApply:
+    def test_streamed_batches_equal_from_scratch_rebuild(self, spark, tmp_path):
+        """Round-8 capstone: the continuous-dedup lifecycle as a Structured
+        Streaming pipeline.  Two document batches drain through
+        stream_neardup_apply (maxFilesPerTrigger=1 → two serial
+        micro-batches, batch 2's probe must see batch 1's index rows);
+        the final stored assignments must equal a from-scratch
+        neardup_clusters rebuild over the whole corpus."""
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.operators import dedup as D
+        from eodatadown_spark.streaming.incremental import stream_neardup_apply
+
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        corpus_rows = [
+            (1, base),
+            (2, base + "edited"),                 # near-dup of 1
+            (3, "a perfectly unique document about the weather today and "
+                "tomorrow with plenty of words"),
+        ]
+        batch1_rows = [(100, base)]               # dups into {1,2}
+        batch2_rows = [
+            (200, base + "edited"),               # chains via 2 AND 100
+            (201, "an entirely novel payload document with its own words "
+                  "unlike anything stored before now"),
+        ]
+        schema = "doc_id long, text string"
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        cat = ParquetCatalog(spark, str(tmp_path / "idx"))
+        params = dict(k=3, num_perm=32, bands=8, jaccard_threshold=0.5)
+        cat.write(D.minhash_band_index(
+            corpus, k=3, num_perm=32, bands=8), "band_index", partition=False)
+        cat.write(D.shingle_hash_table(corpus, k=3), "fingerprints",
+                  partition=False)
+        cat.write(
+            D.neardup_clusters(corpus, threshold=0.5), "clusters",
+            partition=False,
+        )
+
+        feed = str(tmp_path / "feed")
+        spark.createDataFrame(batch1_rows, schema).coalesce(1).write.parquet(feed)
+        spark.createDataFrame(batch2_rows, schema).coalesce(1).write.mode(
+            "append").parquet(feed)
+        q = stream_neardup_apply(
+            cat,
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(feed),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            **params,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in cat.read("clusters").collect()
+        }
+        all_docs = spark.createDataFrame(
+            corpus_rows + batch1_rows + batch2_rows, schema
+        )
+        want = {
+            r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in D.neardup_clusters(all_docs, threshold=0.5).collect()
+        }
+        assert got == want          # streamed incremental == full rebuild
+        assert got[200][0] == 1     # batch-2 doc chained into cluster {1,2,100}
+        assert got[201] == (201, True)  # novel doc → singleton
+        # index/fingerprints carry every doc exactly once
+        assert cat.read("fingerprints").select("id").distinct().count() == 6
+        dup = (
+            cat.read("band_index").groupBy("id", "band_idx").count()
+            .where(F.col("count") > 1).count()
+        )
+        assert dup == 0
