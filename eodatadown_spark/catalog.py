@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from eodatadown_spark import schemas
 
 _CURRENT = "_CURRENT"
+_SCHEMA_SIDECAR = "_SCHEMA.json"
 
 
 def _has_parquet_files(path: str) -> bool:
@@ -136,7 +137,33 @@ class ParquetCatalog:
             declared = schemas.ALL_SCHEMAS.get(table)
             if declared is not None:
                 return self.spark.createDataFrame([], schema=declared)
+        stored = self._read_schema_sidecar(path)
+        if stored is not None:
+            # an evolved version mixes hard-linked pre-evolution files with
+            # new-schema files; the sidecar pins the authoritative data-file
+            # schema (absent columns in old files read as NULL) — schema
+            # INFERENCE would nondeterministically pick one footer
+            return self.spark.read.schema(stored).parquet(path)
         return self.spark.read.parquet(path)
+
+    def _read_schema_sidecar(self, version_path: str):
+        sidecar = os.path.join(version_path, _SCHEMA_SIDECAR)
+        if not os.path.exists(sidecar):
+            return None
+        from pyspark.sql import types as T
+
+        with open(sidecar, encoding="utf-8") as fh:
+            return T.StructType.fromJson(json.load(fh))
+
+    def _write_schema_sidecar(self, version_path: str, schema) -> None:
+        """Record the authoritative DATA-FILE schema of a version (no
+        partition columns — Spark appends those from the directory layout).
+        Written before the pointer flip, like everything else in a version
+        dir."""
+        with open(
+            os.path.join(version_path, _SCHEMA_SIDECAR), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(schema.jsonValue(), fh)
 
     def _next_version(self, table: str) -> str:
         old = self._current_version(table)
@@ -399,6 +426,14 @@ class ParquetCatalog:
         changed_rel = {_partition_rel_dir(r, part_cols) for r in changed}
         version, out = self._claim_version(table)
         try:
+            # a previously-evolved table's sidecar must follow the
+            # hard-linked files into every new version — old files under a
+            # new pointer still need the authoritative schema
+            prev_sidecar = os.path.join(old_path, _SCHEMA_SIDECAR)
+            if os.path.exists(prev_sidecar):
+                shutil.copyfile(
+                    prev_sidecar, os.path.join(out, _SCHEMA_SIDECAR)
+                )
             for dirpath, _dirs, files in os.walk(old_path):
                 relp = os.path.relpath(dirpath, old_path)
                 if relp == "." or not relp.startswith("p_"):
@@ -612,7 +647,8 @@ class ParquetCatalog:
             f"times on table {table!r}"
         )
 
-    def append(self, table: str, rows: DataFrame, occ_retries: int = 5) -> None:
+    def append(self, table: str, rows: DataFrame, occ_retries: int = 5,
+               schema_evolution: str = "strict") -> None:
         """Append-only fast path: hard-link EVERY existing partition into a
         new version and add the new rows as extra files in their derived
         partitions — no join, no rewrite, no shuffle of existing data.
@@ -625,13 +661,40 @@ class ParquetCatalog:
         :meth:`merge_updates`: the new version hard-links the BASE version's
         files, so flipping over a concurrently-moved pointer would silently
         drop that commit — instead the loser re-links from the winner.
+
+        ``schema_evolution`` governs incoming columns the table lacks:
+
+        - ``"strict"`` (default) REJECTS them loudly — the pre-round-8
+          behavior silently dropped them, which is data loss wearing a
+          success exit code;
+        - ``"add"`` widens the table: new columns (nullable, incoming
+          types) join the schema, existing files are hard-linked untouched,
+          and a ``_SCHEMA.json`` sidecar in the version dir pins the
+          authoritative schema so readers see NULLs for pre-evolution rows
+          (the Delta/Iceberg ADD COLUMNS semantics on the versioned-parquet
+          layout — no data rewrite).
         """
+        if schema_evolution not in ("strict", "add"):
+            raise ValueError(
+                f"unknown schema_evolution mode {schema_evolution!r}"
+            )
         incoming = rows
         for _attempt in range(1 + occ_retries):
             base = self._current_version(table)
             cur = self.read(table)
             part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
             old_path = self.data_path(table)
+            extras = [c for c in incoming.columns if c not in cur.columns]
+            if extras and schema_evolution == "strict":
+                raise ValueError(
+                    f"append: incoming columns {extras} not in table "
+                    f"{table!r}; pass schema_evolution='add' to widen the "
+                    "schema (silent dropping would be data loss)"
+                )
+            if extras:
+                return self._append_evolve(
+                    table, incoming, extras, occ_retries
+                )
             # cast incoming rows to the table schema up front (as the
             # merge_into insert path does) — appending rows with their
             # incoming dtypes would otherwise put mixed-schema parquet files
@@ -677,6 +740,84 @@ class ParquetCatalog:
                 if "p_month" in part_cols:
                     df = df.withColumn("p_month", F.month(F.col(part_src)))
                 df.write.mode("append").partitionBy(*part_cols).parquet(out)
+            except Exception:
+                if out is not None:
+                    shutil.rmtree(out, ignore_errors=True)
+                if self._current_version(table) != base:
+                    continue  # conflict fallout, not a real build error
+                raise
+            if self._commit_if_base(table, version, out, base):
+                return
+        raise RuntimeError(
+            f"append lost the optimistic-commit race {1 + occ_retries} "
+            f"times on table {table!r}"
+        )
+
+    def _append_evolve(
+        self, table: str, incoming: DataFrame, extras: list[str],
+        occ_retries: int,
+    ) -> None:
+        """append(schema_evolution='add') body: widen the table schema with
+        ``extras`` (nullable, incoming types) without rewriting any existing
+        file.  Partitioned tables hard-link every partition and pin the
+        widened schema in the version's ``_SCHEMA.json`` sidecar (read()
+        NULL-fills the old files); unpartitioned tables take a full rewrite
+        (they are rewritten on every append anyway), which materializes the
+        NULLs so no sidecar is needed.  Same OCC protocol as append()."""
+        from pyspark.sql import types as T
+
+        for _attempt in range(1 + occ_retries):
+            base = self._current_version(table)
+            cur = self.read(table)
+            part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]
+            old_path = self.data_path(table)
+            target_cols = [c for c in cur.columns if c not in part_cols]
+            rows = incoming.select(
+                *[F.col(c).cast(cur.schema[c].dataType).alias(c)
+                  for c in target_cols],
+                *[F.col(c) for c in extras],
+            )
+            if not part_cols or not _has_parquet_files(old_path):
+                base_df = self.read_clean(table)
+                merged = base_df.unionByName(rows, allowMissingColumns=True)
+                try:
+                    version, out = self._write_version(
+                        merged, table,
+                        partition=not _has_parquet_files(old_path),
+                    )
+                except Exception:
+                    if self._current_version(table) != base:
+                        continue  # conflict fallout, not a real build error
+                    raise
+                if self._commit_if_base(table, version, out, base):
+                    return
+                continue
+            part_src = PARTITION_SOURCE.get(table)
+            if part_src is None:
+                raise ValueError(
+                    f"cannot derive partitions for appended rows: {table!r} "
+                    "has no partition-source column"
+                )
+            evolved = T.StructType(
+                [cur.schema[c] for c in target_cols]
+                + [
+                    T.StructField(f.name, f.dataType, True)
+                    for f in rows.schema.fields
+                    if f.name in extras
+                ]
+            )
+            out = None
+            try:
+                version, out = self._begin_selective_version(
+                    table, old_path, [], part_cols
+                )
+                df = rows.withColumn("p_year", F.year(F.col(part_src)))
+                if "p_month" in part_cols:
+                    df = df.withColumn("p_month", F.month(F.col(part_src)))
+                df.write.mode("append").partitionBy(*part_cols).parquet(out)
+                # AFTER _begin_selective_version's prior-sidecar copy, so
+                # the widened schema wins
+                self._write_schema_sidecar(out, evolved)
             except Exception:
                 if out is not None:
                     shutil.rmtree(out, ignore_errors=True)
@@ -770,6 +911,12 @@ class ParquetCatalog:
             declared = schemas.ALL_SCHEMAS.get(table)
             if declared is not None:
                 return self.spark.createDataFrame([], schema=declared)
+        stored = self._read_schema_sidecar(path)
+        if stored is not None:
+            # post-evolution versions mix pre- and post-widening files;
+            # the version's own sidecar NULL-fills the old ones (same rule
+            # as read())
+            return self.spark.read.schema(stored).parquet(path)
         return self.spark.read.parquet(path)
 
     def fsck(self, table: str) -> dict:

@@ -1100,3 +1100,121 @@ class TestRound8ConcurrencyHardening:
         with cat._commit_lock("tbl", timeout=5.0, steal_after=120.0):
             pass  # must still acquire after losing the steal race
         assert calls["n"] == 1
+
+
+class TestSchemaEvolution:
+    """Round-8: append(schema_evolution=...) — strict rejection of unknown
+    columns (silent dropping is data loss) and additive widening with a
+    per-version _SCHEMA.json sidecar, no data rewrite."""
+
+    def test_strict_rejects_unknown_columns(self, spark, landsat_scenes, tmp_path):
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes, "landsat_scenes")
+        new_row = landsat_scenes.limit(1).withColumn(
+            "pid", F.lit(900).cast("long")
+        ).withColumn("quality_score", F.lit(0.9))
+        with pytest.raises(ValueError, match="quality_score"):
+            cat.append("landsat_scenes", new_row)
+
+    def test_add_widens_without_rewriting_files(
+        self, spark, landsat_scenes, tmp_path
+    ):
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=4)
+        cat.write(landsat_scenes, "landsat_scenes")
+        v0 = cat.data_path("landsat_scenes")
+        inodes_before = {
+            os.stat(os.path.join(dp, f)).st_ino
+            for dp, _d, fs in os.walk(v0) for f in fs if f.endswith(".parquet")
+        }
+        new_row = landsat_scenes.limit(1).withColumn(
+            "pid", F.lit(900).cast("long")
+        ).withColumn("quality_score", F.lit(0.9))
+        cat.append("landsat_scenes", new_row, schema_evolution="add")
+        tbl = cat.read_clean("landsat_scenes")
+        assert "quality_score" in tbl.columns
+        got = {r["pid"]: r["quality_score"] for r in tbl.collect()}
+        assert got[900] == 0.9
+        assert all(v is None for p, v in got.items() if p != 900)  # NULL-fill
+        # existing files hard-linked, not rewritten
+        v1 = cat.data_path("landsat_scenes")
+        inodes_after = {
+            os.stat(os.path.join(dp, f)).st_ino
+            for dp, _d, fs in os.walk(v1) for f in fs if f.endswith(".parquet")
+        }
+        assert inodes_before <= inodes_after
+        assert os.path.exists(os.path.join(v1, "_SCHEMA.json"))
+
+    def test_sidecar_carries_through_later_commits(
+        self, spark, landsat_scenes, tmp_path
+    ):
+        """A plain append and a merge_updates AFTER evolution hard-link the
+        mixed-schema files into new versions — the sidecar must follow so
+        reads keep NULL-filling pre-evolution files."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=4)
+        cat.write(landsat_scenes, "landsat_scenes")
+        new_row = landsat_scenes.limit(1).withColumn(
+            "pid", F.lit(900).cast("long")
+        ).withColumn("quality_score", F.lit(0.9))
+        cat.append("landsat_scenes", new_row, schema_evolution="add")
+        # plain append of a widened-schema row (extras now IN the schema)
+        row2 = landsat_scenes.limit(1).withColumn(
+            "pid", F.lit(901).cast("long")
+        ).withColumn("quality_score", F.lit(0.5))
+        cat.append("landsat_scenes", row2)
+        # partition-selective merge on the evolved table
+        cat.merge_updates(
+            "landsat_scenes",
+            spark.createDataFrame([(900, 0.95)], "pid long, quality_score double"),
+        )
+        tbl = cat.read_clean("landsat_scenes")
+        got = {r["pid"]: r["quality_score"] for r in tbl.collect()}
+        assert got[900] == 0.95 and got[901] == 0.5
+        assert sum(1 for v in got.values() if v is None) == len(got) - 2
+        assert os.path.exists(
+            os.path.join(cat.data_path("landsat_scenes"), "_SCHEMA.json")
+        )
+
+    def test_flat_table_evolution_full_rewrite(self, spark, tmp_path):
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(
+            spark.createDataFrame([(1, "a")], "pid long, v string"),
+            "flat", partition=False,
+        )
+        cat.append(
+            "flat",
+            spark.createDataFrame([(2, "b", 7.0)], "pid long, v string, w double"),
+            schema_evolution="add",
+        )
+        got = {r["pid"]: (r["v"], r["w"]) for r in cat.read("flat").collect()}
+        assert got == {1: ("a", None), 2: ("b", 7.0)}
+        # full rewrite materializes NULLs — no sidecar needed on flat tables
+        assert not os.path.exists(
+            os.path.join(cat.data_path("flat"), "_SCHEMA.json")
+        )
+
+    def test_time_travel_across_evolution(self, spark, landsat_scenes, tmp_path):
+        """read_version: the pre-evolution version keeps its narrow schema;
+        the post-evolution version NULL-fills hard-linked old files via its
+        own sidecar."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path), retain_versions=4)
+        cat.write(landsat_scenes, "landsat_scenes")            # v_0
+        new_row = landsat_scenes.limit(1).withColumn(
+            "pid", F.lit(900).cast("long")
+        ).withColumn("quality_score", F.lit(0.9))
+        cat.append("landsat_scenes", new_row, schema_evolution="add")  # v_1
+        v0 = cat.read_version("landsat_scenes", 0)
+        assert "quality_score" not in v0.columns
+        assert v0.count() == 7
+        v1 = cat.read_version("landsat_scenes", 1)
+        assert "quality_score" in v1.columns
+        assert v1.where(F.col("quality_score").isNull()).count() == 7
