@@ -849,7 +849,14 @@ class ParquetCatalog:
             old.drop("p_year", "p_month"), new.drop("p_year", "p_month"), list(keys)
         )
 
-    def compact(self, table: str, target_rows_per_file: int = 1_000_000) -> None:
+    def compact(
+        self,
+        table: str,
+        target_rows_per_file: int = 1_000_000,
+        zorder_by: list[str] | None = None,
+        zorder_ranges: list[tuple[float, float]] | None = None,
+        zorder_bits: int = 12,
+    ) -> None:
         """Rewrite `table` with right-sized files — the maintenance pass for
         catalogs that accumulated small part files from repeated selective
         merges (each merge_updates append adds files to changed partitions).
@@ -857,11 +864,52 @@ class ParquetCatalog:
         One full versioned write sized by row count per output file; at
         100 TB run it per-partition on a schedule, exactly like table-format
         OPTIMIZE jobs.  Safe under the same pointer-flip atomicity as write().
+
+        ``zorder_by=[col, ...]`` additionally CLUSTERS the rewrite on the
+        N-dim Morton key of those columns (``OPTIMIZE ... ZORDER BY`` on the
+        plain-parquet catalog, matching the Delta adapter's compact):
+        range-partition on the key + in-partition sort, so each output file
+        covers a compact Z-curve interval and parquet min/max stats prune
+        scans filtered on ANY subset of the clustered columns.
+        ``zorder_ranges`` gives each column's (lo, hi) quantization range;
+        when omitted they are measured with one min/max aggregate.  The key
+        is computed on the fly and never stored — layout, not schema.
         """
         df = self.read_clean(table)
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))
-        self.write(df.repartition(n_files), table)
+        if not zorder_by:
+            self.write(df.repartition(n_files), table)
+            return
+        from eodatadown_spark.spatial import zorder_key_n
+
+        if zorder_ranges is None:
+            row = df.agg(
+                *[F.min(c).cast("double").alias(f"__lo_{i}") for i, c in enumerate(zorder_by)],
+                *[F.max(c).cast("double").alias(f"__hi_{i}") for i, c in enumerate(zorder_by)],
+            ).first()
+            zorder_ranges = [
+                (row[f"__lo_{i}"], row[f"__hi_{i}"])
+                for i in range(len(zorder_by))
+            ]
+            # constant or all-NULL columns measure a degenerate span, which
+            # zorder_key_n rightly refuses — widen to a unit span (every
+            # row lands in cell 0; the other dimensions still cluster)
+            zorder_ranges = [
+                (lo, hi)
+                if lo is not None and hi is not None and hi > lo
+                else ((lo or 0.0), (lo or 0.0) + 1.0)
+                for lo, hi in zorder_ranges
+            ]
+        z = zorder_key_n(
+            [F.col(c).cast("double") for c in zorder_by],
+            zorder_ranges, zorder_bits,
+        )
+        self.write(
+            df.repartitionByRange(n_files, z.alias("__z"))
+            .sortWithinPartitions(z.alias("__z")),
+            table,
+        )
 
     def read_clean(self, table: str) -> DataFrame:
         """Read without the physical partition column(s)."""

@@ -1218,3 +1218,43 @@ class TestSchemaEvolution:
         v1 = cat.read_version("landsat_scenes", 1)
         assert "quality_score" in v1.columns
         assert v1.where(F.col("quality_score").isNull()).count() == 7
+
+
+def test_catalog_compact_zorder_clusters_files(spark, landsat_scenes, tmp_path):
+    """compact(zorder_by=...): the rewrite range-partitions on the Morton
+    key of the named columns and sorts within files, so per-file Z-key
+    intervals are DISJOINT (touching at boundaries at most) — the layout
+    property parquet min/max pruning needs.  Contents must survive
+    unchanged; the key is layout-only, never stored."""
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.spatial import zorder_key_n
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(landsat_scenes.repartition(8), "landsat_scenes")
+    cat.compact(
+        "landsat_scenes", target_rows_per_file=3,
+        zorder_by=["west_lon", "south_lat"],
+        zorder_ranges=[(-180.0, 180.0), (-90.0, 90.0)],
+    )
+    df = cat.read_clean("landsat_scenes")
+    assert df.count() == 7
+    assert "__z" not in df.columns and "__zorder" not in df.columns
+    files = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(cat.data_path("landsat_scenes"))
+        for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2
+    z = zorder_key_n(
+        [F.col("west_lon").cast("double"), F.col("south_lat").cast("double")],
+        [(-180.0, 180.0), (-90.0, 90.0)], 12,
+    )
+    spans = []
+    for path in files:
+        row = spark.read.parquet(path).agg(
+            F.min(z).alias("lo"), F.max(z).alias("hi")).first()
+        if row["lo"] is not None:
+            spans.append((row["lo"], row["hi"]))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b  # intervals never interleave
