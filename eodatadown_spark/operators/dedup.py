@@ -903,6 +903,7 @@ def neardup_clusters(
     k: int = 3,
     threshold: float = 0.5,
     max_iter: int = 20,
+    small_graph_edges: int | None = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTER assignment: connected components over the
     near-dup pair graph → (doc_id, cluster_id, is_canonical), cluster_id =
@@ -913,33 +914,64 @@ def neardup_clusters(
     document per component, so the pipeline step is pairs → components →
     keep-canonical (filter ``is_canonical``).
 
-    Components via min-label propagation: every doc starts labeled with its
-    own id; each round, labels flow across edges and every node keeps the
-    minimum seen.  Rounds needed = graph diameter — near-dup components are
-    small and dense (dups of the same source), so this converges in a few
-    rounds; each round is two equi-joins + one aggregate (all key-partitioned,
-    no driver data path) and a monotone label-sum convergence check.
-    Per-round lineage is truncated (the classic iterative-algorithm trap at
-    scale) via a reliable checkpoint when the session has a checkpoint dir,
-    else localCheckpoint — same recompute-safety posture as
-    :func:`minhash_neardup_pairs`'s ``materialize="auto"``.
+    Component labels are computed over the PAIR ENDPOINTS only — documents
+    in no pair are singletons by definition and join their own-id labels
+    back relationally, so the iterative state is collision-bounded
+    (|pairs|-proportional), never corpus-sized: at 100 TB the label table
+    the rounds iterate over holds the docs with at least one near-dup, not
+    every document.  Within that subgraph the strategy is size-gated like
+    :func:`update_clusters`: at or under ``small_graph_edges`` a
+    driver-side union-find resolves components in one collect; above it,
+    min-label propagation runs distributed — each round two
+    key-partitioned equi-joins + one aggregate, converging in O(component
+    diameter) rounds (near-dup components are small and dense), per-round
+    lineage truncated via a reliable checkpoint when the session has a
+    checkpoint dir, else localCheckpoint (the
+    :func:`minhash_neardup_pairs` ``materialize="auto"`` posture).
+    Labels are min-ids in both strategies — identical, deterministic.
     """
     if pairs is None:
-        pairs = ngram_jaccard_pairs(documents, id_col, text_col, k, threshold)
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        # prefix-filtered exact join — IDENTICAL pair set to
+        # ngram_jaccard_pairs (q131/q152 oracle-proven) at a fraction of
+        # the candidate volume; the full inverted index stays available by
+        # passing pairs=ngram_jaccard_pairs(...) explicitly
+        pairs = jaccard_prefix_pairs(documents, id_col, text_col, k, threshold)
+    doc_ids = documents.select(F.col(id_col).alias("__did"))
+    # restrict to endpoints drawn from `documents` — out-of-corpus
+    # endpoints were inert in the old corpus-wide propagation (no label to
+    # carry), so dropping their edges preserves semantics exactly
+    pairs = _pin(
+        pairs.select("id_a", "id_b")
+        .join(doc_ids, F.col("id_a") == F.col("__did"), "left_semi")
+        .join(doc_ids, F.col("id_b") == F.col("__did"), "left_semi")
         .distinct()
     )
-    edges = _pin(edges)
-    labels = _pin(
-        documents.select(F.col(id_col).alias("id")).withColumn("lbl", F.col("id"))
+    nodes = _pin(
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
-    labels = _min_label_components(labels, edges, max_iter)
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("lbl").alias("cluster_id"),
-        (F.col("lbl") == F.col("id")).alias("is_canonical"),
+    if small_graph_edges is not None and pairs.count() <= small_graph_edges:
+        labels = _driver_union_find(nodes, pairs)
+    else:
+        edges = _pin(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .union(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            )
+            .distinct()
+        )
+        labels = _min_label_components(
+            nodes.withColumn("lbl", F.col("id")), edges, max_iter
+        )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(labels, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("cluster_id"),
+            (
+                F.coalesce(F.col("lbl"), F.col("doc_id")) == F.col("doc_id")
+            ).alias("is_canonical"),
+        )
     )
 
 

@@ -402,7 +402,11 @@ def test_neardup_clusters_raises_on_nonconvergence(spark):
     texts = [" ".join(f"w{j}" for j in range(i, i + 40)) for i in range(0, 32, 8)]
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.neardup_clusters(df, threshold=0.3, max_iter=1)
+        # small_graph_edges=None forces the DISTRIBUTED propagation — the
+        # union-find fast path has no iteration cap to trip
+        D.neardup_clusters(
+            df, threshold=0.3, max_iter=1, small_graph_edges=None
+        )
 
 
 def test_contamination_and_decontaminate(spark):
@@ -1882,3 +1886,26 @@ def test_update_clusters_driver_vs_distributed_identical(spark):
         ).collect()
     }
     assert over == dist
+
+
+def test_neardup_clusters_driver_vs_distributed_identical(spark):
+    """Round-8: neardup_clusters' size-gated union-find must match the
+    distributed propagation exactly, including a >1-round chain and
+    singletons joined back relationally."""
+    texts = [" ".join(f"w{j}" for j in range(i, i + 40)) for i in range(0, 32, 8)]
+    texts.append("an utterly unrelated document with its very own vocabulary")
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    fast = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in D.neardup_clusters(df, threshold=0.3).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in D.neardup_clusters(
+            df, threshold=0.3, small_graph_edges=None
+        ).collect()
+    }
+    assert fast == dist
+    labels = {d: c for d, c, _ in fast}
+    assert labels[0] == labels[1] == labels[2] == labels[3] == 0  # the chain
+    assert labels[4] == 4                                         # singleton
