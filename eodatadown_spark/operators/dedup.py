@@ -736,6 +736,7 @@ def contamination_pairs(
     bench_text_col: str = "text",
     max_broadcast_rows: int = 1_000_000,
     broadcast_benchmark: bool | None = None,
+    floor: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing at least one word
     k-gram with a benchmark/eval doc → (corpus_id, bench_id, n_shared).
@@ -755,7 +756,18 @@ def contamination_pairs(
     benchmark is an expensive derived frame) can pass
     ``broadcast_benchmark=True/False`` to skip the probe job entirely and
     keep this function pure plan construction.
+
+    ``floor=True`` raises the corpus side to the session's default
+    parallelism before the k-gram explode: a small-file scan (or a
+    filtered one) can collapse to ONE input partition, silently
+    serializing the CPU-heavy shingling onto a single core (measured 5.7 s
+    single-threaded vs sub-second spread at sf0.1).  Pass ``floor=False``
+    when ``corpus`` is a derived frame with exchanges upstream (the
+    floor's partition probe would execute those stages at plan-build time
+    — the :func:`shingle_hash_table` rule).
     """
+    if floor:
+        corpus = ensure_min_parallelism(corpus)
     c_sh = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.explode(word_shingles(text_col, k)).alias("sh"),
@@ -1434,12 +1446,24 @@ def blocked_edit_pairs(
     build = records.select(
         F.col(id_col).alias("id_b"), F.col(name_col).alias("__name_b"), *block_cols
     )
-    dist = F.levenshtein(F.col("__name_a"), F.col("__name_b"))
+    # two CPU-shape fixes (the shuffle BYTES here are tiny, so AQE happily
+    # coalesces the join onto ONE task while the |block|² pair generation ×
+    # Levenshtein DP is the actual cost — measured 900k pairs on a single
+    # core at sf0.1):
+    # 1. explicit repartition on the block key pins the join parallelism
+    #    (a user-specified partition count is exempt from AQE coalescing);
+    # 2. the THRESHOLD form of levenshtein short-circuits each DP once the
+    #    running distance exceeds max_edit (returns -1) — an O(k·n) band
+    #    instead of the full O(n²) table per pair (measured 1.5×).
+    n_part = records.sparkSession.sparkContext.defaultParallelism
+    probe = probe.repartition(n_part, *block_cols)
+    build = build.repartition(n_part, *block_cols)
+    dist = F.levenshtein(F.col("__name_a"), F.col("__name_b"), max_edit)
     return (
         probe.join(build, on=list(block_cols))
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("edit_dist", dist)
-        .where(F.col("edit_dist") <= max_edit)
+        .where(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", *block_cols, "edit_dist")
     )
 
