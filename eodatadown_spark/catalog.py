@@ -967,6 +967,107 @@ class ParquetCatalog:
             return self.spark.read.schema(stored).parquet(path)
         return self.spark.read.parquet(path)
 
+    def file_stats(self, table: str, columns: list[str] | None = None) -> list[dict]:
+        """Per-file min/max manifest from the parquet footers — the
+        data-skipping index table formats keep in their transaction log,
+        derived here directly from the files (footer reads only, no data
+        scan).  Returns one dict per data file:
+        ``{"path", "rows", "<col>_min", "<col>_max", ...}``; a column with
+        no usable statistics in some file yields None bounds there (the
+        pruner must treat that file as always-matching).
+
+        Footer reads are driver-side by design: a manifest is metadata —
+        O(files), not O(rows) — exactly like reading a Delta log.  At very
+        large file counts, persist the result as a catalog table and
+        refresh it incrementally per commit.
+        """
+        import pyarrow.parquet as pq
+
+        root = self.data_path(table)
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(dirpath, fname)
+                meta = pq.ParquetFile(fpath).metadata
+                names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+                want = columns if columns is not None else names
+                entry: dict = {"path": fpath, "rows": meta.num_rows}
+                mins: dict = {}
+                maxs: dict = {}
+                for rg in range(meta.num_row_groups):
+                    row_group = meta.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        name = names[ci]
+                        if name not in want:
+                            continue
+                        st = row_group.column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            mins[name] = maxs[name] = None
+                            continue
+                        if mins.get(name, st.min) is not None:
+                            mins[name] = min(mins.get(name, st.min), st.min)
+                            maxs[name] = max(maxs.get(name, st.max), st.max)
+                for name in want:
+                    if name in names:
+                        entry[f"{name}_min"] = mins.get(name)
+                        entry[f"{name}_max"] = maxs.get(name)
+                out.append(entry)
+        return out
+
+    def read_pruned(self, table: str, bounds: dict[str, tuple]) -> DataFrame:
+        """Manifest-pruned read: keep only files whose per-column [min, max]
+        intervals INTERSECT every requested ``{col: (lo, hi)}`` bound (None
+        end = open), read just those paths, and re-apply the exact range
+        predicate — so the file pruning is a performance fact, never a
+        correctness input.  Files without usable stats for a bounded column
+        are conservatively kept.
+
+        The payoff compounds with :meth:`compact`'s ``zorder_by``: after a
+        Z-order rewrite each file covers a compact key interval, so a
+        selective range predicate keeps a handful of files out of thousands
+        — the scan-level half of data skipping that partition pruning
+        (p_year/p_month) can't express for non-partition columns.
+        """
+        stats = self.file_stats(table, list(bounds))
+        keep = []
+        for entry in stats:
+            ok = True
+            for col, (lo, hi) in bounds.items():
+                fmin = entry.get(f"{col}_min")
+                fmax = entry.get(f"{col}_max")
+                if fmin is None or fmax is None:
+                    continue  # no stats → cannot exclude
+                if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                    ok = False
+                    break
+            if ok:
+                keep.append(entry["path"])
+        if not keep:
+            df = self.read(table).limit(0)
+        else:
+            root = self.data_path(table)
+            stored = self._read_schema_sidecar(root)
+            # basePath keeps the hive partition columns (p_year/p_month)
+            # when reading explicit leaf-file paths, so the pruned frame's
+            # schema matches read()'s and bounds on partition columns apply
+            reader = self.spark.read.option("basePath", root)
+            if stored is not None:
+                reader = reader.schema(stored)
+            df = reader.parquet(*keep)
+        for col, (lo, hi) in bounds.items():
+            if col not in df.columns:
+                raise ValueError(
+                    f"read_pruned bound on unknown column {col!r} "
+                    f"(table {table!r} has {df.columns})"
+                )
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(col) <= F.lit(hi))
+        return df
+
     def fsck(self, table: str) -> dict:
         """Catalog health report for `table`: pointer validity, orphan
         version dirs (above the pointer — crashed writes), GC candidates

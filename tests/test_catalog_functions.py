@@ -1258,3 +1258,75 @@ def test_catalog_compact_zorder_clusters_files(spark, landsat_scenes, tmp_path):
     spans.sort()
     for (lo_a, hi_a), (lo_b, _hi_b) in zip(spans, spans[1:]):
         assert hi_a <= lo_b  # intervals never interleave
+
+
+class TestFileStatsPruning:
+    """Round-8: footer-derived file-stats manifest + manifest-pruned reads —
+    the scan-level data-skipping half that partition pruning can't express
+    for non-partition columns, compounding with compact(zorder_by=...)."""
+
+    def test_file_stats_min_max(self, spark, landsat_scenes, tmp_path):
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes, "landsat_scenes")
+        stats = cat.file_stats("landsat_scenes", ["cloud_cover", "pid"])
+        assert stats and all(e["rows"] > 0 for e in stats)
+        lo = min(e["cloud_cover_min"] for e in stats)
+        hi = max(e["cloud_cover_max"] for e in stats)
+        real = landsat_scenes.agg(
+            F.min("cloud_cover"), F.max("cloud_cover")).first()
+        assert (lo, hi) == (real[0], real[1])
+
+    def test_read_pruned_skips_files_and_matches_full_scan(
+        self, spark, landsat_scenes, tmp_path
+    ):
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(landsat_scenes.repartition(8), "landsat_scenes")
+        # cluster on cloud_cover so file intervals become disjoint
+        cat.compact(
+            "landsat_scenes", target_rows_per_file=2,
+            zorder_by=["cloud_cover"], zorder_ranges=[(0.0, 100.0)],
+        )
+        n_files = len(cat.file_stats("landsat_scenes"))
+        assert n_files >= 3
+        pruned = cat.read_pruned("landsat_scenes", {"cloud_cover": (0.0, 10.0)})
+        # correctness: pruned read == full-scan filter, column-for-column
+        full = cat.read("landsat_scenes").where(
+            (F.col("cloud_cover") >= 0.0) & (F.col("cloud_cover") <= 10.0)
+        )
+        assert sorted(pruned.columns) == sorted(full.columns)
+        got = {r["pid"] for r in pruned.collect()}
+        want = {r["pid"] for r in full.collect()}
+        assert got == want and got  # non-empty and identical
+        # performance fact: the manifest excluded at least one file
+        stats = cat.file_stats("landsat_scenes", ["cloud_cover"])
+        kept = [
+            e for e in stats
+            if e["cloud_cover_min"] is None or e["cloud_cover_min"] <= 10.0
+        ]
+        assert len(kept) < n_files
+
+    def test_read_pruned_partition_column_bound(
+        self, spark, landsat_scenes, tmp_path
+    ):
+        """Bounds on the derived partition column must survive the
+        explicit-file-path read (basePath) and apply exactly."""
+        import datetime as dt
+
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        two_year = landsat_scenes.withColumn(
+            "date_acquired",
+            F.when(F.col("pid") >= 4, F.lit(dt.date(2020, 3, 1))).otherwise(
+                F.col("date_acquired")
+            ),
+        )
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(two_year, "landsat_scenes")
+        pruned = cat.read_pruned("landsat_scenes", {"p_year": (2020, 2020)})
+        assert {r["pid"] for r in pruned.collect()} == {4, 5, 6}
+        with pytest.raises(ValueError, match="unknown column"):
+            cat.read_pruned("landsat_scenes", {"nope": (0, 1)})
