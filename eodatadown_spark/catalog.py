@@ -464,6 +464,7 @@ class ParquetCatalog:
         insert_condition=None,
         validate_unique_source: bool = True,
         occ_retries: int = 5,
+        schema_evolution: str = "strict",
     ) -> None:
         """Transactional MERGE INTO the catalog table — the Delta/Iceberg
         MERGE operation on the versioned-parquet layout, partition-selective.
@@ -487,10 +488,54 @@ class ParquetCatalog:
         the merged frame derives from the base version, so the pointer flip
         is base-checked under the commit lock and a lost race rebuilds from
         the winner's commit (up to ``occ_retries`` times).
+
+        ``schema_evolution`` governs INSERT-ALL mode
+        (``when_not_matched_insert=True``) when the source carries columns
+        the table lacks: ``"strict"`` (default) rejects them loudly (the
+        old behavior dropped them silently); ``"add"`` widens the table
+        first — a zero-row :meth:`append`-style evolution commit (sidecar,
+        hard-linked files, no rewrite) — then merges against the widened
+        schema, so the extras insert for new rows and read as NULL
+        elsewhere.  Explicit insert/update MAPPINGS are untouched either
+        way: there, extra source columns are ordinary expression inputs,
+        not an ambiguity.  ``__``-prefixed source columns are exempt too —
+        the codebase-wide convention for ephemeral bookkeeping (e.g. a CDC
+        ``__op`` marker driving the clause conditions); they are never
+        inserted and never widen the schema.
         """
         from eodatadown_spark.operators.merge import merge_into as _merge_df
 
+        if schema_evolution not in ("strict", "add"):
+            raise ValueError(
+                f"unknown schema_evolution mode {schema_evolution!r}"
+            )
         part_src = PARTITION_SOURCE.get(table)
+        if when_not_matched_insert is True:
+            cur0 = self.read(table)
+            extras = [
+                c for c in source.columns
+                if c not in cur0.columns and not c.startswith("__")
+            ]
+            if extras and schema_evolution == "strict":
+                raise ValueError(
+                    f"merge_into insert-all: source columns {extras} not in "
+                    f"table {table!r}; pass schema_evolution='add' to widen "
+                    "the schema, or an explicit insert mapping (silent "
+                    "dropping would be data loss)"
+                )
+            if extras:
+                part0 = [c for c in ("p_year", "p_month") if c in cur0.columns]
+                target0 = [c for c in cur0.columns if c not in part0]
+                evolve_src = source.limit(0).select(
+                    *[
+                        F.col(c)
+                        if c in source.columns
+                        else F.lit(None).cast(cur0.schema[c].dataType).alias(c)
+                        for c in target0
+                    ],
+                    *[F.col(c) for c in extras],
+                )
+                self._append_evolve(table, evolve_src, extras, occ_retries)
         if when_matched_update:
             forbidden = {part_src, "p_year", "p_month"} & set(when_matched_update)
             if forbidden:

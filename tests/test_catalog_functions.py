@@ -1220,6 +1220,44 @@ class TestSchemaEvolution:
         assert v1.where(F.col("quality_score").isNull()).count() == 7
 
 
+    def test_merge_into_insert_all_evolution(self, spark, tmp_path):
+        """merge_into insert-all: unknown source columns are rejected in
+        strict mode and widen the table with 'add' — inserted rows carry
+        the new column, pre-existing and updated rows read NULL."""
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        cat.write(
+            spark.createDataFrame([(1, "a"), (2, "b")], "pid long, v string"),
+            "flat", partition=False,
+        )
+        src = spark.createDataFrame(
+            [(2, "B", 0.5), (3, "c", 0.9)], "pid long, v string, score double"
+        )
+        with pytest.raises(ValueError, match="score"):
+            cat.merge_into(
+                "flat", src, on=["pid"],
+                when_matched_update={"v": F.col("s.v")},
+            )
+        cat.merge_into(
+            "flat", src, on=["pid"],
+            when_matched_update={"v": F.col("s.v")},
+            schema_evolution="add",
+        )
+        got = {r["pid"]: (r["v"], r["score"]) for r in cat.read("flat").collect()}
+        assert got == {1: ("a", None), 2: ("B", None), 3: ("c", 0.9)}
+        # explicit mappings never trip the guard: extras are expression inputs
+        cat.merge_into(
+            "flat",
+            spark.createDataFrame(
+                [(4, "d", "ignored")], "pid long, v string, note string"
+            ),
+            on=["pid"],
+            when_not_matched_insert={"v": F.col("s.v")},
+        )
+        assert cat.read("flat").where(F.col("pid") == 4).count() == 1
+
+
 def test_catalog_compact_zorder_clusters_files(spark, landsat_scenes, tmp_path):
     """compact(zorder_by=...): the rewrite range-partitions on the Morton
     key of the named columns and sorts within files, so per-file Z-key
@@ -1330,3 +1368,22 @@ class TestFileStatsPruning:
         assert {r["pid"] for r in pruned.collect()} == {4, 5, 6}
         with pytest.raises(ValueError, match="unknown column"):
             cat.read_pruned("landsat_scenes", {"nope": (0, 1)})
+
+
+def test_merge_into_insert_all_dunder_columns_exempt(spark, landsat_scenes, tmp_path):
+    """__-prefixed source columns (the ephemeral-bookkeeping convention,
+    e.g. a CDC __op marker) never trip the insert-all evolution guard and
+    never insert."""
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(landsat_scenes, "landsat_scenes")
+    src = (
+        landsat_scenes.where(F.col("pid") == 1)
+        .withColumn("pid", F.lit(777).cast("long"))
+        .withColumn("__op", F.lit("i"))
+    )
+    cat.merge_into("landsat_scenes", src, on=["pid"])  # strict, no raise
+    tbl = cat.read_clean("landsat_scenes")
+    assert tbl.where(F.col("pid") == 777).count() == 1
+    assert "__op" not in tbl.columns
