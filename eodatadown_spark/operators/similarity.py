@@ -1379,3 +1379,71 @@ def mmr_rerank(
         )
         selected = _pin_mode(selected.unionByName(pick), materialize)
     return selected.select("query_id", "neighbor_id", "rank")
+
+
+def ivf_build_lists(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "vec_id",
+) -> DataFrame:
+    """The PERSISTENT half of IVF search: (neighbor_id, cell, embedding) —
+    each corpus vector filed under its nearest centroid, vector included so
+    a stored index answers probes without touching the corpus table at all
+    (the :func:`..dedup.minhash_band_index` pattern for embeddings).
+
+    Store it (plus the centroids) in a catalog; appending a batch's own
+    rows — assign against the SAME stored centroids, then append — keeps it
+    current, the continuous-ingest shape.  One coarse-quantize pass (|C|
+    broadcast dot products per vector, no corpus shuffle) + one id join.
+    """
+    lists_ = ivf_assign_cells(
+        corpus, centroids, id_col, vec_col, n_probe=1,
+        centroid_id_col=centroid_id_col,
+    ).select(F.col("id").alias("neighbor_id"), "cell")
+    return lists_.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias(vec_col)
+        ),
+        "neighbor_id",
+    )
+
+
+def ivf_topk_against_index(
+    lists: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_id_col: str = "vec_id",
+    two_phase: bool = False,
+) -> DataFrame:
+    """IVF top-k against STORED inverted lists (:func:`ivf_build_lists`
+    output): per query, quantize against the stored centroids, scan only
+    the probed cells' list rows, score exactly — IDENTICAL output to
+    :func:`ivf_topk` over the corpus with the same centroids (pytest-
+    pinned), with the corpus itself never read.
+
+    The production probe shape: queries broadcast with their probe cells;
+    the only big relation touched is the stored list table, via an
+    equi-join on cell — ~n_probe/|C| of it.
+    """
+    c = lists.select(
+        "neighbor_id", "cell", F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    probes = ivf_assign_cells(
+        queries, centroids, query_id_col, vec_col, n_probe=n_probe,
+        centroid_id_col=centroid_id_col,
+    ).select(F.col("id").alias("query_id"), "cell")
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+        .join(probes, "query_id")
+    )
+    cand = c.join(q, "cell").dropDuplicates(["query_id", "neighbor_id"])
+    return _topk_tail(_score_pairs(cand), k, two_phase=two_phase)

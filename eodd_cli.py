@@ -220,6 +220,64 @@ def cmd_dedupindex(args) -> None:
     print(json.dumps(stats))
 
 
+def cmd_annindex(args) -> None:
+    """Persistent IVF ANN-index lifecycle: --build trains a k-means coarse
+    quantizer and stores centroids + inverted lists (each vector filed
+    under its nearest centroid, vector included) as versioned catalog
+    tables; --add assigns a new batch against the STORED centroids and
+    appends its list rows (OCC append, anti-join replay-safe); --query
+    probes the stored index — only the probed cells' list rows are read,
+    the corpus never is.  One JSON stats line per invocation."""
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.operators import similarity as S
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    cat = ParquetCatalog(spark, args.index_dir)
+    meta_path = os.path.join(args.index_dir, "ann_meta.json")
+    if args.build:
+        corpus = spark.read.parquet(args.build)
+        cents = S.kmeans_centroids(corpus, k=args.centroids)
+        lists = S.ivf_build_lists(corpus, cents)
+        cat.write(cents, "centroids", partition=False)
+        cat.write(lists, "ivf_lists", partition=False)
+        os.makedirs(args.index_dir, exist_ok=True)
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            json.dump({"n_centroids": args.centroids}, fh)
+        print(json.dumps({
+            "built": True, "vectors": corpus.count(),
+            "n_centroids": args.centroids,
+        }))
+        return
+    cents = cat.read("centroids")
+    lists = cat.read("ivf_lists")
+    if args.add:
+        batch = spark.read.parquet(args.add)
+        # assign against the STORED centroids (never re-train — a re-trained
+        # quantizer would strand the existing lists); anti-join makes a
+        # replayed batch a no-op
+        new_rows = S.ivf_build_lists(batch, cents).join(
+            lists.select("neighbor_id").distinct(), "neighbor_id", "left_anti"
+        )
+        cat.append("ivf_lists", new_rows)
+        print(json.dumps({
+            "added": True, "batch_vectors": batch.count(),
+            "index_vectors": cat.read("ivf_lists").count(),
+        }))
+        return
+    qs = spark.read.parquet(args.query).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = S.ivf_topk_against_index(
+        lists, cents, qs, k=args.k, n_probe=args.n_probe
+    ).select("query_id", "neighbor_id", "rank")
+    if args.out:
+        res.write.mode("overwrite").parquet(args.out)
+    stats = {"queries": qs.count(), "result_rows": res.count(),
+             "k": args.k, "n_probe": args.n_probe}
+    print(json.dumps(stats))
+
+
 def cmd_gencmds(args) -> None:
     from eodatadown_spark import sinks
 
@@ -819,6 +877,16 @@ def main(argv=None) -> int:
     sp.add_argument("--num-perm", type=int, default=32, dest="num_perm")
     sp.add_argument("--bands", type=int, default=8)
     sp.set_defaults(fn=cmd_dedupindex)
+    sp = sub.add_parser("annindex")
+    sp.add_argument("--index-dir", required=True, dest="index_dir")
+    sp.add_argument("--build", default=None, help="corpus parquet to index")
+    sp.add_argument("--add", default=None, help="new-batch parquet to fold in")
+    sp.add_argument("--query", default=None, help="query-vectors parquet")
+    sp.add_argument("--centroids", type=int, default=8)
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--n-probe", type=int, default=2, dest="n_probe")
+    sp.add_argument("--out", default=None, help="result parquet path")
+    sp.set_defaults(fn=cmd_annindex)
 
     add("jaxafilelist", cmd_jaxafilelist, **{
         "--out": {"required": True},

@@ -677,3 +677,67 @@ def test_cli_dedupindex_apply_is_replay_safe(spark, tmp_path, capsys):
         .where(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
+    """annindex CLI: --build stores trained centroids + inverted lists;
+    --query probes the stored index and equals a fresh ivf_topk over the
+    corpus with the SAME centroids; --add folds a batch in (replay-safe)
+    and subsequent probes see it."""
+    import eodd_cli
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 10))
+    qs_src = emb.where(F.col("vec_id") < 10)
+    src = str(tmp_path / "corpus"); bsrc = str(tmp_path / "batch")
+    qsrc = str(tmp_path / "queries"); idx = str(tmp_path / "ann_idx")
+    out = str(tmp_path / "res")
+    corpus.write.parquet(src); batch.write.parquet(bsrc)
+    qs_src.write.parquet(qsrc)
+
+    eodd_cli.main(["annindex", "--index-dir", idx, "--build", src,
+                   "--centroids", "8"])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["built"] and built["vectors"] == corpus.count()
+
+    eodd_cli.main(["annindex", "--index-dir", idx, "--query", qsrc,
+                   "--k", "3", "--n-probe", "2", "--out", out])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["queries"] == qs_src.count()
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in spark.read.parquet(out).collect()}
+    cents = ParquetCatalog(spark, idx).read("centroids")
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.ivf_topk(
+            corpus,
+            qs_src.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=3, n_probe=2, centroids=cents,
+        ).collect()
+    }
+    assert got == want  # stored-index probe == fresh corpus-side IVF
+
+    eodd_cli.main(["annindex", "--index-dir", idx, "--add", bsrc])
+    added = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert added["index_vectors"] == corpus.count() + batch.count()
+    eodd_cli.main(["annindex", "--index-dir", idx, "--add", bsrc])  # replay
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["index_vectors"] == corpus.count() + batch.count()  # no dups
+
+    eodd_cli.main(["annindex", "--index-dir", idx, "--query", qsrc,
+                   "--k", "3", "--n-probe", "2", "--out", out])
+    capsys.readouterr()
+    got2 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in spark.read.parquet(out).collect()}
+    want2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.ivf_topk(
+            corpus.unionByName(batch),
+            qs_src.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=3, n_probe=2, centroids=cents,
+        ).collect()
+    }
+    assert got2 == want2  # post-add probe == fresh IVF over the union
