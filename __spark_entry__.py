@@ -1595,6 +1595,25 @@ def q49_ivf_topk(spark, sf):
     )
 
 
+def q153_ivf_stored_probe(spark, sf):
+    """Similarity (round 8): IVF top-k against STORED inverted lists
+    (similarity.ivf_build_lists -> ivf_topk_against_index) — the
+    persistent-index probe path the annindex CLI runs, built here inline
+    under the deterministic seed codebook so the oracle can recompute the
+    WHOLE thing relationally.  Must equal q49 exactly: filing vectors
+    under their nearest centroid and probing the stored lists is the same
+    math as corpus-side IVF."""
+    emb = _t(spark, sf, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8)
+    lists = S.ivf_build_lists(emb, cents)
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk_against_index(lists, cents, qs, k=3, n_probe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -2837,6 +2856,7 @@ QUERIES: dict[str, Callable] = {
     "q09_semi_join": q09_semi_join,
     "q151_sq8_topk": q151_sq8_topk,
     "q152_positional_prefix": q152_positional_prefix,
+    "q153_ivf_stored_probe": q153_ivf_stored_probe,
 }
 
 
@@ -3645,6 +3665,43 @@ def oracle_sql() -> dict[str, str]:
         # q49: IVF reproduced end-to-end — same seed codebook (vec_id < 8),
         # same nearest-cell assignment and 2-probe candidate generation, rank
         # by cosine within candidates.
+        "q153_ivf_stored_probe": """
+            WITH cent AS (
+                SELECT vec_id AS cell, embedding AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), asn AS (
+                SELECT id, cell FROM (
+                    SELECT e.vec_id AS id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, c.cv)
+                                        DESC, c.cell ASC) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT id AS query_id, cell FROM (
+                    SELECT e.vec_id AS id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, c.cv)
+                                        DESC, c.cell ASC) AS rn
+                    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+                ) WHERE rn <= 2
+            ), cand AS (
+                SELECT DISTINCT p.query_id, a.id AS neighbor_id
+                FROM probes p JOIN asn a ON a.cell = p.cell
+                WHERE a.id <> p.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                    DESC, c.neighbor_id ASC) AS rank
+                FROM cand c
+                JOIN embeddings q ON q.vec_id = c.query_id
+                JOIN embeddings e ON e.vec_id = c.neighbor_id
+            ) WHERE rank <= 3
+        """,
+        # q153 note: stored-lists probe == corpus-side IVF, same relational
+        # recompute as q49 (the lists ARE the rn=1 assignment rows)
         "q49_ivf_topk": """
             WITH cent AS (
                 SELECT vec_id AS cell, embedding AS cv
