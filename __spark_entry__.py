@@ -1614,6 +1614,26 @@ def q153_ivf_stored_probe(spark, sf):
     )
 
 
+def q154_incremental_simhash(spark, sf):
+    """Continuous SimHash dedup (dedup.simhash_neardup_against_index): a
+    stored band index built from the existing corpus (doc_id % 10 != 0)
+    is probed with the new batch (doc_id % 10 == 0) — only the batch
+    sketches; the corpus is touched through colliding band rows, and
+    verification is one XOR+popcount on the sketches the rows carry (no
+    fingerprint table, unlike the MinHash path).  band_bits=6 gives 10
+    bands > max_hamming=8, so by pigeonhole the output EQUALS the exact
+    all-pairs hamming result filtered to new-endpoint pairs — which is
+    what the oracle computes (q25's full md5 sketch recompute over the
+    whole corpus + the endpoint filter)."""
+    docs = _t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    index = D.simhash_band_index(old, band_bits=6)
+    return D.simhash_neardup_against_index(
+        new, index, max_hamming=8, band_bits=6
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -2857,6 +2877,7 @@ QUERIES: dict[str, Callable] = {
     "q151_sq8_topk": q151_sq8_topk,
     "q152_positional_prefix": q152_positional_prefix,
     "q153_ivf_stored_probe": q153_ivf_stored_probe,
+    "q154_incremental_simhash": q154_incremental_simhash,
 }
 
 
@@ -3262,6 +3283,47 @@ def oracle_sql() -> dict[str, str]:
         # q25: the md5-derived 60-bit sketch rebuilt bit-by-bit; banding is
         # provably lossless (10 bands > max_hamming=8), so exact all-pairs
         # hamming IS the Spark output.
+        "q154_incremental_simhash": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(
+                           CASE WHEN len(toks) >= 2
+                                THEN list_transform(range(1, len(toks)),
+                                         i -> array_to_string(toks[i:i+1], ' '))
+                                ELSE [array_to_string(toks, ' ')] END
+                       )) AS g
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(
+                               regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                               '\\s+') AS toks
+                    FROM documents
+                )
+            ), h AS (
+                SELECT id,
+                       CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+                FROM sh
+            ), bits AS (
+                SELECT id, j,
+                       sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM h, range(60) t(j)
+                GROUP BY id, j
+            ), sk AS (
+                SELECT id,
+                       sum(CASE WHEN s >= 0
+                                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                ELSE 0 END) AS sim
+                FROM bits GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+            FROM sk a JOIN sk b ON a.id < b.id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 8
+              AND (a.id % 10 = 0 OR b.id % 10 = 0)
+        """,
+        # q154 note: identical sketch recompute as q25, filtered to pairs
+        # with a new (doc_id % 10 = 0) endpoint — the incremental contract
         "q25_simhash_neardup": """
             WITH sh AS (
                 SELECT doc_id AS id,

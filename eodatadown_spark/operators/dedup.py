@@ -635,6 +635,97 @@ def simhash_sketches(
     return sums.select("id", sim.alias("sim"))
 
 
+def _simhash_banded(sk: DataFrame, band_bits: int, n_bits: int) -> DataFrame:
+    """(id, sim, t, band) — the sketch split into n_bits/band_bits bands;
+    shared by the self-join pair path and the stored-index path."""
+    if n_bits % band_bits != 0:
+        # an assert would be stripped under -O and silently leave the top
+        # bits unbanded (lost recall); fail loudly instead
+        raise ValueError(f"band_bits={band_bits} must divide n_bits={n_bits}")
+    n_tables = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftrightunsigned(F.col("sim"), t * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return sk.select("id", "sim", F.explode(bands).alias("b")).select(
+        "id", "sim", "b.t", "b.band"
+    )
+
+
+def simhash_band_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 15,
+    n_bits: int = 60,
+    gram_hash: str = "md5",
+) -> DataFrame:
+    """The persistent half of continuous SimHash dedup: banded sketch rows
+    (id, sim, t, band) for a corpus — store in a catalog table and probe
+    each new batch with :func:`simhash_neardup_against_index`, appending
+    the batch's own rows afterwards (the :func:`minhash_band_index`
+    pattern; unlike MinHash no separate fingerprint table is needed — the
+    sketch itself rides along and verification is one XOR+popcount).
+    Parameters are part of the index identity — probe with the same
+    values."""
+    return _simhash_banded(
+        simhash_sketches(documents, id_col, text_col, n_bits=n_bits, gram_hash=gram_hash),
+        band_bits, n_bits,
+    )
+
+
+def simhash_neardup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 15,
+    n_bits: int = 60,
+    gram_hash: str = "md5",
+) -> DataFrame:
+    """Incremental SimHash near-dup: (id_a, id_b, hamming) pairs with at
+    least one NEW endpoint — new-vs-corpus and new-vs-new — by probing a
+    STORED band index instead of re-banding the corpus.  Output equals
+    :func:`simhash_neardup_pairs` over old ∪ new filtered to
+    new-endpoint pairs (the pigeonhole guarantee carries over unchanged:
+    it is per-pair, independent of which side is indexed).
+
+    Per batch the work is the new docs' sketching plus an equi-join of
+    the batch's band rows against the stored index on (t, band); the
+    corpus is touched only through colliding band rows, and verification
+    is a single XOR+popcount on the sketches the rows already carry —
+    no second table, no fingerprint join (cheaper than the MinHash
+    incremental path by construction).
+    """
+    new_banded = _simhash_banded(
+        simhash_sketches(new_docs, id_col, text_col, n_bits=n_bits, gram_hash=gram_hash),
+        band_bits, n_bits,
+    )
+    all_banded = index.select("id", "sim", "t", "band").unionByName(new_banded)
+    raw = (
+        new_banded.alias("l")
+        .join(all_banded.alias("r"), ["t", "band"])
+        .where(F.col("l.id") != F.col("r.id"))
+    )
+    pairs = raw.select(
+        F.least("l.id", "r.id").alias("id_a"),
+        F.greatest("l.id", "r.id").alias("id_b"),
+        F.bit_count(
+            F.col("l.sim").bitwiseXOR(F.col("r.sim"))
+        ).alias("hamming"),
+    ).dropDuplicates(["id_a", "id_b"])
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
 def simhash_neardup_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -654,26 +745,9 @@ def simhash_neardup_pairs(
     asserts, using band_bits=6 → 10 bands > 8).  Wider bands trade that
     guarantee for fewer candidates.
     """
-    if n_bits % band_bits != 0:
-        # an assert would be stripped under -O and silently leave the top
-        # bits unbanded (lost recall); fail loudly instead
-        raise ValueError(f"band_bits={band_bits} must divide n_bits={n_bits}")
-    n_tables = n_bits // band_bits
-    sk = simhash_sketches(documents, id_col, text_col, n_bits=n_bits, gram_hash=gram_hash)
-    mask = (1 << band_bits) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.shiftrightunsigned(F.col("sim"), t * band_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("band"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    banded = sk.select("id", "sim", F.explode(bands).alias("b")).select(
-        "id", "sim", "b.t", "b.band"
+    banded = _simhash_banded(
+        simhash_sketches(documents, id_col, text_col, n_bits=n_bits, gram_hash=gram_hash),
+        band_bits, n_bits,
     )
     left = banded.select("t", "band", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
     right = banded.select("t", "band", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))

@@ -1909,3 +1909,39 @@ def test_neardup_clusters_driver_vs_distributed_identical(spark):
     labels = {d: c for d, c, _ in fast}
     assert labels[0] == labels[1] == labels[2] == labels[3] == 0  # the chain
     assert labels[4] == 4                                         # singleton
+
+
+def test_simhash_index_probe_equals_full_rerun(spark):
+    """simhash_neardup_against_index == simhash_neardup_pairs over old∪new
+    filtered to new-endpoint pairs — new-vs-corpus AND new-vs-new both
+    surface, nothing else."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, base + "mu"),                       # near-dup of 1 (old-old: excluded)
+        (3, "a completely different document about oranges and apples and "
+            "plenty of other fruit words"),
+        (100, base + "nu"),                     # new ~ {1,2}
+        (101, base + "nu"),                     # new == new 100 (hamming 0)
+        (102, "an unrelated novel payload with distinct vocabulary choices"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+    idx = D.simhash_band_index(old, band_bits=6)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_neardup_against_index(
+            new, idx, max_hamming=8, band_bits=6
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_neardup_pairs(
+            docs, max_hamming=8, band_bits=6
+        ).collect()
+        if r["id_a"] >= 100 or r["id_b"] >= 100
+    }
+    assert got == want and got
+    assert any(a < 100 for a, _b, _h in got)     # new-vs-corpus surfaces
+    assert (100, 101) in {(a, b) for a, b, _ in got}  # new-vs-new surfaces
