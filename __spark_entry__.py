@@ -2721,6 +2721,10 @@ def q106_split_leakage_gate(spark, sf):
 # recorded in r1–r4) yield their slots to q59 native asof join, q87
 # INTERSECT/EXCEPT set ops, q89 time-RANGE window frame, q92 snapshot CDC
 # diff, q94 z-order layout, and the q104/q105 samplers.
+# Round 8 rotates q153 (stored-IVF probe) and q154 (incremental SimHash)
+# into the window — both are new stored-index code paths with no in-window
+# analog — displacing q19 (exact dedup; the dedup family stays covered by
+# q24/q121/q150) and q26 (window rollup; covered by q29/q31/q97/q128).
 # Everything still runs in local checks (tools/check_correctness.py covers
 # all entries).
 QUERIES: dict[str, Callable] = {
@@ -2742,14 +2746,14 @@ QUERIES: dict[str, Callable] = {
     "q61_range_join": q61_range_join,
     "q17_obs_date_rollup": q17_obs_date_rollup,
     "q18_json_filter": q18_json_filter,
-    "q19_exact_dedup": q19_exact_dedup,
+    "q153_ivf_stored_probe": q153_ivf_stored_probe,
     "q20_text_profile": q20_text_profile,
     "q59_asof_join": q59_asof_join,
     "q134_mmr_rerank": q134_mmr_rerank,
     "q23_cosine_topk": q23_cosine_topk,
     "q24_minhash_neardup": q24_minhash_neardup,
     "q148_theta_setops": q148_theta_setops,
-    "q26_window_rollup": q26_window_rollup,
+    "q154_incremental_simhash": q154_incremental_simhash,
     "q96_sole_late_supplier": q96_sole_late_supplier,
     "q121_cluster_reps": q121_cluster_reps,
     "q29_sessionize": q29_sessionize,
@@ -2876,8 +2880,8 @@ QUERIES: dict[str, Callable] = {
     "q09_semi_join": q09_semi_join,
     "q151_sq8_topk": q151_sq8_topk,
     "q152_positional_prefix": q152_positional_prefix,
-    "q153_ivf_stored_probe": q153_ivf_stored_probe,
-    "q154_incremental_simhash": q154_incremental_simhash,
+    "q19_exact_dedup": q19_exact_dedup,
+    "q26_window_rollup": q26_window_rollup,
 }
 
 
