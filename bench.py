@@ -58,8 +58,10 @@ EXTENDED = [
     "q146_lsh_multiprobe",
     "q149_incremental_phash",
     "q150_incremental_clusters",
-    # round-8 operator
+    # round-8 operators
     "q152_positional_prefix",
+    "q153_ivf_stored_probe",
+    "q154_incremental_simhash",
 ]
 
 
