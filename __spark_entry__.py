@@ -2921,6 +2921,9 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_prefix_jaccard": lambda spark, sf: q131_prefix_jaccard(
             spark, sf, materialize="none"
         ),
+        "q152_positional_prefix": lambda spark, sf: q152_positional_prefix(
+            spark, sf, materialize="none"
+        ),
         "q134_mmr_rerank": lambda spark, sf: q134_mmr_rerank(
             spark, sf, materialize="none"
         ),
