@@ -1520,9 +1520,20 @@ def q43_simhash_soundness(spark, sf):
     (Recall is covered by the planted-dup pytest; this upgrades the driver's
     q25 check from rows-only to a per-row verdict on soundness.)"""
     docs = _t(spark, sf, "documents")
-    sim_pairs = D.simhash_neardup_pairs(docs, max_hamming=8).select("id_a", "id_b")
-    exact = D.ngram_jaccard_pairs(docs, k=2, threshold=0.3).select("id_a", "id_b")
-    return sim_pairs.join(exact, ["id_a", "id_b"], "left_anti")
+    sim_pairs = D.simhash_neardup_pairs(docs, max_hamming=8).select(
+        "id_a", "id_b"
+    ).localCheckpoint()
+    # verify the RETURNED pairs directly (O(|sim_pairs|)) instead of
+    # materializing the full exact pair set at the loose t=0.3 bar, where
+    # ANY candidate filter admits nearly all-pairs on this corpus — the
+    # gate's semantics are identical: a returned pair either clears the
+    # exact 2-gram Jaccard bar or surfaces as a violation (62-bit hashed
+    # sets ≡ string sets, the q24 precedent)
+    fps = D.shingle_hash_table(docs, k=2)
+    cleared = D._exact_jaccard_filter(sim_pairs, fps, 0.3).select(
+        "id_a", "id_b"
+    )
+    return sim_pairs.join(cleared, ["id_a", "id_b"], "left_anti")
 
 
 def q44_tfidf_keywords(spark, sf):
@@ -2690,10 +2701,11 @@ def q106_split_leakage_gate(spark, sf):
         assign_split_clustered,
         split_leakage_gate,
     )
-    from eodatadown_spark.operators.dedup import neardup_clusters, ngram_jaccard_pairs
+    from eodatadown_spark.operators.dedup import jaccard_prefix_pairs, neardup_clusters
 
     docs = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # prefix-filtered exact pairs — identical set, q131/q152-proven
+    pairs = jaccard_prefix_pairs(docs, threshold=0.5)
     clusters = neardup_clusters(docs, pairs=pairs)
     split = assign_split_clustered(docs, clusters).select("doc_id", "split")
     # exhaustive posture, reusing the pair frame already computed to BUILD

@@ -204,15 +204,17 @@ def repetition_ratio(text: Column | str, n: int = 2) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(ws_trim(c)), "\\s+")
     sz = F.size(toks)
-    grams = F.when(
-        sz >= n,
-        F.transform(
-            F.sequence(F.lit(0), sz - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # zip of n SHIFTED SLICES, not transform-with-element_at: the latter
+    # re-evaluates the `toks` split per gram (the higher-order-lambda trap
+    # — see dedup.word_shingles); the zip form evaluates each slice once
+    m = F.greatest(sz - n + 1, F.lit(1))
+    parts = [F.slice(toks, j + 1, m) for j in range(n)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(sz >= n, zipped).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
     return F.round(
         F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 4
     )
