@@ -21,6 +21,16 @@ from eodatadown_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family, weighted toward the scale-relevant
 # ops (joins, window dedup, minhash, similarity, text profile, rollups).
+#
+# NO-REGRESSION RULE (spread-based, VERDICT r8 item 7): a warm median delta
+# for a query counts as a regression only if the [min, max] spreads of the
+# two rounds (queries_warm_spread) do NOT overlap.  At sf0.1 the dimension
+# scans of the small-parquet join family (q10 and kin) land on ≤3 input
+# partitions (SCALING.md "3-partition CPU trap"), so their warm medians move
+# ±0.4 s with host scheduling noise while the plan (4 BHJ, 2 exchanges,
+# pushed filters — asserted in tests/test_plans.py::test_q10_dims_broadcast)
+# is already the wanted one; chasing the median inside the spread churns
+# plans for noise.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_date_range_page",
@@ -221,6 +231,30 @@ def main() -> None:
         extended[name] = samples[1]
         extended_spread[name] = [samples[0], samples[-1]]
 
+    # Stored-index build vs per-batch probe (VERDICT r8 item 3): the
+    # EXTENDED timings above fuse index construction with the probe, so
+    # they say nothing about the cost a continuous-ingest user pays per
+    # batch.  Here the persistent state is built+materialized once (timed)
+    # and the batch probe is timed separately (median of 3 after a warm-up)
+    # against the already-materialized state — the steady-state number.
+    incr_split: dict[str, dict] = {}
+    for name, (build, probe) in E.incremental_phases().items():
+        t0 = time.time()
+        state = build(spark, sf_dir)
+        build_sec = round(time.time() - t0, 3)
+        run_once(probe(spark, sf_dir, state))  # warm-up
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            run_once(probe(spark, sf_dir, state))
+            samples.append(round(time.time() - t0, 3))
+        samples.sort()
+        incr_split[name] = {
+            "build_sec": build_sec,
+            "probe_sec": samples[1],
+            "probe_spread": [samples[0], samples[-1]],
+        }
+
     # ANN retrieval quality at the bench scale factor: recall@10 vs exact
     # cosine for each approximate index (same configs the pytest floors
     # gate) — correctness-vs-oracle proves the plans, recall proves the
@@ -233,6 +267,8 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     ).localCheckpoint()
     ann_exact = S.cosine_topk(emb, qvecs, k=10).localCheckpoint()
+    n_corpus = emb.count()
+    sq8_scalars = S.sq8_train(emb)
     ann_recall = {
         "ivf_np4": round(S.topk_recall(
             S.ivf_topk(emb, qvecs, k=10, n_centroids=8, n_probe=4), ann_exact
@@ -246,7 +282,20 @@ def main() -> None:
         "ivf_pq_np8": round(S.topk_recall(
             S.ivf_pq_topk(emb, qvecs, k=10, n_centroids=8, n_probe=8,
                           m=8, n_codes=16,
-                          shortlist=max(120, emb.count() // 5)),
+                          shortlist=max(120, n_corpus // 5)),
+            ann_exact,
+        ), 3),
+        # SQ8 (VERDICT r8 item 2): fixed-50 shortlist tracks the raw 8-bit
+        # approximation quality; the corpus-scaled shortlist follows q80's
+        # sizing rule (fixed shortlists starve the exact rerank as the
+        # corpus grows and read as quality drift)
+        "sq8_sl50": round(S.topk_recall(
+            S.sq8_topk(emb, qvecs, k=10, shortlist=50, scalars=sq8_scalars),
+            ann_exact,
+        ), 3),
+        "sq8_sl_scaled": round(S.topk_recall(
+            S.sq8_topk(emb, qvecs, k=10, scalars=sq8_scalars,
+                       shortlist=max(50, n_corpus // 10)),
             ann_exact,
         ), 3),
         "lsh_p4_t8": round(S.topk_recall(
@@ -272,6 +321,7 @@ def main() -> None:
         "plan_exchanges": plan_facts,
         "queries_extended_warm": extended,
         "queries_extended_warm_spread": extended_spread,
+        "queries_incremental_split": incr_split,
         "sf": sf_val,
     }
     # extended sections go FIRST (and to a sidecar file): the driver's
@@ -297,6 +347,13 @@ def main() -> None:
                 "queries_warm": warm,
                 "total_warm": round(sum(warm.values()), 3),
                 "ann_recall": ann_recall,
+                # compact probe-vs-build split (spreads live in the
+                # extended sidecar): the probe number is the per-batch
+                # steady-state cost of the stored-index queries
+                "incremental_split": {
+                    n: {"build_sec": v["build_sec"], "probe_sec": v["probe_sec"]}
+                    for n, v in incr_split.items()
+                },
                 "e2e_pipeline_sec": e2e_sec,
                 "sf": sf_val,
             }

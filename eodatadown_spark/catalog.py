@@ -177,10 +177,17 @@ class ParquetCatalog:
         Delta adapter, whose log IS the commit protocol).  A lock dir
         older than ``steal_after`` is presumed crash debris and stolen."""
         lock = os.path.join(self._table_dir(table), "_COMMIT_LOCK")
+        token = f"{os.getpid()}.{time.time_ns()}"
         deadline = time.time() + timeout
         while True:
             try:
                 os.mkdir(lock)
+                # owner token: release verifies it (a holder whose lock was
+                # mistakenly stolen must NOT remove a successor's lock), and
+                # it makes the lock dir NON-EMPTY, so a stealer's rename-back
+                # can never atomically replace a live re-created lock
+                with open(os.path.join(lock, "owner"), "w", encoding="utf-8") as fh:
+                    fh.write(token)
                 break
             except FileExistsError:
                 try:
@@ -192,7 +199,29 @@ class ParquetCatalog:
                         # writers into the commit section at once
                         stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
                         os.rename(lock, stale)
-                        shutil.rmtree(stale, ignore_errors=True)
+                        # TOCTOU re-check (ADVICE r8): rename preserves mtime,
+                        # so a FRESH renamed dir means the original holder
+                        # released and another writer re-acquired between our
+                        # getmtime and our rename — we stole a LIVE lock.
+                        # Restore it: the rename-back fails (ENOTEMPTY) iff a
+                        # third writer already re-created the slot (their dir
+                        # holds an owner file), in which case we drop the
+                        # stolen dir — the live holder's token-checked release
+                        # then leaves the third writer's lock alone.
+                        try:
+                            fresh = (
+                                time.time() - os.path.getmtime(stale)
+                                <= steal_after
+                            )
+                        except OSError:
+                            fresh = False
+                        if fresh:
+                            try:
+                                os.rename(stale, lock)
+                            except OSError:
+                                shutil.rmtree(stale, ignore_errors=True)
+                        else:
+                            shutil.rmtree(stale, ignore_errors=True)
                         continue
                 except OSError:
                     continue  # lock vanished / another stealer won the rename
@@ -204,8 +233,16 @@ class ParquetCatalog:
         try:
             yield
         finally:
+            # token-checked release: remove the lock only if it is still
+            # OURS — after a mistaken steal-and-drop, the slot may already
+            # hold another writer's live lock
             try:
-                os.rmdir(lock)
+                owner = os.path.join(lock, "owner")
+                with open(owner, encoding="utf-8") as fh:
+                    held = fh.read() == token
+                if held:
+                    os.remove(owner)
+                    os.rmdir(lock)
             except OSError:
                 pass
 
@@ -299,16 +336,77 @@ class ParquetCatalog:
             self._flip_and_gc(table, version)
         return True
 
-    def write(self, df: DataFrame, table: str, partition: bool = True) -> None:
+    def write(self, df: DataFrame, table: str, partition: bool = True,
+              occ_retries: int = 5) -> None:
         """Atomically replace `table` with `df` (new version dir + pointer
         flip).  The version dir is claimed exclusively (atomic mkdir) and
         the flip happens under the commit lock, so a full replace can race
         concurrent merges without clobbering their claimed builds — the
         replace itself is intentionally last-writer-wins (it does not
-        derive from the previous contents, so there is no base to check)."""
-        version, out = self._write_version(df, table, partition)
-        with self._commit_lock(table):
-            self._flip_and_gc(table, version)
+        derive from the previous contents, so there is no base to check;
+        replaces that DO derive from the table must use
+        :meth:`replace_derived`).
+
+        Build-vs-GC race (ADVICE r8): a concurrent merge commit GCs dirs
+        strictly between ITS base and new pointer as unclaimed debris —
+        a window this writer's live claimed dir can fall into.  That
+        surfaces either as a parquet IO error mid-build or as a vanished
+        dir at flip time; both legs detect the moved pointer / missing dir
+        and re-claim + rebuild instead of surfacing a spurious error."""
+        for _attempt in range(1 + occ_retries):
+            base = self._current_version(table)
+            try:
+                version, out = self._write_version(df, table, partition)
+            except Exception:
+                if self._current_version(table) != base:
+                    continue  # conflict fallout: winner's GC hit our build
+                raise
+            with self._commit_lock(table):
+                # GC runs only under this lock, so the isdir check cannot
+                # race another commit's cleanup
+                if os.path.isdir(out):
+                    self._flip_and_gc(table, version)
+                    return
+            # claimed dir collected between build and flip — rebuild
+        raise RuntimeError(
+            f"write lost the claimed-dir race {1 + occ_retries} times on "
+            f"table {table!r}"
+        )
+
+    def replace_derived(
+        self, table: str, build_fn, partition: bool = True,
+        occ_retries: int = 5,
+    ) -> None:
+        """Read-modify-REPLACE with optimistic concurrency: ``build_fn``
+        maps the table's CURRENT contents to the full replacement frame,
+        and the pointer flips only if the base version is unchanged — on
+        conflict the loop re-reads, re-derives, and rebuilds, exactly like
+        :meth:`merge_updates`.
+
+        This is the correct commit for any replace whose output DERIVES
+        from the table's own contents (e.g. the continuous-dedup clusters
+        table, where ``update_clusters`` folds a batch's pairs into the
+        stored assignments): a plain :meth:`write` is last-writer-wins by
+        contract and would silently drop a concurrent applier's fold
+        (ADVICE r8).  Non-derived replaces should keep using
+        :meth:`write` — re-running ``build_fn`` must be safe and cheap
+        (pin batch-derived inputs before calling)."""
+        for _attempt in range(1 + occ_retries):
+            base = self._current_version(table)
+            try:
+                version, out = self._write_version(
+                    build_fn(self.read(table)), table, partition
+                )
+            except Exception:
+                if self._current_version(table) != base:
+                    continue  # conflict fallout, not a real build error
+                raise
+            if self._commit_if_base(table, version, out, base):
+                return
+        raise RuntimeError(
+            f"replace_derived lost the optimistic-commit race "
+            f"{1 + occ_retries} times on table {table!r}"
+        )
 
     def merge_updates(
         self, table: str, updates: DataFrame, key: str = "pid",

@@ -196,6 +196,33 @@ class DeltaCatalog:
             writer = writer.partitionBy(*part_cols)
         writer.save(self.data_path(table))
 
+    def replace_derived(
+        self, table: str, build_fn, partition: bool = True,
+        occ_retries: int = 5,
+    ) -> None:
+        """Delta twin of :meth:`ParquetCatalog.replace_derived`: a
+        read→derive→overwrite whose conflicts surface through Delta's own
+        optimistic transaction protocol (Concurrent*Exception family) and
+        re-derive from the winner's commit.  NOTE: Delta's default
+        WriteSerializable isolation lets a blind concurrent APPEND commit
+        without conflicting with this overwrite; set the table to
+        Serializable (``delta.isolationLevel``) when appenders race
+        derived replaces — with the streaming dedup lifecycle's serial
+        micro-batches this doesn't arise."""
+        for _attempt in range(1 + occ_retries):
+            try:
+                self.write(build_fn(self.read(table)), table, partition=partition)
+                return
+            except Exception as exc:
+                name = type(exc).__name__
+                if "Concurrent" in name or "ProtocolChanged" in name:
+                    continue  # delta OCC conflict — re-read and re-derive
+                raise
+        raise RuntimeError(
+            f"replace_derived lost the delta optimistic-commit race "
+            f"{1 + occ_retries} times on table {table!r}"
+        )
+
     def append(self, table: str, rows: DataFrame) -> None:
         cur = self.read(table)
         part_cols = [c for c in ("p_year", "p_month") if c in cur.columns]

@@ -14,6 +14,8 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eodatadown_spark.sinks import bounded_collect
+
 # Section structure mirrors the reference's report_scn_date_html.jinja2
 # (templates/report_scn_date_html.jinja2): h1 page_title, h2 second_title,
 # a div#gridimg of <figure> per scene (quicklook img + figcaption with
@@ -91,7 +93,7 @@ _SENSOR_DISPLAY = {
 
 def _report_rows(obs_scns: DataFrame) -> list[dict]:
     rows = []
-    for r in obs_scns.collect():
+    for r in bounded_collect(obs_scns, "render_date_report"):
         d = r.asDict()
         ov = d.get("overviews")
         qklk = ""
@@ -180,7 +182,7 @@ def render_date_report_pdf(
     render_date_report_html + html_to_pdf for full CSS typography."""
     from eodatadown_spark.functions.minipdf import write_pdf
 
-    rows = obs_scns.collect()
+    rows = bounded_collect(obs_scns, "render_date_report_pdf")
     lines = [f"Sensor: {sensor} - {len(rows)} observation dates", ""]
     lines.append(f"{'Date':<14} {'Platform':<16} Overviews")
     lines.append("-" * 60)

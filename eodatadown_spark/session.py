@@ -82,12 +82,20 @@ def get_spark(
     app_name: str = "eodatadown_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
     local[N] is a test harness detail; the same configs are what we would
     ship on a real cluster (AQE, UTC, Arrow), with shuffle partitions sized
     to cores locally and to ~2-3x total cores on a cluster.
+
+    ``checkpoint_dir`` (or $SPARK_GRAFT_CHECKPOINT_DIR) configures RELIABLE
+    checkpoints: every operator ``_pin`` (iterative clustering state, pinned
+    pair sets) then uses ``df.checkpoint`` — recompute-safe across executor
+    loss — instead of ``localCheckpoint``, whose blocks die with their
+    executor.  On a 1000-executor run this is the difference between a
+    retried stage and a dead job; point it at durable storage (HDFS/S3).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
@@ -105,4 +113,7 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    checkpoint_dir = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     return apply_runtime_confs(spark)

@@ -17,6 +17,30 @@ from pyspark.sql import functions as F
 from eodatadown_spark.functions.codecs import path_uuid5
 from eodatadown_spark.functions.geo import bbox_wkt, split_antimeridian_bboxes
 
+# Driver-side materialization cap for the report/export sinks (GeoJSON,
+# PDF/HTML date reports, command lists): these collect by design — the
+# outputs are report-sized by construction — but a mistaken full-catalog
+# export would OOM the driver, so the collect is bounded (VERDICT r8).
+DRIVER_COLLECT_CAP = int(os.environ.get("EODD_DRIVER_COLLECT_CAP", "100000"))
+
+
+def bounded_collect(df: DataFrame, what: str, cap: int | None = None) -> list:
+    """Collect ``df`` to the driver, raising if it exceeds ``cap`` rows
+    (default :data:`DRIVER_COLLECT_CAP`).  The probe is ``limit(cap+1)``,
+    so at most cap+1 rows ever reach the driver — no count job, no
+    unbounded materialization before the check."""
+    cap = DRIVER_COLLECT_CAP if cap is None else cap
+    probe = df.limit(cap + 1).collect()
+    if len(probe) > cap:
+        raise ValueError(
+            f"{what}: result exceeds the driver-side sink cap of {cap} rows. "
+            "These sinks render report-sized outputs on the driver; export "
+            "large tables distributed instead (catalog.export_json JSONL or "
+            "df.write), or pass/raise the cap (EODD_DRIVER_COLLECT_CAP) "
+            "explicitly."
+        )
+    return probe
+
 # the attribute fields the reference writes per feature, incl. all four
 # bbox corners (eodatadownlandsatgoogsensor.py:2688-2845)
 _GIS_ATTRS = [
@@ -47,9 +71,11 @@ def scene_features(scenes: DataFrame) -> DataFrame:
 def export_geojson(scenes: DataFrame, out_file: str) -> int:
     """K2 (GeoJSON flavor): write a FeatureCollection.  Scene exports are
     small result sets (already filtered); the collect is the same driver-side
-    materialization the reference's OGR loop does."""
+    materialization the reference's OGR loop does — bounded by
+    :func:`bounded_collect` so a mistaken full-catalog export fails loudly
+    instead of OOMing the driver."""
     feats = []
-    for r in scene_features(scenes).collect():
+    for r in bounded_collect(scene_features(scenes), "export_geojson"):
         d = r.asDict()
         wkt = d.pop("wkt")
         # bbox ring from the WKT we just built
@@ -101,7 +127,7 @@ def export_vector_layer(
 
     gdal.UseExceptions()
     feats = scene_features(scenes)
-    rows = feats.collect()  # scene exports are filtered result sets (ref parity)
+    rows = bounded_collect(feats, "export_vector_layer")  # filtered result sets (ref parity)
     attr_cols = [c for c in feats.columns if c != "wkt"]
     srs = osr.SpatialReference()
     srs.ImportFromEPSG(4326)
@@ -171,7 +197,12 @@ def write_command_lists(
     N round-robin files (ref bin/eoddgenscncmds.py:46-136 --split)."""
     from eodatadown_spark.reports import scene_command_lines
 
-    cmds = [r["cmd"] for r in scene_command_lines(scenes, cmd_template).collect()]
+    cmds = [
+        r["cmd"]
+        for r in bounded_collect(
+            scene_command_lines(scenes, cmd_template), "write_command_lists"
+        )
+    ]
     return write_split_lines(cmds, out_base, n_splits)
 
 

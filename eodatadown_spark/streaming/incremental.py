@@ -333,12 +333,19 @@ def apply_neardup_batch(
         fps.select("id").distinct(), "id", "left_anti"
     )
     catalog.append(fingerprint_table, new_fp_rows)
-    clusters = catalog.read(clusters_table)
-    updated = D.update_clusters(
-        clusters, pairs.select("id_a", "id_b"),
-        new_docs=batch.select(F.col(id_col).alias("doc_id")).distinct(),
+    # clusters DERIVE from the table's own contents, so the commit is a
+    # base-checked OCC replace (ADVICE r8): two concurrent appliers (a CLI
+    # --apply overlapping a stream batch) serialize — the loser re-reads
+    # the winner's assignments and re-folds its pinned pair set, instead
+    # of last-writer-wins silently dropping one fold
+    new_docs = batch.select(F.col(id_col).alias("doc_id")).distinct().localCheckpoint()
+    catalog.replace_derived(
+        clusters_table,
+        lambda cur: D.update_clusters(
+            cur, pairs.select("id_a", "id_b"), new_docs=new_docs
+        ),
+        partition=False,
     )
-    catalog.write(updated, clusters_table, partition=False)
     return {"batch_docs": batch.count(), "new_pairs": pairs.count()}
 
 

@@ -155,7 +155,16 @@ def cmd_dedupindex(args) -> None:
     against the stored index WITHOUT re-banding the corpus, and --apply
     additionally folds the batch in — update_clusters re-resolves only
     touched components, and the batch's own index/fingerprint rows append
-    so the next probe sees it.  One JSON stats line per invocation."""
+    so the next probe sees it.  One JSON stats line per invocation.
+
+    CONCURRENCY CONTRACT: --apply commits are race-safe (index/fingerprint
+    appends are OCC + replay-idempotent; the clusters fold commits through
+    replace_derived's base-checked flip), so concurrent --apply runs and
+    stream_neardup_apply batches serialize without losing folds.  --build
+    is a from-scratch SINGLE-WRITER replace of all three state tables: it
+    must not run concurrently with --apply — an apply landing between
+    --build's three writes would fold into state --build is about to
+    replace.  Rebuild quiesced, like reindexing any store."""
     from eodatadown_spark.catalog import ParquetCatalog
     from eodatadown_spark.operators import dedup as D
     from eodatadown_spark.session import get_spark
