@@ -1394,6 +1394,25 @@ def q151_sq8_topk(spark, sf):
     )
 
 
+def q155_sq8_stored_probe(spark, sf):
+    """Similarity (round 9): SQ8 top-k against a STORED code table
+    (similarity.sq8_build_codes -> sq8_topk_against_codes) — the
+    1-byte/dim codes are scanned for the dequantized shortlist and only
+    the shortlist rows fetch their raw vectors (narrow broadcast
+    equi-join), the layout q151's fused scan simulates.  Stored probe
+    must equal from-scratch SQ8 exactly (same deterministic encode), so
+    the oracle is q151's, verbatim — a hash-match proves it."""
+    emb = _t(spark, sf, "embeddings")
+    scalars = S.sq8_train(emb)
+    codes = S.sq8_build_codes(emb, scalars)
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.sq8_topk_against_codes(
+        codes, emb, qs, scalars, k=3, shortlist=25
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q146_lsh_multiprobe(spark, sf):
     """Similarity: MULTIPROBE LSH top-k (similarity.lsh_bucket_topk
     n_probe=2) — each query also probes the two lowest-|margin| bit-flip
@@ -2875,21 +2894,22 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 # into the window — both are new stored-index code paths with no in-window
 # analog — displacing q19 (exact dedup; the dedup family stays covered by
 # q24/q121/q150) and q26 (window rollup; covered by q29/q31/q97/q128).
-# Round 9 rotates the window HARD (VERDICT r8 item 1): 41 of the 50 slots
+# Round 9 rotates the window HARD (VERDICT r8 item 1): 42 of the 50 slots
 # go to registry entries that have never had a driver CORRECTNESS row
-# (q151/q152, the q75/q76/q80/q83 soundness gates, q101/q103/q106/q109/
-# q111/q113, and the q51-q102 families), converting judge-local-only
-# evidence into driver-grade rows.  The 9 kept anchors are the flagships
-# (q01/q10/q24) plus every code path this round's catalog/streaming OCC
-# changes touch (q91 merge upsert, q117/q149/q150/q153/q154 stored-index
-# probes) so a regression in the touched paths trips the driver gate.
+# (q151/q152, the new q155 stored-SQ8 probe, the q75/q76/q80/q83 soundness
+# gates, q101/q103/q106/q109/q111/q113, and the q51-q102 families),
+# converting judge-local-only evidence into driver-grade rows.  The 8 kept
+# anchors are the flagships (q10/q24; q01 yields — 8 driver-green rows
+# already) plus every code path this round's catalog/streaming OCC changes
+# touch (q91 merge upsert, q117/q149/q150/q153/q154 stored-index probes)
+# so a regression in the touched paths trips the driver gate.
 # Displaced entries all have driver-green rows in r01-r08 windows (no
 # driver row has ever regressed); everything still runs in local checks
 # (tools/check_correctness.py covers all entries).
 QUERIES: dict[str, Callable] = {
-    "q01_pricing_summary": q01_pricing_summary,
     "q10_revenue_by_nation": q10_revenue_by_nation,
     "q151_sq8_topk": q151_sq8_topk,
+    "q155_sq8_stored_probe": q155_sq8_stored_probe,
     "q152_positional_prefix": q152_positional_prefix,
     "q101_cdc_dup_stats": q101_cdc_dup_stats,
     "q103_knn_label_vote": q103_knn_label_vote,
@@ -2937,6 +2957,7 @@ QUERIES: dict[str, Callable] = {
     "q150_incremental_clusters": q150_incremental_clusters,
     "q153_ivf_stored_probe": q153_ivf_stored_probe,
     "q154_incremental_simhash": q154_incremental_simhash,
+    "q01_pricing_summary": q01_pricing_summary,
     "q02_date_range_page": q02_date_range_page,
     "q03_bbox_overlap": q03_bbox_overlap,
     "q04_watermark_incremental": q04_watermark_incremental,
@@ -3172,7 +3193,7 @@ def oracle_sql() -> dict[str, str]:
     is provably lossless at band_bits=6, see simhash_neardup_pairs); q50's
     connected components come from a recursive CTE."""
     b35 = _hyperplane_bucket_sql("embedding", n_planes=6, dim=64)
-    return {
+    sql = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -6169,3 +6190,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g.doc_id
         """,
     }
+    # q155 probes STORED SQ8 codes; the stored probe is mathematically the
+    # from-scratch path (same deterministic encode), so the oracle is
+    # q151's end-to-end relational replay, verbatim — the hash-match is
+    # the stored-probe == from-scratch proof.
+    sql["q155_sq8_stored_probe"] = sql["q151_sq8_topk"]
+    return sql

@@ -835,6 +835,85 @@ def sq8_topk(
     return _topk_tail(_score_pairs(short), k, two_phase=two_phase)
 
 
+def sq8_build_codes(
+    corpus: DataFrame,
+    scalars: tuple[list[float], list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persistent SQ8 code table ``(id, sq8_codes array<tinyint>)`` — the
+    stored-index face of SQ8 (matches the MinHash/SimHash/pHash/IVF
+    stored-index matrix).  Pure projection over the corpus; store the
+    trained ``scalars`` alongside (they are dim-sized JSON, like the
+    dedupindex meta) — probing with different scalars than the codes were
+    encoded with silently degrades recall."""
+    return sq8_encode(
+        corpus.select(id_col, vec_col), scalars[0], scalars[1],
+        vec_col, "sq8_codes",
+    ).select(id_col, "sq8_codes")
+
+
+def sq8_topk_against_codes(
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    scalars: tuple[list[float], list[float]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    two_phase: bool = False,
+) -> DataFrame:
+    """SQ8 top-k probing a STORED code table: the shortlist scan reads ONLY
+    the 1-byte/dim codes; the raw float column is touched for just the
+    ``shortlist`` surviving rows per query, fetched through a narrow id
+    equi-join with the (tiny) shortlist broadcast — at 100 TB the 8×-bigger
+    raw embedding table is never scanned.  This is the storage layout
+    :func:`sq8_topk` merely simulates (there both columns ride one scan).
+
+    Must equal ``sq8_topk(corpus, queries, scalars=same)`` EXACTLY: the
+    stored codes are the same deterministic floor-rounding encode, so the
+    dequantized shortlist ranking and the exact rerank are identical
+    (pinned by test and by the q155 oracle, which hash-matches q151's)."""
+    mins, steps = scalars
+    deq = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_dequantize("sq8_codes", mins, steps).alias("__dv"),
+    ).withColumn("__dn", l2_norm(F.col("__dv")))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__aprx").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        deq.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__aprx",
+            F.try_divide(
+                dot(F.col("__qv"), F.col("__dv")), F.col("__qn") * F.col("__dn")
+            ),
+        )
+        .where(F.col("__aprx").isNotNull())
+        .withColumn("__srank", F.row_number().over(w))
+        .where(F.col("__srank") <= shortlist)
+        .drop("__dv", "__dn")
+    )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    # shortlist is |queries|*shortlist rows — broadcast it into the fetch
+    # join so the raw-vector side streams (no corpus shuffle)
+    rerank = raw.join(F.broadcast(short), "neighbor_id").withColumn(
+        "__cn", l2_norm(F.col("__cv"))
+    )
+    return _topk_tail(_score_pairs(rerank), k, two_phase=two_phase)
+
+
 def rrf_fuse(
     runs: list[DataFrame],
     k: int = 60,

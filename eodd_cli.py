@@ -230,13 +230,24 @@ def cmd_dedupindex(args) -> None:
 
 
 def cmd_annindex(args) -> None:
-    """Persistent IVF ANN-index lifecycle: --build trains a k-means coarse
-    quantizer and stores centroids + inverted lists (each vector filed
-    under its nearest centroid, vector included) as versioned catalog
-    tables; --add assigns a new batch against the STORED centroids and
-    appends its list rows (OCC append, anti-join replay-safe); --query
-    probes the stored index — only the probed cells' list rows are read,
-    the corpus never is.  One JSON stats line per invocation."""
+    """Persistent ANN-index lifecycle, two families behind one CLI:
+
+    - ``--kind ivf`` (default): --build trains a k-means coarse quantizer
+      and stores centroids + inverted lists (each vector filed under its
+      nearest centroid, vector included); --add assigns a new batch against
+      the STORED centroids and appends its list rows (OCC append, anti-join
+      replay-safe); --query probes the stored index — only the probed
+      cells' list rows are read, the corpus never is.
+    - ``--kind sq8``: --build trains per-dim min/max scalars (persisted in
+      ann_meta.json — dim-sized) and stores 1-byte/dim code + raw-vector
+      tables; --add encodes a new batch with the STORED scalars (never
+      re-trains — re-trained scalars would strand the existing codes;
+      anti-join replay-safe); --query scans only the codes for the
+      dequantized shortlist and fetches raw vectors for the shortlist rows
+      alone (q155's plan).
+
+    One JSON stats line per invocation.  Same single-writer contract as
+    dedupindex: --build replaces the state tables and must not race --add."""
     from eodatadown_spark.catalog import ParquetCatalog
     from eodatadown_spark.operators import similarity as S
     from eodatadown_spark.session import get_spark
@@ -244,6 +255,65 @@ def cmd_annindex(args) -> None:
     spark = get_spark("eodd_cli")
     cat = ParquetCatalog(spark, args.index_dir)
     meta_path = os.path.join(args.index_dir, "ann_meta.json")
+    if args.kind == "sq8":
+        if args.build:
+            corpus = spark.read.parquet(args.build)
+            mins, steps = S.sq8_train(corpus)
+            cat.write(
+                S.sq8_build_codes(corpus, (mins, steps)), "sq8_codes",
+                partition=False,
+            )
+            cat.write(
+                corpus.select("vec_id", "embedding"), "vectors",
+                partition=False,
+            )
+            os.makedirs(args.index_dir, exist_ok=True)
+            with open(meta_path, "w", encoding="utf-8") as fh:
+                json.dump({"kind": "sq8", "mins": mins, "steps": steps}, fh)
+            print(json.dumps({"built": True, "kind": "sq8",
+                              "vectors": corpus.count()}))
+            return
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        scalars = (meta["mins"], meta["steps"])
+        codes = cat.read("sq8_codes")
+        if args.add:
+            batch = spark.read.parquet(args.add)
+            # vectors commit FIRST: a crash between the two appends must
+            # leave un-probed raw vectors (sound — the batch just isn't
+            # indexed yet, replay finishes it), never codes whose rerank
+            # rows are missing (the fetch join would silently drop them)
+            cat.append(
+                "vectors",
+                batch.select("vec_id", "embedding").join(
+                    cat.read("vectors").select("vec_id").distinct(),
+                    "vec_id", "left_anti",
+                ),
+            )
+            new_codes = S.sq8_build_codes(batch, scalars).join(
+                codes.select("vec_id").distinct(), "vec_id", "left_anti"
+            )
+            cat.append("sq8_codes", new_codes)
+            print(json.dumps({
+                "added": True, "kind": "sq8",
+                "batch_vectors": batch.count(),
+                "index_vectors": cat.read("sq8_codes").count(),
+            }))
+            return
+        qs = spark.read.parquet(args.query).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        res = S.sq8_topk_against_codes(
+            codes, cat.read("vectors"), qs, scalars,
+            k=args.k, shortlist=args.shortlist,
+        ).select("query_id", "neighbor_id", "rank")
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "queries": qs.count(), "result_rows": res.count(),
+            "k": args.k, "kind": "sq8", "shortlist": args.shortlist,
+        }))
+        return
     if args.build:
         corpus = spark.read.parquet(args.build)
         cents = S.kmeans_centroids(corpus, k=args.centroids)
@@ -891,9 +961,13 @@ def main(argv=None) -> int:
     sp.add_argument("--build", default=None, help="corpus parquet to index")
     sp.add_argument("--add", default=None, help="new-batch parquet to fold in")
     sp.add_argument("--query", default=None, help="query-vectors parquet")
+    sp.add_argument("--kind", choices=("ivf", "sq8"), default="ivf",
+                    help="index family: IVF inverted lists or SQ8 codes")
     sp.add_argument("--centroids", type=int, default=8)
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--n-probe", type=int, default=2, dest="n_probe")
+    sp.add_argument("--shortlist", type=int, default=50,
+                    help="sq8: dequantized-scan shortlist depth per query")
     sp.add_argument("--out", default=None, help="result parquet path")
     sp.set_defaults(fn=cmd_annindex)
 

@@ -114,6 +114,29 @@ def test_sq8_recall_floor_and_monotone(spark, emb_and_exact):
     assert r25 >= 0.80
 
 
+def test_sq8_stored_codes_probe_equals_from_scratch(spark, emb_and_exact):
+    """The stored-code probe (sq8_build_codes → sq8_topk_against_codes,
+    codes scanned + shortlist-only raw fetch) must return EXACTLY the fused
+    sq8_topk result: same deterministic encode, same shortlist, same exact
+    rerank — the stored-index == from-scratch contract every other index
+    family already pins."""
+    import eodatadown_spark.operators.similarity as S
+
+    emb, qs, _exact = emb_and_exact
+    scalars = S.sq8_train(emb)
+    fused = sorted(
+        map(tuple, S.sq8_topk(emb, qs, k=10, shortlist=40,
+                              scalars=scalars).collect())
+    )
+    codes = S.sq8_build_codes(emb, scalars)
+    stored = sorted(
+        map(tuple, S.sq8_topk_against_codes(
+            codes, emb, qs, scalars, k=10, shortlist=40
+        ).collect())
+    )
+    assert stored == fused
+
+
 def test_lsh_multiprobe_recall_lift_and_monotone(spark, emb_and_exact):
     """Multiprobe (lowest-|margin| bit flips, query side only) must lift
     recall substantially over bare bucket match at the same index size,

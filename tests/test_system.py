@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -741,3 +742,66 @@ def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
         ).collect()
     }
     assert got2 == want2  # post-add probe == fresh IVF over the union
+
+
+def test_cli_annindex_sq8_lifecycle(spark, tmp_path, capsys):
+    """annindex --kind sq8: --build persists trained scalars + code/vector
+    tables; --query probes the stored codes and equals the fused sq8_topk
+    with the SAME scalars; --add encodes with the STORED scalars
+    (replay-safe) and subsequent probes see it."""
+    import eodd_cli
+    from eodatadown_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 10))
+    qs_src = emb.where(F.col("vec_id") < 10)
+    src = str(tmp_path / "corpus"); bsrc = str(tmp_path / "batch")
+    qsrc = str(tmp_path / "queries"); idx = str(tmp_path / "sq8_idx")
+    out = str(tmp_path / "res")
+    corpus.write.parquet(src); batch.write.parquet(bsrc)
+    qs_src.write.parquet(qsrc)
+
+    eodd_cli.main(["annindex", "--kind", "sq8", "--index-dir", idx,
+                   "--build", src])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["built"] and built["vectors"] == corpus.count()
+
+    eodd_cli.main(["annindex", "--kind", "sq8", "--index-dir", idx,
+                   "--query", qsrc, "--k", "3", "--shortlist", "25",
+                   "--out", out])
+    capsys.readouterr()
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in spark.read.parquet(out).collect()}
+    with open(os.path.join(idx, "ann_meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    scalars = (meta["mins"], meta["steps"])
+    qs = qs_src.select(F.col("vec_id").alias("query_id"), "embedding")
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.sq8_topk(corpus, qs, k=3, shortlist=25,
+                            scalars=scalars).collect()
+    }
+    assert got == want  # stored-code probe == fused from-scratch SQ8
+
+    eodd_cli.main(["annindex", "--kind", "sq8", "--index-dir", idx,
+                   "--add", bsrc])
+    added = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert added["index_vectors"] == corpus.count() + batch.count()
+    eodd_cli.main(["annindex", "--kind", "sq8", "--index-dir", idx,
+                   "--add", bsrc])  # replay
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["index_vectors"] == corpus.count() + batch.count()
+
+    eodd_cli.main(["annindex", "--kind", "sq8", "--index-dir", idx,
+                   "--query", qsrc, "--k", "3", "--shortlist", "25",
+                   "--out", out])
+    capsys.readouterr()
+    got2 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in spark.read.parquet(out).collect()}
+    want2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.sq8_topk(corpus.unionByName(batch), qs, k=3,
+                            shortlist=25, scalars=scalars).collect()
+    }
+    assert got2 == want2  # post-add probe == from-scratch over the union
