@@ -71,11 +71,19 @@ def first_repo_frame(exc: BaseException) -> str:
     return ""
 
 
-def prepare_sampled_dir(sf_dir: str) -> str:
+def prepare_sampled_dir(sf_dir: str, pct: int = 12) -> str:
     """Build (once, cached) the deterministic-sample twin of ``sf_dir``:
-    documents hash-sampled + planted dups, every other table symlinked."""
+    documents hash-sampled + planted dups, every other table symlinked.
+
+    ``pct`` is the keep rate in percent (default 12, the sf0.1 calibration).
+    The quadratic DuckDB oracles cost O(kept²): at sf1.0's 50k docs the 12%
+    sample is 6.3k docs → ~20M oracle pairs (hours); ``--sample-pct=2``
+    keeps ~1k (sf0.01-like volume, minutes) while both engines still read
+    the identical sf1.0-provenance parquet, so the differential stays
+    exact."""
     base = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/spark_graft_sampled_{base}"
+    suffix = "" if pct == 12 else f"_p{pct}"
+    out = f"/tmp/spark_graft_sampled_{base}{suffix}"
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
         return out
@@ -91,7 +99,7 @@ def prepare_sampled_dir(sf_dir: str) -> str:
         COPY (
             WITH s AS (
                 SELECT * FROM read_parquet('{src}')
-                WHERE (doc_id * 2654435761) % 4294967296 % 97 < 12
+                WHERE (doc_id * 2654435761) % 4294967296 % 97 < {pct}
             ), planted AS (
                 SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM s
                 ORDER BY doc_id LIMIT 50
@@ -113,13 +121,21 @@ def prepare_sampled_dir(sf_dir: str) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--sampled"]
+    pct = 12
+    args = []
+    for a in sys.argv[1:]:
+        if a == "--sampled":
+            continue
+        if a.startswith("--sample-pct="):
+            pct = int(a.split("=", 1)[1])
+            continue
+        args.append(a)
     sampled = "--sampled" in sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
     if sampled:
-        sf_dir = prepare_sampled_dir(sf_dir)
-        print(f"sampled mode: {sf_dir}")
+        sf_dir = prepare_sampled_dir(sf_dir, pct)
+        print(f"sampled mode: {sf_dir} (pct={pct})")
 
     import __spark_entry__ as E
     from eodatadown_spark.session import get_spark
