@@ -1664,6 +1664,53 @@ def q154_incremental_simhash(spark, sf):
     )
 
 
+def q156_clusters_via_stored_index(spark, sf):
+    """The PRODUCTION incremental-clustering route, oracle-checked end to
+    end: the composition ``apply_neardup_batch`` runs per batch — batch
+    pairs derived by probing the STORED MinHash band index + fingerprints
+    (q117's collision-bounded path: only the batch shingles, the corpus is
+    touched through colliding rows — the scale fix for q150's
+    union-corpus pair pass), folded into the stored assignments with
+    ``update_clusters`` (touched components only).  old = doc_id%10!=0,
+    batch = doc_id%10==0, so old∪new is the whole table and the oracle is
+    q50's from-scratch recursive-CTE clustering verbatim — the hash-match
+    proves stored-index probe → incremental fold == full recompute."""
+    from eodatadown_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_neardup_against_index,
+        minhash_neardup_pairs,
+        shingle_hash_table,
+    )
+
+    docs = _t(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    old_assign = D.neardup_clusters(
+        old,
+        pairs=minhash_neardup_pairs(old, jaccard_threshold=0.5).select(
+            "id_a", "id_b"
+        ),
+    ).localCheckpoint()
+    index = minhash_band_index(old)
+    fps = shingle_hash_table(old)
+    new_pairs = minhash_neardup_against_index(
+        new, index, fps, jaccard_threshold=0.5
+    )
+    updated = D.update_clusters(
+        old_assign,
+        new_pairs.select("id_a", "id_b"),
+        new_docs=new.select("doc_id"),
+    ).localCheckpoint()
+    sizes = updated.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        updated.join(sizes, "cluster_id")
+        .where(F.col("n_members") > 1)
+        .select("doc_id", "cluster_id", "is_canonical", "n_members")
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -2999,6 +3046,7 @@ QUERIES: dict[str, Callable] = {
     "q120_bm25": q120_bm25,
     "q49_ivf_topk": q49_ivf_topk,
     "q50_neardup_clusters": q50_neardup_clusters,
+    "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q12_distinct_dates": q12_distinct_dates,
     "q15_derived_columns": q15_derived_columns,
     "q27_top1_watermark": q27_top1_watermark,
@@ -6195,4 +6243,8 @@ def oracle_sql() -> dict[str, str]:
     # q151's end-to-end relational replay, verbatim — the hash-match is
     # the stored-probe == from-scratch proof.
     sql["q155_sq8_stored_probe"] = sql["q151_sq8_topk"]
+    # q156's old∪batch is the whole documents table and stored-index probe →
+    # incremental fold must equal a full recompute, so the oracle is q50's
+    # from-scratch recursive-CTE clustering, verbatim.
+    sql["q156_clusters_via_stored_index"] = sql["q50_neardup_clusters"]
     return sql

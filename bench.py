@@ -72,6 +72,9 @@ EXTENDED = [
     "q152_positional_prefix",
     "q153_ivf_stored_probe",
     "q154_incremental_simhash",
+    # round-9 operators
+    "q155_sq8_stored_probe",
+    "q156_clusters_via_stored_index",
 ]
 
 
