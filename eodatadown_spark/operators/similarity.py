@@ -423,10 +423,48 @@ def ivf_topk(
 def _l2sq_lit(vec: Column, lit_vec: list[float]) -> Column:
     """Squared L2 distance between a vector column and a literal vector."""
     p = F.array(*[F.lit(float(v)) for v in lit_vec])
+    return _l2sq(vec, p)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array columns — same index-order
+    left fold as :func:`_l2sq_lit` (0.0 seed; x+0.0 == x for the
+    non-negative squares), so the two forms are bit-identical."""
     return F.aggregate(
-        F.zip_with(vec, p, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+
+
+def _codebook_lit(codebook: list[list[list[float]]]) -> Column:
+    """The PQ codebook as ONE ``array<array<array<double>>>`` column.
+
+    Catalyst constant-folds the nested CreateArray of literals into a
+    single Literal, so expressions over it stay a handful of nodes.  The
+    alternative — expanding ``m × n_codes`` separate ``_l2sq_lit`` trees —
+    builds a multi-thousand-node expression whose whole-stage Janino
+    compile costs ~7-9 s PER FRESH PLAN (measured at m=8, n_codes=16; the
+    executed stage itself is ~2 s).  On a cluster that compile happens on
+    the driver for every batch/probe invocation — pure overhead."""
+    return F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(v)) for v in code]) for code in codes
+        ]) for codes in codebook
+    ])
+
+
+def _pq_lut(qvec: Column, codebook: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table ``lut[j][ci] = l2sq(subvec_j, code)`` as a
+    nested ``transform`` over the literal codebook (tiny expression tree;
+    see :func:`_codebook_lit`).  Same fold order as the expanded form —
+    bit-identical distances."""
+    sub = F.lit(len(codebook[0][0]))
+    return F.transform(
+        _codebook_lit(codebook),
+        lambda codes, j: F.transform(
+            codes, lambda c: _l2sq(F.slice(qvec, j * sub + 1, sub), c)
+        ),
     )
 
 
@@ -522,22 +560,24 @@ def pq_encode(
     no join, no shuffle; ties resolve to the lowest code id (struct
     ordering), so encoding is deterministic.
     """
-    m = len(codebook)
-    sub = len(codebook[0][0])
+    sub = F.lit(len(codebook[0][0]))
     vec = F.col(vec_col)
-    code_cols = []
-    for j in range(m):
-        subvec = F.slice(vec, j * sub + 1, sub)
-        entries = F.array(
-            *[
-                F.struct(
-                    _l2sq_lit(subvec, c).alias("d"), F.lit(ci).alias("c")
-                )
-                for ci, c in enumerate(codebook[j])
-            ]
-        )
-        code_cols.append(F.array_min(entries).getField("c"))
-    return df.withColumn(out_col, F.array(*code_cols))
+    # nested-transform argmin over the constant-folded codebook literal —
+    # same (d, then c) struct-min tie rule as the expanded form, a
+    # ~100x smaller expression tree (see _codebook_lit on Janino cost)
+    codes = F.transform(
+        _codebook_lit(codebook),
+        lambda entries, j: F.array_min(
+            F.transform(
+                entries,
+                lambda c, ci: F.struct(
+                    _l2sq(F.slice(vec, j * sub + 1, sub), c).alias("d"),
+                    ci.alias("c"),
+                ),
+            )
+        ).getField("c"),
+    )
+    return df.withColumn(out_col, codes)
 
 
 def pq_topk(
@@ -580,17 +620,7 @@ def pq_topk(
     ).withColumn("__cn", l2_norm(F.col("__cv")))
 
     qvec = F.col("__qv")
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _l2sq_lit(F.slice(qvec, j * sub + 1, sub), c)
-                    for c in cb[j]
-                ]
-            )
-            for j in range(m)
-        ]
-    )
+    lut = _pq_lut(qvec, cb)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -662,12 +692,7 @@ def ivf_pq_topk(
         centroid_id_col=id_col,
     ).select(F.col("id").alias("query_id"), "cell")
     qvec = F.col("__qv")
-    lut = F.array(
-        *[
-            F.array(*[_l2sq_lit(F.slice(qvec, j * sub + 1, sub), c) for c in cb[j]])
-            for j in range(m)
-        ]
-    )
+    lut = _pq_lut(qvec, cb)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")

@@ -633,6 +633,37 @@ class TestDeltaAdapter:
         with _pytest.raises(TypeError, match="mapping"):
             delta_merge_clauses(["k"], when_matched_update=F.lit(1))
 
+    def test_replace_derived_retry_logic(self, spark):
+        """The delta replace_derived retry discriminator (translation test,
+        no Delta install needed): Concurrent*/ProtocolChanged exceptions
+        re-read + re-derive; anything else surfaces."""
+        import pytest as _pytest
+
+        from eodatadown_spark.catalog_delta import DeltaCatalog
+
+        cat = object.__new__(DeltaCatalog)  # bypass _require_delta
+        seen = {"reads": 0, "writes": []}
+
+        class ConcurrentAppendException(Exception):
+            pass
+
+        cat.read = lambda table: f"v{seen['reads']}"
+        def write(df, table, partition=True):
+            seen["reads"] += 1
+            seen["writes"].append(df)
+            if len(seen["writes"]) == 1:
+                raise ConcurrentAppendException("winner committed first")
+        cat.write = write
+        cat.replace_derived("t", lambda cur: cur + "+fold")
+        # loser re-read the winner's state and re-derived
+        assert seen["writes"] == ["v0+fold", "v1+fold"]
+
+        cat.write = lambda df, table, partition=True: (_ for _ in ()).throw(
+            OSError("disk full")
+        )
+        with _pytest.raises(OSError, match="disk full"):
+            cat.replace_derived("t", lambda cur: cur)
+
     def test_import_error_without_delta(self, spark, tmp_path):
         import pytest as _pytest
 
