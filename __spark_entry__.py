@@ -2953,6 +2953,11 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 # Displaced entries all have driver-green rows in r01-r08 windows (no
 # driver row has ever regressed); everything still runs in local checks
 # (tools/check_correctness.py covers all entries).
+# ROUND-10 ROTATION QUEUE (the 29 entries still never driver-checked once
+# this window lands — rotate them in next round to finish full-registry
+# driver coverage): q156, q85, q88, q98, q99, q100, q110, q112, q114,
+# q115, q116, q118, q119, q123, q124, q125, q127, q129, q132, q133, q135,
+# q136, q137, q138, q140, q141, q142, q143, q144.
 QUERIES: dict[str, Callable] = {
     "q10_revenue_by_nation": q10_revenue_by_nation,
     "q151_sq8_topk": q151_sq8_topk,
