@@ -2910,12 +2910,54 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
             .select("doc_id", "cluster_id", "is_canonical", "n_members")
         )
 
+    def stored_clusters_build(spark, sf):
+        from eodatadown_spark.operators.dedup import minhash_neardup_pairs
+
+        docs = _t(spark, sf, "documents")
+        old = docs.where(F.col("doc_id") % 10 != 0)
+        return {
+            "old_assign": D.neardup_clusters(
+                old,
+                pairs=minhash_neardup_pairs(old, jaccard_threshold=0.5).select(
+                    "id_a", "id_b"
+                ),
+            ).localCheckpoint(),
+            "index": minhash_band_index(old).localCheckpoint(),
+            "fps": shingle_hash_table(old).localCheckpoint(),
+        }
+
+    def stored_clusters_probe(spark, sf, state):
+        # q156 = the apply_neardup_batch composition: batch pairs from the
+        # STORED index (collision-bounded, batch-only shingling — q150's
+        # union-corpus pair pass eliminated), touched-component fold
+        docs = _t(spark, sf, "documents")
+        new = docs.where(F.col("doc_id") % 10 == 0)
+        new_pairs = minhash_neardup_against_index(
+            new, state["index"], state["fps"], jaccard_threshold=0.5
+        )
+        updated = D.update_clusters(
+            state["old_assign"],
+            new_pairs.select("id_a", "id_b"),
+            new_docs=new.select("doc_id"),
+        ).localCheckpoint()
+        sizes = updated.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_members")
+        )
+        return (
+            updated.join(sizes, "cluster_id")
+            .where(F.col("n_members") > 1)
+            .select("doc_id", "cluster_id", "is_canonical", "n_members")
+        )
+
     return {
         "q117_incremental_minhash": (minhash_build, minhash_probe),
         "q149_incremental_phash": (phash_build, phash_probe),
         "q150_incremental_clusters": (clusters_build, clusters_probe),
         "q153_ivf_stored_probe": (ivf_build, ivf_probe),
         "q154_incremental_simhash": (simhash_build, simhash_probe),
+        "q156_clusters_via_stored_index": (
+            stored_clusters_build, stored_clusters_probe,
+        ),
     }
 
 
