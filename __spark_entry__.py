@@ -1711,6 +1711,33 @@ def q156_clusters_via_stored_index(spark, sf):
     )
 
 
+# Fixed literal merge list for q157 (training itself is covered by q81's
+# pair-count oracle + the train_bpe pytest reference): ordered, with later
+# merges consuming earlier outputs ('th'+'e'), so the oracle replays the
+# full chained application.
+_Q157_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("o", "r"), ("r", "e"), ("e", "r"),
+]
+
+
+def q157_bpe_encode(spark, sf):
+    """Tokenizer application (corpus.bpe_encode_documents): documents
+    encoded to subword token ids under an ordered BPE merge list —
+    (doc_id, pos, token, token_id), ids = lexicographic dense rank of the
+    emergent subword vocabulary.  The oracle replays the merge chain as a
+    left-to-right symbol-list fold (list_reduce) — provably equivalent to
+    the engine's boundary-anchored regex pass (a merged symbol never
+    re-matches as the LEFT of its own rule, and scanning never revisits
+    replaced text in either form) — then reassigns ids and positions
+    relationally, so the hash-match pins tokenization, id assignment, and
+    position order cross-engine."""
+    from eodatadown_spark.operators.corpus import bpe_encode_documents
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    return bpe_encode_documents(docs, _Q157_MERGES)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -2999,7 +3026,8 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 # this window lands — rotate them in next round to finish full-registry
 # driver coverage): q156, q85, q88, q98, q99, q100, q110, q112, q114,
 # q115, q116, q118, q119, q123, q124, q125, q127, q129, q132, q133, q135,
-# q136, q137, q138, q140, q141, q142, q143, q144.
+# q136, q137, q138, q140, q141, q142, q143, q144 — plus this round's
+# post-window additions q156 and q157.
 QUERIES: dict[str, Callable] = {
     "q10_revenue_by_nation": q10_revenue_by_nation,
     "q151_sq8_topk": q151_sq8_topk,
@@ -3094,6 +3122,7 @@ QUERIES: dict[str, Callable] = {
     "q49_ivf_topk": q49_ivf_topk,
     "q50_neardup_clusters": q50_neardup_clusters,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
+    "q157_bpe_encode": q157_bpe_encode,
     "q12_distinct_dates": q12_distinct_dates,
     "q15_derived_columns": q15_derived_columns,
     "q27_top1_watermark": q27_top1_watermark,
@@ -3279,7 +3308,26 @@ def _zorder_sql(bits: int = 16) -> str:
     """
 
 
+def _bpe_syms_sql(merges: list[tuple[str, str]], word_expr: str = "w") -> str:
+    """DuckDB expression applying the ordered BPE merge chain to a word:
+    each rule is a left-to-right fold over the current symbol list that
+    concatenates x onto acc when acc's LAST symbol is the rule's left and
+    x its right — equivalent to the engine's boundary-anchored
+    regexp_replace pass (RE2 in DuckDB has no lookahead, so the fold IS
+    the faithful replay; symbols are whitespace-free, making the
+    last-symbol check a plain suffix test)."""
+    expr = f"array_to_string(string_split({word_expr}, ''), ' ')"
+    for left, right in merges:
+        expr = (
+            "list_reduce(string_split(" + expr + ", ' '), (acc, x) -> "
+            f"CASE WHEN (acc = '{left}' OR acc LIKE '% {left}') AND x = '{right}' "
+            f"THEN acc || '{right}' ELSE acc || ' ' || x END)"
+        )
+    return expr
+
+
 def oracle_sql() -> dict[str, str]:
+
     """DuckDB-runnable ANSI SQL twins — EVERY query has one.
 
     q24/q28 (Jaccard dedup) are recomputed at the string level; q35/q36/q49
@@ -6294,4 +6342,38 @@ def oracle_sql() -> dict[str, str]:
     # incremental fold must equal a full recompute, so the oracle is q50's
     # from-scratch recursive-CTE clustering, verbatim.
     sql["q156_clusters_via_stored_index"] = sql["q50_neardup_clusters"]
+    # q157: merge chain replayed as a list_reduce fold (see _bpe_syms_sql),
+    # ids by dense_rank over the emergent subword vocabulary, positions by
+    # one per-doc window — all three contracts hash-pinned cross-engine.
+    sql["q157_bpe_encode"] = f"""
+        WITH doctoks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                       '\\s+'), t -> t <> '') AS t
+            FROM documents WHERE doc_id < 40
+        ), words AS (
+            SELECT DISTINCT unnest(t) AS w FROM doctoks
+        ), subs AS (
+            SELECT w, string_split({_bpe_syms_sql(_Q157_MERGES)}, ' ') AS subs
+            FROM words
+        ), vocab AS (
+            SELECT token,
+                   CAST(dense_rank() OVER (ORDER BY token) - 1 AS INT)
+                       AS token_id
+            FROM (SELECT DISTINCT unnest(subs) AS token FROM subs)
+        ), toks AS (
+            SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS wpos
+            FROM doctoks
+        ), sub_pos AS (
+            SELECT doc_id, wpos, unnest(subs) AS token,
+                   generate_subscripts(subs, 1) AS spos
+            FROM toks JOIN subs USING (w)
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY wpos, spos) - 1 AS INT) AS pos,
+               token, token_id
+        FROM sub_pos JOIN vocab USING (token)
+    """
     return sql

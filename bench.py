@@ -75,6 +75,7 @@ EXTENDED = [
     # round-9 operators
     "q155_sq8_stored_probe",
     "q156_clusters_via_stored_index",
+    "q157_bpe_encode",
 ]
 
 

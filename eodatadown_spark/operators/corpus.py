@@ -821,6 +821,60 @@ def bpe_token_counts(
     )
 
 
+def bpe_encode_documents(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents to subword TOKEN IDS under a trained BPE merge list
+    → ``(doc_id, pos, token, token_id)`` — the tokenizer-application step a
+    training pipeline runs after :func:`train_bpe` (counts alone —
+    :func:`bpe_token_counts` — size the packing; ids feed the model).
+
+    Token ids are the lexicographic dense rank of the emergent subword
+    vocabulary: deterministic, engine-independent (binary UTF-8 ordering in
+    both Spark and the oracle), and stable for a fixed (corpus, merges).
+
+    Scale shape: the merge chain (the trainer's own :func:`_merge_pat_repl`
+    rewrites, applied in training order) runs on the DISTINCT-word table —
+    vocab-sized work however big the corpus; the id-assignment window runs
+    on the subword vocabulary (≤ alphabet + len(merges) rows by
+    construction — tokenizer-sized, never corpus-sized); documents then
+    posexplode to words, equi-join the word→subwords table (word-keyed,
+    broadcastable), and take global positions from one per-doc window.
+    """
+    words = documents.select(F.explode(token_array(text_col)).alias("w")).distinct()
+    syms = F.array_join(F.split(F.col("w"), ""), " ")
+    for left, right in merges:
+        pat, repl = _merge_pat_repl(left, right)
+        syms = F.regexp_replace(syms, pat, repl)
+    word_subs = words.select("w", F.split(syms, " ").alias("__subs"))
+    vocab = (
+        word_subs.select(F.explode("__subs").alias("token"))
+        .distinct()
+        .withColumn(
+            # single-partition window: input is the subword VOCABULARY,
+            # bounded by alphabet size + merge count, never the corpus
+            "token_id",
+            F.dense_rank().over(Window.orderBy("token")) - 1,
+        )
+    )
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(token_array(text_col)).alias("wpos", "w"),
+    )
+    sub_pos = toks.join(word_subs, "w").select(
+        "doc_id", "wpos", F.posexplode("__subs").alias("spos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    return (
+        sub_pos.join(vocab, "token")
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select("doc_id", "pos", "token", "token_id")
+    )
+
+
 def weighted_sample(
     documents: DataFrame,
     weight_col: str,
@@ -1281,6 +1335,7 @@ __all__ = [
     "bpe_merge_candidates",
     "train_bpe",
     "bpe_token_counts",
+    "bpe_encode_documents",
     "tfidf_topk_keywords",
     "pack_sequences",
     "unigram_lm_scores",

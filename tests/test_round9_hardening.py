@@ -392,6 +392,97 @@ class TestIncrementalPhaseSplit:
             assert split_rows == fused_rows, name
 
 
+class TestBpeEncode:
+    """bpe_encode_documents vs a pure-Python reference fold (the same
+    left-to-right non-overlapping merge rule the trainer's regex applies),
+    on a fixture loaded with the tricky cases: consecutive occurrences
+    ('ananab'), self-pairs ('aaa'), chained merges ('the' via t+h then
+    th+e), and multi-word position reassembly."""
+
+    MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("a", "a")]
+
+    @staticmethod
+    def _py_encode(words, merges):
+        out = {}
+        for w in set(words):
+            syms = list(w)
+            for left, right in merges:
+                res = []
+                for s in syms:
+                    if res and res[-1] == left and s == right:
+                        res[-1] = left + right
+                    else:
+                        res.append(s)
+                syms = res
+            out[w] = syms
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from eodatadown_spark.operators.corpus import bpe_encode_documents
+
+        rows = [
+            (1, "the ananab aaa"),
+            (2, "ttht the  hth"),
+            (3, "ananan theth"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = bpe_encode_documents(docs, self.MERGES).collect()
+
+        all_words = [w for _id, t in rows for w in t.split()]
+        subs = self._py_encode(all_words, self.MERGES)
+        vocab = {t: i for i, t in enumerate(
+            sorted({s for ss in subs.values() for s in ss})
+        )}
+        expected = set()
+        for doc_id, text in rows:
+            pos = 0
+            for w in text.split():
+                for s in subs[w]:
+                    expected.add((doc_id, pos, s, vocab[s]))
+                    pos += 1
+        assert {(r["doc_id"], r["pos"], r["token"], r["token_id"])
+                for r in got} == expected
+
+    def test_lossless_and_count_consistent(self, spark):
+        """Concatenating each doc's tokens in position order reproduces the
+        tokenized text exactly (no characters lost or duplicated), and the
+        per-doc token count equals bpe_token_counts under the same merges."""
+        from eodatadown_spark.operators.corpus import (
+            bpe_encode_documents,
+            bpe_token_counts,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).where(F.col("doc_id") < 30)
+        enc = bpe_encode_documents(docs, self.MERGES)
+        rebuilt = {
+            r["doc_id"]: r["s"]
+            for r in enc.groupBy("doc_id")
+            .agg(F.concat_ws("", F.array_sort(
+                F.collect_list(F.struct("pos", "token"))
+            ).getField("token")).alias("s"))
+            .collect()
+        }
+        source = {
+            r["doc_id"]: "".join(r["text"].lower().split())
+            for r in docs.select("doc_id", "text").collect()
+        }
+        for doc_id, joined in source.items():
+            if joined:
+                assert rebuilt[doc_id] == joined, doc_id
+        counts = {
+            r["doc_id"]: r["n"]
+            for r in enc.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+        }
+        ref = {
+            r["doc_id"]: r["n_tokens_bpe"]
+            for r in bpe_token_counts(docs, self.MERGES).collect()
+        }
+        for doc_id, n in ref.items():
+            assert counts.get(doc_id, 0) == n, doc_id
+
+
 class TestCheckpointDirKnob:
     def test_get_spark_checkpoint_dir_routes_pin_to_reliable(
         self, spark, tmp_path_factory
