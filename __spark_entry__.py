@@ -3316,6 +3316,18 @@ def _bpe_syms_sql(merges: list[tuple[str, str]], word_expr: str = "w") -> str:
     regexp_replace pass (RE2 in DuckDB has no lookahead, so the fold IS
     the faithful replay; symbols are whitespace-free, making the
     last-symbol check a plain suffix test)."""
+    import re as _re
+
+    for left, right in merges:
+        # symbols are interpolated into SQL string literals and LIKE
+        # patterns UNESCAPED — restrict to a provably-safe alphabet
+        # (the engine side re.escape()s, so an unguarded quote/%/_ here
+        # would silently diverge the two replays instead of erroring)
+        if not (_re.fullmatch(r"[a-z0-9]+", left)
+                and _re.fullmatch(r"[a-z0-9]+", right)):
+            raise ValueError(
+                f"oracle merge symbols must be [a-z0-9]+: {(left, right)!r}"
+            )
     expr = f"array_to_string(string_split({word_expr}, ''), ' ')"
     for left, right in merges:
         expr = (

@@ -172,64 +172,82 @@ class ParquetCatalog:
     @contextmanager
     def _commit_lock(self, table: str, timeout: float = 30.0,
                      steal_after: float = 120.0):
-        """Exclusive commit section via atomic ``mkdir`` (POSIX-local lock
-        — the deployment shape of this catalog; on object stores use the
-        Delta adapter, whose log IS the commit protocol).  A lock dir
-        older than ``steal_after`` is presumed crash debris and stolen."""
+        """Exclusive commit section via an atomically-RENAMED claim dir
+        (POSIX-local lock — the deployment shape of this catalog; on object
+        stores use the Delta adapter, whose log IS the commit protocol).
+        The lock dir is created pre-populated with its owner token, so a
+        live lock is never empty and no rename can ever silently replace
+        it.  A lock older than ``steal_after`` is presumed crash debris
+        and stolen (rename-away + freshness re-check)."""
         lock = os.path.join(self._table_dir(table), "_COMMIT_LOCK")
         token = f"{os.getpid()}.{time.time_ns()}"
         deadline = time.time() + timeout
         while True:
+            # Acquire by renaming a PRE-POPULATED claim dir into place: the
+            # lock is born with its owner token inside, so a live lock dir
+            # is never empty — rename(2) onto a non-empty dir fails with
+            # ENOTEMPTY, which makes BOTH the acquire and the stealer's
+            # rename-back collision-proof (a bare mkdir-then-write-owner
+            # acquire has a microsecond empty-dir window a rename-back
+            # could silently replace).  An owner-write failure (ENOSPC)
+            # aborts before the lock exists instead of stranding an
+            # ownerless held lock for steal_after seconds.
+            claim = f"{lock}.claim.{os.getpid()}.{time.time_ns()}"
             try:
-                os.mkdir(lock)
-                # owner token: release verifies it (a holder whose lock was
-                # mistakenly stolen must NOT remove a successor's lock), and
-                # it makes the lock dir NON-EMPTY, so a stealer's rename-back
-                # can never atomically replace a live re-created lock
-                with open(os.path.join(lock, "owner"), "w", encoding="utf-8") as fh:
+                os.mkdir(claim)
+                with open(os.path.join(claim, "owner"), "w", encoding="utf-8") as fh:
                     fh.write(token)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > steal_after:
-                        # steal by ATOMIC RENAME to a unique name — exactly
-                        # one stealer wins the rename; an rmdir here could
-                        # delete a FRESH lock recreated by another stealer
-                        # between our getmtime and the rmdir, letting two
-                        # writers into the commit section at once
-                        stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
-                        os.rename(lock, stale)
-                        # TOCTOU re-check (ADVICE r8): rename preserves mtime,
-                        # so a FRESH renamed dir means the original holder
-                        # released and another writer re-acquired between our
-                        # getmtime and our rename — we stole a LIVE lock.
-                        # Restore it: the rename-back fails (ENOTEMPTY) iff a
-                        # third writer already re-created the slot (their dir
-                        # holds an owner file), in which case we drop the
-                        # stolen dir — the live holder's token-checked release
-                        # then leaves the third writer's lock alone.
+            except OSError:
+                # a real IO error (ENOSPC, perms) — surface it rather than
+                # strand a half-built claim or an ownerless lock
+                shutil.rmtree(claim, ignore_errors=True)
+                raise
+            try:
+                os.rename(claim, lock)
+                break  # acquired — the lock is born non-empty, token inside
+            except OSError:
+                shutil.rmtree(claim, ignore_errors=True)
+            # lock held by someone else: steal if stale, else wait
+            try:
+                if time.time() - os.path.getmtime(lock) > steal_after:
+                    # steal by ATOMIC RENAME to a unique name — exactly one
+                    # stealer wins the rename; an rmdir here could delete a
+                    # FRESH lock recreated by another stealer between our
+                    # getmtime and the rmdir, letting two writers into the
+                    # commit section at once
+                    stale = f"{lock}.stale.{os.getpid()}.{time.time_ns()}"
+                    os.rename(lock, stale)
+                    # TOCTOU re-check (ADVICE r8): rename preserves mtime, so
+                    # a FRESH renamed dir means the original holder released
+                    # and another writer re-acquired between our getmtime and
+                    # our rename — we stole a LIVE lock.  Restore it: since
+                    # every live lock is born NON-EMPTY (owner inside), the
+                    # rename-back fails with ENOTEMPTY iff a third writer
+                    # already re-created the slot, in which case we drop the
+                    # stolen dir — the live holder's token-checked release
+                    # then leaves the third writer's lock alone.
+                    try:
+                        fresh = (
+                            time.time() - os.path.getmtime(stale)
+                            <= steal_after
+                        )
+                    except OSError:
+                        fresh = False
+                    if fresh:
                         try:
-                            fresh = (
-                                time.time() - os.path.getmtime(stale)
-                                <= steal_after
-                            )
+                            os.rename(stale, lock)
                         except OSError:
-                            fresh = False
-                        if fresh:
-                            try:
-                                os.rename(stale, lock)
-                            except OSError:
-                                shutil.rmtree(stale, ignore_errors=True)
-                        else:
                             shutil.rmtree(stale, ignore_errors=True)
-                        continue
-                except OSError:
-                    continue  # lock vanished / another stealer won the rename
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"catalog commit lock busy for table {table!r}"
-                    )
-                time.sleep(0.05)
+                    else:
+                        shutil.rmtree(stale, ignore_errors=True)
+                    continue
+            except OSError:
+                continue  # lock vanished / another stealer won the rename
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"catalog commit lock busy for table {table!r}"
+                )
+            time.sleep(0.05)
         try:
             yield
         finally:
@@ -362,12 +380,20 @@ class ParquetCatalog:
                     continue  # conflict fallout: winner's GC hit our build
                 raise
             with self._commit_lock(table):
-                # GC runs only under this lock, so the isdir check cannot
-                # race another commit's cleanup
-                if os.path.isdir(out):
+                # GC runs only under this lock, so these checks cannot race
+                # another commit's cleanup.  The pointer-unmoved requirement
+                # is deliberately stricter than isdir: a concurrent commit's
+                # GC can rmtree our claimed dir MID-JOB and the job still
+                # "succeed" with tasks recommitted into a recreated dir —
+                # isdir passes but the version is silently partial.  Any
+                # pointer movement during our build means our dir sat in a
+                # GC window, so discard and rebuild (the replace is LWW:
+                # the retry still flips last).
+                if self._current_version(table) == base and os.path.isdir(out):
                     self._flip_and_gc(table, version)
                     return
-            # claimed dir collected between build and flip — rebuild
+                shutil.rmtree(out, ignore_errors=True)
+            # conflicting commit landed during our build — rebuild
         raise RuntimeError(
             f"write lost the claimed-dir race {1 + occ_retries} times on "
             f"table {table!r}"

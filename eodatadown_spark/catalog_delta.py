@@ -202,7 +202,7 @@ class DeltaCatalog:
     ) -> None:
         """Delta twin of :meth:`ParquetCatalog.replace_derived`: a
         read→derive→overwrite whose conflicts surface through Delta's own
-        optimistic transaction protocol (Concurrent*Exception family) and
+        optimistic transaction protocol (Concurrent*/MetadataChanged/ProtocolChanged family) and
         re-derive from the winner's commit.  NOTE: Delta's default
         WriteSerializable isolation lets a blind concurrent APPEND commit
         without conflicting with this overwrite; set the table to
@@ -215,7 +215,8 @@ class DeltaCatalog:
                 return
             except Exception as exc:
                 name = type(exc).__name__
-                if "Concurrent" in name or "ProtocolChanged" in name:
+                if ("Concurrent" in name or "ProtocolChanged" in name
+                        or "MetadataChanged" in name):
                     continue  # delta OCC conflict — re-read and re-derive
                 raise
         raise RuntimeError(

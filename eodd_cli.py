@@ -28,6 +28,7 @@ import base64
 import json
 import os
 import sys
+import time
 
 from pyspark.sql import functions as F
 
@@ -238,13 +239,20 @@ def cmd_annindex(args) -> None:
       the STORED centroids and appends its list rows (OCC append, anti-join
       replay-safe); --query probes the stored index — only the probed
       cells' list rows are read, the corpus never is.
-    - ``--kind sq8``: --build trains per-dim min/max scalars (persisted in
-      ann_meta.json — dim-sized) and stores 1-byte/dim code + raw-vector
-      tables; --add encodes a new batch with the STORED scalars (never
+    - ``--kind sq8``: --build trains per-dim min/max scalars and stores
+      1-byte/dim code + raw-vector tables under GENERATION names; the
+      atomic replace of ann_meta.json (scalars + table names together) is
+      the SINGLE commit point, so a crash or concurrent --query
+      mid-rebuild keeps reading the old consistent (scalars, codes,
+      vectors) triple — stale scalars silently dequantize new codes to
+      wrong shortlists, which is why the pairing can never be observed
+      torn.  --add encodes a new batch with the STORED scalars (never
       re-trains — re-trained scalars would strand the existing codes;
       anti-join replay-safe); --query scans only the codes for the
       dequantized shortlist and fetches raw vectors for the shortlist rows
-      alone (q155's plan).
+      alone (q155's plan).  Superseded generations are GC debris (a
+      rebuild is rare; clean with a dir sweep of tables not named in
+      ann_meta.json).
 
     One JSON stats line per invocation.  Same single-writer contract as
     dedupindex: --build replaces the state tables and must not race --add."""
@@ -259,24 +267,41 @@ def cmd_annindex(args) -> None:
         if args.build:
             corpus = spark.read.parquet(args.build)
             mins, steps = S.sq8_train(corpus)
+            # scalars and codes must never be observed mismatched (stale
+            # scalars dequantize new codes to silently wrong shortlists),
+            # and two catalog tables can't commit atomically — so each
+            # build writes GENERATION-NAMED tables and the atomic
+            # os.replace of ann_meta.json (which names them + carries the
+            # matching scalars) is the single commit point: a crash or a
+            # concurrent --query mid-rebuild keeps reading the OLD
+            # consistent (scalars, codes, vectors) triple.
+            gen = f"g{time.time_ns()}"
+            codes_table, vectors_table = f"sq8_codes_{gen}", f"vectors_{gen}"
             cat.write(
-                S.sq8_build_codes(corpus, (mins, steps)), "sq8_codes",
+                S.sq8_build_codes(corpus, (mins, steps)), codes_table,
                 partition=False,
             )
             cat.write(
-                corpus.select("vec_id", "embedding"), "vectors",
+                corpus.select("vec_id", "embedding"), vectors_table,
                 partition=False,
             )
             os.makedirs(args.index_dir, exist_ok=True)
-            with open(meta_path, "w", encoding="utf-8") as fh:
-                json.dump({"kind": "sq8", "mins": mins, "steps": steps}, fh)
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w", encoding="utf-8") as fh:
+                json.dump({
+                    "kind": "sq8", "mins": mins, "steps": steps,
+                    "codes_table": codes_table, "vectors_table": vectors_table,
+                }, fh)
+            os.replace(tmp_meta, meta_path)  # commit
             print(json.dumps({"built": True, "kind": "sq8",
                               "vectors": corpus.count()}))
             return
         with open(meta_path, encoding="utf-8") as fh:
             meta = json.load(fh)
         scalars = (meta["mins"], meta["steps"])
-        codes = cat.read("sq8_codes")
+        codes_table = meta.get("codes_table", "sq8_codes")
+        vectors_table = meta.get("vectors_table", "vectors")
+        codes = cat.read(codes_table)
         if args.add:
             batch = spark.read.parquet(args.add)
             # vectors commit FIRST: a crash between the two appends must
@@ -284,27 +309,27 @@ def cmd_annindex(args) -> None:
             # indexed yet, replay finishes it), never codes whose rerank
             # rows are missing (the fetch join would silently drop them)
             cat.append(
-                "vectors",
+                vectors_table,
                 batch.select("vec_id", "embedding").join(
-                    cat.read("vectors").select("vec_id").distinct(),
+                    cat.read(vectors_table).select("vec_id").distinct(),
                     "vec_id", "left_anti",
                 ),
             )
             new_codes = S.sq8_build_codes(batch, scalars).join(
                 codes.select("vec_id").distinct(), "vec_id", "left_anti"
             )
-            cat.append("sq8_codes", new_codes)
+            cat.append(codes_table, new_codes)
             print(json.dumps({
                 "added": True, "kind": "sq8",
                 "batch_vectors": batch.count(),
-                "index_vectors": cat.read("sq8_codes").count(),
+                "index_vectors": cat.read(codes_table).count(),
             }))
             return
         qs = spark.read.parquet(args.query).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         res = S.sq8_topk_against_codes(
-            codes, cat.read("vectors"), qs, scalars,
+            codes, cat.read(vectors_table), qs, scalars,
             k=args.k, shortlist=args.shortlist,
         ).select("query_id", "neighbor_id", "rank")
         if args.out:

@@ -1098,7 +1098,10 @@ class TestRound8ConcurrencyHardening:
     def test_stale_lock_steal_via_rename(self, spark, tmp_path, monkeypatch):
         """A crash-orphaned lock dir is stolen by ATOMIC RENAME; a loser
         whose rename fails (another stealer won) retries instead of
-        deleting a fresh lock."""
+        deleting a fresh lock.  The crashed holder's lock is NON-EMPTY
+        (owner token inside — every lock is born that way since round 9),
+        so the acquire rename can't simply replace it and the steal path
+        must engage."""
         from eodatadown_spark.catalog import ParquetCatalog
 
         cat = ParquetCatalog(spark, str(tmp_path))
@@ -1106,6 +1109,8 @@ class TestRound8ConcurrencyHardening:
         os.makedirs(tdir, exist_ok=True)
         lock = os.path.join(tdir, "_COMMIT_LOCK")
         os.mkdir(lock)
+        with open(os.path.join(lock, "owner"), "w", encoding="utf-8") as fh:
+            fh.write("crashed-holder")
         old = __import__("time").time() - 1_000
         os.utime(lock, (old, old))  # stale enough to steal
         with cat._commit_lock("tbl", timeout=5.0, steal_after=120.0):
@@ -1116,6 +1121,8 @@ class TestRound8ConcurrencyHardening:
 
         # loser path: rename raises (someone else stole first) → retry loop
         os.mkdir(lock)
+        with open(os.path.join(lock, "owner"), "w", encoding="utf-8") as fh:
+            fh.write("crashed-holder-2")
         os.utime(lock, (old, old))
         real_rename = os.rename
         calls = {"n": 0}

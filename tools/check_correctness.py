@@ -130,7 +130,9 @@ def main() -> int:
             pct = int(a.split("=", 1)[1])
             continue
         args.append(a)
-    sampled = "--sampled" in sys.argv[1:]
+    # an explicit keep-rate implies sampling — a pct that silently did
+    # nothing would run the O(n^2) oracles on the full corpus for hours
+    sampled = "--sampled" in sys.argv[1:] or pct != 12
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
     if sampled:
