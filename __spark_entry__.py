@@ -2820,7 +2820,11 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 
     The split mirrors the fused queries exactly — same operators, same
     parameters, same batch definitions — so probe+build ≈ the fused number
-    and a regression localizes to a phase.
+    and a regression localizes to a phase.  The bodies are DELIBERATE
+    duplicates of the fused fns (delegating would add the split's pinning
+    to the fused queries' oracle-checked plans); the drift gate is
+    tests/test_round9_hardening.py::TestIncrementalPhaseSplit, which pins
+    probe(build()) row-equal to every fused query.
     """
     from eodatadown_spark.operators.dedup import (
         minhash_band_index,

@@ -253,7 +253,11 @@ class ParquetCatalog:
         finally:
             # token-checked release: remove the lock only if it is still
             # OURS — after a mistaken steal-and-drop, the slot may already
-            # hold another writer's live lock
+            # hold another writer's live lock.  Residual TOCTOU: a steal
+            # landing between this read and the rmdir requires our commit
+            # section to have ALREADY exceeded steal_after (the lock was
+            # steal-eligible while we held it) — keep commit sections far
+            # under steal_after; they are pointer flips, not builds
             try:
                 owner = os.path.join(lock, "owner")
                 with open(owner, encoding="utf-8") as fh:
