@@ -250,9 +250,9 @@ def cmd_annindex(args) -> None:
       re-trains — re-trained scalars would strand the existing codes;
       anti-join replay-safe); --query scans only the codes for the
       dequantized shortlist and fetches raw vectors for the shortlist rows
-      alone (q155's plan).  Superseded generations are GC debris (a
-      rebuild is rare; clean with a dir sweep of tables not named in
-      ann_meta.json).
+      alone (q155's plan).  Superseded generations are debris; ``--gc``
+      removes every generation table the committed meta no longer names
+      (safe alongside live queries — only unreferenced dirs go).
 
     One JSON stats line per invocation.  Same single-writer contract as
     dedupindex: --build replaces the state tables and must not race --add."""
@@ -263,6 +263,27 @@ def cmd_annindex(args) -> None:
     spark = get_spark("eodd_cli")
     cat = ParquetCatalog(spark, args.index_dir)
     meta_path = os.path.join(args.index_dir, "ann_meta.json")
+    if args.gc:
+        # drop superseded sq8 generations: table dirs matching the
+        # generation naming scheme that the COMMITTED meta no longer
+        # references (safe while queries run against the live generation
+        # — only unreferenced dirs are touched)
+        import shutil as _shutil
+
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        keep = {meta.get("codes_table"), meta.get("vectors_table")}
+        removed = []
+        for d in sorted(os.listdir(args.index_dir)):
+            if (
+                (d.startswith("sq8_codes_g") or d.startswith("vectors_g"))
+                and d not in keep
+            ):
+                _shutil.rmtree(os.path.join(args.index_dir, d),
+                               ignore_errors=True)
+                removed.append(d)
+        print(json.dumps({"gc": True, "removed": removed}))
+        return
     if args.kind == "sq8":
         if args.build:
             corpus = spark.read.parquet(args.build)
@@ -993,6 +1014,8 @@ def main(argv=None) -> int:
     sp.add_argument("--n-probe", type=int, default=2, dest="n_probe")
     sp.add_argument("--shortlist", type=int, default=50,
                     help="sq8: dequantized-scan shortlist depth per query")
+    sp.add_argument("--gc", action="store_true",
+                    help="remove sq8 generations superseded by ann_meta.json")
     sp.add_argument("--out", default=None, help="result parquet path")
     sp.set_defaults(fn=cmd_annindex)
 

@@ -301,6 +301,48 @@ class TestLockStealToctou:
         os.remove(os.path.join(lock, "owner"))
         os.rmdir(lock)
 
+    def test_threaded_lock_storm_mutual_exclusion(self, spark, tmp_path):
+        """8 threads × 10 acquisitions hammering one table's commit lock:
+        a non-atomic read-modify-write counter under the lock must never
+        lose an increment (mutual exclusion), and the lock dir must be
+        gone at the end (every release found its own token)."""
+        import threading
+
+        from eodatadown_spark.catalog import ParquetCatalog
+
+        cat = ParquetCatalog(spark, str(tmp_path))
+        tdir = os.path.join(str(tmp_path), "tbl")
+        os.makedirs(tdir, exist_ok=True)
+        counter_path = os.path.join(str(tmp_path), "counter")
+        with open(counter_path, "w", encoding="utf-8") as fh:
+            fh.write("0")
+        errs = []
+
+        def work():
+            try:
+                for _ in range(10):
+                    with ParquetCatalog(spark, str(tmp_path))._commit_lock(
+                        "tbl", timeout=30.0
+                    ):
+                        with open(counter_path, encoding="utf-8") as fh:
+                            n = int(fh.read())
+                        time.sleep(0.001)  # widen the lost-update window
+                        with open(counter_path, "w", encoding="utf-8") as fh:
+                            fh.write(str(n + 1))
+            except Exception as exc:  # pragma: no cover - failure detail
+                errs.append(exc)
+
+        threads = [threading.Thread(target=work) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        with open(counter_path, encoding="utf-8") as fh:
+            assert int(fh.read()) == 80
+        assert not os.path.exists(os.path.join(tdir, "_COMMIT_LOCK"))
+        assert not [d for d in os.listdir(tdir) if d.startswith("_COMMIT_LOCK.")]
+
     def test_normal_acquire_release_and_stale_steal_still_work(
         self, spark, tmp_path
     ):

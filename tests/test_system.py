@@ -805,3 +805,41 @@ def test_cli_annindex_sq8_lifecycle(spark, tmp_path, capsys):
                             shortlist=25, scalars=scalars).collect()
     }
     assert got2 == want2  # post-add probe == from-scratch over the union
+
+
+def test_cli_annindex_sq8_rebuild_and_gc(spark, tmp_path, capsys):
+    """sq8 rebuild commits through the atomic meta replace (each --build a
+    new generation; the old triple stays readable until then) and --gc
+    removes exactly the superseded generation tables."""
+    import eodd_cli
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "corpus"); qsrc = str(tmp_path / "queries")
+    idx = str(tmp_path / "sq8_idx"); out = str(tmp_path / "res")
+    emb.write.parquet(src)
+    emb.where(F.col("vec_id") < 5).write.parquet(qsrc)
+
+    eodd_cli.main(["annindex", "--kind", "sq8", "--index-dir", idx,
+                   "--build", src])
+    capsys.readouterr()
+    with open(os.path.join(idx, "ann_meta.json"), encoding="utf-8") as fh:
+        gen1 = json.load(fh)["codes_table"]
+    eodd_cli.main(["annindex", "--kind", "sq8", "--index-dir", idx,
+                   "--build", src])  # rebuild → new generation
+    capsys.readouterr()
+    with open(os.path.join(idx, "ann_meta.json"), encoding="utf-8") as fh:
+        meta2 = json.load(fh)
+    assert meta2["codes_table"] != gen1
+    assert os.path.isdir(os.path.join(idx, gen1))  # old gen still on disk
+
+    eodd_cli.main(["annindex", "--index-dir", idx, "--gc"])
+    gc_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert gen1 in gc_stats["removed"]
+    assert not os.path.isdir(os.path.join(idx, gen1))
+    assert os.path.isdir(os.path.join(idx, meta2["codes_table"]))
+
+    # queries still serve from the live generation after GC
+    eodd_cli.main(["annindex", "--kind", "sq8", "--index-dir", idx,
+                   "--query", qsrc, "--k", "3", "--out", out])
+    capsys.readouterr()
+    assert spark.read.parquet(out).count() == 15
