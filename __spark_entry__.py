@@ -1738,6 +1738,52 @@ def q157_bpe_encode(spark, sf):
     return bpe_encode_documents(docs, _Q157_MERGES)
 
 
+def q158_bbox_only_page(spark, sf):
+    """F7+W2 through the bbox-ONLY facade query (abstract surface
+    eodatadownsensor.py:410 — declared on every reference sensor, concrete
+    impls all raise, so the engine binds it to the strict-overlap predicate
+    of the date+bbox composite, eodatadownlandsatgoogsensor.py:2046-2103).
+    Scene frame derived deterministically from orders (q51's synthesis);
+    paginated with start_rec>0 to exercise the row_number page path."""
+    orders = _t(spark, sf, "orders")
+    scenes = orders.select(
+        F.col("o_orderkey").alias("pid"),
+        F.col("o_orderdate").alias("date_acquired"),
+        (F.pmod(F.col("o_orderkey"), F.lit(97)) == 0).alias("invalid"),
+        (F.pmod(F.col("o_custkey"), F.lit(360)) - 180).cast("double").alias("west_lon"),
+        (F.pmod(F.col("o_custkey"), F.lit(360)) - 178).cast("double").alias("east_lon"),
+        (F.pmod(F.col("o_orderkey"), F.lit(170)) - 85).cast("double").alias("south_lat"),
+        (F.pmod(F.col("o_orderkey"), F.lit(170)) - 83).cast("double").alias("north_lat"),
+    )
+    page = Q.query_scn_records_bbox(
+        scenes, lat_north=30.0, lat_south=-30.0, lon_east=20.0,
+        lon_west=-20.0, start_rec=5, n_recs=20,
+    )
+    return page.select(
+        "pid",
+        F.to_date("date_acquired").alias("date_acquired"),
+        "west_lon", "east_lon", "south_lat", "north_lat",
+    )
+
+
+def q159_bpe_train_encode(spark, sf):
+    """BPE roundtrip: corpus.train_bpe's OWN learned merges (6 greedy
+    iterations over the distinct-word table, ties lexicographic) applied
+    end-to-end by corpus.bpe_encode_documents — closes the loop between
+    q81 (merge-candidate counts) and q157 (fixed-list application).  The
+    oracle replays BOTH phases: training as 6 unrolled argmax+rewrite CTE
+    pairs, application as the list_reduce fold — so a drift in either the
+    greedy choice or the rewrite semantics breaks the hash."""
+    from eodatadown_spark.operators.corpus import (
+        bpe_encode_documents,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 30)
+    merges = train_bpe(docs, n_merges=6)
+    return bpe_encode_documents(docs, merges)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3026,13 +3072,19 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 # Displaced entries all have driver-green rows in r01-r08 windows (no
 # driver row has ever regressed); everything still runs in local checks
 # (tools/check_correctness.py covers all entries).
-# ROUND-10 ROTATION QUEUE (the 29 entries still never driver-checked once
-# this window lands — rotate them in next round to finish full-registry
-# driver coverage): q156, q85, q88, q98, q99, q100, q110, q112, q114,
-# q115, q116, q118, q119, q123, q124, q125, q127, q129, q132, q133, q135,
-# q136, q137, q138, q140, q141, q142, q143, q144 — plus this round's
-# post-window additions q156 and q157.
-QUERIES: dict[str, Callable] = {
+# ROUND-10 WINDOW (declared below as _R10_WINDOW; queries() serves these
+# 50 first): ALL 30 entries never driver-checked in r01-r09 (q85 q88 q98
+# q99 q100 q110 q112 q114 q115 q116 q118 q119 q123 q124 q125 q127 q129
+# q132 q133 q135 q136 q137 q138 q140 q141 q142 q143 q144 q156 q157 —
+# with this window, union(r01-r10) == the full registry), the two r9
+# driver reds re-greened after their oracle dtype fixes (q101 q72), this
+# round's additions (q158 bbox-only facade, q159 BPE roundtrip), and 16
+# anchors: flagships q10/q24 plus every code path round-10 changes touch
+# (q51/q158 queries.py facade file, q150 stored-prefix probe, q117/q149/
+# q153/q154/q155 stored-index family, q81 BPE trainer shared with q159,
+# q91 OCC upsert, q145 fixed oracle, q107/q152/q28/q131 pairwise family
+# re-proven at sf1.0 samples this round).
+_ALL_QUERIES: dict[str, Callable] = {
     "q10_revenue_by_nation": q10_revenue_by_nation,
     "q151_sq8_topk": q151_sq8_topk,
     "q155_sq8_stored_probe": q155_sq8_stored_probe,
@@ -3127,6 +3179,8 @@ QUERIES: dict[str, Callable] = {
     "q50_neardup_clusters": q50_neardup_clusters,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
+    "q158_bbox_only_page": q158_bbox_only_page,
+    "q159_bpe_train_encode": q159_bpe_train_encode,
     "q12_distinct_dates": q12_distinct_dates,
     "q15_derived_columns": q15_derived_columns,
     "q27_top1_watermark": q27_top1_watermark,
@@ -3190,6 +3244,41 @@ QUERIES: dict[str, Callable] = {
     "q09_semi_join": q09_semi_join,
     "q19_exact_dedup": q19_exact_dedup,
     "q26_window_rollup": q26_window_rollup,
+}
+
+_R10_WINDOW = [
+    # 30 never-driver-checked (r01-r09 union gap — closing it completes
+    # full-registry driver coverage)
+    "q85_large_volume_orders", "q88_above_average_orders",
+    "q98_volume_shipping", "q99_market_share", "q100_sales_opportunity",
+    "q110_cohort_retention", "q112_daily_anomaly", "q114_zipf_slope",
+    "q115_small_qty_revenue", "q116_top_supplier", "q118_langid_eval",
+    "q119_shot_boundaries", "q123_disjunctive_filter", "q124_nation_share",
+    "q125_late_order_priority", "q127_time_to_conversion",
+    "q129_winsorized_stats", "q132_promo_revenue", "q133_asof_forward",
+    "q135_volume_trend", "q136_robust_anomaly", "q137_gapfilled_counts",
+    "q138_custdist", "q140_asof_nearest", "q141_wow_revenue",
+    "q142_rfm_segments", "q143_ordered_string_agg", "q144_grouped_corr",
+    "q156_clusters_via_stored_index", "q157_bpe_encode",
+    # the two r9 driver reds, re-greened by the oracle dtype fixes
+    "q101_cdc_dup_stats", "q72_variant_props",
+    # round-10 additions
+    "q158_bbox_only_page", "q159_bpe_train_encode",
+    # anchors: flagships + every path round-10 changes touch
+    "q10_revenue_by_nation", "q24_minhash_neardup", "q51_date_bbox_count",
+    "q150_incremental_clusters", "q117_incremental_minhash",
+    "q149_incremental_phash", "q153_ivf_stored_probe",
+    "q154_incremental_simhash", "q155_sq8_stored_probe",
+    "q81_bpe_merge_candidates", "q91_merge_upsert", "q145_sketch_rollup",
+    "q107_semantic_dedup", "q152_positional_prefix", "q28_ngram_jaccard",
+    "q131_prefix_jaccard",
+]
+
+# window entries first (the driver checks the leading 50), then the rest —
+# same total registry, pure reordering
+QUERIES: dict[str, Callable] = {
+    **{n: _ALL_QUERIES[n] for n in _R10_WINDOW},
+    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R10_WINDOW)},
 }
 
 
@@ -3340,6 +3429,41 @@ def _bpe_syms_sql(merges: list[tuple[str, str]], word_expr: str = "w") -> str:
             f"THEN acc || '{right}' ELSE acc || ' ' || x END)"
         )
     return expr
+
+
+def _bpe_train_ctes_sql(k: int) -> str:
+    """DuckDB CTE chain unrolling ``k`` BPE training iterations over a
+    ``w0(w, wc, syms)`` word-frequency table: each step picks the most
+    frequent adjacent symbol pair (ties lexicographic — train_bpe's exact
+    ORDER BY n DESC, l, r) in a scalar CTE ``p{i}``, then rewrites every
+    word's symbol string with the last-symbol/next-symbol list_reduce fold
+    (the lookahead-free equivalent of the engine's boundary-anchored
+    regexp pass; see _bpe_syms_sql).  The learned pair is never
+    interpolated into SQL text — it flows through the cross join — so
+    arbitrary corpus symbols are safe."""
+    parts = []
+    for i in range(1, k + 1):
+        parts.append(f"""
+        p{i} AS (
+            SELECT l, r FROM (
+                SELECT parts[j] AS l, parts[j + 1] AS r, sum(wc) AS n
+                FROM (
+                    SELECT parts, wc,
+                           unnest(range(1, len(parts))) AS j
+                    FROM (SELECT string_split(syms, ' ') AS parts, wc
+                          FROM w{i - 1})
+                ) GROUP BY 1, 2
+            ) ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        ), w{i} AS (
+            SELECT w, wc,
+                   list_reduce(string_split(syms, ' '), (acc, x) ->
+                       CASE WHEN x = p{i}.r
+                                 AND string_split(acc, ' ')[-1] = p{i}.l
+                            THEN acc || p{i}.r
+                            ELSE acc || ' ' || x END) AS syms
+            FROM w{i - 1}, p{i}
+        )""")
+    return ",".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4683,7 +4807,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(CAST(json_extract(props, '$.k') AS BIGINT))
                        AS n_with_k,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
                        AS avg_k,
                    CAST(0 AS BIGINT) AS variant_classic_mismatches
@@ -5219,7 +5344,8 @@ def oracle_sql() -> dict[str, str]:
                        ln(CAST(n AS DOUBLE)) AS y
                 FROM counts
             ), agg AS (
-                SELECT source, count(*) AS n_types, sum(n) AS n_tokens,
+                SELECT source, count(*) AS n_types,
+                       CAST(sum(n) AS BIGINT) AS n_tokens,
                        sum(x) AS sx, sum(y) AS sy,
                        sum(x * y) AS sxy, sum(x * x) AS sxx
                 FROM xy GROUP BY 1
@@ -6005,8 +6131,8 @@ def oracle_sql() -> dict[str, str]:
         # equality and the error bound hold, so the result is empty
         "q145_sketch_rollup": """
             SELECT CAST(NULL AS VARCHAR) AS month,
-                   CAST(NULL AS DOUBLE) AS inc_est,
-                   CAST(NULL AS DOUBLE) AS full_est,
+                   CAST(NULL AS BIGINT) AS inc_est,
+                   CAST(NULL AS BIGINT) AS full_est,
                    CAST(NULL AS BIGINT) AS exact
             WHERE FALSE
         """,
@@ -6138,7 +6264,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM chunks
             )
             SELECT doc_id, count(*) AS n_chunks,
-                   sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS n_shared
+                   CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared
             FROM flagged GROUP BY 1
         """,
         # q95: per-user gaps strictly over 24h; epoch() is double seconds
@@ -6373,6 +6500,62 @@ def oracle_sql() -> dict[str, str]:
         ), subs AS (
             SELECT w, string_split({_bpe_syms_sql(_Q157_MERGES)}, ' ') AS subs
             FROM words
+        ), vocab AS (
+            SELECT token,
+                   CAST(dense_rank() OVER (ORDER BY token) - 1 AS INT)
+                       AS token_id
+            FROM (SELECT DISTINCT unnest(subs) AS token FROM subs)
+        ), toks AS (
+            SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS wpos
+            FROM doctoks
+        ), sub_pos AS (
+            SELECT doc_id, wpos, unnest(subs) AS token,
+                   generate_subscripts(subs, 1) AS spos
+            FROM toks JOIN subs USING (w)
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY wpos, spos) - 1 AS INT) AS pos,
+               token, token_id
+        FROM sub_pos JOIN vocab USING (token)
+    """
+    # q158: bbox-ONLY facade page — q51's scene synthesis, strict-overlap
+    # predicate, valid filter, ORDER BY date DESC, pid ASC page [6..25]
+    sql["q158_bbox_only_page"] = """
+        SELECT pid, CAST(o_orderdate AS DATE) AS date_acquired,
+               west_lon, east_lon, south_lat, north_lat
+        FROM (
+            SELECT o_orderkey AS pid, o_orderdate,
+                   o_orderkey % 97 = 0 AS invalid,
+                   CAST(o_custkey % 360 - 180 AS DOUBLE) AS west_lon,
+                   CAST(o_custkey % 360 - 178 AS DOUBLE) AS east_lon,
+                   CAST(o_orderkey % 170 - 85 AS DOUBLE) AS south_lat,
+                   CAST(o_orderkey % 170 - 83 AS DOUBLE) AS north_lat
+            FROM orders
+        )
+        WHERE NOT invalid
+          AND east_lon > -20.0 AND 20.0 > west_lon
+          AND north_lat > -30.0 AND 30.0 > south_lat
+        ORDER BY o_orderdate DESC, pid ASC
+        LIMIT 20 OFFSET 5
+    """
+    # q159: BOTH BPE phases replayed — 6 unrolled train iterations
+    # (argmax pair + fold rewrite per step), then q157's application/
+    # id-assignment tail over the learned word→subwords table.
+    sql["q159_bpe_train_encode"] = f"""
+        WITH doctoks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                       '\\s+'), t -> t <> '') AS t
+            FROM documents WHERE doc_id < 30
+        ), w0 AS (
+            SELECT w, count(*) AS wc,
+                   array_to_string(string_split(w, ''), ' ') AS syms
+            FROM (SELECT unnest(t) AS w FROM doctoks)
+            GROUP BY 1
+        ), {_bpe_train_ctes_sql(6)}, subs AS (
+            SELECT w, string_split(syms, ' ') AS subs FROM w6
         ), vocab AS (
             SELECT token,
                    CAST(dense_rank() OVER (ORDER BY token) - 1 AS INT)

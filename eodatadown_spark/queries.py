@@ -168,6 +168,48 @@ def query_scn_records_date_bbox(
     return _paginate(out, order, start_rec, n_recs)
 
 
+def query_scn_records_bbox(
+    scenes: DataFrame,
+    lat_north: float,
+    lat_south: float,
+    lon_east: float,
+    lon_west: float,
+    date_col: str = "date_acquired",
+    valid: bool = True,
+    start_rec: int = 0,
+    n_recs: int = 0,
+) -> DataFrame:
+    """F7-only: bbox query with NO date window (abstract surface
+    eodatadownsensor.py:410; the reference declares it on every sensor
+    but never implements it — eodatadownlandsatgoogsensor.py:2482 raises
+    — so this engine gives it the same strict-overlap semantics as the
+    date+bbox composite at :2046-2103, the reference's only concrete
+    bbox predicate).  Argument order matches the abstract signature
+    (lat_north, lat_south, lon_east, lon_west); internally mapped to the
+    (W, E, S, N) tuple ``bbox_intersect_pred`` takes."""
+    pred = bbox_intersect_pred((lon_west, lon_east, lat_south, lat_north))
+    if valid:
+        pred = pred & valid_pred(True)
+    out = scenes.where(pred)
+    order = [F.col(date_col).desc(), F.col("pid").asc()]
+    return _paginate(out, order, start_rec, n_recs)
+
+
+def query_scn_records_bbox_count(
+    scenes: DataFrame,
+    lat_north: float,
+    lat_south: float,
+    lon_east: float,
+    lon_west: float,
+    valid: bool = True,
+) -> DataFrame:
+    """A3 twin of :func:`query_scn_records_bbox` — one row, `n_scenes`."""
+    pred = bbox_intersect_pred((lon_west, lon_east, lat_south, lat_north))
+    if valid:
+        pred = pred & valid_pred(True)
+    return scenes.where(pred).agg(F.count("*").alias("n_scenes"))
+
+
 def query_scn_records_date_bbox_count(
     scenes: DataFrame,
     start_date,

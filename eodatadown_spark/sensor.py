@@ -122,6 +122,23 @@ class SensorBase:
             self.scenes(), start, end, bbox, self.date_col, **kw
         )
 
+    def query_scn_records_bbox(
+        self, lat_north, lat_south, lon_east, lon_west, **kw
+    ) -> DataFrame:
+        """Abstract-surface bbox-only query (eodatadownsensor.py:410);
+        argument order mirrors the reference signature."""
+        return Q.query_scn_records_bbox(
+            self.scenes(), lat_north, lat_south, lon_east, lon_west,
+            self.date_col, **kw
+        )
+
+    def query_scn_records_bbox_count(
+        self, lat_north, lat_south, lon_east, lon_west, **kw
+    ) -> DataFrame:
+        return Q.query_scn_records_bbox_count(
+            self.scenes(), lat_north, lat_south, lon_east, lon_west, **kw
+        )
+
     def find_unique_platforms(self) -> DataFrame:
         return Q.find_unique_platforms(self.scenes(), self.platform_col)
 

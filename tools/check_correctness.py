@@ -54,8 +54,23 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
+def dtype_kinds(df: pd.DataFrame) -> str:
+    """Coarse dtype signature: one kind char per (sorted) column — 'i' for
+    any integer width, 'f' float, 'b' bool, 'O' everything else (strings,
+    dates already stringified by canonical()).  The driver's value hash is
+    dtype-sensitive (DuckDB HUGEINT→float64 `99111.0` hashes differently
+    from Spark bigint `99111` even though %.9g prints both as `99111`) —
+    folding the kind into the local hash makes this harness see exactly
+    that class of divergence (the r9 q101/q72 escape)."""
+    kinds = []
+    for col in df.columns:
+        k = df[col].dtype.kind
+        kinds.append("i" if k in "iu" else k if k in "fb" else "O")
+    return ",".join(kinds)
+
+
 def value_hash(df: pd.DataFrame) -> str:
-    payload = df.to_csv(index=False, float_format="%.9g")
+    payload = dtype_kinds(df) + "\n" + df.to_csv(index=False, float_format="%.9g")
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -121,7 +136,7 @@ def prepare_sampled_dir(sf_dir: str, pct: int = 12) -> str:
 
 
 def main() -> int:
-    pct = 12
+    pct = None  # sentinel: ANY explicit --sample-pct implies sampling
     args = []
     for a in sys.argv[1:]:
         if a == "--sampled":
@@ -131,8 +146,11 @@ def main() -> int:
             continue
         args.append(a)
     # an explicit keep-rate implies sampling — a pct that silently did
-    # nothing would run the O(n^2) oracles on the full corpus for hours
-    sampled = "--sampled" in sys.argv[1:] or pct != 12
+    # nothing (the old `pct != 12` test treated an explicit =12 as the
+    # default) would run the O(n^2) oracles on the full corpus for hours
+    sampled = "--sampled" in sys.argv[1:] or pct is not None
+    if pct is None:
+        pct = 12
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
     if sampled:
@@ -191,7 +209,20 @@ def main() -> int:
                 diff_cols = [
                     c for c in cs.columns if not cs[c].astype(str).equals(co[c].astype(str))
                 ]
-                problems.append(f"value-hash mismatch in cols {diff_cols}")
+                if not diff_cols:  # values print the same → dtype-kind drift
+                    diff_cols = [
+                        c for c in cs.columns
+                        if dtype_kinds(cs[[c]]) != dtype_kinds(co[[c]])
+                    ]
+                    problems.append(
+                        "dtype-kind mismatch in cols "
+                        + str([
+                            f"{c}: spark={cs[c].dtype} oracle={co[c].dtype}"
+                            for c in diff_cols
+                        ])
+                    )
+                else:
+                    problems.append(f"value-hash mismatch in cols {diff_cols}")
                 for c in diff_cols[:2]:
                     mask = cs[c].astype(str) != co[c].astype(str)
                     print(f"      {c}: spark={cs[c][mask].head(3).tolist()} oracle={co[c][mask].head(3).tolist()}")
