@@ -1343,27 +1343,31 @@ def q150_incremental_clusters(spark, sf):
     new = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    # ONE prefix-filtered pass over the union corpus yields BOTH pair sets
-    # (identical output to the naive quadratic path, oracle-proven by
-    # q131 — at sf0.1's 5000 docs the naive path alone is ~2 min):
-    # pairwise Jaccard is corpus-independent, so the stored baseline's
-    # pairs are exactly the union pairs with both endpoints old
-    # (id_a < id_b always, so id_b < 100000 suffices).  Pinned once —
-    # both filters and the clusterers' multiple passes read the
-    # materialized pair set instead of re-running the candidate join.
-    all_docs = docs.select("doc_id", "text").unionByName(new)
-    all_pairs = D.jaccard_prefix_pairs(
-        all_docs, threshold=0.5
-    ).localCheckpoint()
-    # the stored baseline — pinned: update_clusters and the final size
-    # join reference it repeatedly, and in production it IS a materialized
-    # catalog table, not a live clustering plan
+    # Build phase (production: stored catalog tables, amortized over every
+    # batch): the prefix index — prefix rows + the order-defining frozen
+    # frequency table + fingerprints — pinned like the catalog tables they
+    # model; the baseline pairs come straight off the stored prefix rows
+    # (jaccard_prefix_self_pairs == jaccard_prefix_pairs by construction,
+    # no re-shingle), and the baseline assignment is pinned because
+    # update_clusters and the final size join read it repeatedly.
+    prefix, freq, fps = D.jaccard_prefix_index(docs, threshold=0.5)
+    prefix = prefix.localCheckpoint()
+    freq = freq.localCheckpoint()
+    fps = fps.localCheckpoint()
+    old_pairs = D.jaccard_prefix_self_pairs(prefix, fps, threshold=0.5)
     old_assign = D.neardup_clusters(
-        docs,
-        pairs=all_pairs.where(F.col("id_b") < 100000),
-        threshold=0.5,
+        docs, pairs=old_pairs, threshold=0.5
     ).localCheckpoint()
-    new_pairs = all_pairs.where(F.col("id_b") >= 100000)
+    # Probe phase — the per-batch cost: batch-only shingling ranked under
+    # the index's frozen order, batch prefix vs STORED prefix equi-join
+    # (the union-corpus prefix-pair pass this round eliminates —
+    # SCALING.md round-9 soft spot), fingerprint fetches for candidates
+    # only, touched-component fold.  Still hash-equal to the oracle's
+    # full recompute: any consistent prefix order is lossless and the
+    # verify is exact.
+    new_pairs = D.jaccard_prefix_against_index(
+        new, prefix, freq, fps, threshold=0.5
+    )
     updated = D.update_clusters(
         old_assign, new_pairs, new_docs=new.select("doc_id")
     ).localCheckpoint()
@@ -2954,26 +2958,31 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 
     def clusters_build(spark, sf):
         docs = _t(spark, sf, "documents")
-        old_pairs = D.jaccard_prefix_pairs(docs, threshold=0.5).localCheckpoint()
+        prefix, freq, fps = D.jaccard_prefix_index(docs, threshold=0.5)
+        prefix = prefix.localCheckpoint()
+        fps = fps.localCheckpoint()
+        old_pairs = D.jaccard_prefix_self_pairs(prefix, fps, threshold=0.5)
         return {
+            "prefix": prefix,
+            "freq": freq.localCheckpoint(),
+            "fps": fps,
             "old_assign": D.neardup_clusters(
                 docs, pairs=old_pairs, threshold=0.5
-            ).localCheckpoint()
+            ).localCheckpoint(),
         }
 
     def clusters_probe(spark, sf, state):
-        # Per-batch cost as q150 implements it: the prefix-pair pass runs
-        # over the UNION corpus (pairwise Jaccard needs new-vs-all; the
-        # prefix join has no stored-corpus probe form), then only touched
-        # components re-resolve.  The union pass dominating the probe is
-        # the honest number — it is what a batch pays today.
+        # Per-batch cost as q150 implements it (round 10): batch-only
+        # shingling ranked under the index's frozen order, batch prefix
+        # vs STORED prefix equi-join, candidate-only fingerprint fetches,
+        # touched-component fold — the union-corpus prefix-pair pass that
+        # dominated this probe through round 9 is gone.
         docs = _t(spark, sf, "documents")
         new = docs.where(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
-        all_docs = docs.select("doc_id", "text").unionByName(new)
-        new_pairs = D.jaccard_prefix_pairs(all_docs, threshold=0.5).where(
-            F.col("id_b") >= 100000
+        new_pairs = D.jaccard_prefix_against_index(
+            new, state["prefix"], state["freq"], state["fps"], threshold=0.5
         )
         updated = D.update_clusters(
             state["old_assign"], new_pairs, new_docs=new.select("doc_id")

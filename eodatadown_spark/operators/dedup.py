@@ -1638,36 +1638,13 @@ def jaccard_prefix_pairs(
         .withColumnRenamed("hashes", "shingles"),
         materialize,
     )
-    inv = base.select("id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh"))
-    freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("sh").asc())
-    prefix = (
-        inv.join(freq, "sh")
-        .withColumn("__pos", F.row_number().over(w))
-        # ε-guard: ceil(t·s) computed in floats can land one ABOVE the true
-        # integer (0.1·10 → 1.0000000000000002 → ceil 2), silently
-        # shortening the prefix and dropping qualifying pairs; backing off
-        # 1e-9 only ever lengthens the prefix (still a correct filter)
-        .where(
-            F.col("__pos")
-            <= F.col("sz") - F.ceil(threshold * F.col("sz") - 1e-9) + 1
-        )
-        .select("id", "sz", "sh", "__pos")
+    freq = (
+        base.select(F.explode("shingles").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
     )
-    # POSITIONAL filter (the PPJoin refinement), at the pair's MINIMAL
-    # shared token: both docs rank shingles by the same global
-    # (rarest-first) order, so the smallest shared prefix token τ* — the
-    # one attaining min(i) and min(j) over a pair's matches — has NO
-    # shared token before it in either list (a smaller shared token would
-    # sit at a smaller position, hence inside both prefixes, contradicting
-    # minimality).  Every other shared token follows τ*, so
-    #   |A∩B| ≤ 1 + min(sz_l - i*, sz_r - j*),
-    # while J ≥ t needs |A∩B| ≥ t/(1+t)·(sz_l+sz_r).  Dropping pairs whose
-    # bound falls short is lossless (the verify below stays exact) — and
-    # at low thresholds, where plain prefix filtering admits hundreds of
-    # spurious candidates per true pair (one shared mid-list token), it
-    # prunes the verify input by orders of magnitude.
-    cand = (
+    prefix = _prefix_rows(base, freq, threshold)
+    matches = (
         prefix.alias("l")
         .join(prefix.alias("r"), "sh")
         .where(
@@ -1679,14 +1656,76 @@ def jaccard_prefix_pairs(
                 >= threshold * F.greatest("l.sz", "r.sz") - 1e-9
             )
         )
-        .groupBy(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.__pos").alias("__pa"),
+            F.col("r.__pos").alias("__pb"),
+            F.col("l.sz").alias("__sza"),
+            F.col("r.sz").alias("__szb"),
         )
+    )
+    cand = _positional_candidates(matches, threshold)
+    return _exact_jaccard_filter(
+        cand, base.select("id", F.col("shingles").alias("hashes")), threshold
+    )
+
+
+def _prefix_rows(base: DataFrame, freq: DataFrame, threshold: float) -> DataFrame:
+    """(id, sz, sh, __pos) PREFIX entries of ``base`` = (id, shingles)
+    under the global rarest-first order keyed by ``freq`` = (sh, __df):
+    each document keeps its first ``sz - ⌈t·sz⌉ + 1`` shingles by
+    (__df asc, sh asc).  Shingles ABSENT from freq rank with df = 0 —
+    front of the order; any deterministic function of the shingle is a
+    valid prefix order, which is what lets a FROZEN corpus frequency
+    table order new batches consistently (see
+    :func:`jaccard_prefix_against_index`)."""
+    inv = base.select(
+        "id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__df0").asc(), F.col("sh").asc())
+    return (
+        inv.join(freq, "sh", "left")
+        .withColumn("__df0", F.coalesce(F.col("__df"), F.lit(0)))
+        .withColumn("__pos", F.row_number().over(w))
+        # ε-guard: ceil(t·s) computed in floats can land one ABOVE the true
+        # integer (0.1·10 → 1.0000000000000002 → ceil 2), silently
+        # shortening the prefix and dropping qualifying pairs; backing off
+        # 1e-9 only ever lengthens the prefix (still a correct filter)
+        .where(
+            F.col("__pos")
+            <= F.col("sz") - F.ceil(threshold * F.col("sz") - 1e-9) + 1
+        )
+        .select("id", "sz", "sh", "__pos")
+    )
+
+
+def _positional_candidates(matches: DataFrame, threshold: float) -> DataFrame:
+    """POSITIONAL filter (the PPJoin refinement), at the pair's MINIMAL
+    shared token: both docs rank shingles by the same global
+    (rarest-first) order, so the smallest shared prefix token τ* — the
+    one attaining min(i) and min(j) over a pair's matches — has NO
+    shared token before it in either list (a smaller shared token would
+    sit at a smaller position, hence inside both prefixes, contradicting
+    minimality).  Every other shared token follows τ*, so
+      |A∩B| ≤ 1 + min(sz_a - i*, sz_b - j*),
+    while J ≥ t needs |A∩B| ≥ t/(1+t)·(sz_a+sz_b).  Dropping pairs whose
+    bound falls short is lossless (verification stays exact) — and at low
+    thresholds, where plain prefix filtering admits hundreds of spurious
+    candidates per true pair (one shared mid-list token), it prunes the
+    verify input by orders of magnitude.
+
+    ``matches``: one row per shared prefix-token occurrence with columns
+    (id_a, id_b, __pa, __pb, __sza, __szb); duplicate rows (e.g. a pair
+    surfacing in both orientations of an incremental probe) are harmless —
+    mins and firsts are unaffected."""
+    return (
+        matches.groupBy("id_a", "id_b")
         .agg(
-            F.min("l.__pos").alias("__imin"),
-            F.min("r.__pos").alias("__jmin"),
-            F.first(F.col("l.sz")).alias("__szl"),
-            F.first(F.col("r.sz")).alias("__szr"),
+            F.min("__pa").alias("__imin"),
+            F.min("__pb").alias("__jmin"),
+            F.first("__sza").alias("__szl"),
+            F.first("__szb").alias("__szr"),
         )
         .where(
             (
@@ -1702,18 +1741,166 @@ def jaccard_prefix_pairs(
         )
         .select("id_a", "id_b")
     )
-    with_sets = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
-    ).join(
-        base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
+
+
+def jaccard_prefix_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    materialize: str = "auto",
+    floor: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The persistent half of EXACT-Jaccard incremental dedup — the
+    prefix-family counterpart of :func:`minhash_band_index`.  Returns the
+    three relations a catalog stores per generation:
+
+    - ``prefix``       (id, sz, sh, __pos): each corpus document's prefix
+      entries under the corpus's rarest-first shingle order — the table
+      :func:`jaccard_prefix_against_index` equi-joins each batch against.
+      At scale, store it bucketed/sorted by ``sh`` so probes are
+      broadcast- or bucket-joins with NO corpus shuffle.
+    - ``freq``         (sh, __df): the corpus document-frequency table
+      that DEFINES the order.  The order is FROZEN at build time: probes
+      rank batch shingles by this same table (absent → df 0), which keeps
+      one consistent total order across old and new documents — the
+      prefix-filter guarantee needs order consistency, not currency.
+      Appending batches degrades only the rarest-first *heuristic*
+      (candidate counts), never correctness; rebuild a fresh generation
+      when probe candidate volume drifts up.
+    - ``fingerprints`` (id, shingles): distinct shingle-hash sets for the
+      exact verify (same relation the minhash index flow stores).
+
+    Parameters (k, threshold) are part of the index identity — probe with
+    the same values or the prefix lengths are meaningless.
+    """
+    base = _pin_mode(
+        shingle_hash_table(
+            documents, id_col, text_col, k, distinct=True, floor=floor
+        ).withColumnRenamed("hashes", "shingles"),
+        materialize,
     )
-    jac = with_sets.withColumn(
-        "__ni", F.size(F.array_intersect("sh_a", "sh_b"))
-    ).withColumn(
-        "jaccard",
-        F.col("__ni").cast("double")
-        / (F.size("sh_a") + F.size("sh_b") - F.col("__ni")),
+    freq = (
+        base.select(F.explode("shingles").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
     )
-    return jac.where(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    prefix = _prefix_rows(base, freq, threshold)
+    return prefix, freq, base
+
+
+def jaccard_prefix_self_pairs(
+    prefix: DataFrame,
+    fingerprints: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard pairs of the INDEXED corpus itself, straight off the
+    stored prefix rows — the build-phase twin of
+    :func:`jaccard_prefix_against_index` (no re-shingle: identical output
+    to :func:`jaccard_prefix_pairs` on the same corpus/threshold, by
+    construction — same candidate join, same positional bound, same exact
+    verify)."""
+    matches = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "sh")
+        .where(
+            (F.col("l.id") < F.col("r.id"))
+            & (
+                F.least("l.sz", "r.sz")
+                >= threshold * F.greatest("l.sz", "r.sz") - 1e-9
+            )
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.__pos").alias("__pa"),
+            F.col("r.__pos").alias("__pb"),
+            F.col("l.sz").alias("__sza"),
+            F.col("r.sz").alias("__szb"),
+        )
     )
+    cand = _positional_candidates(matches, threshold)
+    return _exact_jaccard_filter(
+        cand,
+        fingerprints.select("id", F.col("shingles").alias("hashes")),
+        threshold,
+    )
+
+
+def jaccard_prefix_against_index(
+    new_docs: DataFrame,
+    prefix: DataFrame,
+    freq: DataFrame,
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    materialize: str = "auto",
+    floor: bool = True,
+) -> DataFrame:
+    """Incremental EXACT-Jaccard dedup: pairs (id_a, id_b, jaccard) with at
+    least one NEW endpoint — new-vs-corpus and new-vs-new — by probing the
+    STORED prefix index instead of re-running the prefix-pair pass over
+    the union corpus (the q150 scale soft-spot this closes, SCALING.md
+    round-9 notes).
+
+    Per batch the work is the batch's own shingling + prefix ranking
+    (ordered by the index's FROZEN ``freq`` table, so old and new
+    documents share one total order — the prefix/positional guarantees
+    need exactly that), an equi-join of the tiny batch prefix against the
+    stored prefix rows on the shingle (broadcast the batch side: the
+    corpus table never shuffles), and fingerprint fetches for actual
+    candidates only.  Output is IDENTICAL to
+    :func:`jaccard_prefix_pairs` over old ∪ new filtered to
+    new-endpoint pairs: the frozen order differs from the union-corpus
+    frequency order, but ANY consistent total order yields a lossless
+    prefix+positional filter, and the verify is exact either way.
+
+    ``prefix``/``freq``/``fingerprints`` are :func:`jaccard_prefix_index`
+    output for the existing corpus (typically catalog tables); append the
+    batch's prefix rows — ranked under the same frozen order — plus its
+    fingerprints afterwards to keep the index current.
+    """
+    if materialize not in ("auto", "checkpoint", "local", "none"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
+    new_base = _pin_mode(
+        shingle_hash_table(
+            new_docs, id_col, text_col, k, distinct=True, floor=floor
+        ).withColumnRenamed("hashes", "shingles"),
+        materialize,
+    )
+    new_prefix = _pin_mode(_prefix_rows(new_base, freq, threshold), materialize)
+    all_prefix = prefix.select("id", "sz", "sh", "__pos").unionByName(new_prefix)
+    is_l_a = F.col("l.id") < F.col("r.id")
+    matches = (
+        new_prefix.alias("l")
+        .join(all_prefix.alias("r"), "sh")
+        .where(
+            (F.col("l.id") != F.col("r.id"))
+            & (
+                F.least("l.sz", "r.sz")
+                >= threshold * F.greatest("l.sz", "r.sz") - 1e-9
+            )
+        )
+        # orientation-normalize so a new-new pair surfacing from both
+        # sides folds into one group (duplicated match rows are harmless
+        # to the positional mins)
+        .select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+            F.when(is_l_a, F.col("l.__pos")).otherwise(F.col("r.__pos")).alias("__pa"),
+            F.when(is_l_a, F.col("r.__pos")).otherwise(F.col("l.__pos")).alias("__pb"),
+            F.when(is_l_a, F.col("l.sz")).otherwise(F.col("r.sz")).alias("__sza"),
+            F.when(is_l_a, F.col("r.sz")).otherwise(F.col("l.sz")).alias("__szb"),
+        )
+    )
+    cand = _positional_candidates(matches, threshold)
+    all_fps = fingerprints.select("id", "shingles").unionByName(
+        new_base.select("id", "shingles")
+    )
+    out = _exact_jaccard_filter(
+        cand, all_fps.select("id", F.col("shingles").alias("hashes")), threshold
+    )
+    return _pin_mode(out, materialize)

@@ -1332,6 +1332,67 @@ def test_incremental_minhash_new_vs_new_pairs(spark):
     assert got == {(10, 11)}
 
 
+def test_jaccard_prefix_self_pairs_equals_pairs(docs):
+    """Pairs derived from the STORED prefix index (build phase, no
+    re-shingle) are identical to jaccard_prefix_pairs on the same corpus."""
+    prefix, _freq, fps = D.jaccard_prefix_index(docs, threshold=0.5)
+    from_index = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_self_pairs(prefix, fps, threshold=0.5).collect()
+    }
+    from_scratch = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_pairs(docs, threshold=0.5).collect()
+    }
+    assert from_index == from_scratch and len(from_index) >= 4
+
+
+def test_jaccard_prefix_index_probe_equals_full_run(docs):
+    """Probing the stored prefix index with a new batch yields exactly the
+    union-corpus exact-Jaccard pairs restricted to new-endpoint pairs —
+    even though the probe ranks batch shingles under the CORPUS's frozen
+    frequency order, not the union order (any consistent total order is a
+    lossless prefix filter; the verify is exact)."""
+    old = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+    prefix, freq, fps = D.jaccard_prefix_index(old, threshold=0.5)
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_against_index(
+            new, prefix, freq, fps, threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_pairs(docs, threshold=0.5).collect()
+        if r["id_a"] >= 100 or r["id_b"] >= 100
+    }
+    assert inc == full and len(inc) == 4   # (0,100),(1,101),(2,102),(5,200)
+
+
+def test_jaccard_prefix_probe_new_vs_new(spark):
+    """Two near-identical docs arriving in the SAME batch pair with each
+    other — their shingles are absent from the frozen corpus frequency
+    table (df=0 ranks them at the front of the order) and must still meet
+    in the prefix join."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [(1, "completely unrelated corpus content here and more of it")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, base + " extra")], "doc_id long, text string"
+    )
+    prefix, freq, fps = D.jaccard_prefix_index(old, threshold=0.5)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_prefix_against_index(
+            new, prefix, freq, fps, threshold=0.5
+        ).collect()
+    }
+    assert got == {(10, 11)}
+
+
 def test_confusion_matrix_counts(spark):
     df = spark.createDataFrame(
         [("en", "en"), ("en", "other"), ("other", "other"), ("other", "other"),
