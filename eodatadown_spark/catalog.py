@@ -375,13 +375,18 @@ class ParquetCatalog:
         surfaces either as a parquet IO error mid-build or as a vanished
         dir at flip time; both legs detect the moved pointer / missing dir
         and re-claim + rebuild instead of surfacing a spurious error."""
+        last_exc: Exception | None = None
         for _attempt in range(1 + occ_retries):
             base = self._current_version(table)
             try:
                 version, out = self._write_version(df, table, partition)
-            except Exception:
+            except Exception as exc:
                 if self._current_version(table) != base:
-                    continue  # conflict fallout: winner's GC hit our build
+                    # conflict fallout: winner's GC hit our build — but keep
+                    # the exception so a PERSISTENT build failure that keeps
+                    # coinciding with pointer moves stays diagnosable
+                    last_exc = exc
+                    continue
                 raise
             with self._commit_lock(table):
                 # GC runs only under this lock, so these checks cannot race
@@ -401,7 +406,7 @@ class ParquetCatalog:
         raise RuntimeError(
             f"write lost the claimed-dir race {1 + occ_retries} times on "
             f"table {table!r}"
-        )
+        ) from last_exc
 
     def replace_derived(
         self, table: str, build_fn, partition: bool = True,
@@ -421,22 +426,24 @@ class ParquetCatalog:
         (ADVICE r8).  Non-derived replaces should keep using
         :meth:`write` — re-running ``build_fn`` must be safe and cheap
         (pin batch-derived inputs before calling)."""
+        last_exc: Exception | None = None
         for _attempt in range(1 + occ_retries):
             base = self._current_version(table)
             try:
                 version, out = self._write_version(
                     build_fn(self.read(table)), table, partition
                 )
-            except Exception:
+            except Exception as exc:
                 if self._current_version(table) != base:
-                    continue  # conflict fallout, not a real build error
+                    last_exc = exc  # conflict fallout — kept for diagnosis
+                    continue
                 raise
             if self._commit_if_base(table, version, out, base):
                 return
         raise RuntimeError(
             f"replace_derived lost the optimistic-commit race "
             f"{1 + occ_retries} times on table {table!r}"
-        )
+        ) from last_exc
 
     def merge_updates(
         self, table: str, updates: DataFrame, key: str = "pid",

@@ -214,9 +214,21 @@ class DeltaCatalog:
                 self.write(build_fn(self.read(table)), table, partition=partition)
                 return
             except Exception as exc:
-                name = type(exc).__name__
-                if ("Concurrent" in name or "ProtocolChanged" in name
-                        or "MetadataChanged" in name):
+                # Delta surfaces conflicts as mapped Python exception
+                # classes when delta-spark's exception mapping is active,
+                # else as Py4JJavaError wrapping the Java class — match the
+                # class name AND the wrapped Java class name (str(exc)
+                # leads with it), so the retry contract holds either way
+                markers = ("Concurrent", "ProtocolChanged", "MetadataChanged")
+                java_cls = ""
+                je = getattr(exc, "java_exception", None)
+                if je is not None:
+                    try:
+                        java_cls = je.getClass().getName()
+                    except Exception:
+                        java_cls = str(exc)[:500]
+                name = type(exc).__name__ + " " + java_cls
+                if any(m in name for m in markers):
                     continue  # delta OCC conflict — re-read and re-derive
                 raise
         raise RuntimeError(

@@ -321,10 +321,10 @@ def apply_neardup_batch(
     # the index/fingerprint versions read above, which the appends below
     # replace (retention keeps one prior version, but relying on that for
     # an unpinned triple-referenced plan would be fragile)
-    pairs = D.minhash_neardup_against_index(
+    pairs = D._pin(D.minhash_neardup_against_index(
         batch, index, fps, id_col=id_col, text_col=text_col, k=k,
         num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold,
-    ).localCheckpoint()
+    ))
     new_index_rows = D.minhash_band_index(
         batch, id_col, text_col, k, num_perm, bands
     ).join(index.select("id").distinct(), "id", "left_anti")
@@ -338,7 +338,11 @@ def apply_neardup_batch(
     # --apply overlapping a stream batch) serialize — the loser re-reads
     # the winner's assignments and re-folds its pinned pair set, instead
     # of last-writer-wins silently dropping one fold
-    new_docs = batch.select(F.col(id_col).alias("doc_id")).distinct().localCheckpoint()
+    # both pins go through the _pin policy (ADVICE r9): with
+    # SPARK_GRAFT_CHECKPOINT_DIR set they become RELIABLE checkpoints, so
+    # an executor loss during a replace_derived OCC retry replays from
+    # storage instead of killing the fold
+    new_docs = D._pin(batch.select(F.col(id_col).alias("doc_id")).distinct())
     catalog.replace_derived(
         clusters_table,
         lambda cur: D.update_clusters(

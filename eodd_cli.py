@@ -266,23 +266,51 @@ def cmd_annindex(args) -> None:
     if args.gc:
         # drop superseded sq8 generations: table dirs matching the
         # generation naming scheme that the COMMITTED meta no longer
-        # references (safe while queries run against the live generation
-        # — only unreferenced dirs are touched)
+        # references.  Safe alongside live queries (only unreferenced dirs
+        # go) AND alongside a concurrent --build: generation names carry
+        # the build's time_ns, so anything NEWER than the committed
+        # generation is an in-flight build whose meta commit hasn't landed
+        # yet — skipped, never deleted (a gc that raced it would leave the
+        # new meta pointing at half-written tables).
         import shutil as _shutil
 
+        if not os.path.exists(meta_path):
+            print(json.dumps({
+                "gc": True, "removed": [],
+                "error": f"no committed index: {meta_path} missing",
+            }))
+            raise SystemExit(1)
         with open(meta_path, encoding="utf-8") as fh:
             meta = json.load(fh)
         keep = {meta.get("codes_table"), meta.get("vectors_table")}
-        removed = []
+
+        def _gen_ns(name: str) -> int:
+            # "sq8_codes_g1755..." / "vectors_g1755..." -> int ns, else -1
+            tail = name.rsplit("_g", 1)
+            try:
+                return int(tail[1]) if len(tail) == 2 else -1
+            except ValueError:
+                return -1
+
+        committed_ns = max(
+            (_gen_ns(t) for t in keep if t), default=-1
+        )
+        removed, skipped_inflight = [], []
         for d in sorted(os.listdir(args.index_dir)):
-            if (
-                (d.startswith("sq8_codes_g") or d.startswith("vectors_g"))
-                and d not in keep
-            ):
-                _shutil.rmtree(os.path.join(args.index_dir, d),
-                               ignore_errors=True)
-                removed.append(d)
-        print(json.dumps({"gc": True, "removed": removed}))
+            if not (d.startswith("sq8_codes_g") or d.startswith("vectors_g")):
+                continue
+            if d in keep:
+                continue
+            if _gen_ns(d) > committed_ns:
+                skipped_inflight.append(d)
+                continue
+            _shutil.rmtree(os.path.join(args.index_dir, d),
+                           ignore_errors=True)
+            removed.append(d)
+        print(json.dumps({
+            "gc": True, "removed": removed,
+            "skipped_inflight": skipped_inflight,
+        }))
         return
     if args.kind == "sq8":
         if args.build:
