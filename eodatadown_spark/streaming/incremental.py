@@ -353,6 +353,63 @@ def apply_neardup_batch(
     return {"batch_docs": batch.count(), "new_pairs": pairs.count()}
 
 
+def apply_prefix_batch(
+    catalog,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    prefix_table: str = "prefix_index",
+    freq_table: str = "prefix_freq",
+    fingerprint_table: str = "fingerprints_exact",
+    clusters_table: str = "clusters",
+) -> dict:
+    """EXACT-Jaccard twin of :func:`apply_neardup_batch`: fold one batch
+    into the stored prefix-index dedup state — probe the stored prefix
+    rows (:func:`..operators.dedup.jaccard_prefix_against_index`; the
+    corpus text is never re-shingled), append the batch's prefix rows
+    (ranked under the index's FROZEN frequency order — the freq table is
+    deliberately NOT updated, that is the order-consistency contract) and
+    fingerprints, then fold the pairs into the cluster assignments.
+
+    Replay-safe the same way: appends anti-join already-stored ids, the
+    clusters table commits LAST through replace_derived's base-checked
+    flip, and update_clusters re-folds identical pairs to identical
+    assignments.  Returns ``{"batch_docs", "new_pairs"}`` stats.
+    """
+    from eodatadown_spark.operators import dedup as D
+
+    prefix = catalog.read(prefix_table)
+    freq = catalog.read(freq_table)
+    fps = catalog.read(fingerprint_table)
+    pairs = D._pin(D.jaccard_prefix_against_index(
+        batch, prefix, freq, fps, id_col=id_col, text_col=text_col, k=k,
+        threshold=threshold,
+    ))
+    new_base = D.shingle_hash_table(
+        batch, id_col, text_col, k, distinct=True
+    ).withColumnRenamed("hashes", "shingles")
+    stored_ids = prefix.select("id").distinct()
+    new_prefix_rows = D._prefix_rows(new_base, freq, threshold).join(
+        stored_ids, "id", "left_anti"
+    )
+    catalog.append(prefix_table, new_prefix_rows)
+    new_fp_rows = new_base.join(
+        fps.select("id").distinct(), "id", "left_anti"
+    )
+    catalog.append(fingerprint_table, new_fp_rows)
+    new_docs = D._pin(batch.select(F.col(id_col).alias("doc_id")).distinct())
+    catalog.replace_derived(
+        clusters_table,
+        lambda cur: D.update_clusters(
+            cur, pairs.select("id_a", "id_b"), new_docs=new_docs
+        ),
+        partition=False,
+    )
+    return {"batch_docs": batch.count(), "new_pairs": pairs.count()}
+
+
 def stream_neardup_apply(
     catalog,
     stream_docs: DataFrame,

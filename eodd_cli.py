@@ -158,6 +158,15 @@ def cmd_dedupindex(args) -> None:
     touched components, and the batch's own index/fingerprint rows append
     so the next probe sees it.  One JSON stats line per invocation.
 
+    ``--family prefix`` swaps the approximate MinHash banding for the
+    EXACT-Jaccard prefix index (jaccard_prefix_index /
+    jaccard_prefix_against_index): --build stores prefix rows + the
+    order-defining frozen frequency table + fingerprints; probes rank the
+    batch under that frozen order, so pairs are exact at the configured
+    threshold — the dedup-exactness tradeoff becomes a CLI flag.  The
+    freq table is never updated by --apply (order-consistency contract);
+    rebuild a fresh index when probe candidate volume drifts up.
+
     CONCURRENCY CONTRACT: --apply commits are race-safe (index/fingerprint
     appends are OCC + replay-idempotent; the clusters fold commits through
     replace_derived's base-checked flip), so concurrent --apply runs and
@@ -176,23 +185,37 @@ def cmd_dedupindex(args) -> None:
     if args.build:
         params = {
             "k": args.k, "num_perm": args.num_perm, "bands": args.bands,
-            "threshold": args.jaccard,
+            "threshold": args.jaccard, "family": args.family,
         }
         docs = spark.read.parquet(args.build)
-        index = D.minhash_band_index(
-            docs, k=params["k"], num_perm=params["num_perm"],
-            bands=params["bands"],
-        )
-        fps = D.shingle_hash_table(docs, k=params["k"])
-        pairs = D.minhash_neardup_pairs(
-            docs, k=params["k"], num_perm=params["num_perm"],
-            bands=params["bands"], jaccard_threshold=params["threshold"],
-        )
-        clusters = D.neardup_clusters(
-            docs, pairs=pairs.select("id_a", "id_b")
-        )
-        cat.write(index, "band_index", partition=False)
-        cat.write(fps, "fingerprints", partition=False)
+        if args.family == "prefix":
+            prefix, freq, fps = D.jaccard_prefix_index(
+                docs, k=params["k"], threshold=params["threshold"]
+            )
+            pairs = D.jaccard_prefix_self_pairs(
+                prefix, fps, threshold=params["threshold"]
+            )
+            clusters = D.neardup_clusters(
+                docs, pairs=pairs.select("id_a", "id_b")
+            )
+            cat.write(prefix, "prefix_index", partition=False)
+            cat.write(freq, "prefix_freq", partition=False)
+            cat.write(fps, "fingerprints_exact", partition=False)
+        else:
+            index = D.minhash_band_index(
+                docs, k=params["k"], num_perm=params["num_perm"],
+                bands=params["bands"],
+            )
+            fps = D.shingle_hash_table(docs, k=params["k"])
+            pairs = D.minhash_neardup_pairs(
+                docs, k=params["k"], num_perm=params["num_perm"],
+                bands=params["bands"], jaccard_threshold=params["threshold"],
+            )
+            clusters = D.neardup_clusters(
+                docs, pairs=pairs.select("id_a", "id_b")
+            )
+            cat.write(index, "band_index", partition=False)
+            cat.write(fps, "fingerprints", partition=False)
         cat.write(clusters, "clusters", partition=False)
         os.makedirs(args.index_dir, exist_ok=True)
         with open(meta_path, "w", encoding="utf-8") as fh:
@@ -206,24 +229,37 @@ def cmd_dedupindex(args) -> None:
     with open(meta_path, encoding="utf-8") as fh:
         params = json.load(fh)
     batch = spark.read.parquet(args.probe)
-    index = cat.read("band_index")
-    fps = cat.read("fingerprints")
-    pairs = D.minhash_neardup_against_index(
-        batch, index, fps, k=params["k"], num_perm=params["num_perm"],
-        bands=params["bands"], jaccard_threshold=params["threshold"],
-    ).localCheckpoint()
+    if params.get("family", "minhash") == "prefix":
+        pairs = D.jaccard_prefix_against_index(
+            batch, cat.read("prefix_index"), cat.read("prefix_freq"),
+            cat.read("fingerprints_exact"), k=params["k"],
+            threshold=params["threshold"],
+        ).localCheckpoint()
+    else:
+        pairs = D.minhash_neardup_against_index(
+            batch, cat.read("band_index"), cat.read("fingerprints"),
+            k=params["k"], num_perm=params["num_perm"],
+            bands=params["bands"], jaccard_threshold=params["threshold"],
+        ).localCheckpoint()
     stats = {"batch_docs": batch.count(), "new_pairs": pairs.count()}
     if args.apply:
-        # shared replay-safe core (streaming/incremental.apply_neardup_batch):
-        # idempotent index/fingerprint appends first, clusters commit LAST —
-        # a crash between the three catalog commits is repaired by simply
-        # re-running the same batch
-        from eodatadown_spark.streaming.incremental import apply_neardup_batch
-
-        apply_neardup_batch(
-            cat, batch, k=params["k"], num_perm=params["num_perm"],
-            bands=params["bands"], jaccard_threshold=params["threshold"],
+        # shared replay-safe cores (streaming/incremental): idempotent
+        # index/fingerprint appends first, clusters commit LAST — a crash
+        # between the catalog commits is repaired by re-running the batch
+        from eodatadown_spark.streaming.incremental import (
+            apply_neardup_batch,
+            apply_prefix_batch,
         )
+
+        if params.get("family", "minhash") == "prefix":
+            apply_prefix_batch(
+                cat, batch, k=params["k"], threshold=params["threshold"]
+            )
+        else:
+            apply_neardup_batch(
+                cat, batch, k=params["k"], num_perm=params["num_perm"],
+                bands=params["bands"], jaccard_threshold=params["threshold"],
+            )
         stats["clusters"] = cat.read("clusters").where(
             F.col("is_canonical")).count()
         stats["applied"] = True
@@ -1029,6 +1065,9 @@ def main(argv=None) -> int:
     sp.add_argument("--k", type=int, default=3)
     sp.add_argument("--num-perm", type=int, default=32, dest="num_perm")
     sp.add_argument("--bands", type=int, default=8)
+    sp.add_argument("--family", choices=("minhash", "prefix"),
+                    default="minhash",
+                    help="minhash banding (approx) or prefix index (exact)")
     sp.set_defaults(fn=cmd_dedupindex)
     sp = sub.add_parser("annindex")
     sp.add_argument("--index-dir", required=True, dest="index_dir")

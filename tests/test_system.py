@@ -622,6 +622,77 @@ def test_cli_dedupindex_lifecycle(spark, tmp_path, capsys):
     assert got == want  # incremental apply == from-scratch rebuild
 
 
+def test_cli_dedupindex_prefix_family_lifecycle(spark, tmp_path, capsys):
+    """--family prefix: the EXACT-Jaccard prefix index behind the same
+    build/probe/apply lifecycle — final assignments equal a from-scratch
+    rebuild, and the frozen freq table is untouched by --apply (the
+    order-consistency contract)."""
+    import eodd_cli
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    corpus_rows = [
+        (1, base),
+        (2, base + "edited"),
+        (3, "a perfectly unique document about the weather today and "
+            "tomorrow with plenty of words"),
+    ]
+    batch_rows = [
+        (100, base),
+        (101, "an entirely novel payload document with its own words "
+              "unlike anything stored before now"),
+    ]
+    src = str(tmp_path / "corpus")
+    bsrc = str(tmp_path / "batch")
+    idx = str(tmp_path / "dedup_idx")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(src)
+    spark.createDataFrame(batch_rows, "doc_id long, text string").write.parquet(bsrc)
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--build", src,
+                   "--jaccard", "0.5", "--family", "prefix"])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["docs"] == 3 and built["clusters"] == 2
+    assert built["family"] == "prefix"
+
+    cat = ParquetCatalog(spark, idx)
+    freq_before = sorted(
+        (r["sh"], r["__df"]) for r in cat.read("prefix_freq").collect()
+    )
+
+    # probe only (no --family needed — the stored meta routes it)
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", bsrc])
+    probe = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert probe["new_pairs"] >= 2 and "applied" not in probe
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", bsrc,
+                   "--apply"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["applied"] and stats["clusters"] == 3
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cat.read("clusters").collect()
+    }
+    all_docs = spark.createDataFrame(
+        corpus_rows + batch_rows, "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.neardup_clusters(all_docs, threshold=0.5).collect()
+    }
+    assert got == want
+    # frozen order: --apply never rewrites the frequency table
+    freq_after = sorted(
+        (r["sh"], r["__df"]) for r in cat.read("prefix_freq").collect()
+    )
+    assert freq_after == freq_before
+    # batch prefix/fingerprint rows appended (next probe sees the batch)
+    assert set(
+        r["id"] for r in cat.read("prefix_index").select("id").distinct().collect()
+    ) == {1, 2, 3, 100, 101}
+
+
 def test_cli_dedupindex_apply_is_replay_safe(spark, tmp_path, capsys):
     """Re-running --apply for the SAME batch (the recovery action after a
     crash between the three catalog commits) must converge: no duplicate
