@@ -76,6 +76,9 @@ EXTENDED = [
     "q155_sq8_stored_probe",
     "q156_clusters_via_stored_index",
     "q157_bpe_encode",
+    # round-10 operators
+    "q158_bbox_only_page",
+    "q159_bpe_train_encode",
 ]
 
 
