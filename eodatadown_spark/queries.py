@@ -248,12 +248,47 @@ def find_unique_scn_dates(
 
 
 def get_scns_for_date(
-    scenes: DataFrame, date_of_interest: dt.date | str, date_col: str = "date_acquired"
+    scenes: DataFrame,
+    date_of_interest: dt.date | str,
+    date_col: str = "date_acquired",
+    valid: bool = True,
+    ard_prod: bool = False,
+    platform: str | None = None,
+    platform_col: str = "spacecraft_id",
 ) -> DataFrame:
-    """F12: exact-date scene select (ref :2300-2348)."""
-    return scenes.where(
-        (F.to_date(F.col(date_col)) == F.lit(date_of_interest)) & valid_pred(True)
-    ).orderBy("pid")
+    """F12: exact-date scene select with the reference's full filter set
+    (eodatadownlandsatgoogsensor.py:2300-2348 — cast-to-date equality,
+    optional Invalid==False / ARDProduct==True / Spacecraft_ID==platform).
+    ``ard_prod`` defaults False here (the reference defaults True) so
+    callers on catalogs without the ardproduct state flag keep working;
+    the sensor facade exposes the parameter with the reference default
+    reachable."""
+    pred = F.to_date(F.col(date_col)) == F.lit(date_of_interest)
+    if valid:
+        pred = pred & valid_pred(True)
+    if ard_prod:
+        pred = pred & (F.col("ardproduct") == F.lit(True))
+    if platform is not None:
+        pred = pred & (F.col(platform_col) == F.lit(platform))
+    return scenes.where(pred).orderBy("pid")
+
+
+def get_scn_pids_for_date(
+    scenes: DataFrame,
+    date_of_interest: dt.date | str,
+    date_col: str = "date_acquired",
+    valid: bool = True,
+    ard_prod: bool = False,
+    platform: str | None = None,
+    platform_col: str = "spacecraft_id",
+) -> DataFrame:
+    """PID projection of :func:`get_scns_for_date` (abstract surface
+    eodatadownsensor.py:399; impl :2350-2364 — the reference loops the
+    scene objects collecting .PID, this stays a lazy one-column frame)."""
+    return get_scns_for_date(
+        scenes, date_of_interest, date_col, valid, ard_prod, platform,
+        platform_col,
+    ).select("pid")
 
 
 def get_scn_record(scenes: DataFrame, pid: int) -> DataFrame:

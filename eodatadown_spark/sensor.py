@@ -145,8 +145,18 @@ class SensorBase:
     def find_unique_scn_dates(self, **kw) -> DataFrame:
         return Q.find_unique_scn_dates(self.scenes(), self.date_col, **kw)
 
-    def get_scns_for_date(self, date_of_interest) -> DataFrame:
-        return Q.get_scns_for_date(self.scenes(), date_of_interest, self.date_col)
+    def get_scns_for_date(self, date_of_interest, **kw) -> DataFrame:
+        return Q.get_scns_for_date(
+            self.scenes(), date_of_interest, self.date_col,
+            platform_col=self.platform_col, **kw
+        )
+
+    def get_scn_pids_for_date(self, date_of_interest, **kw) -> DataFrame:
+        """PID projection (abstract surface eodatadownsensor.py:399)."""
+        return Q.get_scn_pids_for_date(
+            self.scenes(), date_of_interest, self.date_col,
+            platform_col=self.platform_col, **kw
+        )
 
     def get_scn_record(self, pid: int):
         """F10 `.one()` semantics: exactly one row or ValueError."""

@@ -65,6 +65,28 @@ def test_scns_for_date(landsat_scenes):
     assert pids(out) == [0, 5]
 
 
+def test_scns_for_date_full_filter_set(landsat_scenes):
+    """Reference parity for the valid/ard_prod/platform parameters
+    (eodatadownlandsatgoogsensor.py:2300-2348's 8-way filter matrix)."""
+    # ard_prod drops pid 5 (ardproduct=False)
+    assert pids(Q.get_scns_for_date(landsat_scenes, "2019-01-05", ard_prod=True)) == [0]
+    # valid gate: 2019-05-25 only has the invalid pid 4
+    assert pids(Q.get_scns_for_date(landsat_scenes, "2019-05-25")) == []
+    assert pids(Q.get_scns_for_date(landsat_scenes, "2019-05-25", valid=False)) == [4]
+    # platform filter
+    assert pids(Q.get_scns_for_date(
+        landsat_scenes, "2019-01-05", platform="LANDSAT_8")) == [0, 5]
+    assert pids(Q.get_scns_for_date(
+        landsat_scenes, "2019-01-05", platform="LANDSAT_7")) == []
+
+
+def test_scn_pids_for_date(landsat_scenes):
+    """PID projection (abstract surface eodatadownsensor.py:399)."""
+    out = Q.get_scn_pids_for_date(landsat_scenes, "2019-01-05", ard_prod=True)
+    assert out.columns == ["pid"]
+    assert [r["pid"] for r in out.collect()] == [0]
+
+
 def test_scnlist_stage_filters(landsat_scenes):
     assert pids(Q.get_scnlist_download(landsat_scenes)) == [3, 5]
     assert pids(Q.get_scnlist_con2ard(landsat_scenes)) == [2]
