@@ -415,6 +415,7 @@ def stream_neardup_apply(
     stream_docs: DataFrame,
     checkpoint_dir: str,
     available_now: bool = True,
+    family: str = "minhash",
     **batch_kwargs,
 ):
     """Continuous near-duplicate maintenance as a Structured Streaming
@@ -437,12 +438,19 @@ def stream_neardup_apply(
     ``available_now=True`` drains what exists and stops (the cron-shaped
     catch-up); False keeps the query live.  Returns the started
     StreamingQuery; caller owns termination.
+
+    ``family="prefix"`` routes micro-batches through
+    :func:`apply_prefix_batch` (the exact-Jaccard stored prefix index)
+    instead of the MinHash core — same serial-micro-batch and
+    replay-idempotence properties; ``batch_kwargs`` must then use that
+    function's signature (k / threshold / table names).
     """
+    apply_fn = apply_prefix_batch if family == "prefix" else apply_neardup_batch
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        apply_neardup_batch(catalog, batch_df, **batch_kwargs)
+        apply_fn(catalog, batch_df, **batch_kwargs)
 
     writer = stream_docs.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

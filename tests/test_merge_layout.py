@@ -1556,3 +1556,80 @@ class TestStreamNeardupApply:
             .where(F.col("count") > 1).count()
         )
         assert dup == 0
+
+    def test_streamed_prefix_family_equals_from_scratch_rebuild(
+        self, spark, tmp_path
+    ):
+        """Round-10: the same two-serial-micro-batch drain through the
+        EXACT-Jaccard prefix index (family="prefix") — final stored
+        assignments equal a from-scratch rebuild, and the frozen freq
+        table is untouched by the stream."""
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.operators import dedup as D
+        from eodatadown_spark.streaming.incremental import stream_neardup_apply
+
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        corpus_rows = [
+            (1, base),
+            (2, base + "edited"),
+            (3, "a perfectly unique document about the weather today and "
+                "tomorrow with plenty of words"),
+        ]
+        batch1_rows = [(100, base)]
+        batch2_rows = [
+            (200, base + "edited"),
+            (201, "an entirely novel payload document with its own words "
+                  "unlike anything stored before now"),
+        ]
+        schema = "doc_id long, text string"
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        cat = ParquetCatalog(spark, str(tmp_path / "idx"))
+        prefix, freq, fps = D.jaccard_prefix_index(corpus, threshold=0.5)
+        cat.write(prefix, "prefix_index", partition=False)
+        cat.write(freq, "prefix_freq", partition=False)
+        cat.write(fps, "fingerprints_exact", partition=False)
+        cat.write(
+            D.neardup_clusters(corpus, threshold=0.5), "clusters",
+            partition=False,
+        )
+        freq_before = sorted(
+            (r["sh"], r["__df"]) for r in cat.read("prefix_freq").collect()
+        )
+
+        feed = str(tmp_path / "feed")
+        spark.createDataFrame(batch1_rows, schema).coalesce(1).write.parquet(feed)
+        spark.createDataFrame(batch2_rows, schema).coalesce(1).write.mode(
+            "append").parquet(feed)
+        q = stream_neardup_apply(
+            cat,
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(feed),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            family="prefix",
+            k=3, threshold=0.5,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in cat.read("clusters").collect()
+        }
+        all_docs = spark.createDataFrame(
+            corpus_rows + batch1_rows + batch2_rows, schema
+        )
+        want = {
+            r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in D.neardup_clusters(all_docs, threshold=0.5).collect()
+        }
+        assert got == want
+        assert got[200][0] == 1
+        assert got[201] == (201, True)
+        # frozen order: the stream never rewrites the frequency table
+        freq_after = sorted(
+            (r["sh"], r["__df"]) for r in cat.read("prefix_freq").collect()
+        )
+        assert freq_after == freq_before
+        assert cat.read("fingerprints_exact").select("id").distinct().count() == 6
