@@ -44,6 +44,26 @@ def rewrite_path_prefixes(col: Column | str, replace: dict[str, str]) -> Column:
     return out
 
 
+def update_overview_file_paths(
+    overviews: list[str] | None, replace: dict[str, str] | None
+) -> list[str] | None:
+    """Driver-side overview-path rewrite (ref eodatadownsensor.py:838-851
+    — a concrete base-class helper over small per-obs-date lists, so it
+    stays a plain Python function; the COLUMNAR bulk rewrite is
+    :func:`rewrite_path_prefixes` / pipeline M5).  ``replace=None``
+    returns the list unchanged, mirroring the reference."""
+    if replace is None or overviews is None:
+        return overviews
+    out = []
+    for p in overviews:
+        for old, new in replace.items():
+            if p.startswith(old):
+                p = new + p[len(old):]
+                break
+        out.append(p)
+    return out
+
+
 def remove_punctuation(col: Column | str) -> Column:
     """C10 (ref eodatadownutils.py:483-497)."""
     c = F.col(col) if isinstance(col, str) else col

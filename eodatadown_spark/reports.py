@@ -173,6 +173,21 @@ def get_obs_scns(
     )
 
 
+def get_lst_obsdates_need_processing(
+    obs_dates: DataFrame, sensor: str | None = None
+) -> DataFrame:
+    """Obs-dates still awaiting overview generation — (sensor_id,
+    platform_id, obs_date) rows with overview_created == False, optionally
+    one sensor's (ref eodatadownsensor.py:620-639; the reference returns
+    [SensorID, PlatformID, ObsDate] triples)."""
+    df = obs_dates.where(F.col("overview_created") == False)  # noqa: E712
+    if sensor is not None:
+        df = df.where(F.col("sensor_id") == sensor)
+    return df.select("sensor_id", "platform_id", "obs_date").orderBy(
+        "sensor_id", "platform_id", "obs_date"
+    )
+
+
 def update_obs_date_overviews(obs_dates: DataFrame, updates: DataFrame) -> DataFrame:
     """M3 on the obs-date table: set `overviews` JSON ({size_px: img_path},
     ref eodatadownsensor.py:679-692) and clear `need_update` for the updated

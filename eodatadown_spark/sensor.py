@@ -35,6 +35,7 @@ class SensorBase:
     watermark_col: str
     date_col: str = "date_acquired"
     platform_col: str = "spacecraft_id"
+    unq_name_col: str = "product_id"  # get_scn_unq_name prefix column
     dedup_key: str | None = None  # scene_id for Landsat (J4); None = no dedup
     watermark_partition_col: str | None = None  # per-product watermark (ICESAT2)
 
@@ -164,6 +165,75 @@ class SensorBase:
         if len(rows) != 1:
             raise ValueError(f"expected exactly one scene for pid={pid}, got {len(rows)}")
         return rows[0]
+
+    def get_scnlist_all(self) -> DataFrame:
+        """Every scene PID ordered by acquisition date
+        (ref eodatadownlandsatgoogsensor.py:734-752; the engine adds the
+        pid tiebreak the stage lists use for determinism)."""
+        return self.scenes().orderBy(self.date_col, "pid").select("pid")
+
+    # -- per-scene state probes (has_scn_* family, ref :777-1660) ----------
+    def has_scn_download(self, pid: int) -> bool:
+        return bool(self.get_scn_record(pid)["downloaded"])
+
+    def has_scn_con2ard(self, pid: int) -> bool:
+        return bool(self.get_scn_record(pid)["ardproduct"])
+
+    def has_scn_datacube(self, pid: int) -> bool:
+        return bool(self.get_scn_record(pid)["dcloaded"])
+
+    def _has_extended_info_key(self, pid: int, key: str) -> bool:
+        """F9 point form: key-existence in the scene's extended_info JSON
+        (ref has_scn_quicklook/:1318-1339 — NULL json → False)."""
+        row = (
+            self.scenes()
+            .where(F.col("pid") == F.lit(pid))
+            .select(
+                F.get_json_object(F.col("extended_info"), f"$.{key}")
+                .isNotNull()
+                .alias("has")
+            )
+            .first()
+        )
+        if row is None:
+            raise ValueError(f"expected exactly one scene for pid={pid}, got 0")
+        return bool(row["has"])
+
+    def has_scn_quicklook(self, pid: int) -> bool:
+        return self._has_extended_info_key(pid, "quicklook")
+
+    def has_scn_tilecache(self, pid: int) -> bool:
+        return self._has_extended_info_key(pid, "tilecache")
+
+    def has_scn_usr_analysis(self, pid: int, plugins: Sequence[str]) -> bool:
+        """True iff EVERY configured plugin has a Completed result row for
+        the scene (ref :1648-1680: no rows at all → False; any configured
+        plugin without a completed row → False)."""
+        self.get_scn_record(pid)  # .one_or_none() missing-scene semantics
+        if not plugins:
+            return True
+        done = {
+            r["plugin_name"]
+            for r in self.plugin_results()
+            .where((F.col("scene_pid") == F.lit(pid)) & F.col("completed"))
+            .select("plugin_name")
+            .distinct()
+            .collect()
+        }
+        return all(p in done for p in plugins)
+
+    def is_scn_invalid(self, pid: int) -> bool:
+        """ref :1864-1883 (.one_or_none() → raise on missing)."""
+        return bool(self.get_scn_record(pid)["invalid"])
+
+    def get_scn_unq_name(self, pid: int) -> str:
+        """'{name_col}_{pid}' (ref :1885-1904; Sentinel-1 uses
+        product_file_id, :1606-1625 — per-sensor `unq_name_col`)."""
+        return self.get_scn_unq_name_record(self.get_scn_record(pid))
+
+    def get_scn_unq_name_record(self, scn_record) -> str:
+        """ref :1906-1915 — pure record form, no query."""
+        return f"{scn_record[self.unq_name_col]}_{scn_record['pid']}"
 
     def get_scnlist_download(self) -> DataFrame:
         return Q.get_scnlist_download(self.scenes(), self.date_col)
@@ -308,6 +378,7 @@ class Sentinel1ASFSensor(SensorBase):
     watermark_col = "begin_position"
     date_col = "acquisition_date"
     platform_col = "platform"
+    unq_name_col = "product_file_id"  # ref eodatadownsentinel1asf.py:1622
     dedup_key = None
 
     def check_new_scns_remote(

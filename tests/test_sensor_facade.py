@@ -122,6 +122,81 @@ def test_sensor_bbox_only_query(spark, sensor):
     assert [r["scene_id"] for r in page.collect()] == ["B"]
 
 
+def test_sensor_point_probes_and_unq_names(spark, sensor):
+    """has_scn_* / is_scn_invalid / get_scn_unq_name / get_scnlist_all
+    (ref eodatadownlandsatgoogsensor.py:734-1915 point-lookup family)."""
+    sensor.check_new_scns(
+        _index(spark, [("A", "2019-01-05", "20190110", 10.0),
+                       ("B", "2019-02-10", "20190215", 60.0)])
+    )
+    assert [r["pid"] for r in sensor.get_scnlist_all().collect()] == [0, 1]
+    assert sensor.has_scn_download(0) is False
+    assert sensor.is_scn_invalid(0) is False
+    assert sensor.has_scn_con2ard(0) is False
+    assert sensor.has_scn_datacube(0) is False
+    assert sensor.has_scn_quicklook(0) is False   # NULL extended_info
+    assert sensor.has_scn_tilecache(0) is False
+    sensor.run_stage(
+        sensor.get_scnlist_download().where(F.col("pid") == 0),
+        lambda s: {"pid": s["pid"], "downloaded": True,
+                   "download_path": "/dl/0"},
+        "pid long, downloaded boolean, download_path string",
+    )
+    assert sensor.has_scn_download(0) is True
+    assert sensor.has_scn_download(1) is False
+    # extended_info key probes flip when the JSON gains the key
+    sensor.run_stage(
+        sensor.scenes().where(F.col("pid") == 0).select("pid"),
+        lambda s: {"pid": s["pid"],
+                   "extended_info": '{"quicklook": {"path": "/q/0"}}'},
+        "pid long, extended_info string",
+    )
+    assert sensor.has_scn_quicklook(0) is True
+    assert sensor.has_scn_tilecache(0) is False
+    # unique names: '{product_id}_{pid}', record form query-free
+    rec = sensor.get_scn_record(0)
+    assert sensor.get_scn_unq_name(0) == f"{rec['product_id']}_0"
+    assert sensor.get_scn_unq_name_record(rec) == sensor.get_scn_unq_name(0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pid=99"):
+        sensor.is_scn_invalid(99)
+
+
+def test_sensor_has_scn_usr_analysis(spark, sensor, plugin_results_df):
+    """ref :1648-1680: no plugin rows -> False; all configured plugins
+    completed -> True; a configured plugin without a completed row ->
+    False."""
+    sensor.check_new_scns(
+        _index(spark, [("A", "2019-01-05", "20190110", 10.0),
+                       ("B", "2019-02-10", "20190215", 60.0)])
+    )
+    sensor.catalog.write(plugin_results_df, sensor.plugin_table, partition=False)
+    # fixture: pid 0 has PlgA completed; pid 1 has PlgA NOT completed
+    assert sensor.has_scn_usr_analysis(0, ["PlgA"]) is True
+    assert sensor.has_scn_usr_analysis(0, ["PlgA", "PlgB"]) is False
+    assert sensor.has_scn_usr_analysis(1, ["PlgA"]) is False
+
+
+def test_obsdates_need_processing_and_overview_paths(spark, sensor):
+    from eodatadown_spark import reports
+    from eodatadown_spark.functions.paths import update_overview_file_paths
+
+    sensor.check_new_scns(
+        _index(spark, [("A", "2019-01-05", "20190110", 10.0),
+                       ("B", "2019-02-10", "20190215", 60.0)])
+    )
+    obs, _bridge = sensor.build_obs_date_records("LandsatGOOG")
+    todo = reports.get_lst_obsdates_need_processing(obs).collect()
+    assert [str(r["obs_date"]) for r in todo] == ["2019-01-05", "2019-02-10"]
+    assert reports.get_lst_obsdates_need_processing(obs, sensor="Nope").count() == 0
+    # driver-side overview path rewrite (ref eodatadownsensor.py:838-851)
+    lst = ["/old/a.png", "/other/b.png"]
+    assert update_overview_file_paths(lst, None) == lst
+    assert update_overview_file_paths(None, {"/old": "/new"}) is None
+    assert update_overview_file_paths(lst, {"/old": "/new"}) == [
+        "/new/a.png", "/other/b.png"]
+
+
 def test_sensor_check_from_start_dedups(spark, sensor):
     sensor.check_new_scns(_index(spark, [("A", "2019-01-05", "20190110", 10.0)]))
     # same scene reprocessed with a NEWER product: check_from_start bypasses
