@@ -100,6 +100,53 @@ class SensorBase:
             out = out.withColumn(field.name, default)
         return out.select(*[f.name for f in schema.fields])
 
+    def dwnlds_archived(
+        self,
+        present_paths: DataFrame,
+        replace_path: str | None = None,
+        new_path: str | None = None,
+    ) -> int:
+        """Mark downloads that are NO LONGER at their download_path as
+        archived (abstract surface eodatadownsensor.py:425; every
+        reference impl raises — eodatadownlandsatgoogsensor.py:2515-2525
+        — so the engine realizes the documented semantics declaratively):
+        ``present_paths`` is a one-column (``path``) relation of download
+        paths that still exist (e.g. from a distributed listing of the
+        download root); downloaded scenes whose path is absent from it
+        flip ``archived=True`` via an anti-join — no per-scene filesystem
+        stats on the driver.  ``replace_path``/``new_path`` optionally
+        rewrite download_path prefixes first (unverified at the new
+        location, mirroring the reference's documented contract).
+        Returns the number of newly archived scenes."""
+        catalog = self.scenes()
+        if replace_path is not None and new_path is not None:
+            from eodatadown_spark.functions.paths import rewrite_path_prefixes
+
+            catalog = catalog.withColumn(
+                "download_path",
+                rewrite_path_prefixes("download_path", {replace_path: new_path}),
+            )
+        gone = (
+            catalog.where(
+                (F.col("downloaded") == F.lit(True))
+                & (F.col("archived") == F.lit(False))
+            )
+            .join(
+                present_paths.select(F.col("path").alias("download_path")),
+                "download_path",
+                "left_anti",
+            )
+            .select("pid")
+        )
+        n = gone.count()
+        out = catalog.join(
+            gone.withColumn("__arch", F.lit(True)), "pid", "left"
+        ).withColumn(
+            "archived", F.coalesce(F.col("__arch"), F.col("archived"))
+        ).drop("__arch")
+        self._commit(out)
+        return n
+
     def rm_scns_intersect(self, roi: DataFrame) -> int:
         """J3: delete scenes not intersecting the ROI; returns rows removed."""
         catalog = self.scenes()

@@ -197,6 +197,37 @@ def test_obsdates_need_processing_and_overview_paths(spark, sensor):
         "/new/a.png", "/other/b.png"]
 
 
+def test_sensor_dwnlds_archived(spark, sensor):
+    """Anti-join archival (abstract surface eodatadownsensor.py:425):
+    downloaded scenes whose path is absent from the present-paths relation
+    flip archived=True; already-archived and not-downloaded rows
+    untouched; optional prefix rewrite applies first."""
+    sensor.check_new_scns(
+        _index(spark, [("A", "2019-01-05", "20190110", 10.0),
+                       ("B", "2019-02-10", "20190215", 60.0),
+                       ("C", "2019-03-15", "20190320", 5.0)])
+    )
+    sensor.run_stage(
+        sensor.get_scnlist_download().where(F.col("pid") < 2),
+        lambda s: {"pid": s["pid"], "downloaded": True,
+                   "download_path": f"/dl/{s['pid']}"},
+        "pid long, downloaded boolean, download_path string",
+    )
+    # only /dl/0 still exists → pid 1 archives, pid 0 stays, pid 2 (never
+    # downloaded) untouched
+    present = spark.createDataFrame([("/dl/0",)], "path string")
+    assert sensor.dwnlds_archived(present) == 1
+    assert {r["pid"]: r["archived"] for r in sensor.scenes().collect()} == {
+        0: False, 1: True, 2: False}
+    # idempotent: a second pass archives nothing new
+    assert sensor.dwnlds_archived(present) == 0
+    # prefix rewrite: move /dl → /mnt/dl; with the rewritten paths present
+    # nothing further archives and the stored paths reflect the rewrite
+    present2 = spark.createDataFrame([("/mnt/dl/0",)], "path string")
+    assert sensor.dwnlds_archived(present2, "/dl", "/mnt/dl") == 0
+    assert sensor.get_scn_record(0)["download_path"] == "/mnt/dl/0"
+
+
 def test_sensor_check_from_start_dedups(spark, sensor):
     sensor.check_new_scns(_index(spark, [("A", "2019-01-05", "20190110", 10.0)]))
     # same scene reprocessed with a NEWER product: check_from_start bypasses
