@@ -1624,57 +1624,15 @@ def jaccard_prefix_pairs(
     scales with prefix-token collision counts — at a high threshold a
     small fraction of the full inverted index's Σ df² blow-up.
     """
-    # shingles are 62-bit hashes, via the minhash family's staged
-    # shingle_hash_table (token-hash streams + rolling combine — it never
-    # materializes shingle STRINGS, and it raises the parallelism floor on
-    # small scans): every downstream shuffle — the frequency aggregate,
-    # the freq join, the per-doc rank window, the candidate self-join, the
-    # verify intersections — moves longs, and any total order over hashes
-    # is a valid prefix order.  Exactness caveat (same as the minhash
-    # verifier): distinct shingles are assumed hash-distinct; a collision
-    # could merge two shingles and perturb one Jaccard value.
-    base = _pin_mode(
-        shingle_hash_table(documents, id_col, text_col, k, distinct=True)
-        .withColumnRenamed("hashes", "shingles"),
-        materialize,
+    # Pure composition of the stored-index primitives — ONE copy of the
+    # freq aggregate / prefix ranking / candidate-join logic, so the
+    # "identical output by construction" contract between this path and
+    # the stored-index probe cannot drift (the helpers are the shared
+    # truth; see their docstrings for the hash/order/ε-guard rationale).
+    prefix, _freq, base = jaccard_prefix_index(
+        documents, id_col, text_col, k, threshold, materialize
     )
-    freq = (
-        base.select(F.explode("shingles").alias("sh"))
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        # df=1 rows (the Zipf-majority of shingles) carry no ordering
-        # information beyond their hash — _prefix_rows coalesces absent to
-        # the same (1, sh) key — so dropping them shrinks the rank join's
-        # build side by 1-2 orders of magnitude (sf1.0: 2.36M → 34k rows,
-        # comfortably broadcastable) with a bit-identical prefix order
-        .where(F.col("__df") >= 2)
-    )
-    prefix = _prefix_rows(base, freq, threshold)
-    matches = (
-        prefix.alias("l")
-        .join(prefix.alias("r"), "sh")
-        .where(
-            (F.col("l.id") < F.col("r.id"))
-            # same ε-guard as the prefix length: t·s overshooting an integer
-            # (0.07·100 → 7.000000000000001) must not drop a J == t pair
-            & (
-                F.least("l.sz", "r.sz")
-                >= threshold * F.greatest("l.sz", "r.sz") - 1e-9
-            )
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.__pos").alias("__pa"),
-            F.col("r.__pos").alias("__pb"),
-            F.col("l.sz").alias("__sza"),
-            F.col("r.sz").alias("__szb"),
-        )
-    )
-    cand = _positional_candidates(matches, threshold)
-    return _exact_jaccard_filter(
-        cand, base.select("id", F.col("shingles").alias("hashes")), threshold
-    )
+    return jaccard_prefix_self_pairs(prefix, base, threshold)
 
 
 def _prefix_rows(base: DataFrame, freq: DataFrame, threshold: float) -> DataFrame:
@@ -1877,6 +1835,31 @@ def jaccard_prefix_against_index(
     batch's prefix rows — ranked under the same frozen order — plus its
     fingerprints afterwards to keep the index current.
     """
+    out, _base, _pref = jaccard_prefix_probe_parts(
+        new_docs, prefix, freq, fingerprints, id_col, text_col, k,
+        threshold, materialize, floor,
+    )
+    return out
+
+
+def jaccard_prefix_probe_parts(
+    new_docs: DataFrame,
+    prefix: DataFrame,
+    freq: DataFrame,
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    materialize: str = "auto",
+    floor: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`jaccard_prefix_against_index` plus its intermediates:
+    ``(pairs, new_base, new_prefix)`` — the batch's fingerprint sets and
+    frozen-order prefix rows are exactly what an index maintainer appends
+    after the probe (see streaming.incremental.apply_prefix_batch), so
+    exposing the pinned relations saves re-shingling and re-ranking the
+    batch a second time per micro-batch."""
     if materialize not in ("auto", "checkpoint", "local", "none"):
         raise ValueError(f"unknown materialize mode {materialize!r}")
     new_base = _pin_mode(
@@ -1917,4 +1900,4 @@ def jaccard_prefix_against_index(
     out = _exact_jaccard_filter(
         cand, all_fps.select("id", F.col("shingles").alias("hashes")), threshold
     )
-    return _pin_mode(out, materialize)
+    return _pin_mode(out, materialize), new_base, new_prefix

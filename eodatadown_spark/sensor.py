@@ -117,15 +117,29 @@ class SensorBase:
         stats on the driver.  ``replace_path``/``new_path`` optionally
         rewrite download_path prefixes first (unverified at the new
         location, mirroring the reference's documented contract).
-        Returns the number of newly archived scenes."""
+        Returns the number of newly archived scenes.
+
+        Commits are POINT updates through ``catalog.merge_updates`` (the
+        OCC M2 path — base-checked flip, rebuild-on-conflict), never a
+        full-table replace: a concurrent stage merge of other scenes
+        serializes with neither update lost, and only the touched
+        partitions rewrite."""
         catalog = self.scenes()
         if replace_path is not None and new_path is not None:
             from eodatadown_spark.functions.paths import rewrite_path_prefixes
 
-            catalog = catalog.withColumn(
-                "download_path",
-                rewrite_path_prefixes("download_path", {replace_path: new_path}),
+            rewritten = (
+                catalog.where(F.col("download_path").startswith(replace_path))
+                .select(
+                    "pid",
+                    rewrite_path_prefixes(
+                        "download_path", {replace_path: new_path}
+                    ).alias("download_path"),
+                )
             )
+            if rewritten.take(1):
+                self.catalog.merge_updates(self.table, rewritten)
+                catalog = self.scenes()
         gone = (
             catalog.where(
                 (F.col("downloaded") == F.lit(True))
@@ -136,15 +150,11 @@ class SensorBase:
                 "download_path",
                 "left_anti",
             )
-            .select("pid")
+            .select("pid", F.lit(True).alias("archived"))
         )
         n = gone.count()
-        out = catalog.join(
-            gone.withColumn("__arch", F.lit(True)), "pid", "left"
-        ).withColumn(
-            "archived", F.coalesce(F.col("__arch"), F.col("archived"))
-        ).drop("__arch")
-        self._commit(out)
+        if n:
+            self.catalog.merge_updates(self.table, gone)
         return n
 
     def rm_scns_intersect(self, roi: DataFrame) -> int:

@@ -383,18 +383,18 @@ def apply_prefix_batch(
     prefix = catalog.read(prefix_table)
     freq = catalog.read(freq_table)
     fps = catalog.read(fingerprint_table)
-    pairs = D._pin(D.jaccard_prefix_against_index(
+    # probe_parts exposes the probe's pinned batch relations so the
+    # appends below reuse them — the batch is shingled and frozen-order
+    # ranked ONCE per micro-batch, not twice
+    pairs, new_base, new_prefix = D.jaccard_prefix_probe_parts(
         batch, prefix, freq, fps, id_col=id_col, text_col=text_col, k=k,
         threshold=threshold,
-    ))
-    new_base = D.shingle_hash_table(
-        batch, id_col, text_col, k, distinct=True
-    ).withColumnRenamed("hashes", "shingles")
-    stored_ids = prefix.select("id").distinct()
-    new_prefix_rows = D._prefix_rows(new_base, freq, threshold).join(
-        stored_ids, "id", "left_anti"
     )
-    catalog.append(prefix_table, new_prefix_rows)
+    pairs = D._pin(pairs)
+    stored_ids = prefix.select("id").distinct()
+    catalog.append(
+        prefix_table, new_prefix.join(stored_ids, "id", "left_anti")
+    )
     new_fp_rows = new_base.join(
         fps.select("id").distinct(), "id", "left_anti"
     )
@@ -445,6 +445,8 @@ def stream_neardup_apply(
     replay-idempotence properties; ``batch_kwargs`` must then use that
     function's signature (k / threshold / table names).
     """
+    if family not in ("minhash", "prefix"):
+        raise ValueError(f"unknown dedup family {family!r}: minhash|prefix")
     apply_fn = apply_prefix_batch if family == "prefix" else apply_neardup_batch
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:

@@ -331,17 +331,28 @@ def cmd_annindex(args) -> None:
         committed_ns = max(
             (_gen_ns(t) for t in keep if t), default=-1
         )
+        # grace window: a generation OLDER than the committed one can still
+        # be an in-flight build (slow build A started before fast build B
+        # committed) — its dir mtime is fresh while it writes, so recently-
+        # modified dirs are skipped too.  A build that stalls longer than
+        # the grace mid-write is outside the contract (rebuild quiesced).
+        # --gc-grace-s=0 disables the window (known-quiesced maintenance).
+        grace_s = args.gc_grace_s
         removed, skipped_inflight = [], []
         for d in sorted(os.listdir(args.index_dir)):
             if not (d.startswith("sq8_codes_g") or d.startswith("vectors_g")):
                 continue
             if d in keep:
                 continue
-            if _gen_ns(d) > committed_ns:
+            full = os.path.join(args.index_dir, d)
+            try:
+                fresh = (time.time() - os.path.getmtime(full)) < grace_s
+            except OSError:
+                fresh = True
+            if _gen_ns(d) > committed_ns or fresh:
                 skipped_inflight.append(d)
                 continue
-            _shutil.rmtree(os.path.join(args.index_dir, d),
-                           ignore_errors=True)
+            _shutil.rmtree(full, ignore_errors=True)
             removed.append(d)
         print(json.dumps({
             "gc": True, "removed": removed,
@@ -1081,6 +1092,11 @@ def main(argv=None) -> int:
     sp.add_argument("--n-probe", type=int, default=2, dest="n_probe")
     sp.add_argument("--shortlist", type=int, default=50,
                     help="sq8: dequantized-scan shortlist depth per query")
+    sp.add_argument("--gc-grace-s", type=int, default=1800,
+                    dest="gc_grace_s",
+                    help="skip superseded generations modified within this "
+                         "many seconds (in-flight-build protection); 0 to "
+                         "disable when builds are known quiesced")
     sp.add_argument("--gc", action="store_true",
                     help="remove sq8 generations superseded by ann_meta.json")
     sp.add_argument("--out", default=None, help="result parquet path")

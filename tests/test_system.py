@@ -903,7 +903,9 @@ def test_cli_annindex_sq8_rebuild_and_gc(spark, tmp_path, capsys):
     assert meta2["codes_table"] != gen1
     assert os.path.isdir(os.path.join(idx, gen1))  # old gen still on disk
 
-    eodd_cli.main(["annindex", "--index-dir", idx, "--gc"])
+    # --gc-grace-s=0: the test's superseded generation is seconds old and
+    # the in-flight-build grace window would (correctly) skip it
+    eodd_cli.main(["annindex", "--index-dir", idx, "--gc", "--gc-grace-s", "0"])
     gc_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert gen1 in gc_stats["removed"]
     assert not os.path.isdir(os.path.join(idx, gen1))
