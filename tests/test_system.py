@@ -903,8 +903,13 @@ def test_cli_annindex_sq8_rebuild_and_gc(spark, tmp_path, capsys):
     assert meta2["codes_table"] != gen1
     assert os.path.isdir(os.path.join(idx, gen1))  # old gen still on disk
 
-    # --gc-grace-s=0: the test's superseded generation is seconds old and
-    # the in-flight-build grace window would (correctly) skip it
+    # default grace window: the superseded generation is seconds old, so
+    # it's indistinguishable from a slower in-flight build and is SKIPPED
+    eodd_cli.main(["annindex", "--index-dir", idx, "--gc"])
+    graceful = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert gen1 in graceful["skipped_inflight"] and not graceful["removed"]
+    assert os.path.isdir(os.path.join(idx, gen1))
+    # --gc-grace-s=0 (known-quiesced): the superseded generation goes
     eodd_cli.main(["annindex", "--index-dir", idx, "--gc", "--gc-grace-s", "0"])
     gc_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert gen1 in gc_stats["removed"]
