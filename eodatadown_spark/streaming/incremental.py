@@ -410,6 +410,46 @@ def apply_prefix_batch(
     return {"batch_docs": batch.count(), "new_pairs": pairs.count()}
 
 
+def apply_simhash_batch(
+    catalog,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 15,
+    n_bits: int = 60,
+    index_table: str = "simhash_index",
+    clusters_table: str = "clusters",
+) -> dict:
+    """SimHash twin of :func:`apply_neardup_batch`: probe the stored band
+    index (corpus never re-sketched; the sketch rides in the index rows so
+    there is NO separate fingerprint table — verification is one
+    XOR+popcount), append the batch's band rows, fold the pairs into the
+    cluster assignments.  Replay-safe the same way: the append anti-joins
+    already-stored ids and the clusters commit is last, through
+    replace_derived's base-checked flip."""
+    from eodatadown_spark.operators import dedup as D
+
+    index = catalog.read(index_table)
+    pairs = D._pin(D.simhash_neardup_against_index(
+        batch, index, id_col=id_col, text_col=text_col,
+        max_hamming=max_hamming, band_bits=band_bits, n_bits=n_bits,
+    ))
+    new_rows = D.simhash_band_index(
+        batch, id_col, text_col, band_bits=band_bits, n_bits=n_bits
+    ).join(index.select("id").distinct(), "id", "left_anti")
+    catalog.append(index_table, new_rows)
+    new_docs = D._pin(batch.select(F.col(id_col).alias("doc_id")).distinct())
+    catalog.replace_derived(
+        clusters_table,
+        lambda cur: D.update_clusters(
+            cur, pairs.select("id_a", "id_b"), new_docs=new_docs
+        ),
+        partition=False,
+    )
+    return {"batch_docs": batch.count(), "new_pairs": pairs.count()}
+
+
 def stream_neardup_apply(
     catalog,
     stream_docs: DataFrame,
@@ -445,9 +485,16 @@ def stream_neardup_apply(
     replay-idempotence properties; ``batch_kwargs`` must then use that
     function's signature (k / threshold / table names).
     """
-    if family not in ("minhash", "prefix"):
-        raise ValueError(f"unknown dedup family {family!r}: minhash|prefix")
-    apply_fn = apply_prefix_batch if family == "prefix" else apply_neardup_batch
+    families = {
+        "minhash": apply_neardup_batch,
+        "prefix": apply_prefix_batch,
+        "simhash": apply_simhash_batch,
+    }
+    if family not in families:
+        raise ValueError(
+            f"unknown dedup family {family!r}: {'|'.join(families)}"
+        )
+    apply_fn = families[family]
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.take(1):

@@ -158,6 +158,11 @@ def cmd_dedupindex(args) -> None:
     touched components, and the batch's own index/fingerprint rows append
     so the next probe sees it.  One JSON stats line per invocation.
 
+    ``--family simhash`` swaps in the SimHash band index (single table —
+    the sketch rides in the index rows, verification is one XOR+popcount;
+    pairs carry ``hamming`` instead of ``jaccard``, thresholded by
+    --max-hamming under the banding's pigeonhole guarantee).
+
     ``--family prefix`` swaps the approximate MinHash banding for the
     EXACT-Jaccard prefix index (jaccard_prefix_index /
     jaccard_prefix_against_index): --build stores prefix rows + the
@@ -188,6 +193,32 @@ def cmd_dedupindex(args) -> None:
             "threshold": args.jaccard, "family": args.family,
         }
         docs = spark.read.parquet(args.build)
+        if args.family == "simhash":
+            params = {
+                "family": "simhash", "max_hamming": args.max_hamming,
+                "band_bits": args.band_bits, "threshold": None,
+                "k": args.k, "num_perm": args.num_perm, "bands": args.bands,
+            }
+            index = D.simhash_band_index(
+                docs, band_bits=args.band_bits
+            )
+            pairs = D.simhash_neardup_pairs(
+                docs, max_hamming=args.max_hamming, band_bits=args.band_bits
+            )
+            clusters = D.neardup_clusters(
+                docs, pairs=pairs.select("id_a", "id_b")
+            )
+            cat.write(index, "simhash_index", partition=False)
+            cat.write(clusters, "clusters", partition=False)
+            os.makedirs(args.index_dir, exist_ok=True)
+            with open(meta_path, "w", encoding="utf-8") as fh:
+                json.dump(params, fh)
+            print(json.dumps({
+                "built": True, "docs": docs.count(),
+                "clusters": clusters.where(F.col("is_canonical")).count(),
+                **params,
+            }))
+            return
         if args.family == "prefix":
             prefix, freq, fps = D.jaccard_prefix_index(
                 docs, k=params["k"], threshold=params["threshold"]
@@ -229,7 +260,12 @@ def cmd_dedupindex(args) -> None:
     with open(meta_path, encoding="utf-8") as fh:
         params = json.load(fh)
     batch = spark.read.parquet(args.probe)
-    if params.get("family", "minhash") == "prefix":
+    if params.get("family", "minhash") == "simhash":
+        pairs = D.simhash_neardup_against_index(
+            batch, cat.read("simhash_index"),
+            max_hamming=params["max_hamming"], band_bits=params["band_bits"],
+        ).localCheckpoint()
+    elif params.get("family", "minhash") == "prefix":
         pairs = D.jaccard_prefix_against_index(
             batch, cat.read("prefix_index"), cat.read("prefix_freq"),
             cat.read("fingerprints_exact"), k=params["k"],
@@ -249,9 +285,15 @@ def cmd_dedupindex(args) -> None:
         from eodatadown_spark.streaming.incremental import (
             apply_neardup_batch,
             apply_prefix_batch,
+            apply_simhash_batch,
         )
 
-        if params.get("family", "minhash") == "prefix":
+        if params.get("family", "minhash") == "simhash":
+            apply_simhash_batch(
+                cat, batch, max_hamming=params["max_hamming"],
+                band_bits=params["band_bits"],
+            )
+        elif params.get("family", "minhash") == "prefix":
             apply_prefix_batch(
                 cat, batch, k=params["k"], threshold=params["threshold"]
             )
@@ -1076,9 +1118,12 @@ def main(argv=None) -> int:
     sp.add_argument("--k", type=int, default=3)
     sp.add_argument("--num-perm", type=int, default=32, dest="num_perm")
     sp.add_argument("--bands", type=int, default=8)
-    sp.add_argument("--family", choices=("minhash", "prefix"),
+    sp.add_argument("--family", choices=("minhash", "prefix", "simhash"),
                     default="minhash",
-                    help="minhash banding (approx) or prefix index (exact)")
+                    help="minhash banding (approx jaccard), prefix index "
+                         "(exact jaccard), or simhash bands (hamming)")
+    sp.add_argument("--max-hamming", type=int, default=3, dest="max_hamming")
+    sp.add_argument("--band-bits", type=int, default=15, dest="band_bits")
     sp.set_defaults(fn=cmd_dedupindex)
     sp = sub.add_parser("annindex")
     sp.add_argument("--index-dir", required=True, dest="index_dir")

@@ -693,6 +693,64 @@ def test_cli_dedupindex_prefix_family_lifecycle(spark, tmp_path, capsys):
     ) == {1, 2, 3, 100, 101}
 
 
+def test_cli_dedupindex_simhash_family_lifecycle(spark, tmp_path, capsys):
+    """--family simhash: the Hamming-banded index behind the same
+    build/probe/apply lifecycle — single index table (no fingerprints),
+    final assignments equal a from-scratch rebuild."""
+    import eodd_cli
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    corpus_rows = [
+        (1, base),
+        (2, base + " edited slightly"),
+        (3, "a perfectly unique document about the weather today and "
+            "tomorrow with plenty of words"),
+    ]
+    batch_rows = [
+        (100, base),
+        (101, "an entirely novel payload document with its own words "
+              "unlike anything stored before now"),
+    ]
+    src = str(tmp_path / "corpus")
+    bsrc = str(tmp_path / "batch")
+    idx = str(tmp_path / "dedup_idx")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(src)
+    spark.createDataFrame(batch_rows, "doc_id long, text string").write.parquet(bsrc)
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--build", src,
+                   "--family", "simhash", "--max-hamming", "8",
+                   "--band-bits", "6"])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["family"] == "simhash" and built["docs"] == 3
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", bsrc,
+                   "--apply"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["applied"] and stats["new_pairs"] >= 1
+
+    cat = ParquetCatalog(spark, idx)
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in cat.read("clusters").collect()
+    }
+    all_docs = spark.createDataFrame(
+        corpus_rows + batch_rows, "doc_id long, text string"
+    )
+    want_pairs = D.simhash_neardup_pairs(
+        all_docs, max_hamming=8, band_bits=6
+    )
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.neardup_clusters(
+            all_docs, pairs=want_pairs.select("id_a", "id_b")
+        ).collect()
+    }
+    assert got == want  # incremental apply == from-scratch rebuild
+    # single-table family: index carries every doc exactly once per band
+    assert cat.read("simhash_index").select("id").distinct().count() == 5
+
+
 def test_cli_dedupindex_apply_is_replay_safe(spark, tmp_path, capsys):
     """Re-running --apply for the SAME batch (the recovery action after a
     crash between the three catalog commits) must converge: no duplicate
