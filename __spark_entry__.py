@@ -1788,6 +1788,18 @@ def q159_bpe_train_encode(spark, sf):
     return bpe_encode_documents(docs, merges)
 
 
+def q160_source_dedup_pressure(spark, sf):
+    """Cross-source dedup-pressure report (dedup.source_pair_pressure over
+    the MinHash pair set): near-dup pairs attributed to unordered source
+    pairs — the within-source vs cross-source duplication matrix a corpus
+    curator reads before downweighting a source.  Oracle recomputes the
+    exact string-level Jaccard pairs (q24's relational replay, lossless at
+    t=0.5) and the same least/greatest source attribution."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_neardup_pairs(docs, jaccard_threshold=0.5)
+    return D.source_pair_pressure(pairs, docs)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3186,6 +3198,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q120_bm25": q120_bm25,
     "q49_ivf_topk": q49_ivf_topk,
     "q50_neardup_clusters": q50_neardup_clusters,
+    "q160_source_dedup_pressure": q160_source_dedup_pressure,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -6527,6 +6540,45 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY wpos, spos) - 1 AS INT) AS pos,
                token, token_id
         FROM sub_pos JOIN vocab USING (token)
+    """
+    # q160: q24's exact string-level pair replay + least/greatest source
+    # attribution + per-source-pair rollup (avg over the per-pair
+    # round(j,4) values, matching the engine's rounded-pair inputs)
+    sql["q160_source_dedup_pressure"] = """
+        WITH sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE [array_to_string(toks, ' ')] END
+                   ) AS shingles
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                           regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                           '\\s+') AS toks
+                FROM documents
+            )
+        ), pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                       / len(list_distinct(list_cat(a.shingles, b.shingles))), 4)
+                       AS j
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_cat(a.shingles, b.shingles))) >= 0.5
+        ), attributed AS (
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   p.j
+            FROM pairs p
+            JOIN documents da ON p.id_a = da.doc_id
+            JOIN documents db ON p.id_b = db.doc_id
+        )
+        SELECT source_a, source_b, count(*) AS n_pairs,
+               round(avg(j), 4) AS avg_jaccard
+        FROM attributed GROUP BY 1, 2
     """
     # q158: bbox-ONLY facade page — q51's scene synthesis, strict-overlap
     # predicate, valid filter, ORDER BY date DESC, pid ASC page [6..25]

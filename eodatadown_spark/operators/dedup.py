@@ -1635,6 +1635,52 @@ def jaccard_prefix_pairs(
     return jaccard_prefix_self_pairs(prefix, base, threshold)
 
 
+def source_pair_pressure(
+    pairs: DataFrame,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    score_col: str = "jaccard",
+) -> DataFrame:
+    """Cross-source dedup PRESSURE rollup — the curation report a corpus
+    owner reads before deciding which source to downweight or drop:
+    near-dup pairs attributed to their (unordered) source pair →
+    (source_a, source_b, n_pairs, avg_<score>).  Rows with
+    source_a == source_b are within-source duplication; off-diagonal rows
+    are cross-source contamination (e.g. a crawl re-hosting another
+    source's content).
+
+    Works over ANY pair relation with (id_a, id_b, score) — minhash,
+    prefix-exact, simhash (pass score_col="hamming") — so the pressure
+    report composes with whichever dedup family produced the pairs.
+
+    Scale shape: two id-keyed equi-joins (the small pair set against the
+    corpus's (id, source) projection — broadcast the pairs side) and one
+    aggregate keyed on the source pair (tiny domain).  The corpus never
+    shuffles; cost is proportional to the pair count.
+    """
+    src = documents.select(F.col(id_col), F.col(source_col))
+    attributed = pairs.join(
+        src.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa")),
+        "id_a",
+    ).join(
+        src.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb")),
+        "id_b",
+    )
+    return (
+        attributed.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            F.col(score_col).alias("__score"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("__score"), 4).alias(f"avg_{score_col}"),
+        )
+    )
+
+
 def _prefix_rows(base: DataFrame, freq: DataFrame, threshold: float) -> DataFrame:
     """(id, sz, sh, __pos) PREFIX entries of ``base`` = (id, shingles)
     under the global rarest-first order keyed by ``freq`` = (sh, __df):

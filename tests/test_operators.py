@@ -1393,6 +1393,30 @@ def test_jaccard_prefix_probe_new_vs_new(spark):
     assert got == {(10, 11)}
 
 
+def test_source_pair_pressure(spark):
+    """Unordered source attribution + rollup; score_col generality covers
+    the simhash (hamming) pair shape as well as jaccard."""
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "code")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.6), (3, 2, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["avg_jaccard"])
+        for r in D.source_pair_pressure(pairs, docs).collect()
+    }
+    # (1,3) and (3,2) both attribute to (books, web) regardless of id order
+    assert got == {("web", "web"): (1, 0.9), ("books", "web"): (2, 0.7)}
+    ham = spark.createDataFrame(
+        [(1, 2, 3)], "id_a long, id_b long, hamming int"
+    )
+    row = D.source_pair_pressure(ham, docs, score_col="hamming").first()
+    assert row["avg_hamming"] == 3.0 and row["n_pairs"] == 1
+
+
 def test_confusion_matrix_counts(spark):
     df = spark.createDataFrame(
         [("en", "en"), ("en", "other"), ("other", "other"), ("other", "other"),
