@@ -1788,6 +1788,31 @@ def q159_bpe_train_encode(spark, sf):
     return bpe_encode_documents(docs, merges)
 
 
+def q161_dedup_rate_by_source(spark, sf):
+    """Per-source dedup survival report: after near-dup clustering, what
+    fraction of each source's documents survives keep-canonical —
+    (source, n_docs, n_canonical, dedup_rate).  The number a curation
+    pipeline tracks per ingest source over time.  Oracle = q50's
+    recursive-CTE components (singletons included via the seed rows) +
+    the same source rollup."""
+    docs = _t(spark, sf, "documents")
+    assign = D.neardup_clusters(docs, threshold=0.5)
+    return (
+        assign.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+            F.round(
+                1.0
+                - F.sum(F.col("is_canonical").cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dedup_rate"),
+        )
+    )
+
+
 def q160_source_dedup_pressure(spark, sf):
     """Cross-source dedup-pressure report (dedup.source_pair_pressure over
     the MinHash pair set): near-dup pairs attributed to unordered source
@@ -3199,6 +3224,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q49_ivf_topk": q49_ivf_topk,
     "q50_neardup_clusters": q50_neardup_clusters,
     "q160_source_dedup_pressure": q160_source_dedup_pressure,
+    "q161_dedup_rate_by_source": q161_dedup_rate_by_source,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -6579,6 +6605,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT source_a, source_b, count(*) AS n_pairs,
                round(avg(j), 4) AS avg_jaccard
         FROM attributed GROUP BY 1, 2
+    """
+    # q161: q50's recursive components (all docs, singletons included) +
+    # per-source canonical rollup
+    sql["q161_dedup_rate_by_source"] = """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE [array_to_string(toks, ' ')] END
+                   ) AS shingles
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                           regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                           '\\s+') AS toks
+                FROM documents
+            )
+        ), pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_cat(a.shingles, b.shingles))) >= 0.5
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        ), comp AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT d.source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN comp.doc_id = comp.cluster_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+               round(1.0 - sum(CASE WHEN comp.doc_id = comp.cluster_id
+                                    THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) AS dedup_rate
+        FROM comp JOIN documents d USING (doc_id)
+        GROUP BY 1
     """
     # q158: bbox-ONLY facade page — q51's scene synthesis, strict-overlap
     # predicate, valid filter, ORDER BY date DESC, pid ASC page [6..25]
