@@ -1788,6 +1788,15 @@ def q159_bpe_train_encode(spark, sf):
     return bpe_encode_documents(docs, merges)
 
 
+def q162_ngram_novelty(spark, sf):
+    """Corpus-relative n-gram novelty (dedup.ngram_novelty): per-doc
+    fraction of distinct 3-shingles with corpus df=1 — the boilerplate-vs-
+    original quality signal.  Oracle replays the shingle sets (q24's CTE)
+    and the df rollup relationally."""
+    docs = _t(spark, sf, "documents")
+    return D.ngram_novelty(docs).where(F.col("doc_id") < 100)
+
+
 def q161_dedup_rate_by_source(spark, sf):
     """Per-source dedup survival report: after near-dup clustering, what
     fraction of each source's documents survives keep-canonical —
@@ -3225,6 +3234,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q50_neardup_clusters": q50_neardup_clusters,
     "q160_source_dedup_pressure": q160_source_dedup_pressure,
     "q161_dedup_rate_by_source": q161_dedup_rate_by_source,
+    "q162_ngram_novelty": q162_ngram_novelty,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -6646,6 +6656,39 @@ def oracle_sql() -> dict[str, str]:
                                     THEN 1 ELSE 0 END)
                          / CAST(count(*) AS DOUBLE), 4) AS dedup_rate
         FROM comp JOIN documents d USING (doc_id)
+        GROUP BY 1
+    """
+    # q162: shingle sets (q24's CTE) -> df rollup -> per-doc novelty;
+    # n_unique cast BIGINT (the r9 dtype lesson)
+    sql["q162_ngram_novelty"] = """
+        WITH sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE [array_to_string(toks, ' ')] END
+                   ) AS shingles
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                           regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+                           '\\s+') AS toks
+                FROM documents
+            )
+        ), inv AS (
+            SELECT id, unnest(shingles) AS g FROM sh
+        ), freq AS (
+            SELECT g, count(*) AS df FROM inv GROUP BY 1
+        )
+        SELECT id AS doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS novelty
+        FROM inv JOIN freq USING (g)
+        WHERE id < 100
         GROUP BY 1
     """
     # q158: bbox-ONLY facade page — q51's scene synthesis, strict-overlap

@@ -1635,6 +1635,44 @@ def jaccard_prefix_pairs(
     return jaccard_prefix_self_pairs(prefix, base, threshold)
 
 
+def ngram_novelty(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-relative n-gram NOVELTY per document — (doc_id, n_shingles,
+    n_unique, novelty): the fraction of a document's distinct k-shingles
+    that appear NOWHERE else in the corpus (df=1).  High novelty = original
+    content; low novelty = boilerplate/templated text shared across
+    documents — the corpus-level complement of the within-doc repetition
+    ratio (q46) and dup-ngram fraction (q79).
+
+    Scale shape: one shingle explode → df aggregate (shingle-keyed) →
+    df join back → per-doc aggregate; every shuffle moves (hash, count)
+    longs.  Same hash-distinctness caveat as the whole shingle family.
+    """
+    base = shingle_hash_table(
+        documents, id_col, text_col, k, distinct=True
+    ).withColumnRenamed("hashes", "shingles")
+    inv = base.select("id", F.explode("shingles").alias("sh"))
+    freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        inv.join(freq, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_unique"),
+            F.round(
+                F.sum((F.col("__df") == 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
 def source_pair_pressure(
     pairs: DataFrame,
     documents: DataFrame,
