@@ -1652,10 +1652,8 @@ def ngram_novelty(
     df join back → per-doc aggregate; every shuffle moves (hash, count)
     longs.  Same hash-distinctness caveat as the whole shingle family.
     """
-    base = shingle_hash_table(
-        documents, id_col, text_col, k, distinct=True
-    ).withColumnRenamed("hashes", "shingles")
-    inv = base.select("id", F.explode("shingles").alias("sh"))
+    base = shingle_hash_table(documents, id_col, text_col, k, distinct=True)
+    inv = base.select("id", F.explode("hashes").alias("sh"))
     freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     return (
         inv.join(freq, "sh")

@@ -479,11 +479,16 @@ def stream_neardup_apply(
     catch-up); False keeps the query live.  Returns the started
     StreamingQuery; caller owns termination.
 
-    ``family="prefix"`` routes micro-batches through
-    :func:`apply_prefix_batch` (the exact-Jaccard stored prefix index)
-    instead of the MinHash core — same serial-micro-batch and
-    replay-idempotence properties; ``batch_kwargs`` must then use that
-    function's signature (k / threshold / table names).
+    ``family`` selects the stored-index flavor — all three share the
+    serial-micro-batch and replay-idempotence properties; ``batch_kwargs``
+    must match the chosen core's signature:
+
+    - ``"minhash"`` (default): :func:`apply_neardup_batch`
+      (k / num_perm / bands / jaccard_threshold / table names);
+    - ``"prefix"``: :func:`apply_prefix_batch` — exact Jaccard against
+      the stored prefix index (k / threshold / table names);
+    - ``"simhash"``: :func:`apply_simhash_batch` — Hamming-banded single
+      table (max_hamming / band_bits / n_bits / table names).
     """
     families = {
         "minhash": apply_neardup_batch,

@@ -194,10 +194,22 @@ def cmd_dedupindex(args) -> None:
         }
         docs = spark.read.parquet(args.build)
         if args.family == "simhash":
+            # pigeonhole guarantee requires bands > max_hamming, like
+            # _simhash_banded's own divisibility check — fail loudly
+            # instead of silently under-deduplicating
+            n_bits = 60
+            if n_bits // args.band_bits <= args.max_hamming:
+                raise SystemExit(
+                    f"--band-bits {args.band_bits} gives "
+                    f"{n_bits // args.band_bits} bands, which must EXCEED "
+                    f"--max-hamming {args.max_hamming} for the pigeonhole "
+                    f"recall guarantee; lower --band-bits or --max-hamming"
+                )
+            # meta records ONLY parameters this family consumes — k/
+            # num_perm/bands are MinHash identity, not SimHash's
             params = {
                 "family": "simhash", "max_hamming": args.max_hamming,
                 "band_bits": args.band_bits, "threshold": None,
-                "k": args.k, "num_perm": args.num_perm, "bands": args.bands,
             }
             index = D.simhash_band_index(
                 docs, band_bits=args.band_bits
@@ -209,17 +221,7 @@ def cmd_dedupindex(args) -> None:
                 docs, pairs=pairs.select("id_a", "id_b")
             )
             cat.write(index, "simhash_index", partition=False)
-            cat.write(clusters, "clusters", partition=False)
-            os.makedirs(args.index_dir, exist_ok=True)
-            with open(meta_path, "w", encoding="utf-8") as fh:
-                json.dump(params, fh)
-            print(json.dumps({
-                "built": True, "docs": docs.count(),
-                "clusters": clusters.where(F.col("is_canonical")).count(),
-                **params,
-            }))
-            return
-        if args.family == "prefix":
+        elif args.family == "prefix":
             prefix, freq, fps = D.jaccard_prefix_index(
                 docs, k=params["k"], threshold=params["threshold"]
             )
