@@ -751,6 +751,67 @@ def test_cli_dedupindex_simhash_family_lifecycle(spark, tmp_path, capsys):
     assert cat.read("simhash_index").select("id").distinct().count() == 5
 
 
+def test_cli_dedupindex_simhash_apply_is_replay_safe(spark, tmp_path, capsys):
+    """Replaying the SAME batch through the simhash family converges: no
+    duplicate index rows per (id, band), assignments unchanged — the same
+    crash-recovery contract as the minhash family."""
+    import eodd_cli
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    src = str(tmp_path / "corpus")
+    bsrc = str(tmp_path / "batch")
+    idx = str(tmp_path / "dedup_idx")
+    spark.createDataFrame(
+        [(1, base), (2, base + " edited slightly"),
+         (3, "a perfectly unique document about the weather today and "
+             "tomorrow with plenty of words")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    ).write.parquet(bsrc)
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--build", src,
+                   "--family", "simhash", "--max-hamming", "8",
+                   "--band-bits", "6"])
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", bsrc,
+                   "--apply"])
+    capsys.readouterr()
+    cat = ParquetCatalog(spark, idx)
+    first = {r["doc_id"]: r["cluster_id"] for r in cat.read("clusters").collect()}
+    idx_rows = cat.read("simhash_index").count()
+
+    eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", bsrc,
+                   "--apply"])
+    capsys.readouterr()
+    again = {r["doc_id"]: r["cluster_id"] for r in cat.read("clusters").collect()}
+    assert again == first
+    assert cat.read("simhash_index").count() == idx_rows
+    # uniqueness key is (id, t) — one row per band TABLE; `band` is the
+    # band's value and can coincide across tables
+    dup = (
+        cat.read("simhash_index").groupBy("id", "t").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_cli_dedupindex_simhash_pigeonhole_guard(spark, tmp_path, capsys):
+    """--family simhash refuses a (band_bits, max_hamming) pair that voids
+    the pigeonhole recall guarantee."""
+    import eodd_cli
+
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    ).write.parquet(src)
+    with pytest.raises(SystemExit, match="pigeonhole"):
+        eodd_cli.main(["dedupindex", "--index-dir", str(tmp_path / "i"),
+                       "--build", src, "--family", "simhash",
+                       "--max-hamming", "4"])  # default band_bits 15 → 4 bands
+
+
 def test_cli_dedupindex_apply_is_replay_safe(spark, tmp_path, capsys):
     """Re-running --apply for the SAME batch (the recovery action after a
     crash between the three catalog commits) must converge: no duplicate
