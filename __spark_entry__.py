@@ -5227,8 +5227,15 @@ def oracle_sql() -> dict[str, str]:
         # orders of magnitude beyond any engine fold difference
         "q107_semantic_dedup": """
             WITH cent AS (
+                -- scale-aware seed centroids mirroring semantic_dedup's
+                -- auto cell count: 8 * max(1, ceil(n/5000)) (resolves to 8
+                -- on the 500-vector sf0.01 tables, 32 at sf1.0's 20k)
                 SELECT vec_id AS cell, embedding AS cv
-                FROM embeddings WHERE vec_id < 8
+                FROM embeddings
+                WHERE vec_id < (
+                    SELECT 8 * greatest(1, CAST(ceil(count(*) / 5000.0)
+                                               AS BIGINT))
+                    FROM embeddings)
             ), asn AS (
                 SELECT id, cell FROM (
                     SELECT e.vec_id AS id, c.cell,
