@@ -1834,6 +1834,38 @@ def q160_source_dedup_pressure(spark, sf):
     return D.source_pair_pressure(pairs, docs)
 
 
+def q163_winnow_fingerprints(spark, sf):
+    """Winnowing document fingerprints (text.winnow_fingerprints —
+    Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS scheme): char-5-gram
+    md5-prefix hashes, window-of-4 minimum with the rightmost-tie rule,
+    per-doc distinct (fp_hash, pos).  Position-robust LOCAL fingerprinting
+    — q22's whole-doc rolling hash changes entirely on one edit; here the
+    guarantee is any ≥8-char normalized substring match shares a selected
+    fingerprint.  Oracle replays grams as an unnest(range) scan, window
+    minima as a ROWS frame, and the rightmost tie as max(i) over the
+    h = minh join."""
+    from eodatadown_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+    return winnow_fingerprints(docs, k=5, window=4)
+
+
+def q164_winnow_similarity(spark, sf):
+    """Document-pair similarity by shared winnowing fingerprints
+    (text.winnow_similarity — the MOSS report): k=15/window=5 fingerprints
+    (only ≥19-char normalized substring matches can collide), boilerplate
+    hashes with document frequency > 20 dropped (the hot-key guard: pair
+    volume is Σ df² over surviving hashes, never all-pairs), pairs sharing
+    ≥ 2 distinct hashes.  Oracle = the same winnow CTE + QUALIFY df cap +
+    self-join; full (id_a, id_b, n_shared) value check."""
+    from eodatadown_spark.operators.text import winnow_similarity
+
+    docs = _t(spark, sf, "documents")
+    return winnow_similarity(
+        docs, k=15, window=5, min_shared=2, max_df=20
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3235,6 +3267,8 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q160_source_dedup_pressure": q160_source_dedup_pressure,
     "q161_dedup_rate_by_source": q161_dedup_rate_by_source,
     "q162_ngram_novelty": q162_ngram_novelty,
+    "q163_winnow_fingerprints": q163_winnow_fingerprints,
+    "q164_winnow_similarity": q164_winnow_similarity,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -6697,6 +6731,68 @@ def oracle_sql() -> dict[str, str]:
         FROM inv JOIN freq USING (g)
         WHERE id < 100
         GROUP BY 1
+    """
+    # q163: winnowing replayed relationally — grams as an unnest(range)
+    # position scan (same md5-prefix 60-bit hash convention as q25), window
+    # minima as a ROWS frame anchored at each window start, rightmost tie
+    # as max(i) over the in-window h = minh rows, per-doc DISTINCT last
+    sql["q163_winnow_fingerprints"] = """
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+            FROM documents WHERE doc_id % 5 = 0
+        ), grams AS (
+            SELECT doc_id, i,
+                   CAST(concat('0x', substr(md5(substr(s, i, 5)), 1, 15))
+                        AS BIGINT) AS h
+            FROM (SELECT doc_id, s, unnest(range(1, len(s) - 3)) AS i
+                  FROM norm WHERE len(s) >= 5)
+        ), wins AS (
+            SELECT doc_id, i AS j,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS minh,
+                   max(i) OVER (PARTITION BY doc_id) AS m
+            FROM grams
+        ), sel AS (
+            SELECT w.doc_id, w.minh AS fp_hash, max(g.i) AS pos
+            FROM wins w JOIN grams g
+              ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + 3
+             AND g.h = w.minh
+            WHERE w.j <= greatest(w.m - 3, 1)
+            GROUP BY w.doc_id, w.j, w.minh
+        )
+        SELECT DISTINCT doc_id, fp_hash, CAST(pos AS BIGINT) AS pos FROM sel
+    """
+    # q164: same winnow CTE at k=15/window=5, per-doc distinct hashes,
+    # QUALIFY df <= 20 boilerplate cap, self-join pair counts
+    sql["q164_winnow_similarity"] = """
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, i,
+                   CAST(concat('0x', substr(md5(substr(s, i, 15)), 1, 15))
+                        AS BIGINT) AS h
+            FROM (SELECT doc_id, s, unnest(range(1, len(s) - 13)) AS i
+                  FROM norm WHERE len(s) >= 15)
+        ), wins AS (
+            SELECT doc_id, i AS j,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                       AS minh,
+                   max(i) OVER (PARTITION BY doc_id) AS m
+            FROM grams
+        ), fp AS (
+            SELECT DISTINCT doc_id, minh AS fp_hash
+            FROM wins WHERE j <= greatest(m - 4, 1)
+        ), kept AS (
+            SELECT doc_id, fp_hash FROM fp
+            QUALIFY count(*) OVER (PARTITION BY fp_hash) <= 20
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash
+                                AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
     """
     # q158: bbox-ONLY facade page — q51's scene synthesis, strict-overlap
     # predicate, valid filter, ORDER BY date DESC, pid ASC page [6..25]

@@ -265,6 +265,160 @@ def profile_documents(documents: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+WINNOW_HEX_LEN = 15  # 60-bit md5-prefix gram hash — the dedup.py convention
+# (identical hex in every engine, so oracles recompute the full scheme)
+
+
+def _winnow_fp_arrays(
+    documents: DataFrame,
+    k: int,
+    window: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, __fps) with __fps = per-doc DISTINCT array of selected
+    (fp_hash, pos) structs — the shared winnow kernel.  Zero shuffle: the
+    gram-hash array materializes as a real column FIRST, then the window
+    pass slices it (referencing the gram expression inside the window
+    lambda would re-evaluate the whole array per window — the
+    higher-order-lambda trap, see :func:`repetition_ratio`)."""
+    from eodatadown_spark.operators.dedup import ensure_min_parallelism
+
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+    n_grams = F.length(norm) - k + 1
+    gram_hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substr(norm, i, F.lit(k))), 1, WINNOW_HEX_LEN),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    with_grams = ensure_min_parallelism(documents).select(
+        F.col(id_col).alias("doc_id"), gram_hashes.alias("__grams")
+    )
+    g = F.col("__grams")
+    m = F.size(g)
+    # one window per start j in 1..max(m-window+1, 1); slice() clips the
+    # tail so the short-doc single window covers all m grams
+    n_win = F.greatest(m - window + 1, F.lit(1))
+
+    def pick(j):
+        sl = F.slice(g, j, window)
+        h = F.array_min(sl)
+        # rightmost tie: first occurrence in the REVERSED slice
+        pos = j + F.size(sl) - F.array_position(F.reverse(sl), h)
+        return F.struct(h.alias("fp_hash"), pos.cast("long").alias("pos"))
+
+    fps = F.when(
+        m >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), pick)),
+    ).otherwise(F.array().cast("array<struct<fp_hash:long,pos:bigint>>"))
+    return with_grams.select("doc_id", fps.alias("__fps"))
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS scheme): char-k-gram hashes over the lowercased
+    alnum-normalized stream, one fingerprint per length-``window`` window of
+    consecutive gram hashes — the window MINIMUM, rightmost occurrence on
+    ties — deduplicated per document.  → (doc_id, fp_hash, pos).
+
+    The winnowing guarantee: any substring match of length ≥ k + window - 1
+    between two documents shares at least one selected fingerprint, while
+    only ~2/(window+1) of gram hashes are kept — position-robust local
+    fingerprinting, unlike the whole-document :func:`rolling_fingerprint`
+    (one edit anywhere changes that hash; here the change is local to the
+    windows it touches).
+
+    Plan shape: narrow projections only, zero shuffle (the array-domain
+    kernel is :func:`_winnow_fp_arrays`).  Docs with fewer than ``window``
+    grams yield one whole-doc window; docs shorter than k yield nothing.
+    Raised to the session parallelism floor first: the per-doc array work is
+    all map-side and a 3-partition small-file scan would serialize it
+    (dedup.ensure_min_parallelism's rule).
+    """
+    # explode_OUTER, not explode: a plain explode makes Catalyst's
+    # InferFiltersFromGenerate add `size(__fps) > 0` below the Generate,
+    # and predicate pushdown then substitutes the FULL nested window/gram
+    # construction into that filter — the whole O(n·w) array work
+    # re-evaluated a second time per row, and with the when()-guards
+    # re-expanded it degrades to the O(n²·k) re-evaluation the kernel
+    # exists to avoid (observed: a 50-doc scan that never finished).  The
+    # outer form infers nothing; short docs surface as one null row
+    # dropped by the attribute-level filter, which cannot push below the
+    # Generate.
+    return (
+        _winnow_fp_arrays(documents, k, window, id_col, text_col)
+        .select("doc_id", F.explode_outer("__fps").alias("__fp"))
+        .where(F.col("__fp").isNotNull())
+        .select("doc_id", "__fp.fp_hash", "__fp.pos")
+    )
+
+
+def winnow_similarity(
+    documents: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-pair similarity by shared winnowing fingerprints (the MOSS
+    report): → (id_a, id_b, n_shared) for pairs sharing ≥ ``min_shared``
+    distinct fingerprint hashes.
+
+    ``max_df`` drops fingerprints present in more than that many documents
+    before pairing — boilerplate suppression in MOSS terms, and the hot-key
+    guard at scale: candidate volume is Σ df² over surviving hashes, so the
+    cap bounds the worst bucket exactly the way the MinHash path salts its
+    hot bands (dedup.py).  Inverted-index equi-join on fp_hash — candidates
+    are hash collisions only, never all-pairs.  The per-doc hash distinct
+    happens in the ARRAY domain before the explode (array_distinct, no
+    shuffle), so the only exchanges are the hash-keyed df count/join and
+    the pair rollup.
+    """
+    sets = _winnow_fp_arrays(documents, k, window, id_col, text_col)
+    # explode_outer + null-filter for the same InferFiltersFromGenerate
+    # reason as winnow_fingerprints
+    fp = sets.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(F.col("__fps"), lambda x: x["fp_hash"])
+            )
+        ).alias("fp_hash"),
+    ).where(F.col("fp_hash").isNotNull())
+    if max_df is not None:
+        df_counts = fp.groupBy("fp_hash").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        fp = (
+            fp.join(df_counts.where(F.col("__df") <= max_df), "fp_hash")
+            .select("doc_id", "fp_hash")
+        )
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def confusion_matrix(
     df: DataFrame, label_col: Column | str, pred_col: Column | str
 ) -> DataFrame:

@@ -2030,3 +2030,104 @@ def test_simhash_index_probe_equals_full_rerun(spark):
     assert got == want and got
     assert any(a < 100 for a, _b, _h in got)     # new-vs-corpus surfaces
     assert (100, 101) in {(a, b) for a, b, _ in got}  # new-vs-new surfaces
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+
+def _ref_winnow(text: str, k: int, w: int) -> set:
+    """Pure-Python reference winnow: (fp_hash, pos) set, rightmost-tie min
+    per window, one whole-doc window when grams < w, 1-based positions."""
+    import hashlib
+    import re
+
+    s = re.sub(r"[^a-z0-9]", "", text.lower())
+    hs = [
+        int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(s) - k + 1)
+    ]
+    out = set()
+    if not hs:
+        return out
+    for j in range(max(len(hs) - w + 1, 1)):
+        sl = hs[j:j + w]
+        h = min(sl)
+        pos = j + max(i for i, v in enumerate(sl) if v == h) + 1
+        out.add((h, pos))
+    return out
+
+
+class TestWinnowing:
+    def test_matches_python_reference(self, spark):
+        from eodatadown_spark.operators.text import winnow_fingerprints
+
+        rows = [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "aaaaaaaaaaaa"),          # all-identical grams: pure tie case
+            (3, "abcabcabcabcabc"),       # periodic text: repeated gram ties
+            (4, "tiny"),                  # shorter than k=5 after normalize
+            (5, "...!!!,,,"),             # normalizes to empty
+            (6, "sixchr"),                # 6 chars: 2 grams < window -> 1 window
+            (7, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["fp_hash"], r["pos"])
+            for r in winnow_fingerprints(docs, k=5, window=4).collect()
+        }
+        want = {
+            (i, h, p)
+            for i, t in rows
+            for h, p in _ref_winnow(t, 5, 4)
+        }
+        assert got == want
+        assert not any(d in (4, 5, 7) for d, _h, _p in got)  # too short: none
+        assert sum(1 for d, _h, _p in got if d == 6) == 1    # one whole-doc window
+
+    def test_substring_match_guarantee(self, spark):
+        # the winnowing guarantee: a shared normalized substring of length
+        # >= k + w - 1 forces at least one shared fingerprint
+        from eodatadown_spark.operators.text import winnow_similarity
+
+        shared = "zqxjvkwpfyhgbdmn"  # 16 >= 5 + 4 - 1, rare letters
+        rows = [
+            (1, "left payload alpha " + shared + " trailing words here"),
+            (2, "completely other preamble " + shared + " different tail"),
+            (3, "no overlap with anything else at all in this document"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in winnow_similarity(
+                docs, k=5, window=4, min_shared=1
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_max_df_drops_boilerplate(self, spark):
+        from eodatadown_spark.operators.text import winnow_similarity
+
+        boiler = "standardfooterzyxwvu"
+        rows = [(i, f"document number {i} unique body {i} " + boiler)
+                for i in range(1, 7)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        with_cap = winnow_similarity(
+            docs, k=5, window=4, min_shared=1, max_df=3
+        ).count()
+        without_cap = winnow_similarity(
+            docs, k=5, window=4, min_shared=1
+        ).count()
+        assert without_cap > 0
+        assert with_cap < without_cap  # footer hashes (df=6) pruned
+
+    def test_fingerprints_distinct_per_doc(self, spark):
+        from eodatadown_spark.operators.text import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "abcabcabcabcabcabcabc")], "doc_id long, text string"
+        )
+        pdf = winnow_fingerprints(docs, k=5, window=4).toPandas()
+        assert not pdf.duplicated(["doc_id", "fp_hash", "pos"]).any()
