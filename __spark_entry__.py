@@ -1866,6 +1866,20 @@ def q164_winnow_similarity(spark, sf):
     )
 
 
+def q165_importance_weights(spark, sf):
+    """DSIR-style data-selection importance weights
+    (corpus.importance_weights — Xie et al. 2023, reduced to unigram LMs
+    for exact SQL reproducibility): per-doc log ratio of the add-1-smoothed
+    target LM (lang='en' docs) over the whole-corpus source LM under the
+    shared corpus vocabulary.  The score a pretraining pipeline feeds to
+    weighted resampling toward a trusted domain.  Oracle replays the tf
+    compression, both smoothed LMs, and the tf-weighted log-ratio sum."""
+    from eodatadown_spark.operators.corpus import importance_weights
+
+    docs = _t(spark, sf, "documents")
+    return importance_weights(docs, target=F.col("lang") == "en")
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3269,6 +3283,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q162_ngram_novelty": q162_ngram_novelty,
     "q163_winnow_fingerprints": q163_winnow_fingerprints,
     "q164_winnow_similarity": q164_winnow_similarity,
+    "q165_importance_weights": q165_importance_weights,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -6793,6 +6808,42 @@ def oracle_sql() -> dict[str, str]:
         FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash
                                 AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+    # q165: DSIR unigram importance weights — tf compression, add-1
+    # smoothed target (lang='en') and source (whole corpus) LMs over the
+    # shared vocab, tf-weighted log-ratio sum; n_tokens BIGINT-cast (the
+    # r9 dtype lesson)
+    sql["q165_importance_weights"] = """
+        WITH tf AS (
+            SELECT doc_id, token, count(*) AS tf,
+                   max(lang = 'en') AS is_target
+            FROM (
+                SELECT doc_id, lang, unnest(list_filter(
+                    string_split_regex(
+                        lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                        '\\s+'),
+                    t -> t <> '')) AS token
+                FROM documents
+            )
+            GROUP BY 1, 2
+        ), counts AS (
+            SELECT token,
+                   sum(tf) AS cnt_s,
+                   sum(CASE WHEN is_target THEN tf ELSE 0 END) AS cnt_t
+            FROM tf GROUP BY 1
+        ), totals AS (
+            SELECT count(*) AS vocab,
+                   sum(cnt_s) AS total_s,
+                   sum(cnt_t) AS total_t
+            FROM counts
+        )
+        SELECT doc_id,
+               round(sum(tf * (ln((cnt_t + 1) / CAST(total_t + vocab AS DOUBLE))
+                             - ln((cnt_s + 1) / CAST(total_s + vocab AS DOUBLE)))),
+                     4) AS log_weight,
+               CAST(sum(tf) AS BIGINT) AS n_tokens
+        FROM tf JOIN counts USING (token) CROSS JOIN totals
+        GROUP BY doc_id
     """
     # q158: bbox-ONLY facade page — q51's scene synthesis, strict-overlap
     # predicate, valid filter, ORDER BY date DESC, pid ASC page [6..25]

@@ -193,6 +193,80 @@ def unigram_lm_scores(
     )
 
 
+def importance_weights(
+    documents: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS — reduced from hashed-n-gram features to unigrams so the score
+    is exactly reproducible in ANSI SQL): per document, the log importance
+    ratio of a TARGET distribution (the rows where ``target`` is true —
+    e.g. a trusted high-quality slice) over the SOURCE distribution (the
+    whole corpus) under add-1-smoothed unigram LMs sharing the corpus
+    vocabulary:
+
+        log_weight = Σ_tokens tf · [ln p_target(tok) − ln p_source(tok)]
+        p_d(tok)   = (count_d(tok) + 1) / (total_d + |V|)
+
+    High log_weight = looks like the target domain; the downstream
+    resampling step is :func:`weighted_sample` over exp(log_weight) (or a
+    top-k cut via percent_rank).  → (doc_id, log_weight, n_tokens).
+
+    Scale shape (unigram_lm_scores' rule): per-doc tf FIRST so everything
+    downstream runs on the compressed relation; the token-keyed count
+    tables join map-side-combined on a high-cardinality key; the three
+    scalar totals (|V|, total_s, total_t) ride one broadcast row.  No
+    collect, no Python.
+    """
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        target.cast("boolean").alias("__is_target"),
+    )
+    tokens = docs.select(
+        "doc_id",
+        "__is_target",
+        F.explode(token_array("__text")).alias("token"),
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        # per-doc constant: any() is first() without ordering hazards
+        F.max("__is_target").alias("__is_target"),
+    )
+    counts = tf.groupBy("token").agg(
+        F.sum("tf").alias("cnt_s"),
+        F.sum(F.when(F.col("__is_target"), F.col("tf")).otherwise(0)).alias(
+            "cnt_t"
+        ),
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("__vocab"),
+        F.sum("cnt_s").alias("__total_s"),
+        F.sum("cnt_t").alias("__total_t"),
+    )
+    p_t = (F.col("cnt_t") + 1).cast("double") / (
+        F.col("__total_t") + F.col("__vocab")
+    )
+    p_s = (F.col("cnt_s") + 1).cast("double") / (
+        F.col("__total_s") + F.col("__vocab")
+    )
+    return (
+        tf.join(counts, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * (F.log(p_t) - F.log(p_s))), round_to
+            ).alias("log_weight"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+
+
 def stratified_sample(
     documents: DataFrame,
     rates: dict[str, float],

@@ -2131,3 +2131,78 @@ class TestWinnowing:
         )
         pdf = winnow_fingerprints(docs, k=5, window=4).toPandas()
         assert not pdf.duplicated(["doc_id", "fp_hash", "pos"]).any()
+
+
+class TestImportanceWeights:
+    def _ref(self, rows, target_ids):
+        import math
+        from collections import Counter
+
+        toks = {i: t.lower().split() for i, t in rows}
+        cnt_s = Counter(tok for ts in toks.values() for tok in ts)
+        cnt_t = Counter(
+            tok for i, ts in toks.items() if i in target_ids for tok in ts
+        )
+        v = len(cnt_s)
+        tot_s = sum(cnt_s.values())
+        tot_t = sum(cnt_t.values())
+        out = {}
+        for i, ts in toks.items():
+            lw = sum(
+                math.log((cnt_t[tok] + 1) / (tot_t + v))
+                - math.log((cnt_s[tok] + 1) / (tot_s + v))
+                for tok in ts
+            )
+            out[i] = round(lw, 4)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from eodatadown_spark.operators.corpus import importance_weights
+
+        rows = [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta delta"),
+            (3, "omega psi chi omega omega"),
+            (4, "beta beta beta"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["log_weight"], r["n_tokens"])
+            for r in importance_weights(
+                docs, target=F.col("doc_id") <= 2
+            ).collect()
+        }
+        want = self._ref(rows, {1, 2})
+        assert set(got) == set(want)
+        for i, (lw, n) in got.items():
+            assert abs(lw - want[i]) < 1e-9, (i, lw, want[i])
+            assert n == len(rows[i - 1][1].split())
+
+    def test_target_like_docs_score_higher(self, spark):
+        from eodatadown_spark.operators.corpus import importance_weights
+
+        # target slice speaks 'aa bb', the rest speaks 'zz yy'; a fresh doc
+        # in target vocabulary must outscore one in source-only vocabulary
+        rows = (
+            [(i, "aa bb aa bb") for i in range(10)]
+            + [(i, "zz yy zz yy") for i in range(10, 20)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        w = {
+            r["doc_id"]: r["log_weight"]
+            for r in importance_weights(
+                docs, target=F.col("doc_id") < 10
+            ).collect()
+        }
+        assert w[0] > 0 > w[10]
+
+    def test_empty_target_slice_rejected_by_math(self, spark):
+        # with NO target rows every token backs off to the same 1/(0+V)
+        # numerator: weights stay finite (smoothing) and uniform per token mass
+        from eodatadown_spark.operators.corpus import importance_weights
+
+        docs = spark.createDataFrame(
+            [(1, "aa bb"), (2, "aa cc")], "doc_id long, text string"
+        )
+        rows = importance_weights(docs, target=F.lit(False)).collect()
+        assert all(r["log_weight"] is not None for r in rows)
