@@ -1880,6 +1880,42 @@ def q165_importance_weights(spark, sf):
     return importance_weights(docs, target=F.col("lang") == "en")
 
 
+def q166_line_dedup(spark, sf):
+    """Cross-document line-level dedup (corpus.line_dedup — the C4 §2.2 /
+    RefinedWeb rule): drop every line whose trimmed+lowercased form occurs
+    in more than one distinct document, reassemble survivors in original
+    order.  The corpus texts are single-line, so the query first re-flows
+    each document into 8-token lines (deterministic token slicing) — the
+    planted near-dup docs then share most of their lines and the rule
+    fires (sf0.01: 328 of 3609 line occurrences removed).  Linear in
+    total line count — one line-frequency hash agg, one boilerplate-
+    marking join, one per-doc rebuild; nothing pairwise.  Oracle replays
+    the re-flow, the distinct-doc frequency, and the ORDER BY pos
+    reassembly."""
+    from eodatadown_spark.operators.corpus import line_dedup, token_array
+
+    docs = _t(spark, sf, "documents")
+    # materialize the token array at its own projection boundary — the
+    # slice lambda would otherwise re-run the regex split per line index
+    # (the O(T²) trap documented in dup_ngram_fraction)
+    tokenized = docs.select(
+        "doc_id", token_array("text").alias("__toks")
+    ).where(F.size("__toks") > 0)
+    toks = F.col("__toks")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    reflowed = tokenized.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(reflowed, max_docs=1)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3284,6 +3320,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q163_winnow_fingerprints": q163_winnow_fingerprints,
     "q164_winnow_similarity": q164_winnow_similarity,
     "q165_importance_weights": q165_importance_weights,
+    "q166_line_dedup": q166_line_dedup,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -6745,6 +6782,43 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(count(*) AS DOUBLE), 4) AS novelty
         FROM inv JOIN freq USING (g)
         WHERE id < 100
+        GROUP BY 1
+    """
+    # q166: cross-doc line dedup — normalized-line distinct-doc frequency,
+    # boilerplate (> 1 doc) lines dropped, string_agg ORDER BY pos rebuild;
+    # empty-norm lines never counted, hence always kept.
+    sql["q166_line_dedup"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                       '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        ), reflowed AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                       i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+                       chr(10)) AS text
+            FROM t WHERE len(toks) > 0
+        ), lines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM reflowed
+        ), norm AS (
+            SELECT doc_id, pos, line, trim(lower(line)) AS n FROM lines
+        ), dup AS (
+            SELECT n FROM norm WHERE n <> ''
+            GROUP BY n HAVING count(DISTINCT doc_id) > 1
+        )
+        SELECT norm.doc_id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN dup.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               coalesce(string_agg(CASE WHEN dup.n IS NULL THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text_kept
+        FROM norm LEFT JOIN dup ON norm.n = dup.n
         GROUP BY 1
     """
     # q163: winnowing replayed relationally — grams as an unnest(range)

@@ -1402,7 +1402,70 @@ def pmi_cooccurrence(
     )
 
 
+def line_dedup(
+    documents: DataFrame,
+    max_docs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line-level deduplication (the C4 §2.2 / RefinedWeb
+    line-dedup rule): drop every line whose normalized form — trimmed and
+    lowercased — occurs in more than ``max_docs`` DISTINCT documents, then
+    reassemble each document's surviving lines in their original order.
+    Empty (after normalization) lines are structural and always kept.
+
+    Returns ``(id_col, n_lines, n_kept, text_kept)``; a document whose
+    every line is boilerplate survives with ``text_kept = ''`` so the
+    caller decides whether to prune it (compose with a length filter).
+
+    Scale shape: line document-frequency is ONE hash aggregation on the
+    normalized line (map-side combined; the agg output is one row per
+    distinct line, not per occurrence); only the lines that exceed
+    ``max_docs`` — the boilerplate set, a tiny fraction of distinct lines —
+    flow into the marking join, so AQE broadcasts it in practice; the
+    rebuild is one shuffle on the doc id.  Nothing here is pairwise: the
+    cost is linear in total line count at any corpus size.
+
+    Within-doc repetition is a different signal (``text.repetition_ratio``,
+    ``dup_ngram_fraction``); this operator is the cross-corpus cleanup the
+    reference's keep-latest dedup (eodatadownsensor.py scn dedup) plays at
+    scene granularity, applied at line granularity.
+    """
+    lines = documents.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+    dup = (
+        lines.where(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.count_distinct("id").alias("__df"))
+        .where(F.col("__df") > max_docs)
+        .select("norm", F.lit(True).alias("__dup"))
+    )
+    marked = lines.join(dup, "norm", "left")
+    kept = F.col("__dup").isNull()
+    return (
+        marked.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("text_kept"),
+        )
+    )
+
+
 __all__ = [
+    "line_dedup",
     "bm25_scores",
     "pmi_cooccurrence",
     "split_bucket",

@@ -2206,3 +2206,50 @@ class TestImportanceWeights:
         )
         rows = importance_weights(docs, target=F.lit(False)).collect()
         assert all(r["log_weight"] is not None for r in rows)
+
+
+class TestLineDedup:
+    """Cross-document line dedup (C4 §2.2 rule): drop lines whose
+    normalized form appears in more than max_docs distinct documents,
+    keep original order, keep structural empties."""
+
+    ROWS = [
+        (1, "Subscribe now\nalpha beta\n\ngamma"),
+        (2, "  subscribe NOW \ndelta"),
+        (3, "unique only"),
+    ]
+
+    def _run(self, spark, rows, **kw):
+        from eodatadown_spark.operators.corpus import line_dedup
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in line_dedup(docs, **kw).collect()}
+
+    def test_boilerplate_line_removed_case_and_trim_insensitive(self, spark):
+        got = self._run(spark, self.ROWS)
+        assert got[1]["n_lines"] == 4 and got[1]["n_kept"] == 3
+        assert got[1]["text_kept"] == "alpha beta\n\ngamma"
+        assert got[2]["n_lines"] == 2 and got[2]["n_kept"] == 1
+        assert got[2]["text_kept"] == "delta"
+        assert got[3]["text_kept"] == "unique only"
+
+    def test_max_docs_threshold_keeps_below_or_equal(self, spark):
+        got = self._run(spark, self.ROWS, max_docs=2)
+        assert all(r["n_kept"] == r["n_lines"] for r in got.values())
+        assert got[1]["text_kept"] == self.ROWS[0][1]
+
+    def test_within_doc_repeats_alone_do_not_fire(self, spark):
+        # df counts DISTINCT docs: a line repeated 3x inside ONE doc stays
+        got = self._run(spark, [(1, "same\nsame\nsame"), (2, "other")])
+        assert got[1]["n_kept"] == 3
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        got = self._run(spark, [(1, "ditto"), (2, "ditto"), (3, "x\nditto")])
+        assert got[1]["text_kept"] == "" and got[1]["n_kept"] == 0
+        assert got[3]["text_kept"] == "x" and got[3]["n_lines"] == 2
+
+    def test_empty_norm_lines_always_kept(self, spark):
+        # blank/whitespace-only lines normalize to '' in every doc but are
+        # structure, not boilerplate
+        got = self._run(spark, [(1, "a\n \nb"), (2, "c\n\nd")])
+        assert got[1]["n_kept"] == 3 and got[2]["n_kept"] == 3
