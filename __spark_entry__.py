@@ -1916,6 +1916,47 @@ def q166_line_dedup(spark, sf):
     return line_dedup(reflowed, max_docs=1)
 
 
+def q167_quality_classifier(spark, sf):
+    """Learned quality filter trained IN-ENGINE (classify.train_quality_
+    classifier — the CCNet/GPT-3 fastText-style gate, reduced to
+    hashed-unigram logistic regression for exact SQL reproducibility):
+    8 full-batch GD iterations, each ONE d+1-column aggregation pass over
+    the pinned 64-bucket binary-presence feature table (driver sees d+1
+    doubles per pass, never rows), then a zero-shuffle scoring projection
+    with the weights as literals.  The label DISTILLS the engine's own
+    rule gate — text.language_guess (stopword_hits ≥ 1) — into the
+    classifier, the trusted-rule→learned-model handoff a production
+    pipeline makes; at sf0.01 the learned probabilities separate the
+    classes (mean 0.93 vs 0.23, acc 0.94 vs a 0.91 base rate).  Oracle
+    unrolls all 8 iterations as CTE chains (_gd_ctes_sql) — hash-match
+    pins the tokenizer, the feature hash, the gradient math, and the
+    update order cross-engine."""
+    from eodatadown_spark.operators.classify import (
+        hashed_features,
+        score_documents,
+        train_quality_classifier,
+    )
+    from eodatadown_spark.operators.dedup import _pin
+    from eodatadown_spark.operators.text import language_guess
+
+    docs = _t(spark, sf, "documents")
+    feat = _pin(
+        hashed_features(
+            docs, 64, label=language_guess(F.col("text")) == "en", binary=True
+        )
+    )
+    w = train_quality_classifier(
+        docs,
+        label=language_guess(F.col("text")) == "en",
+        n_features=64,
+        iters=8,
+        lr=12.0,
+        binary=True,
+        features=feat,
+    )
+    return score_documents(docs, w, features=feat)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3321,6 +3362,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q164_winnow_similarity": q164_winnow_similarity,
     "q165_importance_weights": q165_importance_weights,
     "q166_line_dedup": q166_line_dedup,
+    "q167_quality_classifier": q167_quality_classifier,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3606,6 +3648,42 @@ def _bpe_train_ctes_sql(k: int) -> str:
                             THEN acc || p{i}.r
                             ELSE acc || ' ' || x END) AS syms
             FROM w{i - 1}, p{i}
+        )""")
+    return ",".join(parts)
+
+
+def _gd_ctes_sql(d: int, iters: int, lr: float) -> str:
+    """DuckDB CTE chain unrolling ``iters`` full-batch logistic-regression
+    gradient-descent steps over a ``feat(doc_id, y, n, x0..x{d-1})`` table
+    starting from the all-zero weight CTE ``w0(wb, w0..w{d-1})`` — the
+    exact replay of classify.train_quality_classifier's per-iteration
+    aggregate (g = avg((σ(w·x+b) − y)·x), w ← w − lr·g).  Weights flow
+    between steps through cross joins of 1-row CTEs, never through
+    interpolated text, so the replay is pure SQL arithmetic."""
+    xs = ", ".join(f"x{j}" for j in range(d))
+    dot = " + ".join(f"w{j} * x{j}" for j in range(d))
+    parts = []
+    for i in range(1, iters + 1):
+        gs = ",\n                   ".join(
+            f"avg((p - y) * x{j}) AS g{j}" for j in range(d)
+        )
+        ws = ",\n                   ".join(
+            f"w{j} - {lr} * g{j} AS w{j}" for j in range(d)
+        )
+        # MATERIALIZED is load-bearing: without it DuckDB textually
+        # inlines each w{i} into every reference, and the chain re-expands
+        # exponentially (the same compile blowup Janino hit on the PQ LUT)
+        parts.append(f"""
+        g{i} AS MATERIALIZED (
+            SELECT avg(p - y) AS gb,
+                   {gs}
+            FROM (SELECT y, {xs},
+                         1 / (1 + exp(-(wb + {dot}))) AS p
+                  FROM feat CROSS JOIN w{i - 1})
+        ), w{i} AS MATERIALIZED (
+            SELECT wb - {lr} * gb AS wb,
+                   {ws}
+            FROM w{i - 1} CROSS JOIN g{i}
         )""")
     return ",".join(parts)
 
@@ -6820,6 +6898,57 @@ def oracle_sql() -> dict[str, str]:
                                    chr(10) ORDER BY pos), '') AS text_kept
         FROM norm LEFT JOIN dup ON norm.n = dup.n
         GROUP BY 1
+    """
+    # q167: the in-engine trained quality classifier replayed end-to-end —
+    # hashed-unigram BINARY-presence features (portable rolling hash mod
+    # 64), the distilled label = the q21 language_guess stopword rule, 8
+    # unrolled GD CTE steps (_gd_ctes_sql), sigmoid scoring off the final
+    # weight CTE.  Zero-token docs carry no feature mass and are excluded
+    # on both sides.
+    _QC_D, _QC_IT, _QC_LR = 64, 8, 12.0
+    sql["q167_quality_classifier"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN len(list_filter(t, s -> s IN
+                            ('the','a','of','and','to','in','is','it'))) >= 1
+                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
+                   END AS y,
+                   unnest(t) AS token
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                           '\\s+'), x -> x <> '') AS t
+                FROM documents
+            )
+        ), hb AS (
+            SELECT doc_id, y,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(
+                               string_split(regexp_replace(
+                                   token, '[^a-z0-9 ]', '', 'g'), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743) % {_QC_D} AS b
+            FROM toks
+        ), feat AS MATERIALIZED (
+            SELECT doc_id, max(y) AS y, count(*) AS n,
+                   {', '.join(
+                       f"max(CASE WHEN b = {j} THEN CAST(1 AS DOUBLE)"
+                       f" ELSE CAST(0 AS DOUBLE) END) AS x{j}"
+                       for j in range(_QC_D))}
+            FROM hb GROUP BY doc_id
+        ), w0 AS (
+            SELECT CAST(0 AS DOUBLE) AS wb,
+                   {', '.join(f'CAST(0 AS DOUBLE) AS w{j}'
+                              for j in range(_QC_D))}
+        ), {_gd_ctes_sql(_QC_D, _QC_IT, _QC_LR)}
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               round(1 / (1 + exp(-(wb
+                   + {' + '.join(f'w{j} * x{j}' for j in range(_QC_D))}))), 4)
+                   AS prob
+        FROM feat CROSS JOIN w{_QC_IT}
     """
     # q163: winnowing replayed relationally — grams as an unnest(range)
     # position scan (same md5-prefix 60-bit hash convention as q25), window

@@ -2253,3 +2253,83 @@ class TestLineDedup:
         # structure, not boilerplate
         got = self._run(spark, [(1, "a\n \nb"), (2, "c\n\nd")])
         assert got[1]["n_kept"] == 3 and got[2]["n_kept"] == 3
+
+
+class TestQualityClassifier:
+    """In-engine logistic-regression quality filter: Spark training (one
+    agg pass per GD iteration) must replay the pure-Python reference
+    exactly (same tokenizer, hash, update order)."""
+
+    ROWS = [
+        (1, "the quick brown fox jumps over the lazy dog", True),
+        (2, "lorem ipsum dolor sit amet consectetur", False),
+        (3, "the dog sleeps near the quick fox", True),
+        (4, "ipsum lorem amet dolor sit", False),
+        (5, "a quick brown dog and a lazy fox", True),
+        (6, "dolor consectetur ipsum sit lorem amet amet", False),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, t, y) for i, t, y in self.ROWS],
+            "doc_id long, text string, good boolean",
+        )
+
+    def test_training_matches_python_reference(self, spark):
+        from eodatadown_spark.operators.classify import (
+            reference_train,
+            train_quality_classifier,
+        )
+
+        got = train_quality_classifier(
+            self._docs(spark), label=F.col("good"), n_features=8, iters=3
+        )
+        want = reference_train(self.ROWS, n_features=8, iters=3)
+        assert len(got) == 9
+        for g, w in zip(got, want):
+            assert abs(g - w) < 1e-9, (got, want)
+
+    def test_separable_labels_learned(self, spark):
+        from eodatadown_spark.operators.classify import (
+            score_documents,
+            train_quality_classifier,
+        )
+
+        docs = self._docs(spark)
+        w = train_quality_classifier(docs, label=F.col("good"), iters=25)
+        probs = {
+            r["doc_id"]: r["prob"] for r in score_documents(docs, w).collect()
+        }
+        # disjoint vocabularies: every positive doc must outscore every negative
+        assert min(probs[1], probs[3], probs[5]) > max(probs[2], probs[4 + 2], probs[4])
+
+    def test_quality_filter_keeps_full_rows_above_threshold(self, spark):
+        from eodatadown_spark.operators.classify import (
+            quality_filter,
+            train_quality_classifier,
+        )
+
+        docs = self._docs(spark)
+        w = train_quality_classifier(docs, label=F.col("good"), iters=25)
+        kept = quality_filter(docs, w, threshold=0.5)
+        assert set(kept.columns) == {"doc_id", "text", "good"}
+        assert {r["doc_id"] for r in kept.collect()} == {1, 3, 5}
+
+    def test_zero_token_docs_excluded_from_features(self, spark):
+        from eodatadown_spark.operators.classify import hashed_features
+
+        docs = spark.createDataFrame(
+            [(1, "one token"), (2, "   "), (3, "")], "doc_id long, text string"
+        )
+        ids = {r["doc_id"] for r in hashed_features(docs).collect()}
+        assert ids == {1}
+
+    def test_feature_rows_are_l1_normalized(self, spark):
+        from eodatadown_spark.operators.classify import hashed_features
+
+        docs = spark.createDataFrame(
+            [(1, "aa bb cc dd ee ff gg hh ii jj")], "doc_id long, text string"
+        )
+        r = hashed_features(docs, n_features=4).collect()[0]
+        assert abs(sum(r[f"x{j}"] for j in range(4)) - 1.0) < 1e-12
+        assert r["n_tokens"] == 10
