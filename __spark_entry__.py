@@ -3448,14 +3448,16 @@ _R10_WINDOW = [
     "q156_clusters_via_stored_index", "q157_bpe_encode",
     # the two r9 driver reds, re-greened by the oracle dtype fixes
     "q101_cdc_dup_stats", "q72_variant_props",
-    # round-10 additions
+    # round-10 additions (q166/q167 displace the long-green q81/q91
+    # anchors — both ever-driver-green, their paths untouched this round)
     "q158_bbox_only_page", "q159_bpe_train_encode",
+    "q166_line_dedup", "q167_quality_classifier",
     # anchors: flagships + every path round-10 changes touch
     "q10_revenue_by_nation", "q24_minhash_neardup", "q51_date_bbox_count",
     "q150_incremental_clusters", "q117_incremental_minhash",
     "q149_incremental_phash", "q153_ivf_stored_probe",
     "q154_incremental_simhash", "q155_sq8_stored_probe",
-    "q81_bpe_merge_candidates", "q91_merge_upsert", "q145_sketch_rollup",
+    "q145_sketch_rollup",
     "q107_semantic_dedup", "q152_positional_prefix", "q28_ngram_jaccard",
     "q131_prefix_jaccard",
 ]
@@ -3509,6 +3511,15 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q134_mmr_rerank": lambda spark, sf: q134_mmr_rerank(
             spark, sf, materialize="none"
+        ),
+        # pure-plan q167: the scoring projection over unpinned features
+        # with placeholder weight literals — the 8 training passes are
+        # separate driver-side jobs, invisible to any single plan; this IS
+        # the real scoring plan shape
+        "q167_quality_classifier": lambda spark, sf: __import__(
+            "eodatadown_spark.operators.classify", fromlist=["score_documents"]
+        ).score_documents(
+            _t(spark, sf, "documents"), [0.1] * 64 + [0.0], binary=True
         ),
     }
 
