@@ -79,6 +79,8 @@ EXTENDED = [
     # round-10 operators
     "q158_bbox_only_page",
     "q159_bpe_train_encode",
+    "q166_line_dedup",
+    "q167_quality_classifier",
 ]
 
 
