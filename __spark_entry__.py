@@ -1957,6 +1957,31 @@ def q167_quality_classifier(spark, sf):
     return score_documents(docs, w, features=feat)
 
 
+def q168_entropy_signals(spark, sf):
+    """Char- and token-level Shannon entropy (text.char_entropy /
+    token_entropy) — the gibberish / encoded-blob / looping-filler quality
+    signals corpus filters threshold on.  ZERO-shuffle projections: sort
+    the per-doc char/token array, one fold over runs (F.aggregate binds
+    the array once — no explode, no groupBy).  The oracle computes the
+    same distribution relationally (unnest → group → Σ c·log2 c), pinning
+    the closed form ``H = log2(n) − Σ c_k·log2(c_k)/n`` cross-engine."""
+    from eodatadown_spark.operators.text import (
+        char_count,
+        char_entropy,
+        token_count,
+        token_entropy,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        char_count("text").alias("n_chars"),
+        char_entropy("text").alias("char_entropy"),
+        token_count("text").alias("n_tokens"),
+        token_entropy("text").alias("token_entropy"),
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3363,6 +3388,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q165_importance_weights": q165_importance_weights,
     "q166_line_dedup": q166_line_dedup,
     "q167_quality_classifier": q167_quality_classifier,
+    "q168_entropy_signals": q168_entropy_signals,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3451,9 +3477,10 @@ _R10_WINDOW = [
     # round-10 additions (q166/q167 displace the long-green q81/q91
     # anchors — both ever-driver-green, their paths untouched this round)
     "q158_bbox_only_page", "q159_bpe_train_encode",
-    "q166_line_dedup", "q167_quality_classifier",
-    # anchors: flagships + every path round-10 changes touch
-    "q10_revenue_by_nation", "q24_minhash_neardup", "q51_date_bbox_count",
+    "q166_line_dedup", "q167_quality_classifier", "q168_entropy_signals",
+    # anchors: every path round-10 changes touch (q10 flagship dropped —
+    # ever-green since r1 and still smoke-run every round via entry())
+    "q24_minhash_neardup", "q51_date_bbox_count",
     "q150_incremental_clusters", "q117_incremental_minhash",
     "q149_incremental_phash", "q153_ivf_stored_probe",
     "q154_incremental_simhash", "q155_sq8_stored_probe",
@@ -6960,6 +6987,42 @@ def oracle_sql() -> dict[str, str]:
                    + {' + '.join(f'w{j} * x{j}' for j in range(_QC_D))}))), 4)
                    AS prob
         FROM feat CROSS JOIN w{_QC_IT}
+    """
+    # q168: entropy signals replayed relationally — unnest chars/tokens,
+    # group counts, H = log2(n) − Σ k·log2(k)/n; empty docs coalesce to 0.
+    sql["q168_entropy_signals"] = """
+        WITH che AS (
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+                   round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 4)
+                       AS char_entropy
+            FROM (
+                SELECT doc_id, c, count(*) AS k
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                      FROM documents)
+                WHERE c <> '' GROUP BY 1, 2
+            ) GROUP BY 1
+        ), tke AS (
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                   round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 4)
+                       AS token_entropy
+            FROM (
+                SELECT doc_id, t, count(*) AS k
+                FROM (SELECT doc_id, unnest(list_filter(
+                          string_split_regex(
+                              lower(regexp_replace(text, '^\\s+|\\s+$',
+                                                   '', 'g')),
+                              '\\s+'), x -> x <> '')) AS t
+                      FROM documents)
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(che.n_chars, 0) AS n_chars,
+               coalesce(che.char_entropy, CAST(0 AS DOUBLE)) AS char_entropy,
+               coalesce(tke.n_tokens, 0) AS n_tokens,
+               coalesce(tke.token_entropy, CAST(0 AS DOUBLE)) AS token_entropy
+        FROM documents d LEFT JOIN che USING (doc_id)
+                         LEFT JOIN tke USING (doc_id)
     """
     # q163: winnowing replayed relationally — grams as an unnest(range)
     # position scan (same md5-prefix 60-bit hash convention as q25), window

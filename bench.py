@@ -81,6 +81,7 @@ EXTENDED = [
     "q159_bpe_train_encode",
     "q166_line_dedup",
     "q167_quality_classifier",
+    "q168_entropy_signals",
 ]
 
 

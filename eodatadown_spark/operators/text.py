@@ -220,6 +220,66 @@ def repetition_ratio(text: Column | str, n: int = 2) -> Column:
     )
 
 
+def _sorted_run_entropy(sorted_arr: Column, round_to: int) -> Column:
+    """Shannon entropy (bits) of the value distribution of a SORTED array,
+    computed in ONE fold pass: run lengths c_k accumulate ``c·log2(c)``
+    as runs close, then ``H = log2(n) − Σ c_k·log2(c_k) / n``.  Empty
+    array → 0.0.  Pure Catalyst projection — per-row map work, no
+    explode, no shuffle; the array expression is evaluated exactly once
+    (F.aggregate binds it, dodging the higher-order re-eval trap)."""
+
+    def clog(r: Column) -> Column:
+        return r * F.log2(r)
+
+    def merge(acc: Column, v: Column) -> Column:
+        same = acc.getField("prev") == v
+        closed = acc.getField("s") + F.when(
+            acc.getField("run") > 0, clog(acc.getField("run"))
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            v.alias("prev"),
+            F.when(same, acc.getField("run") + 1)
+            .otherwise(F.lit(1.0))
+            .alias("run"),
+            F.when(same, acc.getField("s")).otherwise(closed).alias("s"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return acc.getField("s") + F.when(
+            acc.getField("run") > 0, clog(acc.getField("run"))
+        ).otherwise(F.lit(0.0))
+
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0.0).alias("run"), F.lit(0.0).alias("s")
+    )
+    n = F.size(sorted_arr)
+    s = F.aggregate(sorted_arr, init, merge, finish)
+    return F.round(
+        F.when(n > 0, F.log2(n.cast("double")) - s / n).otherwise(F.lit(0.0)),
+        round_to,
+    )
+
+
+def char_entropy(text: Column | str, round_to: int = 4) -> Column:
+    """Character-level Shannon entropy (bits): the gibberish / encoded-blob
+    quality signal corpus filters threshold on — natural prose sits ~3.5-4.5
+    bits, base64/hex blobs and key-mash run higher, looping filler lower.
+    Zero-shuffle projection (sort chars, one fold over runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.array_sort(F.filter(F.split(c, ""), lambda ch: ch != ""))
+    return _sorted_run_entropy(chars, round_to)
+
+
+def token_entropy(text: Column | str, round_to: int = 4) -> Column:
+    """Token-level Shannon entropy (bits): vocabulary-diversity signal —
+    near 0 for a doc repeating one token, log2(n_tokens) when every token
+    is distinct.  Same zero-shuffle fold as :func:`char_entropy` over the
+    canonical whitespace tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_sort(F.filter(F.split(F.lower(ws_trim(c)), "\\s+"), lambda t: t != ""))
+    return _sorted_run_entropy(toks, round_to)
+
+
 # RE2-safe (no lookaround/backreference) PII patterns, kept deliberately
 # simple so Java regex and RE2 engines match identically in oracles
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"

@@ -2333,3 +2333,63 @@ class TestQualityClassifier:
         r = hashed_features(docs, n_features=4).collect()[0]
         assert abs(sum(r[f"x{j}"] for j in range(4)) - 1.0) < 1e-12
         assert r["n_tokens"] == 10
+
+
+class TestEntropySignals:
+    """Char/token Shannon entropy as zero-shuffle projections: the fold
+    over sorted runs must equal the Counter-based Python definition."""
+
+    @staticmethod
+    def _ref_entropy(items):
+        import collections
+        import math as m
+
+        if not items:
+            return 0.0
+        n = len(items)
+        return round(
+            m.log2(n)
+            - sum(c * m.log2(c) for c in collections.Counter(items).values()) / n,
+            4,
+        )
+
+    def test_char_entropy_matches_counter_definition(self, spark):
+        from eodatadown_spark.operators.text import char_entropy
+
+        texts = ["aaaa", "abab", "abcd", "the quick brown fox", "", "x"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["h"]
+            for r in docs.select("doc_id", char_entropy("text").alias("h")).collect()
+        }
+        for i, t in enumerate(texts):
+            assert abs(got[i] - self._ref_entropy(list(t))) < 1e-9, (i, t, got[i])
+
+    def test_char_entropy_known_values(self, spark):
+        from eodatadown_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "aaaa"), (1, "abab"), (2, "abcd")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["h"]
+            for r in docs.select("doc_id", char_entropy("text").alias("h")).collect()
+        }
+        assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 2.0
+
+    def test_token_entropy_repetition_vs_diversity(self, spark):
+        from eodatadown_spark.operators.text import token_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "spam spam spam spam"), (1, "all tokens here differ"), (2, "  ")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["h"]
+            for r in docs.select("doc_id", token_entropy("text").alias("h")).collect()
+        }
+        assert got[0] == 0.0
+        assert got[1] == 2.0  # 4 distinct of 4 → log2(4)
+        assert got[2] == 0.0  # blank → zero tokens → defined as 0
