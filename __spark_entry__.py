@@ -1982,6 +1982,40 @@ def q168_entropy_signals(spark, sf):
     )
 
 
+def q169_classifier_eval(spark, sf):
+    """Classifier-gate evaluation IN-ENGINE (classify.evaluate_gate): the
+    q167 training composition, then a one-row confusion matrix +
+    precision/recall/F1 of the 0.5-thresholded gate against its own
+    distillation label (the q21 language_guess rule) — the eval step a
+    pipeline runs before trusting a learned filter.  One extra aggregation
+    pass over the pinned feature table; the oracle replays the full GD
+    chain plus the confusion tail."""
+    from eodatadown_spark.operators.classify import (
+        evaluate_gate,
+        hashed_features,
+        train_quality_classifier,
+    )
+    from eodatadown_spark.operators.dedup import _pin
+    from eodatadown_spark.operators.text import language_guess
+
+    docs = _t(spark, sf, "documents")
+    feat = _pin(
+        hashed_features(
+            docs, 64, label=language_guess(F.col("text")) == "en", binary=True
+        )
+    )
+    w = train_quality_classifier(
+        docs,
+        label=language_guess(F.col("text")) == "en",
+        n_features=64,
+        iters=8,
+        lr=12.0,
+        binary=True,
+        features=feat,
+    )
+    return evaluate_gate(feat, w)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3389,6 +3423,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q166_line_dedup": q166_line_dedup,
     "q167_quality_classifier": q167_quality_classifier,
     "q168_entropy_signals": q168_entropy_signals,
+    "q169_classifier_eval": q169_classifier_eval,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3724,6 +3759,56 @@ def _gd_ctes_sql(d: int, iters: int, lr: float) -> str:
             FROM w{i - 1} CROSS JOIN g{i}
         )""")
     return ",".join(parts)
+
+
+# shared classifier-oracle hyperparameters (q167 scoring / q169 eval) —
+# must mirror the registry queries' train_quality_classifier call exactly
+_QC_D, _QC_IT, _QC_LR = 64, 8, 12.0
+
+
+def _qc_train_chain_sql() -> str:
+    """The full WITH-chain both classifier oracles share: canonical
+    tokenizer + the q21 stopword-rule label, portable rolling-hash
+    bucketing mod ``_QC_D``, the binary-presence feature pivot
+    (MATERIALIZED — referenced by every GD step), the zero-weight CTE, and
+    ``_QC_IT`` unrolled GD steps ending at ``w{_QC_IT}``."""
+    return f"""WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN len(list_filter(t, s -> s IN
+                            ('the','a','of','and','to','in','is','it'))) >= 1
+                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
+                   END AS y,
+                   unnest(t) AS token
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                           '\\s+'), x -> x <> '') AS t
+                FROM documents
+            )
+        ), hb AS (
+            SELECT doc_id, y,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(
+                               string_split(regexp_replace(
+                                   token, '[^a-z0-9 ]', '', 'g'), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743) % {_QC_D} AS b
+            FROM toks
+        ), feat AS MATERIALIZED (
+            SELECT doc_id, max(y) AS y, count(*) AS n,
+                   {', '.join(
+                       f"max(CASE WHEN b = {j} THEN CAST(1 AS DOUBLE)"
+                       f" ELSE CAST(0 AS DOUBLE) END) AS x{j}"
+                       for j in range(_QC_D))}
+            FROM hb GROUP BY doc_id
+        ), w0 AS (
+            SELECT CAST(0 AS DOUBLE) AS wb,
+                   {', '.join(f'CAST(0 AS DOUBLE) AS w{j}'
+                              for j in range(_QC_D))}
+        ), {_gd_ctes_sql(_QC_D, _QC_IT, _QC_LR)}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6937,56 +7022,46 @@ def oracle_sql() -> dict[str, str]:
         FROM norm LEFT JOIN dup ON norm.n = dup.n
         GROUP BY 1
     """
-    # q167: the in-engine trained quality classifier replayed end-to-end —
-    # hashed-unigram BINARY-presence features (portable rolling hash mod
-    # 64), the distilled label = the q21 language_guess stopword rule, 8
-    # unrolled GD CTE steps (_gd_ctes_sql), sigmoid scoring off the final
-    # weight CTE.  Zero-token docs carry no feature mass and are excluded
-    # on both sides.
-    _QC_D, _QC_IT, _QC_LR = 64, 8, 12.0
+    # q167/q169: the in-engine trained quality classifier replayed
+    # end-to-end — hashed-unigram BINARY-presence features (portable
+    # rolling hash mod 64), the distilled label = the q21 language_guess
+    # stopword rule, 8 unrolled GD CTE steps (_gd_ctes_sql), then either
+    # the sigmoid scoring tail (q167) or the gate-vs-rule confusion tail
+    # (q169) off the final weight CTE.  Zero-token docs carry no feature
+    # mass and are excluded on both sides.
+    _qc_prob = (
+        "1 / (1 + exp(-(wb + "
+        + " + ".join(f"w{j} * x{j}" for j in range(_QC_D))
+        + ")))"
+    )
     sql["q167_quality_classifier"] = f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   CASE WHEN len(list_filter(t, s -> s IN
-                            ('the','a','of','and','to','in','is','it'))) >= 1
-                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
-                   END AS y,
-                   unnest(t) AS token
-            FROM (
-                SELECT doc_id,
-                       list_filter(string_split_regex(
-                           lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
-                           '\\s+'), x -> x <> '') AS t
-                FROM documents
-            )
-        ), hb AS (
-            SELECT doc_id, y,
-                   list_reduce(
-                       list_prepend(CAST(0 AS BIGINT), list_transform(
-                           list_filter(
-                               string_split(regexp_replace(
-                                   token, '[^a-z0-9 ]', '', 'g'), ''),
-                               ch -> ch <> ''),
-                           ch -> CAST(ord(ch) AS BIGINT))),
-                       (acc, c) -> (acc * 31 + c) % 2038074743) % {_QC_D} AS b
-            FROM toks
-        ), feat AS MATERIALIZED (
-            SELECT doc_id, max(y) AS y, count(*) AS n,
-                   {', '.join(
-                       f"max(CASE WHEN b = {j} THEN CAST(1 AS DOUBLE)"
-                       f" ELSE CAST(0 AS DOUBLE) END) AS x{j}"
-                       for j in range(_QC_D))}
-            FROM hb GROUP BY doc_id
-        ), w0 AS (
-            SELECT CAST(0 AS DOUBLE) AS wb,
-                   {', '.join(f'CAST(0 AS DOUBLE) AS w{j}'
-                              for j in range(_QC_D))}
-        ), {_gd_ctes_sql(_QC_D, _QC_IT, _QC_LR)}
+        {_qc_train_chain_sql()}
         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-               round(1 / (1 + exp(-(wb
-                   + {' + '.join(f'w{j} * x{j}' for j in range(_QC_D))}))), 4)
-                   AS prob
+               round({_qc_prob}, 4) AS prob
         FROM feat CROSS JOIN w{_QC_IT}
+    """
+    sql["q169_classifier_eval"] = f"""
+        {_qc_train_chain_sql()}, scored AS (
+            SELECT y, {_qc_prob} >= 0.5 AS pred
+            FROM feat CROSS JOIN w{_QC_IT}
+        ), cm AS (
+            SELECT
+              CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_tp,
+              CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_fp,
+              CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_fn,
+              CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tn
+            FROM scored
+        )
+        SELECT n_tp, n_fp, n_fn, n_tn,
+               round(n_tp / CAST(n_tp + n_fp AS DOUBLE), 4) AS prec,
+               round(n_tp / CAST(n_tp + n_fn AS DOUBLE), 4) AS rec,
+               round(2 * n_tp / CAST(2 * n_tp + n_fp + n_fn AS DOUBLE), 4)
+                   AS f1
+        FROM cm
     """
     # q168: entropy signals replayed relationally — unnest chars/tokens,
     # group counts, H = log2(n) − Σ k·log2(k)/n; empty docs coalesce to 0.

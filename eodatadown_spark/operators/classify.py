@@ -219,6 +219,51 @@ def quality_filter(
     return documents.join(keep, id_col, "semi")
 
 
+def evaluate_gate(
+    features: DataFrame,
+    weights: Sequence[float],
+    threshold: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Gate quality against the training label: one-row confusion matrix
+    ``(n_tp, n_fp, n_fn, n_tn, prec, rec, f1)`` of the thresholded
+    classifier over a LABELED ``hashed_features`` table (the pinned
+    training table — pass the same frame you trained on).  One aggregation
+    pass; the counts partial-aggregate map-side, the ratios are computed
+    from the four counters in a final projection."""
+    d = len(weights) - 1
+    z = F.lit(weights[-1])
+    for j in range(d):
+        z = z + F.lit(weights[j]) * F.col(f"x{j}")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = features.select(
+        F.col("y"), (p >= F.lit(threshold)).alias("__pred")
+    )
+
+    def n(cond: Column, name: str) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    pred, y = F.col("__pred"), F.col("y")
+    cm = scored.agg(
+        n(pred & (y == 1), "n_tp"),
+        n(pred & (y == 0), "n_fp"),
+        n(~pred & (y == 1), "n_fn"),
+        n(~pred & (y == 0), "n_tn"),
+    )
+    tp, fp, fn = F.col("n_tp"), F.col("n_fp"), F.col("n_fn")
+    return cm.select(
+        "n_tp",
+        "n_fp",
+        "n_fn",
+        "n_tn",
+        F.round(tp / (tp + fp).cast("double"), round_to).alias("prec"),
+        F.round(tp / (tp + fn).cast("double"), round_to).alias("rec"),
+        F.round(
+            (F.lit(2) * tp) / (F.lit(2) * tp + fp + fn).cast("double"), round_to
+        ).alias("f1"),
+    )
+
+
 def reference_train(
     rows: Sequence[tuple[int, str, bool]],
     n_features: int = 8,
@@ -273,5 +318,6 @@ __all__ = [
     "train_quality_classifier",
     "score_documents",
     "quality_filter",
+    "evaluate_gate",
     "reference_train",
 ]

@@ -2393,3 +2393,18 @@ class TestEntropySignals:
         assert got[0] == 0.0
         assert got[1] == 2.0  # 4 distinct of 4 → log2(4)
         assert got[2] == 0.0  # blank → zero tokens → defined as 0
+
+    def test_evaluate_gate_counts_and_ratios(self, spark):
+        from eodatadown_spark.operators.classify import evaluate_gate
+
+        # hand-built feature rows: 1 feature, weights force pred = x0 >= 0.5
+        feat = spark.createDataFrame(
+            [(1, 1.0, 1.0), (2, 1.0, 1.0), (3, 1.0, 0.0),
+             (4, 0.0, 1.0), (5, 0.0, 0.0), (6, 0.0, 0.0)],
+            "doc_id long, x0 double, y double",
+        )
+        r = evaluate_gate(feat, [10.0, -5.0]).collect()[0]
+        assert (r["n_tp"], r["n_fp"], r["n_fn"], r["n_tn"]) == (2, 1, 1, 2)
+        assert r["prec"] == round(2 / 3, 4)
+        assert r["rec"] == round(2 / 3, 4)
+        assert r["f1"] == round(4 / 6, 4)
