@@ -713,6 +713,101 @@ def cmd_bpetrain(args) -> None:
     print(json.dumps(stats))
 
 
+def cmd_classify(args) -> None:
+    """Learned quality-filter lifecycle as a CLI (operators/classify):
+    --train fits the hashed-unigram logistic gate and persists a
+    self-describing weights JSON (atomic tmp+rename — every
+    hyperparameter needed to reproduce scoring rides in the artifact, so
+    a stored model scores identically across sessions); --score writes
+    per-doc probabilities; --gate writes the rows passing --threshold;
+    --eval prints the confusion matrix + precision/recall/F1 against the
+    label.  Label source: --label-col (boolean column in the parquet) or,
+    by default, the engine's language_guess rule — the rule→model
+    distillation q167 exercises.  One JSON line per invocation."""
+    from eodatadown_spark.operators import classify as C
+    from eodatadown_spark.operators.text import language_guess
+    from eodatadown_spark.session import get_spark
+
+    actions = [a for a in (args.train, args.score, args.gate, args.eval_src) if a]
+    if len(actions) != 1:
+        print(json.dumps({"error": "exactly one of --train/--score/--gate/--eval required"}))
+        raise SystemExit(2)
+    spark = get_spark("eodd_cli")
+
+    def _label(text_col):
+        if args.label_col:
+            return F.col(args.label_col).cast("boolean")
+        return language_guess(F.col(text_col)) == "en"
+
+    if args.train:
+        docs = spark.read.parquet(args.train)
+        w = C.train_quality_classifier(
+            docs,
+            label=_label(args.text_col),
+            n_features=args.features,
+            iters=args.iters,
+            lr=args.lr,
+            binary=args.binary,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        meta = {
+            "format": 1,
+            "n_features": args.features,
+            "iters": args.iters,
+            "lr": args.lr,
+            "binary": args.binary,
+            "label_col": args.label_col,
+            "id_col": args.id_col,
+            "text_col": args.text_col,
+            "weights": w,
+        }
+        tmp = args.weights + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, args.weights)
+        print(json.dumps({"trained_on": args.train, "bias": round(w[-1], 6),
+                          "n_features": args.features, "weights_out": args.weights}))
+        return
+
+    if not os.path.exists(args.weights):
+        print(json.dumps({"error": f"weights file not found: {args.weights}"}))
+        raise SystemExit(2)
+    with open(args.weights, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    src = args.score or args.gate or args.eval_src
+    docs = spark.read.parquet(src)
+
+    if args.eval_src:
+        feat = C.hashed_features(
+            docs,
+            meta["n_features"],
+            id_col=meta["id_col"],
+            text_col=meta["text_col"],
+            label=_label(meta["text_col"]),
+            binary=meta["binary"],
+        )
+        row = C.evaluate_gate(feat, meta["weights"], threshold=args.threshold).first()
+        print(json.dumps({"eval_on": src, **row.asDict()}))
+        return
+
+    if args.score:
+        out_df = C.score_documents(
+            docs, meta["weights"], id_col=meta["id_col"],
+            text_col=meta["text_col"], binary=meta["binary"],
+        )
+    else:
+        out_df = C.quality_filter(
+            docs, meta["weights"], threshold=args.threshold,
+            id_col=meta["id_col"], text_col=meta["text_col"],
+            binary=meta["binary"],
+        )
+    out_df.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"rows": n, "out": args.out,
+                      "action": "score" if args.score else "gate"}))
+
+
 def cmd_fsck(args) -> None:
     """Catalog health report: pointer validity, orphan version dirs from
     crashed writes, hard-link sharing between retained versions."""
@@ -1173,6 +1268,24 @@ def main(argv=None) -> int:
         "--counts-out": {"default": None, "dest": "counts_out",
                          "help": "also write per-doc subword counts parquet"},
     })
+    sp = sub.add_parser("classify")
+    sp.add_argument("--train", default=None, help="documents parquet to fit on")
+    sp.add_argument("--score", default=None, help="documents parquet to score")
+    sp.add_argument("--gate", default=None, help="documents parquet to filter")
+    sp.add_argument("--eval", default=None, dest="eval_src",
+                    help="documents parquet to evaluate the gate on")
+    sp.add_argument("--weights", required=True, help="weights JSON artifact")
+    sp.add_argument("--out", default=None, help="output parquet (score/gate)")
+    sp.add_argument("--label-col", default=None, dest="label_col",
+                    help="boolean label column; default: language_guess rule")
+    sp.add_argument("--id-col", default="doc_id", dest="id_col")
+    sp.add_argument("--text-col", default="text", dest="text_col")
+    sp.add_argument("--features", type=int, default=64)
+    sp.add_argument("--iters", type=int, default=8)
+    sp.add_argument("--lr", type=float, default=12.0)
+    sp.add_argument("--binary", action="store_true")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.set_defaults(fn=cmd_classify)
     add("exportvector", cmd_exportvector, **{"--out": {"required": True}})
     add("pluginreport", cmd_pluginreport)
     add("reset", cmd_reset, **{"--pids": {"default": None, "help": "comma list; all if omitted"}})

@@ -1040,3 +1040,70 @@ def test_cli_annindex_sq8_rebuild_and_gc(spark, tmp_path, capsys):
                    "--query", qsrc, "--k", "3", "--out", out])
     capsys.readouterr()
     assert spark.read.parquet(out).count() == 15
+
+
+def test_cli_classify_lifecycle(spark, tmp_path, capsys):
+    """classify CLI: --train persists a self-describing weights JSON;
+    --score reproduces in-session scoring from the stored artifact;
+    --gate keeps exactly the rows above threshold; --eval's confusion
+    counts cover the corpus."""
+    import eodd_cli
+    from eodatadown_spark.operators import classify as C
+
+    rows = (
+        [(i, "the quick brown fox jumps over a lazy dog", True)
+         for i in range(8)]
+        + [(i, "lorem ipsum dolor sit amet consectetur adipiscing", False)
+           for i in range(8, 16)]
+    )
+    src = str(tmp_path / "cls_docs")
+    spark.createDataFrame(rows, "doc_id long, text string, good boolean").write.parquet(src)
+    wpath = str(tmp_path / "weights.json")
+
+    eodd_cli.main(["classify", "--train", src, "--weights", wpath,
+                   "--label-col", "good", "--features", "16",
+                   "--iters", "12", "--lr", "8.0", "--binary"])
+    trained = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert trained["weights_out"] == wpath and os.path.exists(wpath)
+    meta = json.load(open(wpath))
+    assert len(meta["weights"]) == 17 and meta["binary"] is True
+
+    # stored-artifact scoring == in-session scoring (the persistence contract)
+    sout = str(tmp_path / "scored_pf")
+    eodd_cli.main(["classify", "--score", src, "--weights", wpath,
+                   "--out", sout])
+    scored = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert scored["rows"] == 16
+    docs = spark.read.parquet(src)
+    in_session = {
+        r["doc_id"]: r["prob"]
+        for r in C.score_documents(docs, meta["weights"], binary=True).collect()
+    }
+    stored = {
+        r["doc_id"]: r["prob"]
+        for r in spark.read.parquet(sout).collect()
+    }
+    assert stored == in_session
+
+    # disjoint vocabularies separate; the gate keeps exactly the positives
+    gout = str(tmp_path / "gated_pf")
+    eodd_cli.main(["classify", "--gate", src, "--weights", wpath,
+                   "--out", gout, "--threshold", "0.5"])
+    gated = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["doc_id"] for r in spark.read.parquet(gout).collect()}
+    assert gated["rows"] == len(kept) == 8 and kept == set(range(8))
+
+    eodd_cli.main(["classify", "--eval", src, "--weights", wpath,
+                   "--label-col", "good"])
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ev["n_tp"] + ev["n_fp"] + ev["n_fn"] + ev["n_tn"] == 16
+    assert ev["n_tp"] == 8 and ev["n_tn"] == 8 and ev["f1"] == 1.0
+
+    # missing-weights path fails loudly with a clean JSON error
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        eodd_cli.main(["classify", "--score", src,
+                       "--weights", str(tmp_path / "nope.json"),
+                       "--out", str(tmp_path / "x")])
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "not found" in err["error"]
