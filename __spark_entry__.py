@@ -3574,14 +3574,26 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_mmr_rerank": lambda spark, sf: q134_mmr_rerank(
             spark, sf, materialize="none"
         ),
-        # pure-plan q167: the scoring projection over unpinned features
-        # with placeholder weight literals — the 8 training passes are
-        # separate driver-side jobs, invisible to any single plan; this IS
-        # the real scoring plan shape
+        # pure-plan q167/q169: scoring projection / eval aggregate over
+        # unpinned features with placeholder weight literals — the 8
+        # training passes are separate driver-side jobs, invisible to any
+        # single plan; these ARE the real scoring/eval plan shapes
         "q167_quality_classifier": lambda spark, sf: __import__(
             "eodatadown_spark.operators.classify", fromlist=["score_documents"]
         ).score_documents(
             _t(spark, sf, "documents"), [0.1] * 64 + [0.0], binary=True
+        ),
+        "q169_classifier_eval": lambda spark, sf: (lambda C, T: C.evaluate_gate(
+            C.hashed_features(
+                _t(spark, sf, "documents"), 64,
+                label=T.language_guess(F.col("text")) == "en", binary=True,
+            ),
+            [0.1] * 64 + [0.0],
+        ))(
+            __import__("eodatadown_spark.operators.classify",
+                       fromlist=["evaluate_gate"]),
+            __import__("eodatadown_spark.operators.text",
+                       fromlist=["language_guess"]),
         ),
     }
 
@@ -7057,10 +7069,16 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT n_tp, n_fp, n_fn, n_tn,
-               round(n_tp / CAST(n_tp + n_fp AS DOUBLE), 4) AS prec,
-               round(n_tp / CAST(n_tp + n_fn AS DOUBLE), 4) AS rec,
-               round(2 * n_tp / CAST(2 * n_tp + n_fp + n_fn AS DOUBLE), 4)
-                   AS f1
+               CASE WHEN n_tp + n_fp > 0
+                    THEN round(n_tp / CAST(n_tp + n_fp AS DOUBLE), 4)
+               END AS prec,
+               CASE WHEN n_tp + n_fn > 0
+                    THEN round(n_tp / CAST(n_tp + n_fn AS DOUBLE), 4)
+               END AS rec,
+               CASE WHEN 2 * n_tp + n_fp + n_fn > 0
+                    THEN round(2 * n_tp
+                               / CAST(2 * n_tp + n_fp + n_fn AS DOUBLE), 4)
+               END AS f1
         FROM cm
     """
     # q168: entropy signals replayed relationally — unnest chars/tokens,

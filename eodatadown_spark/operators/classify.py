@@ -251,16 +251,23 @@ def evaluate_gate(
         n(~pred & (y == 0), "n_tn"),
     )
     tp, fp, fn = F.col("n_tp"), F.col("n_fp"), F.col("n_fn")
+
+    def ratio(num: Column, den: Column, name: str) -> Column:
+        # a degenerate gate (nothing predicted positive / no positives in
+        # the label) leaves the ratio undefined — NULL, not a crash (ANSI
+        # mode raises DIVIDE_BY_ZERO otherwise)
+        return F.when(
+            den > 0, F.round(num / den.cast("double"), round_to)
+        ).alias(name)
+
     return cm.select(
         "n_tp",
         "n_fp",
         "n_fn",
         "n_tn",
-        F.round(tp / (tp + fp).cast("double"), round_to).alias("prec"),
-        F.round(tp / (tp + fn).cast("double"), round_to).alias("rec"),
-        F.round(
-            (F.lit(2) * tp) / (F.lit(2) * tp + fp + fn).cast("double"), round_to
-        ).alias("f1"),
+        ratio(tp, tp + fp, "prec"),
+        ratio(tp, tp + fn, "rec"),
+        ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn, "f1"),
     )
 
 

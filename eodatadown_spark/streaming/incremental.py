@@ -512,3 +512,59 @@ def stream_neardup_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_classify_score(
+    weights_path: str,
+    stream_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    threshold: float | None = None,
+):
+    """Continuous quality scoring as Structured Streaming: each micro-batch
+    is scored with the STORED weights artifact (the ``classify`` CLI's
+    --train output) and lands under ``out_dir``; with ``threshold`` set only
+    rows at/above it survive (the streaming --gate).
+
+    The weights JSON is read once at setup — scoring is a deterministic
+    pure function of the artifact, so retraining + the CLI's atomic rename
+    rotates the model and the next stream start picks it up.  Per-batch
+    feature aggregation is bounded by the micro-batch (foreachBatch), so
+    there is no unbounded streaming-aggregation state to watermark.
+
+    REPLAY IDEMPOTENCE: each batch writes ``out_dir/batch=<id>`` with
+    overwrite — a crashed-and-replayed micro-batch rewrites the same
+    partition with the same deterministic rows instead of appending
+    duplicates, so at-least-once delivery converges exactly-once in
+    effect (the same contract as stream_neardup_apply, without needing
+    the OCC catalog).  Read the result with
+    ``spark.read.parquet(out_dir)``.
+    """
+    import json as _json
+
+    from eodatadown_spark.operators.classify import score_documents
+
+    with open(weights_path, encoding="utf-8") as fh:
+        meta = _json.load(fh)
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        scored = score_documents(
+            batch_df,
+            meta["weights"],
+            id_col=meta.get("id_col", "doc_id"),
+            text_col=meta.get("text_col", "text"),
+            binary=meta.get("binary", False),
+        )
+        if threshold is not None:
+            scored = scored.where(F.col("prob") >= threshold)
+        scored.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = stream_docs.writeStream.foreachBatch(_score).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

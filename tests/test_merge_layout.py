@@ -1633,3 +1633,76 @@ class TestStreamNeardupApply:
         )
         assert freq_after == freq_before
         assert cat.read("fingerprints_exact").select("id").distinct().count() == 6
+
+
+class TestStreamClassifyScore:
+    def test_streamed_scores_equal_batch_and_replay_is_idempotent(
+        self, spark, tmp_path
+    ):
+        """Streaming face of the learned quality gate: two micro-batches
+        scored with a STORED weights artifact must equal batch scoring of
+        the union; re-running a drained stream with a fresh checkpoint
+        (the worst-case full replay) rewrites the same batch partitions
+        instead of duplicating rows."""
+        import json
+
+        from eodatadown_spark.operators import classify as C
+        from eodatadown_spark.streaming.incremental import stream_classify_score
+
+        schema = "doc_id long, text string"
+        train_rows = [
+            (i, "the quick brown fox jumps over a lazy dog", True)
+            for i in range(6)
+        ] + [
+            (i, "lorem ipsum dolor sit amet consectetur", False)
+            for i in range(6, 12)
+        ]
+        train = spark.createDataFrame(train_rows, schema + ", good boolean")
+        w = C.train_quality_classifier(
+            train, label=F.col("good"), n_features=16, iters=12, lr=8.0,
+            binary=True,
+        )
+        wpath = str(tmp_path / "w.json")
+        with open(wpath, "w") as fh:
+            json.dump({"weights": w, "binary": True, "id_col": "doc_id",
+                       "text_col": "text"}, fh)
+
+        b1 = [(100, "the quick brown fox arrives")]
+        b2 = [(200, "lorem ipsum dolor text"), (201, "a lazy dog sleeps")]
+        feed = str(tmp_path / "feed")
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(feed)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append").parquet(feed)
+        out = str(tmp_path / "scored")
+
+        def drain(ckpt):
+            q = stream_classify_score(
+                wpath,
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(feed),
+                out_dir=out,
+                checkpoint_dir=str(tmp_path / ckpt),
+            )
+            try:
+                q.awaitTermination(180)
+            finally:
+                q.stop()
+
+        drain("ckpt1")
+        got = {
+            r["doc_id"]: r["prob"] for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: r["prob"]
+            for r in C.score_documents(
+                spark.createDataFrame(b1 + b2, schema), w, binary=True
+            ).collect()
+        }
+        assert got == want
+
+        # full replay (fresh checkpoint): same partitions overwritten,
+        # zero duplicate rows
+        drain("ckpt2")
+        again = spark.read.parquet(out).collect()
+        assert len(again) == 3
+        assert {r["doc_id"]: r["prob"] for r in again} == want
