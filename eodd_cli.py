@@ -1073,6 +1073,22 @@ def cmd_dataprep(args) -> None:
         X.quality_score(F.col("text")) >= args.min_quality
     ).localCheckpoint()
     n_quality = kept.count()
+    # optional LEARNED gate after the rule gate (the classify CLI's
+    # --train artifact): rule filters are cheap recall, the classifier is
+    # the trained precision pass — same order production pipelines use
+    n_classifier = None
+    if args.classify_weights is not None:
+        from eodatadown_spark.operators.classify import quality_filter
+
+        with open(args.classify_weights, encoding="utf-8") as fh:
+            cw = json.load(fh)
+        kept = quality_filter(
+            kept, cw["weights"], threshold=args.classify_threshold,
+            id_col=cw.get("id_col", "doc_id"),
+            text_col=cw.get("text_col", "text"),
+            binary=cw.get("binary", False),
+        ).localCheckpoint()
+        n_classifier = kept.count()
     kept = D.exact_dedup(kept, ["text"]).localCheckpoint()
     n_exact = kept.count()
     # LSH pair generation (bounded candidates), not the exact inverted-index
@@ -1110,6 +1126,8 @@ def cmd_dataprep(args) -> None:
         "after_exact_dedup": n_exact,
         "after_neardup": n_neardup,
     }
+    if n_classifier is not None:
+        stats["after_classifier"] = n_classifier
     # optional benchmark decontamination: drop docs overlapping the eval
     # set by >= 1 shared k-gram (GPT-3-style rule) AND docs containing a
     # short needle verbatim when the benchmark has a 'needle' column
@@ -1302,6 +1320,11 @@ def main(argv=None) -> int:
         "--infile": {"required": True, "help": "documents parquet (doc_id, text, ...)"},
         "--out": {"required": True},
         "--min-quality": {"type": float, "default": 0.5, "dest": "min_quality"},
+        "--classify-weights": {"default": None, "dest": "classify_weights",
+                               "help": "learned-gate weights JSON "
+                                       "(classify --train artifact)"},
+        "--classify-threshold": {"type": float, "default": 0.5,
+                                 "dest": "classify_threshold"},
         "--jaccard": {"type": float, "default": 0.7},
         "--neardup": {"choices": ["minhash", "simhash", "prefix"],
                       "default": "minhash"},

@@ -1107,3 +1107,36 @@ def test_cli_classify_lifecycle(spark, tmp_path, capsys):
                        "--out", str(tmp_path / "x")])
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "not found" in err["error"]
+
+
+def test_cli_dataprep_with_learned_gate(spark, tmp_path, capsys):
+    """dataprep --classify-weights: the learned gate runs after the rule
+    quality filter and its survivor count lands in the stats line."""
+    import eodd_cli
+
+    rows = (
+        [(i, "the quick brown fox jumps over a lazy dog near the river bank "
+             "while the sun sets slowly", True) for i in range(4)]
+        + [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+               "do eiusmod tempor incididunt", False) for i in range(4, 8)]
+    )
+    src = str(tmp_path / "dp_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, good boolean"
+    ).write.parquet(src)
+    wpath = str(tmp_path / "dp_w.json")
+    eodd_cli.main(["classify", "--train", src, "--weights", wpath,
+                   "--label-col", "good", "--features", "16",
+                   "--iters", "12", "--lr", "8.0", "--binary"])
+    capsys.readouterr()
+
+    out = str(tmp_path / "dp_out")
+    eodd_cli.main(["dataprep", "--infile", src, "--out", out,
+                   "--min-quality", "0.0", "--classify-weights", wpath])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_quality"] == 8
+    assert stats["after_classifier"] == 4
+    # downstream dedup stages collapse the identical positive texts; what
+    # matters here is that ONLY classifier-approved docs reach the output
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept and kept <= {0, 1, 2, 3}
