@@ -162,6 +162,13 @@ def train_quality_classifier(
             ],
             F.avg("__err").alias("gb"),
         ).first()
+        if row["gb"] is None:
+            # avg over zero rows — every document was zero-token; fail with
+            # the cause instead of a TypeError on the weight update
+            raise ValueError(
+                "train_quality_classifier: no feature rows (all documents "
+                "tokenized to zero tokens)"
+            )
         w = [w[j] - lr * row[f"g{j}"] for j in range(n_features)]
         bias -= lr * row["gb"]
     return w + [bias]

@@ -779,6 +779,11 @@ def cmd_classify(args) -> None:
     docs = spark.read.parquet(src)
 
     if args.eval_src:
+        # label precedence: explicit --label-col, else the column the
+        # artifact was TRAINED with, else the language_guess rule — so an
+        # eval without flags measures against the training contract
+        if not args.label_col and meta.get("label_col"):
+            args.label_col = meta["label_col"]
         feat = C.hashed_features(
             docs,
             meta["n_features"],
@@ -791,6 +796,9 @@ def cmd_classify(args) -> None:
         print(json.dumps({"eval_on": src, **row.asDict()}))
         return
 
+    if args.out is None:
+        print(json.dumps({"error": "--score/--gate require --out"}))
+        raise SystemExit(2)
     if args.score:
         out_df = C.score_documents(
             docs, meta["weights"], id_col=meta["id_col"],

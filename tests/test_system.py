@@ -1140,3 +1140,37 @@ def test_cli_dataprep_with_learned_gate(spark, tmp_path, capsys):
     # matters here is that ONLY classifier-approved docs reach the output
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept and kept <= {0, 1, 2, 3}
+
+
+def test_cli_classify_error_paths(spark, tmp_path, capsys):
+    """classify CLI robustness: --score without --out fails cleanly;
+    --eval without --label-col measures against the TRAINED label column
+    (the artifact's contract), not the default rule."""
+    import eodd_cli
+    import pytest as _pytest
+
+    rows = (
+        [(i, "alpha beta gamma delta words", True) for i in range(4)]
+        + [(i, "omega psi chi phi tokens", False) for i in range(4, 8)]
+    )
+    src = str(tmp_path / "cls_err_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, good boolean"
+    ).write.parquet(src)
+    wpath = str(tmp_path / "w_err.json")
+    eodd_cli.main(["classify", "--train", src, "--weights", wpath,
+                   "--label-col", "good", "--features", "16",
+                   "--iters", "12", "--lr", "8.0", "--binary"])
+    capsys.readouterr()
+
+    with _pytest.raises(SystemExit):
+        eodd_cli.main(["classify", "--score", src, "--weights", wpath])
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "--out" in err["error"]
+
+    # no --label-col: 'good' (stored in the artifact) must be used — the
+    # separable toy gives a perfect gate against it, while the default
+    # language_guess rule would label everything negative here
+    eodd_cli.main(["classify", "--eval", src, "--weights", wpath])
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ev["n_tp"] == 4 and ev["n_tn"] == 4 and ev["f1"] == 1.0
