@@ -3263,6 +3263,35 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
             .select("doc_id", "cluster_id", "is_canonical", "n_members")
         )
 
+    def classifier_build(spark, sf):
+        # train-once half: 8 GD aggregation passes over the pinned feature
+        # table; the returned weights are the persistent artifact (what the
+        # classify CLI writes as JSON)
+        from eodatadown_spark.operators.classify import (
+            hashed_features,
+            train_quality_classifier,
+        )
+        from eodatadown_spark.operators.dedup import _pin
+        from eodatadown_spark.operators.text import language_guess
+
+        docs = _t(spark, sf, "documents")
+        feat = _pin(hashed_features(
+            docs, 64, label=language_guess(F.col("text")) == "en", binary=True
+        ))
+        return train_quality_classifier(
+            docs, label=language_guess(F.col("text")) == "en",
+            n_features=64, iters=8, lr=12.0, binary=True, features=feat,
+        )
+
+    def classifier_probe(spark, sf, weights):
+        # steady-state half: score a fresh corpus with stored weights —
+        # one feature-extraction shuffle + a literal-weight projection
+        from eodatadown_spark.operators.classify import score_documents
+
+        return score_documents(
+            _t(spark, sf, "documents"), weights, binary=True
+        )
+
     return {
         "q117_incremental_minhash": (minhash_build, minhash_probe),
         "q149_incremental_phash": (phash_build, phash_probe),
@@ -3272,6 +3301,7 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
         "q156_clusters_via_stored_index": (
             stored_clusters_build, stored_clusters_probe,
         ),
+        "q167_quality_classifier": (classifier_build, classifier_probe),
     }
 
 
