@@ -44,6 +44,23 @@ from eodatadown_spark.operators.dedup import _pin
 from eodatadown_spark.operators.text import rolling_fingerprint
 
 
+def _affine(weights: Sequence[float]) -> Column:
+    """``bias + Σ_j w_j·x_j`` over the ``x{j}`` columns, folded via
+    F.aggregate in index order — numerically IDENTICAL to the left-
+    associative chain the SQL oracles spell out (``wb + w0*x0 + w1*x1 +
+    …``), but with O(1) expression depth: a chained ``+`` tree at d=1024
+    overflows the JVM analyzer stack (StackOverflowError in
+    ColumnNodeToExpressionConverter — found by the sf1.0 d=1024 run)."""
+    d = len(weights) - 1
+    xs = F.array(*[F.col(f"x{j}") for j in range(d)])
+    ws = F.array(*[F.lit(float(v)) for v in weights[:-1]])
+    return F.aggregate(
+        F.zip_with(xs, ws, lambda a, b: a * b),
+        F.lit(float(weights[-1])),
+        lambda acc, t: acc + t,
+    )
+
+
 def token_bucket(token: Column | str, n_features: int) -> Column:
     """Hashed-feature bucket of a token: the engine-portable rolling
     fingerprint (text.rolling_fingerprint — exactly reproducible in the
@@ -143,9 +160,7 @@ def train_quality_classifier(
     w = [0.0] * n_features
     bias = 0.0
     for _ in range(iters):
-        z = F.lit(bias)
-        for j in range(n_features):
-            z = z + F.lit(w[j]) * F.col(f"x{j}")
+        z = _affine(w + [bias])
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         # project the residual ONCE, then aggregate plain column refs —
         # folding the d-term sigmoid tree into each of the d+1 agg
@@ -198,9 +213,7 @@ def score_documents(
             documents, d, id_col=id_col, text_col=text_col, binary=binary
         )
     )
-    z = F.lit(weights[-1])
-    for j in range(d):
-        z = z + F.lit(weights[j]) * F.col(f"x{j}")
+    z = _affine(list(weights))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return feat.select(id_col, "n_tokens", F.round(p, round_to).alias("prob"))
 
@@ -238,10 +251,7 @@ def evaluate_gate(
     training table — pass the same frame you trained on).  One aggregation
     pass; the counts partial-aggregate map-side, the ratios are computed
     from the four counters in a final projection."""
-    d = len(weights) - 1
-    z = F.lit(weights[-1])
-    for j in range(d):
-        z = z + F.lit(weights[j]) * F.col(f"x{j}")
+    z = _affine(list(weights))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     scored = features.select(
         F.col("y"), (p >= F.lit(threshold)).alias("__pred")

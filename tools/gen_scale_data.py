@@ -96,13 +96,22 @@ def scale_tpch(con, out_dir: str, mult: int) -> None:
         )
 
 
-def gen_documents(con, out_dir: str, mult: int, seed: int = 1234) -> None:
+def gen_documents(
+    con, out_dir: str, mult: int, seed: int = 1234, stopword_rate: float = 0.0
+) -> None:
+    """``stopword_rate`` > 0 mixes English stopwords into roughly that
+    fraction of token draws for roughly half the documents (doc-dependent
+    rate) — gives rule-based labels (language_guess) signal at scale for
+    the classifier-family evidence runs, WITHOUT touching the default
+    output other sf1.0 evidence was recorded against (rate 0.0 is
+    byte-identical to the original generator)."""
     rows = con.execute(
         f"SELECT lang, source, n_chars FROM '{SRC}/documents.parquet'"
     ).fetchall()
     n_docs = len(rows) * mult
     rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(10_000)]
+    stopwords = ["the", "a", "of", "and", "to", "in", "is", "it"]
     langs = [r[0] for r in rows]
     sources = [r[1] for r in rows]
     lengths = [max(3, r[2] // 6) for r in rows]  # ~chars → words
@@ -110,7 +119,12 @@ def gen_documents(con, out_dir: str, mult: int, seed: int = 1234) -> None:
     out = []
     for i in range(n_docs):
         n_words = lengths[i % len(lengths)]
-        text = " ".join(rng.choice(vocab) for _ in range(n_words))
+        rate = stopword_rate if (stopword_rate and i % 2 == 0) else 0.0
+        text = " ".join(
+            rng.choice(stopwords) if (rate and rng.random() < rate)
+            else rng.choice(vocab)
+            for _ in range(n_words)
+        )
         out.append((i, text, langs[i % len(langs)], sources[i % len(sources)]))
     # planted duplicates: ~1% near-dups (tail edit), ~0.5% exact
     n_near, n_exact = n_docs // 100, n_docs // 200
@@ -166,10 +180,11 @@ def gen_embeddings(con, out_dir: str, mult: int, seed: int = 5678) -> None:
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaledata/sf1.0"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    sw_rate = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     scale_tpch(con, out_dir, mult)
-    gen_documents(con, out_dir, mult)
+    gen_documents(con, out_dir, mult, stopword_rate=sw_rate)
     gen_embeddings(con, out_dir, mult)
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         n = con.execute(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
