@@ -2016,6 +2016,41 @@ def q169_classifier_eval(spark, sf):
     return evaluate_gate(feat, w)
 
 
+def q170_sparse_classifier(spark, sf):
+    """The q167 classifier through the SPARSE path (classify.train_quality_
+    classifier_sparse): sorted-bucket-set features, explode+groupBy
+    gradient (d rows per pass instead of d wide agg columns), O(1)-in-d
+    plan size — measured 21x faster per training pass at d=1024 on the
+    50k-doc corpus with identical confusion counts (SCALING.md).  Same
+    hyperparameters as q167, SAME ORACLE TEXT: the two implementations
+    must agree with the one SQL replay (z is bit-identical by the
+    index-ordered-fold argument; gradients agree to float-reduction
+    tolerance, absorbed by the 4dp rounding)."""
+    from eodatadown_spark.operators.classify import (
+        hashed_feature_sets,
+        score_documents_sparse,
+        train_quality_classifier_sparse,
+    )
+    from eodatadown_spark.operators.dedup import _pin
+    from eodatadown_spark.operators.text import language_guess
+
+    docs = _t(spark, sf, "documents")
+    feat = _pin(
+        hashed_feature_sets(
+            docs, 64, label=language_guess(F.col("text")) == "en"
+        )
+    )
+    w = train_quality_classifier_sparse(
+        docs,
+        label=language_guess(F.col("text")) == "en",
+        n_features=64,
+        iters=8,
+        lr=12.0,
+        features=feat,
+    )
+    return score_documents_sparse(docs, w, features=feat)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3454,6 +3489,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q167_quality_classifier": q167_quality_classifier,
     "q168_entropy_signals": q168_entropy_signals,
     "q169_classifier_eval": q169_classifier_eval,
+    "q170_sparse_classifier": q170_sparse_classifier,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3543,9 +3579,11 @@ _R10_WINDOW = [
     # anchors — both ever-driver-green, their paths untouched this round)
     "q158_bbox_only_page", "q159_bpe_train_encode",
     "q166_line_dedup", "q167_quality_classifier", "q168_entropy_signals",
-    # anchors: every path round-10 changes touch (q10 flagship dropped —
-    # ever-green since r1 and still smoke-run every round via entry())
-    "q24_minhash_neardup", "q51_date_bbox_count",
+    "q169_classifier_eval", "q170_sparse_classifier",
+    # anchors: every path round-10 changes touch (q10/q51/q24 dropped —
+    # ever-green across up to nine rounds; q10 still smoke-runs via
+    # entry(), the facade family is covered by q158 in-window, minhash
+    # stored-index paths by q117/q150/q156)
     "q150_incremental_clusters", "q117_incremental_minhash",
     "q149_incremental_phash", "q153_ivf_stored_probe",
     "q154_incremental_simhash", "q155_sq8_stored_probe",
@@ -7082,6 +7120,8 @@ def oracle_sql() -> dict[str, str]:
                round({_qc_prob}, 4) AS prob
         FROM feat CROSS JOIN w{_QC_IT}
     """
+    # q170: the sparse implementation answers to the SAME replay as q167
+    sql["q170_sparse_classifier"] = sql["q167_quality_classifier"]
     sql["q169_classifier_eval"] = f"""
         {_qc_train_chain_sql()}, scored AS (
             SELECT y, {_qc_prob} >= 0.5 AS pred

@@ -338,6 +338,9 @@ def reference_train(
 
 __all__ = [
     "token_bucket",
+    "hashed_feature_sets",
+    "train_quality_classifier_sparse",
+    "score_documents_sparse",
     "hashed_features",
     "train_quality_classifier",
     "score_documents",
@@ -345,3 +348,133 @@ __all__ = [
     "evaluate_gate",
     "reference_train",
 ]
+
+
+def hashed_feature_sets(
+    documents: DataFrame,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label: Column | None = None,
+) -> DataFrame:
+    """Sparse twin of :func:`hashed_features` for BINARY-presence features
+    at large ``d``: one row per document with the SORTED distinct bucket
+    set as an array column (``buckets``) instead of ``d`` wide columns.
+
+    The dense form's aggregate carries ``d`` conditional-max columns —
+    codegen-bound at d≥1024 (measured 154 s at 50k docs).  Here the
+    aggregate is ``collect_set`` (narrow, d-independent) and the sort
+    makes downstream folds index-ordered, so dense and sparse dot
+    products add the SAME terms in the SAME order (absent buckets
+    contribute exactly +0.0 in the dense form — addition of 0.0 is exact,
+    so the two z values are bit-identical)."""
+    cols = [F.col(id_col).alias("id")]
+    if label is not None:
+        cols.append(label.cast("double").alias("y"))
+    toks = documents.select(*cols, F.explode(token_array(text_col)).alias("__tok"))
+    keys = ["id"] if label is None else ["id", "y"]
+    return (
+        toks.withColumn("__b", token_bucket(F.col("__tok"), n_features))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_sort(F.collect_set("__b")).alias("buckets"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def _affine_sparse(weights: Sequence[float]) -> Column:
+    """``bias + Σ_{b ∈ buckets} w_b`` as a fold over the sorted bucket
+    array with the weights as ONE array literal — expression size O(1) in
+    ``d`` (one array node), the property that makes wide models plan in
+    constant time."""
+    ws = F.array(*[F.lit(float(v)) for v in weights[:-1]])
+    return F.aggregate(
+        F.col("buckets"),
+        F.lit(float(weights[-1])),
+        lambda acc, b: acc + F.element_at(ws, (b + 1).cast("int")),
+    )
+
+
+def train_quality_classifier_sparse(
+    documents: DataFrame,
+    label: Column,
+    n_features: int = 1024,
+    iters: int = 8,
+    lr: float = 12.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    features: DataFrame | None = None,
+) -> list[float]:
+    """Large-``d`` binary-presence training: the per-pass gradient comes
+    from EXPLODING each document's bucket set and grouping on the bucket —
+    ``d`` output rows per pass, map-side combined — instead of ``d`` wide
+    aggregate columns.  Per-pass plan size is O(1) in ``d`` (the dense
+    path plans O(d) expressions, ~19 s/pass at d=1024; this path is the
+    shape that stays flat as the feature space grows).
+
+    Numerics: z is bit-identical to the dense path (same index-ordered
+    terms — see :func:`hashed_feature_sets`); the gradient sums the same
+    addends in shuffle order rather than scan order, so weights agree with
+    the dense path to float-reduction tolerance (~1e-12), not bit-for-bit.
+    Training and scoring must use the same path end-to-end.
+    """
+    feat = (
+        features
+        if features is not None
+        else _pin(
+            hashed_feature_sets(
+                documents, n_features, id_col=id_col, text_col=text_col,
+                label=label,
+            )
+        )
+    )
+    w = [0.0] * n_features
+    bias = 0.0
+    n_rows = feat.count()
+    if n_rows == 0:
+        raise ValueError(
+            "train_quality_classifier_sparse: no feature rows (all "
+            "documents tokenized to zero tokens)"
+        )
+    for _ in range(iters):
+        z = _affine_sparse(w + [bias])
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = feat.select(
+            "buckets", (p - F.col("y")).alias("__err")
+        )
+        gb = err.agg(F.avg("__err").alias("gb")).first()["gb"]
+        grad = {
+            r["__b"]: r["g"]
+            for r in err.select(
+                F.explode("buckets").alias("__b"), "__err"
+            )
+            .groupBy("__b")
+            .agg((F.sum("__err") / F.lit(float(n_rows))).alias("g"))
+            .collect()
+        }
+        w = [w[j] - lr * grad.get(j, 0.0) for j in range(n_features)]
+        bias -= lr * gb
+    return w + [bias]
+
+
+def score_documents_sparse(
+    documents: DataFrame,
+    weights: Sequence[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+    features: DataFrame | None = None,
+) -> DataFrame:
+    """Sparse-path scoring: the O(1)-plan-size fold over the bucket set.
+    z matches the dense binary path bit-for-bit given the same weights."""
+    feat = (
+        features
+        if features is not None
+        else hashed_feature_sets(
+            documents, len(weights) - 1, id_col=id_col, text_col=text_col
+        )
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_affine_sparse(list(weights))))
+    return feat.select(id_col, "n_tokens", F.round(p, round_to).alias("prob"))

@@ -2408,3 +2408,70 @@ class TestEntropySignals:
         assert r["prec"] == round(2 / 3, 4)
         assert r["rec"] == round(2 / 3, 4)
         assert r["f1"] == round(4 / 6, 4)
+
+
+class TestSparseClassifierPath:
+    """Large-d twin: sorted-bucket-set features + explode-groupBy gradient.
+    z is bit-identical to the dense binary path (index-ordered terms,
+    absent buckets contribute exactly +0.0); gradients agree to float-
+    reduction tolerance."""
+
+    ROWS = [
+        (1, "the quick brown fox jumps over the lazy dog", True),
+        (2, "lorem ipsum dolor sit amet consectetur", False),
+        (3, "the dog sleeps near the quick fox", True),
+        (4, "ipsum lorem amet dolor sit", False),
+        (5, "a quick brown dog and a lazy fox", True),
+        (6, "dolor consectetur ipsum sit lorem amet amet", False),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, good boolean"
+        )
+
+    def test_sparse_training_matches_dense_within_tolerance(self, spark):
+        from eodatadown_spark.operators.classify import (
+            train_quality_classifier,
+            train_quality_classifier_sparse,
+        )
+
+        docs = self._docs(spark)
+        dense = train_quality_classifier(
+            docs, label=F.col("good"), n_features=16, iters=6, lr=8.0,
+            binary=True,
+        )
+        sparse = train_quality_classifier_sparse(
+            docs, label=F.col("good"), n_features=16, iters=6, lr=8.0
+        )
+        assert len(dense) == len(sparse) == 17
+        for a, b in zip(dense, sparse):
+            assert abs(a - b) < 1e-9, (dense, sparse)
+
+    def test_sparse_scoring_exactly_matches_dense_given_weights(self, spark):
+        from eodatadown_spark.operators.classify import (
+            score_documents,
+            score_documents_sparse,
+            train_quality_classifier_sparse,
+        )
+
+        docs = self._docs(spark)
+        w = train_quality_classifier_sparse(
+            docs, label=F.col("good"), n_features=16, iters=6, lr=8.0
+        )
+        dense = {
+            r["doc_id"]: r["prob"]
+            for r in score_documents(docs, w, binary=True).collect()
+        }
+        sparse = {
+            r["doc_id"]: r["prob"]
+            for r in score_documents_sparse(docs, w).collect()
+        }
+        assert dense == sparse  # bit-identical z → identical rounded probs
+
+    def test_bucket_sets_are_sorted_and_distinct(self, spark):
+        from eodatadown_spark.operators.classify import hashed_feature_sets
+
+        feat = hashed_feature_sets(self._docs(spark), 16).collect()
+        for r in feat:
+            assert r["buckets"] == sorted(set(r["buckets"]))
