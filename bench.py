@@ -82,6 +82,7 @@ EXTENDED = [
     "q166_line_dedup",
     "q167_quality_classifier",
     "q168_entropy_signals",
+    "q170_sparse_classifier",
 ]
 
 
