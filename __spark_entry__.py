@@ -2051,6 +2051,29 @@ def q170_sparse_classifier(spark, sf):
     return score_documents_sparse(docs, w, features=feat)
 
 
+def q171_count_min(spark, sf):
+    """Count-Min frequency sketch (merge.build_count_min — Cormode &
+    Muthukrishnan 2005) completing the mergeable-sketch family with
+    frequency: depth×width counter state, point estimate = min over
+    salted-hash rows, ALWAYS ≥ exact.  Query: sketch the corpus token
+    stream (depth 4, width 512), probe the exact top-20 tokens, output
+    exact vs estimated counts side by side.  Oracle replays the salted
+    rolling-hash bucketing, the counter table, and the min-probe."""
+    from eodatadown_spark.operators.corpus import token_array
+    from eodatadown_spark.operators.merge import (
+        build_count_min,
+        count_min_estimate,
+    )
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(token_array("text")).alias("token"))
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("token")).limit(20)
+    cms = build_count_min(toks, "token", depth=4, width=512)
+    est = count_min_estimate(cms, top.select("token"), "token", 4, 512)
+    return top.join(est, "token").select("token", "exact_cnt", "cms_cnt")
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3490,6 +3513,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q168_entropy_signals": q168_entropy_signals,
     "q169_classifier_eval": q169_classifier_eval,
     "q170_sparse_classifier": q170_sparse_classifier,
+    "q171_count_min": q171_count_min,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3579,7 +3603,7 @@ _R10_WINDOW = [
     # anchors — both ever-driver-green, their paths untouched this round)
     "q158_bbox_only_page", "q159_bpe_train_encode",
     "q166_line_dedup", "q167_quality_classifier", "q168_entropy_signals",
-    "q169_classifier_eval", "q170_sparse_classifier",
+    "q169_classifier_eval", "q170_sparse_classifier", "q171_count_min",
     # anchors: every path round-10 changes touch (q10/q51/q24 dropped —
     # ever-green across up to nine rounds; q10 still smoke-runs via
     # entry(), the facade family is covered by q158 in-window, minhash
@@ -3588,7 +3612,7 @@ _R10_WINDOW = [
     "q149_incremental_phash", "q153_ivf_stored_probe",
     "q154_incremental_simhash", "q155_sq8_stored_probe",
     "q145_sketch_rollup",
-    "q107_semantic_dedup", "q152_positional_prefix", "q28_ngram_jaccard",
+    "q107_semantic_dedup", "q152_positional_prefix",
     "q131_prefix_jaccard",
 ]
 
@@ -7186,6 +7210,48 @@ def oracle_sql() -> dict[str, str]:
                coalesce(tke.token_entropy, CAST(0 AS DOUBLE)) AS token_entropy
         FROM documents d LEFT JOIN che USING (doc_id)
                          LEFT JOIN tke USING (doc_id)
+    """
+    # q171: CMS replayed relationally — per-occurrence salted buckets
+    # (rolling hash of '<row> <token>'), counter table, min over probed
+    # rows with absent buckets as 0.
+    sql["q171_count_min"] = """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                       '\\s+'), x -> x <> '')) AS token
+            FROM documents
+        ), exact AS (
+            SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1
+        ), top AS (
+            SELECT token, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, token LIMIT 20
+        ), hb AS (
+            SELECT i, list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(string_split(regexp_replace(
+                               CAST(i AS VARCHAR) || ' ' || token,
+                               '[^a-z0-9 ]', '', 'g'), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743) % 512 AS b
+            FROM toks CROSS JOIN range(4) r(i)
+        ), cms AS (
+            SELECT i, b, count(*) AS cnt FROM hb GROUP BY 1, 2
+        ), probe AS (
+            SELECT token, exact_cnt, i, list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(string_split(regexp_replace(
+                               CAST(i AS VARCHAR) || ' ' || token,
+                               '[^a-z0-9 ]', '', 'g'), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743) % 512 AS b
+            FROM top CROSS JOIN range(4) r(i)
+        )
+        SELECT token, exact_cnt,
+               CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_cnt
+        FROM probe LEFT JOIN cms USING (i, b)
+        GROUP BY 1, 2
     """
     # q163: winnowing replayed relationally — grams as an unnest(range)
     # position scan (same md5-prefix 60-bit hash convention as q25), window

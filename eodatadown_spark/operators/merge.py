@@ -439,7 +439,121 @@ def merge_theta_sketches(
     )
 
 
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket of ``value``: the engine-portable rolling
+    fingerprint of ``"<row> <value>"`` mod ``width`` — each sketch row is
+    the same hash family under a different salt, exactly reproducible in
+    the SQL oracles (the q45/q55 list_reduce pattern)."""
+    from eodatadown_spark.operators.text import rolling_fingerprint
+
+    return F.pmod(
+        rolling_fingerprint(
+            F.concat(F.lit(str(row)), F.lit(" "), value.cast("string"))
+        ),
+        F.lit(width),
+    )
+
+
+def build_count_min(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Count-Min sketch as a RELATIONAL state table → (group_cols...,
+    cms_row, cms_bucket, cnt): per occurrence, ``depth`` salted-hash
+    buckets increment; a point estimate is the MIN over rows of the
+    probed buckets — always an overestimate, error ≤ 2N/width with
+    probability 1−(1/2)^depth (Cormode & Muthukrishnan 2005).
+
+    Completes the mergeable-sketch family (HLL distinct / KLL quantile /
+    Theta set-algebra) with FREQUENCY: the state is depth×width counters
+    per group no matter how many distinct values stream through, merge is
+    counter addition (associative+commutative — see
+    :func:`merge_count_min`), so a catalog keeps one sketch per
+    partition/day and answers "how often did token X appear over any
+    range" by summing stored counters, never rescanning history.
+
+    Hash domain note: the portable fingerprint normalizes to lowercased
+    [a-z0-9 ] — values differing only outside that alphabet share buckets
+    (counted together).  The intended payload is tokens/ids, where the
+    normalization is identity.
+    """
+    rows = df.select(
+        *group_cols,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("cms_row"),
+                    _cms_bucket(F.col(value_col), i, width).alias("cms_bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("__rb"),
+    )
+    return (
+        rows.select(*group_cols, "__rb.cms_row", "__rb.cms_bucket")
+        .groupBy(*group_cols, "cms_row", "cms_bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_count_min(
+    stored: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge two CMS state tables by counter addition — build(A) ⊎
+    build(B) is EXACTLY build(A ∪ B) (counters are plain sums, no
+    approximation in the merge itself)."""
+    cols = [*group_cols, "cms_row", "cms_bucket", "cnt"]
+    both = stored.select(*cols).unionByName(delta.select(*cols))
+    return (
+        both.groupBy(*group_cols, "cms_row", "cms_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[value_col]`` against a CMS
+    state table (no group columns): min over the ``depth`` probed
+    counters, absent buckets counting 0 — so never-seen values estimate
+    correctly as ≥ 0 overestimates of their true 0.
+
+    The probe side is ``|probes| × depth`` rows joining a
+    depth×width-bounded state table — both tiny; AQE broadcasts the
+    sketch, the corpus is never touched.
+    """
+    pb = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("cms_row"),
+                    _cms_bucket(F.col(value_col), i, width).alias("cms_bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("__rb"),
+    ).select(value_col, "__rb.cms_row", "__rb.cms_bucket")
+    return (
+        pb.join(cms, ["cms_row", "cms_bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_cnt"))
+    )
+
+
 __all__ = [
+    "build_count_min",
+    "merge_count_min",
+    "count_min_estimate",
     "merge_into",
     "diff_snapshots",
     "maintain_rollup",

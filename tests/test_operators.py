@@ -2475,3 +2475,85 @@ class TestSparseClassifierPath:
         feat = hashed_feature_sets(self._docs(spark), 16).collect()
         for r in feat:
             assert r["buckets"] == sorted(set(r["buckets"]))
+
+
+class TestCountMinSketch:
+    """Relational Count-Min: estimates always dominate exact counts,
+    merge is exactly additive, absent values probe as bounded
+    overestimates of zero."""
+
+    def _tokens(self, spark, rows):
+        return spark.createDataFrame([(t,) for t in rows], "token string")
+
+    def test_estimate_dominates_exact(self, spark):
+        from eodatadown_spark.operators.merge import (
+            build_count_min,
+            count_min_estimate,
+        )
+
+        toks = ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 5 + ["delta"]
+        df = self._tokens(spark, toks)
+        cms = build_count_min(df, "token", depth=4, width=64)
+        probes = self._tokens(spark, ["alpha", "beta", "gamma", "delta"])
+        got = {
+            r["token"]: r["cms_cnt"]
+            for r in count_min_estimate(cms, probes, "token", 4, 64).collect()
+        }
+        import collections
+
+        exact = collections.Counter(toks)
+        for t, c in exact.items():
+            assert got[t] >= c, (t, got[t], c)
+        # with width 64 and 4 distinct values, no collisions: exact equality
+        assert got == dict(exact)
+
+    def test_merge_is_exactly_additive(self, spark):
+        from eodatadown_spark.operators.merge import (
+            build_count_min,
+            merge_count_min,
+        )
+
+        a = self._tokens(spark, ["x"] * 3 + ["y"])
+        b = self._tokens(spark, ["x"] * 2 + ["z"] * 4)
+        both = self._tokens(spark, ["x"] * 5 + ["y"] + ["z"] * 4)
+        merged = {
+            (r["cms_row"], r["cms_bucket"]): r["cnt"]
+            for r in merge_count_min(
+                build_count_min(a, "token", 4, 32),
+                build_count_min(b, "token", 4, 32),
+            ).collect()
+        }
+        full = {
+            (r["cms_row"], r["cms_bucket"]): r["cnt"]
+            for r in build_count_min(both, "token", 4, 32).collect()
+        }
+        assert merged == full
+
+    def test_absent_value_estimates_bounded(self, spark):
+        from eodatadown_spark.operators.merge import (
+            build_count_min,
+            count_min_estimate,
+        )
+
+        cms = build_count_min(self._tokens(spark, ["seen"] * 9), "token", 4, 4)
+        got = count_min_estimate(
+            cms, self._tokens(spark, ["never"]), "token", 4, 4
+        ).collect()[0]
+        # width=4 forces collisions: estimate of an absent value is an
+        # overestimate of 0, bounded by the total mass
+        assert 0 <= got["cms_cnt"] <= 9
+
+    def test_forced_collision_overestimates(self, spark):
+        from eodatadown_spark.operators.merge import (
+            build_count_min,
+            count_min_estimate,
+        )
+
+        # width=1: every value shares the single bucket per row — the
+        # estimate for anything equals the TOTAL stream size
+        df = self._tokens(spark, ["a", "b", "c", "d", "e"])
+        cms = build_count_min(df, "token", depth=2, width=1)
+        got = count_min_estimate(
+            cms, self._tokens(spark, ["a"]), "token", 2, 1
+        ).collect()[0]
+        assert got["cms_cnt"] == 5
