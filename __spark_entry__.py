@@ -2074,6 +2074,23 @@ def q171_count_min(spark, sf):
     return top.join(est, "token").select("token", "exact_cnt", "cms_cnt")
 
 
+def q172_hard_negatives(spark, sf):
+    """Hard-negative mining (similarity.hard_negatives): per query vector,
+    the top-5 most-similar corpus vectors with a DIFFERENT label — the
+    near-boundary negatives contrastive/reranker training mines (random
+    negatives teach nothing).  Label filter applies BEFORE ranking; scale
+    shape is cosine_topk's (queries broadcast, corpus never shuffles,
+    two_phase reducer fix available).  Oracle ranks the label-mismatched
+    pair set with the same deterministic tie-break."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return S.hard_negatives(emb, qs, k=5).select(
+        "query_id", "neighbor_id", "neighbor_label", "rank"
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3514,6 +3531,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q169_classifier_eval": q169_classifier_eval,
     "q170_sparse_classifier": q170_sparse_classifier,
     "q171_count_min": q171_count_min,
+    "q172_hard_negatives": q172_hard_negatives,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3604,12 +3622,13 @@ _R10_WINDOW = [
     "q158_bbox_only_page", "q159_bpe_train_encode",
     "q166_line_dedup", "q167_quality_classifier", "q168_entropy_signals",
     "q169_classifier_eval", "q170_sparse_classifier", "q171_count_min",
+    "q172_hard_negatives",
     # anchors: every path round-10 changes touch (q10/q51/q24 dropped —
     # ever-green across up to nine rounds; q10 still smoke-runs via
     # entry(), the facade family is covered by q158 in-window, minhash
     # stored-index paths by q117/q150/q156)
     "q150_incremental_clusters", "q117_incremental_minhash",
-    "q149_incremental_phash", "q153_ivf_stored_probe",
+    "q153_ivf_stored_probe",
     "q154_incremental_simhash", "q155_sq8_stored_probe",
     "q145_sketch_rollup",
     "q107_semantic_dedup", "q152_positional_prefix",
@@ -4077,6 +4096,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_unique_fp
             FROM documents GROUP BY source
+        """,
+        "q172_hard_negatives": """
+            SELECT query_id, neighbor_id, neighbor_label, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       c.label AS neighbor_label,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding, c.embedding) DESC,
+                                    c.vec_id ASC) AS rank
+                FROM embeddings q JOIN embeddings c
+                  ON q.label <> c.label AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rank <= 5
         """,
         "q23_cosine_topk": """
             SELECT query_id, neighbor_id, rank FROM (

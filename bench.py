@@ -83,6 +83,7 @@ EXTENDED = [
     "q167_quality_classifier",
     "q168_entropy_signals",
     "q170_sparse_classifier",
+    "q171_count_min",
 ]
 
 

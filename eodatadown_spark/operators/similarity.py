@@ -151,6 +151,59 @@ def cosine_topk(
     return _topk_tail(_score_pairs(c.crossJoin(q)), k, two_phase=two_phase)
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    two_phase: bool = False,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    MOST-similar corpus vectors carrying a DIFFERENT label — the negatives
+    that sit closest to the decision boundary, which contrastive and
+    reranker training pipelines mine from their corpus (easy random
+    negatives teach nothing).
+
+    Output: (query_id, neighbor_id, neighbor_label, rank, cos_sim), rank
+    1..k by (cos_sim desc, neighbor_id asc).  The label filter applies
+    BEFORE ranking — this is top-k of the label-mismatched subset, not a
+    post-filter of the overall top-k (which could return < k or empty).
+
+    Scale shape mirrors :func:`cosine_topk`: queries broadcast, corpus
+    never shuffles, ``two_phase=True`` for the few-queries-huge-corpus
+    reducer funnel.  For corpora past brute-force reach, generate
+    candidates with the LSH/IVF buckets first and apply the same
+    label-mismatch + rank tail to the shortlist.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neighbor_label"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    cand = c.crossJoin(q).where(F.col("neighbor_label") != F.col("__ql"))
+    ranked = _topk_tail(_score_pairs(cand), k, two_phase=two_phase)
+    # re-attach the neighbor label (the shared tail projects it away):
+    # broadcast the RANKED side — k×|queries| rows — against the
+    # corpus-sized label relation, never the reverse
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    return lab.join(F.broadcast(ranked), "neighbor_id").select(
+        "query_id", "neighbor_id", "neighbor_label", "rank", "cos_sim"
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [

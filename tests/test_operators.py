@@ -2557,3 +2557,46 @@ class TestCountMinSketch:
             cms, self._tokens(spark, ["a"]), "token", 2, 1
         ).collect()[0]
         assert got["cms_cnt"] == 5
+
+
+class TestHardNegatives:
+    """Hard-negative mining: top-k most-similar DIFFERENT-label vectors,
+    label filter applied before ranking."""
+
+    def _emb(self, spark):
+        rows = [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.14], "a"),   # same label — never a negative for 1
+            (3, [0.95, 0.31], "b"),   # closest different-label to 1
+            (4, [0.0, 1.0], "b"),
+            (5, [-1.0, 0.0], "c"),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+
+    def test_label_filter_before_ranking(self, spark):
+        from eodatadown_spark.operators.similarity import hard_negatives
+
+        emb = self._emb(spark)
+        q = emb.where(F.col("vec_id") == 1).select(
+            F.col("vec_id").alias("query_id"), "embedding", "label"
+        )
+        got = hard_negatives(emb, q, k=2).orderBy("rank").collect()
+        # vec 2 (same label, most similar overall) must be absent;
+        # rank 1 = vec 3, rank 2 = vec 4
+        assert [r["neighbor_id"] for r in got] == [3, 4]
+        assert all(r["neighbor_label"] != "a" for r in got)
+
+    def test_two_phase_identical(self, spark):
+        from eodatadown_spark.operators.similarity import hard_negatives
+
+        emb = self._emb(spark)
+        q = emb.select(
+            F.col("vec_id").alias("query_id"), "embedding", "label"
+        )
+        a = sorted(map(tuple, hard_negatives(emb, q, k=2).collect()))
+        b = sorted(
+            map(tuple, hard_negatives(emb, q, k=2, two_phase=True).collect())
+        )
+        assert a == b
