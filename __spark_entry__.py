@@ -2091,6 +2091,52 @@ def q172_hard_negatives(spark, sf):
     )
 
 
+def q173_cms_rollup_gate(spark, sf):
+    """CMS incremental-rollup soundness gate (merge.merge_count_min): the
+    corpus token stream split into disjoint halves, sketched separately,
+    and MERGED must equal a one-pass build COUNTER-FOR-COUNTER — CMS merge
+    is plain addition, so unlike the HLL gate (q145, tolerance-based) this
+    one is exact.  Output is one row of real numbers (counter count,
+    total mass, mismatch count) rather than an empty violation set, so a
+    dtype or logic drift cannot hide behind an empty result (the q145
+    lesson from r9)."""
+    from eodatadown_spark.operators.corpus import token_array
+    from eodatadown_spark.operators.merge import build_count_min, merge_count_min
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(token_array("text")).alias("token"))
+    half_a = toks.where(F.col("doc_id") % 2 == 0)
+    half_b = toks.where(F.col("doc_id") % 2 == 1)
+    merged = merge_count_min(
+        build_count_min(half_a, "token", depth=4, width=256),
+        build_count_min(half_b, "token", depth=4, width=256),
+    )
+    full = build_count_min(toks, "token", depth=4, width=256)
+    j = merged.withColumnRenamed("cnt", "cnt_m").join(
+        full.withColumnRenamed("cnt", "cnt_f"),
+        ["cms_row", "cms_bucket"],
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(F.when(F.col("cnt_m").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_merged"),
+        F.sum(F.when(F.col("cnt_f").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_full"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("cnt_m"), F.lit(-1))
+                != F.coalesce(F.col("cnt_f"), F.lit(-2)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+        F.sum(F.coalesce(F.col("cnt_f"), F.lit(0))).alias("total_mass"),
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3532,6 +3578,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q170_sparse_classifier": q170_sparse_classifier,
     "q171_count_min": q171_count_min,
     "q172_hard_negatives": q172_hard_negatives,
+    "q173_cms_rollup_gate": q173_cms_rollup_gate,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -7285,6 +7332,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_cnt
         FROM probe LEFT JOIN cms USING (i, b)
         GROUP BY 1, 2
+    """
+    # q173: CMS merge-vs-rebuild gate — halves' counters summed must equal
+    # the one-pass counters exactly; same salted bucketing as q171.
+    sql["q173_cms_rollup_gate"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split_regex(
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                       '\\s+'), x -> x <> '')) AS token
+            FROM documents
+        ), hb AS (
+            SELECT doc_id, i, list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(string_split(regexp_replace(
+                               CAST(i AS VARCHAR) || ' ' || token,
+                               '[^a-z0-9 ]', '', 'g'), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743) % 256 AS b
+            FROM toks CROSS JOIN range(4) r(i)
+        ), merged AS (
+            SELECT i, b, sum(cnt) AS cnt_m FROM (
+                SELECT i, b, count(*) AS cnt FROM hb
+                WHERE doc_id % 2 = 0 GROUP BY 1, 2
+                UNION ALL
+                SELECT i, b, count(*) AS cnt FROM hb
+                WHERE doc_id % 2 = 1 GROUP BY 1, 2
+            ) GROUP BY 1, 2
+        ), full_t AS (
+            SELECT i, b, count(*) AS cnt_f FROM hb GROUP BY 1, 2
+        ), j AS (
+            SELECT cnt_m, cnt_f
+            FROM merged FULL OUTER JOIN full_t USING (i, b)
+        )
+        SELECT CAST(sum(CASE WHEN cnt_m IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_merged,
+               CAST(sum(CASE WHEN cnt_f IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_full,
+               CAST(sum(CASE WHEN coalesce(cnt_m, -1) <> coalesce(cnt_f, -2)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+               CAST(sum(coalesce(cnt_f, 0)) AS BIGINT) AS total_mass
+        FROM j
     """
     # q163: winnowing replayed relationally — grams as an unnest(range)
     # position scan (same md5-prefix 60-bit hash convention as q25), window
