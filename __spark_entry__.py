@@ -2137,6 +2137,32 @@ def q173_cms_rollup_gate(spark, sf):
     )
 
 
+def q174_normalize_text(spark, sf):
+    """Pre-dedup text normalization (text.normalize_text): deterministic
+    dirt is injected into every document (leading BOM-like zero-width,
+    doubled internal spaces, trailing tab+CRLF), then normalized — every
+    row must converge back to the normalized ORIGINAL (matches=true), so
+    the query pins all seven normalization rules end-to-end.  Pure
+    codegen'd string expressions; oracle replays both the dirt injection
+    and the normalization chain."""
+    from eodatadown_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit("\u200b  ".replace("\\u200b", "\u200b")),
+        F.regexp_replace(F.col("text"), " ", "  "),
+        F.lit("\t\r\n"),
+    )
+    return docs.select(
+        "doc_id",
+        F.length(dirty).alias("n_dirty"),
+        normalize_text(dirty).alias("text_norm"),
+        (normalize_text(dirty) == normalize_text(F.col("text"))).alias(
+            "matches"
+        ),
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3579,6 +3605,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q171_count_min": q171_count_min,
     "q172_hard_negatives": q172_hard_negatives,
     "q173_cms_rollup_gate": q173_cms_rollup_gate,
+    "q174_normalize_text": q174_normalize_text,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3669,12 +3696,12 @@ _R10_WINDOW = [
     "q158_bbox_only_page", "q159_bpe_train_encode",
     "q166_line_dedup", "q167_quality_classifier", "q168_entropy_signals",
     "q169_classifier_eval", "q170_sparse_classifier", "q171_count_min",
-    "q172_hard_negatives",
+    "q172_hard_negatives", "q174_normalize_text",
     # anchors: every path round-10 changes touch (q10/q51/q24 dropped —
     # ever-green across up to nine rounds; q10 still smoke-runs via
     # entry(), the facade family is covered by q158 in-window, minhash
     # stored-index paths by q117/q150/q156)
-    "q150_incremental_clusters", "q117_incremental_minhash",
+    "q150_incremental_clusters",
     "q153_ivf_stored_probe",
     "q154_incremental_simhash", "q155_sq8_stored_probe",
     "q145_sketch_rollup",
@@ -7373,6 +7400,33 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
                CAST(sum(coalesce(cnt_f, 0)) AS BIGINT) AS total_mass
         FROM j
+    """
+
+    # q174: normalization replayed — the same dirt injection and the same
+    # seven-step chain (zero-widths, CR/LF, control chars, smart-punct
+    # translate, space/tab collapse, blank-line collapse, outer trim).
+    def _norm_sql(expr: str) -> str:
+        e = expr
+        e = ("regexp_replace(" + e
+             + ", '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g')")
+        e = "regexp_replace(" + e + ", '\\r\\n?', chr(10), 'g')"
+        e = ("regexp_replace(" + e
+             + ", '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',"
+             + " '', 'g')")
+        e = ("translate(" + e + ", '‘’“”–—', chr(39) || chr(39) || '""--')")
+        e = "regexp_replace(" + e + ", '[ \\t]+', ' ', 'g')"
+        e = ("regexp_replace(" + e
+             + ", '\\n{3,}', chr(10) || chr(10), 'g')")
+        return "regexp_replace(" + e + ", '^\\s+|\\s+$', '', 'g')"
+
+    _dirty = ("chr(8203) || '  ' || regexp_replace(text, ' ', '  ', 'g')"
+              " || chr(9) || chr(13) || chr(10)")
+    sql["q174_normalize_text"] = f"""
+        SELECT doc_id,
+               CAST(length({_dirty}) AS BIGINT) AS n_dirty,
+               {_norm_sql(_dirty)} AS text_norm,
+               {_norm_sql(_dirty)} = {_norm_sql('text')} AS matches
+        FROM documents
     """
     # q163: winnowing replayed relationally — grams as an unnest(range)
     # position scan (same md5-prefix 60-bit hash convention as q25), window

@@ -260,6 +260,32 @@ def _sorted_run_entropy(sorted_arr: Column, round_to: int) -> Column:
     )
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Deterministic text cleanup — the normalization pass a corpus runs
+    BEFORE hashing/dedup/tokenization so that invisible byte differences
+    (zero-widths, CRLF, smart quotes, control chars, whitespace runs)
+    don't split otherwise-identical content into distinct fingerprints:
+
+    1. drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM);
+    2. CRLF / lone CR → LF;
+    3. drop remaining C0/C1 control chars except tab and newline;
+    4. smart quotes → ASCII quotes, en/em dashes → hyphen (char map);
+    5. collapse space/tab runs to one space;
+    6. collapse 3+ newlines to a blank line;
+    7. trim outer whitespace.
+
+    Pure codegen'd string expressions (RE2-safe patterns, no lookaround —
+    the PII-pattern rule), exactly reproducible in the SQL oracles."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.translate(c, "‘’“”–—", "''\"\"--")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return ws_trim(c)
+
+
 def char_entropy(text: Column | str, round_to: int = 4) -> Column:
     """Character-level Shannon entropy (bits): the gibberish / encoded-blob
     quality signal corpus filters threshold on — natural prose sits ~3.5-4.5

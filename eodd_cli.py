@@ -1075,6 +1075,12 @@ def cmd_dataprep(args) -> None:
     spark = get_spark("eodd_cli")
     docs = spark.read.parquet(args.infile)
     n_in = docs.count()
+    # optional normalization FIRST: invisible byte differences must not
+    # split identical content into distinct fingerprints downstream
+    if args.normalize:
+        from eodatadown_spark.operators.text import normalize_text
+
+        docs = docs.withColumn("text", normalize_text("text"))
     # each stage is checkpointed so the per-stage counts and the final write
     # never re-run the upstream scan/filter/shuffle chain
     kept = docs.where(
@@ -1328,6 +1334,8 @@ def main(argv=None) -> int:
         "--infile": {"required": True, "help": "documents parquet (doc_id, text, ...)"},
         "--out": {"required": True},
         "--min-quality": {"type": float, "default": 0.5, "dest": "min_quality"},
+        "--normalize": {"action": "store_true",
+                        "help": "normalize_text pass before all stages"},
         "--classify-weights": {"default": None, "dest": "classify_weights",
                                "help": "learned-gate weights JSON "
                                        "(classify --train artifact)"},

@@ -2600,3 +2600,64 @@ class TestHardNegatives:
             map(tuple, hard_negatives(emb, q, k=2, two_phase=True).collect())
         )
         assert a == b
+
+
+class TestNormalizeText:
+    """Pre-dedup text normalization: invisible byte differences must not
+    split identical content into distinct fingerprints."""
+
+    def _norm(self, spark, texts):
+        from eodatadown_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        return [
+            r["n"]
+            for r in df.orderBy("i")
+            .select(normalize_text("text").alias("n"))
+            .collect()
+        ]
+
+    def test_invisible_variants_converge(self, spark):
+        base = "hello world"
+        variants = [
+            base,
+            "hello​ world",          # zero-width space
+            "hello  world",                # double space
+            "hello\tworld",                # tab
+            "﻿hello world  ",         # BOM + trailing
+            "hello world\r\n",             # CRLF tail (trimmed)
+        ]
+        got = self._norm(spark, variants)
+        assert all(n == base for n in got), got
+
+    def test_crlf_and_control_chars(self, spark):
+        got = self._norm(spark, ["a\r\nb\rc", "a\x00b\x07c", "a\n\n\n\n\nb"])
+        assert got[0] == "a\nb\nc"
+        assert got[1] == "abc"
+        assert got[2] == "a\n\nb"
+
+    def test_smart_punctuation_mapped(self, spark):
+        got = self._norm(spark, ["‘x’ “y” – z — w"])
+        assert got[0] == "'x' \"y\" - z - w"
+
+    def test_fingerprint_convergence_composes(self, spark):
+        # the point of the stage: normalize-then-fingerprint collapses the
+        # invisible variants to ONE hash
+        from eodatadown_spark.operators.text import (
+            normalize_text,
+            rolling_fingerprint,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "the same doc"), (2, "the​  same\tdoc\r\n")],
+            "i long, text string",
+        )
+        fps = {
+            r["fp"]
+            for r in df.select(
+                rolling_fingerprint(normalize_text("text")).alias("fp")
+            ).collect()
+        }
+        assert len(fps) == 1

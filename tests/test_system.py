@@ -1174,3 +1174,28 @@ def test_cli_classify_error_paths(spark, tmp_path, capsys):
     eodd_cli.main(["classify", "--eval", src, "--weights", wpath])
     ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ev["n_tp"] == 4 and ev["n_tn"] == 4 and ev["f1"] == 1.0
+
+
+def test_cli_dataprep_normalize_collapses_invisible_dups(spark, tmp_path, capsys):
+    """--normalize: two docs identical modulo invisible dirt (zero-width,
+    CRLF, doubled spaces) must collapse to ONE in exact dedup — without
+    the flag they survive as distinct fingerprints."""
+    import eodd_cli
+
+    rows = [
+        (1, "an identical document body with plenty of words to pass"),
+        (2, "an​ identical  document body with plenty of words to pass\r\n"),
+    ]
+    src = str(tmp_path / "nz_docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out1 = str(tmp_path / "nz_out1")
+    eodd_cli.main(["dataprep", "--infile", src, "--out", out1,
+                   "--min-quality", "0.0"])
+    no_norm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out2 = str(tmp_path / "nz_out2")
+    eodd_cli.main(["dataprep", "--infile", src, "--out", out2,
+                   "--min-quality", "0.0", "--normalize"])
+    norm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert no_norm["after_exact_dedup"] == 2
+    assert norm["after_exact_dedup"] == 1
