@@ -84,6 +84,9 @@ EXTENDED = [
     "q168_entropy_signals",
     "q170_sparse_classifier",
     "q171_count_min",
+    "q172_hard_negatives",
+    "q173_cms_rollup_gate",
+    "q174_normalize_text",
 ]
 
 

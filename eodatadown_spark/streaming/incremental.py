@@ -568,3 +568,67 @@ def stream_classify_score(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_count_min_batch(
+    catalog,
+    batch: DataFrame,
+    value_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+    cms_table: str = "cms_counters",
+) -> dict:
+    """Fold ONE value batch into a stored Count-Min state table: sketch
+    the batch (merge.build_count_min), then counter-ADD it into the
+    catalog table through ``replace_derived`` — the base-checked OCC flip,
+    so concurrent appliers serialize and no fold is lost (the same commit
+    discipline as the dedup folds).  The batch sketch is pinned before
+    the OCC loop: a conflict retry re-reads stored state but never
+    re-scans the batch.  Returns {"batch_mass": ..., "table_counters": ...}.
+    """
+    from eodatadown_spark.operators.dedup import _pin
+    from eodatadown_spark.operators.merge import build_count_min, merge_count_min
+
+    delta = _pin(build_count_min(batch, value_col, depth=depth, width=width))
+
+    def _fold(current: DataFrame) -> DataFrame:
+        return merge_count_min(current, delta)
+
+    if catalog.exists(cms_table):
+        catalog.replace_derived(cms_table, _fold, partition=False)
+    else:
+        catalog.write(delta, cms_table, partition=False)
+    stored = catalog.read(cms_table)
+    mass = delta.agg(F.sum("cnt").alias("m")).first()["m"]
+    return {"batch_mass": int(mass), "table_counters": stored.count()}
+
+
+def stream_count_min_apply(
+    catalog,
+    stream_values: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **batch_kwargs,
+):
+    """Continuous frequency-sketch maintenance as Structured Streaming:
+    each micro-batch counter-adds into the stored CMS through
+    :func:`apply_count_min_batch`.  Because CMS merge is EXACT addition,
+    the drained stream's state equals a one-pass build over everything
+    that flowed through — the test pins that equality, counter for
+    counter.  Micro-batches run serially (one foreachBatch at a time);
+    replays re-add a batch only if the sink commit lands without the
+    checkpoint advancing, the same at-least-once caveat as any
+    aggregation-to-external-store sink — replace_derived's OCC makes the
+    commit itself race-safe, and availableNow catch-up runs converge."""
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        apply_count_min_batch(catalog, batch_df, **batch_kwargs)
+
+    writer = stream_values.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

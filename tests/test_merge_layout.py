@@ -1706,3 +1706,47 @@ class TestStreamClassifyScore:
         again = spark.read.parquet(out).collect()
         assert len(again) == 3
         assert {r["doc_id"]: r["prob"] for r in again} == want
+
+
+class TestStreamCountMinApply:
+    def test_streamed_sketch_equals_one_pass_build(self, spark, tmp_path):
+        """Two micro-batches counter-added into the stored CMS must equal
+        a one-pass build over the union, counter for counter (CMS merge is
+        exact addition — no tolerance)."""
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.operators.merge import build_count_min
+        from eodatadown_spark.streaming.incremental import stream_count_min_apply
+
+        schema = "token string"
+        b1 = [("alpha",)] * 4 + [("beta",)] * 2
+        b2 = [("alpha",)] * 3 + [("gamma",)] * 5
+        feed = str(tmp_path / "cms_feed")
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(feed)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append").parquet(feed)
+        cat = ParquetCatalog(spark, str(tmp_path / "cms_cat"))
+
+        q = stream_count_min_apply(
+            cat,
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(feed),
+            checkpoint_dir=str(tmp_path / "cms_ckpt"),
+            depth=3,
+            width=32,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+        stored = {
+            (r["cms_row"], r["cms_bucket"]): r["cnt"]
+            for r in cat.read("cms_counters").collect()
+        }
+        full = {
+            (r["cms_row"], r["cms_bucket"]): r["cnt"]
+            for r in build_count_min(
+                spark.createDataFrame(b1 + b2, schema), "token", 3, 32
+            ).collect()
+        }
+        assert stored == full
