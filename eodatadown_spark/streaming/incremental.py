@@ -577,6 +577,7 @@ def apply_count_min_batch(
     depth: int = 4,
     width: int = 512,
     cms_table: str = "cms_counters",
+    batch_id: int | None = None,
 ) -> dict:
     """Fold ONE value batch into a stored Count-Min state table: sketch
     the batch (merge.build_count_min), then counter-ADD it into the
@@ -584,23 +585,58 @@ def apply_count_min_batch(
     so concurrent appliers serialize and no fold is lost (the same commit
     discipline as the dedup folds).  The batch sketch is pinned before
     the OCC loop: a conflict retry re-reads stored state but never
-    re-scans the batch.  Returns {"batch_mass": ..., "table_counters": ...}.
+    re-scans the batch.
+
+    REPLAY IDEMPOTENCE: counter addition is not naturally idempotent (a
+    replayed batch would double-add), so when ``batch_id`` is given a
+    SENTINEL row (``cms_row = -1, cms_bucket = batch_id``) commits in the
+    SAME replace_derived flip as the fold — a replay sees its sentinel in
+    the current state and returns it unchanged.  Sentinels live outside
+    the probe rows (estimates only ever read cms_row 0..depth−1).
+
+    Bootstrap contract: first-ever table creation is single-writer (like
+    ``dedupindex --build``) — concurrent creators race last-writer-wins;
+    streaming micro-batches run serially, so the stream itself is safe.
+
+    Returns {"batch_mass": ..., "table_counters": ..., "applied": bool}.
     """
     from eodatadown_spark.operators.dedup import _pin
     from eodatadown_spark.operators.merge import build_count_min, merge_count_min
 
     delta = _pin(build_count_min(batch, value_col, depth=depth, width=width))
+    spark = batch.sparkSession
+    sentinel = (
+        None
+        if batch_id is None
+        else spark.createDataFrame(
+            [(-1, int(batch_id), 1)], "cms_row int, cms_bucket bigint, cnt long"
+        )
+    )
+    applied = {"v": True}
 
     def _fold(current: DataFrame) -> DataFrame:
-        return merge_count_min(current, delta)
+        if sentinel is not None and current.where(
+            (F.col("cms_row") == -1) & (F.col("cms_bucket") == int(batch_id))
+        ).take(1):
+            applied["v"] = False
+            return current
+        merged = merge_count_min(current, delta)
+        return merged.unionByName(sentinel) if sentinel is not None else merged
 
     if catalog.exists(cms_table):
         catalog.replace_derived(cms_table, _fold, partition=False)
     else:
-        catalog.write(delta, cms_table, partition=False)
-    stored = catalog.read(cms_table)
+        first = (
+            delta.unionByName(sentinel) if sentinel is not None else delta
+        )
+        catalog.write(first, cms_table, partition=False)
+    stored = catalog.read(cms_table).where(F.col("cms_row") >= 0)
     mass = delta.agg(F.sum("cnt").alias("m")).first()["m"]
-    return {"batch_mass": int(mass), "table_counters": stored.count()}
+    return {
+        "batch_mass": int(mass),
+        "table_counters": stored.count(),
+        "applied": applied["v"],
+    }
 
 
 def stream_count_min_apply(
@@ -615,16 +651,17 @@ def stream_count_min_apply(
     :func:`apply_count_min_batch`.  Because CMS merge is EXACT addition,
     the drained stream's state equals a one-pass build over everything
     that flowed through — the test pins that equality, counter for
-    counter.  Micro-batches run serially (one foreachBatch at a time);
-    replays re-add a batch only if the sink commit lands without the
-    checkpoint advancing, the same at-least-once caveat as any
-    aggregation-to-external-store sink — replace_derived's OCC makes the
-    commit itself race-safe, and availableNow catch-up runs converge."""
+    counter.  Micro-batches run serially (one foreachBatch at a time),
+    and the per-batch sentinel (apply_count_min_batch's batch_id) makes
+    replays no-ops, so at-least-once delivery converges exactly-once in
+    effect — the stream_neardup_apply contract."""
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        apply_count_min_batch(catalog, batch_df, **batch_kwargs)
+        apply_count_min_batch(
+            catalog, batch_df, batch_id=batch_id, **batch_kwargs
+        )
 
     writer = stream_values.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

@@ -1739,14 +1739,35 @@ class TestStreamCountMinApply:
         finally:
             q.stop()
 
-        stored = {
-            (r["cms_row"], r["cms_bucket"]): r["cnt"]
-            for r in cat.read("cms_counters").collect()
-        }
+        def counters():
+            return {
+                (r["cms_row"], r["cms_bucket"]): r["cnt"]
+                for r in cat.read("cms_counters")
+                .where("cms_row >= 0")
+                .collect()
+            }
+
         full = {
             (r["cms_row"], r["cms_bucket"]): r["cnt"]
             for r in build_count_min(
                 spark.createDataFrame(b1 + b2, schema), "token", 3, 32
             ).collect()
         }
-        assert stored == full
+        assert counters() == full
+
+        # worst-case FULL replay (fresh checkpoint): the per-batch
+        # sentinels make every re-delivered batch a no-op — counters
+        # unchanged, no double-add
+        q2 = stream_count_min_apply(
+            cat,
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(feed),
+            checkpoint_dir=str(tmp_path / "cms_ckpt2"),
+            depth=3,
+            width=32,
+        )
+        try:
+            q2.awaitTermination(180)
+        finally:
+            q2.stop()
+        assert counters() == full
