@@ -18,12 +18,16 @@ Scale shape (the reason this is written as aggregations, not MLlib):
   exactly d+1 doubles (never rows), updates weights, and re-broadcasts them
   as literals in the next pass's expressions.  T iterations = T scans of a
   narrow cached table; nothing grows with corpus size except the scan.
-- Scoring is a pure projection (zero shuffle) — the weights are constants.
+- Scoring is one feature-extraction shuffle plus a literal-weight
+  projection; given a prebuilt feature table it is a pure projection.
 
-The classifier is deliberately small (d hashed buckets, default 8): the
-point is the TRAINING LOOP as a first-class, oracle-checkable engine
-operator.  A production run raises ``n_features`` (the plan shape is
-unchanged — d more agg columns) and feeds a real trusted/crawl label.
+Two feature/training shapes share the math: the DENSE path (d wide
+columns — right for small d, and the one the SQL oracles replay term for
+term) and the SPARSE path (sorted bucket-set arrays, explode+groupBy
+gradients — O(1)-in-d plan size, measured 21x faster per pass at d=1024;
+see hashed_feature_sets/train_quality_classifier_sparse).  z is
+bit-identical across the two by construction.  A production run raises
+``n_features`` on the sparse path and feeds a real trusted/crawl label.
 
 Reference crosswalk: the reference has no learned ranking anywhere — its
 quality gates are hand rules (cloud-cover thresholds,
