@@ -625,6 +625,32 @@ def cmd_corpusstats(args) -> None:
     print(json.dumps({"kl_by_group": kl}))
     print(json.dumps({"length_histogram": hist}))
     print(json.dumps({"top_tokens": top}))
+    # optional: Count-Min cross-check of the exact heavy hitters — the
+    # sketch a 100 TB run would consult INSTEAD of the exact pass; here
+    # both are printed so estimate drift is visible (est >= exact always)
+    if args.heavy_hitters:
+        from eodatadown_spark.operators.corpus import token_array
+        from eodatadown_spark.operators.merge import (
+            build_count_min,
+            count_min_estimate,
+        )
+
+        toks = docs.select(F.explode(token_array("text")).alias("token"))
+        exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+        top_n = exact.orderBy(
+            F.col("exact_cnt").desc(), F.col("token")
+        ).limit(args.heavy_hitters)
+        cms = build_count_min(toks, "token", depth=4, width=args.cms_width)
+        est = count_min_estimate(
+            cms, top_n.select("token"), "token", 4, args.cms_width
+        )
+        hh = [
+            r.asDict()
+            for r in top_n.join(est, "token")
+            .orderBy(F.col("exact_cnt").desc(), F.col("token"))
+            .collect()
+        ]
+        print(json.dumps({"heavy_hitters": hh}))
 
 
 def cmd_bucketize(args) -> None:
@@ -1439,6 +1465,10 @@ def main(argv=None) -> int:
     sp.add_argument("--infile", required=True)
     sp.add_argument("--topk", type=int, default=5)
     sp.add_argument("--len-col", default="n_chars", dest="len_col")
+    sp.add_argument("--heavy-hitters", type=int, default=0,
+                    dest="heavy_hitters",
+                    help="also print top-N exact vs Count-Min estimates")
+    sp.add_argument("--cms-width", type=int, default=512, dest="cms_width")
     sp.set_defaults(fn=cmd_corpusstats)
 
     args = p.parse_args(argv)

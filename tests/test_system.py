@@ -1199,3 +1199,19 @@ def test_cli_dataprep_normalize_collapses_invisible_dups(spark, tmp_path, capsys
     norm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert no_norm["after_exact_dedup"] == 2
     assert norm["after_exact_dedup"] == 1
+
+
+def test_cli_corpusstats_heavy_hitters(spark, tmp_path, capsys):
+    """--heavy-hitters: exact top-N rides next to its Count-Min estimate,
+    estimates dominating exact counts."""
+    import eodd_cli
+
+    rows = [(i, "alpha " * 5 + "beta " + "gamma", "en") for i in range(6)]
+    src = str(tmp_path / "hh_docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    eodd_cli.main(["corpusstats", "--infile", src, "--heavy-hitters", "3"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    hh = [d for d in lines if "heavy_hitters" in d][0]["heavy_hitters"]
+    assert [h["token"] for h in hh] == ["alpha", "beta", "gamma"]
+    assert all(h["cms_cnt"] >= h["exact_cnt"] for h in hh)
+    assert hh[0]["exact_cnt"] == 30
