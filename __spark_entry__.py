@@ -7332,27 +7332,30 @@ def oracle_sql() -> dict[str, str]:
         ), top AS (
             SELECT token, exact_cnt FROM exact
             ORDER BY exact_cnt DESC, token LIMIT 20
-        ), hb AS (
-            SELECT i, list_reduce(
+        ), th AS (
+            SELECT token, list_reduce(
                        list_prepend(CAST(0 AS BIGINT), list_transform(
                            list_filter(string_split(regexp_replace(
-                               CAST(i AS VARCHAR) || ' ' || token,
-                               '[^a-z0-9 ]', '', 'g'), ''),
+                               token, '[^a-z0-9 ]', '', 'g'), ''),
                                ch -> ch <> ''),
                            ch -> CAST(ord(ch) AS BIGINT))),
-                       (acc, c) -> (acc * 31 + c) % 2038074743) % 512 AS b
-            FROM toks CROSS JOIN range(4) r(i)
+                       (acc, c) -> (acc * 31 + c) % 2038074743) AS h
+            FROM toks
+        ), hb AS (
+            SELECT i, ((2*i + 1) * h + i * 1000003) % 2038074743 % 512 AS b
+            FROM th CROSS JOIN range(4) r(i)
         ), cms AS (
             SELECT i, b, count(*) AS cnt FROM hb GROUP BY 1, 2
         ), probe AS (
-            SELECT token, exact_cnt, i, list_reduce(
+            SELECT token, exact_cnt, i,
+                   ((2*i + 1) * list_reduce(
                        list_prepend(CAST(0 AS BIGINT), list_transform(
                            list_filter(string_split(regexp_replace(
-                               CAST(i AS VARCHAR) || ' ' || token,
-                               '[^a-z0-9 ]', '', 'g'), ''),
+                               token, '[^a-z0-9 ]', '', 'g'), ''),
                                ch -> ch <> ''),
                            ch -> CAST(ord(ch) AS BIGINT))),
-                       (acc, c) -> (acc * 31 + c) % 2038074743) % 512 AS b
+                       (acc, c) -> (acc * 31 + c) % 2038074743)
+                    + i * 1000003) % 2038074743 % 512 AS b
             FROM top CROSS JOIN range(4) r(i)
         )
         SELECT token, exact_cnt,
@@ -7368,16 +7371,19 @@ def oracle_sql() -> dict[str, str]:
                        lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
                        '\\s+'), x -> x <> '')) AS token
             FROM documents
-        ), hb AS (
-            SELECT doc_id, i, list_reduce(
+        ), th AS (
+            SELECT doc_id, list_reduce(
                        list_prepend(CAST(0 AS BIGINT), list_transform(
                            list_filter(string_split(regexp_replace(
-                               CAST(i AS VARCHAR) || ' ' || token,
-                               '[^a-z0-9 ]', '', 'g'), ''),
+                               token, '[^a-z0-9 ]', '', 'g'), ''),
                                ch -> ch <> ''),
                            ch -> CAST(ord(ch) AS BIGINT))),
-                       (acc, c) -> (acc * 31 + c) % 2038074743) % 256 AS b
-            FROM toks CROSS JOIN range(4) r(i)
+                       (acc, c) -> (acc * 31 + c) % 2038074743) AS h
+            FROM toks
+        ), hb AS (
+            SELECT doc_id, i,
+                   ((2*i + 1) * h + i * 1000003) % 2038074743 % 256 AS b
+            FROM th CROSS JOIN range(4) r(i)
         ), merged AS (
             SELECT i, b, sum(cnt) AS cnt_m FROM (
                 SELECT i, b, count(*) AS cnt FROM hb

@@ -439,18 +439,35 @@ def merge_theta_sketches(
     )
 
 
-def _cms_bucket(value: Column, row: int, width: int) -> Column:
-    """Row-``row`` bucket of ``value``: the engine-portable rolling
-    fingerprint of ``"<row> <value>"`` mod ``width`` — each sketch row is
-    the same hash family under a different salt, exactly reproducible in
-    the SQL oracles (the q45/q55 list_reduce pattern)."""
-    from eodatadown_spark.operators.text import rolling_fingerprint
+_CMS_SALT = 1000003  # odd, coprime to the rolling prime
+
+
+def _cms_bucket(h: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket from a PRECOMPUTED portable fingerprint ``h``:
+    an AFFINE family — ``((2·row+1)·h + row·salt) mod p mod width`` — the
+    standard CMS construction (row hashes derived from one base hash).
+    One char-fold per value total, instead of ``depth`` re-hashes of a
+    salted string: at corpus scale the fold IS the sketch build cost, so
+    this is a ``depth``× hashing saving.  Callers materialize ``h`` at
+    its own projection boundary (the higher-order re-eval trap) via
+    :func:`_cms_hashed`.  Exactly reproducible in the SQL oracles (one
+    list_reduce + integer arithmetic)."""
+    from eodatadown_spark.operators.text import ROLLING_PRIME
 
     return F.pmod(
-        rolling_fingerprint(
-            F.concat(F.lit(str(row)), F.lit(" "), value.cast("string"))
+        F.pmod(
+            h * F.lit(2 * row + 1) + F.lit(row * _CMS_SALT),
+            F.lit(ROLLING_PRIME),
         ),
         F.lit(width),
+    )
+
+
+def _cms_hashed(df: DataFrame, value_col: str, keep: Sequence[str]) -> DataFrame:
+    from eodatadown_spark.operators.text import rolling_fingerprint
+
+    return df.select(
+        *keep, rolling_fingerprint(F.col(value_col).cast("string")).alias("__h")
     )
 
 
@@ -480,13 +497,14 @@ def build_count_min(
     (counted together).  The intended payload is tokens/ids, where the
     normalization is identity.
     """
-    rows = df.select(
+    hashed = _cms_hashed(df, value_col, list(group_cols))
+    rows = hashed.select(
         *group_cols,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("cms_row"),
-                    _cms_bucket(F.col(value_col), i, width).alias("cms_bucket"),
+                    _cms_bucket(F.col("__h"), i, width).alias("cms_bucket"),
                 )
                 for i in range(depth)
             ])
@@ -531,13 +549,13 @@ def count_min_estimate(
     depth×width-bounded state table — both tiny; AQE broadcasts the
     sketch, the corpus is never touched.
     """
-    pb = probes.select(
+    pb = _cms_hashed(probes, value_col, [value_col]).select(
         F.col(value_col),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("cms_row"),
-                    _cms_bucket(F.col(value_col), i, width).alias("cms_bucket"),
+                    _cms_bucket(F.col("__h"), i, width).alias("cms_bucket"),
                 )
                 for i in range(depth)
             ])
