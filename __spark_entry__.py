@@ -2163,6 +2163,54 @@ def q174_normalize_text(spark, sf):
     )
 
 
+def q175_template_strip(spark, sf):
+    """Per-source template-header stripping (corpus.strip_template_prefix):
+    a deterministic '[<source> header] ' banner is stamped on every doc
+    (the scraped-site template shape), then removed via the group-LCP
+    min/max trick — ONE min/max aggregation per source, never pairwise;
+    the prefix table is source-count rows and broadcasts.  Singleton
+    sources keep their text (gate min_docs=2).  Oracle replays the
+    stamping, the extremes, the LCP scan, and the gated substring."""
+    from eodatadown_spark.operators.corpus import strip_template_prefix
+
+    docs = _t(spark, sf, "documents")
+    templated = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("["), F.col("source"), F.lit(" header] "), F.col("text")
+        ).alias("text"),
+    )
+    return strip_template_prefix(templated)
+
+
+def q176_containment_pairs(spark, sf):
+    """Asymmetric containment dedup (dedup.shingle_containment_pairs —
+    Broder's second resemblance measure): snippet docs are synthesized as
+    the first-12-token prefixes of doc_id<40 originals, so their shingle
+    sets are strict subsets — containment 1.0 where Jaccard is ~0.1 and
+    Jaccard-banded LSH is structurally blind.  Same inverted-index
+    skeleton as q28; candidate volume bounded by the optional max_df cap
+    at corpus scale.  Oracle recomputes set containment with list
+    algebra over the union frame."""
+    from eodatadown_spark.operators.corpus import token_array
+    from eodatadown_spark.operators.dedup import shingle_containment_pairs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    snippets = (
+        docs.where(F.col("doc_id") < 40)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.array_join(F.slice(token_array("text"), 1, 12), " ").alias(
+                "text"
+            ),
+        )
+    )
+    return shingle_containment_pairs(
+        docs.unionByName(snippets), threshold=0.9
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3606,6 +3654,8 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q172_hard_negatives": q172_hard_negatives,
     "q173_cms_rollup_gate": q173_cms_rollup_gate,
     "q174_normalize_text": q174_normalize_text,
+    "q175_template_strip": q175_template_strip,
+    "q176_containment_pairs": q176_containment_pairs,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3697,6 +3747,7 @@ _R10_WINDOW = [
     "q166_line_dedup", "q167_quality_classifier", "q168_entropy_signals",
     "q169_classifier_eval", "q170_sparse_classifier", "q171_count_min",
     "q172_hard_negatives", "q174_normalize_text",
+    "q175_template_strip", "q176_containment_pairs",
     # anchors: every path round-10 changes touch (q10/q51/q24 dropped —
     # ever-green across up to nine rounds; q10 still smoke-runs via
     # entry(), the facade family is covered by q158 in-window, minhash
@@ -3704,9 +3755,7 @@ _R10_WINDOW = [
     "q150_incremental_clusters",
     "q153_ivf_stored_probe",
     "q154_incremental_simhash", "q155_sq8_stored_probe",
-    "q145_sketch_rollup",
-    "q107_semantic_dedup", "q152_positional_prefix",
-    "q131_prefix_jaccard",
+    "q145_sketch_rollup", "q152_positional_prefix",
 ]
 
 # window entries first (the driver checks the leading 50), then the rest —
@@ -7433,6 +7482,70 @@ def oracle_sql() -> dict[str, str]:
                {_norm_sql(_dirty)} AS text_norm,
                {_norm_sql(_dirty)} = {_norm_sql('text')} AS matches
         FROM documents
+    """
+    # q175: template stripping replayed — stamped banner, min/max extremes,
+    # LCP scan over range(0, bound+1), gated substring tail.
+    sql["q175_template_strip"] = """
+        WITH tpl AS (
+            SELECT doc_id, source,
+                   '[' || source || ' header] ' || text AS text
+            FROM documents
+        ), ext AS (
+            SELECT source, min(text) AS lo, max(text) AS hi,
+                   count(*) AS n_docs
+            FROM tpl GROUP BY 1
+        ), lcp AS (
+            SELECT source, n_docs,
+                   list_max(list_transform(
+                       range(0, least(length(lo), length(hi)) + 1),
+                       k -> CASE WHEN substr(lo, 1, CAST(k AS INT))
+                                      = substr(hi, 1, CAST(k AS INT))
+                                 THEN k ELSE 0 END)) AS prefix_len
+            FROM ext
+        )
+        SELECT t.doc_id, t.source,
+               CAST(CASE WHEN n_docs >= 2 THEN prefix_len ELSE 0 END AS INT)
+                   AS stripped_len,
+               substr(t.text,
+                      CAST(CASE WHEN n_docs >= 2 THEN prefix_len ELSE 0 END
+                           AS INT) + 1) AS text
+        FROM tpl t JOIN lcp USING (source)
+    """
+    # q176: containment over the doc∪snippet frame — q28's shingle CTE,
+    # denominator least(|A|,|B|) instead of the union size.
+    sql["q176_containment_pairs"] = """
+        WITH uni AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id,
+                   array_to_string((list_filter(string_split_regex(
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                       '\\s+'), x -> x <> ''))[1:12], ' ') AS text
+            FROM documents WHERE doc_id < 40
+        ), sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE [array_to_string(toks, ' ')] END
+                   ) AS shingles
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                           regexp_replace(lower(text), '^\\s+|\\s+$',
+                                          '', 'g'),
+                           '\\s+') AS toks
+                FROM uni
+            )
+        ), pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                       / least(len(a.shingles), len(b.shingles)) AS c
+            FROM sh a JOIN sh b ON a.id < b.id
+        )
+        SELECT id_a, id_b, round(c, 4) AS containment
+        FROM pairs WHERE c >= 0.9
     """
     # q163: winnowing replayed relationally — grams as an unnest(range)
     # position scan (same md5-prefix 60-bit hash convention as q25), window

@@ -87,6 +87,8 @@ EXTENDED = [
     "q172_hard_negatives",
     "q173_cms_rollup_gate",
     "q174_normalize_text",
+    "q175_template_strip",
+    "q176_containment_pairs",
 ]
 
 

@@ -1464,7 +1464,79 @@ def line_dedup(
     )
 
 
+def group_common_prefix(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest common prefix of ALL texts in each group → (group_col,
+    n_docs, prefix_len, prefix) — the shared template header a scraped
+    source stamps on every page.
+
+    Relational trick: the LCP of a whole group equals the LCP of its
+    lexicographic MIN and MAX alone (any divergence from the common
+    prefix shows up in the extremes first), so the scan is ONE min/max
+    aggregation — never pairwise, never a fold over all docs.  The
+    per-group LCP scan is O(L²) on exactly two strings per group, done on
+    group-count rows (dozens), not corpus rows.
+    """
+    agg = documents.groupBy(group_col).agg(
+        F.min(text_col).alias("__lo"),
+        F.max(text_col).alias("__hi"),
+        F.count("*").alias("n_docs"),
+    )
+    bound = F.least(F.length("__lo"), F.length("__hi"))
+    lcp = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), bound),
+            lambda k: F.when(
+                F.substring(F.col("__lo"), F.lit(1), k)
+                == F.substring(F.col("__hi"), F.lit(1), k),
+                k,
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        lcp.cast("int").alias("prefix_len"),
+        F.substring(F.col("__lo"), F.lit(1), lcp.cast("int")).alias("prefix"),
+    )
+
+
+def strip_template_prefix(
+    documents: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Strip each group's shared template header (group_common_prefix)
+    from every document — the per-source boilerplate removal a crawl
+    pipeline runs before dedup (shared headers otherwise dominate shingle
+    sets and glue unrelated pages into near-dup clusters).
+
+    Groups with fewer than ``min_docs`` documents keep their text intact
+    (a singleton's "common prefix" is the whole document).  The prefix
+    table is group-count rows — broadcast by construction.
+    """
+    prefixes = group_common_prefix(documents, group_col, text_col)
+    gated = prefixes.select(
+        group_col,
+        F.when(F.col("n_docs") >= min_docs, F.col("prefix_len"))
+        .otherwise(F.lit(0))
+        .alias("__strip"),
+    )
+    return documents.join(F.broadcast(gated), group_col).select(
+        *[c for c in documents.columns if c != text_col],
+        F.expr(f"substring({text_col}, __strip + 1)").alias(text_col),
+        F.col("__strip").alias("stripped_len"),
+    )
+
+
 __all__ = [
+    "group_common_prefix",
+    "strip_template_prefix",
     "line_dedup",
     "bm25_scores",
     "pmi_cooccurrence",

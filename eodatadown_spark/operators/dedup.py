@@ -854,6 +854,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    materialize: str = "auto",
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup (Broder 1997's second resemblance
+    measure): ``c = |A∩B| / min(|A|, |B|)`` over word-``k``-shingle sets —
+    flags a snippet fully contained in a larger document, which symmetric
+    Jaccard (and Jaccard-tuned LSH banding, whose collision odds TRACK
+    Jaccard) structurally under-score: a 12-token quote inside a
+    400-token page has Jaccard ≈ 0.03 but containment 1.0.  The
+    quote/subset-dup detector a pipeline runs alongside near-dup.
+
+    Same inverted-index skeleton as :func:`ngram_jaccard_pairs` (one row
+    per SHARED shingle → count per pair → two size joins; shingles ride
+    as 62-bit hashes).  ``max_df`` drops shingles indexed by more than
+    that many docs from the CANDIDATE enumeration — the boilerplate cap
+    that bounds Σ df² at corpus scale; a true pair is then missed only if
+    EVERY shared shingle is corpus-hot (the same contract as
+    ngram_novelty's cap).  Intersection counts still come from the capped
+    index, so reported containment is exact whenever at least the pair's
+    rare shingles survive and ≥ threshold filtering is applied to the
+    capped estimate (a LOWER bound — the safe direction for a dedup gate:
+    capping can only under-flag, never false-positive).
+    """
+    base = _pin_mode(
+        shingle_hash_table(documents, id_col, text_col, k, distinct=True),
+        materialize,
+    )
+    sizes = base.select("id", F.size("hashes").alias("sz"))
+    inv = base.select("id", F.explode("hashes").alias("sh"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("sh")
+        )
+        inv = inv.join(hot, "sh", "left_anti")
+    inter = (
+        inv.alias("l")
+        .join(inv.alias("r"), "sh")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    cont = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__sb")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("__ni").cast("double") / F.least("__sa", "__sb"),
+        )
+    )
+    return cont.where(F.col("containment") >= threshold).select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

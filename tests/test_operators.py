@@ -2661,3 +2661,105 @@ class TestNormalizeText:
             ).collect()
         }
         assert len(fps) == 1
+
+
+class TestTemplatePrefixStrip:
+    """Per-source template-header removal: group LCP via the min/max
+    trick, singletons untouched."""
+
+    ROWS = [
+        (1, "srcA", "[A header] alpha body one"),
+        (2, "srcA", "[A header] beta body two"),
+        (3, "srcA", "[A header] gamma body three"),
+        (4, "srcB", "totally unique single doc"),
+        (5, "srcC", "[C] x"),
+        (6, "srcC", "[C] y"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "doc_id long, source string, text string"
+        )
+
+    def test_group_lcp_matches_python(self, spark):
+        import os.path
+
+        from eodatadown_spark.operators.corpus import group_common_prefix
+
+        got = {
+            r["source"]: (r["prefix_len"], r["prefix"])
+            for r in group_common_prefix(self._docs(spark)).collect()
+        }
+        texts_a = [t for _, s, t in self.ROWS if s == "srcA"]
+        want_a = os.path.commonprefix(texts_a)
+        assert got["srcA"] == (len(want_a), want_a)
+        assert got["srcC"] == (4, "[C] ")
+        # singleton: LCP is the whole doc (the reason strip gates on n_docs)
+        assert got["srcB"][1] == "totally unique single doc"
+
+    def test_strip_gates_on_min_docs(self, spark):
+        from eodatadown_spark.operators.corpus import strip_template_prefix
+
+        got = {
+            r["doc_id"]: (r["text"], r["stripped_len"])
+            for r in strip_template_prefix(self._docs(spark)).collect()
+        }
+        assert got[1] == ("alpha body one", 11)
+        assert got[2] == ("beta body two", 11)
+        assert got[5] == ("x", 4)
+        # singleton survives whole
+        assert got[4] == ("totally unique single doc", 0)
+
+    def test_lcp_min_max_equals_all_pairs(self, spark):
+        # adversarial: extremes diverge later than a middle doc — the
+        # min/max trick must still equal the true group LCP
+        from eodatadown_spark.operators.corpus import group_common_prefix
+
+        rows = [(1, "s", "prefix aaa"), (2, "s", "prefix zzz"),
+                (3, "s", "prefix m DIFFERENT")]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        r = group_common_prefix(docs).collect()[0]
+        assert r["prefix"] == "prefix "
+
+
+class TestShingleContainment:
+    """Asymmetric containment: a snippet inside a larger doc scores 1.0
+    where Jaccard stays tiny; max_df capping only under-flags."""
+
+    def _docs(self, spark):
+        big = "w" + " w".join(str(i) for i in range(60))  # w0..w59 distinct
+        snippet = "w" + " w".join(str(i) for i in range(12))
+        other = "q" + " q".join(str(i) for i in range(40))
+        return spark.createDataFrame(
+            [(1, big), (2, snippet), (3, other)], "doc_id long, text string"
+        )
+
+    def test_snippet_contained_jaccard_blind(self, spark):
+        from eodatadown_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            shingle_containment_pairs,
+        )
+
+        docs = self._docs(spark)
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in shingle_containment_pairs(docs, threshold=0.9).collect()
+        }
+        assert cont == {(1, 2): 1.0}
+        # the same pair is invisible to symmetric Jaccard at any real threshold
+        jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert jac == []
+
+    def test_max_df_cap_only_underflags(self, spark):
+        from eodatadown_spark.operators.dedup import shingle_containment_pairs
+
+        docs = self._docs(spark)
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in shingle_containment_pairs(
+                docs, threshold=0.9, max_df=1
+            ).collect()
+        }
+        # every shared shingle of (1,2) is in exactly 2 docs → df cap 1
+        # removes all witnesses: pair missed (under-flag), nothing new added
+        assert capped == set()
