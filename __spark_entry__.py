@@ -2211,6 +2211,25 @@ def q176_containment_pairs(spark, sf):
     )
 
 
+def q177_footer_strip(spark, sf):
+    """Footer twin of q175 (corpus.strip_template_suffix): a deterministic
+    ' [<source> footer]' banner appended to every doc is removed via the
+    reversed-extremes identity (common suffix = reverse of the LCP of
+    reversed min/max).  Oracle replays the stamping, the reversal, and
+    the gated tail substring."""
+    from eodatadown_spark.operators.corpus import strip_template_suffix
+
+    docs = _t(spark, sf, "documents")
+    templated = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"), F.lit(" ["), F.col("source"), F.lit(" footer]")
+        ).alias("text"),
+    )
+    return strip_template_suffix(templated)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3656,6 +3675,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q174_normalize_text": q174_normalize_text,
     "q175_template_strip": q175_template_strip,
     "q176_containment_pairs": q176_containment_pairs,
+    "q177_footer_strip": q177_footer_strip,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3747,7 +3767,7 @@ _R10_WINDOW = [
     "q166_line_dedup", "q167_quality_classifier", "q168_entropy_signals",
     "q169_classifier_eval", "q170_sparse_classifier", "q171_count_min",
     "q172_hard_negatives", "q174_normalize_text",
-    "q175_template_strip", "q176_containment_pairs",
+    "q175_template_strip", "q176_containment_pairs", "q177_footer_strip",
     # anchors: every path round-10 changes touch (q10/q51/q24 dropped —
     # ever-green across up to nine rounds; q10 still smoke-runs via
     # entry(), the facade family is covered by q158 in-window, minhash
@@ -3755,7 +3775,7 @@ _R10_WINDOW = [
     "q150_incremental_clusters",
     "q153_ivf_stored_probe",
     "q154_incremental_simhash", "q155_sq8_stored_probe",
-    "q145_sketch_rollup", "q152_positional_prefix",
+    "q145_sketch_rollup",
 ]
 
 # window entries first (the driver checks the leading 50), then the rest —
@@ -7546,6 +7566,35 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, round(c, 4) AS containment
         FROM pairs WHERE c >= 0.9
+    """
+    # q177: footer stripping — q175's scan on reversed strings, reversed
+    # back for the suffix, gated length-preserving tail substring.
+    sql["q177_footer_strip"] = """
+        WITH tpl AS (
+            SELECT doc_id, source,
+                   text || ' [' || source || ' footer]' AS text
+            FROM documents
+        ), ext AS (
+            SELECT source, min(reverse(text)) AS lo, max(reverse(text)) AS hi,
+                   count(*) AS n_docs
+            FROM tpl GROUP BY 1
+        ), lcp AS (
+            SELECT source, n_docs,
+                   list_max(list_transform(
+                       range(0, least(length(lo), length(hi)) + 1),
+                       k -> CASE WHEN substr(lo, 1, CAST(k AS INT))
+                                      = substr(hi, 1, CAST(k AS INT))
+                                 THEN k ELSE 0 END)) AS suffix_len
+            FROM ext
+        )
+        SELECT t.doc_id, t.source,
+               CAST(CASE WHEN n_docs >= 2 THEN suffix_len ELSE 0 END AS INT)
+                   AS stripped_len,
+               substr(t.text, 1,
+                      length(t.text)
+                      - CAST(CASE WHEN n_docs >= 2 THEN suffix_len ELSE 0 END
+                             AS INT)) AS text
+        FROM tpl t JOIN lcp USING (source)
     """
     # q163: winnowing replayed relationally — grams as an unnest(range)
     # position scan (same md5-prefix 60-bit hash convention as q25), window

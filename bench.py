@@ -89,6 +89,7 @@ EXTENDED = [
     "q174_normalize_text",
     "q175_template_strip",
     "q176_containment_pairs",
+    "q177_footer_strip",
 ]
 
 

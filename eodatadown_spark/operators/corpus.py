@@ -1504,6 +1504,71 @@ def group_common_prefix(
     )
 
 
+def group_common_suffix(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest common SUFFIX of all texts in each group — the shared
+    footer — via the same extremes identity on REVERSED text: the common
+    suffix of a set is the reverse of the common prefix of the reversed
+    strings, and THAT is the LCP of the lexicographic min/max of the
+    reversed strings.  Output: (group_col, n_docs, suffix_len, suffix)."""
+    rev = documents.select(
+        group_col, F.reverse(F.col(text_col)).alias("__rt")
+    )
+    agg = rev.groupBy(group_col).agg(
+        F.min("__rt").alias("__lo"),
+        F.max("__rt").alias("__hi"),
+        F.count("*").alias("n_docs"),
+    )
+    bound = F.least(F.length("__lo"), F.length("__hi"))
+    lcp = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), bound),
+            lambda k: F.when(
+                F.substring(F.col("__lo"), F.lit(1), k)
+                == F.substring(F.col("__hi"), F.lit(1), k),
+                k,
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        lcp.cast("int").alias("suffix_len"),
+        F.reverse(
+            F.substring(F.col("__lo"), F.lit(1), lcp.cast("int"))
+        ).alias("suffix"),
+    )
+
+
+def strip_template_suffix(
+    documents: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Strip each group's shared template FOOTER (group_common_suffix) —
+    the tail twin of :func:`strip_template_prefix`, same broadcast/gate
+    contract."""
+    suffixes = group_common_suffix(documents, group_col, text_col)
+    gated = suffixes.select(
+        group_col,
+        F.when(F.col("n_docs") >= min_docs, F.col("suffix_len"))
+        .otherwise(F.lit(0))
+        .alias("__strip"),
+    )
+    return documents.join(F.broadcast(gated), group_col).select(
+        *[c for c in documents.columns if c != text_col],
+        F.expr(
+            f"substring({text_col}, 1, length({text_col}) - __strip)"
+        ).alias(text_col),
+        F.col("__strip").alias("stripped_len"),
+    )
+
+
 def strip_template_prefix(
     documents: DataFrame,
     group_col: str = "source",
@@ -1536,7 +1601,9 @@ def strip_template_prefix(
 
 __all__ = [
     "group_common_prefix",
+    "group_common_suffix",
     "strip_template_prefix",
+    "strip_template_suffix",
     "line_dedup",
     "bm25_scores",
     "pmi_cooccurrence",

@@ -2763,3 +2763,27 @@ class TestShingleContainment:
         # every shared shingle of (1,2) is in exactly 2 docs → df cap 1
         # removes all witnesses: pair missed (under-flag), nothing new added
         assert capped == set()
+
+
+class TestTemplateSuffixStrip:
+    def test_footer_stripped_via_reverse_extremes(self, spark):
+        from eodatadown_spark.operators.corpus import (
+            group_common_suffix,
+            strip_template_suffix,
+        )
+
+        rows = [
+            (1, "s", "alpha body [footer F]"),
+            (2, "s", "beta body longer [footer F]"),
+            (3, "t", "single doc untouched"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        sfx = {r["source"]: r["suffix"] for r in group_common_suffix(docs).collect()}
+        assert sfx["s"] == " [footer F]"
+        got = {
+            r["doc_id"]: (r["text"], r["stripped_len"])
+            for r in strip_template_suffix(docs).collect()
+        }
+        assert got[1] == ("alpha body", 11)
+        assert got[2] == ("beta body longer", 11)
+        assert got[3] == ("single doc untouched", 0)
