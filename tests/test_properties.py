@@ -692,3 +692,150 @@ def test_bm25_matches_python_reference(spark, doc_texts, terms):
     for i, (nm, s) in want.items():
         assert got[i][1] == nm
         assert got[i][0] == pytest.approx(s, abs=1e-3)
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_normalize_text_idempotent(spark, docs):
+    """normalize ∘ normalize == normalize — a normalization pass must be a
+    projection onto its own fixed points, or repeated pipeline runs would
+    keep changing fingerprints."""
+    from eodatadown_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i long, t string"
+    )
+    once = df.select("i", normalize_text("t").alias("n"))
+    twice = once.select("i", normalize_text("n").alias("n2"), "n")
+    for r in twice.collect():
+        assert r["n2"] == r["n"], (r["n"], r["n2"])
+
+
+@given(st.lists(texts, min_size=1, max_size=6), st.data())
+@settings(**_SETTINGS)
+def test_normalize_text_absorbs_injected_dirt(spark, docs, data):
+    """Dirt the normalizer CLAIMS to absorb — zero-widths anywhere,
+    duplication of existing whitespace, leading/trailing whitespace —
+    must normalize to the same string as the clean original.  (A CR or
+    space injected mid-word is real structure, not dirt: hypothesis
+    falsified the naive anywhere-injection version of this property.)"""
+    from eodatadown_spark.operators.text import normalize_text
+
+    zw = ["​", "‌", "﻿"]
+    dirty = []
+    for t in docs:
+        d = t
+        for _ in range(data.draw(st.integers(0, 3))):
+            pos = data.draw(st.integers(0, len(d)))
+            d = d[:pos] + data.draw(st.sampled_from(zw)) + d[pos:]
+        # duplicate one existing space/tab run if present
+        for ch in (" ", "\t"):
+            idx = d.find(ch)
+            if idx >= 0 and data.draw(st.booleans()):
+                d = d[:idx] + ch + d[idx:]
+        d = data.draw(st.sampled_from(["", " ", "\t ", "  "])) + d
+        d = d + data.draw(st.sampled_from(["", " ", " \r\n", "\t"]))
+        dirty.append(d)
+    df = spark.createDataFrame(
+        [(i, t, d) for i, (t, d) in enumerate(zip(docs, dirty))],
+        "i long, clean string, dirty string",
+    )
+    rows = df.select(
+        normalize_text("clean").alias("a"), normalize_text("dirty").alias("b")
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"], (r["a"], r["b"])
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_entropy_matches_counter_on_arbitrary_text(spark, docs):
+    import collections
+
+    from eodatadown_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", char_entropy("t").alias("h")).collect()
+    }
+    for i, t in enumerate(docs):
+        chars = [c for c in t]
+        if not chars:
+            want = 0.0
+        else:
+            n = len(chars)
+            want = round(
+                math.log2(n)
+                - sum(
+                    c * math.log2(c)
+                    for c in collections.Counter(chars).values()
+                )
+                / n,
+                4,
+            )
+        assert abs(got[i] - want) < 1e-9, (i, t, got[i], want)
+
+
+@given(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=1, max_size=30),
+    st.integers(1, 4),
+    st.sampled_from([1, 4, 16]),
+)
+@settings(**_SETTINGS)
+def test_cms_dominance_any_stream(spark, stream, depth, width):
+    """CMS estimates dominate exact counts for EVERY value on arbitrary
+    streams, any depth/width."""
+    import collections
+
+    from eodatadown_spark.operators.merge import (
+        build_count_min,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame([(t,) for t in stream], "token string")
+    cms = build_count_min(df, "token", depth=depth, width=width)
+    probes = spark.createDataFrame(
+        [(t,) for t in set(stream)], "token string"
+    )
+    got = {
+        r["token"]: r["cms_cnt"]
+        for r in count_min_estimate(cms, probes, "token", depth, width).collect()
+    }
+    exact = collections.Counter(stream)
+    for t, c in exact.items():
+        assert got[t] >= c, (t, got[t], c, depth, width)
+
+
+@given(st.lists(texts, min_size=2, max_size=5), st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_line_dedup_matches_python_reference(spark, docs, max_docs):
+    import collections
+
+    from eodatadown_spark.operators.corpus import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_kept"])
+        for r in line_dedup(df, max_docs=max_docs).collect()
+    }
+    # python reference
+    split = {i: t.split("\n") for i, t in enumerate(docs)}
+    norm = {i: [l.strip().lower() for l in ls] for i, ls in split.items()}
+    df_count = collections.Counter()
+    for i, ns in norm.items():
+        for n in set(ns):
+            if n != "":
+                df_count[n] += 1
+    for i, t in enumerate(docs):
+        kept = [
+            l
+            for l, n in zip(split[i], norm[i])
+            if n == "" or df_count[n] <= max_docs
+        ]
+        assert got[i] == (len(split[i]), len(kept), "\n".join(kept)), (i, t)
