@@ -839,3 +839,59 @@ def test_line_dedup_matches_python_reference(spark, docs, max_docs):
             if n == "" or df_count[n] <= max_docs
         ]
         assert got[i] == (len(split[i]), len(kept), "\n".join(kept)), (i, t)
+
+
+@given(st.lists(texts, min_size=2, max_size=5), st.data())
+@settings(**_SETTINGS)
+def test_group_lcp_matches_commonprefix(spark, group_texts, data):
+    """group_common_prefix's min/max identity == os.path.commonprefix on
+    arbitrary groups."""
+    import os.path
+
+    from eodatadown_spark.operators.corpus import group_common_prefix
+
+    df = spark.createDataFrame(
+        [(i, "g", t) for i, t in enumerate(group_texts)],
+        "doc_id long, source string, text string",
+    )
+    r = group_common_prefix(df).collect()[0]
+    want = os.path.commonprefix(group_texts)
+    assert r["prefix"] == want and r["prefix_len"] == len(want)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(12)]),
+                 min_size=3, max_size=20),
+        min_size=2, max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_containment_matches_bruteforce(spark, token_docs):
+    """shingle_containment_pairs (threshold 0, uncapped) == brute-force
+    set containment over word 3-shingles for arbitrary token docs."""
+    from eodatadown_spark.operators.dedup import shingle_containment_pairs
+
+    docs = [(i, " ".join(ts)) for i, ts in enumerate(token_docs)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in shingle_containment_pairs(df, threshold=0.0).collect()
+    }
+
+    def shingles(ts):
+        if len(ts) >= 3:
+            return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+        return {" ".join(ts)}
+
+    want = {}
+    sh = {i: shingles(ts) for i, ts in enumerate(token_docs)}
+    for a in sh:
+        for b in sh:
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    want[(a, b)] = round(
+                        inter / min(len(sh[a]), len(sh[b])), 4
+                    )
+    assert got == want, (got, want)
