@@ -4241,7 +4241,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "q172_hard_negatives": """
-            SELECT query_id, neighbor_id, neighbor_label, rank FROM (
+            SELECT query_id, neighbor_id, neighbor_label,
+                   CAST(rank AS INT) AS rank
+            FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        c.label AS neighbor_label,
                        row_number() OVER (
@@ -7498,7 +7500,7 @@ def oracle_sql() -> dict[str, str]:
               " || chr(9) || chr(13) || chr(10)")
     sql["q174_normalize_text"] = f"""
         SELECT doc_id,
-               CAST(length({_dirty}) AS BIGINT) AS n_dirty,
+               CAST(length({_dirty}) AS INT) AS n_dirty,
                {_norm_sql(_dirty)} AS text_norm,
                {_norm_sql(_dirty)} = {_norm_sql('text')} AS matches
         FROM documents
