@@ -3052,11 +3052,15 @@ def q96_sole_late_supplier(spark, sf):
         "left_anti",
     )
     supp = _t(spark, sf, "supplier")
+    # canonical Q21 grain is s_name (join BEFORE the aggregate): suppkey
+    # grain coincides at 1:1 name↔key data but diverges when names repeat
+    # — exactly what the sf1.0 scaled dims exposed (generator duplicates
+    # names across shifted keys); grouping by name also makes the
+    # (numwait desc, s_name) order total at any scale
     return (
-        sole.groupBy("l_suppkey")
+        sole.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
