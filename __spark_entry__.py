@@ -2022,10 +2022,13 @@ def q170_sparse_classifier(spark, sf):
     gradient (d rows per pass instead of d wide agg columns), O(1)-in-d
     plan size — measured 21x faster per training pass at d=1024 on the
     50k-doc corpus with identical confusion counts (SCALING.md).  Same
-    hyperparameters as q167, SAME ORACLE TEXT: the two implementations
-    must agree with the one SQL replay (z is bit-identical by the
-    index-ordered-fold argument; gradients agree to float-reduction
-    tolerance, absorbed by the 4dp rounding)."""
+    hyperparameters as q167, same GD replay in the oracle — but gated on
+    the THRESHOLDED per-doc prediction (prob >= 0.5), not the 4dp-rounded
+    probability: sparse-path weights match dense only to ~1e-12
+    (shuffle-order float reduction in the explode+groupBy gradient), so a
+    probability within that tolerance of a 0.00005 rounding boundary
+    would flip an exact-4dp hash nondeterministically, while the 0.5
+    decision boundary absorbs it.  Integer/boolean outputs only."""
     from eodatadown_spark.operators.classify import (
         hashed_feature_sets,
         score_documents_sparse,
@@ -2048,7 +2051,12 @@ def q170_sparse_classifier(spark, sf):
         lr=12.0,
         features=feat,
     )
-    return score_documents_sparse(docs, w, features=feat)
+    scored = score_documents_sparse(docs, w, features=feat)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("prob") >= F.lit(0.5)).alias("pred"),
+    )
 
 
 def q171_count_min(spark, sf):
@@ -7294,7 +7302,11 @@ def oracle_sql() -> dict[str, str]:
                    generate_subscripts(string_split(text, chr(10)), 1) AS pos
             FROM reflowed
         ), norm AS (
-            SELECT doc_id, pos, line, trim(lower(line)) AS n FROM lines
+            SELECT doc_id, pos, line,
+                   regexp_replace(lower(line),
+                                  '^[ \t\x0B\f\r]+|[ \t\x0B\f\r]+$',
+                                  '', 'g') AS n
+            FROM lines
         ), dup AS (
             SELECT n FROM norm WHERE n <> ''
             GROUP BY n HAVING count(DISTINCT doc_id) > 1
@@ -7326,8 +7338,16 @@ def oracle_sql() -> dict[str, str]:
                round({_qc_prob}, 4) AS prob
         FROM feat CROSS JOIN w{_QC_IT}
     """
-    # q170: the sparse implementation answers to the SAME replay as q167
-    sql["q170_sparse_classifier"] = sql["q167_quality_classifier"]
+    # q170: same GD replay as q167, but the gate is the THRESHOLDED
+    # prediction (round-4 prob >= 0.5, matching the engine's rounded
+    # scorer) — order-insensitive booleans immune to the ~1e-12
+    # dense-vs-sparse float-reduction drift near 4dp rounding boundaries
+    sql["q170_sparse_classifier"] = f"""
+        {_qc_train_chain_sql()}
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               round({_qc_prob}, 4) >= 0.5 AS pred
+        FROM feat CROSS JOIN w{_QC_IT}
+    """
     sql["q169_classifier_eval"] = f"""
         {_qc_train_chain_sql()}, scored AS (
             SELECT y, {_qc_prob} >= 0.5 AS pred
@@ -7492,10 +7512,12 @@ def oracle_sql() -> dict[str, str]:
              + ", '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g')")
         e = "regexp_replace(" + e + ", '\\r\\n?', chr(10), 'g')"
         e = ("regexp_replace(" + e
-             + ", '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',"
+             + ", '[\\x{2028}\\x{2029}]', chr(10), 'g')")
+        e = ("regexp_replace(" + e
+             + ", '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{80}-\\x{9F}]',"
              + " '', 'g')")
         e = ("translate(" + e + ", '‘’“”–—', chr(39) || chr(39) || '""--')")
-        e = "regexp_replace(" + e + ", '[ \\t]+', ' ', 'g')"
+        e = "regexp_replace(" + e + ", '[ \\t\\x{A0}]+', ' ', 'g')"
         e = ("regexp_replace(" + e
              + ", '\\n{3,}', chr(10) || chr(10), 'g')")
         return "regexp_replace(" + e + ", '^\\s+|\\s+$', '', 'g')"

@@ -1434,7 +1434,18 @@ def line_dedup(
     lines = documents.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+    ).withColumn(
+        "norm",
+        # \s-style trim with an EXPLICIT class (no \n — lines are already
+        # split on it) so Java regex, DuckDB's RE2 oracle, and the Python
+        # property reference agree byte-for-byte: F.trim strips only
+        # ASCII spaces, which left tab-edged boilerplate lines un-deduped.
+        F.regexp_replace(
+            F.lower(F.col("line")),
+            "^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$",
+            "",
+        ),
+    )
     dup = (
         lines.where(F.col("norm") != "")
         .groupBy("norm")
@@ -1546,13 +1557,12 @@ def group_common_suffix(
 def strip_template_suffix(
     documents: DataFrame,
     group_col: str = "source",
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
 ) -> DataFrame:
     """Strip each group's shared template FOOTER (group_common_suffix) —
-    the tail twin of :func:`strip_template_prefix`, same broadcast/gate
-    contract."""
+    the tail twin of :func:`strip_template_prefix`, same broadcast/gate/
+    NULL-group contract."""
     suffixes = group_common_suffix(documents, group_col, text_col)
     gated = suffixes.select(
         group_col,
@@ -1560,19 +1570,19 @@ def strip_template_suffix(
         .otherwise(F.lit(0))
         .alias("__strip"),
     )
-    return documents.join(F.broadcast(gated), group_col).select(
+    strip = F.coalesce(F.col("__strip"), F.lit(0))
+    return documents.join(F.broadcast(gated), [group_col], "left").select(
         *[c for c in documents.columns if c != text_col],
-        F.expr(
-            f"substring({text_col}, 1, length({text_col}) - __strip)"
+        F.substring(
+            F.col(text_col), F.lit(1), F.length(F.col(text_col)) - strip
         ).alias(text_col),
-        F.col("__strip").alias("stripped_len"),
+        strip.alias("stripped_len"),
     )
 
 
 def strip_template_prefix(
     documents: DataFrame,
     group_col: str = "source",
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
 ) -> DataFrame:
@@ -1582,8 +1592,12 @@ def strip_template_prefix(
     sets and glue unrelated pages into near-dup clusters).
 
     Groups with fewer than ``min_docs`` documents keep their text intact
-    (a singleton's "common prefix" is the whole document).  The prefix
-    table is group-count rows — broadcast by construction.
+    (a singleton's "common prefix" is the whole document), and documents
+    whose ``group_col`` is NULL pass through untouched (left join +
+    coalesced 0 strip — NULL keys never equi-join, so an inner join would
+    silently DROP them).  The prefix table is group-count rows —
+    broadcast by construction.  Column-expression substring (no
+    ``F.expr`` string interpolation, so exotic column names are safe).
     """
     prefixes = group_common_prefix(documents, group_col, text_col)
     gated = prefixes.select(
@@ -1592,10 +1606,13 @@ def strip_template_prefix(
         .otherwise(F.lit(0))
         .alias("__strip"),
     )
-    return documents.join(F.broadcast(gated), group_col).select(
+    strip = F.coalesce(F.col("__strip"), F.lit(0))
+    return documents.join(F.broadcast(gated), [group_col], "left").select(
         *[c for c in documents.columns if c != text_col],
-        F.expr(f"substring({text_col}, __strip + 1)").alias(text_col),
-        F.col("__strip").alias("stripped_len"),
+        F.substring(
+            F.col(text_col), strip + F.lit(1), F.length(F.col(text_col))
+        ).alias(text_col),
+        strip.alias("stripped_len"),
     )
 
 

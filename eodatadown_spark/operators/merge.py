@@ -548,7 +548,23 @@ def count_min_estimate(
     The probe side is ``|probes| × depth`` rows joining a
     depth×width-bounded state table — both tiny; AQE broadcasts the
     sketch, the corpus is never touched.
+
+    The sketch must be UNGROUPED: a ``build_count_min(..., group_cols)``
+    state table carries one depth×width grid per group, and probing it on
+    ``(cms_row, cms_bucket)`` alone would take the min across groups —
+    below any single group's true count, silently breaking the CMS
+    overestimate invariant.  Filter to one group (or ``merge_count_min``
+    the groups you mean to pool) before probing; extra columns are
+    rejected here rather than mis-estimated.
     """
+    extra = set(cms.columns) - {"cms_row", "cms_bucket", "cnt"}
+    if extra:
+        raise ValueError(
+            "count_min_estimate requires an ungrouped sketch "
+            "(cms_row, cms_bucket, cnt); found extra columns "
+            f"{sorted(extra)} — filter to a single group or merge groups "
+            "with merge_count_min before probing"
+        )
     pb = _cms_hashed(probes, value_col, [value_col]).select(
         F.col(value_col),
         F.explode(

@@ -267,10 +267,12 @@ def normalize_text(text: Column | str) -> Column:
     don't split otherwise-identical content into distinct fingerprints:
 
     1. drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM);
-    2. CRLF / lone CR → LF;
-    3. drop remaining C0/C1 control chars except tab and newline;
+    2. CRLF / lone CR → LF; Unicode line/paragraph separators
+       (U+2028/U+2029) → LF;
+    3. drop remaining C0 AND C1 control chars (U+0080–U+009F included)
+       except tab and newline;
     4. smart quotes → ASCII quotes, en/em dashes → hyphen (char map);
-    5. collapse space/tab runs to one space;
+    5. collapse space/tab/NBSP runs to one space;
     6. collapse 3+ newlines to a blank line;
     7. trim outer whitespace.
 
@@ -279,9 +281,12 @@ def normalize_text(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     c = F.regexp_replace(c, "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
     c = F.regexp_replace(c, "\\r\\n?", "\n")
-    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "[\\x{2028}\\x{2029}]", "\n")
+    c = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{80}-\\x{9F}]", ""
+    )
     c = F.translate(c, "‘’“”–—", "''\"\"--")
-    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, "[ \\t\\x{A0}]+", " ")
     c = F.regexp_replace(c, "\\n{3,}", "\n\n")
     return ws_trim(c)
 

@@ -2558,6 +2558,32 @@ class TestCountMinSketch:
         ).collect()[0]
         assert got["cms_cnt"] == 5
 
+    def test_grouped_sketch_rejected_by_probe(self, spark):
+        # probing a per-group sketch on (cms_row, cms_bucket) alone would
+        # min ACROSS groups and undercut the overestimate invariant —
+        # refuse loudly instead of mis-estimating silently
+        import pytest
+
+        from eodatadown_spark.operators.merge import (
+            build_count_min,
+            count_min_estimate,
+        )
+
+        df = spark.createDataFrame(
+            [("g1", "x"), ("g1", "x"), ("g2", "x")], "src string, token string"
+        )
+        grouped = build_count_min(df, "token", 2, 8, group_cols=["src"])
+        with pytest.raises(ValueError, match="ungrouped"):
+            count_min_estimate(
+                grouped, self._tokens(spark, ["x"]), "token", 2, 8
+            )
+        # the documented escape hatches still probe correctly
+        one_group = grouped.where("src = 'g1'").drop("src")
+        got = count_min_estimate(
+            one_group, self._tokens(spark, ["x"]), "token", 2, 8
+        ).collect()[0]
+        assert got["cms_cnt"] >= 2
+
 
 class TestHardNegatives:
     """Hard-negative mining: top-k most-similar DIFFERENT-label vectors,
@@ -2642,6 +2668,19 @@ class TestNormalizeText:
         got = self._norm(spark, ["‘x’ “y” – z — w"])
         assert got[0] == "'x' \"y\" - z - w"
 
+    def test_c1_nbsp_and_line_separators(self, spark):
+        # C1 controls (U+0080-U+009F) removed, NBSP collapses like a
+        # space, U+2028/U+2029 become newlines — the 'invisible byte'
+        # escapes the r10 docstring claimed but the regex missed
+        got = self._norm(
+            spark,
+            ["a\x85b\x9fc", "a\xa0 b", "a b c", "a \xa0\xa0 b"],
+        )
+        assert got[0] == "abc"
+        assert got[1] == "a b"
+        assert got[2] == "a\nb\nc"
+        assert got[3] == "a b"
+
     def test_fingerprint_convergence_composes(self, spark):
         # the point of the stage: normalize-then-fingerprint collapses the
         # invisible variants to ONE hash
@@ -2709,6 +2748,35 @@ class TestTemplatePrefixStrip:
         assert got[5] == ("x", 4)
         # singleton survives whole
         assert got[4] == ("totally unique single doc", 0)
+
+    def test_null_group_passes_through(self, spark):
+        # NULL group_col keys never equi-join — the left join + coalesced
+        # 0 strip must keep those docs intact (an inner join dropped them)
+        from eodatadown_spark.operators.corpus import (
+            strip_template_prefix,
+            strip_template_suffix,
+        )
+
+        rows = [
+            (1, "s", "[hdr] one [ftr]"),
+            (2, "s", "[hdr] two [ftr]"),
+            (3, None, "orphan doc"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        pre = {
+            r["doc_id"]: (r["text"], r["stripped_len"])
+            for r in strip_template_prefix(docs).collect()
+        }
+        assert pre[3] == ("orphan doc", 0)
+        assert pre[1] == ("one [ftr]", 6)
+        suf = {
+            r["doc_id"]: (r["text"], r["stripped_len"])
+            for r in strip_template_suffix(docs).collect()
+        }
+        assert suf[3] == ("orphan doc", 0)
+        assert suf[1] == ("[hdr] one", 6)
 
     def test_lcp_min_max_equals_all_pairs(self, spark):
         # adversarial: extremes diverge later than a middle doc — the

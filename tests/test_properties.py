@@ -826,7 +826,12 @@ def test_line_dedup_matches_python_reference(spark, docs, max_docs):
     }
     # python reference
     split = {i: t.split("\n") for i, t in enumerate(docs)}
-    norm = {i: [l.strip().lower() for l in ls] for i, ls in split.items()}
+    # match the engine's explicit ASCII-whitespace trim class (Python
+    # str.strip() strips ALL Unicode whitespace — broader than Java/RE2 \s)
+    norm = {
+        i: [l.strip(" \t\x0b\f\r").lower() for l in ls]
+        for i, ls in split.items()
+    }
     df_count = collections.Counter()
     for i, ns in norm.items():
         for n in set(ns):
