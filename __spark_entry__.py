@@ -2238,6 +2238,35 @@ def q177_footer_strip(spark, sf):
     return strip_template_suffix(templated)
 
 
+def q178_keyset_page(spark, sf):
+    """W2/O5 seek-method pagination (queries.paginate_keyset): page 2 of
+    the q02 date-filtered scan addressed by CURSOR — page 1 is a
+    TakeOrderedAndProject top-20, its lexicographic minimum (the last row
+    under the DESC total order (o_orderdate, o_orderkey)) broadcasts as
+    the cursor, and page 2 is `WHERE key < cursor ORDER BY … LIMIT 20`.
+    No row_number window anywhere, so no single-partition sort — the
+    scale-safe twin of the reference's OFFSET/LIMIT pagination
+    (eodatadownlandsatgoogsensor.py:1989-2040).  The oracle computes the
+    SAME page with OFFSET/LIMIT row numbering, pinning the two forms'
+    equivalence under a total order."""
+    orders = _t(spark, sf, "orders").where(
+        Q.date_range_pred("o_orderdate", "1997-12-31", "1996-01-01")
+    )
+    keys = ["o_orderdate", "o_orderkey"]
+    page1 = Q.paginate_keyset(orders, keys, n_recs=20, descending=True)
+    cursor = page1.agg(
+        F.min(F.struct(*[F.col(k) for k in keys])).alias("c")
+    ).select("c.o_orderdate", "c.o_orderkey")
+    page2 = Q.paginate_keyset(
+        orders, keys, after=cursor, n_recs=20, descending=True
+    )
+    return page2.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_totalprice",
+    )
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3518,6 +3547,32 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
             _t(spark, sf, "documents"), weights, binary=True
         )
 
+    def sparse_classifier_build(spark, sf):
+        # the sparse-path training (explode+groupBy gradient, O(1)-in-d
+        # plan) timed as ONE training — the bench's only sparse training,
+        # so the build metric reads the per-training cost honestly
+        # (VERDICT r10 item 4: no fused re-training per timing sample)
+        from eodatadown_spark.operators.classify import (
+            hashed_feature_sets,
+            train_quality_classifier_sparse,
+        )
+        from eodatadown_spark.operators.dedup import _pin
+        from eodatadown_spark.operators.text import language_guess
+
+        docs = _t(spark, sf, "documents")
+        feat = _pin(hashed_feature_sets(
+            docs, 64, label=language_guess(F.col("text")) == "en"
+        ))
+        return train_quality_classifier_sparse(
+            docs, label=language_guess(F.col("text")) == "en",
+            n_features=64, iters=8, lr=12.0, features=feat,
+        )
+
+    def sparse_classifier_probe(spark, sf, weights):
+        from eodatadown_spark.operators.classify import score_documents_sparse
+
+        return score_documents_sparse(_t(spark, sf, "documents"), weights)
+
     return {
         "q117_incremental_minhash": (minhash_build, minhash_probe),
         "q149_incremental_phash": (phash_build, phash_probe),
@@ -3528,6 +3583,9 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
             stored_clusters_build, stored_clusters_probe,
         ),
         "q167_quality_classifier": (classifier_build, classifier_probe),
+        "q170_sparse_classifier": (
+            sparse_classifier_build, sparse_classifier_probe,
+        ),
     }
 
 
@@ -3688,6 +3746,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q175_template_strip": q175_template_strip,
     "q176_containment_pairs": q176_containment_pairs,
     "q177_footer_strip": q177_footer_strip,
+    "q178_keyset_page": q178_keyset_page,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -4120,6 +4179,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
                   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             ) WHERE rn BETWEEN 11 AND 30
+        """,
+        # q178: the keyset page must equal the OFFSET page under the same
+        # total order — the oracle uses row numbering precisely because the
+        # engine does NOT, pinning the two pagination forms' equivalence
+        "q178_keyset_page": """
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+            FROM (
+                SELECT *, row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+                WHERE o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            ) WHERE rn BETWEEN 21 AND 40
         """,
         "q03_bbox_overlap": """
             SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
@@ -4573,10 +4644,15 @@ def oracle_sql() -> dict[str, str]:
         # q35/q36: exact reproduction of the hyperplane-LSH path — bucket
         # literals are inlined, candidates are same-bucket pairs, cosine via
         # list_cosine_similarity (values rounded to 4 for q35; q36 projects
-        # rank only, mirroring q23).
+        # rank only, mirroring q23).  The pair vectors are cast to DOUBLE[]
+        # BEFORE the cosine: DuckDB evaluates list_cosine_similarity on
+        # FLOAT[] in float32, and at sf1.0 pair volumes (~240k kept pairs)
+        # some float32-vs-double cosines land on opposite sides of a 4dp
+        # rounding boundary — Spark folds in double, so the oracle must too.
         "q35_embedding_neardup": f"""
             WITH b AS (
-                SELECT vec_id AS id, embedding AS v, {b35} AS bucket
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                       {b35} AS bucket
                 FROM embeddings
             )
             SELECT DISTINCT a.id AS id_a, c.id AS id_b,

@@ -80,9 +80,12 @@ EXTENDED = [
     "q158_bbox_only_page",
     "q159_bpe_train_encode",
     "q166_line_dedup",
-    "q167_quality_classifier",
+    # q167/q170 are TRAININGS, not queries: fused timing here re-trained
+    # the classifier 4x per entry (VERDICT r10 item 4).  Their one-training
+    # build cost + steady-state probe cost live in queries_incremental_split
+    # (E.incremental_phases: dense q167, sparse q170) — each path trains
+    # exactly once per bench run.
     "q168_entropy_signals",
-    "q170_sparse_classifier",
     "q171_count_min",
     "q172_hard_negatives",
     "q173_cms_rollup_gate",
@@ -330,6 +333,39 @@ def main() -> None:
 
     e2e_sec = e2e_pipeline_sec(spark, sf_dir)
 
+    # host-drift calibration (VERDICT r10 item 5): q10's code has been
+    # untouched since round 7, so its warm median moves only with the host
+    # window, not the tree.  Recording the prior round's value and the
+    # ratio INSIDE the artifact lets any round-over-round comparison
+    # self-normalize (divide deltas by host_ratio_vs_prior) instead of
+    # relitigating host speed from outside evidence.
+    import glob
+    import re
+
+    cal = {
+        "anchor": "q10_revenue_by_nation",
+        "cold_sec": timings["q10_revenue_by_nation"],
+        "warm_sec": warm["q10_revenue_by_nation"],
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    if prior_files:
+        try:
+            with open(prior_files[-1]) as fh:
+                prior = json.load(fh)
+            # driver artifacts wrap the bench line under "parsed"
+            prior = prior.get("parsed") or prior
+            pw = (prior.get("queries_warm") or {}).get(cal["anchor"])
+            if pw:
+                cal["prior_artifact"] = os.path.basename(prior_files[-1])
+                cal["prior_warm_sec"] = pw
+                cal["host_ratio_vs_prior"] = round(cal["warm_sec"] / pw, 3)
+        except (OSError, ValueError, KeyError):
+            pass
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     extended_payload = {
         "metric": "headline_queries_extended",
@@ -373,6 +409,7 @@ def main() -> None:
                     for n, v in incr_split.items()
                 },
                 "e2e_pipeline_sec": e2e_sec,
+                "calibration": cal,
                 "sf": sf_val,
             }
         )

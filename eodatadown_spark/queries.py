@@ -98,7 +98,9 @@ def _paginate(
     A row_number window over a global order is a single-partition sort at the
     window stage; acceptable because paginated reads are, by construction,
     small result sets already reduced by filters.  (`limit` alone covers the
-    OFFSET=0 case without the window.)
+    OFFSET=0 case without the window.)  For pagination over UNREDUCED result
+    sets use :func:`paginate_keyset` — the seek-method twin with no global
+    window at any page depth.
     """
     if n_recs <= 0:
         return df.orderBy(*order_cols)
@@ -109,6 +111,79 @@ def _paginate(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn").between(start_rec + 1, start_rec + n_recs))
         .drop("__rn")
+    )
+
+
+def paginate_keyset(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    after: Sequence | DataFrame | None = None,
+    n_recs: int = 0,
+    descending: bool = False,
+) -> DataFrame:
+    """W2/O5 seek-method twin of :func:`_paginate`: instead of numbering
+    every row under a global window (a single-partition sort whose cost
+    grows with the FULL result set), a keyset page is ``WHERE (k1, k2, …)
+    > cursor ORDER BY k1, k2, … LIMIT n`` — the cursor predicate pushes
+    into the scan and the limit plans as TakeOrderedAndProject (per-
+    partition top-n, then one n-row merge on the driver), so page depth
+    never costs more than page size.  This is the form that survives a
+    100 TB catalog; ``_paginate`` stays as the reference-parity
+    OFFSET/LIMIT default for small filtered reads.
+
+    ``order_cols`` must be a TOTAL order (append a unique id column —
+    the reference's tie-break convention).  ``after`` is the last row of
+    the previous page: either a tuple of literals, or a ONE-ROW DataFrame
+    carrying the order columns (broadcast-joined, so a cursor derived
+    from data composes without a driver round-trip).  ``descending``
+    flips both the comparisons and the sort (cursor = the MINIMUM of the
+    previous page)."""
+    cols = [F.col(c) for c in order_cols]
+    cur_names = [f"__cur_{c}" for c in order_cols]
+    out = df
+    if after is not None:
+        if isinstance(after, DataFrame):
+            cur = after.limit(1).select(
+                *[F.col(c).alias(a) for c, a in zip(order_cols, cur_names)]
+            )
+            out = out.crossJoin(F.broadcast(cur))
+            avals = [F.col(a) for a in cur_names]
+        else:
+            avals = [F.lit(v) for v in after]
+        pred = F.lit(False)
+        for i in range(len(cols)):
+            step = cols[i] < avals[i] if descending else cols[i] > avals[i]
+            for j in range(i):
+                step = step & (cols[j] == avals[j])
+            pred = pred | step
+        out = out.where(pred)
+        if isinstance(after, DataFrame):
+            out = out.drop(*cur_names)
+    out = out.orderBy(*[c.desc() if descending else c.asc() for c in cols])
+    return out.limit(n_recs) if n_recs > 0 else out
+
+
+def query_scn_records_date_keyset(
+    scenes: DataFrame,
+    start_date: dt.date | str,
+    end_date: dt.date | str,
+    date_col: str = "date_acquired",
+    valid: bool = True,
+    cloud_thres: float | None = None,
+    after: Sequence | DataFrame | None = None,
+    n_recs: int = 0,
+    descending: bool = False,
+) -> DataFrame:
+    """Keyset twin of :func:`query_scn_records_date`: same filters, pages
+    ordered by ``(date_col, pid)`` and addressed by cursor instead of
+    OFFSET."""
+    pred = date_range_pred(date_col, start_date, end_date)
+    if valid:
+        pred = pred & valid_pred(True)
+    if cloud_thres is not None:
+        pred = pred & cloud_pred(cloud_thres)
+    return paginate_keyset(
+        scenes.where(pred), [date_col, "pid"], after, n_recs, descending
     )
 
 

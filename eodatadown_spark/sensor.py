@@ -31,6 +31,7 @@ class SensorBase:
     """Common sensor behavior; subclasses pin table name, keys, columns."""
 
     table: str
+    sensor_id: str = "Sensor"  # reference SensorID (the SENSORS dict key)
     ingest_keys: Sequence[str]
     watermark_col: str
     date_col: str = "date_acquired"
@@ -168,6 +169,13 @@ class SensorBase:
     # -- queries (lazy) ----------------------------------------------------
     def query_scn_records_date(self, start, end, **kw) -> DataFrame:
         return Q.query_scn_records_date(self.scenes(), start, end, self.date_col, **kw)
+
+    def query_scn_records_date_keyset(self, start, end, **kw) -> DataFrame:
+        """Seek-method pagination twin (scale-safe at any result size);
+        see queries.paginate_keyset."""
+        return Q.query_scn_records_date_keyset(
+            self.scenes(), start, end, self.date_col, **kw
+        )
 
     def query_scn_records_date_count(self, start, end, **kw) -> DataFrame:
         return Q.query_scn_records_date_count(self.scenes(), start, end, self.date_col, **kw)
@@ -407,14 +415,148 @@ class SensorBase:
         sizes = reports.column_stats(self.scenes(), "total_size").first().asDict()
         return {**counts, "size_stats": sizes}
 
-    def build_obs_date_records(self, sensor_id: str) -> tuple[DataFrame, DataFrame]:
+    def build_obs_date_records(
+        self, sensor_id: str | None = None
+    ) -> tuple[DataFrame, DataFrame]:
         return reports.build_obs_date_records(
-            self.scenes(), sensor_id, self.platform_col, self.date_col
+            self.scenes(),
+            self.sensor_id if sensor_id is None else sensor_id,
+            self.platform_col,
+            self.date_col,
         )
+
+    # -- obs-date overview lifecycle (ref eodatadownsensor.py:560-697) -----
+    def obs_dates(self) -> DataFrame:
+        if self.catalog.exists("obs_dates"):
+            return self.catalog.read_clean("obs_dates")
+        return self.spark.createDataFrame([], schema=schemas.OBS_DATES)
+
+    def obs_date_scns(self) -> DataFrame:
+        if self.catalog.exists("obs_date_scns"):
+            return self.catalog.read_clean("obs_date_scns")
+        return self.spark.createDataFrame([], schema=schemas.OBS_DATE_SCNS)
+
+    def ensure_obs_date_tables(self) -> None:
+        """Build + persist the obs-date rollup and bridge if absent (ref
+        build_obs_dates, eodatadownsensor.py:560-603; the reference
+        populates EDDObsDates/EDDObsDatesScns before any visual pass)."""
+        if not self.catalog.exists("obs_dates"):
+            obs, bridge = self.build_obs_date_records()
+            self.catalog.write(obs, "obs_dates", partition=False)
+            self.catalog.write(bridge, "obs_date_scns", partition=False)
+
+    def get_lst_obsdates_need_processing(self, sensor: str | None = None) -> DataFrame:
+        return reports.get_lst_obsdates_need_processing(self.obs_dates(), sensor)
+
+    def process_obsdata(
+        self,
+        platform_id: str,
+        obs_date: dt.date,
+        visual_fn: Callable[[list, dict], bool] | None = None,
+        img_sizes: Sequence[int] = (250, 500, 1000),
+        base_dir: str = "overview_imgs",
+    ) -> bool:
+        """The composed per-obsdate overview pass (ref eodatadownsensor.py
+        :642-697 ``process_obsdata``): look up ONE (sensor, platform,
+        obs_date) row, gather its scene pids from the bridge, run the
+        injectable multi-scene visual task, then commit the outcome
+        through the OCC catalog — ``overview_created=True`` + the
+        ``{size_px: img_path}`` overviews JSON on success, ``invalid=True``
+        on failure.  Returns True iff the overview was produced.
+
+        ``visual_fn(scene_pids, out_imgs_dict) -> bool`` is the external
+        raster kernel (``create_multi_scn_visual`` / rsgislib in the
+        reference — outside engine scope per SURVEY §0); the default fake
+        succeeds deterministically so the orchestration is testable
+        without the geospatial stack, exactly like ``quicklook_stage``.
+
+        Scale shape: the obs-date row probe and the per-obsdate pid list
+        are limit-/key-bounded driver reads (one observation date's
+        scenes); the state commit is ``replace_derived`` on the obs-date
+        rollup — a table with one row per (sensor, platform, day), small
+        by construction, with OCC retry so concurrent obsdate workers
+        never lose each other's marks."""
+        import json as _json
+        import os.path as _osp
+
+        from eodatadown_spark.sinks import bounded_collect
+
+        key = (
+            (F.col("sensor_id") == self.sensor_id)
+            & (F.col("platform_id") == platform_id)
+            & (F.col("obs_date") == F.lit(obs_date))
+        )
+        if self.obs_dates().where(key).limit(1).first() is None:
+            return False  # unknown obsdate → no-op, reference one_or_none path
+        pids = [
+            r["scene_pid"]
+            for r in bounded_collect(
+                self.obs_date_scns().where(key).select("scene_pid"),
+                "process_obsdata scene pids",
+            )
+        ]
+        basename = "{}_{}_{}".format(
+            obs_date.strftime("%Y%m%d"), self.sensor_id, platform_id
+        )
+        out_imgs = {
+            str(s): _osp.join(base_dir, basename, f"{basename}_{s}px.tif")
+            for s in img_sizes
+        }
+        fn = visual_fn or (lambda scn_pids, imgs: True)
+        success = bool(fn(pids, out_imgs))
+
+        spark = self.spark
+
+        def _commit(current: DataFrame) -> DataFrame:
+            if success:
+                updates = spark.createDataFrame(
+                    [(self.sensor_id, platform_id, obs_date, _json.dumps(out_imgs))],
+                    "sensor_id string, platform_id string, obs_date date, "
+                    "overviews string",
+                )
+                return reports.update_obs_date_overviews(current, updates)
+            return current.withColumn(
+                "invalid", F.when(key, F.lit(True)).otherwise(F.col("invalid"))
+            ).withColumn(
+                "overview_created",
+                F.when(key, F.lit(False)).otherwise(F.col("overview_created")),
+            )
+
+        self.catalog.replace_derived("obs_dates", _commit, partition=False)
+        return success
+
+    def create_obsdate_visual(
+        self,
+        visual_fn: Callable[[list, dict], bool] | None = None,
+        img_sizes: Sequence[int] = (250, 500, 1000),
+        base_dir: str = "overview_imgs",
+    ) -> int:
+        """Walk every obsdate still needing an overview and process each
+        (ref eodatadownsensor.py:605-618 ``create_obsdate_visual``: worklist
+        → ``process_obsdata`` loop).  Returns the number of obsdates whose
+        overview succeeded.  The worklist is one filtered scan of the
+        per-day rollup (bounded: rows = sensor-days, not scenes); each
+        iteration's task fan-out and OCC commit are per-obsdate, so a
+        failed date marks itself invalid and the loop continues."""
+        from eodatadown_spark.sinks import bounded_collect
+
+        self.ensure_obs_date_tables()
+        todo = bounded_collect(
+            self.get_lst_obsdates_need_processing(self.sensor_id),
+            "create_obsdate_visual worklist",
+        )
+        n_ok = 0
+        for row in todo:
+            if self.process_obsdata(
+                row["platform_id"], row["obs_date"], visual_fn, img_sizes, base_dir
+            ):
+                n_ok += 1
+        return n_ok
 
 
 class LandsatGoogSensor(SensorBase):
     table = "landsat_scenes"
+    sensor_id = "LandsatGOOG"
     ingest_keys = tuple(schemas.INGEST_KEYS["landsat_scenes"])
     watermark_col = "date_acquired"
     dedup_key = "scene_id"
@@ -422,6 +564,7 @@ class LandsatGoogSensor(SensorBase):
 
 class Sentinel2GoogSensor(SensorBase):
     table = "sentinel2_scenes"
+    sensor_id = "Sentinel2GOOG"
     ingest_keys = tuple(schemas.INGEST_KEYS["sentinel2_scenes"])
     watermark_col = "sensing_time"
     date_col = "sensing_time"
@@ -431,6 +574,7 @@ class Sentinel2GoogSensor(SensorBase):
 
 class Sentinel1ASFSensor(SensorBase):
     table = "sentinel1_scenes"
+    sensor_id = "Sentinel1ASF"
     ingest_keys = tuple(schemas.INGEST_KEYS["sentinel1_scenes"])
     watermark_col = "begin_position"
     date_col = "acquisition_date"

@@ -714,6 +714,20 @@ def cmd_buildobsdates(args) -> None:
           f"bridge={cat.read_clean('obs_date_scns').count()}")
 
 
+def cmd_procobsdata(args) -> None:
+    """eodatadownrun obsdate path: walk the obsdate worklist, run the
+    (stubbed) overview kernel per obsdate, commit overview marks (ref
+    eodatadownsensor.py:605 create_obsdate_visual)."""
+    from eodatadown_spark.sensor import get_sensor_obj
+
+    cat = _cat(args)
+    sensor = get_sensor_obj(args.sensor, cat)
+    sizes = tuple(int(s) for s in args.sizes.split(","))
+    n = sensor.create_obsdate_visual(img_sizes=sizes, base_dir=args.outdir)
+    remaining = sensor.get_lst_obsdates_need_processing().count()
+    print(f"processed {n} obsdate(s); {remaining} remaining")
+
+
 def cmd_bpetrain(args) -> None:
     """Train a BPE merge list on a documents parquet; write merges JSON and
     print one stats line (optionally with per-doc subword counts)."""
@@ -1348,6 +1362,10 @@ def main(argv=None) -> int:
     add("pluginreport", cmd_pluginreport)
     add("reset", cmd_reset, **{"--pids": {"default": None, "help": "comma list; all if omitted"}})
     add("buildobsdates", cmd_buildobsdates)
+    add("procobsdata", cmd_procobsdata, **{
+        "--sensor": {"default": "LandsatGOOG"},
+        "--sizes": {"default": "250,500,1000"},
+        "--outdir": {"default": "overview_imgs"}})
     add("runscn", cmd_runscn, **{"--pid": {"type": int, "required": True},
                                  "--sensor": {"default": "LandsatGOOG"}})
     add("genobsdatecmds", cmd_genobsdatecmds, **{

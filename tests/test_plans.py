@@ -33,6 +33,23 @@ def test_q02_filter_pushdown(entry_spark):
     assert any("o_orderdate" in f and "GreaterThanOrEqual" in f for f in pf)
 
 
+def test_q178_keyset_page_no_global_window(entry_spark):
+    """The seek-method page must plan WITHOUT a row_number window: no
+    Window operator, no single-partition exchange — each page is a
+    TakeOrderedAndProject (per-partition top-n) regardless of page depth,
+    while its OFFSET twin q02 pays a global-order window."""
+    df = E.queries()["q178_keyset_page"](entry_spark, SF)
+    plan = audit.physical_plan(df, "simple")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the OFFSET twin DOES window — the contrast this test documents
+    q02 = audit.physical_plan(
+        E.queries()["q02_date_range_page"](entry_spark, SF), "simple"
+    )
+    assert "Window" in q02
+
+
 def test_q10_dims_broadcast(entry_spark):
     df = E.queries()["q10_revenue_by_nation"](entry_spark, SF)
     joins = audit.join_strategies(df)

@@ -35,6 +35,50 @@ def test_pagination_slice(landsat_scenes):
     assert pids(page) == [3, 4]
 
 
+def test_keyset_pagination_walk_matches_offset(landsat_scenes):
+    """Walking pages by cursor reproduces the OFFSET slices exactly, asc
+    and desc, for tuple cursors and derived one-row DataFrame cursors."""
+    from pyspark.sql import functions as F
+
+    base = Q.query_scn_records_date(
+        landsat_scenes, "2019-12-31", "2019-01-01", valid=False
+    )
+    ordered = [
+        (r["date_acquired"], r["pid"])
+        for r in base.select("date_acquired", "pid")
+        .orderBy("date_acquired", "pid")
+        .collect()
+    ]
+    # asc walk with tuple cursors: page size 3 → [0:3], [3:6], [6:]
+    cursor = None
+    seen = []
+    while True:
+        page = Q.paginate_keyset(
+            base, ["date_acquired", "pid"], after=cursor, n_recs=3
+        ).collect()
+        if not page:
+            break
+        seen += [(r["date_acquired"], r["pid"]) for r in page]
+        cursor = (page[-1]["date_acquired"], page[-1]["pid"])
+    assert seen == ordered
+
+    # desc page 2 via a DERIVED DataFrame cursor == OFFSET page 2
+    keys = ["date_acquired", "pid"]
+    p1 = Q.paginate_keyset(base, keys, n_recs=3, descending=True)
+    cur = p1.agg(F.min(F.struct(*[F.col(k) for k in keys])).alias("c")).select(
+        "c.date_acquired", "c.pid"
+    )
+    p2 = Q.paginate_keyset(base, keys, after=cur, n_recs=3, descending=True)
+    got = [(r["date_acquired"], r["pid"]) for r in p2.collect()]
+    assert got == list(reversed(ordered))[3:6]
+
+    # facade binding filters like the OFFSET twin
+    out = Q.query_scn_records_date_keyset(
+        landsat_scenes, "2019-12-31", "2019-01-01", valid=True, n_recs=100
+    )
+    assert pids(out) == [0, 1, 2, 3, 5, 6]
+
+
 def test_bbox_strict_inequality(landsat_scenes):
     # bbox (w,e,s,n) touching pid0's east edge exactly → strict '>' excludes
     out = Q.query_scn_records_date_bbox(

@@ -105,6 +105,64 @@ def test_update_obs_date_overviews(spark, system):
     assert other["need_update"] is True and other["overviews"] is None
 
 
+def test_process_obsdata_lifecycle(spark, system):
+    """The composed per-obsdate orchestration (ref eodatadownsensor.py:642
+    process_obsdata / :605 create_obsdate_visual): worklist → injectable
+    visual task → OCC overview merge → re-query shows the obsdate done."""
+    find_new_downloads(system, {"LandsatGOOG": _landsat_feed(spark)})
+    sensor = system.get_sensor_objs()[0]
+
+    calls = []
+
+    def visual(pids, out_imgs):
+        calls.append((tuple(sorted(pids)), dict(out_imgs)))
+        return True
+
+    n = sensor.create_obsdate_visual(visual_fn=visual, img_sizes=(250, 500))
+    n_days = sensor.obs_dates().count()
+    assert n == n_days and len(calls) == n_days and n_days > 0
+    # every obsdate marked processed, overviews JSON carries both sizes
+    done = sensor.obs_dates().collect()
+    for r in done:
+        assert r["overview_created"] is True and r["need_update"] is False
+        ov = json.loads(r["overviews"])
+        assert set(ov) == {"250", "500"}
+        base = f"{r['obs_date'].strftime('%Y%m%d')}_LandsatGOOG_{r['platform_id']}"
+        assert ov["250"].endswith(f"{base}_250px.tif")
+    # worklist drained; a second pass does zero work
+    assert sensor.get_lst_obsdates_need_processing().count() == 0
+    assert sensor.create_obsdate_visual(visual_fn=visual) == 0
+    assert len(calls) == n_days
+
+    # unknown obsdate → reference's one_or_none no-op path
+    import datetime as dt
+
+    assert sensor.process_obsdata("LANDSAT_8", dt.date(1999, 1, 1)) is False
+
+    # failure path: a failing kernel marks THAT obsdate invalid, not done
+    first = done[0]
+    sensor.catalog.replace_derived(
+        "obs_dates",
+        lambda cur: cur.withColumn(
+            "overview_created",
+            F.when(
+                F.col("obs_date") == F.lit(first["obs_date"]), F.lit(False)
+            ).otherwise(F.col("overview_created")),
+        ),
+        partition=False,
+    )
+    ok = sensor.process_obsdata(
+        first["platform_id"], first["obs_date"], visual_fn=lambda p, o: False
+    )
+    assert ok is False
+    row = (
+        sensor.obs_dates()
+        .where(F.col("obs_date") == F.lit(first["obs_date"]))
+        .first()
+    )
+    assert row["invalid"] is True and row["overview_created"] is False
+
+
 def test_cli_dataprep_pipeline(spark, tmp_path, capsys):
     """eodd_cli dataprep: quality filter → exact dedup → near-dup canonical →
     split, end to end through the CLI entry point."""
@@ -361,6 +419,20 @@ def test_cli_runscn_and_genobsdatecmds(spark, tmp_path, capsys):
     assert len(lines) == 2
     assert lines[0] == ("eoddcreatereport --sensor LandsatGOOG "
                         "--platform LANDSAT_8 --date 2019-01-05")
+
+    # procobsdata: worklist → stubbed kernel → OCC overview marks
+    eodd_cli.main(["procobsdata", "--catalog", cat_dir, "--sizes", "250"])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == (
+        "processed 2 obsdate(s); 0 remaining"
+    )
+    obs = {r["obs_date"].isoformat(): r for r in cat.read_clean("obs_dates").collect()}
+    assert all(r["overview_created"] for r in obs.values())
+    assert json.loads(obs["2019-01-05"]["overviews"]).keys() == {"250"}
+    # idempotent second pass
+    eodd_cli.main(["procobsdata", "--catalog", cat_dir])
+    assert capsys.readouterr().out.strip().splitlines()[-1] == (
+        "processed 0 obsdate(s); 0 remaining"
+    )
 
 
 def test_cli_sample_cdcdiff_zorder(spark, tmp_path, capsys):

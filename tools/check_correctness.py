@@ -86,7 +86,9 @@ def first_repo_frame(exc: BaseException) -> str:
     return ""
 
 
-def prepare_sampled_dir(sf_dir: str, pct: int = 12) -> str:
+def prepare_sampled_dir(
+    sf_dir: str, pct: int = 12, emb_pct: int | None = None
+) -> str:
     """Build (once, cached) the deterministic-sample twin of ``sf_dir``:
     documents hash-sampled + planted dups, every other table symlinked.
 
@@ -95,9 +97,22 @@ def prepare_sampled_dir(sf_dir: str, pct: int = 12) -> str:
     sample is 6.3k docs → ~20M oracle pairs (hours); ``--sample-pct=2``
     keeps ~1k (sf0.01-like volume, minutes) while both engines still read
     the identical sf1.0-provenance parquet, so the differential stays
-    exact."""
+    exact.
+
+    ``emb_pct`` (``--sample-emb-pct=N``) additionally hash-samples the
+    EMBEDDINGS table — for the one oracle whose pair volume is bucketed on
+    the vector table itself (q35's same-LSH-bucket join: the synthetic
+    clusters share hyperplane signs, so a handful of buckets hold
+    thousands of vectors at sf1.0 and the DuckDB side goes quadratic).
+    The cluster structure survives a uniform vec_id sample (every cluster
+    thins by ~emb_pct), so threshold-crossing near-dup pairs remain and
+    the differential stays non-trivial.  Default None = full embeddings,
+    preserving the at-full-strength evidence of every other embedding
+    query."""
     base = os.path.basename(sf_dir.rstrip("/"))
     suffix = "" if pct == 12 else f"_p{pct}"
+    if emb_pct is not None:
+        suffix += f"_e{emb_pct}"
     out = f"/tmp/spark_graft_sampled_{base}{suffix}"
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
@@ -124,8 +139,21 @@ def prepare_sampled_dir(sf_dir: str, pct: int = 12) -> str:
             SELECT * FROM planted
         ) TO '{dst}' (FORMAT PARQUET)
     """)
+    if emb_pct is not None:
+        esrc = os.path.join(sf_dir, "embeddings.parquet")
+        edst = os.path.join(out, "embeddings.parquet")
+        if os.path.exists(edst):
+            os.remove(edst)
+        duckdb.connect().execute(f"""
+            COPY (
+                SELECT * FROM read_parquet('{esrc}')
+                WHERE (vec_id * 2654435761) % 4294967296 % 97 < {emb_pct}
+            ) TO '{edst}' (FORMAT PARQUET)
+        """)
     for t in TABLES:
         if t == "documents":
+            continue
+        if t == "embeddings" and emb_pct is not None:
             continue
         link = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(link):
@@ -137,6 +165,7 @@ def prepare_sampled_dir(sf_dir: str, pct: int = 12) -> str:
 
 def main() -> int:
     pct = None  # sentinel: ANY explicit --sample-pct implies sampling
+    emb_pct = None
     args = []
     for a in sys.argv[1:]:
         if a == "--sampled":
@@ -144,18 +173,23 @@ def main() -> int:
         if a.startswith("--sample-pct="):
             pct = int(a.split("=", 1)[1])
             continue
+        if a.startswith("--sample-emb-pct="):
+            emb_pct = int(a.split("=", 1)[1])
+            continue
         args.append(a)
     # an explicit keep-rate implies sampling — a pct that silently did
     # nothing (the old `pct != 12` test treated an explicit =12 as the
     # default) would run the O(n^2) oracles on the full corpus for hours
-    sampled = "--sampled" in sys.argv[1:] or pct is not None
+    sampled = (
+        "--sampled" in sys.argv[1:] or pct is not None or emb_pct is not None
+    )
     if pct is None:
         pct = 12
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
     if sampled:
-        sf_dir = prepare_sampled_dir(sf_dir, pct)
-        print(f"sampled mode: {sf_dir} (pct={pct})")
+        sf_dir = prepare_sampled_dir(sf_dir, pct, emb_pct)
+        print(f"sampled mode: {sf_dir} (pct={pct}, emb_pct={emb_pct})")
 
     import __spark_entry__ as E
     from eodatadown_spark.session import get_spark
