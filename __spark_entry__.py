@@ -3623,18 +3623,19 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 # Displaced entries all have driver-green rows in r01-r08 windows (no
 # driver row has ever regressed); everything still runs in local checks
 # (tools/check_correctness.py covers all entries).
-# ROUND-10 WINDOW (declared below as _R10_WINDOW; queries() serves these
-# 50 first): ALL 30 entries never driver-checked in r01-r09 (q85 q88 q98
-# q99 q100 q110 q112 q114 q115 q116 q118 q119 q123 q124 q125 q127 q129
-# q132 q133 q135 q136 q137 q138 q140 q141 q142 q143 q144 q156 q157 —
-# with this window, union(r01-r10) == the full registry), the two r9
-# driver reds re-greened after their oracle dtype fixes (q101 q72), this
-# round's additions (q158 bbox-only facade, q159 BPE roundtrip), and 16
-# anchors: flagships q10/q24 plus every code path round-10 changes touch
-# (q51/q158 queries.py facade file, q150 stored-prefix probe, q117/q149/
-# q153/q154/q155 stored-index family, q81 BPE trainer shared with q159,
-# q91 OCC upsert, q145 fixed oracle, q107/q152/q28/q131 pairwise family
-# re-proven at sf1.0 samples this round).
+# ROUND-11 WINDOW (declared below as _R11_WINDOW; queries() serves these
+# 50 first): the 7 entries never driver-checked in r01-r10 (q160-q165,
+# q173 — with this window green, union(r01-r11) == the FULL registry with
+# zero ever-unchecked entries), the round-11 keyset-pagination addition
+# (q178), the 7 queries whose behavior changed this round (q35 double-
+# precision cosine, q166 trim class, q170 pred gate, q171 probe guard,
+# q174 normalization chain, q175/q177 strip rewrite), ALL 14 queries
+# crossing the dot/l2_norm float32→double fix, and anchors pinning every
+# file round-11 touched (queries.py keyset twin, sensor.py/reports.py
+# obsdate orchestration, text.py normalization, the classifier GD chain,
+# the stored-index probe family now under a hypothesis property).
+# Displaced entries all have driver-green rows in earlier windows (no
+# driver row has ever regressed) and still run in the local differential.
 _ALL_QUERIES: dict[str, Callable] = {
     "q10_revenue_by_nation": q10_revenue_by_nation,
     "q151_sq8_topk": q151_sq8_topk,
@@ -3816,44 +3817,56 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q26_window_rollup": q26_window_rollup,
 }
 
-_R10_WINDOW = [
-    # 30 never-driver-checked (r01-r09 union gap — closing it completes
-    # full-registry driver coverage)
-    "q85_large_volume_orders", "q88_above_average_orders",
-    "q98_volume_shipping", "q99_market_share", "q100_sales_opportunity",
-    "q110_cohort_retention", "q112_daily_anomaly", "q114_zipf_slope",
-    "q115_small_qty_revenue", "q116_top_supplier", "q118_langid_eval",
-    "q119_shot_boundaries", "q123_disjunctive_filter", "q124_nation_share",
-    "q125_late_order_priority", "q127_time_to_conversion",
-    "q129_winsorized_stats", "q132_promo_revenue", "q133_asof_forward",
-    "q135_volume_trend", "q136_robust_anomaly", "q137_gapfilled_counts",
-    "q138_custdist", "q140_asof_nearest", "q141_wow_revenue",
-    "q142_rfm_segments", "q143_ordered_string_agg", "q144_grouped_corr",
-    "q156_clusters_via_stored_index", "q157_bpe_encode",
-    # the two r9 driver reds, re-greened by the oracle dtype fixes
-    "q101_cdc_dup_stats", "q72_variant_props",
-    # round-10 additions (q166/q167 displace the long-green q81/q91
-    # anchors — both ever-driver-green, their paths untouched this round)
-    "q158_bbox_only_page", "q159_bpe_train_encode",
-    "q166_line_dedup", "q167_quality_classifier", "q168_entropy_signals",
-    "q169_classifier_eval", "q170_sparse_classifier", "q171_count_min",
-    "q172_hard_negatives", "q174_normalize_text",
-    "q175_template_strip", "q176_containment_pairs", "q177_footer_strip",
-    # anchors: every path round-10 changes touch (q10/q51/q24 dropped —
-    # ever-green across up to nine rounds; q10 still smoke-runs via
-    # entry(), the facade family is covered by q158 in-window, minhash
-    # stored-index paths by q117/q150/q156)
-    "q150_incremental_clusters",
-    "q153_ivf_stored_probe",
-    "q154_incremental_simhash", "q155_sq8_stored_probe",
-    "q145_sketch_rollup",
+_R11_WINDOW = [
+    # the 7 registry entries never driver-checked in r01-r10 (added after
+    # the r10 window was cut; judge-green locally) — with these green,
+    # union(r01-r11) == the full registry with zero ever-unchecked entries
+    "q160_source_dedup_pressure", "q161_dedup_rate_by_source",
+    "q162_ngram_novelty", "q163_winnow_fingerprints",
+    "q164_winnow_similarity", "q165_importance_weights",
+    "q173_cms_rollup_gate",
+    # round-11 addition: keyset pagination (oracle pins keyset == OFFSET)
+    "q178_keyset_page",
+    # behavior changed this round: q35 (double-precision dot + DOUBLE[]
+    # oracle), q166 (explicit \s-trim class), q170 (thresholded-pred
+    # gate), q171 (grouped-sketch probe guard), q174 (C1/NBSP/U+2028
+    # normalization), q175/q177 (left-join NULL-group strip rewrite)
+    "q35_embedding_neardup", "q166_line_dedup", "q170_sparse_classifier",
+    "q171_count_min", "q174_normalize_text", "q175_template_strip",
+    "q177_footer_strip",
+    # every query whose plan crosses the dot/l2_norm double-precision fix
+    # (the similarity family recomputes all cosines in double now)
+    "q23_cosine_topk", "q36_lsh_topk", "q49_ivf_topk",
+    "q58_centroid_distances", "q80_pq_recall_soundness",
+    "q103_knn_label_vote", "q107_semantic_dedup", "q108_rrf_fusion",
+    "q134_mmr_rerank", "q146_lsh_multiprobe", "q151_sq8_topk",
+    "q153_ivf_stored_probe", "q155_sq8_stored_probe", "q172_hard_negatives",
+    # classifier family sharing q170's GD oracle chain
+    "q167_quality_classifier", "q169_classifier_eval",
+    # facade/pagination anchors (queries.py gained the keyset twin this
+    # round; these pin the untouched OFFSET/bbox paths in the same file)
+    "q02_date_range_page", "q158_bbox_only_page", "q51_date_bbox_count",
+    # flagships
+    "q10_revenue_by_nation", "q24_minhash_neardup",
+    # reports.py/sensor.py gained the obsdate orchestration; these pin the
+    # obs-date rollup + reporting paths in the touched files
+    "q17_obs_date_rollup", "q13_summary_stats",
+    # text.py (normalize/entropy), strip sibling, embeddings reader
+    "q20_text_profile", "q168_entropy_signals", "q176_containment_pairs",
+    "q68_embed_plumbing",
+    # stored-index family anchors (probe contracts newly property-tested)
+    "q150_incremental_clusters", "q156_clusters_via_stored_index",
+    "q117_incremental_minhash", "q154_incremental_simhash",
+    "q149_incremental_phash",
+    # sketch-family sibling of the q171 guard + core keep-latest anchor
+    "q145_sketch_rollup", "q159_bpe_train_encode", "q07_keep_latest",
 ]
 
 # window entries first (the driver checks the leading 50), then the rest —
 # same total registry, pure reordering
 QUERIES: dict[str, Callable] = {
-    **{n: _ALL_QUERIES[n] for n in _R10_WINDOW},
-    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R10_WINDOW)},
+    **{n: _ALL_QUERIES[n] for n in _R11_WINDOW},
+    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R11_WINDOW)},
 }
 
 

@@ -900,3 +900,50 @@ def test_containment_matches_bruteforce(spark, token_docs):
                         inter / min(len(sh[a]), len(sh[b])), 4
                     )
     assert got == want, (got, want)
+
+
+# small shared vocabulary so shingles genuinely collide across random docs —
+# the regime where the prefix filter has real pruning work to do
+_vocab_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+)
+_token_doc = st.lists(_vocab_words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(
+    st.lists(_token_doc, min_size=1, max_size=5),
+    st.lists(_token_doc, min_size=1, max_size=4),
+    st.sampled_from([0.3, 0.5]),
+)
+@settings(max_examples=8, deadline=None)
+def test_prefix_probe_equals_full_union_run(spark, old_texts, new_texts, thr):
+    """The stored-prefix probe contract as a THEOREM, not an instance set:
+    for ANY corpus, ANY batch, and either threshold, probing the frozen
+    index equals the from-scratch union run restricted to new-endpoint
+    pairs — the any-consistent-total-order losslessness of prefix filtering
+    (batch shingles rank under the corpus's frozen frequency order even
+    when absent from it; sub-k-token and empty docs included)."""
+    from eodatadown_spark.operators import dedup as D
+
+    old = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(old_texts)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string",
+    )
+    prefix, freq, fps = D.jaccard_prefix_index(old, k=2, threshold=thr)
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_against_index(
+            new, prefix, freq, fps, k=2, threshold=thr
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_pairs(
+            old.unionByName(new), k=2, threshold=thr
+        ).collect()
+        if r["id_a"] >= 100 or r["id_b"] >= 100
+    }
+    assert inc == full, (inc, full, old_texts, new_texts, thr)
