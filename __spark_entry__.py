@@ -2267,6 +2267,45 @@ def q178_keyset_page(spark, sf):
     )
 
 
+def q179_bloom_gate(spark, sf):
+    """Bloom membership filter (merge.build_bloom — Bloom 1970) completing
+    the mergeable-sketch family with MEMBERSHIP: ≤ n_bits single-int rows
+    of DISTINCT set positions, k affine-derived positions per value (the
+    CMS hash family, one char-fold per value), merge = set union ==
+    build-of-union exactly.  Query: filter the corpus token stream
+    (k=4, m=2048), probe the exact top-20 tokens plus 20 synthetic
+    never-seen tokens, output (token, in_corpus, bloom_hit) — inserted
+    tokens MUST hit (no false negatives, structural), absent tokens hit
+    only on full k-fold collision, which the oracle replays bit-exactly.
+    At 100 TB this is the broadcast pre-join gate: drop probe rows whose
+    k bits aren't all set BEFORE the expensive shuffle."""
+    from eodatadown_spark.operators.corpus import token_array
+    from eodatadown_spark.operators.merge import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(token_array("text")).alias("token"))
+    bloom = build_bloom(toks, "token", n_hashes=4, n_bits=2048)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(20)
+        .select("token", F.lit(True).alias("in_corpus"))
+    )
+    absent = spark.range(20).select(
+        F.concat(F.lit("zzabsent"), F.col("id").cast("string")).alias("token"),
+        F.lit(False).alias("in_corpus"),
+    )
+    probes = top.unionByName(absent)
+    hits = bloom_might_contain(
+        bloom, probes.select("token"), "token", 4, 2048
+    )
+    return probes.join(hits, "token").select("token", "in_corpus", "bloom_hit")
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3569,9 +3608,14 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
         )
 
     def sparse_classifier_probe(spark, sf, weights):
+        # same thresholded projection as the fused q170 entry (the split
+        # probe must row-equal the fused query — test_round9_hardening)
         from eodatadown_spark.operators.classify import score_documents_sparse
 
-        return score_documents_sparse(_t(spark, sf, "documents"), weights)
+        scored = score_documents_sparse(_t(spark, sf, "documents"), weights)
+        return scored.select(
+            "doc_id", "n_tokens", (F.col("prob") >= F.lit(0.5)).alias("pred")
+        )
 
     return {
         "q117_incremental_minhash": (minhash_build, minhash_probe),
@@ -3748,6 +3792,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q176_containment_pairs": q176_containment_pairs,
     "q177_footer_strip": q177_footer_strip,
     "q178_keyset_page": q178_keyset_page,
+    "q179_bloom_gate": q179_bloom_gate,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3858,8 +3903,9 @@ _R11_WINDOW = [
     "q150_incremental_clusters", "q156_clusters_via_stored_index",
     "q117_incremental_minhash", "q154_incremental_simhash",
     "q149_incremental_phash",
-    # sketch-family sibling of the q171 guard + core keep-latest anchor
-    "q145_sketch_rollup", "q159_bpe_train_encode", "q07_keep_latest",
+    # sketch-family sibling of the q171 guard; q179 completes the
+    # mergeable-sketch family with Bloom membership (round-11 addition)
+    "q145_sketch_rollup", "q159_bpe_train_encode", "q179_bloom_gate",
 ]
 
 # window entries first (the driver checks the leading 50), then the rest —
@@ -7545,6 +7591,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, exact_cnt,
                CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_cnt
         FROM probe LEFT JOIN cms USING (i, b)
+        GROUP BY 1, 2
+    """
+    # q179: Bloom replayed relationally — distinct affine bit positions
+    # over the corpus token stream (q171's fingerprint + hash family,
+    # width 2048), probes = exact top-20 + 20 synthetic absent tokens,
+    # hit = all 4 probed positions present
+    sql["q179_bloom_gate"] = """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                       '\\s+'), x -> x <> '')) AS token
+            FROM documents
+        ), exact AS (
+            SELECT token, count(*) AS c FROM toks GROUP BY 1
+        ), top AS (
+            SELECT token, TRUE AS in_corpus FROM exact
+            ORDER BY c DESC, token LIMIT 20
+        ), absent AS (
+            SELECT 'zzabsent' || CAST(i AS VARCHAR) AS token,
+                   FALSE AS in_corpus
+            FROM range(20) r(i)
+        ), probes AS (
+            SELECT * FROM top UNION ALL SELECT * FROM absent
+        ), th AS (
+            SELECT DISTINCT token,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(string_split(regexp_replace(
+                               token, '[^a-z0-9 ]', '', 'g'), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743) AS h
+            FROM toks
+        ), bits AS (
+            SELECT DISTINCT ((2*i + 1) * h + i * 1000003)
+                       % 2038074743 % 2048 AS b
+            FROM th CROSS JOIN range(4) r(i)
+        ), ph AS (
+            SELECT p.token, p.in_corpus,
+                   ((2*i + 1) * list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(string_split(regexp_replace(
+                               p.token, '[^a-z0-9 ]', '', 'g'), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743)
+                    + i * 1000003) % 2038074743 % 2048 AS b
+            FROM probes p CROSS JOIN range(4) r(i)
+        )
+        SELECT ph.token, ph.in_corpus,
+               count(*) = count(bits.b) AS bloom_hit
+        FROM ph LEFT JOIN bits USING (b)
         GROUP BY 1, 2
     """
     # q173: CMS merge-vs-rebuild gate — halves' counters summed must equal

@@ -87,6 +87,9 @@ EXTENDED = [
     # exactly once per bench run.
     "q168_entropy_signals",
     "q171_count_min",
+    # round-11 operators
+    "q178_keyset_page",
+    "q179_bloom_gate",
     "q172_hard_negatives",
     "q173_cms_rollup_gate",
     "q174_normalize_text",

@@ -584,10 +584,114 @@ def count_min_estimate(
     )
 
 
+def build_bloom(
+    df: DataFrame,
+    value_col: str,
+    n_hashes: int = 4,
+    n_bits: int = 4096,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Bloom filter as a RELATIONAL state table → (group_cols...,
+    bloom_bit): the DISTINCT set bit positions (Bloom 1970).  Each value
+    sets ``n_hashes`` positions from the same affine hash family the CMS
+    rows use (:func:`_cms_bucket` — one portable char-fold per value, k
+    derived positions); a membership probe is "all k probed positions
+    present" — NO false negatives ever, false positives at the classic
+    ``(1 - e^{-kn/m})^k`` rate.
+
+    Completes the mergeable-sketch family (HLL distinct / KLL quantile /
+    Theta set-algebra / CMS frequency) with MEMBERSHIP: state is ≤
+    ``n_bits`` single-int rows no matter how many values stream through
+    (broadcastable by construction), and merge is set union —
+    ``build(A) ∪ build(B) == build(A ∪ B)`` EXACTLY (bitwise OR, no
+    approximation in the merge) — so a catalog keeps one filter per
+    partition/day and answers "could token X have appeared in range R"
+    by unioning stored filters, never rescanning history.  The
+    at-scale use is the cheap pre-join gate: broadcast the filter and
+    drop probe rows whose k bits aren't all set BEFORE an expensive
+    join/shuffle (the classic semi-join reduction).
+
+    Hash-domain note matches CMS: values normalize to lowercased
+    [a-z0-9 ] before hashing — intended payload is tokens/ids.
+    """
+    hashed = _cms_hashed(df, value_col, list(group_cols))
+    rows = hashed.select(
+        *group_cols,
+        F.explode(
+            F.array(*[
+                _cms_bucket(F.col("__h"), i, n_bits) for i in range(n_hashes)
+            ])
+        ).alias("bloom_bit"),
+    )
+    return rows.select(*group_cols, "bloom_bit").distinct()
+
+
+def merge_bloom(
+    stored: DataFrame, delta: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge two Bloom state tables by position union — exactly the
+    bitwise OR of the bit arrays, and exactly ``build`` of the union
+    stream (same ``n_hashes``/``n_bits`` required: the parameters are
+    part of the filter's identity, the CMS convention)."""
+    cols = [*group_cols, "bloom_bit"]
+    return (
+        stored.select(*cols).unionByName(delta.select(*cols)).distinct()
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    n_hashes: int = 4,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Membership probes against an UNGROUPED Bloom state table →
+    (value_col, bloom_hit): true iff ALL ``n_hashes`` probed positions
+    are set.  Inserted values ALWAYS probe true (no false negatives);
+    absent values probe true only on full k-fold collision.
+
+    Probe side is ``|probes| × n_hashes`` rows joining a ≤ n_bits-row
+    state — AQE broadcasts the filter; the source relation the filter
+    summarizes is never touched.  Grouped state is rejected for the same
+    reason as :func:`count_min_estimate`: probing across groups would
+    OR the groups' bits together and report memberships no single group
+    holds."""
+    extra = set(bloom.columns) - {"bloom_bit"}
+    if extra:
+        raise ValueError(
+            "bloom_might_contain requires an ungrouped filter (bloom_bit); "
+            f"found extra columns {sorted(extra)} — filter to a single "
+            "group or merge groups with merge_bloom before probing"
+        )
+    pb = _cms_hashed(probes, value_col, [value_col]).select(
+        F.col(value_col),
+        F.explode(
+            F.array(*[
+                _cms_bucket(F.col("__h"), i, n_bits) for i in range(n_hashes)
+            ])
+        ).alias("bloom_bit"),
+    )
+    marked = bloom.select("bloom_bit", F.lit(True).alias("__set"))
+    return (
+        pb.join(marked, "bloom_bit", "left")
+        .groupBy(value_col)
+        .agg(
+            (
+                F.count(F.lit(1))
+                == F.coalesce(F.sum(F.col("__set").cast("int")), F.lit(0))
+            ).alias("bloom_hit")
+        )
+    )
+
+
 __all__ = [
     "build_count_min",
     "merge_count_min",
     "count_min_estimate",
+    "build_bloom",
+    "merge_bloom",
+    "bloom_might_contain",
     "merge_into",
     "diff_snapshots",
     "maintain_rollup",

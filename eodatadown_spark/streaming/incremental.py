@@ -669,3 +669,68 @@ def stream_count_min_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_bloom_batch(
+    catalog,
+    batch: DataFrame,
+    value_col: str = "token",
+    n_hashes: int = 4,
+    n_bits: int = 4096,
+    bloom_table: str = "bloom_bits",
+) -> dict:
+    """Fold ONE value batch into a stored Bloom state table: filter the
+    batch (merge.build_bloom), union-distinct it into the catalog table
+    through ``replace_derived`` — the same base-checked OCC flip as the
+    CMS fold, so concurrent appliers serialize and no bit is lost.
+
+    Unlike counter addition, set union is NATURALLY idempotent: a
+    replayed batch re-unions the same positions and leaves the state
+    bit-identical, so no sentinel machinery is needed — at-least-once
+    delivery converges exactly-once in effect by algebra alone.
+
+    Returns {"batch_bits": ..., "table_bits": ...}.
+    """
+    from eodatadown_spark.operators.dedup import _pin
+    from eodatadown_spark.operators.merge import build_bloom, merge_bloom
+
+    delta = _pin(build_bloom(batch, value_col, n_hashes, n_bits))
+
+    def _fold(current: DataFrame) -> DataFrame:
+        return merge_bloom(current, delta)
+
+    if catalog.exists(bloom_table):
+        catalog.replace_derived(bloom_table, _fold, partition=False)
+    else:
+        catalog.write(delta, bloom_table, partition=False)
+    return {
+        "batch_bits": delta.count(),
+        "table_bits": catalog.read(bloom_table).count(),
+    }
+
+
+def stream_bloom_apply(
+    catalog,
+    stream_values: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **batch_kwargs,
+):
+    """Continuous membership-filter maintenance as Structured Streaming:
+    each micro-batch union-folds into the stored Bloom filter through
+    :func:`apply_bloom_batch`.  Because Bloom merge is exact set union,
+    the drained stream's state equals a one-pass build over everything
+    that flowed through — bit for bit — and replays are no-ops by
+    idempotence of union (no sentinel needed)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        apply_bloom_batch(catalog, batch_df, **batch_kwargs)
+
+    writer = stream_values.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1771,3 +1771,49 @@ class TestStreamCountMinApply:
         finally:
             q2.stop()
         assert counters() == full
+
+
+class TestStreamBloomApply:
+    def test_streamed_filter_equals_one_pass_build(self, spark, tmp_path):
+        """Two micro-batches union-folded into the stored Bloom must equal
+        a one-pass build over the union, bit for bit; a worst-case full
+        replay is a no-op by idempotence of set union (no sentinel)."""
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.operators.merge import build_bloom
+        from eodatadown_spark.streaming.incremental import stream_bloom_apply
+
+        schema = "token string"
+        b1 = [("alpha",), ("beta",)]
+        b2 = [("alpha",), ("gamma",), ("delta",)]
+        feed = str(tmp_path / "bloom_feed")
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(feed)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append").parquet(feed)
+        cat = ParquetCatalog(spark, str(tmp_path / "bloom_cat"))
+
+        def drain(ckpt):
+            q = stream_bloom_apply(
+                cat,
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(feed),
+                checkpoint_dir=str(tmp_path / ckpt),
+                n_hashes=3,
+                n_bits=64,
+            )
+            try:
+                q.awaitTermination(180)
+            finally:
+                q.stop()
+
+        drain("bloom_ckpt")
+        full = {
+            r["bloom_bit"]
+            for r in build_bloom(
+                spark.createDataFrame(b1 + b2, schema), "token", 3, 64
+            ).collect()
+        }
+        bits = {r["bloom_bit"] for r in cat.read("bloom_bits").collect()}
+        assert bits == full
+
+        drain("bloom_ckpt2")  # full replay: union idempotence, unchanged
+        assert {r["bloom_bit"] for r in cat.read("bloom_bits").collect()} == full

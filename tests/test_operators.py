@@ -2585,6 +2585,95 @@ class TestCountMinSketch:
         assert got["cms_cnt"] >= 2
 
 
+class TestBloomFilter:
+    """Relational Bloom: no false negatives ever, merge is exactly the
+    union build, forced collisions only ever ADD positives."""
+
+    def _tokens(self, spark, rows):
+        return spark.createDataFrame([(t,) for t in rows], "token string")
+
+    def test_no_false_negatives(self, spark):
+        from eodatadown_spark.operators.merge import (
+            bloom_might_contain,
+            build_bloom,
+        )
+
+        vals = [f"tok{i}" for i in range(50)]
+        bloom = build_bloom(self._tokens(spark, vals), "token", 4, 1024)
+        hits = {
+            r["token"]: r["bloom_hit"]
+            for r in bloom_might_contain(
+                bloom, self._tokens(spark, vals), "token", 4, 1024
+            ).collect()
+        }
+        assert all(hits[v] is True for v in vals)
+        # plenty of slack at m=1024/k=4/n=50: the 50 absent probes should
+        # be overwhelmingly misses (FP rate ~ (1-e^{-kn/m})^k ≈ 0.1%)
+        absent = [f"other{i}" for i in range(50)]
+        miss = {
+            r["token"]: r["bloom_hit"]
+            for r in bloom_might_contain(
+                bloom, self._tokens(spark, absent), "token", 4, 1024
+            ).collect()
+        }
+        assert sum(1 for v in miss.values() if v) <= 5
+
+    def test_merge_equals_union_build(self, spark):
+        from eodatadown_spark.operators.merge import build_bloom, merge_bloom
+
+        a = self._tokens(spark, ["x", "y"])
+        b = self._tokens(spark, ["y", "z"])
+        both = self._tokens(spark, ["x", "y", "z"])
+        merged = {
+            r["bloom_bit"]
+            for r in merge_bloom(
+                build_bloom(a, "token", 3, 64), build_bloom(b, "token", 3, 64)
+            ).collect()
+        }
+        full = {
+            r["bloom_bit"] for r in build_bloom(both, "token", 3, 64).collect()
+        }
+        assert merged == full
+
+    def test_saturated_filter_all_hits(self, spark):
+        # m=2: every value maps into the 2 bits — probes all collide true,
+        # the degenerate direction (false POSITIVES only, never negatives)
+        from eodatadown_spark.operators.merge import (
+            bloom_might_contain,
+            build_bloom,
+        )
+
+        bloom = build_bloom(
+            self._tokens(spark, ["a", "b", "c", "d"]), "token", 2, 2
+        )
+        got = bloom_might_contain(
+            bloom, self._tokens(spark, ["never"]), "token", 2, 2
+        ).collect()[0]
+        assert got["bloom_hit"] is True
+
+    def test_grouped_filter_rejected_by_probe(self, spark):
+        import pytest
+
+        from eodatadown_spark.operators.merge import (
+            bloom_might_contain,
+            build_bloom,
+        )
+
+        df = spark.createDataFrame(
+            [("g1", "x"), ("g2", "y")], "src string, token string"
+        )
+        grouped = build_bloom(df, "token", 2, 64, group_cols=["src"])
+        with pytest.raises(ValueError, match="ungrouped"):
+            bloom_might_contain(
+                grouped, self._tokens(spark, ["x"]), "token", 2, 64
+            )
+        one = grouped.where("src = 'g1'").drop("src")
+        got = bloom_might_contain(
+            one, self._tokens(spark, ["x"]), "token", 2, 64
+        ).collect()[0]
+        assert got["bloom_hit"] is True
+
+
 class TestHardNegatives:
     """Hard-negative mining: top-k most-similar DIFFERENT-label vectors,
     label filter applied before ranking."""
