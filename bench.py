@@ -334,6 +334,12 @@ def main() -> None:
         ), 3),
     }
 
+    # e2e is measured twice and the SECOND run is the headline: the first
+    # pass pays cold page-cache/tempdir costs that swing 2-3x with host
+    # state (measured r11: 35.7 cold vs 9.4-11.7 converged on BOTH the
+    # r10 and r11 trees) — the steady-state number is the one that
+    # compares round-over-round; the cold one is recorded alongside.
+    e2e_cold_sec = e2e_pipeline_sec(spark, sf_dir)
     e2e_sec = e2e_pipeline_sec(spark, sf_dir)
 
     # host-drift calibration (VERDICT r10 item 5): q10's code has been
@@ -412,6 +418,7 @@ def main() -> None:
                     for n, v in incr_split.items()
                 },
                 "e2e_pipeline_sec": e2e_sec,
+                "e2e_pipeline_cold_sec": e2e_cold_sec,
                 "calibration": cal,
                 "sf": sf_val,
             }
