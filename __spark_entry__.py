@@ -2306,6 +2306,20 @@ def q179_bloom_gate(spark, sf):
     return probes.join(hits, "token").select("token", "in_corpus", "bloom_hit")
 
 
+def q180_duplicated_spans(spark, sf):
+    """Exact duplicated-span detection (dedup.duplicated_span_stats — the
+    Lee et al. 2021 ExactSubstr rule, token-windowed): 8-token rolling-
+    hash windows, corpus-wide occurrence marking, overlapping marked
+    windows merged into MAXIMAL spans by a per-document lag/cumsum island
+    fold, per-doc (n_tokens, n_dup_spans, dup_tokens) — the verbatim-run
+    complement of line_dedup (whole lines) and ngram_novelty (distinct-
+    shingle originality).  Integer outputs only (float-free gate).  The
+    oracle replays windows, the char-fold hash, the ≥2 marking, and the
+    island merge with SQL window functions."""
+    docs = _t(spark, sf, "documents")
+    return D.duplicated_span_stats(docs, window=8)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3793,6 +3807,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q177_footer_strip": q177_footer_strip,
     "q178_keyset_page": q178_keyset_page,
     "q179_bloom_gate": q179_bloom_gate,
+    "q180_duplicated_spans": q180_duplicated_spans,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3896,9 +3911,11 @@ _R11_WINDOW = [
     # reports.py/sensor.py gained the obsdate orchestration; these pin the
     # obs-date rollup + reporting paths in the touched files
     "q17_obs_date_rollup", "q13_summary_stats",
-    # text.py (normalize/entropy), strip sibling, embeddings reader
-    "q20_text_profile", "q168_entropy_signals", "q176_containment_pairs",
-    "q68_embed_plumbing",
+    # text.py (normalize/entropy), strip sibling, embeddings reader;
+    # q180 is the round-11 ExactSubstr span detector (q20 yields — seven
+    # rounds driver-green, its text.py paths pinned by q168/q174)
+    "q180_duplicated_spans", "q168_entropy_signals",
+    "q176_containment_pairs", "q68_embed_plumbing",
     # stored-index family anchors (probe contracts newly property-tested)
     "q150_incremental_clusters", "q156_clusters_via_stored_index",
     "q117_incremental_minhash", "q154_incremental_simhash",
@@ -7644,6 +7661,60 @@ def oracle_sql() -> dict[str, str]:
                count(*) = count(bits.b) AS bloom_hit
         FROM ph LEFT JOIN bits USING (b)
         GROUP BY 1, 2
+    """
+    # q180: duplicated spans replayed — 8-token windows hashed with the
+    # portable char-fold, >=2 marking, lag/cumsum island merge, maximal
+    # span stats; integer-only output
+    sql["q180_duplicated_spans"] = """
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split_regex(
+                       lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                       '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        ), n AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+            FROM t
+        ), w AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(string_split(regexp_replace(
+                               array_to_string(toks[i+1:i+8], ' '),
+                               '[^a-z0-9 ]', '', 'g'), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743) AS wh
+            FROM n CROSS JOIN
+                 unnest(range(0, greatest(n_tokens - 7, 0))) r(i)
+        ), dup AS (
+            SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2
+        ), m AS (
+            SELECT doc_id, pos FROM w JOIN dup USING (wh)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) IS NULL
+                         OR pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) > 8
+                        THEN 1 ELSE 0 END AS new_grp
+            FROM m
+        ), grp AS (
+            SELECT doc_id, pos,
+                   sum(new_grp) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM isl
+        ), spans AS (
+            SELECT doc_id, g, min(pos) AS s, max(pos) + 8 AS e
+            FROM grp GROUP BY 1, 2
+        ), stats AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(sum(e - s) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY 1
+        )
+        SELECT n.doc_id, n.n_tokens,
+               coalesce(stats.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(stats.dup_tokens, 0) AS dup_tokens
+        FROM n LEFT JOIN stats USING (doc_id)
     """
     # q173: CMS merge-vs-rebuild gate — halves' counters summed must equal
     # the one-pass counters exactly; same salted bucketing as q171.

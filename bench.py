@@ -90,6 +90,7 @@ EXTENDED = [
     # round-11 operators
     "q178_keyset_page",
     "q179_bloom_gate",
+    "q180_duplicated_spans",
     "q172_hard_negatives",
     "q173_cms_rollup_gate",
     "q174_normalize_text",

@@ -1740,6 +1740,99 @@ def ngram_novelty(
     )
 
 
+def duplicated_span_stats(
+    documents: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr rule,
+    token-windowed): slide a ``window``-token rolling-hash across every
+    document, mark windows whose hash occurs ≥ ``min_count`` times in the
+    corpus (``cross_doc_only=True`` counts distinct documents instead, so
+    within-doc refrains don't mark), merge overlapping/adjacent marked
+    windows into MAXIMAL spans, and report per-document span statistics →
+    ``(doc_id, n_tokens, n_dup_spans, dup_tokens)``.
+
+    This is the span-granular member of the dedup family: line_dedup
+    removes whole boilerplate LINES, ngram_novelty scores distinct-shingle
+    originality, while this finds the exact verbatim RUNS (quotes, license
+    headers, syndicated passages) an ExactSubstr pass would cut — integer
+    outputs only, so the differential gate is float-free.
+
+    Scale shape: one posexplode of O(total windows) rows carrying (id,
+    pos, hash) longs → window-hash aggregate (map-side combined) → the
+    duplicated-hash set left-semi joins back (boilerplate hashes are a
+    small fraction of distinct windows; AQE broadcasts) → island-merge is
+    a lag/cumsum window PARTITIONED BY document (parallel across docs,
+    never global).  Nothing pairwise, nothing driver-side.
+
+    Docs shorter than ``window`` tokens carry zero spans by construction.
+    """
+    from eodatadown_spark.operators.corpus import token_array
+    from eodatadown_spark.operators.text import rolling_fingerprint
+
+    base = documents.select(
+        F.col(id_col).alias("id"), token_array(text_col).alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    eligible = base.where(F.col("n_tokens") >= window)
+    wins = eligible.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - window),
+                lambda i: rolling_fingerprint(
+                    F.array_join(F.slice(F.col("toks"), i + 1, window), " ")
+                ),
+            )
+        ).alias("pos", "wh"),
+    )
+    counted = wins.groupBy("wh").agg(
+        (
+            F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
+        ).alias("__n")
+    )
+    dup = counted.where(F.col("__n") >= min_count).select("wh")
+    marked = wins.join(dup, "wh", "left_semi")
+    w_ = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        marked.withColumn("__prev", F.lag("pos").over(w_))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > window)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__new").over(
+                w_.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = isl.groupBy("id", "__grp").agg(
+        F.min("pos").alias("__s"), (F.max("pos") + window).alias("__e")
+    )
+    stats = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("__e") - F.col("__s")).alias("dup_tokens"),
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        )
+    )
+
+
 def source_pair_pressure(
     pairs: DataFrame,
     documents: DataFrame,

@@ -2944,3 +2944,67 @@ class TestTemplateSuffixStrip:
         assert got[1] == ("alpha body", 11)
         assert got[2] == ("beta body longer", 11)
         assert got[3] == ("single doc untouched", 0)
+
+
+class TestDuplicatedSpans:
+    """ExactSubstr-style span detection: maximal merged runs, within-doc
+    refrains controllable, sub-window docs zeroed."""
+
+    def test_shared_run_merges_to_one_maximal_span(self, spark):
+        from eodatadown_spark.operators.dedup import duplicated_span_stats
+
+        shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"
+        rows = [
+            (1, shared + " u1 u2 u3 u4"),
+            (2, "v1 v2 " + shared),
+            (3, "x y"),  # shorter than the window → structural zeros
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicated_span_stats(docs, window=4).collect()
+        }
+        # 7 overlapping marked windows merge into ONE 10-token span each
+        assert got[1] == (14, 1, 10)
+        assert got[2] == (12, 1, 10)
+        assert got[3] == (2, 0, 0)
+
+    def test_within_doc_refrain_and_cross_doc_only(self, spark):
+        from eodatadown_spark.operators.dedup import duplicated_span_stats
+
+        docs = spark.createDataFrame(
+            [(1, "r1 r2 r3 r4 m r1 r2 r3 r4"), (2, "unrelated words here now")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicated_span_stats(docs, window=4).collect()
+        }
+        # the refrain repeats within doc 1: two disjoint 4-token spans
+        assert got[1] == (2, 8)
+        assert got[2] == (0, 0)
+        # distinct-document counting ignores within-doc repetition
+        cross = {
+            r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicated_span_stats(
+                docs, window=4, cross_doc_only=True
+            ).collect()
+        }
+        assert cross[1] == (0, 0)
+
+    def test_adjacent_windows_merge(self, spark):
+        from eodatadown_spark.operators.dedup import duplicated_span_stats
+
+        # two docs sharing two runs separated by one differing token:
+        # marked windows are non-overlapping but ADJACENT runs stay
+        # separate spans when the gap exceeds the window
+        a = "p0 p1 p2 p3 DIFF1 q0 q1 q2 q3"
+        b = "p0 p1 p2 p3 DIFF2 q0 q1 q2 q3"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicated_span_stats(docs, window=4).collect()
+        }
+        assert got[1] == (2, 8) and got[2] == (2, 8)
