@@ -2320,6 +2320,24 @@ def q180_duplicated_spans(spark, sf):
     return D.duplicated_span_stats(docs, window=8)
 
 
+def q181_span_index_probe(spark, sf):
+    """Incremental duplicated-span detection through the STORED window-
+    hash index (dedup.span_hash_index / duplicated_spans_against_index):
+    the corpus half (doc_id < 400) is indexed once into (wh, cnt,
+    n_docs); the batch half probes it and reports union-corpus span
+    stats for batch docs WITHOUT re-reading the corpus — window counts
+    are exactly additive across disjoint doc-id sets, so
+    probe == duplicated_span_stats(corpus ∪ batch) restricted to the
+    batch (the theorem the hypothesis property pins).  The oracle runs
+    the from-scratch union replay restricted to batch ids — hash-match
+    proves the stored-index shortcut lossless."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+    idx = D.span_hash_index(corpus, window=8)
+    return D.duplicated_spans_against_index(batch, idx, window=8)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3600,6 +3618,20 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
             _t(spark, sf, "documents"), weights, binary=True
         )
 
+    def span_index_build(spark, sf):
+        # persistent half: (wh, cnt, n_docs) window-hash counts over the
+        # corpus split — the artifact a catalog stores per generation
+        docs = _t(spark, sf, "documents")
+        return D._pin(
+            D.span_hash_index(docs.where(F.col("doc_id") < 400), window=8)
+        )
+
+    def span_index_probe(spark, sf, index):
+        docs = _t(spark, sf, "documents")
+        return D.duplicated_spans_against_index(
+            docs.where(F.col("doc_id") >= 400), index, window=8
+        )
+
     def sparse_classifier_build(spark, sf):
         # the sparse-path training (explode+groupBy gradient, O(1)-in-d
         # plan) timed as ONE training — the bench's only sparse training,
@@ -3644,6 +3676,7 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
         "q170_sparse_classifier": (
             sparse_classifier_build, sparse_classifier_probe,
         ),
+        "q181_span_index_probe": (span_index_build, span_index_probe),
     }
 
 
@@ -3808,6 +3841,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q178_keyset_page": q178_keyset_page,
     "q179_bloom_gate": q179_bloom_gate,
     "q180_duplicated_spans": q180_duplicated_spans,
+    "q181_span_index_probe": q181_span_index_probe,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3911,11 +3945,12 @@ _R11_WINDOW = [
     # reports.py/sensor.py gained the obsdate orchestration; these pin the
     # obs-date rollup + reporting paths in the touched files
     "q17_obs_date_rollup", "q13_summary_stats",
-    # text.py (normalize/entropy), strip sibling, embeddings reader;
-    # q180 is the round-11 ExactSubstr span detector (q20 yields — seven
-    # rounds driver-green, its text.py paths pinned by q168/q174)
-    "q180_duplicated_spans", "q168_entropy_signals",
-    "q176_containment_pairs", "q68_embed_plumbing",
+    # text.py (normalize/entropy) + strip sibling; q180/q181 are the
+    # round-11 ExactSubstr span family (q20/q68 yield — both long
+    # driver-green, their paths pinned by q168/q174 and the similarity
+    # block above)
+    "q180_duplicated_spans", "q181_span_index_probe",
+    "q168_entropy_signals", "q176_containment_pairs",
     # stored-index family anchors (probe contracts newly property-tested)
     "q150_incremental_clusters", "q156_clusters_via_stored_index",
     "q117_incremental_minhash", "q154_incremental_simhash",
@@ -7716,6 +7751,18 @@ def oracle_sql() -> dict[str, str]:
                coalesce(stats.dup_tokens, 0) AS dup_tokens
         FROM n LEFT JOIN stats USING (doc_id)
     """
+    # q181: the stored-index probe must equal the from-scratch union
+    # replay restricted to batch documents (exact count additivity) -
+    # same chain as q180 with the final projection filtered
+    sql["q181_span_index_probe"] = (
+        sql["q180_duplicated_spans"].rstrip()[:-len("""
+        FROM n LEFT JOIN stats USING (doc_id)
+    """.rstrip())]
+        + """
+        FROM n LEFT JOIN stats USING (doc_id)
+        WHERE n.doc_id >= 400
+    """
+    )
     # q173: CMS merge-vs-rebuild gate — halves' counters summed must equal
     # the one-pass counters exactly; same salted bucketing as q171.
     sql["q173_cms_rollup_gate"] = """

@@ -1772,14 +1772,30 @@ def duplicated_span_stats(
 
     Docs shorter than ``window`` tokens carry zero spans by construction.
     """
+    base, wins = _span_windows(documents, window, id_col, text_col)
+    counted = wins.groupBy("wh").agg(
+        (
+            F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
+        ).alias("__n")
+    )
+    dup = counted.where(F.col("__n") >= min_count).select("wh")
+    marked = wins.join(dup, "wh", "left_semi")
+    return _span_stats(base, marked, window, id_col)
+
+
+def _span_windows(
+    documents: DataFrame, window: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the span family: (base(id, n_tokens),
+    wins(id, pos, wh)) — ``window``-token slices hashed with the portable
+    rolling fingerprint."""
     from eodatadown_spark.operators.corpus import token_array
     from eodatadown_spark.operators.text import rolling_fingerprint
 
     base = documents.select(
         F.col(id_col).alias("id"), token_array(text_col).alias("toks")
     ).withColumn("n_tokens", F.size("toks").cast("long"))
-    eligible = base.where(F.col("n_tokens") >= window)
-    wins = eligible.select(
+    wins = base.where(F.col("n_tokens") >= window).select(
         "id",
         F.posexplode(
             F.transform(
@@ -1790,13 +1806,15 @@ def duplicated_span_stats(
             )
         ).alias("pos", "wh"),
     )
-    counted = wins.groupBy("wh").agg(
-        (
-            F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
-        ).alias("__n")
-    )
-    dup = counted.where(F.col("__n") >= min_count).select("wh")
-    marked = wins.join(dup, "wh", "left_semi")
+    return base, wins
+
+
+def _span_stats(
+    base: DataFrame, marked: DataFrame, window: int, id_col: str
+) -> DataFrame:
+    """Shared back half: merge MARKED windows (id, pos) into maximal
+    spans per document (lag/cumsum islands — a window PARTITIONED BY doc,
+    parallel across docs) and join zero rows back for unmarked docs."""
     w_ = Window.partitionBy("id").orderBy("pos")
     isl = (
         marked.withColumn("__prev", F.lag("pos").over(w_))
@@ -1831,6 +1849,84 @@ def duplicated_span_stats(
             F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
         )
     )
+
+
+def span_hash_index(
+    documents: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: str = "auto",
+) -> DataFrame:
+    """The persistent half of INCREMENTAL duplicated-span detection —
+    the span-family counterpart of :func:`minhash_band_index` /
+    :func:`jaccard_prefix_index`.  Returns the one relation a catalog
+    stores per generation: ``(wh, cnt, n_docs)`` — each distinct
+    ``window``-token hash with its total occurrence count and its
+    distinct-document count over the indexed corpus.
+
+    Both counters are EXACTLY additive across disjoint corpora (batch
+    doc ids never collide with indexed ids by the ingest contract), so
+    :func:`duplicated_spans_against_index` needs no re-scan of the
+    corpus: union-corpus occurrence counts are stored + batch, exactly.
+    ``window`` is part of the index identity — probe with the same value.
+
+    State size is bounded by DISTINCT windows (≪ total windows on any
+    corpus with duplication) and shrinks further under parquet dictionary
+    encoding; at 100 TB store it bucketed by ``wh`` so probes bucket-join
+    without shuffling the index."""
+    base, wins = _span_windows(documents, window, id_col, text_col)
+    idx = wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("id").alias("n_docs"),
+    )
+    return _pin_mode(idx, materialize)
+
+
+def duplicated_spans_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Probe a NEW batch against a stored :func:`span_hash_index`:
+    per-batch-document duplicated-span stats over the UNION corpus
+    (indexed ∪ batch), without touching the indexed documents — window
+    counts are stored + batch (exact additivity), so
+
+        probe(batch | index(corpus)) == duplicated_span_stats(corpus ∪
+        batch) restricted to batch documents,
+
+    pinned by unit + property tests.  Batch-internal duplication
+    (refrains, within-batch copies) marks too — absent index hashes
+    count 0, the batch side supplies the rest.
+
+    Scale shape: the batch explodes once; the per-wh probe joins the
+    batch's OWN distinct hashes against the stored index (left join —
+    the index never shuffles more than the matching keys); island merge
+    is per-batch-doc.  The indexed corpus is never re-read."""
+    base, wins = _span_windows(new_docs, window, id_col, text_col)
+    batch_counts = wins.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("__bcnt"),
+        F.count_distinct("id").alias("__bdocs"),
+    )
+    stored = index.select(
+        "wh", F.col("cnt").alias("__scnt"), F.col("n_docs").alias("__sdocs")
+    )
+    totals = batch_counts.join(stored, "wh", "left").select(
+        "wh",
+        (F.col("__bcnt") + F.coalesce(F.col("__scnt"), F.lit(0))).alias("__cnt"),
+        (F.col("__bdocs") + F.coalesce(F.col("__sdocs"), F.lit(0))).alias(
+            "__ndocs"
+        ),
+    )
+    key = F.col("__ndocs") if cross_doc_only else F.col("__cnt")
+    dup = totals.where(key >= min_count).select("wh")
+    marked = wins.join(dup, "wh", "left_semi")
+    return _span_stats(base, marked, window, id_col)
 
 
 def source_pair_pressure(

@@ -3008,3 +3008,75 @@ class TestDuplicatedSpans:
             for r in duplicated_span_stats(docs, window=4).collect()
         }
         assert got[1] == (2, 8) and got[2] == (2, 8)
+
+
+class TestSpanHashIndexProbe:
+    """Stored-index twin of duplicated_span_stats: window counts are
+    exactly additive across disjoint corpora, so the probe equals the
+    from-scratch union run restricted to batch documents."""
+
+    def _full_restricted(self, docs, batch_ids, **kw):
+        from eodatadown_spark.operators.dedup import duplicated_span_stats
+
+        return {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicated_span_stats(docs, **kw).collect()
+            if r["doc_id"] in batch_ids
+        }
+
+    def test_probe_equals_union_run(self, spark):
+        from eodatadown_spark.operators.dedup import (
+            duplicated_spans_against_index,
+            span_hash_index,
+        )
+
+        shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"
+        old = spark.createDataFrame(
+            [(1, shared + " tail1 tail2"), (2, "other corpus words entirely here")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (100, "head0 " + shared),          # duplicates vs CORPUS
+                (101, "b0 b1 b2 b3 b4 b5"),        # duplicates vs BATCH (102)
+                (102, "z " + "b0 b1 b2 b3 b4 b5"),
+                (103, "nothing in common at all whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        idx = span_hash_index(old, window=4)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicated_spans_against_index(
+                new, idx, window=4
+            ).collect()
+        }
+        want = self._full_restricted(
+            old.unionByName(new), {100, 101, 102, 103}, window=4
+        )
+        assert got == want
+        # and the signal is real: corpus-dup, batch-dup, clean
+        assert got[100][1] == 1 and got[100][2] == 10
+        assert got[101] == (6, 1, 6) and got[103][1] == 0
+
+    def test_probe_cross_doc_mode(self, spark):
+        from eodatadown_spark.operators.dedup import (
+            duplicated_spans_against_index,
+            span_hash_index,
+        )
+
+        # within-batch refrain must NOT mark in cross_doc_only mode
+        old = spark.createDataFrame(
+            [(1, "corpus words only nothing shared")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(100, "r1 r2 r3 r4 m r1 r2 r3 r4")], "doc_id long, text string"
+        )
+        idx = span_hash_index(old, window=4)
+        got = duplicated_spans_against_index(
+            new, idx, window=4, cross_doc_only=True
+        ).collect()[0]
+        assert (got["n_dup_spans"], got["dup_tokens"]) == (0, 0)
+        # default total-count mode marks the refrain
+        tot = duplicated_spans_against_index(new, idx, window=4).collect()[0]
+        assert (tot["n_dup_spans"], tot["dup_tokens"]) == (2, 8)

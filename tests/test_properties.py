@@ -947,3 +947,42 @@ def test_prefix_probe_equals_full_union_run(spark, old_texts, new_texts, thr):
         if r["id_a"] >= 100 or r["id_b"] >= 100
     }
     assert inc == full, (inc, full, old_texts, new_texts, thr)
+
+
+@given(
+    st.lists(_token_doc, min_size=1, max_size=4),
+    st.lists(_token_doc, min_size=1, max_size=3),
+    st.sampled_from([2, 3]),
+)
+@settings(max_examples=8, deadline=None)
+def test_span_probe_equals_full_union_run(spark, old_texts, new_texts, w):
+    """Span-index probe contract as a theorem: for ANY corpus, ANY batch,
+    and any window, probing the stored (wh, cnt, n_docs) index equals the
+    from-scratch union run restricted to batch documents — window counts
+    are exactly additive across disjoint doc-id sets."""
+    from eodatadown_spark.operators.dedup import (
+        duplicated_span_stats,
+        duplicated_spans_against_index,
+        span_hash_index,
+    )
+
+    old = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(old_texts)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string",
+    )
+    idx = span_hash_index(old, window=w)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicated_spans_against_index(new, idx, window=w).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicated_span_stats(
+            old.unionByName(new), window=w
+        ).collect()
+        if r["doc_id"] >= 100
+    }
+    assert got == want, (old_texts, new_texts, w)
