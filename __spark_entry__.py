@@ -2323,17 +2323,19 @@ def q180_duplicated_spans(spark, sf):
 def q181_span_index_probe(spark, sf):
     """Incremental duplicated-span detection through the STORED window-
     hash index (dedup.span_hash_index / duplicated_spans_against_index):
-    the corpus half (doc_id < 400) is indexed once into (wh, cnt,
-    n_docs); the batch half probes it and reports union-corpus span
+    90% of documents (doc_id % 10 < 9) index once into (wh, cnt,
+    n_docs); the 10% batch probes it and reports union-corpus span
     stats for batch docs WITHOUT re-reading the corpus — window counts
     are exactly additive across disjoint doc-id sets, so
     probe == duplicated_span_stats(corpus ∪ batch) restricted to the
     batch (the theorem the hypothesis property pins).  The oracle runs
     the from-scratch union replay restricted to batch ids — hash-match
-    proves the stored-index shortcut lossless."""
+    proves the stored-index shortcut lossless.  The modulo split keeps
+    the big-corpus/small-batch steady-state shape at EVERY scale factor
+    (a fixed id cutoff would invert as the table grows)."""
     docs = _t(spark, sf, "documents")
-    corpus = docs.where(F.col("doc_id") < 400)
-    batch = docs.where(F.col("doc_id") >= 400)
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) < 9)
+    batch = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 9)
     idx = D.span_hash_index(corpus, window=8)
     return D.duplicated_spans_against_index(batch, idx, window=8)
 
@@ -3623,13 +3625,17 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
         # corpus split — the artifact a catalog stores per generation
         docs = _t(spark, sf, "documents")
         return D._pin(
-            D.span_hash_index(docs.where(F.col("doc_id") < 400), window=8)
+            D.span_hash_index(
+                docs.where(F.pmod(F.col("doc_id"), F.lit(10)) < 9), window=8
+            )
         )
 
     def span_index_probe(spark, sf, index):
         docs = _t(spark, sf, "documents")
         return D.duplicated_spans_against_index(
-            docs.where(F.col("doc_id") >= 400), index, window=8
+            docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 9),
+            index,
+            window=8,
         )
 
     def sparse_classifier_build(spark, sf):
@@ -7760,7 +7766,7 @@ def oracle_sql() -> dict[str, str]:
     """.rstrip())]
         + """
         FROM n LEFT JOIN stats USING (doc_id)
-        WHERE n.doc_id >= 400
+        WHERE n.doc_id % 10 = 9
     """
     )
     # q173: CMS merge-vs-rebuild gate — halves' counters summed must equal
