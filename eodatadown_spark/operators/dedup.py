@@ -1883,6 +1883,18 @@ def span_hash_index(
     return _pin_mode(idx, materialize)
 
 
+def merge_span_index(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two :func:`span_hash_index` state tables by counter addition
+    — EXACTLY ``span_hash_index`` of the union corpus, provided the two
+    sides indexed DISJOINT document-id sets (the ingest contract; both
+    ``cnt`` and ``n_docs`` are plain sums under disjointness)."""
+    cols = ["wh", "cnt", "n_docs"]
+    both = stored.select(*cols).unionByName(delta.select(*cols))
+    return both.groupBy("wh").agg(
+        F.sum("cnt").alias("cnt"), F.sum("n_docs").alias("n_docs")
+    )
+
+
 def duplicated_spans_against_index(
     new_docs: DataFrame,
     index: DataFrame,

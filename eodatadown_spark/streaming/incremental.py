@@ -734,3 +734,102 @@ def stream_bloom_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_span_index_batch(
+    catalog,
+    batch: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_table: str = "span_index",
+    batch_id: int | None = None,
+) -> dict:
+    """Fold ONE document batch into a stored window-hash span index
+    (dedup.span_hash_index): index the batch, counter-ADD it through
+    ``replace_derived``'s base-checked OCC flip (merge_span_index is
+    exact addition under the disjoint-doc-id ingest contract — same
+    commit discipline as the CMS fold).  The batch index is pinned
+    before the OCC loop; a conflict retry re-reads stored state but
+    never re-scans the batch.
+
+    REPLAY IDEMPOTENCE: counter addition double-adds on replay, so when
+    ``batch_id`` is given a SENTINEL row (``wh = -1 - batch_id``, zero
+    counts) commits in the SAME flip as the fold — window hashes are
+    non-negative by construction, so sentinels never collide with probe
+    keys and zero-count rows never mark a span.
+
+    Returns {"batch_windows": ..., "table_rows": ..., "applied": bool}.
+    """
+    from eodatadown_spark.operators.dedup import (
+        _pin,
+        merge_span_index,
+        span_hash_index,
+    )
+
+    delta = _pin(span_hash_index(batch, window, id_col, text_col))
+    spark = batch.sparkSession
+    sentinel = (
+        None
+        if batch_id is None
+        else spark.createDataFrame(
+            [(-1 - int(batch_id), 0, 0)], "wh long, cnt long, n_docs long"
+        )
+    )
+    applied = {"v": True}
+
+    def _fold(current: DataFrame) -> DataFrame:
+        if sentinel is not None and current.where(
+            F.col("wh") == (-1 - int(batch_id))
+        ).take(1):
+            applied["v"] = False
+            return current
+        merged = merge_span_index(current.where(F.col("wh") >= 0), delta)
+        carried = current.where(F.col("wh") < 0)  # keep prior sentinels
+        out = merged.unionByName(carried)
+        return out.unionByName(sentinel) if sentinel is not None else out
+
+    if catalog.exists(span_table):
+        catalog.replace_derived(span_table, _fold, partition=False)
+    else:
+        first = (
+            delta.unionByName(sentinel) if sentinel is not None else delta
+        )
+        catalog.write(first, span_table, partition=False)
+    mass = delta.agg(F.sum("cnt").alias("m")).first()["m"] or 0
+    stored = catalog.read(span_table).where(F.col("wh") >= 0)
+    return {
+        "batch_windows": int(mass),
+        "table_rows": stored.count(),
+        "applied": applied["v"],
+    }
+
+
+def stream_span_index_apply(
+    catalog,
+    stream_docs: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **batch_kwargs,
+):
+    """Continuous span-index maintenance as Structured Streaming: each
+    micro-batch counter-adds into the stored window-hash index through
+    :func:`apply_span_index_batch` — the drained stream's state equals a
+    one-pass span_hash_index over everything that flowed through,
+    counter for counter, and per-batch sentinels make replays no-ops
+    (the stream_count_min_apply contract).  Probing stays batch-side:
+    dedup.duplicated_spans_against_index over the maintained table."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        apply_span_index_batch(
+            catalog, batch_df, batch_id=batch_id, **batch_kwargs
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

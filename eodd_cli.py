@@ -310,6 +310,68 @@ def cmd_dedupindex(args) -> None:
     print(json.dumps(stats))
 
 
+def cmd_spanindex(args) -> None:
+    """ExactSubstr span-index lifecycle (dedup.span_hash_index family):
+    --build stores the (wh, cnt, n_docs) window-hash counts + meta
+    (window is part of the index identity); --probe reports per-batch-doc
+    duplicated-span stats over the UNION corpus without re-reading the
+    indexed documents (counts are exactly additive — probe == from-
+    scratch union run restricted to the batch); --apply additionally
+    counter-folds the batch in through the OCC flip
+    (streaming.incremental.apply_span_index_batch — replay-idempotent
+    via per-batch sentinels), so the next probe sees it.  One JSON stats
+    line per invocation.  Same single-writer contract as dedupindex:
+    --build replaces the state table and must not race --apply."""
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.operators import dedup as D
+    from eodatadown_spark.session import get_spark
+
+    spark = get_spark("eodd_cli")
+    cat = ParquetCatalog(spark, args.index_dir)
+    meta_path = os.path.join(args.index_dir, "span_meta.json")
+    if args.build:
+        docs = spark.read.parquet(args.build)
+        idx = D.span_hash_index(docs, window=args.window)
+        cat.write(idx, "span_index", partition=False)
+        os.makedirs(args.index_dir, exist_ok=True)
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            json.dump({"window": args.window}, fh)
+        print(json.dumps({
+            "built": True, "docs": docs.count(),
+            "table_rows": cat.read("span_index").count(),
+            "window": args.window,
+        }))
+        return
+    with open(meta_path, encoding="utf-8") as fh:
+        params = json.load(fh)
+    batch = spark.read.parquet(args.probe)
+    stored = cat.read("span_index").where(F.col("wh") >= 0)
+    stats_df = D.duplicated_spans_against_index(
+        batch, stored, window=params["window"]
+    )
+    agg = stats_df.agg(
+        F.count(F.lit(1)).alias("batch_docs"),
+        F.sum((F.col("n_dup_spans") > 0).cast("long")).alias(
+            "docs_with_spans"
+        ),
+        F.sum("dup_tokens").alias("dup_tokens"),
+    ).first()
+    stats = {
+        "batch_docs": agg["batch_docs"],
+        "docs_with_spans": int(agg["docs_with_spans"] or 0),
+        "dup_tokens": int(agg["dup_tokens"] or 0),
+    }
+    if args.apply:
+        from eodatadown_spark.streaming.incremental import (
+            apply_span_index_batch,
+        )
+
+        r = apply_span_index_batch(cat, batch, window=params["window"])
+        stats["applied"] = True
+        stats["table_rows"] = r["table_rows"]
+    print(json.dumps(stats))
+
+
 def cmd_annindex(args) -> None:
     """Persistent ANN-index lifecycle, two families behind one CLI:
 
@@ -1294,6 +1356,15 @@ def main(argv=None) -> int:
     sp.add_argument("--max-hamming", type=int, default=3, dest="max_hamming")
     sp.add_argument("--band-bits", type=int, default=15, dest="band_bits")
     sp.set_defaults(fn=cmd_dedupindex)
+    sp = sub.add_parser("spanindex")
+    sp.add_argument("--index-dir", required=True, dest="index_dir")
+    sp.add_argument("--build", default=None, help="corpus parquet to index")
+    sp.add_argument("--probe", default=None, help="new-batch parquet")
+    sp.add_argument("--apply", action="store_true",
+                    help="fold the probed batch's window counts in")
+    sp.add_argument("--window", type=int, default=8,
+                    help="token window size (index identity)")
+    sp.set_defaults(fn=cmd_spanindex)
     sp = sub.add_parser("annindex")
     sp.add_argument("--index-dir", required=True, dest="index_dir")
     sp.add_argument("--build", default=None, help="corpus parquet to index")

@@ -1817,3 +1817,72 @@ class TestStreamBloomApply:
 
         drain("bloom_ckpt2")  # full replay: union idempotence, unchanged
         assert {r["bloom_bit"] for r in cat.read("bloom_bits").collect()} == full
+
+
+class TestStreamSpanIndexApply:
+    def test_streamed_index_equals_one_pass_build(self, spark, tmp_path):
+        """Micro-batches counter-added into the stored span index must
+        equal a one-pass span_hash_index over the union (exact addition
+        under disjoint doc ids); full replay is a sentinel no-op; the
+        maintained table probes identically to a fresh build."""
+        from eodatadown_spark.catalog import ParquetCatalog
+        from eodatadown_spark.operators.dedup import (
+            duplicated_spans_against_index,
+            span_hash_index,
+        )
+        from eodatadown_spark.streaming.incremental import (
+            stream_span_index_apply,
+        )
+
+        schema = "doc_id long, text string"
+        shared = "s0 s1 s2 s3 s4 s5"
+        b1 = [(1, shared + " a1 a2")]
+        b2 = [(2, "b0 " + shared), (3, "unrelated words entirely here")]
+        feed = str(tmp_path / "span_feed")
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(feed)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append").parquet(feed)
+        cat = ParquetCatalog(spark, str(tmp_path / "span_cat"))
+
+        def drain(ckpt):
+            q = stream_span_index_apply(
+                cat,
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(feed),
+                checkpoint_dir=str(tmp_path / ckpt),
+                window=4,
+            )
+            try:
+                q.awaitTermination(180)
+            finally:
+                q.stop()
+
+        drain("span_ckpt")
+
+        def counters():
+            return {
+                r["wh"]: (r["cnt"], r["n_docs"])
+                for r in cat.read("span_index").where("wh >= 0").collect()
+            }
+
+        full = {
+            r["wh"]: (r["cnt"], r["n_docs"])
+            for r in span_hash_index(
+                spark.createDataFrame(b1 + b2, schema), window=4
+            ).collect()
+        }
+        assert counters() == full
+
+        # full replay: sentinels make every re-delivered batch a no-op
+        drain("span_ckpt2")
+        assert counters() == full
+
+        # the maintained table IS a valid probe target: a new batch
+        # duplicating the shared run marks one maximal span
+        probe = spark.createDataFrame(
+            [(100, "z0 " + shared + " z1")], schema
+        )
+        got = duplicated_spans_against_index(
+            probe, cat.read("span_index").where("wh >= 0"), window=4
+        ).collect()[0]
+        assert (got["n_dup_spans"], got["dup_tokens"]) == (1, 6)

@@ -1287,3 +1287,45 @@ def test_cli_corpusstats_heavy_hitters(spark, tmp_path, capsys):
     assert [h["token"] for h in hh] == ["alpha", "beta", "gamma"]
     assert all(h["cms_cnt"] >= h["exact_cnt"] for h in hh)
     assert hh[0]["exact_cnt"] == 30
+
+
+def test_cli_spanindex_lifecycle(spark, tmp_path, capsys):
+    """spanindex: build -> probe (corpus dup found) -> apply -> re-probe
+    (a batch-duplicating second batch now marks), replay-safe fold."""
+    import eodd_cli
+
+    shared = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    corpus = str(tmp_path / "span_corpus")
+    spark.createDataFrame(
+        [(1, shared + " c1 c2"), (2, "distinct corpus words only here")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    b1 = str(tmp_path / "span_b1")
+    spark.createDataFrame(
+        [(100, "h0 " + shared), (101, "fresh batch content nothing shared")],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    b2 = str(tmp_path / "span_b2")
+    spark.createDataFrame(
+        [(200, "fresh batch content nothing shared at all")],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    idx = str(tmp_path / "span_idx")
+
+    eodd_cli.main(["spanindex", "--index-dir", idx, "--build", corpus,
+                   "--window", "4"])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["built"] is True and built["docs"] == 2
+
+    # probe: doc 100 duplicates the corpus run (10 tokens), doc 101 clean
+    eodd_cli.main(["spanindex", "--index-dir", idx, "--probe", b1])
+    p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p1 == {"batch_docs": 2, "docs_with_spans": 1, "dup_tokens": 10}
+
+    # apply b1, then b2's 5-token overlap with b1's doc 101 must mark
+    eodd_cli.main(["spanindex", "--index-dir", idx, "--probe", b1,
+                   "--apply"])
+    capsys.readouterr()
+    eodd_cli.main(["spanindex", "--index-dir", idx, "--probe", b2])
+    p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p2["docs_with_spans"] == 1 and p2["dup_tokens"] == 5
