@@ -2340,6 +2340,19 @@ def q181_span_index_probe(spark, sf):
     return D.duplicated_spans_against_index(batch, idx, window=8)
 
 
+def q182_span_cut(spark, sf):
+    """The ACTION step of ExactSubstr dedup (dedup.cut_duplicated_spans):
+    q180's maximal duplicated spans are EXCISED and each document rebuilt
+    from its surviving tokens — (doc_id, n_tokens, n_kept, text_kept),
+    entirely-duplicated docs surviving as empty-text rows (the caller's
+    drop decision, the line_dedup convention).  The oracle extends q180's
+    replay with per-token coverage (NOT EXISTS over the span table) and
+    an ORDER BY-position string_agg rebuild — hash-match pins the cut
+    boundaries AND the rebuilt text byte-for-byte."""
+    docs = _t(spark, sf, "documents")
+    return D.cut_duplicated_spans(docs, window=8)
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3848,6 +3861,7 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q179_bloom_gate": q179_bloom_gate,
     "q180_duplicated_spans": q180_duplicated_spans,
     "q181_span_index_probe": q181_span_index_probe,
+    "q182_span_cut": q182_span_cut,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3955,8 +3969,8 @@ _R11_WINDOW = [
     # round-11 ExactSubstr span family (q20/q68 yield — both long
     # driver-green, their paths pinned by q168/q174 and the similarity
     # block above)
-    "q180_duplicated_spans", "q181_span_index_probe",
-    "q168_entropy_signals", "q176_containment_pairs",
+    "q180_duplicated_spans", "q181_span_index_probe", "q182_span_cut",
+    "q168_entropy_signals",
     # stored-index family anchors (probe contracts newly property-tested)
     "q150_incremental_clusters", "q156_clusters_via_stored_index",
     "q117_incremental_minhash", "q154_incremental_simhash",
@@ -7767,6 +7781,35 @@ def oracle_sql() -> dict[str, str]:
         + """
         FROM n LEFT JOIN stats USING (doc_id)
         WHERE n.doc_id % 10 = 9
+    """
+    )
+    # q182: the cut replayed — q180's span chain, then per-token
+    # coverage via NOT EXISTS and an ORDER BY-position rebuild
+    _q180_chain = sql["q180_duplicated_spans"][
+        : sql["q180_duplicated_spans"].index("), stats AS (")
+    ]
+    sql["q182_span_cut"] = (
+        _q180_chain
+        + """), tk AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS tpos, toks[i+1] AS tok
+            FROM n CROSS JOIN unnest(range(0, n_tokens)) r(i)
+        ), kept AS (
+            SELECT tk.doc_id, tk.tpos, tk.tok
+            FROM tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tk.doc_id
+                  AND tk.tpos >= s.s AND tk.tpos < s.e
+            )
+        ), reb AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY tpos) AS text_kept
+            FROM kept GROUP BY 1
+        )
+        SELECT n.doc_id, n.n_tokens,
+               coalesce(reb.n_kept, 0) AS n_kept,
+               coalesce(reb.text_kept, '') AS text_kept
+        FROM n LEFT JOIN reb USING (doc_id)
     """
     )
     # q173: CMS merge-vs-rebuild gate — halves' counters summed must equal

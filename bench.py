@@ -91,6 +91,7 @@ EXTENDED = [
     "q178_keyset_page",
     "q179_bloom_gate",
     "q180_duplicated_spans",
+    "q182_span_cut",
     "q172_hard_negatives",
     "q173_cms_rollup_gate",
     "q174_normalize_text",

@@ -1883,6 +1883,106 @@ def span_hash_index(
     return _pin_mode(idx, materialize)
 
 
+def cut_duplicated_spans(
+    documents: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """The ACTION step of ExactSubstr dedup (Lee et al. 2021 apply the
+    cut, not just the count): excise every maximal duplicated span found
+    by the :func:`duplicated_span_stats` marking and return each document
+    rebuilt from its SURVIVING tokens →
+    ``(id_col, n_tokens, n_kept, text_kept)``.
+
+    The rebuilt text is the canonical tokenization joined with single
+    spaces (original whitespace/casing inside the kept regions is NOT
+    preserved — the output feeds tokenizers, not renderers; run this
+    after :func:`~eodatadown_spark.operators.text.normalize_text` where
+    byte fidelity matters).  A document that is entirely duplicated
+    survives with ``text_kept = ''`` so the caller decides whether to
+    drop it — the line_dedup convention.
+
+    Scale shape: the marking reuses the span family's explode + hash agg
+    + semi-join; the cut joins each document's tokens to ITS OWN spans
+    (a per-doc range join whose span side is tiny — spans per doc, not
+    corpus spans), then one groupBy-doc rebuild.  Nothing pairwise
+    across documents.
+    """
+    base, wins = _span_windows(documents, window, id_col, text_col)
+    counted = wins.groupBy("wh").agg(
+        (
+            F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
+        ).alias("__n")
+    )
+    dup = counted.where(F.col("__n") >= min_count).select("wh")
+    marked = wins.join(dup, "wh", "left_semi")
+    w_ = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        marked.withColumn("__prev", F.lag("pos").over(w_))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > window)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__new").over(w_.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy("id", "__grp").agg(
+        F.min("pos").alias("__s"), (F.max("pos") + window).alias("__e")
+    )
+    toks = base.select(
+        "id",
+        "n_tokens",
+        F.posexplode_outer(F.col("toks")).alias("tpos", "tok"),
+    )
+    cut = (
+        toks.join(
+            spans,
+            (toks["id"] == spans["id"])
+            & (F.col("tpos") >= F.col("__s"))
+            & (F.col("tpos") < F.col("__e")),
+            "left_anti",
+        )
+    )
+    rebuilt = cut.groupBy("id").agg(
+        F.sum(F.col("tok").isNotNull().cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("tok").isNotNull(),
+                            F.struct(F.col("tpos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+    # an ENTIRELY duplicated doc loses every token row to the anti-join —
+    # join back to base so it survives as an empty-text row (the caller's
+    # drop decision, the line_dedup convention)
+    return (
+        base.select("id", "n_tokens")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+        )
+    )
+
+
 def merge_span_index(stored: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge two :func:`span_hash_index` state tables by counter addition
     — EXACTLY ``span_hash_index`` of the union corpus, provided the two

@@ -3080,3 +3080,47 @@ class TestSpanHashIndexProbe:
         # default total-count mode marks the refrain
         tot = duplicated_spans_against_index(new, idx, window=4).collect()[0]
         assert (tot["n_dup_spans"], tot["dup_tokens"]) == (2, 8)
+
+
+class TestCutDuplicatedSpans:
+    def test_cut_excises_marked_spans(self, spark):
+        from eodatadown_spark.operators.dedup import cut_duplicated_spans
+
+        shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"
+        rows = [
+            (1, shared + " u1 u2 u3 u4"),
+            (2, "v1 v2 " + shared),
+            (3, shared),            # entirely duplicated → empty survivor
+            (4, ""),                # empty doc → structural zeros
+            (5, "all original content here nothing shared"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_kept"])
+            for r in cut_duplicated_spans(docs, window=4).collect()
+        }
+        assert got[1] == (14, 4, "u1 u2 u3 u4")
+        assert got[2] == (12, 2, "v1 v2")
+        assert got[3] == (10, 0, "")
+        assert got[4] == (0, 0, "")
+        assert got[5] == (6, 6, "all original content here nothing shared")
+
+    def test_cut_consistent_with_stats(self, spark):
+        from eodatadown_spark.operators.dedup import (
+            cut_duplicated_spans,
+            duplicated_span_stats,
+        )
+
+        rows = [(i, f"p{i} r1 r2 r3 r4 q{i} r1 r2 r3 r4 t{i}") for i in range(3)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in duplicated_span_stats(docs, window=4).collect()
+        }
+        cut = {
+            r["doc_id"]: (r["n_tokens"], r["n_kept"])
+            for r in cut_duplicated_spans(docs, window=4).collect()
+        }
+        for i in range(3):
+            n, kept = cut[i]
+            assert n - kept == stats[i]  # cut removes exactly dup_tokens
