@@ -2353,6 +2353,33 @@ def q182_span_cut(spark, sf):
     return D.cut_duplicated_spans(docs, window=8)
 
 
+def q183_char_spans(spark, sf):
+    """CHAR-granular ExactSubstr span detection (dedup.duplicated_span_stats
+    unit="char" — Lee et al. 2021's native form: their 50-byte threshold is
+    --window 50 over raw characters, no tokenization, no normalization, so
+    case/punctuation differences break a match exactly as exact-substring
+    demands): 50-char windows hashed with the raw-codepoint fold
+    (text.char_fingerprint), corpus-wide ≥2 marking, per-doc island merge →
+    (doc_id, n_chars, n_dup_spans, dup_chars).  The byte-fidelity twin of
+    q180's token approximation; integer-only output.  The oracle replays
+    substr windows, the ord() fold, and the island merge."""
+    docs = _t(spark, sf, "documents")
+    return D.duplicated_span_stats(docs, window=50, unit="char")
+
+
+def q184_char_span_cut(spark, sf):
+    """The char-granular cut (dedup.cut_duplicated_spans unit="char"):
+    q183's maximal duplicated char spans are EXCISED and — unlike the token
+    cut — the kept regions keep their ORIGINAL bytes: the rebuild is an
+    O(spans-per-doc) fold concatenating the raw inter-span substrings, no
+    per-char explode engine-side.  (doc_id, n_chars, n_kept, text_kept);
+    the oracle rebuilds via per-char coverage + ORDER BY-position
+    string_agg — hash-match pins the cut boundaries AND the preserved
+    bytes."""
+    docs = _t(spark, sf, "documents")
+    return D.cut_duplicated_spans(docs, window=50, unit="char")
+
+
 def q50_neardup_clusters(spark, sf):
     """Dedup capstone: near-dup pairs → connected components →
     keep-canonical.  Per-cluster membership for multi-doc clusters (the rows
@@ -3733,17 +3760,14 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 # Displaced entries all have driver-green rows in r01-r08 windows (no
 # driver row has ever regressed); everything still runs in local checks
 # (tools/check_correctness.py covers all entries).
-# ROUND-11 WINDOW (declared below as _R11_WINDOW; queries() serves these
-# 50 first): the 7 entries never driver-checked in r01-r10 (q160-q165,
-# q173 — with this window green, union(r01-r11) == the FULL registry with
-# zero ever-unchecked entries), the round-11 keyset-pagination addition
-# (q178), the 7 queries whose behavior changed this round (q35 double-
-# precision cosine, q166 trim class, q170 pred gate, q171 probe guard,
-# q174 normalization chain, q175/q177 strip rewrite), ALL 14 queries
-# crossing the dot/l2_norm float32→double fix, and anchors pinning every
-# file round-11 touched (queries.py keyset twin, sensor.py/reports.py
-# obsdate orchestration, text.py normalization, the classifier GD chain,
-# the stored-index probe family now under a hypothesis property).
+# ROUND-12 WINDOW (declared below as _R12_WINDOW; queries() serves these
+# 50 first): VERDICT r11 item 1 — rotation by STALENESS.  union(r01-r11)
+# covers the whole registry, so the residual risk is driver-check AGE:
+# the 33 entries last checked in r03/r04/r06/r07 rotate in (after this
+# window is green, every entry's last driver check is r08+), plus the
+# round-12 char-granular ExactSubstr pair (q183/q184), the three span
+# queries whose marking now flows through the shared _marked_spans
+# helper, the flagship, and the oldest of the r08 cohort to fill 50.
 # Displaced entries all have driver-green rows in earlier windows (no
 # driver row has ever regressed) and still run in the local differential.
 _ALL_QUERIES: dict[str, Callable] = {
@@ -3862,6 +3886,8 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q180_duplicated_spans": q180_duplicated_spans,
     "q181_span_index_probe": q181_span_index_probe,
     "q182_span_cut": q182_span_cut,
+    "q183_char_spans": q183_char_spans,
+    "q184_char_span_cut": q184_char_span_cut,
     "q156_clusters_via_stored_index": q156_clusters_via_stored_index,
     "q157_bpe_encode": q157_bpe_encode,
     "q158_bbox_only_page": q158_bbox_only_page,
@@ -3931,60 +3957,46 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q26_window_rollup": q26_window_rollup,
 }
 
-_R11_WINDOW = [
-    # the 7 registry entries never driver-checked in r01-r10 (added after
-    # the r10 window was cut; judge-green locally) — with these green,
-    # union(r01-r11) == the full registry with zero ever-unchecked entries
-    "q160_source_dedup_pressure", "q161_dedup_rate_by_source",
-    "q162_ngram_novelty", "q163_winnow_fingerprints",
-    "q164_winnow_similarity", "q165_importance_weights",
-    "q173_cms_rollup_gate",
-    # round-11 addition: keyset pagination (oracle pins keyset == OFFSET)
-    "q178_keyset_page",
-    # behavior changed this round: q35 (double-precision dot + DOUBLE[]
-    # oracle), q166 (explicit \s-trim class), q170 (thresholded-pred
-    # gate), q171 (grouped-sketch probe guard), q174 (C1/NBSP/U+2028
-    # normalization), q175/q177 (left-join NULL-group strip rewrite)
-    "q35_embedding_neardup", "q166_line_dedup", "q170_sparse_classifier",
-    "q171_count_min", "q174_normalize_text", "q175_template_strip",
-    "q177_footer_strip",
-    # every query whose plan crosses the dot/l2_norm double-precision fix
-    # (the similarity family recomputes all cosines in double now)
-    "q23_cosine_topk", "q36_lsh_topk", "q49_ivf_topk",
-    "q58_centroid_distances", "q80_pq_recall_soundness",
-    "q103_knn_label_vote", "q107_semantic_dedup", "q108_rrf_fusion",
-    "q134_mmr_rerank", "q146_lsh_multiprobe", "q151_sq8_topk",
-    "q153_ivf_stored_probe", "q155_sq8_stored_probe", "q172_hard_negatives",
-    # classifier family sharing q170's GD oracle chain
-    "q167_quality_classifier", "q169_classifier_eval",
-    # facade/pagination anchors (queries.py gained the keyset twin this
-    # round; these pin the untouched OFFSET/bbox paths in the same file)
-    "q02_date_range_page", "q158_bbox_only_page", "q51_date_bbox_count",
-    # flagships
-    "q10_revenue_by_nation", "q24_minhash_neardup",
-    # reports.py/sensor.py gained the obsdate orchestration; these pin the
-    # obs-date rollup + reporting paths in the touched files
-    "q17_obs_date_rollup", "q13_summary_stats",
-    # text.py (normalize/entropy) + strip sibling; q180/q181 are the
-    # round-11 ExactSubstr span family (q20/q68 yield — both long
-    # driver-green, their paths pinned by q168/q174 and the similarity
-    # block above)
+_R12_WINDOW = [
+    # VERDICT r11 item 1 — rotate the STALEST driver rows into the window:
+    # the 8 entries last driver-checked in r03 ...
+    "q12_distinct_dates", "q15_derived_columns", "q16_count_date_range",
+    "q27_top1_watermark", "q28_ngram_jaccard", "q38_having",
+    "q42_rolling_fingerprint", "q43_simhash_soundness",
+    # ... the 11 from r04 ...
+    "q11_distinct_values", "q14_union_distinct", "q21_langid",
+    "q22_fingerprint", "q25_simhash_neardup", "q30_running_total",
+    "q33_asof_prior_event", "q34_quality_filter", "q39_top_unshipped",
+    "q45_hash_split", "q46_repetition_ratio",
+    # ... the 12 from r06 and the 2 from r07 — with these green, every
+    # registry entry's last driver check is r08 or newer
+    "q06_dup_detect", "q09_semi_join", "q105_source_mix", "q32_pivot",
+    "q44_tfidf_keywords", "q48_sequence_packing",
+    "q63_temperature_resample", "q66_incremental_dedup",
+    "q71_asof_value_carry", "q87_source_set_ops",
+    "q89_trailing_range_window", "q92_snapshot_diff",
+    "q19_exact_dedup", "q26_window_rollup",
+    # round-12 additions: the CHAR-granular ExactSubstr family (Lee et
+    # al.'s native 50-byte form; q183 stats, q184 byte-preserving cut)
+    "q183_char_spans", "q184_char_span_cut",
+    # behavior-adjacent this round: the span family now shares ONE
+    # _marked_spans definition and null-guards empty text (ADVICE r11)
     "q180_duplicated_spans", "q181_span_index_probe", "q182_span_cut",
-    "q168_entropy_signals",
-    # stored-index family anchors (probe contracts newly property-tested)
-    "q150_incremental_clusters", "q156_clusters_via_stored_index",
-    "q117_incremental_minhash", "q154_incremental_simhash",
-    "q149_incremental_phash",
-    # sketch-family sibling of the q171 guard; q179 completes the
-    # mergeable-sketch family with Bloom membership (round-11 addition)
-    "q145_sketch_rollup", "q159_bpe_train_encode", "q179_bloom_gate",
+    # flagship anchor
+    "q10_revenue_by_nation",
+    # oldest of the r08 cohort fills the window to 50
+    "q01_pricing_summary", "q03_bbox_overlap", "q04_watermark_incremental",
+    "q05_inlist_month", "q07_keep_latest", "q08_anti_join",
+    "q104_balanced_sample", "q120_bm25", "q121_cluster_reps",
+    "q122_fuzzy_blocking", "q126_transitions",
 ]
+
 
 # window entries first (the driver checks the leading 50), then the rest —
 # same total registry, pure reordering
 QUERIES: dict[str, Callable] = {
-    **{n: _ALL_QUERIES[n] for n in _R11_WINDOW},
-    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R11_WINDOW)},
+    **{n: _ALL_QUERIES[n] for n in _R12_WINDOW},
+    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R12_WINDOW)},
 }
 
 
@@ -7812,6 +7824,80 @@ def oracle_sql() -> dict[str, str]:
         FROM n LEFT JOIN reb USING (doc_id)
     """
     )
+    # q183/q184: the CHAR-granular span family replayed — 50-char substr
+    # windows hashed with the RAW ord() fold (no normalization: exact-
+    # substring identity), >=2 marking, island merge; the cut rebuilds via
+    # per-char coverage + ORDER BY-position string_agg (the oracle may
+    # explode chars; the engine must not)
+    _char_chain = """
+        WITH n AS (
+            SELECT doc_id, coalesce(text, '') AS txt,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+            FROM documents
+        ), w AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           list_filter(string_split(
+                               substr(txt, CAST(i + 1 AS INT), 50), ''),
+                               ch -> ch <> ''),
+                           ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2038074743) AS wh
+            FROM n CROSS JOIN
+                 unnest(range(0, greatest(n_chars - 49, 0))) r(i)
+        ), dup AS (
+            SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2
+        ), m AS (
+            SELECT doc_id, pos FROM w JOIN dup USING (wh)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) IS NULL
+                         OR pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) > 50
+                        THEN 1 ELSE 0 END AS new_grp
+            FROM m
+        ), grp AS (
+            SELECT doc_id, pos,
+                   sum(new_grp) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM isl
+        ), spans AS (
+            SELECT doc_id, g, min(pos) AS s, max(pos) + 50 AS e
+            FROM grp GROUP BY 1, 2
+        )"""
+    sql["q183_char_spans"] = _char_chain + """, stats AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(sum(e - s) AS BIGINT) AS dup_chars
+            FROM spans GROUP BY 1
+        )
+        SELECT n.doc_id, n.n_chars,
+               coalesce(stats.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(stats.dup_chars, 0) AS dup_chars
+        FROM n LEFT JOIN stats USING (doc_id)
+    """
+    sql["q184_char_span_cut"] = _char_chain + """, ch AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS cpos,
+                   substr(txt, CAST(i + 1 AS INT), 1) AS c
+            FROM n CROSS JOIN unnest(range(0, n_chars)) r(i)
+        ), kept AS (
+            SELECT ch.doc_id, ch.cpos, ch.c
+            FROM ch
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = ch.doc_id
+                  AND ch.cpos >= s.s AND ch.cpos < s.e
+            )
+        ), reb AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(c, '' ORDER BY cpos) AS text_kept
+            FROM kept GROUP BY 1
+        )
+        SELECT n.doc_id, n.n_chars,
+               coalesce(reb.n_kept, 0) AS n_kept,
+               coalesce(reb.text_kept, '') AS text_kept
+        FROM n LEFT JOIN reb USING (doc_id)
+    """
     # q173: CMS merge-vs-rebuild gate — halves' counters summed must equal
     # the one-pass counters exactly; same salted bucketing as q171.
     sql["q173_cms_rollup_gate"] = """

@@ -1318,6 +1318,76 @@ class ParquetCatalog:
     def read_bucketed(self, table: str) -> DataFrame:
         return self.spark.table(f"eodd_{table}")
 
+    def _bucketed_ident(self, name: str) -> tuple[str, str]:
+        """(path, session table name) for an EXTERNAL bucketed snapshot of
+        ``name``.  The table name hashes the catalog root so two catalogs
+        in one session never collide in the shared session catalog."""
+        import hashlib
+
+        path = os.path.join(os.path.abspath(self.root), f"{name}_bucketed")
+        tag = hashlib.md5(path.encode()).hexdigest()[:8]
+        safe = "".join(c if c.isalnum() else "_" for c in name)
+        return path, f"eodd_bkt_{safe}_{tag}"
+
+    def publish_bucketed_snapshot(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str] | str,
+        n_buckets: int = 16,
+    ) -> str:
+        """Publish ``df`` as an EXTERNAL bucketed parquet snapshot INSIDE
+        the catalog root (unlike :meth:`write_bucketed`, which lands a
+        managed table in the session warehouse).  External + re-registered
+        per session (:meth:`read_bucketed_snapshot`) is what lets separate
+        CLI processes share the bucket layout without a persistent
+        metastore: Spark encodes the bucket id in each file name, so a
+        fresh session can re-declare ``CLUSTERED BY`` over the same files
+        and get shuffle-free probe joins on the bucket keys.
+
+        This is a PUBLISH face, not the source of truth — the OCC catalog
+        table stays authoritative; republish after every fold.  Replace is
+        drop+rewrite: single-writer, same contract as an index --build."""
+        cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+        path, tbl = self._bucketed_ident(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, cols[0], *cols[1:])
+            .sortBy(cols[0], *cols[1:])
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        return path
+
+    def read_bucketed_snapshot(
+        self,
+        name: str,
+        bucket_cols: list[str] | str,
+        n_buckets: int = 16,
+    ) -> DataFrame:
+        """Open a :meth:`publish_bucketed_snapshot` table from ANY session:
+        re-register the external bucketed definition over the snapshot path
+        (schema inferred from the parquet footer; bucket spec must match
+        what the publisher used — it is part of the index meta) and return
+        the table scan, bucketing info intact."""
+        cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+        path, tbl = self._bucketed_ident(name)
+        if not any(t.name == tbl for t in self.spark.catalog.listTables()):
+            sch = self.spark.read.parquet(path).schema
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+            )
+            quoted = ", ".join(f"`{c}`" for c in cols)
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({quoted}) SORTED BY ({quoted}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+        return self.spark.table(tbl)
+
     # -- JSON import/export (S6 / K1; ref eodatadownlandsatgoogsensor.py:2527-2687)
     def export_json(
         self, table: str, out_file: str, max_driver_rows: int = 100_000

@@ -1747,6 +1747,7 @@ def duplicated_span_stats(
     text_col: str = "text",
     min_count: int = 2,
     cross_doc_only: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
     """Exact duplicated-SPAN detection (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr rule,
@@ -1771,29 +1772,70 @@ def duplicated_span_stats(
     never global).  Nothing pairwise, nothing driver-side.
 
     Docs shorter than ``window`` tokens carry zero spans by construction.
+
+    ``unit="char"`` switches to Lee et al.'s native granularity: the
+    window slides over RAW characters (the paper's 50-byte threshold →
+    ``window=50``), hashes carry no normalization (case/punctuation
+    differences break a match, as exact-substring demands), and the
+    output is ``(doc_id, n_chars, n_dup_spans, dup_chars)``.  Token mode
+    remains the cheaper default (w× fewer windows for mean token length
+    w); char mode is the byte-fidelity variant.
     """
-    base, wins = _span_windows(documents, window, id_col, text_col)
-    counted = wins.groupBy("wh").agg(
-        (
-            F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
-        ).alias("__n")
-    )
-    dup = counted.where(F.col("__n") >= min_count).select("wh")
-    marked = wins.join(dup, "wh", "left_semi")
-    return _span_stats(base, marked, window, id_col)
+    base, wins = _span_windows(documents, window, id_col, text_col, unit)
+    spans = _marked_spans(wins, window, min_count, cross_doc_only)
+    return _span_stats(base, spans, id_col, unit)
 
 
 def _span_windows(
-    documents: DataFrame, window: int, id_col: str, text_col: str
+    documents: DataFrame,
+    window: int,
+    id_col: str,
+    text_col: str,
+    unit: str = "token",
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared front half of the span family: (base(id, n_tokens),
-    wins(id, pos, wh)) — ``window``-token slices hashed with the portable
-    rolling fingerprint."""
-    from eodatadown_spark.operators.corpus import token_array
-    from eodatadown_spark.operators.text import rolling_fingerprint
+    """Shared front half of the span family: (base(id, n_tokens, toks|__txt),
+    wins(id, pos, wh)) — ``window``-unit slices hashed with the portable
+    fingerprint.  ``n_tokens`` counts UNITS (tokens or chars); the public
+    projections rename it per unit.  Null/empty text yields n_tokens=0
+    and no windows (never -1/NULL — toks is coalesced to an empty array).
 
+    ``unit="token"`` hashes normalized window text (tokenization already
+    lowercases); ``unit="char"`` hashes the raw ``window``-char substring
+    with :func:`~eodatadown_spark.operators.text.char_fingerprint` so
+    case/punctuation break a match, as exact-substring demands.  Each
+    window hash is an O(window) codegen'd fold — O(n·w) chars per doc
+    total, linear with constant w, embarrassingly parallel; fine for
+    w≈8-50, worth a true rolling formulation only if w grows 10×."""
+    from eodatadown_spark.operators.corpus import token_array
+    from eodatadown_spark.operators.text import (
+        char_fingerprint,
+        rolling_fingerprint,
+    )
+
+    if unit == "char":
+        base = documents.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
+        ).withColumn("n_tokens", F.length("__txt").cast("long"))
+        wins = base.where(F.col("n_tokens") >= window).select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - window),
+                    lambda i: char_fingerprint(
+                        F.substring(F.col("__txt"), i + 1, F.lit(window))
+                    ),
+                )
+            ).alias("pos", "wh"),
+        )
+        return base, wins
+    if unit != "token":
+        raise ValueError(f"unit must be 'token' or 'char', got {unit!r}")
     base = documents.select(
-        F.col(id_col).alias("id"), token_array(text_col).alias("toks")
+        F.col(id_col).alias("id"),
+        F.coalesce(
+            token_array(text_col), F.array().cast("array<string>")
+        ).alias("toks"),
     ).withColumn("n_tokens", F.size("toks").cast("long"))
     wins = base.where(F.col("n_tokens") >= window).select(
         "id",
@@ -1809,12 +1851,12 @@ def _span_windows(
     return base, wins
 
 
-def _span_stats(
-    base: DataFrame, marked: DataFrame, window: int, id_col: str
-) -> DataFrame:
-    """Shared back half: merge MARKED windows (id, pos) into maximal
-    spans per document (lag/cumsum islands — a window PARTITIONED BY doc,
-    parallel across docs) and join zero rows back for unmarked docs."""
+def _merge_islands(marked: DataFrame, window: int) -> DataFrame:
+    """Merge MARKED window starts (id, pos) into maximal spans
+    (id, __s, __e) per document — lag/cumsum islands, a window
+    PARTITIONED BY doc (parallel across docs, never global).  Two marked
+    windows belong to one span iff their starts are ≤ ``window`` apart
+    (overlapping or adjacent coverage); ``__e`` is exclusive."""
     w_ = Window.partitionBy("id").orderBy("pos")
     isl = (
         marked.withColumn("__prev", F.lag("pos").over(w_))
@@ -1832,21 +1874,52 @@ def _span_stats(
             ),
         )
     )
-    spans = isl.groupBy("id", "__grp").agg(
+    return isl.groupBy("id", "__grp").agg(
         F.min("pos").alias("__s"), (F.max("pos") + window).alias("__e")
     )
+
+
+def _marked_spans(
+    wins: DataFrame, window: int, min_count: int, cross_doc_only: bool
+) -> DataFrame:
+    """The span family's shared marking: count each window hash across
+    the corpus (occurrences, or distinct documents under
+    ``cross_doc_only``), keep hashes at/over ``min_count``, left-semi the
+    window table against that (small) duplicated-hash set, and merge the
+    surviving window starts into maximal spans (id, __s, __e).  ONE
+    definition so :func:`duplicated_span_stats` and
+    :func:`cut_duplicated_spans` can never drift."""
+    counted = wins.groupBy("wh").agg(
+        (
+            F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
+        ).alias("__n")
+    )
+    dup = counted.where(F.col("__n") >= min_count).select("wh")
+    marked = wins.join(dup, "wh", "left_semi")
+    return _merge_islands(marked, window)
+
+
+def _span_stats(
+    base: DataFrame, spans: DataFrame, id_col: str, unit: str = "token"
+) -> DataFrame:
+    """Shared back half: per-document span statistics from the maximal
+    spans relation, zero rows joined back for span-free docs.  Output
+    columns are unit-named: (n_tokens, dup_tokens) or (n_chars,
+    dup_chars)."""
+    n_col = "n_chars" if unit == "char" else "n_tokens"
+    dup_col = "dup_chars" if unit == "char" else "dup_tokens"
     stats = spans.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("__e") - F.col("__s")).alias("dup_tokens"),
+        F.sum(F.col("__e") - F.col("__s")).alias("__dup"),
     )
     return (
         base.select("id", "n_tokens")
         .join(stats, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            "n_tokens",
+            F.col("n_tokens").alias(n_col),
             F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.coalesce(F.col("__dup"), F.lit(0)).alias(dup_col),
         )
     )
 
@@ -1857,6 +1930,7 @@ def span_hash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: str = "auto",
+    unit: str = "token",
 ) -> DataFrame:
     """The persistent half of INCREMENTAL duplicated-span detection —
     the span-family counterpart of :func:`minhash_band_index` /
@@ -1874,8 +1948,10 @@ def span_hash_index(
     State size is bounded by DISTINCT windows (≪ total windows on any
     corpus with duplication) and shrinks further under parquet dictionary
     encoding; at 100 TB store it bucketed by ``wh`` so probes bucket-join
-    without shuffling the index."""
-    base, wins = _span_windows(documents, window, id_col, text_col)
+    without shuffling the index (the ``dedd spanindex --bucketed`` face
+    does exactly that).  ``unit`` ("token"|"char") is part of the index
+    identity alongside ``window`` — probe with the same pair."""
+    base, wins = _span_windows(documents, window, id_col, text_col, unit)
     idx = wins.groupBy("wh").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct("id").alias("n_docs"),
@@ -1890,6 +1966,7 @@ def cut_duplicated_spans(
     text_col: str = "text",
     min_count: int = 2,
     cross_doc_only: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
     """The ACTION step of ExactSubstr dedup (Lee et al. 2021 apply the
     cut, not just the count): excise every maximal duplicated span found
@@ -1906,37 +1983,78 @@ def cut_duplicated_spans(
     drop it — the line_dedup convention.
 
     Scale shape: the marking reuses the span family's explode + hash agg
-    + semi-join; the cut joins each document's tokens to ITS OWN spans
-    (a per-doc range join whose span side is tiny — spans per doc, not
-    corpus spans), then one groupBy-doc rebuild.  Nothing pairwise
-    across documents.
+    + semi-join (ONE definition — :func:`_marked_spans` — shared with
+    :func:`duplicated_span_stats`, so the two can't drift); the cut joins
+    each document's tokens to ITS OWN spans (a per-doc range join whose
+    span side is tiny — spans per doc, not corpus spans), then one
+    groupBy-doc rebuild.  Nothing pairwise across documents.
+
+    ``unit="char"`` cuts at character granularity (Lee et al.'s native
+    50-byte form, ``window=50``) and — unlike token mode — PRESERVES the
+    original bytes of the kept regions: the rebuild concatenates the raw
+    inter-span substrings with an O(spans-per-doc) fold, no per-char
+    explode.  Output is ``(id_col, n_chars, n_kept, text_kept)``.
     """
-    base, wins = _span_windows(documents, window, id_col, text_col)
-    counted = wins.groupBy("wh").agg(
-        (
-            F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
-        ).alias("__n")
-    )
-    dup = counted.where(F.col("__n") >= min_count).select("wh")
-    marked = wins.join(dup, "wh", "left_semi")
-    w_ = Window.partitionBy("id").orderBy("pos")
-    isl = (
-        marked.withColumn("__prev", F.lag("pos").over(w_))
-        .withColumn(
-            "__new",
-            (
-                F.col("__prev").isNull()
-                | (F.col("pos") - F.col("__prev") > window)
-            ).cast("long"),
+    base, wins = _span_windows(documents, window, id_col, text_col, unit)
+    spans = _marked_spans(wins, window, min_count, cross_doc_only)
+    if unit == "char":
+        span_arrs = spans.groupBy("id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__s").alias("s"), F.col("__e").alias("e")
+                    )
+                )
+            ).alias("__spans")
         )
-        .withColumn(
-            "__grp",
-            F.sum("__new").over(w_.rowsBetween(Window.unboundedPreceding, 0)),
+        joined = base.join(span_arrs, "id", "left").withColumn(
+            "__spans",
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<s:bigint,e:bigint>>"),
+            ),
         )
-    )
-    spans = isl.groupBy("id", "__grp").agg(
-        F.min("pos").alias("__s"), (F.max("pos") + window).alias("__e")
-    )
+        # fold over the (disjoint, sorted) spans: acc = (cursor, kept-so-
+        # far); each span appends the raw text between the cursor and the
+        # span start, then advances the cursor past the span; the finisher
+        # appends the tail.  Maximal spans are separated by > 0 chars by
+        # construction, so every substring length is ≥ 0.
+        rebuilt = joined.select(
+            "id",
+            "n_tokens",
+            F.aggregate(
+                "__spans",
+                F.struct(
+                    F.lit(0).cast("long").alias("pos"),
+                    F.lit("").alias("acc"),
+                ),
+                lambda acc, sp: F.struct(
+                    sp["e"].alias("pos"),
+                    F.concat(
+                        acc["acc"],
+                        F.substring(
+                            F.col("__txt"),
+                            (acc["pos"] + 1).cast("int"),
+                            (sp["s"] - acc["pos"]).cast("int"),
+                        ),
+                    ).alias("acc"),
+                ),
+                lambda acc: F.concat(
+                    acc["acc"],
+                    F.substring(
+                        F.col("__txt"),
+                        (acc["pos"] + 1).cast("int"),
+                        (F.col("n_tokens") - acc["pos"]).cast("int"),
+                    ),
+                ),
+            ).alias("text_kept"),
+        )
+        return rebuilt.select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").alias("n_chars"),
+            F.length("text_kept").cast("long").alias("n_kept"),
+            "text_kept",
+        )
     toks = base.select(
         "id",
         "n_tokens",
@@ -2003,6 +2121,7 @@ def duplicated_spans_against_index(
     text_col: str = "text",
     min_count: int = 2,
     cross_doc_only: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
     """Probe a NEW batch against a stored :func:`span_hash_index`:
     per-batch-document duplicated-span stats over the UNION corpus
@@ -2020,7 +2139,7 @@ def duplicated_spans_against_index(
     batch's OWN distinct hashes against the stored index (left join —
     the index never shuffles more than the matching keys); island merge
     is per-batch-doc.  The indexed corpus is never re-read."""
-    base, wins = _span_windows(new_docs, window, id_col, text_col)
+    base, wins = _span_windows(new_docs, window, id_col, text_col, unit)
     batch_counts = wins.groupBy("wh").agg(
         F.count(F.lit(1)).alias("__bcnt"),
         F.count_distinct("id").alias("__bdocs"),
@@ -2038,7 +2157,7 @@ def duplicated_spans_against_index(
     key = F.col("__ndocs") if cross_doc_only else F.col("__cnt")
     dup = totals.where(key >= min_count).select("wh")
     marked = wins.join(dup, "wh", "left_semi")
-    return _span_stats(base, marked, window, id_col)
+    return _span_stats(base, _merge_islands(marked, window), id_col, unit)
 
 
 def source_pair_pressure(

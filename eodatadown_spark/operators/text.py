@@ -71,6 +71,27 @@ def rolling_fingerprint(text: Column | str) -> Column:
     )
 
 
+def char_fingerprint(text: Column | str) -> Column:
+    """Polynomial fold over the RAW character stream — h = fold(h*31 +
+    codepoint) mod p with NO normalization, the exact-substring identity
+    the char-windowed ExactSubstr span family needs (two windows hash
+    equal iff their raw characters are equal, up to the usual mod-p
+    collision caveat).  :func:`rolling_fingerprint` lowercases and strips
+    punctuation first — right for document/token fingerprints, wrong for
+    byte-fidelity span marking.  Exactly reproducible in ANSI SQL
+    (ord() fold) for the oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.filter(F.split(c, ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * F.lit(ROLLING_BASE) + F.ascii(ch),
+            F.lit(ROLLING_PRIME),
+        ),
+    )
+
+
 def char_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c).cast("long")

@@ -744,6 +744,7 @@ def apply_span_index_batch(
     text_col: str = "text",
     span_table: str = "span_index",
     batch_id: int | None = None,
+    unit: str = "token",
 ) -> dict:
     """Fold ONE document batch into a stored window-hash span index
     (dedup.span_hash_index): index the batch, counter-ADD it through
@@ -767,7 +768,7 @@ def apply_span_index_batch(
         span_hash_index,
     )
 
-    delta = _pin(span_hash_index(batch, window, id_col, text_col))
+    delta = _pin(span_hash_index(batch, window, id_col, text_col, unit=unit))
     spark = batch.sparkSession
     sentinel = (
         None

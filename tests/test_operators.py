@@ -3124,3 +3124,116 @@ class TestCutDuplicatedSpans:
         for i in range(3):
             n, kept = cut[i]
             assert n - kept == stats[i]  # cut removes exactly dup_tokens
+
+
+class TestCharSpans:
+    """unit="char" span family: Lee et al.'s native granularity — raw-byte
+    windows, no normalization, cut preserves original bytes."""
+
+    def test_char_stats_and_null_guard(self, spark):
+        from eodatadown_spark.operators.dedup import duplicated_span_stats
+
+        shared = "exactly this run of chars!"  # 26 chars, punct included
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " plus a unique tail"),
+                (2, "prefix " + shared),
+                (3, "entirely different content."),
+                (4, None),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_chars"], r["n_dup_spans"], r["dup_chars"])
+            for r in duplicated_span_stats(
+                docs, window=10, unit="char"
+            ).collect()
+        }
+        assert got[1] == (45, 1, 26)
+        assert got[2] == (33, 1, 26)
+        assert got[3] == (27, 0, 0)
+        # ADVICE r11: null text must be (0,0,0), never -1/NULL
+        assert got[4] == (0, 0, 0)
+        assert got[5] == (0, 0, 0)
+
+    def test_char_mode_is_case_sensitive_token_mode_is_not(self, spark):
+        """The discriminating semantics: token mode normalizes (lowercase
+        tokenization), char mode is exact bytes — a case-differing copy
+        marks in token mode but NOT in char mode."""
+        from eodatadown_spark.operators.dedup import duplicated_span_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Alpha Beta Gamma Delta Epsilon Zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+            ],
+            "doc_id long, text string",
+        )
+        tok = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in duplicated_span_stats(docs, window=3).collect()
+        }
+        assert tok == {1: 6, 2: 6}
+        ch = {
+            r["doc_id"]: r["dup_chars"]
+            for r in duplicated_span_stats(
+                docs, window=10, unit="char"
+            ).collect()
+        }
+        assert ch == {1: 0, 2: 0}
+
+    def test_char_cut_preserves_original_bytes(self, spark):
+        from eodatadown_spark.operators.dedup import cut_duplicated_spans
+
+        shared = "0123456789ABCDEF"  # 16 chars
+        docs = spark.createDataFrame(
+            [
+                (1, "Keep, THIS; exactly.. " + shared),
+                (2, shared + "|Tail? Stays-Verbatim!"),
+                (3, shared),  # entirely duplicated -> empty survivor
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_chars"], r["n_kept"], r["text_kept"])
+            for r in cut_duplicated_spans(
+                docs, window=16, unit="char"
+            ).collect()
+        }
+        # kept regions keep punctuation, case, and spacing byte-for-byte
+        assert got[1] == (38, 22, "Keep, THIS; exactly.. ")
+        assert got[2] == (38, 22, "|Tail? Stays-Verbatim!")
+        assert got[3] == (16, 0, "")
+
+    def test_char_index_probe_equals_union_run(self, spark):
+        from eodatadown_spark.operators.dedup import (
+            duplicated_span_stats,
+            duplicated_spans_against_index,
+            span_hash_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "a shared character run lives here"), (2, "other text")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, "prefix a shared character run lives here suffix"),
+             (101, "nothing in common")],
+            "doc_id long, text string",
+        )
+        idx = span_hash_index(corpus, window=12, unit="char")
+        got = {
+            r["doc_id"]: (r["n_chars"], r["n_dup_spans"], r["dup_chars"])
+            for r in duplicated_spans_against_index(
+                batch, idx, window=12, unit="char"
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_chars"], r["n_dup_spans"], r["dup_chars"])
+            for r in duplicated_span_stats(
+                corpus.unionByName(batch), window=12, unit="char"
+            ).collect()
+            if r["doc_id"] >= 100
+        }
+        assert got == want

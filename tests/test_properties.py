@@ -986,3 +986,166 @@ def test_span_probe_equals_full_union_run(spark, old_texts, new_texts, w):
         if r["doc_id"] >= 100
     }
     assert got == want, (old_texts, new_texts, w)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: char-granular ExactSubstr spans vs a pure-Python reference, and
+# the Bloom/CMS streaming folds as algebra (streamed state == one-pass build
+# under ANY batch split, replays included).
+
+def _py_char_spans(texts: dict, window: int, min_count: int = 2) -> dict:
+    """O(n·w) reference for the char-windowed span family: true substring
+    equality (the engine hashes — equal substrings always hash equal, so
+    modulo a mod-p collision the two agree), marked-window island merge,
+    per-doc stats AND the cut text."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for t in texts.values():
+        t = t or ""
+        for p in range(0, len(t) - window + 1):
+            cnt[t[p : p + window]] += 1
+    out = {}
+    for i, t in texts.items():
+        t = t or ""
+        marked = [
+            p
+            for p in range(0, len(t) - window + 1)
+            if cnt[t[p : p + window]] >= min_count
+        ]
+        spans: list[list[int]] = []
+        for p in marked:
+            if spans and p - spans[-1][2] <= window:
+                spans[-1][1] = p + window
+                spans[-1][2] = p
+            else:
+                spans.append([p, p + window, p])
+        dup = sum(e - s for s, e, _ in spans)
+        kept, cur = [], 0
+        for s, e, _ in spans:
+            kept.append(t[cur:s])
+            cur = e
+        kept.append(t[cur:])
+        out[i] = (len(t), len(spans), dup, "".join(kept))
+    return out
+
+
+_char_doc = st.text(alphabet="ab A.", min_size=0, max_size=24)
+
+
+@given(st.lists(_char_doc, min_size=1, max_size=5), st.sampled_from([3, 5]))
+@settings(max_examples=10, deadline=None)
+def test_char_spans_match_python_reference(spark, texts, w):
+    """duplicated_span_stats / cut_duplicated_spans (unit="char") equal the
+    brute-force reference on arbitrary small corpora — including case and
+    punctuation (the raw char fold must NOT normalize), empty docs, and
+    entirely-duplicated docs."""
+    from eodatadown_spark.operators.dedup import (
+        cut_duplicated_spans,
+        duplicated_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _py_char_spans(dict(enumerate(texts)), w)
+    got_stats = {
+        r["doc_id"]: (r["n_chars"], r["n_dup_spans"], r["dup_chars"])
+        for r in duplicated_span_stats(docs, window=w, unit="char").collect()
+    }
+    assert got_stats == {i: v[:3] for i, v in want.items()}, (texts, w)
+    got_cut = {
+        r["doc_id"]: (r["n_chars"], r["n_kept"], r["text_kept"])
+        for r in cut_duplicated_spans(docs, window=w, unit="char").collect()
+    }
+    assert got_cut == {
+        i: (v[0], len(v[3]), v[3]) for i, v in want.items()
+    }, (texts, w)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["tok1", "tok2", "tok3", "rare"]),
+                 min_size=1, max_size=6),
+        min_size=1, max_size=4,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=6, deadline=None)
+def test_bloom_fold_equals_onepass_any_split(spark, batches, replay_at):
+    """Bloom streaming-fold algebra as a theorem: folding ANY batch split
+    through the OCC catalog — with one batch REPLAYED mid-stream — leaves
+    the state table bit-identical to a one-pass build over the
+    concatenation (set union is associative, commutative, idempotent)."""
+    import tempfile
+
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.operators.merge import build_bloom
+    from eodatadown_spark.streaming.incremental import apply_bloom_batch
+
+    # a FRESH dir per hypothesis example (tmp_path is function-scoped and
+    # would accumulate state across examples)
+    cat = ParquetCatalog(spark, tempfile.mkdtemp(prefix="bloomcat_"),
+                         retain_versions=3)
+    n_bits = 64
+    for bi, vals in enumerate(batches):
+        b = spark.createDataFrame([(v,) for v in vals], "token string")
+        apply_bloom_batch(cat, b, "token", n_hashes=3, n_bits=n_bits)
+        if bi == min(replay_at, len(batches) - 1):
+            apply_bloom_batch(cat, b, "token", n_hashes=3, n_bits=n_bits)
+    streamed = {
+        r["bloom_bit"] for r in cat.read("bloom_bits").collect()
+    }
+    allvals = [v for vals in batches for v in vals]
+    onepass = {
+        r["bloom_bit"]
+        for r in build_bloom(
+            spark.createDataFrame([(v,) for v in allvals], "token string"),
+            "token", n_hashes=3, n_bits=n_bits,
+        ).collect()
+    }
+    assert streamed == onepass, (batches, replay_at)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["tok1", "tok2", "tok3", "rare"]),
+                 min_size=1, max_size=6),
+        min_size=1, max_size=4,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=6, deadline=None)
+def test_cms_fold_equals_onepass_any_split(spark, batches, replay_at):
+    """CMS streaming-fold algebra as a theorem: counter addition over ANY
+    batch split equals the one-pass counters, AND a replayed batch is a
+    no-op thanks to the per-batch sentinel (counter addition is NOT
+    idempotent — the sentinel is what makes at-least-once exactly-once)."""
+    import tempfile
+
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.operators.merge import build_count_min
+    from eodatadown_spark.streaming.incremental import apply_count_min_batch
+
+    cat = ParquetCatalog(spark, tempfile.mkdtemp(prefix="cmscat_"),
+                         retain_versions=3)
+    for bi, vals in enumerate(batches):
+        b = spark.createDataFrame([(v,) for v in vals], "token string")
+        apply_count_min_batch(cat, b, "token", depth=2, width=32, batch_id=bi)
+        if bi == min(replay_at, len(batches) - 1):
+            apply_count_min_batch(
+                cat, b, "token", depth=2, width=32, batch_id=bi
+            )
+    streamed = {
+        (r["cms_row"], r["cms_bucket"]): r["cnt"]
+        for r in cat.read("cms_counters").where("cms_row >= 0").collect()
+    }
+    allvals = [v for vals in batches for v in vals]
+    onepass = {
+        (r["cms_row"], r["cms_bucket"]): r["cnt"]
+        for r in build_count_min(
+            spark.createDataFrame([(v,) for v in allvals], "token string"),
+            "token", depth=2, width=32,
+        ).collect()
+    }
+    assert streamed == onepass, (batches, replay_at)

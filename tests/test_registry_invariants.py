@@ -17,14 +17,14 @@ def test_window_leads_registry():
     """The declared driver window is exactly the leading block of
     queries() — a reordering that pushed a window entry out of the
     driver's slice would silently drop its correctness row."""
-    window = E._R11_WINDOW
+    window = E._R12_WINDOW
     assert len(window) == 50
     assert list(E.queries())[: len(window)] == window
 
 
 def test_window_names_resolve():
     qs = E.queries()
-    missing = [n for n in E._R11_WINDOW if n not in qs]
+    missing = [n for n in E._R12_WINDOW if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
 
 
@@ -43,7 +43,7 @@ def test_no_duplicate_registry_names():
     """_ALL_QUERIES keys are unique by dict construction, but the window
     must not repeat a name (a repeat would shrink the driver's effective
     coverage by one slot)."""
-    assert len(set(E._R11_WINDOW)) == len(E._R11_WINDOW)
+    assert len(set(E._R12_WINDOW)) == len(E._R12_WINDOW)
 
 
 def test_plan_only_names_resolve():

@@ -1329,3 +1329,123 @@ def test_cli_spanindex_lifecycle(spark, tmp_path, capsys):
     eodd_cli.main(["spanindex", "--index-dir", idx, "--probe", b2])
     p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert p2["docs_with_spans"] == 1 and p2["dup_tokens"] == 5
+
+
+def test_cli_spanindex_arg_validation(spark, tmp_path):
+    """ADVICE r11: neither --build nor --probe (or --apply without
+    --probe) must be a USAGE error (SystemExit 2 from parser.error), not
+    a FileNotFoundError/TypeError crash from open(None)."""
+    import pytest
+
+    import eodd_cli
+
+    idx = str(tmp_path / "span_idx_v")
+    with pytest.raises(SystemExit) as e:
+        eodd_cli.main(["spanindex", "--index-dir", idx])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        eodd_cli.main(["spanindex", "--index-dir", idx,
+                       "--build", "a", "--probe", "b"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        eodd_cli.main(["spanindex", "--index-dir", idx,
+                       "--build", "a", "--apply"])
+    assert e.value.code == 2
+    # dedupindex and annindex share the contract
+    with pytest.raises(SystemExit) as e:
+        eodd_cli.main(["dedupindex", "--index-dir", idx])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        eodd_cli.main(["annindex", "--index-dir", idx])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        eodd_cli.main(["annindex", "--index-dir", idx, "--kind", "sq8",
+                       "--build", "x", "--bucketed"])
+    assert e.value.code == 2
+
+
+def test_cli_spanindex_bucketed_char_lifecycle(spark, tmp_path, capsys):
+    """spanindex --bucketed --unit char: the index publishes an external
+    bucketed-by-wh snapshot; probe/apply read it via per-session
+    re-registration and report char-granular stats; the fold republishes.
+    Stats must equal the plain-parquet run (bucketing is layout, not
+    semantics)."""
+    import eodd_cli
+
+    # caps on EVERY word: lowercasing breaks the run every <=6 chars, so
+    # no 10-char window of the lowercased copy matches the original
+    shared = "The Quick Brown Fox Jumps Over It"  # 33 chars
+    corpus = str(tmp_path / "cspan_corpus")
+    spark.createDataFrame(
+        [(1, shared + " tail one"), (2, "unrelated corpus text here")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    b1 = str(tmp_path / "cspan_b1")
+    spark.createDataFrame(
+        [(100, "lead " + shared), (101, "nothing shared here at all")],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    b2 = str(tmp_path / "cspan_b2")
+    spark.createDataFrame(
+        [(200, "lead " + shared.lower())],  # case differs -> no char match
+        "doc_id long, text string",
+    ).write.parquet(b2)
+
+    for bucketed in (False, True):
+        idx = str(tmp_path / f"cspan_idx_{bucketed}")
+        build_args = ["spanindex", "--index-dir", idx, "--build", corpus,
+                      "--window", "10", "--unit", "char"]
+        if bucketed:
+            build_args += ["--bucketed", "--buckets", "4"]
+        eodd_cli.main(build_args)
+        built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert built["unit"] == "char" and built["bucketed"] is bucketed
+
+        eodd_cli.main(["spanindex", "--index-dir", idx, "--probe", b1])
+        p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # doc 100 duplicates the corpus's 33-char run; maximal span is the
+        # full 33 chars (windows at offsets 5..28 of "lead <shared>")
+        assert p1["docs_with_spans"] == 1 and p1["dup_chars"] == 33
+
+        # apply b1, then b2 (lowercased copy) must NOT mark: char mode is
+        # normalization-free, exact bytes only
+        eodd_cli.main(["spanindex", "--index-dir", idx, "--probe", b1,
+                       "--apply"])
+        capsys.readouterr()
+        eodd_cli.main(["spanindex", "--index-dir", idx, "--probe", b2])
+        p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert p2["docs_with_spans"] == 0 and p2["dup_chars"] == 0
+
+
+def test_cli_dedupindex_bucketed_probe_matches_plain(spark, tmp_path, capsys):
+    """dedupindex --bucketed: probe through the bucketed band-index
+    snapshot returns the same pairs as the plain-parquet path."""
+    import eodd_cli
+
+    corpus = str(tmp_path / "bdi_corpus")
+    spark.createDataFrame(
+        [(i, f"shared shingle text block number {i % 2} common run")
+         for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    batch = str(tmp_path / "bdi_batch")
+    spark.createDataFrame(
+        [(100, "shared shingle text block number 0 common run")],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+
+    stats = {}
+    for bucketed in (False, True):
+        idx = str(tmp_path / f"bdi_idx_{bucketed}")
+        args = ["dedupindex", "--index-dir", idx, "--build", corpus,
+                "--jaccard", "0.8"]
+        if bucketed:
+            args += ["--bucketed", "--buckets", "4"]
+        eodd_cli.main(args)
+        capsys.readouterr()
+        eodd_cli.main(["dedupindex", "--index-dir", idx, "--probe", batch])
+        stats[bucketed] = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+    assert stats[True] == stats[False]
+    assert stats[True]["new_pairs"] >= 1
