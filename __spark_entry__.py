@@ -4042,6 +4042,22 @@ def plan_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_mmr_rerank": lambda spark, sf: q134_mmr_rerank(
             spark, sf, materialize="none"
         ),
+        # pure-plan span family: the executable forms pin the window table
+        # (it feeds both the hash agg and the semi-join probe side)
+        "q180_duplicated_spans": lambda spark, sf: D.duplicated_span_stats(
+            _t(spark, sf, "documents"), window=8, materialize="none"
+        ),
+        "q182_span_cut": lambda spark, sf: D.cut_duplicated_spans(
+            _t(spark, sf, "documents"), window=8, materialize="none"
+        ),
+        "q183_char_spans": lambda spark, sf: D.duplicated_span_stats(
+            _t(spark, sf, "documents"), window=50, unit="char",
+            materialize="none",
+        ),
+        "q184_char_span_cut": lambda spark, sf: D.cut_duplicated_spans(
+            _t(spark, sf, "documents"), window=50, unit="char",
+            materialize="none",
+        ),
         # pure-plan q167/q169: scoring projection / eval aggregate over
         # unpinned features with placeholder weight literals — the 8
         # training passes are separate driver-side jobs, invisible to any

@@ -1748,6 +1748,7 @@ def duplicated_span_stats(
     min_count: int = 2,
     cross_doc_only: bool = False,
     unit: str = "token",
+    materialize: str = "auto",
 ) -> DataFrame:
     """Exact duplicated-SPAN detection (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr rule,
@@ -1781,7 +1782,13 @@ def duplicated_span_stats(
     remains the cheaper default (w× fewer windows for mean token length
     w); char mode is the byte-fidelity variant.
     """
+    # the window table feeds BOTH the hash aggregate and the semi-join
+    # probe side — unpinned, Catalyst evaluates the explode+hash subtree
+    # twice (exchange reuse only saves the recompute when both sides
+    # shuffle identically, which AQE's broadcast of the small dup set
+    # defeats); pin once, the sibling-index convention
     base, wins = _span_windows(documents, window, id_col, text_col, unit)
+    wins = _pin_mode(wins, materialize)
     spans = _marked_spans(wins, window, min_count, cross_doc_only)
     return _span_stats(base, spans, id_col, unit)
 
@@ -1800,33 +1807,90 @@ def _span_windows(
     and no windows (never -1/NULL — toks is coalesced to an empty array).
 
     ``unit="token"`` hashes normalized window text (tokenization already
-    lowercases); ``unit="char"`` hashes the raw ``window``-char substring
-    with :func:`~eodatadown_spark.operators.text.char_fingerprint` so
-    case/punctuation break a match, as exact-substring demands.  Each
-    window hash is an O(window) codegen'd fold — O(n·w) chars per doc
-    total, linear with constant w, embarrassingly parallel; fine for
-    w≈8-50, worth a true rolling formulation only if w grows 10×."""
+    lowercases; O(n·w) chars per doc — fine at w≈8 token windows).
+    ``unit="char"`` produces EXACTLY the hash
+    :func:`~eodatadown_spark.operators.text.char_fingerprint` would give
+    each raw ``window``-char substring (case/punctuation break a match,
+    as exact-substring demands), but computes all of a document's window
+    hashes in O(n) TOTAL via the true rolling formulation — at the
+    paper's w=50 the naive per-window fold re-hashes every char 50×
+    (measured 26 s vs ~3 s at sf0.1):
+
+        h(i) = Σ_{j=i..i+w-1} c_j·B^{i+w-1-j}  (mod p)
+             = (r_{i+w-1} − r_{i-1}) · B^{i+w-1}  (mod p),
+        where r_k = Σ_{j≤k} c_j·B^{-j}  (mod p)
+
+    — r is a per-document window CUMSUM over the exploded chars (one
+    extra exchange on id; parallel across docs, never global), and
+    B^{±j} mod p is a ``_MODPOW_BITS``-step binary-exponentiation fold
+    over constant powers (pure codegen, no UDF).  Identity to the naive
+    fold is pinned by the brute-force hypothesis property and the
+    q183/q184 oracles, which replay the naive fold in SQL."""
     from eodatadown_spark.operators.corpus import token_array
     from eodatadown_spark.operators.text import (
-        char_fingerprint,
+        ROLLING_BASE,
+        ROLLING_PRIME,
         rolling_fingerprint,
     )
 
     if unit == "char":
+        p_, b_ = ROLLING_PRIME, ROLLING_BASE
+        inv_b = pow(b_, -1, p_)
+        # 2^26 chars ≈ 64 MB single document — far beyond any corpus row;
+        # longer docs would silently mis-hash, so the cap is deliberate
+        _MODPOW_BITS = 26
+        inv_pows = [pow(inv_b, 1 << k, p_) for k in range(_MODPOW_BITS)]
+        b_pows = [pow(b_, 1 << k, p_) for k in range(_MODPOW_BITS)]
+
+        def _modpow(j: Column, pows: list[int]) -> Column:
+            acc = F.lit(1).cast("long")
+            for k, pk in enumerate(pows):
+                acc = F.pmod(
+                    acc
+                    * F.when(
+                        F.shiftright(j, k).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(pk),
+                    ).otherwise(F.lit(1)),
+                    F.lit(p_),
+                )
+            return acc
+
         base = documents.select(
             F.col(id_col).alias("id"),
             F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
         ).withColumn("n_tokens", F.length("__txt").cast("long"))
-        wins = base.where(F.col("n_tokens") >= window).select(
+        # slice to exactly length(txt) elements: split("") may append a
+        # trailing empty, and positions must stay raw char offsets
+        chars = base.where(F.col("n_tokens") >= window).select(
             "id",
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - window),
-                    lambda i: char_fingerprint(
-                        F.substring(F.col("__txt"), i + 1, F.lit(window))
-                    ),
-                )
-            ).alias("pos", "wh"),
+                F.slice(F.split("__txt", ""), 1, F.length("__txt"))
+            ).alias("j", "c"),
+        )
+        w_ord = Window.partitionBy("id").orderBy("j")
+        j_long = F.col("j").cast("long")
+        term = F.pmod(
+            F.ascii("c").cast("long") * _modpow(j_long, inv_pows), F.lit(p_)
+        )
+        # raw cumsum before the mod stays < 2^26·2^31 = 2^57 — no overflow
+        cum = chars.withColumn(
+            "__r",
+            F.pmod(
+                F.sum(term).over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(p_),
+            ),
+        )
+        lagged = cum.withColumn("__rl", F.lag("__r", window).over(w_ord))
+        wins = lagged.where(F.col("j") >= window - 1).select(
+            "id",
+            (F.col("j") - (window - 1)).alias("pos"),
+            F.pmod(
+                (F.col("__r") - F.coalesce(F.col("__rl"), F.lit(0)))
+                * _modpow(j_long, b_pows),
+                F.lit(p_),
+            ).alias("wh"),
         )
         return base, wins
     if unit != "token":
@@ -1967,6 +2031,7 @@ def cut_duplicated_spans(
     min_count: int = 2,
     cross_doc_only: bool = False,
     unit: str = "token",
+    materialize: str = "auto",
 ) -> DataFrame:
     """The ACTION step of ExactSubstr dedup (Lee et al. 2021 apply the
     cut, not just the count): excise every maximal duplicated span found
@@ -1996,6 +2061,7 @@ def cut_duplicated_spans(
     explode.  Output is ``(id_col, n_chars, n_kept, text_kept)``.
     """
     base, wins = _span_windows(documents, window, id_col, text_col, unit)
+    wins = _pin_mode(wins, materialize)
     spans = _marked_spans(wins, window, min_count, cross_doc_only)
     if unit == "char":
         span_arrs = spans.groupBy("id").agg(
@@ -2122,6 +2188,7 @@ def duplicated_spans_against_index(
     min_count: int = 2,
     cross_doc_only: bool = False,
     unit: str = "token",
+    materialize: str = "auto",
 ) -> DataFrame:
     """Probe a NEW batch against a stored :func:`span_hash_index`:
     per-batch-document duplicated-span stats over the UNION corpus
@@ -2140,6 +2207,7 @@ def duplicated_spans_against_index(
     the index never shuffles more than the matching keys); island merge
     is per-batch-doc.  The indexed corpus is never re-read."""
     base, wins = _span_windows(new_docs, window, id_col, text_col, unit)
+    wins = _pin_mode(wins, materialize)
     batch_counts = wins.groupBy("wh").agg(
         F.count(F.lit(1)).alias("__bcnt"),
         F.count_distinct("id").alias("__bdocs"),
