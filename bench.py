@@ -108,6 +108,25 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def free_pinned(spark) -> int:
+    """Unpersist every persistent RDD (localCheckpoint blocks included).
+
+    The pinned operators (materialize="auto") localCheckpoint their
+    intermediates, and those blocks are NEVER auto-freed — across the
+    extended/incremental sections each timed invocation leaves new pins
+    behind, so block-manager memory ratchets up and the sections timed
+    LAST pay alien GC/eviction pressure (measured round 12: the e2e
+    pipeline read 36 s inside the bench vs 12.8 s in a fresh session —
+    a 3x contamination, not an engine regression).  Calling this BETWEEN
+    sections (never inside one — a section's state DataFrames must keep
+    their blocks until its last sample) keeps each measurement's memory
+    state flat.  Returns the number of RDDs freed."""
+    jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for jrdd in jrdds:
+        jrdd.unpersist()
+    return len(jrdds)
+
+
 def e2e_pipeline_sec(spark, sf_dir: str) -> float:
     """End-to-end state-machine wall time (VERDICT r5 item 7): the full
     CLI lifecycle — index ingest (chknewscns) → process stage
@@ -259,6 +278,10 @@ def main() -> None:
         samples.sort()
         extended[name] = samples[1]
         extended_spread[name] = [samples[0], samples[-1]]
+        # each invocation of a pinned query leaves fresh localCheckpoint
+        # blocks behind; free them so later queries (and the e2e section)
+        # aren't timed under the earlier ones' memory pressure
+        free_pinned(spark)
 
     # Stored-index build vs per-batch probe (VERDICT r8 item 3): the
     # EXTENDED timings above fuse index construction with the probe, so
@@ -285,6 +308,7 @@ def main() -> None:
             run_once(probe(spark, sf_dir, state))
             samples.append(round(time.time() - t0, 3))
         samples.sort()
+        free_pinned(spark)  # entry done — its state blocks are dead
         incr_split[name] = {
             "build_sec": build_sec,
             "probe_sec": samples[1],
@@ -356,6 +380,7 @@ def main() -> None:
     # state (measured r11: 35.7 cold vs 9.4-11.7 converged on BOTH the
     # r10 and r11 trees) — the steady-state number is the one that
     # compares round-over-round; the cold one is recorded alongside.
+    free_pinned(spark)  # ann section's checkpoints are dead past here
     e2e_cold_sec = e2e_pipeline_sec(spark, sf_dir)
     e2e_sec = e2e_pipeline_sec(spark, sf_dir)
 

@@ -1793,6 +1793,42 @@ def duplicated_span_stats(
     return _span_stats(base, spans, id_col, unit)
 
 
+# ---- portable rolling-hash modular arithmetic (span family) --------------
+# B^j / B^-j mod p as a binary-exponentiation fold over CONSTANT powers —
+# pure codegen, no UDF.  26 bits covers exponents to 2^26 (64 MB single
+# document / 64k-char single token); beyond the cap a hash would silently
+# wrap, so the bound is deliberate and documented at the call sites.
+_SPAN_POW_BITS = 26
+
+
+def _span_pow_tables() -> tuple[list[int], list[int]]:
+    from eodatadown_spark.operators.text import ROLLING_BASE, ROLLING_PRIME
+
+    inv_b = pow(ROLLING_BASE, -1, ROLLING_PRIME)
+    return (
+        [pow(ROLLING_BASE, 1 << k, ROLLING_PRIME)
+         for k in range(_SPAN_POW_BITS)],
+        [pow(inv_b, 1 << k, ROLLING_PRIME) for k in range(_SPAN_POW_BITS)],
+    )
+
+
+def _span_modpow(j: Column, pows: list[int]) -> Column:
+    """prod(pows[k] for set bits k of j) mod p — i.e. base^j mod p for the
+    base whose 2^k-th powers ``pows`` holds."""
+    from eodatadown_spark.operators.text import ROLLING_PRIME
+
+    acc = F.lit(1).cast("long")
+    for k, pk in enumerate(pows):
+        acc = F.pmod(
+            acc
+            * F.when(
+                F.shiftright(j, k).bitwiseAND(F.lit(1)) == 1, F.lit(pk)
+            ).otherwise(F.lit(1)),
+            F.lit(ROLLING_PRIME),
+        )
+    return acc
+
+
 def _span_windows(
     documents: DataFrame,
     window: int,
@@ -1830,30 +1866,13 @@ def _span_windows(
     from eodatadown_spark.operators.text import (
         ROLLING_BASE,
         ROLLING_PRIME,
-        rolling_fingerprint,
+        char_fingerprint,
     )
 
     if unit == "char":
-        p_, b_ = ROLLING_PRIME, ROLLING_BASE
-        inv_b = pow(b_, -1, p_)
-        # 2^26 chars ≈ 64 MB single document — far beyond any corpus row;
-        # longer docs would silently mis-hash, so the cap is deliberate
-        _MODPOW_BITS = 26
-        inv_pows = [pow(inv_b, 1 << k, p_) for k in range(_MODPOW_BITS)]
-        b_pows = [pow(b_, 1 << k, p_) for k in range(_MODPOW_BITS)]
-
-        def _modpow(j: Column, pows: list[int]) -> Column:
-            acc = F.lit(1).cast("long")
-            for k, pk in enumerate(pows):
-                acc = F.pmod(
-                    acc
-                    * F.when(
-                        F.shiftright(j, k).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(pk),
-                    ).otherwise(F.lit(1)),
-                    F.lit(p_),
-                )
-            return acc
+        p_ = ROLLING_PRIME
+        b_pows, inv_pows = _span_pow_tables()
+        _modpow = _span_modpow
 
         base = documents.select(
             F.col(id_col).alias("id"),
@@ -1901,14 +1920,64 @@ def _span_windows(
             token_array(text_col), F.array().cast("array<string>")
         ).alias("toks"),
     ).withColumn("n_tokens", F.size("toks").cast("long"))
-    wins = base.where(F.col("n_tokens") >= window).select(
+    # token windows combine PER-TOKEN folds instead of re-normalizing and
+    # re-hashing the joined window text (a regex + ~w·token_len char fold
+    # PER WINDOW — measured 38 s vs 12 s warm at sf1.0 for q180): strip
+    # each token once, fold it once (char_fingerprint on a stripped token
+    # == rolling_fingerprint's per-char chain), precompute B^len(t) mod p
+    # once, then each window is a w-step fold of
+    #   acc' = ((acc·B + 32)·B^{len(t_k)} + h_k) mod p
+    # (append one space, shift by the token, add its fold) — identical to
+    # rolling_fingerprint(array_join(window, " ")) because the polynomial
+    # fold of a concatenation is fold(A)·B^{len(B)} + fold(B), and the
+    # [^a-z0-9 ] strip commutes with the space-join.  Empty-after-strip
+    # tokens contribute len 0 / fold 0 — exactly the doubled space the
+    # joined form produces.
+    b_pows, _ = _span_pow_tables()
+    prep = (
+        base.where(F.col("n_tokens") >= window)
+        .withColumn(
+            "__ts",
+            F.transform(
+                "toks", lambda t: F.regexp_replace(t, "[^a-z0-9 ]", "")
+            ),
+        )
+        .withColumn("__th", F.transform("__ts", char_fingerprint))
+        .withColumn(
+            "__bl",
+            F.transform(
+                "__ts",
+                lambda t: _span_modpow(
+                    F.length(t).cast("long"), b_pows[:17]
+                ),
+            ),
+        )
+    )
+
+    def _win_hash(i: Column) -> Column:
+        pairs = F.zip_with(
+            F.slice(F.col("__th"), i + 1, window),
+            F.slice(F.col("__bl"), i + 1, window),
+            lambda h, b: F.struct(h.alias("h"), b.alias("b")),
+        )
+        first = F.element_at(F.col("__th"), (i + 1).cast("int"))
+        return F.aggregate(
+            F.slice(pairs, 2, window - 1),
+            first,
+            lambda acc, t: F.pmod(
+                F.pmod(acc * F.lit(ROLLING_BASE) + F.lit(32),
+                       F.lit(ROLLING_PRIME))
+                * t["b"]
+                + t["h"],
+                F.lit(ROLLING_PRIME),
+            ),
+        )
+
+    wins = prep.select(
         "id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - window),
-                lambda i: rolling_fingerprint(
-                    F.array_join(F.slice(F.col("toks"), i + 1, window), " ")
-                ),
+                F.sequence(F.lit(0), F.col("n_tokens") - window), _win_hash
             )
         ).alias("pos", "wh"),
     )
