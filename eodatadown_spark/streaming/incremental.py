@@ -284,6 +284,44 @@ def stream_merge_into(
     return writer.start()
 
 
+def _frees_scope_pins(fn):
+    """Free the localCheckpoint blocks a fold created, once it commits.
+
+    Every ``apply_*_batch`` pins per-batch intermediates (pair sets, delta
+    sketches) for the OCC commit, and pinned blocks are NEVER auto-freed —
+    in a continuous stream (foreachBatch calling these once per
+    micro-batch, for days) block-manager memory would ratchet up by one
+    batch's pins per batch until eviction pressure strangles the
+    executors.  The wrapper snapshots the session's persistent-RDD ids at
+    entry and unpersists everything NEW in a finally: the folds return
+    plain dicts (counts computed before return) and their durable effects
+    are catalog commits, so no caller ever needs the pins afterwards.
+
+    Scope rule: pins created by OTHER work in the same session during the
+    call would be freed too — the single-writer-per-state contract the
+    index CLIs already document makes that configuration unsupported.
+    With SPARK_GRAFT_CHECKPOINT_DIR set the pins are reliable (file)
+    checkpoints instead of blocks; those files are the checkpoint dir
+    owner's retention concern, not block-manager memory."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(catalog, batch, *args, **kwargs):
+        spark = batch.sparkSession
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        before = set(jmap.keys())
+        try:
+            return fn(catalog, batch, *args, **kwargs)
+        finally:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keys()):
+                if rid not in before:
+                    jmap[rid].unpersist()
+
+    return wrapper
+
+
+@_frees_scope_pins
 def apply_neardup_batch(
     catalog,
     batch: DataFrame,
@@ -353,6 +391,7 @@ def apply_neardup_batch(
     return {"batch_docs": batch.count(), "new_pairs": pairs.count()}
 
 
+@_frees_scope_pins
 def apply_prefix_batch(
     catalog,
     batch: DataFrame,
@@ -410,6 +449,7 @@ def apply_prefix_batch(
     return {"batch_docs": batch.count(), "new_pairs": pairs.count()}
 
 
+@_frees_scope_pins
 def apply_simhash_batch(
     catalog,
     batch: DataFrame,
@@ -570,6 +610,7 @@ def stream_classify_score(
     return writer.start()
 
 
+@_frees_scope_pins
 def apply_count_min_batch(
     catalog,
     batch: DataFrame,
@@ -671,6 +712,7 @@ def stream_count_min_apply(
     return writer.start()
 
 
+@_frees_scope_pins
 def apply_bloom_batch(
     catalog,
     batch: DataFrame,
@@ -736,6 +778,7 @@ def stream_bloom_apply(
     return writer.start()
 
 
+@_frees_scope_pins
 def apply_span_index_batch(
     catalog,
     batch: DataFrame,

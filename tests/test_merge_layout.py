@@ -1886,3 +1886,36 @@ class TestStreamSpanIndexApply:
             probe, cat.read("span_index").where("wh >= 0"), window=4
         ).collect()[0]
         assert (got["n_dup_spans"], got["dup_tokens"]) == (1, 6)
+
+
+def test_apply_batch_folds_free_their_pins(spark, tmp_path):
+    """Continuous-operation memory contract: every apply_*_batch fold
+    unpersists the blocks it pinned once its catalog commits land — a
+    stream calling these per micro-batch for days must not ratchet
+    block-manager memory up by one batch's pins per batch.  (Found via
+    the round-12 bench: un-freed pins inflated late sections 3×.)"""
+    from eodatadown_spark.catalog import ParquetCatalog
+    from eodatadown_spark.streaming.incremental import (
+        apply_bloom_batch,
+        apply_count_min_batch,
+        apply_span_index_batch,
+    )
+
+    cat = ParquetCatalog(spark, str(tmp_path / "pinfree"), retain_versions=3)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = set(jmap.keys())
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    toks = spark.createDataFrame([("alpha",), ("beta",)], "token string")
+    r = apply_span_index_batch(cat, docs, window=4, batch_id=1)
+    assert r["table_rows"] >= 1
+    apply_bloom_batch(cat, toks, "token", n_hashes=3, n_bits=64)
+    apply_count_min_batch(cat, toks, "token", depth=2, width=32, batch_id=1)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    leaked = after - before
+    assert not leaked, f"fold leaked pinned RDDs: {leaked}"
+    # and the committed state is still readable (pins freed AFTER commit)
+    assert cat.read("span_index").where("wh >= 0").count() >= 1
+    assert cat.read("bloom_bits").count() >= 1
