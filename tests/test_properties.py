@@ -1149,3 +1149,70 @@ def test_cms_fold_equals_onepass_any_split(spark, batches, replay_at):
         ).collect()
     }
     assert streamed == onepass, (batches, replay_at)
+
+
+def _py_token_spans(texts: dict, window: int, min_count: int = 2) -> dict:
+    """Reference for TOKEN-windowed span stats replaying the engine's hash
+    DOMAIN semantics textually: tokens = lowercased \\s+ split, window key
+    = the [^a-z0-9 ]-stripped space-join of the window's tokens (exactly
+    the string rolling_fingerprint hashes) — so punctuation-only tokens
+    collapse to empty strings inside the key, the case the per-token fold
+    combine must reproduce (fold(A++B) = fold(A)·B^len(B)+fold(B) with
+    len-0 members)."""
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return [x for x in (t or "").lower().split() if x]
+
+    def key(ts):
+        return re.sub(r"[^a-z0-9 ]", "", " ".join(ts))
+
+    cnt: Counter = Counter()
+    for t in texts.values():
+        tt = toks(t)
+        for i in range(0, len(tt) - window + 1):
+            cnt[key(tt[i : i + window])] += 1
+    out = {}
+    for did, t in texts.items():
+        tt = toks(t)
+        marked = [
+            i
+            for i in range(0, len(tt) - window + 1)
+            if cnt[key(tt[i : i + window])] >= min_count
+        ]
+        spans: list[list[int]] = []
+        for p in marked:
+            if spans and p - spans[-1][2] <= window:
+                spans[-1][1] = p + window
+                spans[-1][2] = p
+            else:
+                spans.append([p, p + window, p])
+        out[did] = (len(tt), len(spans), sum(e - s for s, e, _ in spans))
+    return out
+
+
+_punct_doc = st.lists(
+    st.sampled_from(["Alpha", "beta", "g7", "!!!", "x.y", "-", "beta,"]),
+    min_size=0, max_size=10,
+).map(" ".join)
+
+
+@given(st.lists(_punct_doc, min_size=1, max_size=4), st.sampled_from([2, 3]))
+@settings(max_examples=10, deadline=None)
+def test_token_spans_match_reference_with_punct_tokens(spark, texts, w):
+    """Token-mode span stats equal the textual reference on corpora whose
+    tokens strip to empty/shorter strings — the driver's oracle data has
+    no intra-token punctuation, so this is the only gate on the
+    strip-commutes-with-join identity behind the per-token fold combine
+    ("x.y" vs "xy" must collide, "!!!" contributes a doubled space)."""
+    from eodatadown_spark.operators.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicated_span_stats(docs, window=w).collect()
+    }
+    assert got == _py_token_spans(dict(enumerate(texts)), w), (texts, w)
