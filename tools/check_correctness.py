@@ -213,6 +213,13 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            # pinned queries leave localCheckpoint blocks behind; across a
+            # 184-query session those ratchet block-manager memory up and
+            # slow the tail (the bench learned the same lesson —
+            # bench.free_pinned); nothing outlives sdf here
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist()
         except Exception as exc:
             failures.append(name)
             print(
