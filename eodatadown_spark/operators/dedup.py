@@ -1920,66 +1920,91 @@ def _span_windows(
             token_array(text_col), F.array().cast("array<string>")
         ).alias("toks"),
     ).withColumn("n_tokens", F.size("toks").cast("long"))
-    # token windows combine PER-TOKEN folds instead of re-normalizing and
-    # re-hashing the joined window text (a regex + ~w·token_len char fold
-    # PER WINDOW — measured 38 s vs 12 s warm at sf1.0 for q180): strip
-    # each token once, fold it once (char_fingerprint on a stripped token
-    # == rolling_fingerprint's per-char chain), precompute B^len(t) mod p
-    # once, then each window is a w-step fold of
-    #   acc' = ((acc·B + 32)·B^{len(t_k)} + h_k) mod p
-    # (append one space, shift by the token, add its fold) — identical to
-    # rolling_fingerprint(array_join(window, " ")) because the polynomial
-    # fold of a concatenation is fold(A)·B^{len(B)} + fold(B), and the
-    # [^a-z0-9 ] strip commutes with the space-join.  Empty-after-strip
-    # tokens contribute len 0 / fold 0 — exactly the doubled space the
-    # joined form produces.
-    b_pows, _ = _span_pow_tables()
-    prep = (
-        base.where(F.col("n_tokens") >= window)
-        .withColumn(
-            "__ts",
-            F.transform(
-                "toks", lambda t: F.regexp_replace(t, "[^a-z0-9 ]", "")
-            ),
-        )
-        .withColumn("__th", F.transform("__ts", char_fingerprint))
-        .withColumn(
-            "__bl",
-            F.transform(
-                "__ts",
-                lambda t: _span_modpow(
-                    F.length(t).cast("long"), b_pows[:17]
-                ),
-            ),
-        )
-    )
-
-    def _win_hash(i: Column) -> Column:
-        pairs = F.zip_with(
-            F.slice(F.col("__th"), i + 1, window),
-            F.slice(F.col("__bl"), i + 1, window),
-            lambda h, b: F.struct(h.alias("h"), b.alias("b")),
-        )
-        first = F.element_at(F.col("__th"), (i + 1).cast("int"))
-        return F.aggregate(
-            F.slice(pairs, 2, window - 1),
-            first,
-            lambda acc, t: F.pmod(
-                F.pmod(acc * F.lit(ROLLING_BASE) + F.lit(32),
-                       F.lit(ROLLING_PRIME))
-                * t["b"]
-                + t["h"],
-                F.lit(ROLLING_PRIME),
-            ),
-        )
-
-    wins = prep.select(
+    # Token windows via the boundary-prefix formulation — per-token char
+    # folds once, then PURE column arithmetic + one per-doc window pass
+    # (codegen end to end).  The earlier per-window fold combine still ran
+    # Catalyst higher-order functions (zip/slice/aggregate) INTERPRETED
+    # per window (17 s of q180's 24 s at sf1.0 was the window expression
+    # alone); this shape has no per-window arrays at all.
+    #
+    # Derivation: let C' = ' ' + join(stripped_tokens, ' ') (the virtual
+    # leading space makes every token's segment uniformly ' '+t, and
+    # never falls inside a window).  Segment k starts at char offset
+    # o_k = Σ_{j<k}(len_j+1); in the inverse-power basis its contribution
+    # is g_k·B^{-o_k} where g_k = Σ_m c_m·B^{-m} over ' '+t_k's chars
+    # — and since Σ c_m·B^{-m} = B^{-(L-1)}·fold_B(s), g_k is just
+    # char_fingerprint(' '+t_k)·B^{-len_k} (fold reuse, no new hash).
+    # With R_k = Σ_{j≤k} g_j·B^{-o_j} (a per-doc window CUMSUM), the
+    # window of tokens i..i+w-1 covers chars [o_i+1, o_{i+w-1}+len_{i+w-1}]
+    # of C' and its rolling hash — IDENTICAL to
+    # rolling_fingerprint(array_join(window, " ")), because the
+    # [^a-z0-9 ] strip commutes with the space-join — is
+    #   h(i) = (R_{i+w-1} − R_{i-1} − 32·B^{-o_i}) · B^{o_{i+w-1}+len_{i+w-1}}
+    # (mod p; R_{-1} = 0).  Empty-after-strip tokens contribute len 0 /
+    # g = 32 — exactly the doubled space the joined form produces.
+    b_pows, inv_pows = _span_pow_tables()
+    toks_rows = base.where(F.col("n_tokens") >= window).select(
         "id",
+        "n_tokens",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - window), _win_hash
+                "toks", lambda t: F.regexp_replace(t, "[^a-z0-9 ]", "")
             )
-        ).alias("pos", "wh"),
+        ).alias("ti", "t"),
+    )
+    w_tok = Window.partitionBy("id").orderBy("ti")
+    cum_frame = w_tok.rowsBetween(Window.unboundedPreceding, 0)
+    tlen = F.length("t").cast("long")
+    rows = toks_rows.select(
+        "id",
+        "n_tokens",
+        "ti",
+        tlen.alias("__len"),
+        F.pmod(
+            char_fingerprint(F.concat(F.lit(" "), F.col("t")))
+            * _span_modpow(tlen, inv_pows[:17]),
+            F.lit(ROLLING_PRIME),
+        ).alias("__g"),
+    ).withColumn(
+        "__o",
+        F.coalesce(
+            F.sum(F.col("__len") + 1).over(
+                w_tok.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    p_ = ROLLING_PRIME
+    inv_o = _span_modpow(F.col("__o"), inv_pows)
+    withR = rows.withColumn(
+        "__r",
+        F.pmod(
+            F.sum(F.pmod(F.col("__g") * inv_o, F.lit(p_))).over(cum_frame),
+            F.lit(p_),
+        ),
+    ).withColumn("__inv_o", inv_o)
+    lead_r = F.lead("__r", window - 1).over(w_tok)
+    lead_end = F.lead(F.col("__o") + F.col("__len"), window - 1).over(w_tok)
+    lag_r = F.coalesce(F.lag("__r", 1).over(w_tok), F.lit(0).cast("long"))
+    wins = (
+        withR.withColumn("__lr", lead_r)
+        .withColumn("__le", lead_end)
+        .withColumn("__pr", lag_r)
+        .where(F.col("ti") <= F.col("n_tokens") - window)
+        .select(
+            "id",
+            F.col("ti").alias("pos"),
+            F.pmod(
+                F.pmod(
+                    F.col("__lr")
+                    - F.col("__pr")
+                    - F.lit(32) * F.col("__inv_o"),
+                    F.lit(p_),
+                )
+                * _span_modpow(F.col("__le"), b_pows),
+                F.lit(p_),
+            ).alias("wh"),
+        )
     )
     return base, wins
 
