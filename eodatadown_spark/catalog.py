@@ -1360,6 +1360,14 @@ class ParquetCatalog:
             .format("parquet")
             .saveAsTable(tbl)
         )
+        # self-describing snapshot: the spec rides WITH the files (Spark
+        # ignores underscore-prefixed names), so a reader can never apply
+        # a stale/wrong bucket spec to these files — declaring the wrong
+        # CLUSTERED BY over existing bucket files mis-assigns rows to
+        # buckets and a bucketed join silently LOSES matches
+        with open(os.path.join(path, "_bucket_spec.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"bucket_cols": cols, "n_buckets": n_buckets}, fh)
         return path
 
     def read_bucketed_snapshot(
@@ -1370,11 +1378,27 @@ class ParquetCatalog:
     ) -> DataFrame:
         """Open a :meth:`publish_bucketed_snapshot` table from ANY session:
         re-register the external bucketed definition over the snapshot path
-        (schema inferred from the parquet footer; bucket spec must match
-        what the publisher used — it is part of the index meta) and return
-        the table scan, bucketing info intact."""
+        (schema inferred from the parquet footer) and return the table
+        scan, bucketing info intact.
+
+        The snapshot's own ``_bucket_spec.json`` is AUTHORITATIVE over the
+        caller's ``bucket_cols``/``n_buckets`` (which serve as the
+        fallback for pre-spec snapshots): declaring a wrong CLUSTERED BY
+        over existing bucket files would mis-assign rows to buckets and a
+        bucketed join would silently LOSE matches — on a spec mismatch the
+        stale registration is dropped and rebuilt from the sidecar."""
         cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
         path, tbl = self._bucketed_ident(name)
+        spec_path = os.path.join(path, "_bucket_spec.json")
+        if os.path.exists(spec_path):
+            with open(spec_path, encoding="utf-8") as fh:
+                spec = json.load(fh)
+            if spec["bucket_cols"] != cols or spec["n_buckets"] != n_buckets:
+                cols, n_buckets = spec["bucket_cols"], spec["n_buckets"]
+                # a table registered earlier (this session, old spec) must
+                # not survive a spec change — drop so the re-create below
+                # declares the layout the files actually have
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         if not any(t.name == tbl for t in self.spark.catalog.listTables()):
             sch = self.spark.read.parquet(path).schema
             ddl = ", ".join(

@@ -1425,3 +1425,41 @@ def test_merge_into_insert_all_dunder_columns_exempt(spark, landsat_scenes, tmp_
     tbl = cat.read_clean("landsat_scenes")
     assert tbl.where(F.col("pid") == 777).count() == 1
     assert "__op" not in tbl.columns
+
+
+def test_bucketed_snapshot_spec_is_authoritative(spark, tmp_path):
+    """The snapshot's _bucket_spec.json overrides caller args: declaring a
+    wrong CLUSTERED BY over existing bucket files would mis-assign rows
+    to buckets and a bucketed join would silently LOSE matches — the
+    reader must rebuild from the sidecar instead."""
+    from pyspark.sql import functions as F
+
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "specauth"))
+    idx = spark.range(0, 2000).select(
+        F.col("id").alias("wh"), (F.col("id") * 3).alias("cnt")
+    )
+    cat.publish_bucketed_snapshot(idx, "span_index", "wh", 4)
+    # register under the WRONG spec first (stale session state), then a
+    # republish with a different bucket count lands underneath
+    stored = cat.read_bucketed_snapshot("span_index", "wh", 4)
+    assert stored.count() == 2000
+    cat.publish_bucketed_snapshot(idx, "span_index", "wh", 8)
+    # caller still passes the OLD spec — sidecar must win
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stored2 = cat.read_bucketed_snapshot("span_index", "wh", 4)
+        batch = spark.range(0, 500).select((F.col("id") * 7).alias("wh"))
+        joined = batch.join(stored2, "wh")
+        # every batch wh < 2000 with wh%... -> exact expected match count
+        expected = sum(1 for i in range(500) if i * 7 < 2000)
+        assert joined.count() == expected  # no silently-lost matches
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    # and the registered definition matches the files (8 buckets)
+    _, tbl = cat._bucketed_ident("span_index")
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").toPandas()
+    nb = detail[detail.col_name == "Num Buckets"].data_type.iloc[0]
+    assert str(nb).strip() == "8"
