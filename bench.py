@@ -104,6 +104,9 @@ EXTENDED = [
 ]
 
 
+_BENCH_T0 = time.time()  # set precisely at main() entry
+
+
 def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -204,6 +207,8 @@ def e2e_pipeline_sec(spark, sf_dir: str) -> float:
 
 
 def main() -> None:
+    global _BENCH_T0
+    _BENCH_T0 = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
@@ -454,6 +459,13 @@ def main() -> None:
     # killing the bench.
     sf1_block = None
     try:
+        if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+            raise RuntimeError("skipped: SPARK_GRAFT_SKIP_SF1 set")
+        # time-budget guard: the sf1 block is a bonus artifact — on a host
+        # slow enough that the sf0.1 sections already took >25 min, skip
+        # it rather than risk the whole bench overrunning the driver
+        if time.time() - _BENCH_T0 > 1500:
+            raise RuntimeError("skipped: sf0.1 sections exceeded 25 min")
         sf1_dir = os.environ.get(
             "SPARK_GRAFT_SF1_DIR",
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
