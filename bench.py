@@ -106,6 +106,125 @@ EXTENDED = [
 
 _BENCH_T0 = time.time()  # set precisely at main() entry
 
+# Warm-variance suspects (VERDICT r12 item 1): the shuffle/window-heavy
+# queries whose warm medians read 1.5-6 s across same-code runs while the
+# light queries agreed within 10%.  These get 5 warm samples (vs 3) AND
+# per-sample executed-plan signatures so an AQE broadcast flip — if one
+# ever happens — is visible in the artifact instead of argued about.
+SUSPECT_WARM = {
+    "q23_cosine_topk",
+    "q24_minhash_neardup",
+    "q26_window_rollup",
+    "q29_sessionize",
+}
+
+import re as _re  # noqa: E402
+
+_PLAN_OPS = _re.compile(
+    r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct|BroadcastExchange|"
+    r"Exchange hashpartitioning|Exchange rangepartitioning|"
+    r"Exchange SinglePartition|AQEShuffleRead)\b"
+)
+
+
+def plan_signature(desc: str) -> str:
+    """Compact operator-count signature of an EXECUTED plan description.
+    Counts join/exchange operators in the final adaptive plan section only
+    (the description repeats the initial plan below '== Initial Plan ==')."""
+    cut = desc.find("== Initial Plan ==")
+    body = desc[:cut] if cut >= 0 else desc
+    counts: dict[str, int] = {}
+    for m in _PLAN_OPS.finditer(body):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return ",".join(f"{k}:{v}" for k, v in sorted(counts.items()))
+
+
+class ExecutionPlanTap:
+    """Post-AQE executed-plan reader via the session's SQL status store
+    (present even with spark.ui.enabled=false).  new_signatures() returns
+    signatures of every SQL execution completed since the last call."""
+
+    def __init__(self, spark):
+        self._store = spark._jsparkSession.sharedState().statusStore()
+        self._seen = self._store.executionsList().size()
+
+    def new_signatures(self) -> list[str]:
+        lst = self._store.executionsList()
+        n = lst.size()
+        sigs = []
+        for i in range(self._seen, n):
+            try:
+                sigs.append(plan_signature(lst.apply(i).physicalPlanDescription()))
+            except Exception:
+                sigs.append("<unreadable>")
+        self._seen = n
+        return sigs
+
+
+class JvmTelemetry:
+    """Driver-JVM GC/heap probes via the management MXBeans (py4j)."""
+
+    def __init__(self, spark):
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        self._gc_beans = mf.getGarbageCollectorMXBeans()
+        self._mem = mf.getMemoryMXBean()
+
+    def gc_totals(self) -> tuple[int, int]:
+        ms = n = 0
+        for i in range(self._gc_beans.size()):
+            b = self._gc_beans.get(i)
+            ms += max(0, b.getCollectionTime())
+            n += max(0, b.getCollectionCount())
+        return ms, n
+
+    def gc_ms(self) -> int:
+        return self.gc_totals()[0]
+
+    def heap_used_mb(self) -> int:
+        return int(self._mem.getHeapMemoryUsage().getUsed()) // 1048576
+
+
+def proc_stat_totals() -> tuple[int, int]:
+    """(busy_jiffies, total_jiffies) from the aggregate /proc/stat line —
+    host background load (cause (c) of the r12 warm bimodality) shows up
+    as a busy fraction well above this process's own share."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals) - idle, sum(vals)
+    except OSError:
+        return 0, 0
+
+
+class SectionTelemetry:
+    """Per-section host/GC load record: wall sec, host busy fraction,
+    GC-time delta, loadavg at section end.  Written to the extended
+    sidecar; the final line carries only the overall busy fraction."""
+
+    def __init__(self, spark):
+        self._jvm = JvmTelemetry(spark)
+        self.sections: dict[str, dict] = {}
+        self._t0 = self._busy0 = self._tot0 = self._gc0 = 0
+
+    def start(self) -> None:
+        self._busy0, self._tot0 = proc_stat_totals()
+        self._gc0 = self._jvm.gc_ms()
+        self._t0 = time.time()
+
+    def end(self, name: str) -> None:
+        busy1, tot1 = proc_stat_totals()
+        self.sections[name] = {
+            "wall_sec": round(time.time() - self._t0, 3),
+            "host_busy_frac": round(
+                (busy1 - self._busy0) / max(1, tot1 - self._tot0), 3
+            ),
+            "gc_delta_ms": self._jvm.gc_ms() - self._gc0,
+            "loadavg1": round(os.getloadavg()[0], 2),
+        }
+
 
 def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -215,6 +334,8 @@ def main() -> None:
 
     queries = E.queries()
     timings: dict[str, float] = {}
+    tele = SectionTelemetry(spark)
+    plan_tap = ExecutionPlanTap(spark)
     # JVM/codegen warmup on the smallest table so q01 doesn't absorb startup
     run_once(queries["q27_top1_watermark"](spark, sf_dir))
 
@@ -228,6 +349,7 @@ def main() -> None:
         floor_samples.append(time.time() - t0)
     overhead = round(sorted(floor_samples)[len(floor_samples) // 2], 3)
 
+    tele.start()
     for name in HEADLINE:
         t0 = time.time()
         run_once(queries[name](spark, sf_dir))
@@ -237,6 +359,7 @@ def main() -> None:
         # contaminated it (8x on the sf1 block, 3x on e2e); flagged in
         # the payload as bench_methodology for round-over-round reads
         free_pinned(spark)
+    tele.end("headline_cold")
 
     total = round(sum(timings.values()), 3)
     net = {k: round(max(0.0, v - overhead), 3) for k, v in timings.items()}
@@ -244,21 +367,44 @@ def main() -> None:
     # warm passes: same plans re-executed — codegen/compile cost is gone, so
     # this is the data-proportional steady-state number (the one that
     # extrapolates to cluster scale); the cold pass above stays the headline
-    # for round-over-round comparability.  Three samples per query, reported
-    # as median plus [min, max] spread, so a round-over-round delta can be
-    # told apart from host noise using the artifact alone.
+    # for round-over-round comparability.  Three samples per query (five for
+    # the SUSPECT_WARM set), reported as median plus [min, max] spread, so a
+    # round-over-round delta can be told apart from host noise using the
+    # artifact alone.  For the suspects the EXECUTED (post-AQE) plan
+    # signature of every sample is captured: r12's 1.5-6 s q24 bimodality
+    # across same-code runs left "AQE flip or host?" unanswerable from the
+    # artifact — now a flip (plan_flipped=true) is recorded evidence, and an
+    # unflipped 2x swing indicts the host (see host_load sidecar section).
     warm: dict[str, float] = {}
     warm_spread: dict[str, list[float]] = {}
+    warm_plan_sigs: dict[str, dict] = {}
+    tele.start()
     for name in HEADLINE:
+        suspect = name in SUSPECT_WARM
+        if suspect:
+            plan_tap.new_signatures()  # drain prior executions
         samples = []
-        for _ in range(3):
+        sample_sigs = []
+        for _ in range(5 if suspect else 3):
             t0 = time.time()
             run_once(queries[name](spark, sf_dir))
             samples.append(round(time.time() - t0, 3))
+            if suspect:
+                sample_sigs.append(tuple(plan_tap.new_signatures()))
             free_pinned(spark)
+            if suspect:
+                plan_tap.new_signatures()  # drain unpersist-side executions
         samples.sort()
-        warm[name] = samples[1]
+        warm[name] = samples[len(samples) // 2]
         warm_spread[name] = [samples[0], samples[-1]]
+        if suspect:
+            distinct = sorted({",".join(s) for s in sample_sigs})
+            warm_plan_sigs[name] = {
+                "plan_flipped": len(distinct) > 1,
+                "distinct_sigs": distinct,
+            }
+    tele.end("headline_warm")
+    aqe_flips = sum(1 for v in warm_plan_sigs.values() if v["plan_flipped"])
 
     # plan facts: exchange count per headline query — the shuffle budget is
     # what extrapolates to cluster scale, so regressions here matter more
@@ -282,6 +428,7 @@ def main() -> None:
     # comparable; these numbers track the new operators' own trajectory.
     extended: dict[str, float] = {}
     extended_spread: dict[str, list[float]] = {}
+    tele.start()
     for name in EXTENDED:
         run_once(queries[name](spark, sf_dir))  # warm-up pass
         free_pinned(spark)
@@ -297,18 +444,40 @@ def main() -> None:
         samples.sort()
         extended[name] = samples[1]
         extended_spread[name] = [samples[0], samples[-1]]
+    tele.end("extended")
 
     # Stored-index build vs per-batch probe (VERDICT r8 item 3): the
     # EXTENDED timings above fuse index construction with the probe, so
     # they say nothing about the cost a continuous-ingest user pays per
-    # batch.  Here the persistent state is built+materialized once (timed)
-    # and the batch probe is timed separately (median of 3 after a warm-up)
+    # batch.  Here the persistent state is built+materialized (timed) and
+    # the batch probe is timed separately (median of 3 after warm-ups)
     # against the already-materialized state — the steady-state number.
+    #
+    # Builds get the spread treatment probes got in r12 (VERDICT r12 item
+    # 5: q167's dense-GD build read 19/21.7/77.6 s across three runs —
+    # maximally load-sensitive many-small-jobs loops).  build_sec stays
+    # the FIRST (cold) build for r12 comparability — it is the one-shot
+    # cost a real user pays; repeats quantify reproducibility: one repeat
+    # always, a second only when the build is cheap (<8 s) so the section
+    # cannot blow the bench's time budget.  The gate asks whether the
+    # median repeat agrees with the fastest sample within 1.5x.
     incr_split: dict[str, dict] = {}
+    tele.start()
     for name, (build, probe) in E.incremental_phases().items():
         t0 = time.time()
         state = build(spark, sf_dir)
         build_sec = round(time.time() - t0, 3)
+        build_samples = [build_sec]
+        n_repeats = 2 if build_sec < 8.0 else 1
+        for _ in range(n_repeats):
+            # discard the previous build's state and free its pinned
+            # blocks FIRST — repeats must not be timed under (or leave
+            # the probes under) a prior build's block-manager pressure
+            state = None
+            free_pinned(spark)
+            t0 = time.time()
+            state = build(spark, sf_dir)
+            build_samples.append(round(time.time() - t0, 3))
         # TWO warm-up passes (VERDICT r11 item 2, root-caused): probes
         # like q150's are multi-ACTION plans (pins, counts, a driver
         # union-find collect) — the first post-build pass still pays
@@ -324,8 +493,17 @@ def main() -> None:
             samples.append(round(time.time() - t0, 3))
         samples.sort()
         free_pinned(spark)  # entry done — its state blocks are dead
+        bsorted = sorted(build_samples)
         incr_split[name] = {
             "build_sec": build_sec,
+            # VERDICT r12 item 5: build reproducibility in-artifact.  The
+            # gate mirrors the probe gate's median/min ≤ 1.5 form over
+            # every build sample (cold first build included — a cold build
+            # 1.5x over the settled repeats is itself the signal q167
+            # showed at 19 vs 77 s).
+            "build_samples": build_samples,
+            "build_spread_ratio": round(bsorted[-1] / max(bsorted[0], 1e-9), 2),
+            "build_gate_ok": bsorted[len(bsorted) // 2] <= 1.5 * bsorted[0],
             "probe_sec": samples[1],
             "probe_spread": [samples[0], samples[-1]],
             # spread gate (VERDICT r11 item 2): the REPORTED stat is the
@@ -338,6 +516,7 @@ def main() -> None:
             "spread_ratio": round(samples[-1] / max(samples[0], 1e-9), 2),
             "spread_gate_ok": samples[1] <= 1.5 * samples[0],
         }
+    tele.end("incremental_split")
 
     # ANN retrieval quality at the bench scale factor: recall@10 vs exact
     # cosine for each approximate index (same configs the pytest floors
@@ -346,6 +525,7 @@ def main() -> None:
     import eodatadown_spark.operators.similarity as S
     from pyspark.sql import functions as F
 
+    tele.start()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
     qvecs = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -394,14 +574,18 @@ def main() -> None:
         ), 3),
     }
 
+    tele.end("ann_recall")
+
     # e2e is measured twice and the SECOND run is the headline: the first
     # pass pays cold page-cache/tempdir costs that swing 2-3x with host
     # state (measured r11: 35.7 cold vs 9.4-11.7 converged on BOTH the
     # r10 and r11 trees) — the steady-state number is the one that
     # compares round-over-round; the cold one is recorded alongside.
     free_pinned(spark)  # ann section's checkpoints are dead past here
+    tele.start()
     e2e_cold_sec = e2e_pipeline_sec(spark, sf_dir)
     e2e_sec = e2e_pipeline_sec(spark, sf_dir)
+    tele.end("e2e")
 
     # host-drift calibration (VERDICT r10 item 5): q10's code has been
     # untouched since round 7, so its warm median moves only with the host
@@ -412,41 +596,59 @@ def main() -> None:
     import glob
     import re
 
+    # TWO anchors since r13 (VERDICT r12 item 1b): q10 is a 2-exchange
+    # broadcast join — too cheap to feel shuffle-path contention, so it
+    # normalized the light queries but was blind to whatever moved
+    # q24/q23/q26/q29 2-4x in the r12 driver run.  q24 (7 exchanges,
+    # MinHash band shuffle) is the shuffle-heavy anchor: its code has been
+    # untouched since r7, so ITS ratio-vs-prior isolates shuffle-path host
+    # drift the same way q10's isolates the scan/broadcast path.
     cal = {
         "anchor": "q10_revenue_by_nation",
         "cold_sec": timings["q10_revenue_by_nation"],
         "warm_sec": warm["q10_revenue_by_nation"],
     }
+    cal2 = {
+        "anchor": "q24_minhash_neardup",
+        "cold_sec": timings["q24_minhash_neardup"],
+        "warm_sec": warm["q24_minhash_neardup"],
+    }
     here = os.path.dirname(os.path.abspath(__file__))
-    # ADVICE r11: the newest BENCH_r*.json can be THIS round's own artifact
-    # (already on disk when the bench re-runs), which would make the ratio
-    # a self-comparison.  A prior round's artifact is hours old; anything
-    # written in the last 30 min is this round — excluded.  Historical
-    # rounds may also have been moved under artifacts/ — search both.
-    prior_files = sorted(
-        (
-            p
-            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-            + glob.glob(os.path.join(here, "artifacts", "BENCH_r*.json"))
-            if time.time() - os.path.getmtime(p) > 1800
-        ),
-        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    # ADVICE r11/r12: the newest BENCH_r*.json can be THIS round's own
+    # artifact (already on disk when the bench re-runs), which would make
+    # the ratio a self-comparison.  r12 excluded ANY candidate <30 min
+    # old, which silently skipped legitimate priors whose mtime was
+    # refreshed (git checkout, re-runs).  Now only the HIGHEST-round
+    # candidate is subject to the recency exclusion (it is the only one
+    # that can be this round's own file), and every exclusion is recorded
+    # in the payload instead of happening silently.
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json"))
+        + glob.glob(os.path.join(here, "artifacts", "BENCH_r*.json")),
+        key=lambda p: (int(re.search(r"_r(\d+)\.json$", p).group(1)), p),
     )
-    if prior_files:
+    if candidates and time.time() - os.path.getmtime(candidates[-1]) < 1800:
+        cal["prior_excluded"] = os.path.basename(candidates[-1])
+        candidates = candidates[:-1]
+    if candidates:
         try:
-            with open(prior_files[-1]) as fh:
+            with open(candidates[-1]) as fh:
                 prior = json.load(fh)
             # driver artifacts wrap the bench line under "parsed"
             prior = prior.get("parsed") or prior
             pw = (prior.get("queries_warm") or {}).get(cal["anchor"])
             if pw:
-                cal["prior_artifact"] = os.path.basename(prior_files[-1])
+                cal["prior_artifact"] = os.path.basename(candidates[-1])
                 cal["prior_artifact_age_h"] = round(
-                    (time.time() - os.path.getmtime(prior_files[-1])) / 3600,
+                    (time.time() - os.path.getmtime(candidates[-1])) / 3600,
                     1,
                 )
                 cal["prior_warm_sec"] = pw
                 cal["host_ratio_vs_prior"] = round(cal["warm_sec"] / pw, 3)
+            pw2 = (prior.get("queries_warm") or {}).get(cal2["anchor"])
+            if pw2:
+                cal2["prior_warm_sec"] = pw2
+                cal2["host_ratio_vs_prior"] = round(cal2["warm_sec"] / pw2, 3)
         except (OSError, ValueError, KeyError):
             pass
 
@@ -458,6 +660,7 @@ def main() -> None:
     # round).  Fail-safe: any error leaves the block null rather than
     # killing the bench.
     sf1_block = None
+    tele.start()
     try:
         if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
             raise RuntimeError("skipped: SPARK_GRAFT_SKIP_SF1 set")
@@ -516,6 +719,7 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001 — never kill the bench for sf1
         sf1_block = {"error": str(exc)[:200]}
+    tele.end("sf1")
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     extended_payload = {
@@ -523,15 +727,20 @@ def main() -> None:
         "queries_net": net,
         "total_net": round(sum(net.values()), 3),
         "queries_warm_spread": warm_spread,
+        "warm_plan_signatures": warm_plan_sigs,
         "plan_exchanges": plan_facts,
         "queries_extended_warm": extended,
         "queries_extended_warm_spread": extended_spread,
         "queries_incremental_split": incr_split,
+        "ann_recall": ann_recall,
+        "sf1_headline": sf1_block,
+        "host_load_sections": tele.sections,
         "sf": sf_val,
     }
     # extended sections go FIRST (and to a sidecar file): the driver's
-    # artifact keeps only the TAIL of stdout, so the required one-line
-    # JSON prints LAST and short enough to always survive the capture
+    # artifact keeps only the TAIL of stdout (2000 chars in r12), so the
+    # required one-line JSON prints LAST and short enough to always
+    # survive the capture
     print(json.dumps(extended_payload))
     try:
         with open(
@@ -541,37 +750,51 @@ def main() -> None:
             json.dump(extended_payload, fh, indent=1)
     except OSError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "overhead_sec": overhead,
-                "queries_warm": warm,
-                "total_warm": round(sum(warm.values()), 3),
-                "ann_recall": ann_recall,
-                # compact probe-vs-build split (spreads live in the
-                # extended sidecar): the probe number is the per-batch
-                # steady-state cost of the stored-index queries
-                "incremental_split": {
-                    n: {"build_sec": v["build_sec"], "probe_sec": v["probe_sec"]}
-                    for n, v in incr_split.items()
-                },
-                "e2e_pipeline_sec": e2e_sec,
-                "e2e_pipeline_cold_sec": e2e_cold_sec,
-                # ADVICE r11: e2e_pipeline_sec switched from the cold to
-                # the warm (second) run in r11 — the marker keeps older
-                # artifacts comparable without renaming the key
-                "e2e_methodology": "warm_second_run_since_r11",
-                "bench_methodology": "pins_freed_between_measurements_since_r12",
-                "calibration": cal,
-                "sf1_headline": sf1_block,
-                "sf": sf_val,
-            }
-        )
-    )
+    # Final line (VERDICT r12 item 2: BENCH_r12 recorded "parsed": null
+    # because this line outgrew the driver's 2000-char tail buffer).
+    # Budget: headline cold+warm per-query numbers, both calibration
+    # anchors, compact sf1 summary, methodology markers, host-load
+    # summary.  Everything bulky (ann_recall, incremental splits, spreads,
+    # plan signatures, sf1 per-query detail) lives in the sidecar above.
+    # A hard length guard drops optional keys rather than ever again
+    # emitting an unparseable official artifact.
+    overall_busy = tele.sections.get("headline_warm", {}).get("host_busy_frac")
+    sf1_compact = sf1_block
+    if isinstance(sf1_block, dict) and "queries_warm" in sf1_block:
+        sf1_compact = {
+            "total_warm": sf1_block["total_warm"],
+            "anchor_scale_ratio": sf1_block["anchor_scale_ratio"],
+        }
+    final_payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "overhead_sec": overhead,
+        "queries_warm": warm,
+        "total_warm": round(sum(warm.values()), 3),
+        "e2e_pipeline_sec": e2e_sec,
+        "e2e_pipeline_cold_sec": e2e_cold_sec,
+        # ADVICE r11: e2e_pipeline_sec switched from the cold to the warm
+        # (second) run in r11 — markers keep older artifacts comparable
+        "e2e_methodology": "warm_second_run_since_r11",
+        "bench_methodology": "pins_freed_between_measurements_since_r12",
+        "aqe_flips_detected": aqe_flips,
+        "host_busy_frac_warm": overall_busy,
+        "calibration": cal,
+        "calibration2": cal2,
+        "sf1_headline": sf1_compact,
+        "sf": sf_val,
+    }
+    # guard: the driver tail keeps 2000 chars — stay under 1900 with the
+    # newline, shedding the least-essential keys first (all duplicated in
+    # the sidecar or derivable from it)
+    for drop in ("sf1_headline", "e2e_pipeline_cold_sec", "calibration2",
+                 "queries_warm"):
+        if len(json.dumps(final_payload)) <= 1900:
+            break
+        final_payload.pop(drop, None)
+    print(json.dumps(final_payload))
     spark.stop()
 
 
