@@ -3760,14 +3760,12 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
 # Displaced entries all have driver-green rows in r01-r08 windows (no
 # driver row has ever regressed); everything still runs in local checks
 # (tools/check_correctness.py covers all entries).
-# ROUND-12 WINDOW (declared below as _R12_WINDOW; queries() serves these
-# 50 first): VERDICT r11 item 1 — rotation by STALENESS.  union(r01-r11)
+# ROUND-13 WINDOW (declared below as _R13_WINDOW; queries() serves these
+# 50 first): VERDICT r12 item 3 — rotation by STALENESS.  union(r01-r12)
 # covers the whole registry, so the residual risk is driver-check AGE:
-# the 33 entries last checked in r03/r04/r06/r07 rotate in (after this
-# window is green, every entry's last driver check is r08+), plus the
-# round-12 char-granular ExactSubstr pair (q183/q184), the three span
-# queries whose marking now flows through the shared _marked_spans
-# helper, the flagship, and the oldest of the r08 cohort to fill 50.
+# the 21 entries last checked in r08 rotate in, then the 29 oldest of the
+# r09 cohort fill 50 (after this window is green, every entry's last
+# driver check is r09+, with only q84/q86/q90/q91/q93/q95 at r09).
 # Displaced entries all have driver-green rows in earlier windows (no
 # driver row has ever regressed) and still run in the local differential.
 _ALL_QUERIES: dict[str, Callable] = {
@@ -3957,46 +3955,38 @@ _ALL_QUERIES: dict[str, Callable] = {
     "q26_window_rollup": q26_window_rollup,
 }
 
-_R12_WINDOW = [
-    # VERDICT r11 item 1 — rotate the STALEST driver rows into the window:
-    # the 8 entries last driver-checked in r03 ...
-    "q12_distinct_dates", "q15_derived_columns", "q16_count_date_range",
-    "q27_top1_watermark", "q28_ngram_jaccard", "q38_having",
-    "q42_rolling_fingerprint", "q43_simhash_soundness",
-    # ... the 11 from r04 ...
-    "q11_distinct_values", "q14_union_distinct", "q21_langid",
-    "q22_fingerprint", "q25_simhash_neardup", "q30_running_total",
-    "q33_asof_prior_event", "q34_quality_filter", "q39_top_unshipped",
-    "q45_hash_split", "q46_repetition_ratio",
-    # ... the 12 from r06 and the 2 from r07 — with these green, every
-    # registry entry's last driver check is r08 or newer
-    "q06_dup_detect", "q09_semi_join", "q105_source_mix", "q32_pivot",
-    "q44_tfidf_keywords", "q48_sequence_packing",
-    "q63_temperature_resample", "q66_incremental_dedup",
-    "q71_asof_value_carry", "q87_source_set_ops",
-    "q89_trailing_range_window", "q92_snapshot_diff",
-    "q19_exact_dedup", "q26_window_rollup",
-    # round-12 additions: the CHAR-granular ExactSubstr family (Lee et
-    # al.'s native 50-byte form; q183 stats, q184 byte-preserving cut)
-    "q183_char_spans", "q184_char_span_cut",
-    # behavior-adjacent this round: the span family now shares ONE
-    # _marked_spans definition and null-guards empty text (ADVICE r11)
-    "q180_duplicated_spans", "q181_span_index_probe", "q182_span_cut",
-    # flagship anchor
-    "q10_revenue_by_nation",
-    # oldest of the r08 cohort fills the window to 50
-    "q01_pricing_summary", "q03_bbox_overlap", "q04_watermark_incremental",
-    "q05_inlist_month", "q07_keep_latest", "q08_anti_join",
-    "q104_balanced_sample", "q120_bm25", "q121_cluster_reps",
-    "q122_fuzzy_blocking", "q126_transitions",
+_R13_WINDOW = [
+    # VERDICT r12 item 3 — rotate the 21 entries last driver-checked in
+    # r08 (the full stale cohort tools/window_age.py emits) ...
+    "q128_ewma", "q130_pmi", "q131_prefix_jaccard", "q139_phash_neardup",
+    "q147_quantile_sketch_rollup", "q148_theta_setops", "q18_json_filter",
+    "q20_text_profile", "q29_sessionize", "q31_topk_per_group",
+    "q37_cube_rollup", "q40_multimodal_features", "q41_bpe_token_count",
+    "q47_pii_redaction", "q50_neardup_clusters", "q53_contamination",
+    "q59_asof_join", "q61_range_join", "q94_zorder_layout",
+    "q96_sole_late_supplier", "q97_incremental_rollup",
+    # ... then the 29 oldest of the r09 cohort to fill 50 — with these
+    # green the staleness floor moves from r08 to r09 (6 r09 entries
+    # remain: q84, q86, q90, q91, q93, q95 — next round's lead cohort)
+    "q102_table_profile", "q106_split_leakage_gate", "q109_funnel",
+    "q111_sliding_window", "q113_vocab_overlap", "q152_positional_prefix",
+    "q52_frame_sample", "q54_unigram_lm", "q55_stratified_sample",
+    "q56_length_histogram", "q57_topk_tokens", "q60_kl_divergence",
+    "q62_session_window", "q64_perplexity_prune", "q65_bigram_lm",
+    "q67_chunking", "q68_embed_plumbing", "q69_rollup_grouping",
+    "q70_dist_windows", "q73_unpivot", "q74_map_ops", "q75_hll_soundness",
+    "q76_approx_quantile_soundness", "q77_substring_contamination",
+    "q78_prefix_suffix_overlap", "q79_dup_ngram_fraction",
+    "q81_bpe_merge_candidates", "q82_gopher_quality_flags",
+    "q83_sketch_union_soundness",
 ]
 
 
 # window entries first (the driver checks the leading 50), then the rest —
 # same total registry, pure reordering
 QUERIES: dict[str, Callable] = {
-    **{n: _ALL_QUERIES[n] for n in _R12_WINDOW},
-    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R12_WINDOW)},
+    **{n: _ALL_QUERIES[n] for n in _R13_WINDOW},
+    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R13_WINDOW)},
 }
 
 

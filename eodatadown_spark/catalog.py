@@ -1385,31 +1385,34 @@ class ParquetCatalog:
         caller's ``bucket_cols``/``n_buckets`` (which serve as the
         fallback for pre-spec snapshots): declaring a wrong CLUSTERED BY
         over existing bucket files would mis-assign rows to buckets and a
-        bucketed join would silently LOSE matches — on a spec mismatch the
-        stale registration is dropped and rebuilt from the sidecar."""
+        bucketed join would silently LOSE matches.
+
+        The session registration is unconditionally dropped and recreated
+        from the CURRENT sidecar + parquet footer on every read (ADVICE
+        r12): comparing the sidecar against the caller's args alone let a
+        long-lived session reuse a stale old-spec/old-schema registration
+        after another process republished the snapshot — the exact silent
+        row-loss the spec sidecar exists to prevent.  The registration is
+        metadata-only (external table, schema from one footer read), so
+        recreating per read costs milliseconds, not a scan."""
         cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
         path, tbl = self._bucketed_ident(name)
         spec_path = os.path.join(path, "_bucket_spec.json")
         if os.path.exists(spec_path):
             with open(spec_path, encoding="utf-8") as fh:
                 spec = json.load(fh)
-            if spec["bucket_cols"] != cols or spec["n_buckets"] != n_buckets:
-                cols, n_buckets = spec["bucket_cols"], spec["n_buckets"]
-                # a table registered earlier (this session, old spec) must
-                # not survive a spec change — drop so the re-create below
-                # declares the layout the files actually have
-                self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        if not any(t.name == tbl for t in self.spark.catalog.listTables()):
-            sch = self.spark.read.parquet(path).schema
-            ddl = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
-            )
-            quoted = ", ".join(f"`{c}`" for c in cols)
-            self.spark.sql(
-                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
-                f"CLUSTERED BY ({quoted}) SORTED BY ({quoted}) "
-                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
-            )
+            cols, n_buckets = spec["bucket_cols"], spec["n_buckets"]
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        sch = self.spark.read.parquet(path).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+        )
+        quoted = ", ".join(f"`{c}`" for c in cols)
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({quoted}) SORTED BY ({quoted}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
         return self.spark.table(tbl)
 
     # -- JSON import/export (S6 / K1; ref eodatadownlandsatgoogsensor.py:2527-2687)

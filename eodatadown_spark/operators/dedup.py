@@ -1781,6 +1781,27 @@ def duplicated_span_stats(
     output is ``(doc_id, n_chars, n_dup_spans, dup_chars)``.  Token mode
     remains the cheaper default (w× fewer windows for mean token length
     w); char mode is the byte-fidelity variant.
+
+    DELIBERATE DEVIATION from Lee et al.'s 50-BYTE threshold: ``window``
+    counts Unicode CODEPOINTS, not UTF-8 bytes — Spark strings are
+    codepoint-indexed (``length``/``substring``/``split`` on UTF8String),
+    as are the DuckDB oracle (``ord``/``substr``) and the Python
+    hypothesis reference, so codepoints are the unit all three engines
+    agree on exactly (verified including astral-plane chars, where UTF-16
+    engines could have split surrogates).  For pure-ASCII corpora the two
+    units coincide; for multi-byte text a codepoint window spans MORE
+    bytes than the paper's, i.e. the match requirement is never weaker.
+
+    EAGER SIDE EFFECT (ADVICE r12): with the default
+    ``materialize="auto"`` the window table is localCheckpoint-ed AT
+    PLAN-CONSTRUCTION TIME — calling this function executes the
+    explode+hash subtree immediately and pins its blocks (in char mode
+    ~one (id, pos, hash) row per corpus character) until the caller
+    unpersists them.  The pin is deliberate: the window table feeds both
+    the hash aggregate and the semi-join probe, and recomputing it costs
+    a per-document sort+window pass each time (measured sf0.1 char mode:
+    pinned 2.9 s vs unpinned 8.4 s).  Pass ``materialize="none"`` for a
+    pure-lazy plan (plan audits, memory-constrained sessions).
     """
     # the window table feeds BOTH the hash aggregate and the semi-join
     # probe side — unpinned, Catalyst evaluates the explode+hash subtree
@@ -1795,10 +1816,17 @@ def duplicated_span_stats(
 
 # ---- portable rolling-hash modular arithmetic (span family) --------------
 # B^j / B^-j mod p as a binary-exponentiation fold over CONSTANT powers —
-# pure codegen, no UDF.  26 bits covers exponents to 2^26 (64 MB single
-# document / 64k-char single token); beyond the cap a hash would silently
-# wrap, so the bound is deliberate and documented at the call sites.
+# pure codegen, no UDF.  26 bits covers exponents to 2^26-1 (a 64M-char
+# single document; the token-length slice inv_pows[:17] covers tokens to
+# 2^17-1 ≈ 128k chars).  Beyond a cap the modpow fold ignores the high
+# bits and the hash would silently WRAP — so _span_windows raises at
+# execution time (ADVICE r12: a cheap per-row F.when guard routed to
+# raise_error, never a silent wrong span marking) when a document or
+# token exceeds its cap.
 _SPAN_POW_BITS = 26
+# execution-time guard bounds (see _span_windows)
+_SPAN_DOC_CAP = 1 << _SPAN_POW_BITS  # max chars per document
+_SPAN_TOKEN_CAP = 1 << 17  # max chars per token (inv_pows[:17] slice)
 
 
 def _span_pow_tables() -> tuple[list[int], list[int]]:
@@ -1878,9 +1906,30 @@ def _span_windows(
             F.col(id_col).alias("id"),
             F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
         ).withColumn("n_tokens", F.length("__txt").cast("long"))
+        # execution-time cap guard (ADVICE r12): beyond 2^26 chars the
+        # modpow fold drops the exponent's high bits and every window
+        # hash of the document silently WRAPS to a wrong value — raise
+        # (one comparison per qualifying document, pre-explode) instead
+        guarded = base.where(F.col("n_tokens") >= window).withColumn(
+            "__txt",
+            F.when(F.col("n_tokens") < _SPAN_DOC_CAP, F.col("__txt")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "duplicated-span family: document id="
+                        ),
+                        F.col("id").cast("string"),
+                        F.lit(
+                            f" exceeds the {_SPAN_DOC_CAP}-char rolling-"
+                            "hash cap (_SPAN_POW_BITS)"
+                        ),
+                    )
+                )
+            ),
+        )
         # slice to exactly length(txt) elements: split("") may append a
         # trailing empty, and positions must stay raw char offsets
-        chars = base.where(F.col("n_tokens") >= window).select(
+        chars = guarded.select(
             "id",
             F.posexplode(
                 F.slice(F.split("__txt", ""), 1, F.length("__txt"))
@@ -1960,10 +2009,27 @@ def _span_windows(
         "n_tokens",
         "ti",
         tlen.alias("__len"),
-        F.pmod(
-            char_fingerprint(F.concat(F.lit(" "), F.col("t")))
-            * _span_modpow(tlen, inv_pows[:17]),
-            F.lit(ROLLING_PRIME),
+        # execution-time cap guard (ADVICE r12): a token longer than the
+        # inv_pows[:17] slice covers (2^17-1 chars) would silently wrap
+        # its segment hash — raise instead (one comparison per token)
+        F.when(
+            tlen < _SPAN_TOKEN_CAP,
+            F.pmod(
+                char_fingerprint(F.concat(F.lit(" "), F.col("t")))
+                * _span_modpow(tlen, inv_pows[:17]),
+                F.lit(ROLLING_PRIME),
+            ),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("duplicated-span family: token in document id="),
+                    F.col("id").cast("string"),
+                    F.lit(
+                        f" exceeds the {_SPAN_TOKEN_CAP - 1}-char token"
+                        " cap (inv_pows[:17])"
+                    ),
+                )
+            )
         ).alias("__g"),
     ).withColumn(
         "__o",
@@ -1975,7 +2041,26 @@ def _span_windows(
         ),
     )
     p_ = ROLLING_PRIME
-    inv_o = _span_modpow(F.col("__o"), inv_pows)
+    # same ADVICE r12 cap guard on the char-offset exponents: a document
+    # whose normalized char length reaches 2^26 would wrap every offset
+    # power (o and o+len both stay under the cap when each row's own
+    # o+len does — the guard is evaluated for every token row because
+    # every row's inv_o feeds the __r cumsum)
+    inv_o = F.when(
+        F.col("__o") + F.col("__len") < _SPAN_DOC_CAP,
+        _span_modpow(F.col("__o"), inv_pows),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("duplicated-span family: document id="),
+                F.col("id").cast("string"),
+                F.lit(
+                    f" exceeds the {_SPAN_DOC_CAP}-char rolling-hash cap"
+                    " (_SPAN_POW_BITS)"
+                ),
+            )
+        )
+    )
     withR = rows.withColumn(
         "__r",
         F.pmod(
@@ -2153,6 +2238,12 @@ def cut_duplicated_spans(
     original bytes of the kept regions: the rebuild concatenates the raw
     inter-span substrings with an O(spans-per-doc) fold, no per-char
     explode.  Output is ``(id_col, n_chars, n_kept, text_kept)``.
+
+    EAGER SIDE EFFECT (ADVICE r12): the default ``materialize="auto"``
+    localCheckpoints the window table at plan-construction time (in char
+    mode ~one row per corpus character) — see
+    :func:`duplicated_span_stats` for the measured rationale; pass
+    ``materialize="none"`` for a pure-lazy plan.
     """
     base, wins = _span_windows(documents, window, id_col, text_col, unit)
     wins = _pin_mode(wins, materialize)

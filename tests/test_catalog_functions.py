@@ -1463,3 +1463,33 @@ def test_bucketed_snapshot_spec_is_authoritative(spark, tmp_path):
     detail = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").toPandas()
     nb = detail[detail.col_name == "Num Buckets"].data_type.iloc[0]
     assert str(nb).strip() == "8"
+
+
+def test_bucketed_snapshot_rereads_after_matching_republish(spark, tmp_path):
+    """ADVICE r12: a republish with a CHANGED spec followed by a read with
+    the NEW (matching) args must not reuse the old-spec registration from
+    earlier in the session — the sidecar-vs-caller comparison alone could
+    not catch this (caller args match the sidecar), so the registration
+    is unconditionally recreated per read."""
+    from pyspark.sql import functions as F
+
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "respec"))
+    idx = spark.range(0, 1000).select(
+        F.col("id").alias("wh"), (F.col("id") * 3).alias("cnt")
+    )
+    cat.publish_bucketed_snapshot(idx, "span_index", "wh", 4)
+    assert cat.read_bucketed_snapshot("span_index", "wh", 4).count() == 1000
+    # republish under a different layout AND schema (extra column)
+    cat.publish_bucketed_snapshot(
+        idx.withColumn("extra", F.lit(1)), "span_index", "wh", 8
+    )
+    # caller passes the NEW spec — before the fix the stale 4-bucket
+    # old-schema registration was reused because sidecar == caller args
+    stored = cat.read_bucketed_snapshot("span_index", "wh", 8)
+    assert "extra" in stored.columns
+    _, tbl = cat._bucketed_ident("span_index")
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").toPandas()
+    nb = detail[detail.col_name == "Num Buckets"].data_type.iloc[0]
+    assert str(nb).strip() == "8"

@@ -3237,3 +3237,76 @@ class TestCharSpans:
             if r["doc_id"] >= 100
         }
         assert got == want
+
+
+class TestSpanCapGuards:
+    """ADVICE r12: beyond the modpow caps (2^26 chars/document,
+    2^17-1 chars/token) the rolling hashes would silently WRAP into wrong
+    span marking — the guards must raise at execution time instead.  The
+    caps are monkeypatched down so the tests don't need 64 MB documents;
+    the guard expressions read the module constants at plan-build time."""
+
+    def _assert_raises_with(self, df, fragment):
+        import pytest
+
+        with pytest.raises(Exception) as exc_info:
+            df.collect()
+        assert fragment in str(exc_info.value)
+
+    def test_token_length_cap_raises(self, spark, monkeypatch):
+        from eodatadown_spark.operators import dedup as D
+
+        monkeypatch.setattr(D, "_SPAN_TOKEN_CAP", 16)
+        docs = spark.createDataFrame(
+            [(1, "short tokens only here ok"),
+             (2, "one " + "x" * 20 + " oversized token")],
+            "doc_id long, text string",
+        )
+        self._assert_raises_with(
+            D.duplicated_span_stats(docs, window=2, materialize="none"),
+            "token cap",
+        )
+
+    def test_char_doc_cap_raises(self, spark, monkeypatch):
+        from eodatadown_spark.operators import dedup as D
+
+        monkeypatch.setattr(D, "_SPAN_DOC_CAP", 32)
+        docs = spark.createDataFrame(
+            [(1, "a" * 40)], "doc_id long, text string"
+        )
+        self._assert_raises_with(
+            D.duplicated_span_stats(
+                docs, window=10, unit="char", materialize="none"
+            ),
+            "rolling-hash cap",
+        )
+
+    def test_token_offset_cap_raises(self, spark, monkeypatch):
+        from eodatadown_spark.operators import dedup as D
+
+        monkeypatch.setattr(D, "_SPAN_DOC_CAP", 24)
+        docs = spark.createDataFrame(
+            [(1, "every token small but doc total length past cap")],
+            "doc_id long, text string",
+        )
+        self._assert_raises_with(
+            D.duplicated_span_stats(docs, window=2, materialize="none"),
+            "rolling-hash cap",
+        )
+
+    def test_under_cap_unaffected(self, spark, monkeypatch):
+        from eodatadown_spark.operators import dedup as D
+
+        # true caps: normal corpora never trip the guards
+        docs = spark.createDataFrame(
+            [(1, "a shared run of words here tail"),
+             (2, "prefix a shared run of words here")],
+            "doc_id long, text string",
+        )
+        tok = {r["doc_id"]: r["dup_tokens"]
+               for r in D.duplicated_span_stats(docs, window=4).collect()}
+        assert tok[1] > 0 and tok[2] > 0
+        ch = {r["doc_id"]: r["dup_chars"]
+              for r in D.duplicated_span_stats(
+                  docs, window=10, unit="char").collect()}
+        assert ch[1] > 0 and ch[2] > 0

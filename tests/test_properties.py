@@ -1030,7 +1030,14 @@ def _py_char_spans(texts: dict, window: int, min_count: int = 2) -> dict:
     return out
 
 
-_char_doc = st.text(alphabet="ab A.", min_size=0, max_size=24)
+# VERDICT r12 item 4: the alphabet includes multi-byte codepoints — é
+# (2-byte UTF-8), 中 (3-byte), and 𝄞 (4-byte, astral plane / surrogate
+# pair in UTF-16) — pinning that the whole char-span family is
+# CODEPOINT-granular and agrees across Spark (ascii()/split/substring on
+# UTF8String), DuckDB (ord()/substr in the q183/q184 oracles), and this
+# Python reference (str indexing).  Verified engine-level: all three
+# return codepoint 119070 for 𝄞 and length 5 / substr '𝄞b' for 'a𝄞b中é'.
+_char_doc = st.text(alphabet="ab A.é中𝄞", min_size=0, max_size=24)
 
 
 @given(st.lists(_char_doc, min_size=1, max_size=5), st.sampled_from([3, 5]))

@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections import defaultdict
 
@@ -62,11 +63,19 @@ def main() -> int:
         tag = f"r{r:02d}" if r >= 0 else "NEVER"
         print(f"{tag}: {by_round[r]} entries")
     never = [q for q in registry if q not in last]
-    # whatever round's window is currently declared (_R<N>_WINDOW)
-    window = next(
-        (getattr(E, a) for a in dir(E)
-         if a.startswith("_R") and a.endswith("_WINDOW")),
-        [],
+    # whatever round's window is currently declared (_R<N>_WINDOW).
+    # ADVICE r12: pick the HIGHEST numeric round, not dir() order — if two
+    # rounds' windows ever coexist mid-transition (or _R2 vs _R12 sorts
+    # oddly), alphabetical next() would audit the stale one.
+    window_attrs = [
+        a for a in dir(E)
+        if re.fullmatch(r"_R(\d+)_WINDOW", a)
+    ]
+    window = (
+        getattr(E, max(window_attrs,
+                       key=lambda a: int(re.fullmatch(r"_R(\d+)_WINDOW", a)
+                                         .group(1))))
+        if window_attrs else []
     )
     uncovered_new = [q for q in never if q not in window]
     if uncovered_new:
