@@ -623,34 +623,40 @@ def main() -> None:
     # that can be this round's own file), and every exclusion is recorded
     # in the payload instead of happening silently.
     candidates = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json"))
-        + glob.glob(os.path.join(here, "artifacts", "BENCH_r*.json")),
+        glob.glob(os.path.join(here, "BENCH*_r*.json"))
+        + glob.glob(os.path.join(here, "artifacts", "BENCH*_r*.json")),
         key=lambda p: (int(re.search(r"_r(\d+)\.json$", p).group(1)), p),
     )
     if candidates and time.time() - os.path.getmtime(candidates[-1]) < 1800:
         cal["prior_excluded"] = os.path.basename(candidates[-1])
         candidates = candidates[:-1]
-    if candidates:
+    # walk from the newest candidate down until one actually yields the
+    # anchor (r12's official artifact is "parsed": null — a truncated
+    # tail with no queries_warm; stopping at it would leave the round
+    # with no calibration at all when the builder's BENCH_local_r12
+    # sidecar right next to it parses fine)
+    for cand in reversed(candidates):
         try:
-            with open(candidates[-1]) as fh:
+            with open(cand) as fh:
                 prior = json.load(fh)
             # driver artifacts wrap the bench line under "parsed"
             prior = prior.get("parsed") or prior
             pw = (prior.get("queries_warm") or {}).get(cal["anchor"])
-            if pw:
-                cal["prior_artifact"] = os.path.basename(candidates[-1])
-                cal["prior_artifact_age_h"] = round(
-                    (time.time() - os.path.getmtime(candidates[-1])) / 3600,
-                    1,
-                )
-                cal["prior_warm_sec"] = pw
-                cal["host_ratio_vs_prior"] = round(cal["warm_sec"] / pw, 3)
+            if not pw:
+                continue
+            cal["prior_artifact"] = os.path.basename(cand)
+            cal["prior_artifact_age_h"] = round(
+                (time.time() - os.path.getmtime(cand)) / 3600, 1
+            )
+            cal["prior_warm_sec"] = pw
+            cal["host_ratio_vs_prior"] = round(cal["warm_sec"] / pw, 3)
             pw2 = (prior.get("queries_warm") or {}).get(cal2["anchor"])
             if pw2:
                 cal2["prior_warm_sec"] = pw2
                 cal2["host_ratio_vs_prior"] = round(cal2["warm_sec"] / pw2, 3)
+            break
         except (OSError, ValueError, KeyError):
-            pass
+            continue
 
     # sf1.0 headline (VERDICT r11 item 6): round-over-round SCALE tracking
     # inside the artifact, not just SCALING.md prose.  Five queries with
