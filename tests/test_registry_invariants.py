@@ -6,6 +6,7 @@ Spark session, runs in milliseconds."""
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -13,18 +14,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as E
 
 
+def _current_window():
+    """The declared round's window, discovered by the HIGHEST _R<N>_WINDOW
+    (the same rule tools/window_age.py uses) so a round rotation doesn't
+    need to touch this file."""
+    attrs = [a for a in dir(E) if re.fullmatch(r"_R(\d+)_WINDOW", a)]
+    assert attrs, "no _R<N>_WINDOW declared"
+    return getattr(
+        E,
+        max(attrs, key=lambda a: int(re.fullmatch(r"_R(\d+)_WINDOW", a)
+                                     .group(1))),
+    )
+
+
 def test_window_leads_registry():
     """The declared driver window is exactly the leading block of
     queries() — a reordering that pushed a window entry out of the
     driver's slice would silently drop its correctness row."""
-    window = E._R12_WINDOW
+    window = _current_window()
     assert len(window) == 50
     assert list(E.queries())[: len(window)] == window
 
 
 def test_window_names_resolve():
     qs = E.queries()
-    missing = [n for n in E._R12_WINDOW if n not in qs]
+    missing = [n for n in _current_window() if n not in qs]
     assert not missing, f"window names not in registry: {missing}"
 
 
@@ -43,7 +57,8 @@ def test_no_duplicate_registry_names():
     """_ALL_QUERIES keys are unique by dict construction, but the window
     must not repeat a name (a repeat would shrink the driver's effective
     coverage by one slot)."""
-    assert len(set(E._R12_WINDOW)) == len(E._R12_WINDOW)
+    window = _current_window()
+    assert len(set(window)) == len(window)
 
 
 def test_plan_only_names_resolve():
