@@ -1370,12 +1370,16 @@ def q150_incremental_clusters(spark, sf):
     )
     updated = D.update_clusters(
         old_assign, new_pairs, new_docs=new.select("doc_id")
-    ).localCheckpoint()
-    sizes = updated.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members")
     )
+    # cluster sizes via a window over the SAME key (guide §2.4: a window
+    # partitioned like the aggregation shares one shuffle) — replaces the
+    # r12 localCheckpoint + groupBy + self-join tail (one pin job + two
+    # plan passes); rows identical, oracle hash-checked
     return (
-        updated.join(sizes, "cluster_id")
+        updated.withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
         .where(F.col("n_members") > 1)
         .select("doc_id", "cluster_id", "is_canonical", "n_members")
     )
@@ -1704,12 +1708,13 @@ def q156_clusters_via_stored_index(spark, sf):
         old_assign,
         new_pairs.select("id_a", "id_b"),
         new_docs=new.select("doc_id"),
-    ).localCheckpoint()
-    sizes = updated.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members")
     )
+    # window-count tail (see q150): one shuffle, no pin, no self-join
     return (
-        updated.join(sizes, "cluster_id")
+        updated.withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
         .where(F.col("n_members") > 1)
         .select("doc_id", "cluster_id", "is_canonical", "n_members")
     )
@@ -1972,7 +1977,12 @@ def q168_entropy_signals(spark, sf):
         token_entropy,
     )
 
-    docs = _t(spark, sf, "documents")
+    # parallelism floor (r13): with no shuffle anywhere in the plan, a
+    # small-file scan's single partition serializes the per-row sort+fold
+    # entropy expressions onto one core (measured sf0.1: 3.2 s → 0.6 s);
+    # the floor is scale-up only — a no-op wherever the scan already
+    # spans the cluster
+    docs = D.ensure_min_parallelism(_t(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         char_count("text").alias("n_chars"),
@@ -2387,9 +2397,12 @@ def q50_neardup_clusters(spark, sf):
     recursive CTE."""
     docs = _t(spark, sf, "documents")
     clusters = D.neardup_clusters(docs, threshold=0.5)
-    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    # window-count tail (see q150): one shuffle, no self-join
     return (
-        clusters.join(sizes, "cluster_id")
+        clusters.withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
         .where(F.col("n_members") > 1)
         .select("doc_id", "cluster_id", "is_canonical", "n_members")
     )
@@ -3582,12 +3595,12 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
         )
         updated = D.update_clusters(
             state["old_assign"], new_pairs, new_docs=new.select("doc_id")
-        ).localCheckpoint()
-        sizes = updated.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).alias("n_members")
         )
         return (
-            updated.join(sizes, "cluster_id")
+            updated.withColumn(
+                "n_members",
+                F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+            )
             .where(F.col("n_members") > 1)
             .select("doc_id", "cluster_id", "is_canonical", "n_members")
         )
@@ -3621,12 +3634,12 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
             state["old_assign"],
             new_pairs.select("id_a", "id_b"),
             new_docs=new.select("doc_id"),
-        ).localCheckpoint()
-        sizes = updated.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).alias("n_members")
         )
         return (
-            updated.join(sizes, "cluster_id")
+            updated.withColumn(
+                "n_members",
+                F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+            )
             .where(F.col("n_members") > 1)
             .select("doc_id", "cluster_id", "is_canonical", "n_members")
         )

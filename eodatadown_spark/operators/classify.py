@@ -65,6 +65,31 @@ def _affine(weights: Sequence[float]) -> Column:
     )
 
 
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: CAST('<repr>' AS DOUBLE) — repr round-trips
+    every finite Python float and Spark's string→double cast is the same
+    nearest-double parse, so the folded literal is bit-identical to
+    ``F.lit(float(v))``."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _affine_sql(weights: Sequence[float]) -> str:
+    """SQL-text twin of :func:`_affine` — the SAME
+    aggregate(zip_with(...)) expression tree, built as one string parsed
+    JVM-side.  Motivation (r13, measured): constructing the d=64 fold
+    through py4j Column calls costs ~0.9 s PER TRAINING PASS (thousands
+    of driver round-trips), while parsing the equivalent SQL text is
+    milliseconds; the training loop rebuilds this expression every
+    iteration because the weights are literals."""
+    d = len(weights) - 1
+    xs = ",".join(f"x{j}" for j in range(d))
+    ws = ",".join(_dlit(v) for v in weights[:-1])
+    return (
+        f"aggregate(zip_with(array({xs}),array({ws}),(a,b)->a*b),"
+        f"{_dlit(weights[-1])},(acc,t)->acc+t)"
+    )
+
+
 def token_bucket(token: Column | str, n_features: int) -> Column:
     """Hashed-feature bucket of a token: the engine-portable rolling
     fingerprint (text.rolling_fingerprint — exactly reproducible in the
@@ -80,6 +105,7 @@ def hashed_features(
     text_col: str = "text",
     label: Column | None = None,
     binary: bool = False,
+    floor: bool = True,
 ) -> DataFrame:
     """Per-document hashed bag-of-words features: ``d`` double columns
     ``x{j}`` plus ``n_tokens`` — L1-normalized counts
@@ -93,7 +119,22 @@ def hashed_features(
     One explode + one hash aggregation keyed on the doc id; the ``d``
     bucket columns are conditional sums/maxes inside the same aggregate,
     so the whole extraction is a single shuffle regardless of ``d``.
+
+    ``floor=True`` (default) raises a narrow scan to the session's
+    default parallelism first (dedup.ensure_min_parallelism): the
+    explode + the ``d`` map-side conditional partial aggregates all run
+    BEFORE the doc-id shuffle, so a small-file scan's single partition
+    silently serializes the whole extraction onto one core (measured
+    sf0.1 d=64: 7-10 s single-partition vs 1.4-2 s floored — the
+    simhash_sketches rationale).  Pass ``floor=False`` for derived
+    inputs with exchanges upstream (the shingle_hash_table contract:
+    the floor's partition probe would execute those stages at plan
+    construction).
     """
+    if floor:
+        from eodatadown_spark.operators.dedup import ensure_min_parallelism
+
+        documents = ensure_min_parallelism(documents)
     cols = [F.col(id_col).alias("id")]
     if label is not None:
         cols.append(label.cast("double").alias("y"))
@@ -164,23 +205,31 @@ def train_quality_classifier(
     w = [0.0] * n_features
     bias = 0.0
     for _ in range(iters):
-        z = _affine(w + [bias])
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        # project the residual ONCE, then aggregate plain column refs —
+        # per-pass expressions built as SQL TEXT (r13): the weights are
+        # literals, so every iteration rebuilds the plan — doing that
+        # through py4j Column calls cost ~0.9 s/pass at d=64 (measured;
+        # more than the execution itself), while selectExpr/F.expr ship
+        # one string each and parse JVM-side in milliseconds.  The
+        # parsed trees (aggregate(zip_with(...)) fold, avg(__err*xj)
+        # aggregates) are node-for-node the expressions the Column form
+        # produced, so the arithmetic is bit-identical.
+        #
+        # The residual still projects ONCE before the aggregate —
         # folding the d-term sigmoid tree into each of the d+1 agg
-        # expressions multiplies the plan by d and costs ~2s of analysis
-        # per pass (measured); split this way each pass plans in ~0.5s
-        err = feat.select(
-            *[F.col(f"x{j}") for j in range(n_features)],
-            (p - F.col("y")).alias("__err"),
+        # expressions multiplies the plan by d (~2 s analysis per pass,
+        # measured in r10).
+        z_sql = _affine_sql(w + [bias])
+        p_sql = f"(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+exp(-({z_sql}))))"
+        err = feat.selectExpr(
+            *[f"x{j}" for j in range(n_features)],
+            f"({p_sql}-y) AS __err",
+        )
+        grads = ",".join(
+            f"avg(__err*x{j}) AS g{j}" for j in range(n_features)
         )
         row = err.agg(
-            *[
-                F.avg(F.col("__err") * F.col(f"x{j}")).alias(f"g{j}")
-                for j in range(n_features)
-            ],
-            F.avg("__err").alias("gb"),
-        ).first()
+            F.expr(f"struct({grads},avg(__err) AS gb)").alias("__g")
+        ).first()["__g"]
         if row["gb"] is None:
             # avg over zero rows — every document was zero-token; fail with
             # the cause instead of a TypeError on the weight update
@@ -360,6 +409,7 @@ def hashed_feature_sets(
     id_col: str = "doc_id",
     text_col: str = "text",
     label: Column | None = None,
+    floor: bool = True,
 ) -> DataFrame:
     """Sparse twin of :func:`hashed_features` for BINARY-presence features
     at large ``d``: one row per document with the SORTED distinct bucket
@@ -371,7 +421,15 @@ def hashed_feature_sets(
     makes downstream folds index-ordered, so dense and sparse dot
     products add the SAME terms in the SAME order (absent buckets
     contribute exactly +0.0 in the dense form — addition of 0.0 is exact,
-    so the two z values are bit-identical)."""
+    so the two z values are bit-identical).
+
+    ``floor`` — the :func:`hashed_features` parallelism-floor contract
+    (default on; pass ``False`` for derived inputs with exchanges
+    upstream)."""
+    if floor:
+        from eodatadown_spark.operators.dedup import ensure_min_parallelism
+
+        documents = ensure_min_parallelism(documents)
     cols = [F.col(id_col).alias("id")]
     if label is not None:
         cols.append(label.cast("double").alias("y"))
@@ -448,16 +506,28 @@ def train_quality_classifier_sparse(
         err = feat.select(
             "buckets", (p - F.col("y")).alias("__err")
         )
-        gb = err.agg(F.avg("__err").alias("gb")).first()["gb"]
+        # ONE action per pass (r13): the bias gradient rides the same
+        # explode+groupBy as the weight gradients under the sentinel
+        # bucket -1 (every row contributes exactly one sentinel, so
+        # g_{-1} = Σ__err / n_rows == the old avg("__err") — same
+        # value, previously a second separate aggregation job).  Real
+        # buckets are pmod-nonnegative, so -1 can never collide.
         grad = {
             r["__b"]: r["g"]
             for r in err.select(
-                F.explode("buckets").alias("__b"), "__err"
+                F.explode(
+                    F.concat(
+                        F.col("buckets"),
+                        F.array(F.lit(-1).cast("long")),
+                    )
+                ).alias("__b"),
+                "__err",
             )
             .groupBy("__b")
             .agg((F.sum("__err") / F.lit(float(n_rows))).alias("g"))
             .collect()
         }
+        gb = grad.get(-1, 0.0)
         w = [w[j] - lr * grad.get(j, 0.0) for j in range(n_features)]
         bias -= lr * gb
     return w + [bias]

@@ -1149,18 +1149,38 @@ def neardup_clusters(
     # restrict to endpoints drawn from `documents` — out-of-corpus
     # endpoints were inert in the old corpus-wide propagation (no label to
     # carry), so dropping their edges preserves semantics exactly
-    pairs = _pin(
+    pairs_plan = (
         pairs.select("id_a", "id_b")
         .join(doc_ids, F.col("id_a") == F.col("__did"), "left_semi")
         .join(doc_ids, F.col("id_b") == F.col("__did"), "left_semi")
         .distinct()
     )
-    nodes = _pin(
-        pairs.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
-    )
-    if small_graph_edges is not None and pairs.count() <= small_graph_edges:
-        labels = _driver_union_find(nodes, pairs)
+    # Strategy decision and edge fetch FUSED into one action (r13): the
+    # old shape pinned pairs (1 job), pinned nodes (1 job), counted (1
+    # job) and then collected nodes+pairs in the union-find path (2 more
+    # jobs) — five sequential jobs before any label existed.  A single
+    # bounded collect answers "is the graph small?" AND hands the driver
+    # the edges; the endpoint set (== the node set here, by construction)
+    # falls out locally for free.  Labels are unchanged: min id per
+    # component, deterministic.  The distributed path (> cutoff, or
+    # small_graph_edges=None) keeps the pinned two-reference shape.
+    edge_rows = None
+    if small_graph_edges is not None:
+        head = pairs_plan.limit(small_graph_edges + 1).collect()
+        if len(head) <= small_graph_edges:
+            edge_rows = [(r[0], r[1]) for r in head]
+    if edge_rows is not None:
+        node_ids = sorted({x for e in edge_rows for x in e})
+        id_type = pairs_plan.schema["id_a"].dataType.simpleString()
+        labels = documents.sparkSession.createDataFrame(
+            _union_find_label_rows(node_ids, edge_rows),
+            schema=f"id {id_type}, lbl {id_type}",
+        )
     else:
+        pairs = _pin(pairs_plan)
+        nodes = _pin(
+            pairs.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+        )
         edges = _pin(
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
             .union(
@@ -1275,7 +1295,11 @@ def update_clusters(
         touched = touched.unionByName(
             new_docs.select(F.col(id_col).alias("__tid"))
         ).distinct()
-    touched = _pin(touched)
+    # touched is referenced twice (affected probe + node union) but is a
+    # trivial explode+distinct over the PINNED batch pairs — re-deriving
+    # it costs less than a materialization job at every scale (r13; the
+    # expensive multi-reference relation here is new_pairs, which stays
+    # pinned)
     affected = (
         assignments.join(touched, F.col(id_col) == F.col("__tid"), "left_semi")
         .select("cluster_id")
@@ -1286,15 +1310,37 @@ def update_clusters(
     star = members.where(F.col(id_col) != F.col("cluster_id")).select(
         F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    pairs = _pin(star.unionByName(new_pairs.select("id_a", "id_b")).distinct())
-    nodes = _pin(
+    pairs_plan = star.unionByName(new_pairs.select("id_a", "id_b")).distinct()
+    nodes_plan = (
         members.select(F.col(id_col).alias("id"))
         .unionByName(touched.select(F.col("__tid").alias("id")))
         .distinct()
     )
-    if small_graph_edges is not None and pairs.count() <= small_graph_edges:
-        labels = _driver_union_find(nodes, pairs)
+    # Fused strategy decision (r13, the neardup_clusters change): ONE
+    # bounded collect both answers "is the touched subgraph small?" and
+    # delivers its edges — replacing pin(pairs) + pin(nodes) + count +
+    # two collects (5 sequential jobs) with ONE action.  Node labels
+    # resolve RELATIONALLY: a node with no edge (a touched singleton
+    # cluster, or a pair-free new doc) keeps its own id — exactly what
+    # min-label propagation gives an isolated node — so the endpoint-only
+    # union-find labels left-join onto the node relation with a
+    # coalesce-to-own-id, and the separate nodes collect disappears.
+    # Labels unchanged; the distributed (> cutoff) path keeps its pins.
+    edge_rows = None
+    if small_graph_edges is not None:
+        head = pairs_plan.limit(small_graph_edges + 1).collect()
+        if len(head) <= small_graph_edges:
+            edge_rows = [(r[0], r[1]) for r in head]
+    if edge_rows is not None:
+        node_ids = sorted({x for e in edge_rows for x in e})
+        id_type = nodes_plan.schema[0].dataType.simpleString()
+        labels = assignments.sparkSession.createDataFrame(
+            _union_find_label_rows(node_ids, edge_rows),
+            schema=f"id {id_type}, lbl {id_type}",
+        )
     else:
+        pairs = _pin(pairs_plan)
+        nodes = _pin(nodes_plan)
         edges = _pin(
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
             .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -1303,23 +1349,29 @@ def update_clusters(
         labels = _min_label_components(
             _pin(nodes.withColumn("lbl", F.col("id"))), edges, max_iter
         )
-    resolved = labels.select(
-        F.col("id").alias(id_col),
-        F.col("lbl").alias("cluster_id"),
-        (F.col("lbl") == F.col("id")).alias("is_canonical"),
+        nodes_plan = nodes  # resolved reads the pinned node set below
+    resolved = (
+        nodes_plan.join(labels, nodes_plan["id"] == labels["id"], "left")
+        .select(
+            nodes_plan["id"].alias(id_col),
+            F.coalesce(F.col("lbl"), nodes_plan["id"]).alias("cluster_id"),
+            (
+                F.coalesce(F.col("lbl"), nodes_plan["id"]) == nodes_plan["id"]
+            ).alias("is_canonical"),
+        )
     )
     return frozen.select(id_col, "cluster_id", "is_canonical").unionByName(
         resolved
     )
 
 
-def _driver_union_find(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
-    """(id, lbl) labels — min id per connected component — via driver-side
-    union-find over a PRE-CHECKED small edge set (path-halving find +
-    size union, O(E·α)).  Same labels as :func:`_min_label_components`
+def _union_find_label_rows(node_ids, edge_rows) -> list[tuple]:
+    """(id, lbl) rows — min id per connected component — via driver-side
+    union-find over a PRE-CHECKED small edge list (path-halving find +
+    min-id union, O(E·α)).  Same labels as :func:`_min_label_components`
     without its O(diameter) join/agg rounds; only valid when the caller
-    bounded |pairs| (update_clusters' batch-proportional touched
-    subgraph), never over a corpus-scale graph."""
+    bounded the edge count (the small_graph_edges gates), never over a
+    corpus-scale graph."""
     parent: dict = {}
 
     def find(x):
@@ -1328,22 +1380,31 @@ def _driver_union_find(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    node_ids = [r[0] for r in nodes.collect()]
     for nid in node_ids:
         parent[nid] = nid
-    for a, b in ((r[0], r[1]) for r in pairs.collect()):
+    for a, b in edge_rows:
         if a not in parent or b not in parent:
-            # an endpoint outside `nodes` cannot occur from update_clusters'
+            # an endpoint outside `node_ids` cannot occur from the callers'
             # construction; the distributed propagation treats such edges
             # as inert (no label to propagate), so skip for exact parity
             continue
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-id survives as root
+    return [(nid, find(nid)) for nid in node_ids]
+
+
+def _driver_union_find(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """DataFrame face of :func:`_union_find_label_rows` (collects both
+    relations; the r13 fused-collect callers bypass this and feed the
+    core directly)."""
+    node_ids = [r[0] for r in nodes.collect()]
+    rows = _union_find_label_rows(
+        node_ids, ((r[0], r[1]) for r in pairs.collect())
+    )
     id_type = nodes.schema[0].dataType.simpleString()
     return nodes.sparkSession.createDataFrame(
-        [(nid, find(nid)) for nid in node_ids],
-        schema=f"id {id_type}, lbl {id_type}",
+        rows, schema=f"id {id_type}, lbl {id_type}"
     )
 
 
@@ -1792,24 +1853,17 @@ def duplicated_span_stats(
     units coincide; for multi-byte text a codepoint window spans MORE
     bytes than the paper's, i.e. the match requirement is never weaker.
 
-    EAGER SIDE EFFECT (ADVICE r12): with the default
-    ``materialize="auto"`` the window table is localCheckpoint-ed AT
-    PLAN-CONSTRUCTION TIME — calling this function executes the
-    explode+hash subtree immediately and pins its blocks (in char mode
-    ~one (id, pos, hash) row per corpus character) until the caller
-    unpersists them.  The pin is deliberate: the window table feeds both
-    the hash aggregate and the semi-join probe, and recomputing it costs
-    a per-document sort+window pass each time (measured sf0.1 char mode:
-    pinned 2.9 s vs unpinned 8.4 s).  Pass ``materialize="none"`` for a
-    pure-lazy plan (plan audits, memory-constrained sessions).
+    Since r13 the marking is ONE window-function pass over the window
+    table (see :func:`_marked_spans`), so the table has a single
+    consumer, nothing is pinned, and this function is pure-lazy for
+    every ``materialize`` value — the ADVICE r12 eager-side-effect note
+    no longer applies (the parameter is retained for API stability; the
+    measured pin-vs-recompute tradeoff it used to arbitrate is gone
+    with the second consumer).
     """
-    # the window table feeds BOTH the hash aggregate and the semi-join
-    # probe side — unpinned, Catalyst evaluates the explode+hash subtree
-    # twice (exchange reuse only saves the recompute when both sides
-    # shuffle identically, which AQE's broadcast of the small dup set
-    # defeats); pin once, the sibling-index convention
+    if materialize not in ("auto", "checkpoint", "local", "none"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
     base, wins = _span_windows(documents, window, id_col, text_col, unit)
-    wins = _pin_mode(wins, materialize)
     spans = _marked_spans(wins, window, min_count, cross_doc_only)
     return _span_stats(base, spans, id_col, unit)
 
@@ -2127,18 +2181,30 @@ def _marked_spans(
 ) -> DataFrame:
     """The span family's shared marking: count each window hash across
     the corpus (occurrences, or distinct documents under
-    ``cross_doc_only``), keep hashes at/over ``min_count``, left-semi the
-    window table against that (small) duplicated-hash set, and merge the
-    surviving window starts into maximal spans (id, __s, __e).  ONE
-    definition so :func:`duplicated_span_stats` and
-    :func:`cut_duplicated_spans` can never drift."""
-    counted = wins.groupBy("wh").agg(
-        (
-            F.count_distinct("id") if cross_doc_only else F.count(F.lit(1))
-        ).alias("__n")
+    ``cross_doc_only``), keep window rows whose hash reaches
+    ``min_count``, and merge the surviving window starts into maximal
+    spans (id, __s, __e).  ONE definition so
+    :func:`duplicated_span_stats` and :func:`cut_duplicated_spans` can
+    never drift.
+
+    The count rides a WINDOW over ``wh`` (r13): the old groupBy +
+    duplicated-hash-set semi-join consumed the window table twice, which
+    forced callers to eagerly pin it (at char granularity ~one row per
+    corpus character — the ADVICE r12 eager-side-effect complaint) and
+    broadcast a corpus-wide duplicated-hash set that outgrows any
+    broadcast budget at scale.  One pass, one shuffle on ``wh``, nothing
+    pinned, nothing broadcast; per-row filter semantics identical."""
+    w_h = Window.partitionBy("wh")
+    n = (
+        F.size(F.collect_set("id").over(w_h))
+        if cross_doc_only
+        else F.count(F.lit(1)).over(w_h)
     )
-    dup = counted.where(F.col("__n") >= min_count).select("wh")
-    marked = wins.join(dup, "wh", "left_semi")
+    marked = (
+        wins.withColumn("__n", n)
+        .where(F.col("__n") >= min_count)
+        .select("id", "pos")
+    )
     return _merge_islands(marked, window)
 
 
@@ -2239,14 +2305,16 @@ def cut_duplicated_spans(
     inter-span substrings with an O(spans-per-doc) fold, no per-char
     explode.  Output is ``(id_col, n_chars, n_kept, text_kept)``.
 
-    EAGER SIDE EFFECT (ADVICE r12): the default ``materialize="auto"``
-    localCheckpoints the window table at plan-construction time (in char
-    mode ~one row per corpus character) — see
-    :func:`duplicated_span_stats` for the measured rationale; pass
-    ``materialize="none"`` for a pure-lazy plan.
+    Since r13 the marking is one window-function pass (see
+    :func:`_marked_spans`) and BOTH units rebuild via an
+    O(spans-per-doc) fold over the per-document span array — nothing is
+    pinned, no per-token explode ever reaches a join, and the function
+    is pure-lazy for every ``materialize`` value (parameter retained
+    for API stability).
     """
+    if materialize not in ("auto", "checkpoint", "local", "none"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
     base, wins = _span_windows(documents, window, id_col, text_col, unit)
-    wins = _pin_mode(wins, materialize)
     spans = _marked_spans(wins, window, min_count, cross_doc_only)
     if unit == "char":
         span_arrs = spans.groupBy("id").agg(
@@ -2306,49 +2374,63 @@ def cut_duplicated_spans(
             F.length("text_kept").cast("long").alias("n_kept"),
             "text_kept",
         )
-    toks = base.select(
-        "id",
-        "n_tokens",
-        F.posexplode_outer(F.col("toks")).alias("tpos", "tok"),
+    # token rebuild via the SAME span-array fold as char mode (r13): the
+    # old shape posexploded every token, range-anti-joined the per-token
+    # rows against the span table, and re-assembled each doc with a
+    # collect_list sort — three corpus-sized passes where one
+    # O(spans-per-doc) fold suffices.  Maximal spans are disjoint and
+    # sorted, so kept tokens are the concatenation of the inter-span
+    # slices of the doc's OWN token array; a doc with no spans keeps
+    # everything (empty span array → one whole-array slice), an entirely
+    # duplicated doc keeps nothing (cursor ends at n_tokens → empty tail).
+    span_arrs = spans.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__s").alias("s"), F.col("__e").alias("e"))
+            )
+        ).alias("__spans")
     )
-    cut = (
-        toks.join(
-            spans,
-            (toks["id"] == spans["id"])
-            & (F.col("tpos") >= F.col("__s"))
-            & (F.col("tpos") < F.col("__e")),
-            "left_anti",
-        )
+    joined = base.join(span_arrs, "id", "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ),
     )
-    rebuilt = cut.groupBy("id").agg(
-        F.sum(F.col("tok").isNotNull().cast("long")).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("tok").isNotNull(),
-                            F.struct(F.col("tpos"), F.col("tok")),
-                        )
-                    )
+    kept = F.aggregate(
+        "__spans",
+        F.struct(
+            F.lit(0).cast("long").alias("pos"),
+            F.array().cast("array<string>").alias("acc"),
+        ),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("pos"),
+            F.concat(
+                acc["acc"],
+                F.slice(
+                    F.col("toks"),
+                    (acc["pos"] + 1).cast("int"),
+                    (sp["s"] - acc["pos"]).cast("int"),
                 ),
-                lambda s: s.getField("tok"),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.slice(
+                F.col("toks"),
+                (acc["pos"] + 1).cast("int"),
+                (F.col("n_tokens") - acc["pos"]).cast("int"),
             ),
-            " ",
-        ).alias("text_kept"),
+        ),
     )
-    # an ENTIRELY duplicated doc loses every token row to the anti-join —
-    # join back to base so it survives as an empty-text row (the caller's
-    # drop decision, the line_dedup convention)
-    return (
-        base.select("id", "n_tokens")
-        .join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_tokens",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
-        )
+    # materialize the fold at a projection boundary: n_kept and text_kept
+    # both read it, and referencing the expression directly would inline
+    # and re-run the fold per reference (the documented higher-order trap)
+    rebuilt = joined.select("id", "n_tokens", kept.alias("__kept"))
+    return rebuilt.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.size("__kept").cast("long").alias("n_kept"),
+        F.array_join("__kept", " ").alias("text_kept"),
     )
 
 
@@ -2391,25 +2473,31 @@ def duplicated_spans_against_index(
     batch's OWN distinct hashes against the stored index (left join —
     the index never shuffles more than the matching keys); island merge
     is per-batch-doc.  The indexed corpus is never re-read."""
+    if materialize not in ("auto", "checkpoint", "local", "none"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
     base, wins = _span_windows(new_docs, window, id_col, text_col, unit)
-    wins = _pin_mode(wins, materialize)
-    batch_counts = wins.groupBy("wh").agg(
-        F.count(F.lit(1)).alias("__bcnt"),
-        F.count_distinct("id").alias("__bdocs"),
-    )
+    # single-pass marking (r13, the _marked_spans shape): the batch-side
+    # count rides a window over ``wh`` and the stored counters attach
+    # with ONE left join per window row — the old groupBy + semi-join
+    # consumed the batch window table twice (forcing an eager pin) and
+    # re-shuffled it; per-row keep/drop semantics are identical
+    # (``__bcnt`` equals the old batch_counts row for the row's hash).
+    w_h = Window.partitionBy("wh")
+    counted = wins.withColumn("__bcnt", F.count(F.lit(1)).over(w_h))
+    if cross_doc_only:
+        counted = counted.withColumn(
+            "__bdocs", F.size(F.collect_set("id").over(w_h))
+        )
     stored = index.select(
         "wh", F.col("cnt").alias("__scnt"), F.col("n_docs").alias("__sdocs")
     )
-    totals = batch_counts.join(stored, "wh", "left").select(
-        "wh",
-        (F.col("__bcnt") + F.coalesce(F.col("__scnt"), F.lit(0))).alias("__cnt"),
-        (F.col("__bdocs") + F.coalesce(F.col("__sdocs"), F.lit(0))).alias(
-            "__ndocs"
-        ),
+    joined = counted.join(stored, "wh", "left")
+    key = (
+        F.col("__bdocs") + F.coalesce(F.col("__sdocs"), F.lit(0))
+        if cross_doc_only
+        else F.col("__bcnt") + F.coalesce(F.col("__scnt"), F.lit(0))
     )
-    key = F.col("__ndocs") if cross_doc_only else F.col("__cnt")
-    dup = totals.where(key >= min_count).select("wh")
-    marked = wins.join(dup, "wh", "left_semi")
+    marked = joined.where(key >= min_count).select("id", "pos")
     return _span_stats(base, _merge_islands(marked, window), id_col, unit)
 
 
