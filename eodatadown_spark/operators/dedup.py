@@ -311,26 +311,37 @@ def minhash_band_index(
     ``documents`` is a derived relation with exchanges upstream (see
     :func:`shingle_hash_table`); leaf file scans keep the default.
     """
+    # signature fold and band structs as JVM-parsed SQL text (r13): the
+    # py4j construction of 32 affine permutations + 8 band structs cost
+    # ~0.6 s per invocation (measured warm) — the parsed trees are the
+    # exact expressions minhash_signature/F.struct built, so signatures
+    # and band hashes are bit-identical (q24's exact-Jaccard oracle and
+    # the stored-index tests re-prove it)
+    params = _affine_params(num_perm, seed)
+    perms_sql = ",".join(
+        f"pmod({a}L*hr+{b}L,{MINHASH_PRIME}L)" for a, b in params
+    )
+    sig_sql = (
+        f"aggregate(transform(hashes,h->pmod(h,{MINHASH_PRIME}L)),"
+        f"array_repeat(CAST({MINHASH_PRIME} AS BIGINT),{num_perm}),"
+        f"(acc,hr)->zip_with(acc,array({perms_sql}),(x,y)->least(x,y)))"
+    )
     sig = shingle_hash_table(
         documents, id_col, text_col, k, distinct=False, floor=floor
-    ).withColumn("sig", minhash_signature(F.col("hashes"), num_perm, seed))
+    ).withColumn("sig", F.expr(sig_sql))
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig", i * rows_per_band + j + 1)
-                        for j in range(rows_per_band)
-                    ]
-                ).alias("band_hash"),
-            )
-            for i in range(bands)
-        ]
-    )
-    return sig.select(F.explode(band_structs).alias("bh"), "id").select(
+    bands_sql = "array(" + ",".join(
+        "named_struct('band_idx',{i},'band_hash',xxhash64({cols}))".format(
+            i=i,
+            cols=",".join(
+                f"element_at(sig,{i * rows_per_band + j + 1})"
+                for j in range(rows_per_band)
+            ),
+        )
+        for i in range(bands)
+    ) + ")"
+    return sig.select(F.explode(F.expr(bands_sql)).alias("bh"), "id").select(
         "id", "bh.band_idx", "bh.band_hash"
     )
 
@@ -637,22 +648,23 @@ def simhash_sketches(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, k_grams)).alias("g"),
     ).withColumn("h", h)
-    sums = grams.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(n_bits)
-        ]
-    )
-    bit_terms = [
-        F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(0).cast("long")
+    # the n_bits per-bit sums and the bit reassembly are built as SQL
+    # TEXT parsed JVM-side (r13): constructing 60 conditional sums + 60
+    # bit terms through py4j Column calls cost ~1.4 s per sketch pass
+    # (measured — twice the execution time at sf0.1); the parsed trees
+    # are the same expressions (sum(CASE WHEN (h & 2^j) != 0 THEN 1
+    # ELSE -1 END), OR-chain of CASE bit terms), so sketches are
+    # bit-identical (q25's full value oracle re-proves it)
+    sums_sql = ",".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(n_bits)
-    ]
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim.bitwiseOR(t)
-    return sums.select("id", sim.alias("sim"))
+    )
+    sums = grams.groupBy("id").agg(F.expr(f"struct({sums_sql})").alias("__bs"))
+    sim_sql = "|".join(
+        f"(CASE WHEN __bs.b{j} >= 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(n_bits)
+    )
+    return sums.select("id", F.expr(sim_sql).alias("sim"))
 
 
 def _simhash_banded(sk: DataFrame, band_bits: int, n_bits: int) -> DataFrame:
@@ -1894,19 +1906,21 @@ def _span_pow_tables() -> tuple[list[int], list[int]]:
     )
 
 
-def _span_modpow(j: Column, pows: list[int]) -> Column:
+def _span_modpow_sql(j_sql: str, pows: list[int]) -> str:
     """prod(pows[k] for set bits k of j) mod p — i.e. base^j mod p for the
-    base whose 2^k-th powers ``pows`` holds."""
+    base whose 2^k-th powers ``pows`` holds — as SQL TEXT parsed JVM-side
+    (r13): the former py4j Column fold cost ~130 driver round-trips per
+    call site × 4-5 sites per span plan, roughly half the span family's
+    warm wall time at sf0.1.  The parsed tree is the same pmod/CASE
+    binary-exponentiation chain; value identity is pinned by the span
+    hypothesis properties and the q180-q184 oracles."""
     from eodatadown_spark.operators.text import ROLLING_PRIME
 
-    acc = F.lit(1).cast("long")
+    acc = "CAST(1 AS BIGINT)"
     for k, pk in enumerate(pows):
-        acc = F.pmod(
-            acc
-            * F.when(
-                F.shiftright(j, k).bitwiseAND(F.lit(1)) == 1, F.lit(pk)
-            ).otherwise(F.lit(1)),
-            F.lit(ROLLING_PRIME),
+        acc = (
+            f"pmod({acc}*(CASE WHEN (shiftright({j_sql},{k}) & 1) = 1"
+            f" THEN {pk}L ELSE 1L END),{ROLLING_PRIME}L)"
         )
     return acc
 
@@ -1945,16 +1959,11 @@ def _span_windows(
     fold is pinned by the brute-force hypothesis property and the
     q183/q184 oracles, which replay the naive fold in SQL."""
     from eodatadown_spark.operators.corpus import token_array
-    from eodatadown_spark.operators.text import (
-        ROLLING_BASE,
-        ROLLING_PRIME,
-        char_fingerprint,
-    )
+    from eodatadown_spark.operators.text import ROLLING_BASE, ROLLING_PRIME
 
     if unit == "char":
         p_ = ROLLING_PRIME
         b_pows, inv_pows = _span_pow_tables()
-        _modpow = _span_modpow
 
         base = documents.select(
             F.col(id_col).alias("id"),
@@ -1990,9 +1999,10 @@ def _span_windows(
             ).alias("j", "c"),
         )
         w_ord = Window.partitionBy("id").orderBy("j")
-        j_long = F.col("j").cast("long")
-        term = F.pmod(
-            F.ascii("c").cast("long") * _modpow(j_long, inv_pows), F.lit(p_)
+        j_sql = "CAST(j AS BIGINT)"
+        term = F.expr(
+            f"pmod(CAST(ascii(c) AS BIGINT)"
+            f"*{_span_modpow_sql(j_sql, inv_pows)},{p_}L)"
         )
         # raw cumsum before the mod stays < 2^26·2^31 = 2^57 — no overflow
         cum = chars.withColumn(
@@ -2008,10 +2018,9 @@ def _span_windows(
         wins = lagged.where(F.col("j") >= window - 1).select(
             "id",
             (F.col("j") - (window - 1)).alias("pos"),
-            F.pmod(
-                (F.col("__r") - F.coalesce(F.col("__rl"), F.lit(0)))
-                * _modpow(j_long, b_pows),
-                F.lit(p_),
+            F.expr(
+                f"pmod((__r - coalesce(__rl, CAST(0 AS BIGINT)))"
+                f"*{_span_modpow_sql(j_sql, b_pows)},{p_}L)"
             ).alias("wh"),
         )
         return base, wins
@@ -2057,33 +2066,30 @@ def _span_windows(
     )
     w_tok = Window.partitionBy("id").orderBy("ti")
     cum_frame = w_tok.rowsBetween(Window.unboundedPreceding, 0)
-    tlen = F.length("t").cast("long")
+    p_ = ROLLING_PRIME
+    tlen_sql = "CAST(length(t) AS BIGINT)"
+    # char_fingerprint(' '+t) inlined as the same aggregate-fold SQL text
+    fp_sql = (
+        "aggregate(filter(split(concat(' ',t),''),ch->ch!=''),"
+        "CAST(0 AS BIGINT),"
+        f"(acc,ch)->pmod(acc*{ROLLING_BASE}L+ascii(ch),{p_}L))"
+    )
     rows = toks_rows.select(
         "id",
         "n_tokens",
         "ti",
-        tlen.alias("__len"),
+        F.expr(tlen_sql).alias("__len"),
         # execution-time cap guard (ADVICE r12): a token longer than the
         # inv_pows[:17] slice covers (2^17-1 chars) would silently wrap
         # its segment hash — raise instead (one comparison per token)
-        F.when(
-            tlen < _SPAN_TOKEN_CAP,
-            F.pmod(
-                char_fingerprint(F.concat(F.lit(" "), F.col("t")))
-                * _span_modpow(tlen, inv_pows[:17]),
-                F.lit(ROLLING_PRIME),
-            ),
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("duplicated-span family: token in document id="),
-                    F.col("id").cast("string"),
-                    F.lit(
-                        f" exceeds the {_SPAN_TOKEN_CAP - 1}-char token"
-                        " cap (inv_pows[:17])"
-                    ),
-                )
-            )
+        F.expr(
+            f"CASE WHEN {tlen_sql} < {_SPAN_TOKEN_CAP} THEN "
+            f"pmod({fp_sql}*{_span_modpow_sql(tlen_sql, inv_pows[:17])},{p_}L)"
+            " ELSE raise_error(concat("
+            "'duplicated-span family: token in document id=',"
+            "CAST(id AS STRING),"
+            f"' exceeds the {_SPAN_TOKEN_CAP - 1}-char token"
+            " cap (inv_pows[:17])')) END"
         ).alias("__g"),
     ).withColumn(
         "__o",
@@ -2094,26 +2100,19 @@ def _span_windows(
             F.lit(0).cast("long"),
         ),
     )
-    p_ = ROLLING_PRIME
     # same ADVICE r12 cap guard on the char-offset exponents: a document
     # whose normalized char length reaches 2^26 would wrap every offset
     # power (o and o+len both stay under the cap when each row's own
     # o+len does — the guard is evaluated for every token row because
     # every row's inv_o feeds the __r cumsum)
-    inv_o = F.when(
-        F.col("__o") + F.col("__len") < _SPAN_DOC_CAP,
-        _span_modpow(F.col("__o"), inv_pows),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("duplicated-span family: document id="),
-                F.col("id").cast("string"),
-                F.lit(
-                    f" exceeds the {_SPAN_DOC_CAP}-char rolling-hash cap"
-                    " (_SPAN_POW_BITS)"
-                ),
-            )
-        )
+    inv_o = F.expr(
+        f"CASE WHEN __o + __len < {_SPAN_DOC_CAP} THEN "
+        f"{_span_modpow_sql('__o', inv_pows)}"
+        " ELSE raise_error(concat("
+        "'duplicated-span family: document id=',"
+        "CAST(id AS STRING),"
+        f"' exceeds the {_SPAN_DOC_CAP}-char rolling-hash cap"
+        " (_SPAN_POW_BITS)')) END"
     )
     withR = rows.withColumn(
         "__r",
@@ -2133,15 +2132,9 @@ def _span_windows(
         .select(
             "id",
             F.col("ti").alias("pos"),
-            F.pmod(
-                F.pmod(
-                    F.col("__lr")
-                    - F.col("__pr")
-                    - F.lit(32) * F.col("__inv_o"),
-                    F.lit(p_),
-                )
-                * _span_modpow(F.col("__le"), b_pows),
-                F.lit(p_),
+            F.expr(
+                f"pmod(pmod(__lr - __pr - 32L*__inv_o,{p_}L)"
+                f"*{_span_modpow_sql('__le', b_pows)},{p_}L)"
             ).alias("wh"),
         )
     )
