@@ -125,16 +125,23 @@ def upsert_new_scenes(
     incoming: DataFrame,
     keys: Sequence[str],
     order_cols: Sequence[str] | None = None,
+    base_pid: int | None = None,
 ) -> DataFrame:
     """J5/M1: idempotent keyed insert — incoming rows whose key is absent get
     appended with fresh serial PIDs (ref :638-665).
+
+    ``base_pid`` lets a caller that already aggregated the catalog (e.g.
+    ``check_new_scns``'s fused stats pass) supply max(pid)+1 and skip the
+    separate :func:`next_pid` action; ``None`` computes it here.
 
     Returns the new full catalog DataFrame (caller persists via
     ParquetCatalog.write).
     """
     order_cols = list(order_cols or keys)
     fresh = incoming.join(catalog.select(*keys), list(keys), "left_anti")
-    fresh = assign_pids(fresh, next_pid(catalog), order_cols)
+    if base_pid is None:
+        base_pid = next_pid(catalog)
+    fresh = assign_pids(fresh, base_pid, order_cols)
     return catalog.unionByName(fresh.select(*catalog.columns), allowMissingColumns=False)
 
 

@@ -45,13 +45,24 @@ def scenes_need_processing(
     """
     parts: list[DataFrame] = []
     if plugins and plugin_results is not None:
-        parts.append(Q.get_scnlist_usr_analysis(scenes, plugin_results, plugins))
+        parts.append(
+            Q.get_scnlist_usr_analysis(scenes, plugin_results, plugins)
+        )
+    # the four filter stages OR into ONE catalog scan (r13, guide §2.4):
+    # the distinct pid set is identical to unioning the per-stage lists
+    # (each list is a filter over the same scenes), but the plan drops
+    # three full scans and the stage lists' global sorts, which the
+    # union+distinct discarded anyway
+    conds = []
     if calc_quicklook:
-        parts.append(Q.get_scnlist_quicklook(scenes))
+        conds.append(Q.quicklook_pred())
     if calc_tilecache:
-        parts.append(Q.get_scnlist_tilecache(scenes))
-    parts.append(Q.get_scnlist_con2ard(scenes))
-    parts.append(Q.get_scnlist_download(scenes))
+        conds.append(Q.tilecache_pred())
+    conds.append(Q.con2ard_pred())
+    conds.append(Q.download_pred())
+    parts.append(
+        scenes.where(reduce(lambda a, b: a | b, conds)).select("pid")
+    )
     return reduce(DataFrame.union, parts).distinct()
 
 

@@ -382,25 +382,49 @@ def _ordered_pids(df: DataFrame, date_col: str) -> DataFrame:
     return df.orderBy(*order).select("pid")
 
 
+def download_pred() -> Column:
+    """Stage predicate behind :func:`get_scnlist_download` — exposed so
+    :func:`~eodatadown_spark.pipeline.scenes_need_processing` can OR the
+    stage predicates over ONE catalog scan instead of unioning four."""
+    return (F.col("downloaded") == F.lit(False)) & valid_pred(True)
+
+
+def con2ard_pred() -> Column:
+    """Stage predicate behind :func:`get_scnlist_con2ard`."""
+    return (
+        (F.col("downloaded") == F.lit(True))
+        & (F.col("ardproduct") == F.lit(False))
+        & valid_pred(True)
+    )
+
+
+def quicklook_pred() -> Column:
+    """Stage predicate behind :func:`get_scnlist_quicklook`."""
+    return (
+        (F.col("ardproduct") == F.lit(True))
+        & valid_pred(True)
+        & json_key_missing_pred("extended_info", "quicklook")
+    )
+
+
+def tilecache_pred() -> Column:
+    """Stage predicate behind :func:`get_scnlist_tilecache`."""
+    return (
+        (F.col("ardproduct") == F.lit(True))
+        & valid_pred(True)
+        & json_key_missing_pred("extended_info", "tilecache")
+    )
+
+
 def get_scnlist_download(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """Scenes to download (ref :754-775): not downloaded, not invalid,
     ordered by acquisition date."""
-    return _ordered_pids(
-        scenes.where((F.col("downloaded") == F.lit(False)) & valid_pred(True)),
-        date_col,
-    )
+    return _ordered_pids(scenes.where(download_pred()), date_col)
 
 
 def get_scnlist_con2ard(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """Downloaded but not yet ARD (ref :939-963)."""
-    return _ordered_pids(
-        scenes.where(
-            (F.col("downloaded") == F.lit(True))
-            & (F.col("ardproduct") == F.lit(False))
-            & valid_pred(True)
-        ),
-        date_col,
-    )
+    return _ordered_pids(scenes.where(con2ard_pred()), date_col)
 
 
 def get_scnlist_datacube(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
@@ -417,26 +441,12 @@ def get_scnlist_datacube(scenes: DataFrame, date_col: str = "date_acquired") -> 
 
 def get_scnlist_quicklook(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """ARD done and ExtendedInfo lacks 'quicklook' (F9; ref :1291-1316)."""
-    return _ordered_pids(
-        scenes.where(
-            (F.col("ardproduct") == F.lit(True))
-            & valid_pred(True)
-            & json_key_missing_pred("extended_info", "quicklook")
-        ),
-        date_col,
-    )
+    return _ordered_pids(scenes.where(quicklook_pred()), date_col)
 
 
 def get_scnlist_tilecache(scenes: DataFrame, date_col: str = "date_acquired") -> DataFrame:
     """ARD done and ExtendedInfo lacks 'tilecache' (F9; ref :1424-1449)."""
-    return _ordered_pids(
-        scenes.where(
-            (F.col("ardproduct") == F.lit(True))
-            & valid_pred(True)
-            & json_key_missing_pred("extended_info", "tilecache")
-        ),
-        date_col,
-    )
+    return _ordered_pids(scenes.where(tilecache_pred()), date_col)
 
 
 def get_scnlist_usr_analysis(

@@ -65,18 +65,28 @@ class SensorBase:
         the number of newly added scenes."""
         catalog = self.scenes()
         incoming = self._complete_state_block(normalized_index)
+        # one fused aggregate replaces three sequential full-catalog
+        # actions (watermark .first(), before .count(), next_pid .first())
+        # — same values, one scan (r13, guide §5 driver-loop hygiene)
+        stats = catalog.agg(
+            F.count("*").alias("__n"),
+            F.max("pid").alias("__mx"),
+            F.max(F.col(self.watermark_col)).alias("__wm"),
+        ).first()
+        before = stats["__n"]
+        base_pid = 0 if stats["__mx"] is None else int(stats["__mx"]) + 1
         if not check_from_start:
             if self.watermark_partition_col:
                 incoming = ingest.filter_above_partitioned_watermark(
                     catalog, incoming, self.watermark_col, self.watermark_partition_col
                 )
             else:
-                wm = ingest.watermark(catalog, self.watermark_col)
                 incoming = ingest.filter_above_watermark(
-                    incoming, self.watermark_col, wm
+                    incoming, self.watermark_col, stats["__wm"]
                 )
-        before = catalog.count()
-        merged = ingest.upsert_new_scenes(catalog, incoming, keys=self.ingest_keys)
+        merged = ingest.upsert_new_scenes(
+            catalog, incoming, keys=self.ingest_keys, base_pid=base_pid
+        )
         if self.dedup_key:
             merged = ingest.resolve_duplicate_scenes(merged, key=self.dedup_key)
         self._commit(merged)
