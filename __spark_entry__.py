@@ -1350,10 +1350,13 @@ def q150_incremental_clusters(spark, sf):
     # (jaccard_prefix_self_pairs == jaccard_prefix_pairs by construction,
     # no re-shingle), and the baseline assignment is pinned because
     # update_clusters and the final size join read it repeatedly.
+    # fps comes back already pinned (jaccard_prefix_index materializes the
+    # shingle base); freq pins BEFORE prefix so the prefix pin's job joins
+    # the pinned freq instead of re-aggregating it (r13: one fewer
+    # materialization job + one fewer embedded aggregate, same relations)
     prefix, freq, fps = D.jaccard_prefix_index(docs, threshold=0.5)
-    prefix = prefix.localCheckpoint()
     freq = freq.localCheckpoint()
-    fps = fps.localCheckpoint()
+    prefix = D._prefix_rows(fps, freq, threshold=0.5).localCheckpoint()
     old_pairs = D.jaccard_prefix_self_pairs(prefix, fps, threshold=0.5)
     old_assign = D.neardup_clusters(
         docs, pairs=old_pairs, threshold=0.5
