@@ -322,7 +322,8 @@ class ParquetCatalog:
                 n += 1
 
     def _write_version(
-        self, df: DataFrame, table: str, partition: bool = True
+        self, df: DataFrame, table: str, partition: bool = True,
+        cluster_partitions: bool = True,
     ) -> tuple[str, str]:
         """Materialize ``df`` into a freshly CLAIMED (exclusive) version dir
         without flipping the pointer; the caller commits under
@@ -338,6 +339,18 @@ class ParquetCatalog:
                 df = df.withColumn("p_year", F.year(F.col(part_src)))
                 if self.partition_monthly:
                     df = df.withColumn("p_month", F.month(F.col(part_src)))
+                if cluster_partitions:
+                    # cluster rows by the partition dirs before the write:
+                    # without it every input task emits a file into every
+                    # p_year(/p_month) dir, so files ~= tasks x partitions
+                    # — the classic small-files write.  REBALANCE (AQE)
+                    # both coalesces small dirs to ~one advisory-sized
+                    # file and SPLITS an oversized year across tasks,
+                    # where a plain repartition would bottleneck a hot
+                    # year on one task.  Callers that size files
+                    # deliberately (compact / z-order rewrites) pass
+                    # cluster_partitions=False to keep their layout.
+                    df = df.hint("rebalance", *self._part_cols)
                 writer = df.write.mode("append").partitionBy(*self._part_cols)
             writer.parquet(out)
         except Exception:
@@ -359,7 +372,7 @@ class ParquetCatalog:
         return True
 
     def write(self, df: DataFrame, table: str, partition: bool = True,
-              occ_retries: int = 5) -> None:
+              occ_retries: int = 5, cluster_partitions: bool = True) -> None:
         """Atomically replace `table` with `df` (new version dir + pointer
         flip).  The version dir is claimed exclusively (atomic mkdir) and
         the flip happens under the commit lock, so a full replace can race
@@ -379,7 +392,9 @@ class ParquetCatalog:
         for _attempt in range(1 + occ_retries):
             base = self._current_version(table)
             try:
-                version, out = self._write_version(df, table, partition)
+                version, out = self._write_version(
+                    df, table, partition, cluster_partitions
+                )
             except Exception as exc:
                 if self._current_version(table) != base:
                     # conflict fallout: winner's GC hit our build — but keep
@@ -1059,7 +1074,9 @@ class ParquetCatalog:
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))
         if not zorder_by:
-            self.write(df.repartition(n_files), table)
+            self.write(
+                df.repartition(n_files), table, cluster_partitions=False
+            )
             return
         from eodatadown_spark.spatial import zorder_key_n
 
@@ -1089,6 +1106,7 @@ class ParquetCatalog:
             df.repartitionByRange(n_files, z.alias("__z"))
             .sortWithinPartitions(z.alias("__z")),
             table,
+            cluster_partitions=False,
         )
 
     def read_clean(self, table: str) -> DataFrame:

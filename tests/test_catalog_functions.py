@@ -140,7 +140,13 @@ def test_catalog_compact_reduces_files(spark, landsat_scenes, tmp_path):
 
     cat = ParquetCatalog(spark, str(tmp_path))
     # 8 shuffle partitions → up to 8 small part files inside the year dir
-    cat.write(landsat_scenes.repartition(8), "landsat_scenes")
+    # (cluster_partitions=False reproduces the pre-r13 fragmented layout a
+    # catalog accumulates from selective merge appends — a normal write()
+    # now REBALANCEs on the partition dirs and wouldn't fragment)
+    cat.write(
+        landsat_scenes.repartition(8), "landsat_scenes",
+        cluster_partitions=False,
+    )
 
     def parquet_files(path):
         return [
@@ -157,6 +163,26 @@ def test_catalog_compact_reduces_files(spark, landsat_scenes, tmp_path):
     assert after < before
     df = cat.read_clean("landsat_scenes")
     assert df.count() == 7  # contents survive the rewrite
+
+
+def test_catalog_write_clusters_partition_dirs(spark, landsat_scenes, tmp_path):
+    """A plain write() clusters rows by the partition dirs (REBALANCE):
+    a many-task input frame must NOT fan out into files ~= tasks x years
+    (r13, guide §6 small-files)."""
+    from eodatadown_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(landsat_scenes.repartition(8), "landsat_scenes")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(cat.data_path("landsat_scenes"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    years = {p.split("p_year=")[1].split("/")[0] for p in files if "p_year=" in p}
+    # one advisory-sized file per year dir at this tiny volume
+    assert len(files) == len(years)
+    assert cat.read_clean("landsat_scenes").count() == 7
 
 
 def test_merge_follows_on_disk_partition_depth(spark, landsat_scenes, tmp_path):
