@@ -41,7 +41,7 @@ class TestWriteGcRace:
         orig = ParquetCatalog._write_version
         fired = {"done": False}
 
-        def hooked(self, df, table, partition=True):
+        def hooked(self, df, table, partition=True, *args, **kw):
             if not fired["done"]:
                 fired["done"] = True
                 # a concurrent merge commits in our window (moves the pointer)
@@ -52,7 +52,7 @@ class TestWriteGcRace:
                 )
                 # ...and its GC collected our claimed build mid-write
                 raise OSError("part file vanished under concurrent GC")
-            return orig(self, df, table, partition)
+            return orig(self, df, table, partition, *args, **kw)
 
         monkeypatch.setattr(ParquetCatalog, "_write_version", hooked)
         cat.write(
@@ -80,8 +80,8 @@ class TestWriteGcRace:
         orig = ParquetCatalog._write_version
         fired = {"done": False}
 
-        def hooked(self, df, table, partition=True):
-            version, out = orig(self, df, table, partition)
+        def hooked(self, df, table, partition=True, *args, **kw):
+            version, out = orig(self, df, table, partition, *args, **kw)
             if not fired["done"]:
                 fired["done"] = True
                 shutil.rmtree(out)  # concurrent commit's GC collected it
@@ -108,7 +108,7 @@ class TestWriteGcRace:
             "flat", partition=False,
         )
 
-        def boom(self, df, table, partition=True):
+        def boom(self, df, table, partition=True, *args, **kw):
             raise OSError("disk full")
 
         monkeypatch.setattr(ParquetCatalog, "_write_version", boom)
@@ -142,13 +142,13 @@ class TestReplaceDerived:
         orig = ParquetCatalog._write_version
         fired = {"done": False}
 
-        def hooked(self, df, table, partition=True):
+        def hooked(self, df, table, partition=True, *args, **kw):
             if not fired["done"]:
                 fired["done"] = True
                 ParquetCatalog(
                     spark, str(tmp_path), retain_versions=4
                 ).replace_derived("flat", fold(1, "A"), partition=False)
-            return orig(self, df, table, partition)
+            return orig(self, df, table, partition, *args, **kw)
 
         monkeypatch.setattr(ParquetCatalog, "_write_version", hooked)
         cat.replace_derived("flat", fold(2, "B"), partition=False)

@@ -4,10 +4,12 @@ Used for the judge-facing plan artifacts (plans/rNN/<query>_{before,after}.txt):
 
     python tools/dump_plans.py --out plans/r13 --suffix after q50_neardup_clusters ...
 
-The plan is the ANALYZED physical plan of the returned DataFrame — for
-queries whose construction pins intermediates (localCheckpoint), the
-pinned subtrees appear as ExistingRDD leaves, exactly as in the before
-files.
+Like tools/explain_audit.py (and bench.py's plan audit), queries with a
+pure-plan variant in ``__spark_entry__.plan_only()`` are dumped through
+that variant so the file shows the real shuffle structure instead of
+lineage-truncated ExistingRDD leaves; queries without one are dumped in
+executable form, where pinned subtrees appear as ExistingRDD exactly as
+in the before files.
 """
 
 from __future__ import annotations
@@ -35,7 +37,8 @@ def main() -> None:
     from eodatadown_spark.session import get_spark
 
     spark = get_spark("dump_plans")
-    qmap = entry.queries()
+    qmap = dict(entry.queries())
+    qmap.update(entry.plan_only())
     os.makedirs(args.out, exist_ok=True)
     for name in args.queries:
         df = qmap[name](spark, args.sf_dir)
