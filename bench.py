@@ -226,6 +226,28 @@ class SectionTelemetry:
         }
 
 
+def calibration_candidates(here: str) -> list[str]:
+    """Prior-artifact candidates for host calibration, oldest round first.
+
+    The glob is broader than the ``_rNN.json`` naming rule (e.g. a
+    ``BENCH_local_r13_final.json`` closing artifact matches the glob but
+    not the regex); names the round-number parse rejects are dropped, or
+    one stray artifact would crash the whole bench at the ``.group()``
+    in the sort key."""
+    import glob
+    import re
+
+    return sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH*_r*.json"))
+            + glob.glob(os.path.join(here, "artifacts", "BENCH*_r*.json"))
+            if re.search(r"_r(\d+)\.json$", p)
+        ),
+        key=lambda p: (int(re.search(r"_r(\d+)\.json$", p).group(1)), p),
+    )
+
+
 def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -622,11 +644,7 @@ def main() -> None:
     # candidate is subject to the recency exclusion (it is the only one
     # that can be this round's own file), and every exclusion is recorded
     # in the payload instead of happening silently.
-    candidates = sorted(
-        glob.glob(os.path.join(here, "BENCH*_r*.json"))
-        + glob.glob(os.path.join(here, "artifacts", "BENCH*_r*.json")),
-        key=lambda p: (int(re.search(r"_r(\d+)\.json$", p).group(1)), p),
-    )
+    candidates = calibration_candidates(here)
     if candidates and time.time() - os.path.getmtime(candidates[-1]) < 1800:
         cal["prior_excluded"] = os.path.basename(candidates[-1])
         candidates = candidates[:-1]
