@@ -126,10 +126,11 @@ def hashed_features(
     BEFORE the doc-id shuffle, so a small-file scan's single partition
     silently serializes the whole extraction onto one core (measured
     sf0.1 d=64: 7-10 s single-partition vs 1.4-2 s floored — the
-    simhash_sketches rationale).  Pass ``floor=False`` for derived
-    inputs with exchanges upstream (the shingle_hash_table contract:
-    the floor's partition probe would execute those stages at plan
-    construction).
+    simhash_sketches rationale).  Since r14 the floor's leaf-scan-only
+    contract is ENFORCED inside ensure_min_parallelism (the partition
+    probe is skipped on exchange-bearing plans), so a derived input
+    under the default costs one extra planning pass, never plan-time
+    jobs; ``floor=False`` still skips even that.
     """
     if floor:
         from eodatadown_spark.operators.dedup import ensure_min_parallelism

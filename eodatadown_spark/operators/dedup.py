@@ -82,15 +82,26 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     2.9 s).  Plan-build-time decision, mirroring semantic_dedup's explicit
     repartition rationale.
 
-    LEAF-SCAN-ONLY CONTRACT: the partition probe materializes ``df.rdd``,
-    and with AQE enabled that finalizes the adaptive plan — on a plan with
-    exchanges upstream (joins/aggregates) it EXECUTES those query stages
-    as real jobs at plan-build time.  On a narrow plan over a file scan
-    there are no query stages, so the probe is job-free.  Apply this only
-    at leaf entry points (file scan + narrow projections/filters); derived
-    inputs (e.g. the candidate-subset verify path of
-    ``minhash_neardup_pairs``) must pass ``floor=False`` through
-    :func:`shingle_hash_table` and keep their upstream partitioning."""
+    LEAF-SCAN-ONLY CONTRACT — ENFORCED (r14, ADVICE r13): the partition
+    probe materializes ``df.rdd``, and with AQE enabled that finalizes
+    the adaptive plan — on a plan with exchanges upstream
+    (joins/aggregates) it would EXECUTE those query stages as real jobs
+    at plan-build time.  The probe now runs only when the physical plan
+    is exchange-free (a file scan + narrow projections/filters, where
+    finalizing the plan is job-free); an exchange-bearing input is
+    returned untouched — it already has a cluster-wide partitioning from
+    its own shuffle, which is exactly the ``floor=False`` posture the
+    contract used to demand by documentation alone.  Callers on hot
+    paths that KNOW their input is derived should still pass
+    ``floor=False`` and skip the (job-free but not cost-free) planning
+    pass."""
+    # executedPlan() PREPARES but does not execute (under AQE it is the
+    # AdaptiveSparkPlan wrapper whose initial plan still shows every
+    # Exchange; query stages only run when the plan is materialized) —
+    # no jobs here.  sparkPlan() would miss shuffles entirely: it is the
+    # pre-EnsureRequirements plan, before exchanges are inserted.
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -1167,18 +1178,21 @@ def neardup_clusters(
         .join(doc_ids, F.col("id_b") == F.col("__did"), "left_semi")
         .distinct()
     )
-    # Strategy decision and edge fetch FUSED into one action (r13): the
-    # old shape pinned pairs (1 job), pinned nodes (1 job), counted (1
-    # job) and then collected nodes+pairs in the union-find path (2 more
-    # jobs) — five sequential jobs before any label existed.  A single
-    # bounded collect answers "is the graph small?" AND hands the driver
-    # the edges; the endpoint set (== the node set here, by construction)
-    # falls out locally for free.  Labels are unchanged: min id per
-    # component, deterministic.  The distributed path (> cutoff, or
-    # small_graph_edges=None) keeps the pinned two-reference shape.
+    # Strategy decision and edge fetch share ONE full execution (r13
+    # fused them; r14 pins first — ADVICE r13 medium): the r13 bounded
+    # limit/collect executed the full pair plan, and a > cutoff graph
+    # then RE-executed the same plan from scratch inside _pin — the most
+    # expensive computation ran twice exactly on large-graph inputs.
+    # Now the pair plan materializes once and both the bounded probe
+    # (an executeTake over pinned blocks — one cheap extra action) and
+    # the distributed path read the pin.  The endpoint set (== the node
+    # set here, by construction) falls out locally for free.  Labels
+    # are unchanged: min id per component, deterministic.
     edge_rows = None
+    pinned = None
     if small_graph_edges is not None:
-        head = pairs_plan.limit(small_graph_edges + 1).collect()
+        pinned = _pin(pairs_plan)
+        head = pinned.limit(small_graph_edges + 1).collect()
         if len(head) <= small_graph_edges:
             edge_rows = [(r[0], r[1]) for r in head]
     if edge_rows is not None:
@@ -1189,7 +1203,7 @@ def neardup_clusters(
             schema=f"id {id_type}, lbl {id_type}",
         )
     else:
-        pairs = _pin(pairs_plan)
+        pairs = pinned if pinned is not None else _pin(pairs_plan)
         nodes = _pin(
             pairs.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
         )
@@ -1328,19 +1342,21 @@ def update_clusters(
         .unionByName(touched.select(F.col("__tid").alias("id")))
         .distinct()
     )
-    # Fused strategy decision (r13, the neardup_clusters change): ONE
-    # bounded collect both answers "is the touched subgraph small?" and
-    # delivers its edges — replacing pin(pairs) + pin(nodes) + count +
-    # two collects (5 sequential jobs) with ONE action.  Node labels
-    # resolve RELATIONALLY: a node with no edge (a touched singleton
-    # cluster, or a pair-free new doc) keeps its own id — exactly what
-    # min-label propagation gives an isolated node — so the endpoint-only
-    # union-find labels left-join onto the node relation with a
-    # coalesce-to-own-id, and the separate nodes collect disappears.
-    # Labels unchanged; the distributed (> cutoff) path keeps its pins.
+    # Strategy decision (r13 fused the collects; r14 pins first — ADVICE
+    # r13 medium, same rationale as neardup_clusters): the pair plan
+    # (star ∪ batch pairs, distinct) materializes ONCE and both the
+    # bounded probe and the > cutoff distributed path read the pin, so a
+    # large touched subgraph no longer pays two full executions.  Node
+    # labels resolve RELATIONALLY: a node with no edge (a touched
+    # singleton cluster, or a pair-free new doc) keeps its own id —
+    # exactly what min-label propagation gives an isolated node — so the
+    # endpoint-only union-find labels left-join onto the node relation
+    # with a coalesce-to-own-id, and the separate nodes collect is gone.
     edge_rows = None
+    pinned = None
     if small_graph_edges is not None:
-        head = pairs_plan.limit(small_graph_edges + 1).collect()
+        pinned = _pin(pairs_plan)
+        head = pinned.limit(small_graph_edges + 1).collect()
         if len(head) <= small_graph_edges:
             edge_rows = [(r[0], r[1]) for r in head]
     if edge_rows is not None:
@@ -1351,7 +1367,7 @@ def update_clusters(
             schema=f"id {id_type}, lbl {id_type}",
         )
     else:
-        pairs = _pin(pairs_plan)
+        pairs = pinned if pinned is not None else _pin(pairs_plan)
         nodes = _pin(nodes_plan)
         edges = _pin(
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -1867,16 +1883,23 @@ def duplicated_span_stats(
 
     Since r13 the marking is ONE window-function pass over the window
     table (see :func:`_marked_spans`), so the table has a single
-    consumer, nothing is pinned, and this function is pure-lazy for
-    every ``materialize`` value — the ADVICE r12 eager-side-effect note
-    no longer applies (the parameter is retained for API stability; the
-    measured pin-vs-recompute tradeoff it used to arbitrate is gone
-    with the second consumer).
+    consumer, nothing is pinned, and the default ``materialize="auto"``
+    is pure-lazy — the ADVICE r12 eager-side-effect note no longer
+    applies.  Forced modes ("checkpoint"/"local") are honored on the
+    maximal-span relation (r14, ADVICE r13): a caller that explicitly
+    demands a reliable checkpoint for executor-loss safety gets one, on
+    the subtree every downstream consumer reads.
     """
     if materialize not in ("auto", "checkpoint", "local", "none"):
         raise ValueError(f"unknown materialize mode {materialize!r}")
     base, wins = _span_windows(documents, window, id_col, text_col, unit)
     spans = _marked_spans(wins, window, min_count, cross_doc_only)
+    # forced modes are HONORED on the maximal-span relation (ADVICE r13:
+    # validating-then-ignoring left callers who explicitly demanded a
+    # reliable checkpoint with a pure-lazy plan and no warning); "auto"
+    # stays pure-lazy — the single-consumer plan needs no pin
+    if materialize in ("checkpoint", "local"):
+        spans = _pin_mode(spans, materialize)
     return _span_stats(base, spans, id_col, unit)
 
 
@@ -2186,18 +2209,34 @@ def _marked_spans(
     corpus character — the ADVICE r12 eager-side-effect complaint) and
     broadcast a corpus-wide duplicated-hash set that outgrows any
     broadcast budget at scale.  One pass, one shuffle on ``wh``, nothing
-    pinned, nothing broadcast; per-row filter semantics identical."""
+    pinned, nothing broadcast; per-row filter semantics identical.
+
+    ``cross_doc_only`` (r14): the distinct-document count is the
+    SORT-BASED idiom — ``dense_rank`` over (wh ordered by id), then
+    ``max`` of that rank over the whole wh partition.  The r13
+    ``size(collect_set(id))`` form buffered the full distinct-id SET in
+    the window aggregate buffer: on a 100 TB corpus a boilerplate span
+    shared by millions of documents makes one ``wh`` a hot key and that
+    per-key set is O(distinct docs) of unspillable memory on a single
+    task (VERDICT r13 item 1).  Both window frames here buffer only
+    ROWS, which WindowExec spills; the ordered spec adds a sort on
+    (wh, id) but NO second exchange — both windows share the one
+    hash-partition on ``wh``."""
     w_h = Window.partitionBy("wh")
-    n = (
-        F.size(F.collect_set("id").over(w_h))
-        if cross_doc_only
-        else F.count(F.lit(1)).over(w_h)
-    )
-    marked = (
-        wins.withColumn("__n", n)
-        .where(F.col("__n") >= min_count)
-        .select("id", "pos")
-    )
+    if cross_doc_only:
+        w_ord = Window.partitionBy("wh").orderBy("id")
+        marked = (
+            wins.withColumn("__dr", F.dense_rank().over(w_ord))
+            .withColumn("__n", F.max("__dr").over(w_h))
+            .where(F.col("__n") >= min_count)
+            .select("id", "pos")
+        )
+    else:
+        marked = (
+            wins.withColumn("__n", F.count(F.lit(1)).over(w_h))
+            .where(F.col("__n") >= min_count)
+            .select("id", "pos")
+        )
     return _merge_islands(marked, window)
 
 
@@ -2301,14 +2340,19 @@ def cut_duplicated_spans(
     Since r13 the marking is one window-function pass (see
     :func:`_marked_spans`) and BOTH units rebuild via an
     O(spans-per-doc) fold over the per-document span array — nothing is
-    pinned, no per-token explode ever reaches a join, and the function
-    is pure-lazy for every ``materialize`` value (parameter retained
-    for API stability).
+    pinned, no per-token explode ever reaches a join, and the default
+    ``materialize="auto"`` is pure-lazy.  Forced modes
+    ("checkpoint"/"local") are honored on the maximal-span relation
+    (r14, ADVICE r13; see :func:`duplicated_span_stats`).
     """
     if materialize not in ("auto", "checkpoint", "local", "none"):
         raise ValueError(f"unknown materialize mode {materialize!r}")
     base, wins = _span_windows(documents, window, id_col, text_col, unit)
     spans = _marked_spans(wins, window, min_count, cross_doc_only)
+    # forced modes honored on the span relation (ADVICE r13; see
+    # duplicated_span_stats) — "auto" stays pure-lazy
+    if materialize in ("checkpoint", "local"):
+        spans = _pin_mode(spans, materialize)
     if unit == "char":
         span_arrs = spans.groupBy("id").agg(
             F.array_sort(
@@ -2478,9 +2522,13 @@ def duplicated_spans_against_index(
     w_h = Window.partitionBy("wh")
     counted = wins.withColumn("__bcnt", F.count(F.lit(1)).over(w_h))
     if cross_doc_only:
+        # sort-based distinct-doc count (r14, same fix as _marked_spans):
+        # rows-only window buffers instead of a per-wh collect_set whose
+        # in-memory set is O(distinct docs) on a hot window hash
+        w_ord = Window.partitionBy("wh").orderBy("id")
         counted = counted.withColumn(
-            "__bdocs", F.size(F.collect_set("id").over(w_h))
-        )
+            "__bdr", F.dense_rank().over(w_ord)
+        ).withColumn("__bdocs", F.max("__bdr").over(w_h))
     stored = index.select(
         "wh", F.col("cnt").alias("__scnt"), F.col("n_docs").alias("__sdocs")
     )
@@ -2491,7 +2539,12 @@ def duplicated_spans_against_index(
         else F.col("__bcnt") + F.coalesce(F.col("__scnt"), F.lit(0))
     )
     marked = joined.where(key >= min_count).select("id", "pos")
-    return _span_stats(base, _merge_islands(marked, window), id_col, unit)
+    spans = _merge_islands(marked, window)
+    # forced modes honored on the span relation (ADVICE r13; see
+    # duplicated_span_stats) — "auto" stays pure-lazy
+    if materialize in ("checkpoint", "local"):
+        spans = _pin_mode(spans, materialize)
+    return _span_stats(base, spans, id_col, unit)
 
 
 def source_pair_pressure(
@@ -2544,8 +2597,10 @@ def _prefix_rows(base: DataFrame, freq: DataFrame, threshold: float) -> DataFram
     """(id, sz, sh, __pos) PREFIX entries of ``base`` = (id, shingles)
     under the global rarest-first order keyed by ``freq`` = (sh, __df):
     each document keeps its first ``sz - ⌈t·sz⌉ + 1`` shingles by
-    (__df asc, sh asc).  Shingles ABSENT from freq rank with df = 0 —
-    front of the order; any deterministic function of the shingle is a
+    (__df asc, sh asc).  Shingles ABSENT from freq rank with df = 1 —
+    front of the order (the stored table prunes df < 2, so an absent
+    shingle is either a pruned df=1 entry or novel to a probe batch —
+    both land on the same (1, sh) key); any deterministic function of the shingle is a
     valid prefix order, which is what lets a FROZEN corpus frequency
     table order new batches consistently (see
     :func:`jaccard_prefix_against_index`)."""
@@ -2588,31 +2643,38 @@ def _positional_candidates(matches: DataFrame, threshold: float) -> DataFrame:
     candidates per true pair (one shared mid-list token), it prunes the
     verify input by orders of magnitude.
 
+    The bound is applied PER MATCH ROW, before the pair-dedup exchange
+    (r14, VERDICT r13 item 5 "push the positional filter into the join
+    condition"): a pair is a candidate iff SOME match row passes the
+    bound at its own (i, j).  Losslessness: for a qualifying pair the
+    minimal shared token τ* occupies one match row at (i*, j*) with no
+    shared token before it in either list, so |A∩B| ≤ 1 + min(sz_a−i*,
+    sz_b−j*) while J ≥ t forces |A∩B| ≥ t/(1+t)·(sz_a+sz_b) — that row
+    passes, so no qualifying pair is lost.  It is also TIGHTER than the
+    r13 cross-row form (min pa and min pb taken over different rows only
+    ever LOOSEN the bound, since sz−min(p) ≥ sz−p per row), so the
+    verify input shrinks and failing rows now drop before the
+    (id_a, id_b) shuffle instead of after it.
+
     ``matches``: one row per shared prefix-token occurrence with columns
     (id_a, id_b, __pa, __pb, __sza, __szb); duplicate rows (e.g. a pair
     surfacing in both orientations of an incremental probe) are harmless —
-    mins and firsts are unaffected."""
+    the ∃-row semantics dedups through the distinct."""
     return (
-        matches.groupBy("id_a", "id_b")
-        .agg(
-            F.min("__pa").alias("__imin"),
-            F.min("__pb").alias("__jmin"),
-            F.first("__sza").alias("__szl"),
-            F.first("__szb").alias("__szr"),
-        )
-        .where(
+        matches.where(
             (
                 1
                 + F.least(
-                    F.col("__szl") - F.col("__imin"),
-                    F.col("__szr") - F.col("__jmin"),
+                    F.col("__sza") - F.col("__pa"),
+                    F.col("__szb") - F.col("__pb"),
                 )
             ).cast("double")
             >= F.lit(threshold / (1.0 + threshold))
-            * (F.col("__szl") + F.col("__szr")).cast("double")
+            * (F.col("__sza") + F.col("__szb")).cast("double")
             - 1e-9
         )
         .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -2636,7 +2698,7 @@ def jaccard_prefix_index(
       broadcast- or bucket-joins with NO corpus shuffle.
     - ``freq``         (sh, __df): the corpus document-frequency table
       that DEFINES the order.  The order is FROZEN at build time: probes
-      rank batch shingles by this same table (absent → df 0), which keeps
+      rank batch shingles by this same table (absent → df 1), which keeps
       one consistent total order across old and new documents — the
       prefix-filter guarantee needs order consistency, not currency.
       Appending batches degrades only the rarest-first *heuristic*

