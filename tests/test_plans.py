@@ -379,3 +379,17 @@ def test_bucketed_snapshot_probe_no_index_exchange(entry_spark, tmp_path):
     # scan reports its bucket selection
     assert "Bucketed: true" in audit.physical_plan(j_bucketed) or \
         "SelectedBucketsCount" in audit.physical_plan(j_bucketed)
+
+
+def test_q120_bm25_single_exchange(entry_spark):
+    """r14 (VERDICT r13 item 4): BM25 for a small query bag is one array
+    traversal per document + ONE global single-partition aggregate (N,
+    avgdl, per-term df all in the same row) broadcast back — the r13
+    exploded shape paid 8 exchanges (doclen/tf/df aggregates, doc-keyed
+    joins, final groupBy).  No token ever shuffles."""
+    df = E.queries()["q120_bm25"](entry_spark, SF)
+    assert audit.exchange_count(df) == 1
+    joins = audit.join_strategies(df)
+    # only the 1-row stats broadcast attaches (BNLJ on a literal-true
+    # cross join of one row is the intended shape)
+    assert "SortMergeJoin" not in joins and "ShuffledHashJoin" not in joins
