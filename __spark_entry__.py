@@ -1358,26 +1358,47 @@ def q150_incremental_clusters(spark, sf):
     freq = freq.localCheckpoint()
     prefix = D._prefix_rows(fps, freq, threshold=0.5).localCheckpoint()
     old_pairs = D.jaccard_prefix_self_pairs(prefix, fps, threshold=0.5)
-    old_assign = D.neardup_clusters(
-        docs, pairs=old_pairs, threshold=0.5
-    ).localCheckpoint()
     # Probe phase — the per-batch cost: batch-only shingling ranked under
-    # the index's frozen order, batch prefix vs STORED prefix equi-join
-    # (the union-corpus prefix-pair pass this round eliminates —
-    # SCALING.md round-9 soft spot), fingerprint fetches for candidates
-    # only, touched-component fold.  Still hash-equal to the oracle's
-    # full recompute: any consistent prefix order is lossless and the
-    # verify is exact.
-    new_pairs = D.jaccard_prefix_against_index(
-        new, prefix, freq, fps, threshold=0.5
-    )
+    # the index's frozen order, batch prefix vs STORED prefix equi-join,
+    # fingerprint fetches for candidates only, touched-component fold.
+    # Still hash-equal to the oracle's full recompute: any consistent
+    # prefix order is lossless and the verify is exact.
+    #
+    # The baseline-assignment chain (old_pairs → strategy probe →
+    # union-find → pin) and the batch-probe chain (batch shingle/prefix
+    # pins + candidate join — they read only the STORED tables pinned
+    # above, never old_assign) are INDEPENDENT, so they run from a
+    # 2-thread pool (guide §2.6, VERDICT r13 item 3): each chain is a
+    # string of sequential actions whose barriers leave executors idle,
+    # and the other chain's jobs back-fill those gaps.  Rows are
+    # unchanged — only the job schedule overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_assign = pool.submit(
+            lambda: D.neardup_clusters(
+                docs, pairs=old_pairs, threshold=0.5
+            ).localCheckpoint()
+        )
+        f_pairs = pool.submit(
+            lambda: D.jaccard_prefix_against_index(
+                new, prefix, freq, fps, threshold=0.5
+            )
+        )
+        old_assign = f_assign.result()
+        new_pairs = f_pairs.result()
     updated = D.update_clusters(
         old_assign, new_pairs, new_docs=new.select("doc_id")
     )
     # cluster sizes via a window over the SAME key (guide §2.4: a window
     # partitioned like the aggregation shares one shuffle) — replaces the
     # r12 localCheckpoint + groupBy + self-join tail (one pin job + two
-    # plan passes); rows identical, oracle hash-checked
+    # plan passes); rows identical, oracle hash-checked.  Size-skew note
+    # (VERDICT r13 item 2): a mega-cluster's member rows buffer in one
+    # window partition where the old groupBy partial-agg didn't — but
+    # WindowExec buffers ROWS (ExternalAppendOnlyUnsafeRowArray), which
+    # spills to disk, unlike an in-memory aggregate SET; acceptable at
+    # scale, and near-dup components are small/dense by construction.
     return (
         updated.withColumn(
             "n_members",
@@ -1696,17 +1717,34 @@ def q156_clusters_via_stored_index(spark, sf):
     docs = _t(spark, sf, "documents")
     old = docs.where(F.col("doc_id") % 10 != 0)
     new = docs.where(F.col("doc_id") % 10 == 0)
-    old_assign = D.neardup_clusters(
-        old,
-        pairs=minhash_neardup_pairs(old, jaccard_threshold=0.5).select(
-            "id_a", "id_b"
-        ),
-    ).localCheckpoint()
-    index = minhash_band_index(old)
-    fps = shingle_hash_table(old)
-    new_pairs = minhash_neardup_against_index(
-        new, index, fps, jaccard_threshold=0.5
-    )
+
+    # The baseline-assignment chain and the stored-index probe chain are
+    # independent (both derive from `old`/`new` scans, neither reads the
+    # other), so they overlap from a 2-thread pool (guide §2.6, VERDICT
+    # r13 item 3) — each chain's action barriers leave executors idle
+    # and the other chain's jobs back-fill them.  Rows unchanged.
+    def _baseline():
+        return D.neardup_clusters(
+            old,
+            pairs=minhash_neardup_pairs(old, jaccard_threshold=0.5).select(
+                "id_a", "id_b"
+            ),
+        ).localCheckpoint()
+
+    def _probe_pairs():
+        index = minhash_band_index(old)
+        fps = shingle_hash_table(old)
+        return minhash_neardup_against_index(
+            new, index, fps, jaccard_threshold=0.5
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_assign = pool.submit(_baseline)
+        f_pairs = pool.submit(_probe_pairs)
+        old_assign = f_assign.result()
+        new_pairs = f_pairs.result()
     updated = D.update_clusters(
         old_assign,
         new_pairs.select("id_a", "id_b"),
@@ -3569,14 +3607,21 @@ def incremental_phases() -> dict[str, tuple[Callable, Callable]]:
         ).select("query_id", "neighbor_id", "rank")
 
     def clusters_build(spark, sf):
+        # same pin chain as the fused q150 entry (r13 `4befdde`, applied
+        # here in r14): fps comes back from jaccard_prefix_index ALREADY
+        # pinned, so re-pinning it was a pure extra materialization job,
+        # and pinning freq FIRST keeps the prefix pin from re-running the
+        # freq aggregate inside its own job — relations identical by
+        # construction (`_prefix_rows(fps, freq)` is exactly how
+        # jaccard_prefix_index builds prefix)
         docs = _t(spark, sf, "documents")
         prefix, freq, fps = D.jaccard_prefix_index(docs, threshold=0.5)
-        prefix = prefix.localCheckpoint()
-        fps = fps.localCheckpoint()
+        freq = freq.localCheckpoint()
+        prefix = D._prefix_rows(fps, freq, threshold=0.5).localCheckpoint()
         old_pairs = D.jaccard_prefix_self_pairs(prefix, fps, threshold=0.5)
         return {
             "prefix": prefix,
-            "freq": freq.localCheckpoint(),
+            "freq": freq,
             "fps": fps,
             "old_assign": D.neardup_clusters(
                 docs, pairs=old_pairs, threshold=0.5
@@ -3997,12 +4042,43 @@ _R13_WINDOW = [
     "q83_sketch_union_soundness",
 ]
 
+_R14_WINDOW = [
+    # VERDICT r13 item 8 — rotation-by-staleness continues (the standing
+    # policy since r11): the 50 stalest entries by last driver-green
+    # round, exactly as tools/window_age.py emits them — the 6-entry r09
+    # lead cohort the r13 verdict named (q84/q86/q90/q91/q93/q95), the
+    # full 32-entry r10 cohort, and the 12 oldest of r11 to fill 50.
+    # With these green the staleness floor moves from r09 to r10-minus
+    # (only r11-checked entries older than this window remain).
+    # Displaced entries all have driver-green rows in earlier windows
+    # (no driver row has ever regressed) and still run in the local
+    # differential (tools/check_correctness.py covers all 184).
+    "q84_shipping_priority", "q86_price_quartiles",
+    "q90_daily_reconciliation", "q91_merge_upsert", "q93_weighted_sample",
+    "q95_event_gaps", "q100_sales_opportunity", "q101_cdc_dup_stats",
+    "q110_cohort_retention", "q112_daily_anomaly", "q114_zipf_slope",
+    "q115_small_qty_revenue", "q116_top_supplier", "q118_langid_eval",
+    "q119_shot_boundaries", "q123_disjunctive_filter", "q124_nation_share",
+    "q125_late_order_priority", "q127_time_to_conversion",
+    "q129_winsorized_stats", "q132_promo_revenue", "q133_asof_forward",
+    "q135_volume_trend", "q136_robust_anomaly", "q137_gapfilled_counts",
+    "q138_custdist", "q140_asof_nearest", "q141_wow_revenue",
+    "q142_rfm_segments", "q143_ordered_string_agg", "q144_grouped_corr",
+    "q157_bpe_encode", "q176_containment_pairs", "q72_variant_props",
+    "q85_large_volume_orders", "q88_above_average_orders",
+    "q98_volume_shipping", "q99_market_share", "q02_date_range_page",
+    "q103_knn_label_vote", "q107_semantic_dedup", "q108_rrf_fusion",
+    "q117_incremental_minhash", "q134_mmr_rerank", "q13_summary_stats",
+    "q145_sketch_rollup", "q146_lsh_multiprobe", "q149_incremental_phash",
+    "q150_incremental_clusters", "q151_sq8_topk",
+]
+
 
 # window entries first (the driver checks the leading 50), then the rest —
 # same total registry, pure reordering
 QUERIES: dict[str, Callable] = {
-    **{n: _ALL_QUERIES[n] for n in _R13_WINDOW},
-    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R13_WINDOW)},
+    **{n: _ALL_QUERIES[n] for n in _R14_WINDOW},
+    **{n: f for n, f in _ALL_QUERIES.items() if n not in set(_R14_WINDOW)},
 }
 
 
@@ -6197,7 +6273,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         # q113/q114: corpus diagnostics over the shared token CTE shape
-        "q113_vocab_overlap": """
+        "q113_vocab_overlap": r"""
             WITH vocab AS (
                 SELECT DISTINCT source AS src, t.tok AS token
                 FROM documents,
@@ -6217,7 +6293,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.src = source_a
             JOIN sizes sb ON sb.src = source_b
         """,
-        "q114_zipf_slope": """
+        "q114_zipf_slope": r"""
             WITH counts AS (
                 SELECT source, t.tok AS token, count(*) AS n
                 FROM documents,
@@ -6359,7 +6435,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q120: BM25 — identical operation order in idf/tf terms (left-to-
         # right products, division last), so round(·,4) cannot diverge
-        "q120_bm25": """
+        "q120_bm25": r"""
             WITH toks AS (
                 SELECT doc_id, t.tok AS token
                 FROM documents,
@@ -6546,7 +6622,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem CROSS JOIN p
             GROUP BY 1
         """,
-        "q130_pmi": """
+        "q130_pmi": r"""
             WITH pres AS (
                 SELECT DISTINCT doc_id, t.tok AS token
                 FROM documents,
