@@ -248,6 +248,42 @@ def calibration_candidates(here: str) -> list[str]:
     )
 
 
+def load_prior_anchor_warms(here: str) -> dict:
+    """Prior-artifact anchor warm seconds for host calibration (and for
+    the r14 warm-section quarantine gate).  Walks
+    :func:`calibration_candidates` newest-first — excluding a <30-min-old
+    highest-round candidate, which can only be this round's own artifact
+    (ADVICE r11/r12) — until one yields the q10 anchor; exclusions are
+    returned so main() records them in the payload instead of skipping
+    silently."""
+    out: dict = {"artifact": None, "excluded": None, "q10": None, "q24": None}
+    candidates = calibration_candidates(here)
+    if candidates and time.time() - os.path.getmtime(candidates[-1]) < 1800:
+        out["excluded"] = os.path.basename(candidates[-1])
+        candidates = candidates[:-1]
+    for cand in reversed(candidates):
+        try:
+            with open(cand) as fh:
+                prior = json.load(fh)
+            # driver artifacts wrap the bench line under "parsed"
+            prior = prior.get("parsed") or prior
+            pw = (prior.get("queries_warm") or {}).get("q10_revenue_by_nation")
+            if not pw:
+                continue
+            out["artifact"] = cand
+            out["age_h"] = round(
+                (time.time() - os.path.getmtime(cand)) / 3600, 1
+            )
+            out["q10"] = pw
+            out["q24"] = (prior.get("queries_warm") or {}).get(
+                "q24_minhash_neardup"
+            )
+            return out
+        except (OSError, ValueError, KeyError):
+            continue
+    return out
+
+
 def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -397,36 +433,86 @@ def main() -> None:
     # across same-code runs left "AQE flip or host?" unanswerable from the
     # artifact — now a flip (plan_flipped=true) is recorded evidence, and an
     # unflipped 2x swing indicts the host (see host_load sidecar section).
-    warm: dict[str, float] = {}
-    warm_spread: dict[str, list[float]] = {}
-    warm_plan_sigs: dict[str, dict] = {}
+    def measure_warm() -> tuple[dict, dict, dict]:
+        w: dict[str, float] = {}
+        w_spread: dict[str, list[float]] = {}
+        w_sigs: dict[str, dict] = {}
+        for name in HEADLINE:
+            suspect = name in SUSPECT_WARM
+            if suspect:
+                plan_tap.new_signatures()  # drain prior executions
+            samples = []
+            sample_sigs = []
+            for _ in range(5 if suspect else 3):
+                t0 = time.time()
+                run_once(queries[name](spark, sf_dir))
+                samples.append(round(time.time() - t0, 3))
+                if suspect:
+                    sample_sigs.append(tuple(plan_tap.new_signatures()))
+                free_pinned(spark)
+                if suspect:
+                    plan_tap.new_signatures()  # drain unpersist-side runs
+            samples.sort()
+            w[name] = samples[len(samples) // 2]
+            w_spread[name] = [samples[0], samples[-1]]
+            if suspect:
+                distinct = sorted({",".join(s) for s in sample_sigs})
+                w_sigs[name] = {
+                    "plan_flipped": len(distinct) > 1,
+                    "distinct_sigs": distinct,
+                }
+        return w, w_spread, w_sigs
+
     tele.start()
-    for name in HEADLINE:
-        suspect = name in SUSPECT_WARM
-        if suspect:
-            plan_tap.new_signatures()  # drain prior executions
-        samples = []
-        sample_sigs = []
-        for _ in range(5 if suspect else 3):
-            t0 = time.time()
-            run_once(queries[name](spark, sf_dir))
-            samples.append(round(time.time() - t0, 3))
-            if suspect:
-                sample_sigs.append(tuple(plan_tap.new_signatures()))
-            free_pinned(spark)
-            if suspect:
-                plan_tap.new_signatures()  # drain unpersist-side executions
-        samples.sort()
-        warm[name] = samples[len(samples) // 2]
-        warm_spread[name] = [samples[0], samples[-1]]
-        if suspect:
-            distinct = sorted({",".join(s) for s in sample_sigs})
-            warm_plan_sigs[name] = {
-                "plan_flipped": len(distinct) > 1,
-                "distinct_sigs": distinct,
-            }
+    warm, warm_spread, warm_plan_sigs = measure_warm()
     tele.end("headline_warm")
     aqe_flips = sum(1 for v in warm_plan_sigs.values() if v["plan_flipped"])
+
+    # Contaminated-section auto-quarantine (VERDICT r13 item 2): when BOTH
+    # calibration anchors (q10 scan/broadcast path, q24 shuffle path)
+    # inflate >1.5x vs the prior artifact IN LOCKSTEP while zero AQE
+    # flips were observed, the draw is host load, not code — r13's
+    # official artifact recorded exactly such a draw (q24 anchor 2.5x,
+    # zero flips) as the round's number.  Re-run the warm section once,
+    # record BOTH draws in the sidecar, and report the faster draw so the
+    # official artifact stops memorializing the bad draw.  Timed actions
+    # and per-query methodology are unchanged — this only repeats the
+    # same section; nothing is cached between draws (pins are freed
+    # inside measure_warm exactly as before).
+    prior_cal = load_prior_anchor_warms(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    warm_requeue = None
+    if (
+        prior_cal.get("q10")
+        and prior_cal.get("q24")
+        and aqe_flips == 0
+        and warm["q10_revenue_by_nation"] > 1.5 * prior_cal["q10"]
+        and warm["q24_minhash_neardup"] > 1.5 * prior_cal["q24"]
+    ):
+        draw1 = (warm, warm_spread, warm_plan_sigs)
+        tele.start()
+        draw2 = measure_warm()
+        tele.end("headline_warm_requeue")
+        warm_requeue = {
+            "reason": "both_anchors_inflated_lockstep_no_aqe_flips",
+            "draw1": {
+                "total_warm": round(sum(draw1[0].values()), 3),
+                "queries_warm": draw1[0],
+            },
+            "draw2": {
+                "total_warm": round(sum(draw2[0].values()), 3),
+                "queries_warm": draw2[0],
+            },
+        }
+        if sum(draw2[0].values()) < sum(draw1[0].values()):
+            warm, warm_spread, warm_plan_sigs = draw2
+            warm_requeue["reported"] = "draw2"
+        else:
+            warm_requeue["reported"] = "draw1"
+        aqe_flips = sum(
+            1 for v in warm_plan_sigs.values() if v["plan_flipped"]
+        )
 
     # plan facts: exchange count per headline query — the shuffle budget is
     # what extrapolates to cluster scale, so regressions here matter more
@@ -485,7 +571,19 @@ def main() -> None:
     # median repeat agrees with the fastest sample within 1.5x.
     incr_split: dict[str, dict] = {}
     tele.start()
-    for name, (build, probe) in E.incremental_phases().items():
+    incr_phases = E.incremental_phases()
+    # ONE untimed warmup build before the first timed entry (VERDICT r13
+    # item 7): the very first build of a bench run pays JVM/JIT warmup
+    # for the whole build-job family (~2x the settled repeats, measured
+    # r13), and that tax landed on whichever entry happened to run
+    # first, widening its build_spread_ratio.  The warmup state is
+    # discarded and its pins freed — every TIMED number below still
+    # recomputes from the parquet inputs; marked in the sidecar as
+    # incremental_methodology.
+    if incr_phases:
+        next(iter(incr_phases.values()))[0](spark, sf_dir)
+        free_pinned(spark)
+    for name, (build, probe) in incr_phases.items():
         t0 = time.time()
         state = build(spark, sf_dir)
         build_sec = round(time.time() - t0, 3)
@@ -615,9 +713,6 @@ def main() -> None:
     # ratio INSIDE the artifact lets any round-over-round comparison
     # self-normalize (divide deltas by host_ratio_vs_prior) instead of
     # relitigating host speed from outside evidence.
-    import glob
-    import re
-
     # TWO anchors since r13 (VERDICT r12 item 1b): q10 is a 2-exchange
     # broadcast join — too cheap to feel shuffle-path contention, so it
     # normalized the light queries but was blind to whatever moved
@@ -635,46 +730,24 @@ def main() -> None:
         "cold_sec": timings["q24_minhash_neardup"],
         "warm_sec": warm["q24_minhash_neardup"],
     }
-    here = os.path.dirname(os.path.abspath(__file__))
-    # ADVICE r11/r12: the newest BENCH_r*.json can be THIS round's own
-    # artifact (already on disk when the bench re-runs), which would make
-    # the ratio a self-comparison.  r12 excluded ANY candidate <30 min
-    # old, which silently skipped legitimate priors whose mtime was
-    # refreshed (git checkout, re-runs).  Now only the HIGHEST-round
-    # candidate is subject to the recency exclusion (it is the only one
-    # that can be this round's own file), and every exclusion is recorded
-    # in the payload instead of happening silently.
-    candidates = calibration_candidates(here)
-    if candidates and time.time() - os.path.getmtime(candidates[-1]) < 1800:
-        cal["prior_excluded"] = os.path.basename(candidates[-1])
-        candidates = candidates[:-1]
-    # walk from the newest candidate down until one actually yields the
-    # anchor (r12's official artifact is "parsed": null — a truncated
-    # tail with no queries_warm; stopping at it would leave the round
-    # with no calibration at all when the builder's BENCH_local_r12
-    # sidecar right next to it parses fine)
-    for cand in reversed(candidates):
-        try:
-            with open(cand) as fh:
-                prior = json.load(fh)
-            # driver artifacts wrap the bench line under "parsed"
-            prior = prior.get("parsed") or prior
-            pw = (prior.get("queries_warm") or {}).get(cal["anchor"])
-            if not pw:
-                continue
-            cal["prior_artifact"] = os.path.basename(cand)
-            cal["prior_artifact_age_h"] = round(
-                (time.time() - os.path.getmtime(cand)) / 3600, 1
+    # prior walked ONCE, before the warm section, by
+    # load_prior_anchor_warms (it also feeds the r14 quarantine gate);
+    # the exclusion/fallback semantics are unchanged from r13 — see the
+    # helper's docstring
+    if prior_cal.get("excluded"):
+        cal["prior_excluded"] = prior_cal["excluded"]
+    if prior_cal.get("q10"):
+        cal["prior_artifact"] = os.path.basename(prior_cal["artifact"])
+        cal["prior_artifact_age_h"] = prior_cal["age_h"]
+        cal["prior_warm_sec"] = prior_cal["q10"]
+        cal["host_ratio_vs_prior"] = round(
+            cal["warm_sec"] / prior_cal["q10"], 3
+        )
+        if prior_cal.get("q24"):
+            cal2["prior_warm_sec"] = prior_cal["q24"]
+            cal2["host_ratio_vs_prior"] = round(
+                cal2["warm_sec"] / prior_cal["q24"], 3
             )
-            cal["prior_warm_sec"] = pw
-            cal["host_ratio_vs_prior"] = round(cal["warm_sec"] / pw, 3)
-            pw2 = (prior.get("queries_warm") or {}).get(cal2["anchor"])
-            if pw2:
-                cal2["prior_warm_sec"] = pw2
-                cal2["host_ratio_vs_prior"] = round(cal2["warm_sec"] / pw2, 3)
-            break
-        except (OSError, ValueError, KeyError):
-            continue
 
     # sf1.0 headline (VERDICT r11 item 6): round-over-round SCALE tracking
     # inside the artifact, not just SCALING.md prose.  Five queries with
@@ -756,6 +829,8 @@ def main() -> None:
         "queries_extended_warm": extended,
         "queries_extended_warm_spread": extended_spread,
         "queries_incremental_split": incr_split,
+        "incremental_methodology": "first_build_jit_warmup_since_r14",
+        "warm_requeue": warm_requeue,
         "ann_recall": ann_recall,
         "sf1_headline": sf1_block,
         "host_load_sections": tele.sections,
@@ -802,7 +877,17 @@ def main() -> None:
         # ADVICE r11: e2e_pipeline_sec switched from the cold to the warm
         # (second) run in r11 — markers keep older artifacts comparable
         "e2e_methodology": "warm_second_run_since_r11",
-        "bench_methodology": "pins_freed_between_measurements_since_r12",
+        "bench_methodology": (
+            "pins_freed_between_measurements_since_r12;"
+            "warm_requeue_on_lockstep_anchor_inflation_since_r14"
+        ),
+        # present (with the chosen draw) only when the quarantine fired —
+        # both draws live in the sidecar's warm_requeue block
+        **(
+            {"warm_requeued": warm_requeue["reported"]}
+            if warm_requeue
+            else {}
+        ),
         "aqe_flips_detected": aqe_flips,
         "host_busy_frac_warm": overall_busy,
         "calibration": cal,
