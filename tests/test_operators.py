@@ -1603,36 +1603,6 @@ class TestJaccardPrefixPairs:
                    for r in D.jaccard_prefix_pairs(docs, "doc_id", "text", 3, t).collect()}
             assert got == want
 
-    def test_positional_filter_is_per_row_and_tighter(self, spark):
-        """r14 (VERDICT r13 item 5): the positional bound is applied per
-        MATCH ROW before the pair-dedup exchange — a pair survives iff
-        SOME row passes the bound at its own (i, j).  The r13 cross-row
-        form combined min(pa) and min(pb) from DIFFERENT rows, which
-        only ever loosens the bound: this synthetic pair's two rows
-        (1, 9) and (9, 1) gave the cross-row bound 1+min(sz−1, sz−1) =
-        10 ≥ req — kept — while no single row can bound the overlap
-        above 2, so the per-row filter prunes it.  Losslessness is
-        pinned by the hypothesis equivalence property and the
-        matches-inverted-index tests above; this asserts the TIGHTENING
-        (a qualifying pair cannot produce such rows: its minimal shared
-        token's own row always passes — see _positional_candidates)."""
-        matches = spark.createDataFrame(
-            [
-                # pair (1,2): both rows fail the per-row bound at t=0.8
-                # (req = 0.8/1.8·20 ≈ 8.89; 1+min(9,1)=2, 1+min(1,9)=2)
-                (1, 2, 1, 9, 10, 10),
-                (1, 2, 9, 1, 10, 10),
-                # pair (3,4): first shared token at (1,1) passes
-                # (1+min(9,9)=10 ≥ 8.89)
-                (3, 4, 1, 1, 10, 10),
-            ],
-            "id_a long, id_b long, __pa long, __pb long, __sza long, __szb long",
-        )
-        got = {(r["id_a"], r["id_b"])
-               for r in D._positional_candidates(matches, 0.8).collect()}
-        assert got == {(3, 4)}
-
-
 class TestMmrRerank:
     @staticmethod
     def _py_mmr(vecs, query_ids, k, shortlist, lam):
