@@ -29,6 +29,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for pandas UDFs / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet writes: zstd (guide §6) — measured at sf1.0 (r14 codec A/B,
+    # SCALING.md): 21% smaller files than snappy at equal-or-faster write
+    # and scan wall.  Write-side only; reads are codec-agnostic, so the
+    # driver's testdata inputs and every oracle are untouched.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
@@ -109,6 +114,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle codec is a STATIC conf, parameterised for cluster deploys
+    # (r14 codec A/B at sf1.0, SCALING.md): zstd shuffles ~30% fewer
+    # bytes but costs 10-20% wall at local[N], where shuffle never
+    # crosses a NIC — so the LOCAL default stays lz4 (and the driver's
+    # bench stays comparable), while a network-bound cluster sets
+    # SPARK_GRAFT_IO_CODEC=zstd to trade that CPU for 30% less traffic.
+    io_codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if io_codec:
+        builder = builder.config("spark.io.compression.codec", io_codec)
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
