@@ -284,6 +284,24 @@ def load_prior_anchor_warms(here: str) -> dict:
     return out
 
 
+def warm_section_contaminated(
+    warm: dict, prior_cal: dict, aqe_flips: int
+) -> bool:
+    """The r14 quarantine gate (VERDICT r13 item 2): BOTH calibration
+    anchors >1.5x their prior-artifact warm values IN LOCKSTEP while no
+    AQE flip was observed — host load by elimination (a plan change
+    flips signatures; a code change cannot move two frozen anchors).  A
+    single inflated anchor is NOT lockstep (e.g. shuffle-path-only
+    contention) and does not requeue."""
+    return bool(
+        prior_cal.get("q10")
+        and prior_cal.get("q24")
+        and aqe_flips == 0
+        and warm["q10_revenue_by_nation"] > 1.5 * prior_cal["q10"]
+        and warm["q24_minhash_neardup"] > 1.5 * prior_cal["q24"]
+    )
+
+
 def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -483,13 +501,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__))
     )
     warm_requeue = None
-    if (
-        prior_cal.get("q10")
-        and prior_cal.get("q24")
-        and aqe_flips == 0
-        and warm["q10_revenue_by_nation"] > 1.5 * prior_cal["q10"]
-        and warm["q24_minhash_neardup"] > 1.5 * prior_cal["q24"]
-    ):
+    if warm_section_contaminated(warm, prior_cal, aqe_flips):
         draw1 = (warm, warm_spread, warm_plan_sigs)
         tele.start()
         draw2 = measure_warm()

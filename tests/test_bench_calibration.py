@@ -43,3 +43,19 @@ def test_round_number_sorts_numerically_not_lexically(tmp_path):
 
 def test_empty_dir_yields_no_candidates(tmp_path):
     assert calibration_candidates(str(tmp_path)) == []
+
+
+def test_warm_section_contamination_gate():
+    """r14 quarantine predicate: requeue only on LOCKSTEP anchor
+    inflation (>1.5x both anchors) with zero AQE flips; a single hot
+    anchor, a plan flip, or a missing prior must not requeue."""
+    from bench import warm_section_contaminated
+
+    prior = {"q10": 1.0, "q24": 2.0}
+    hot = {"q10_revenue_by_nation": 1.6, "q24_minhash_neardup": 3.3}
+    one_hot = {"q10_revenue_by_nation": 0.9, "q24_minhash_neardup": 3.3}
+    assert warm_section_contaminated(hot, prior, 0) is True
+    assert warm_section_contaminated(one_hot, prior, 0) is False  # not lockstep
+    assert warm_section_contaminated(hot, prior, 1) is False      # plan flipped
+    assert warm_section_contaminated(hot, {"q10": 1.0}, 0) is False  # no q24 prior
+    assert warm_section_contaminated(hot, {}, 0) is False            # no prior
