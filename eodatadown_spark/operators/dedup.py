@@ -1320,8 +1320,21 @@ def update_clusters(
     """
     # pin the batch pair set ONCE: it is referenced by the touched-node
     # explode and twice by the symmetric edge union — an unpinned caller
-    # plan (e.g. a prefix-join pipeline) would re-execute per reference
-    new_pairs = _pin(new_pairs.select("id_a", "id_b"))
+    # plan (e.g. a prefix-join pipeline) would re-execute per reference.
+    # CONDITIONAL since r14: every production caller (q150/q156, the
+    # bench probes, the streaming apply_*_batch folds) passes a pair set
+    # the probe operator ALREADY pinned under materialize="auto", so the
+    # defensive pin re-materialized a narrow projection of a pinned RDD
+    # — one redundant localCheckpoint job per fold.  The pin now runs
+    # only when the pairs plan carries an Exchange (executedPlan()
+    # PREPARES without executing — the ensure_min_parallelism idiom):
+    # a narrow plan over a pinned/scanned leaf re-executes per reference
+    # cheaper than one materialization job, while any join/aggregate-
+    # bearing plan (the case the pin exists for) still pins.  Purely an
+    # execution-strategy choice — rows are identical either way.
+    new_pairs = new_pairs.select("id_a", "id_b")
+    if "Exchange" in new_pairs._jdf.queryExecution().executedPlan().toString():
+        new_pairs = _pin(new_pairs)
     touched = new_pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("__tid")
     ).distinct()

@@ -1972,6 +1972,55 @@ def test_update_clusters_driver_vs_distributed_identical(spark):
     assert over == dist
 
 
+def test_update_clusters_conditional_pair_pin(spark):
+    """r14: update_clusters pins its pair set only when the pairs plan
+    carries an Exchange.  Every production caller passes an already-
+    materialized probe output, so the old unconditional pin re-ran a
+    localCheckpoint job on a narrow projection of a pinned RDD — the
+    narrow input must now leak NO new persistent blocks from the call,
+    the exchange-bearing input must still pin, and rows must be
+    identical either way (the pin is execution strategy, not
+    semantics)."""
+    from eodatadown_spark.operators.dedup import update_clusters
+
+    assignments = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (9, 9, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    raw = spark.createDataFrame([(2, 100)], "id_a long, id_b long")
+    new_docs = spark.createDataFrame([(100,), (200,)], "doc_id long")
+
+    def persistent_ids() -> set:
+        # ids, not a count: the ContextCleaner may CONCURRENTLY release
+        # checkpoints left by earlier tests, so only NEW ids are asserted
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    # narrow (pre-pinned, the production shape): no new blocks survive
+    pinned = raw.localCheckpoint()
+    ids0 = persistent_ids()
+    got_narrow = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in update_clusters(assignments, pinned, new_docs).collect()
+    }
+    assert persistent_ids() - ids0 == set()
+
+    # exchange-bearing plan (a distinct): the defensive pin still fires
+    ids1 = persistent_ids()
+    got_wide = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in update_clusters(
+            assignments, raw.distinct(), new_docs
+        ).collect()
+    }
+    assert len(persistent_ids() - ids1) == 1
+    assert got_narrow == got_wide == {
+        (1, 1, True), (2, 1, False), (100, 1, False),
+        (9, 9, True), (200, 200, True),
+    }
+
+
 def test_neardup_clusters_driver_vs_distributed_identical(spark):
     """Round-8: neardup_clusters' size-gated union-find must match the
     distributed propagation exactly, including a >1-round chain and
